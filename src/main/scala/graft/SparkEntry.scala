@@ -1,13 +1,365 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.functions.{JsonFlatten, SafeCasts}
+import graft.functions.JsonFlatten.{AsLong, KeySpec}
+import graft.functions.SafeCasts._
+import graft.ops.{Denormalize, Timeline}
+import graft.ext.{Dedup, SimSearch, TextStats}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ §7.6 extensions), each with a DuckDB oracle where the
+  * semantics are SQL-expressible.
+  *
+  * Oracle-parity house rules (SURVEY §7.5):
+  *  - every computed column aliased identically on both sides;
+  *  - sums over doubles go through the decimal-exact pattern
+  *    ([[SafeCasts.decimalSum]]) so results are order-independent and
+  *    bit-identical across engines;
+  *  - counts/ranks cast to BIGINT on both sides;
+  *  - LIMIT only after a total deterministic ORDER BY (fixes the reference's
+  *    nondeterministic bare LIMIT, SURVEY §2.12.a).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Denormalize.ordersRollup(T(spark, dir, "orders"), T(spark, dir, "lineitem"))
+  }
+
+  // -------------------------------------------------------------------
+  // Queries
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5 A1-A4 + §2.3 F1 + C4-C6: scan→filter→group→agg, decimal-exact.
+    "q01_pricing_summary" -> ((s, dir) =>
+      Denormalize.pricingSummary(T(s, dir, "lineitem"), "2000-09-01 00:00:00")),
+
+    // §2.3 F1 multi-column OR + §2.7 O1 deterministic top-k.
+    "q02_incremental_scan" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-06-01 00:00:00")) ||
+          col("o_totalprice") >= 450000.0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey").limit(100)),
+
+    // §2.4 J2: hierarchy denorm, dims broadcast.
+    "q03_customer_geo" -> ((s, dir) =>
+      Denormalize.customerGeo(T(s, dir, "customer"), T(s, dir, "nation"), T(s, dir, "region"))),
+
+    // §2.4 J3 + §2.5 A1-A4 + §2.12.b: the runs-rollup slice (SURVEY §7.2).
+    "q04_orders_rollup" -> ((s, dir) =>
+      Denormalize.ordersRollup(T(s, dir, "orders"), T(s, dir, "lineitem"))),
+
+    // §2.4 J6: aliased self-join of one dim under two roles.
+    "q05_nation_pairs" -> ((s, dir) =>
+      Denormalize.supplierCustomerNations(T(s, dir, "lineitem"), T(s, dir, "orders"),
+        T(s, dir, "customer"), T(s, dir, "supplier"), T(s, dir, "nation"))),
+
+    // §2.8 U1 + §2.2 P3/P4 + §2.9 C1/C3: union-of-branches event log.
+    "q06_timeline_union" -> ((s, dir) => timelineUnion(s, dir)),
+
+    // §2.6: window-derived "current version" (batch-rebuild equivalence).
+    "q07_latest_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_event_type"))
+    }),
+
+    // §2.9 C8-C14: JSON flatten with permissive coercions.
+    "q08_json_flatten" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k")
+      JsonFlatten.flatten(T(s, dir, "events"), "props",
+          Seq(KeySpec("k", AsLong, "k_long")), prefix = "p_")
+        .select(col("event_id"), col("p_k_long"), col("p_full_text"),
+          k.as("k_str"), safeNumeric(k).as("k_dbl"), safeBool(k).as("k_bool"))
+    }),
+
+    // §7.6 exact dedup (shuffle on digest, not text).
+    "q09_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), "doc_id", "text")),
+
+    // §7.6 fingerprinting: md5/sha256 + token count.
+    "q10_doc_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprints(T(s, dir, "documents").select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("fp_md5"), col("fp_sha256"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))),
+
+    // §7.6 text analysis: per-language aggregate profile.
+    "q11_lang_profile" -> ((s, dir) =>
+      T(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(col("n_chars"))).as("avg_chars"),
+          sum(when(col("n_chars") > 300, 1).otherwise(0)).cast("long").as("n_long_docs"))),
+
+    // §7.6 text analysis: per-document quality scoring.
+    "q12_text_quality" -> ((s, dir) =>
+      TextStats.qualityReport(T(s, dir, "documents"), "doc_id", "text")),
+
+    // §7.6 similarity search: brute-force cosine top-k (baseline).
+    "q13_ann_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("sim_r6"))
+    }),
+
+    // §2.10 M2 / §2.6: SCD2 version chain rebuilt from an event stream.
+    "q14_scd2_rebuild" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events").select(
+        col("user_id"), col("event_id").as("version_id"),
+        col("ts").as("version_started_at"),
+        lead(col("ts"), 1).over(w).as("version_ended_at"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current_version"))
+    }),
+
+    // §2.11 T2/T3: watermark + 90s-overlap incremental window scan.
+    "q15_watermark_scan" -> ((s, dir) =>
+      T(s, dir, "events")
+        .filter(col("ts") >=
+          expr("timestamp'2024-01-20 00:00:00' - interval '90' second"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"), decimalSum(col("value")).as("sum_value"))),
+
+    // §7.6 near-dup via MinHash+LSH (rows-only check: hash fn not in DuckDB).
+    "q16_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
+        n = 1, k = 32, bands = 8, threshold = 0.5)),
+
+    // §7.6 SimHash fingerprint (rows-only check).
+    "q17_simhash" -> ((s, dir) =>
+      Dedup.simhashTable(T(s, dir, "documents"), "doc_id", "text")),
+
+    // §7.6 LSH-bucketed ANN (scale path; rows-only, recall<1 by design).
+    "q18_lsh_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    })
+  )
+
+  /** q06 body: five branches over orders+events mirroring the reference's
+    * 8-branch UNION ALL (extract.py:277-415). */
+  private def timelineUnion(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders")
+    val events = T(s, dir, "events")
+    import Timeline._
+
+    val b1 = orders.select(
+      sourceKey("ORD", col("o_orderkey")).as("source_key"),
+      lit("ORDER_PLACED").as("event_type"),
+      col("o_orderdate").as("event_time"),
+      col("o_custkey").cast("string").as("actor"),
+      concat(lit("Order placed: "), col("o_orderstatus")).as("description"),
+      col("o_totalprice").as("amount"))
+
+    val b2 = orders.filter(col("o_orderstatus") === "F").select(
+      sourceKey("FIL", col("o_orderkey")).as("source_key"),
+      lit("ORDER_FILLED").as("event_type"),
+      col("o_orderdate").as("event_time"),
+      nullString.as("actor"),          // P4 typed NULL
+      nullString.as("description"),
+      col("o_totalprice").as("amount"))
+
+    val b3 = events.filter(col("event_type") === "signup").select(
+      sourceKey("SU", col("event_id")).as("source_key"),
+      lit("USER_SIGNUP").as("event_type"),
+      col("ts").as("event_time"),
+      col("user_id").cast("string").as("actor"),
+      lit("Signup").as("description"),
+      nullDouble.as("amount"))
+
+    val b4 = events.filter(col("event_type") === "purchase").select(
+      sourceKey("PUR", col("event_id")).as("source_key"),
+      lit("PURCHASE").as("event_type"),
+      col("ts").as("event_time"),
+      col("user_id").cast("string").as("actor"),
+      concat(lit("Purchase: "),
+        col("value").cast("decimal(12,2)").cast("string")).as("description"),
+      col("value").as("amount"))
+
+    val b5 = events.filter(col("event_type") === "error").select(
+      sourceKey("ERR", col("event_id")).as("source_key"),
+      lit("ERROR_EVENT").as("event_type"),
+      col("ts").as("event_time"),
+      col("user_id").cast("string").as("actor"),
+      concat(lit("Error"),
+        optionalFragment(" | user: ", expr("nullif(user_id, 0)"))).as("description"),
+      col("value").as("amount"))
+
+    unionBranches(Seq(b1, b2, b3, b4, b5))
+      .orderBy(col("event_time"), col("source_key"))
+      .limit(2000)
+  }
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles (ANSI SQL, DuckDB 1.0 dialect where they differ)
+  // -------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_incremental_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00' OR o_totalprice >= 450000.0
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "q03_customer_geo" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region,
+        | c.c_acctbal, c.c_mktsegment
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+
+    "q04_orders_rollup" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+        | COUNT(l.l_linenumber) AS n_items,
+        | COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+        | CAST(COALESCE(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_returned,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_value,
+        | CAST(SUM(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+        |   / COUNT(l.l_shipdate) AS avg_ship_days
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate""".stripMargin,
+
+    "q05_nation_pairs" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | COUNT(*) AS n_shipments,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |GROUP BY sn.n_name, cn.n_name""".stripMargin,
+
+    "q06_timeline_union" ->
+      """WITH u AS (
+        | SELECT 'ORD_' || CAST(o_orderkey AS VARCHAR) AS source_key,
+        |   'ORDER_PLACED' AS event_type, o_orderdate AS event_time,
+        |   CAST(o_custkey AS VARCHAR) AS actor,
+        |   'Order placed: ' || o_orderstatus AS description,
+        |   o_totalprice AS amount
+        | FROM orders
+        | UNION ALL
+        | SELECT 'FIL_' || CAST(o_orderkey AS VARCHAR), 'ORDER_FILLED', o_orderdate,
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), o_totalprice
+        | FROM orders WHERE o_orderstatus = 'F'
+        | UNION ALL
+        | SELECT 'SU_' || CAST(event_id AS VARCHAR), 'USER_SIGNUP', ts,
+        |   CAST(user_id AS VARCHAR), 'Signup', CAST(NULL AS DOUBLE)
+        | FROM events WHERE event_type = 'signup'
+        | UNION ALL
+        | SELECT 'PUR_' || CAST(event_id AS VARCHAR), 'PURCHASE', ts,
+        |   CAST(user_id AS VARCHAR),
+        |   'Purchase: ' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), value
+        | FROM events WHERE event_type = 'purchase'
+        | UNION ALL
+        | SELECT 'ERR_' || CAST(event_id AS VARCHAR), 'ERROR_EVENT', ts,
+        |   CAST(user_id AS VARCHAR),
+        |   'Error' || COALESCE(' | user: ' || CAST(NULLIF(user_id, 0) AS VARCHAR), ''), value
+        | FROM events WHERE event_type = 'error')
+        |SELECT * FROM u WHERE event_time IS NOT NULL
+        |ORDER BY event_time, source_key LIMIT 2000""".stripMargin,
+
+    "q07_latest_per_user" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        | event_type AS last_event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1""".stripMargin,
+
+    "q08_json_flatten" ->
+      """SELECT event_id,
+        | TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS p_k_long,
+        | props AS p_full_text,
+        | json_extract_string(props, '$.k') AS k_str,
+        | TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+        | CASE WHEN json_extract_string(props, '$.k') IS NULL THEN NULL
+        |      WHEN lower(json_extract_string(props, '$.k')) IN ('true','1','yes') THEN TRUE
+        |      ELSE FALSE END AS k_bool
+        |FROM events""".stripMargin,
+
+    "q09_dedup_exact" ->
+      """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keeper_id,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    "q10_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "q11_lang_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+        | CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q12_text_quality" ->
+      """SELECT doc_id,
+        | CAST(len(text) AS BIGINT) AS n_chars,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+        | CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |   / len(text) AS alpha_ratio,
+        | CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |       t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t))) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS en_stopword_ratio
+        |FROM documents""".stripMargin,
+
+    "q13_ann_topk" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id < 5),
+        | c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_dot_product(q.e, c.e)
+        |     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+        | r AS (SELECT query_id, neighbor_id,
+        |   CAST(row_number() OVER (PARTITION BY query_id
+        |     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk, sim FROM sims)
+        |SELECT query_id, neighbor_id, rnk, round(sim, 6) AS sim_r6
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
+    "q14_scd2_rebuild" ->
+      """SELECT user_id, event_id AS version_id, ts AS version_started_at,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version_ended_at,
+        | (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current_version
+        |FROM events""".stripMargin,
+
+    "q15_watermark_scan" ->
+      """SELECT event_type, COUNT(*) AS n_events, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 90 SECOND
+        |GROUP BY event_type""".stripMargin
+  )
 }

@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (SURVEY §7.6):
+  * exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+  *
+  * Scale posture:
+  *  - Exact dedup shuffles once on the content hash (not the full text —
+  *    group on `sha2`, 64 bytes, instead of multi-KB documents).
+  *  - MinHash signatures are computed *per row with higher-order functions*
+  *    (no explode of doc×shingle, no shuffle); only the LSH band table is
+  *    exploded — `bands` rows per doc — and the candidate join shuffles on
+  *    the band hash, so cost is O(docs × bands), never O(docs²).
+  *  - SimHash reduces each doc to one 64-bit int; near-dup = same value
+  *    (or banded prefixes for hamming tolerance).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the minimum id per identical content. Grouping on the
+    * content digest keeps shuffle rows narrow at 100 TB. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), sha2(col(textCol), 256).as("content_sha"))
+      .groupBy(col("content_sha"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles of the lowercased text (distinct set). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Per-doc MinHash signature table: (doc_id, sig: array<long>[k]).
+    *
+    * Formulated as explode + k native min-aggregates rather than nested
+    * higher-order functions: the HOF version is CodegenFallback AND gets
+    * inlined by CollapseProject into every consumer (8× in the band explode,
+    * once per join side), recomputing the whole signature per reference —
+    * measured ~10× slower end-to-end. Here xxhash64/min stay inside
+    * whole-stage codegen, partial aggregation computes the mins map-side so
+    * the shuffle carries one row per (doc × shingle-partial), and the
+    * Aggregate node is a natural collapse barrier: downstream operators see
+    * `sig` as an attribute, never the expression. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int, k: Int): DataFrame = {
+    val shingleRows = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"__h$i"))
+    shingleRows.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-length signature into `bands` rows of
+    * (doc_id, band_id, band_hash) — deliberately WITHOUT the signature, so
+    * the downstream candidate join shuffles narrow rows only. */
+  def lshBands(sigTable: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    sigTable
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_id"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("band_hash")))).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs with estimated Jaccard from signature
+    * agreement. Join on (band_id, band_hash); pairs deduped by (a < b). */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    // The candidate join is quadratic in bucket size, so the band table it
+    // joins carries ONLY (band, doc_id) — signatures would multiply shuffle
+    // width by k×8 bytes per row. Signatures join back only after the pair
+    // set is distinct, so the Jaccard estimate runs once per unique pair.
+    val sigs = signatures(docs, idCol, textCol, n, k)
+    val narrow = lshBands(sigs, k, bands)
+    val pairs = narrow
+      .join(narrow.withColumnRenamed("doc_id", "doc_b"), Seq("band_id", "band_hash"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard for a pair table (verification pass after LSH). */
+  def ngramJaccard(pairs: DataFrame, left: Column, right: Column, n: Int): Column = {
+    val (ls, rs) = (shingles(left, n), shingles(right, n))
+    size(array_intersect(ls, rs)).cast("double") / size(array_union(ls, rs))
+  }
+
+  /** SimHash: sign-aggregated 64-bit fingerprint of the token set. For each
+    * bit b, sum ±1 over tokens by whether xxhash64(token) has bit b set; the
+    * fingerprint has bit b iff the sum is positive.
+    *
+    * One fold over the token array accumulates all 64 bit-sums (the per-token
+    * bit vector comes from the binary-string form of the hash, since
+    * `shiftright` only takes a literal bit count); the final bit-pack unrolls
+    * at plan-build time with Scala-side shifts. Pure expressions, no UDF.
+    */
+  def simhashBitSums(text: Column): Column = {
+    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
+    def hashBits(t: Column): Column = {
+      val bits = lpad(bin(xxhash64(t)), 64, "0") // MSB-first 64-char 0/1 string
+      transform(sequence(lit(0), lit(63)),
+        b => when(bits.substr(lit(64) - b, lit(1)) === "1", 1).otherwise(-1))
+    }
+    aggregate(toks, array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, hashBits(t), (a, v) => a + v))
+  }
+
+  private def packBits(bitSums: Column): Column =
+    (0 until 64).map(b =>
+      when(element_at(bitSums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+
+  def simhash(text: Column): Column = packBits(simhashBitSums(text))
+
+  /** Table-level simhash, the fast path: explode tokens and compute the 64
+    * bit-sums as native sum-aggregates with literal shift counts — fully
+    * codegen'd, map-side partial aggregation, Aggregate as collapse barrier
+    * (same rationale as [[signatures]]; the Column form above is
+    * CodegenFallback and ~50× slower per doc). Output: (idCol, out). */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String,
+                   out: String = "simhash64"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("__t"))
+    val h = xxhash64(col("__t"))
+    val sums = (0 until 64).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b"))
+    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)).as(out))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY §7.6):
+  * tokenization stats, quality scoring, language-ID heuristic, document
+  * fingerprinting. All native `Column` expressions — codegen'd, no UDFs —
+  * so they stream through a 100 TB corpus scan without materialization.
+  */
+object TextStats {
+
+  /** Whitespace token count. `\s+` on the trimmed text matches DuckDB's
+    * `regexp_split_to_array(trim(x), '\s+')` for the oracle. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** Mean token length = non-space chars / tokens (exact int/int → double). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCount(text)
+
+  /** Fraction of characters that are a-z (quality signal). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text)
+
+  /** Stopword-ratio language scorer: fraction of tokens in a stopword list.
+    * An n-gram/stopword heuristic is the classic cheap lang-ID. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    hits.cast("double") / size(toks)
+  }
+
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Content fingerprints: md5 + sha256 over the exact text bytes. */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp_md5", md5(col(textCol)))
+      .withColumn("fp_sha256", sha2(col(textCol), 256))
+
+  /** Per-document quality report — one pass, all expressions fused. */
+  def qualityReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      avgTokenLen(t).as("avg_token_len"),
+      alphaRatio(t).as("alpha_ratio"),
+      stopwordRatio(t, englishStopwords).as("en_stopword_ratio"))
+  }
+}
