@@ -32,6 +32,28 @@ object Scratch {
     time("pairs")(pairs.count())
     time("full")(Dedup.minhashNearDups(docs, "doc_id", "text", 1, 32, 8, 0.5).count())
     time("simhashTable")(Dedup.simhashTable(docs, "doc_id", "text").count())
+
+    // drive the incremental runtime end-to-end: 3 poll cycles over events
+    // with a moving visibility horizon, dedup-append sink, then reconcile
+    import java.sql.Timestamp
+    import graft.merge.MergeSink
+    import graft.runtime.{IncrementalRunner, StreamSpec, WatermarkStore}
+    val base = java.nio.file.Files.createTempDirectory("graft-run").toString
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    var horizon = Timestamp.valueOf("2024-01-01 00:00:00")
+    val store = new WatermarkStore(spark, s"$base/wm")
+    val runner = new IncrementalRunner(spark, store, 90, () => horizon)
+    val spec = StreamSpec("events",
+      (s, since) => events.filter(col("ts") >= lit(since) && col("ts") < lit(horizon)),
+      "ts", "event_id",
+      b => MergeSink.appendDedup(spark, s"$base/sink", b, "event_id"), cap = 300)
+    for (h <- Seq("2024-01-12 00:00:00", "2024-01-21 00:00:00", "2024-02-01 00:00:00")) {
+      horizon = Timestamp.valueOf(h)
+      val r = runner.runCycle(Seq(spec))
+      println(s"[scratch] cycle@$h: rows=${r.totalRows} loops=${r.results.head.drainedLoops} err=${r.failed.size}")
+    }
+    println(s"[scratch] sink rows=${spark.read.parquet(s"$base/sink").count()} " +
+      s"(source=${events.count()}) watermark=${store.get("events").get}")
     spark.stop()
   }
 }

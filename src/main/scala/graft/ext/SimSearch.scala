@@ -65,7 +65,7 @@ object SimSearch {
     * Recall < 1 by construction; multiply probes by also checking buckets at
     * hamming distance 1 (`probeNeighbors = true`). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
+              vecCol: String, k: Int, nPlanes: Int = 6, dim: Int = 64,
               probeNeighbors: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket"))

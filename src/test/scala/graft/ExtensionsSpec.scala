@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, SimSearch, TextStats}
+import graft.model.Tables
+
+/** Extension operators (SURVEY §7.6): dedup finds planted duplicates, ANN
+  * ranks a planted near-identical vector first, text stats match hand
+  * computation, multimodal plumbing is deterministic. */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "unique"))
+      .toDF("doc_id", "text")
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == 2)
+    val dup = d.filter(col("n_copies") === 2).select("keeper_id").as[Long].head()
+    assert(dup == 1L)
+  }
+
+  test("minhash near-dup surfaces a planted 90%-overlap pair") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 54).map(i => s"w$i").mkString(" ") + " x1 x2 x3 x4 x5 x6"
+    val far = (100 to 160).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 1, k = 64, bands = 16, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccard computes exact overlap") {
+    val pairs = Seq(("a b c d", "a b c z")).toDF("l", "r")
+    val j = pairs.select(Dedup.ngramJaccard(pairs, col("l"), col("r"), 1).as("j"))
+      .as[Double].head()
+    assert(math.abs(j - 3.0 / 5.0) < 1e-12)   // {a,b,c} / {a,b,c,d,z}
+  }
+
+  test("simhash: identical texts agree, Column and table forms agree") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val viaTable = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaTable(1L) == viaTable(2L))
+    assert(viaTable(1L) != viaTable(3L))
+    val viaColumn = docs.select(col("doc_id"), Dedup.simhash(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(viaTable == viaColumn)
+  }
+
+  test("brute-force ANN ranks a planted near-duplicate vector first") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val planted = v0.updated(0, v0.head + 0.001f)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((9999L, planted)).toDF("vec_id", "embedding"))
+    val top = SimSearch.bruteForceTopK(corpus,
+      corpus.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+    val first = top.filter(col("rank") === 1).select("neighbor_id").as[Long].head()
+    assert(first == 9999L)
+  }
+
+  test("lsh ANN recall vs brute force is reasonable on testdata") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = SimSearch.lshTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall > 0.2, s"recall=$recall")  // bucketed search trades recall for cost
+  }
+
+  test("token stats match hand computation") {
+    val df = Seq("the quick brown fox").toDF("text")
+    val r = df.select(
+      TextStats.tokenCount(col("text")).as("n"),
+      TextStats.avgTokenLen(col("text")).as("avg"),
+      TextStats.stopwordRatio(col("text"), TextStats.englishStopwords).as("sw"))
+      .as[(Int, Double, Double)].head()
+    assert(r._1 == 4)
+    assert(r._2 == 16.0 / 4)                 // 16 non-space chars / 4 tokens
+    assert(r._3 == 0.25)                     // "the" of 4 tokens
+  }
+
+  test("multimodal: feature extraction is deterministic, schema is typed") {
+    val docs = Tables.load(spark, sf(), "documents").limit(30)
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val f1 = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+    val f2 = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+    assert(f1.sameElements(f2))
+    assert(f1.head.getAs[scala.collection.Seq[Float]]("feature").size == 16)
+    assert(Multimodal.sampleFrames(assets).columns.toSeq ==
+      Seq("asset_id", "frame_no", "frame_payload_b64"))
+  }
+}

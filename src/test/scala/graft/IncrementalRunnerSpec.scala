@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.merge.MergeSink
+import graft.model.Tables
+import graft.runtime.{CycleScheduler, IncrementalRunner, StreamSpec, WatermarkStore}
+
+/** End-to-end incremental runtime (SURVEY §2.11 + §5): replaying the events
+  * table in micro-batches must converge to the one-shot batch result; caps
+  * drain within a cycle; watermarks advance on empty batches. */
+class IncrementalRunnerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def events: DataFrame = Tables.load(spark, sf(), "events")
+
+  /** An extract fn that sees only rows the "source" has produced so far
+    * (simulated by a mutable visibility horizon) — new rows appear between
+    * cycles exactly like OLTP writes between polls. */
+  private class Source {
+    @volatile var horizon: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")
+    def extract(s: SparkSession, since: Timestamp): DataFrame =
+      events.filter(col("ts") >= lit(since) && col("ts") < lit(horizon))
+  }
+
+  test("incremental replay over 3 cycles == one-shot batch (effectively-once)") {
+    val wmDir = tmpDir("wm")
+    val sinkDir = tmpDir("sink")
+    val store = new WatermarkStore(spark, wmDir)
+    val src = new Source
+    val spec = StreamSpec("events",
+      extract = src.extract, watermarkCol = "ts", tieBreakCol = "event_id",
+      sink = b => MergeSink.appendDedup(spark, sinkDir, b, "event_id"),
+      cap = 5000)
+    // the simulated source lives in 2024, so "NOW" for watermark purposes is
+    // its visibility horizon, not this machine's wall clock
+    val runner = new IncrementalRunner(spark, store, overlapSec = 90,
+      now = () => src.horizon)
+
+    for (h <- Seq("2024-01-12 00:00:00", "2024-01-21 00:00:00", "2024-02-01 00:00:00")) {
+      src.horizon = Timestamp.valueOf(h)
+      val r = runner.runCycle(Seq(spec))
+      assert(r.failed.isEmpty, r.failed.mkString(","))
+    }
+    val got = spark.read.parquet(sinkDir)
+    assert(got.count() == events.count())           // nothing lost, nothing duped
+    assert(got.select("event_id").distinct().count() == events.count())
+  }
+
+  test("capped stream drains within one cycle; watermark = max-seen when capped") {
+    val wmDir = tmpDir("wm2")
+    val sinkDir = tmpDir("sink2")
+    val store = new WatermarkStore(spark, wmDir)
+    val src = new Source
+    src.horizon = Timestamp.valueOf("2024-02-01 00:00:00")
+    val spec = StreamSpec("events",
+      extract = src.extract, watermarkCol = "ts", tieBreakCol = "event_id",
+      sink = b => MergeSink.appendDedup(spark, sinkDir, b, "event_id"),
+      cap = 100)                                    // tiny cap: forces ~10 loops
+    val runner = new IncrementalRunner(spark, store, overlapSec = 90)
+    val r = runner.runCycle(Seq(spec))
+    assert(r.results.head.drainedLoops > 1)         // it looped (T5 fix)
+    assert(spark.read.parquet(sinkDir).count() == events.count()) // §2.12.e/i fixed
+  }
+
+  test("watermark advances even on empty batches (T8) and failures are isolated (T6)") {
+    val wmDir = tmpDir("wm3")
+    val store = new WatermarkStore(spark, wmDir)
+    val runner = new IncrementalRunner(spark, store, overlapSec = 90)
+    val empty = StreamSpec("empty",
+      extract = (s, since) => events.filter(lit(false)),
+      watermarkCol = "ts", tieBreakCol = "event_id",
+      sink = _ => fail("sink must not run on empty batch"), cap = 100)
+    val boom = StreamSpec("boom",
+      extract = (s, since) => throw new RuntimeException("synthetic failure"),
+      watermarkCol = "ts", tieBreakCol = "event_id", sink = _ => (), cap = 100)
+    val r = runner.runCycle(Seq(boom, empty))
+    assert(r.failed.map(_.name) == Seq("boom"))     // empty stream unaffected
+    val st = store.get("empty")
+    assert(st.isDefined && st.get.rowsLastRun == 0) // offset committed anyway
+    assert(store.get("boom").isEmpty)               // failed stream not advanced
+  }
+
+  test("scheduler escalates after N consecutive failing cycles (T7)") {
+    val wmDir = tmpDir("wm4")
+    val store = new WatermarkStore(spark, wmDir)
+    val runner = new IncrementalRunner(spark, store)
+    var alerts = 0
+    val sched = new CycleScheduler(runner, maxConsecutiveFailures = 3,
+      onAlert = _ => alerts += 1)
+    val boom = StreamSpec("boom",
+      extract = (s, since) => throw new RuntimeException("down"),
+      watermarkCol = "ts", tieBreakCol = "event_id", sink = _ => (), cap = 10)
+    (1 to 4).foreach(_ => sched.runOnce(Seq(boom)))
+    assert(alerts == 2)                             // fired at cycles 3 and 4
+  }
+}
