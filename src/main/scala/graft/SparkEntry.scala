@@ -91,11 +91,12 @@ object SparkEntry {
     "q09_dedup_exact" -> ((s, dir) =>
       Dedup.exact(T(s, dir, "documents"), "doc_id", "text")),
 
-    // §7.6 fingerprinting: md5/sha256 + token count.
+    // §7.6 fingerprinting: md5/sha256 + whitespace and BPE-ish token counts.
     "q10_doc_fingerprint" -> ((s, dir) =>
       TextStats.fingerprints(T(s, dir, "documents").select("doc_id", "text"), "text")
         .select(col("doc_id"), col("fp_md5"), col("fp_sha256"),
-          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextStats.bpeishTokenCount("text").cast("long").as("n_subtokens"))),
 
     // §7.6 text analysis: per-language aggregate profile.
     "q11_lang_profile" -> ((s, dir) =>
@@ -149,7 +150,24 @@ object SparkEntry {
     "q18_lsh_ann" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
-    })
+    }),
+
+    // §2.9 C5-C7: timestamp-difference durations with exact oracle parity
+    // (unix_timestamp floor for minutes; µs-exact ms truncation for seconds).
+    "q19_user_durations" -> ((s, dir) =>
+      T(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .select(col("user_id"), col("n_events"), col("first_ts"), col("last_ts"),
+          round((unix_timestamp(col("last_ts")) - unix_timestamp(col("first_ts"))) / 60.0, 2)
+            .as("span_minutes"),
+          (expr("(unix_micros(last_ts) - unix_micros(first_ts)) div 1000") / lit(1000.0))
+            .as("span_seconds"))),
+
+    // §7.6 embedding-cosine near-dup pairs (brute-force baseline).
+    "q20_cosine_neardup" -> ((s, dir) =>
+      SimSearch.cosineNearDups(T(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r6")))
   )
 
   /** q06 body: five branches over orders+events mirroring the reference's
@@ -157,6 +175,7 @@ object SparkEntry {
   private def timelineUnion(s: SparkSession, dir: String): DataFrame = {
     val orders = T(s, dir, "orders")
     val events = T(s, dir, "events")
+    val customer = T(s, dir, "customer")
     import Timeline._
 
     val b1 = orders.select(
@@ -201,7 +220,19 @@ object SparkEntry {
         optionalFragment(" | user: ", expr("nullif(user_id, 0)"))).as("description"),
       col("value").as("amount"))
 
-    unionBranches(Seq(b1, b2, b3, b4, b5))
+    // J7/J8: a branch that joins inside the union (extract.py:352,371-373) —
+    // the dim side broadcast so the branch adds no shuffle.
+    val b6 = orders.filter(col("o_orderstatus") === "O")
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(
+        sourceKey("OPB", col("o_orderkey")).as("source_key"),
+        lit("ORDER_OPENED").as("event_type"),
+        col("o_orderdate").as("event_time"),
+        col("c_name").as("actor"),
+        concat(lit("Open order by: "), col("c_name")).as("description"),
+        col("o_totalprice").as("amount"))
+
+    unionBranches(Seq(b1, b2, b3, b4, b5, b6))
       .orderBy(col("event_time"), col("source_key"))
       .limit(2000)
   }
@@ -284,7 +315,12 @@ object SparkEntry {
         | SELECT 'ERR_' || CAST(event_id AS VARCHAR), 'ERROR_EVENT', ts,
         |   CAST(user_id AS VARCHAR),
         |   'Error' || COALESCE(' | user: ' || CAST(NULLIF(user_id, 0) AS VARCHAR), ''), value
-        | FROM events WHERE event_type = 'error')
+        | FROM events WHERE event_type = 'error'
+        | UNION ALL
+        | SELECT 'OPB_' || CAST(o_orderkey AS VARCHAR), 'ORDER_OPENED', o_orderdate,
+        |   c_name, 'Open order by: ' || c_name, o_totalprice
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | WHERE o_orderstatus = 'O')
         |SELECT * FROM u WHERE event_time IS NOT NULL
         |ORDER BY event_time, source_key LIMIT 2000""".stripMargin,
 
@@ -313,7 +349,8 @@ object SparkEntry {
 
     "q10_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
-        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens
         |FROM documents""".stripMargin,
 
     "q11_lang_profile" ->
@@ -360,6 +397,21 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 90 SECOND
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    "q19_user_durations" ->
+      """SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        | round(((epoch_us(MAX(ts))//1000000) - (epoch_us(MIN(ts))//1000000))/60.0, 2)
+        |   AS span_minutes,
+        | ((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))//1000)/1000.0 AS span_seconds
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q20_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_dot_product(a.v, b.v)
+        |     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS sim_r6 FROM p WHERE sim >= 0.4""".stripMargin
   )
 }

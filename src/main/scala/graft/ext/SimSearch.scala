@@ -44,6 +44,19 @@ object SimSearch {
         round(col("sim"), 6).as("sim_r6"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: every (a < b) pair above the
+    * similarity threshold. Brute force — O(n²) pairs — which is the exact
+    * baseline; at corpus scale the same thresholding runs over [[lshTopK]]
+    * buckets instead so the pair space stays per-bucket. */
+  def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot(v, h_i) packed into a
     * long. Hyperplanes are derived deterministically from xxhash64 so driver
     * and executors agree without shipping state. */

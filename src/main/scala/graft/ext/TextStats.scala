@@ -34,6 +34,13 @@ object TextStats {
   val englishStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token — the pre-tokenization split
+    * BPE vocabularies are trained over. Regex-only, so it stays codegen'd
+    * and matches DuckDB's regexp_extract_all for the oracle. */
+  def bpeishTokenCount(colName: String): Column =
+    expr(s"size(regexp_extract_all($colName, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+
   /** Content fingerprints: md5 + sha256 over the exact text bytes. */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp_md5", md5(col(textCol)))
