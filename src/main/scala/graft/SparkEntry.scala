@@ -138,9 +138,11 @@ object SparkEntry {
           max(col("ts")).as("max_ts"), decimalSum(col("value")).as("sum_value"))),
 
     // §7.6 near-dup via MinHash+LSH (rows-only check: hash fn not in DuckDB).
+    // Unigram shingles: this corpus is bag-of-words near-duplicated, and the
+    // output is per-doc keeper assignments, not the quadratic pair set.
     "q16_minhash_neardup" -> ((s, dir) =>
-      Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
-        n = 1, k = 32, bands = 8, threshold = 0.5)),
+      Dedup.minhashDedupAssignments(T(s, dir, "documents"), "doc_id", "text",
+        n = 1, k = 32, bands = 4, threshold = 0.6)),
 
     // §7.6 SimHash fingerprint (rows-only check).
     "q17_simhash" -> ((s, dir) =>

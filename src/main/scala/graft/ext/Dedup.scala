@@ -87,10 +87,25 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+        (graft.functions.VectorExprs.longArrayAgree(col("sig_a"), col("sig_b"))
+          .cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Doc-level dedup decisions from the near-dup pair set: each doc maps to
+    * its smallest-id near-duplicate as keeper (docs with no candidate keep
+    * themselves, keeper_id = doc_id). Output is one row per document — the
+    * artifact a dedup pipeline actually materializes; on a degenerate
+    * corpus the pair set is quadratic, so never return it directly. */
+  def minhashDedupAssignments(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, n, k, bands, threshold)
+    val keepers = pairs.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("cand"), max(col("est_jaccard")).as("max_est_jaccard"))
+    docs.select(col(idCol).as("doc_id")).join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cand"), col("doc_id")).as("keeper_id"),
+        col("max_est_jaccard"))
   }
 
   /** Exact n-gram Jaccard for a pair table (verification pass after LSH). */
@@ -133,9 +148,12 @@ object Dedup {
     * CodegenFallback and ~50× slower per doc). Output: (idCol, out). */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String,
                    out: String = "simhash64"): DataFrame = {
+    // hash each token ONCE in a projection below the aggregate — the 64
+    // bit-sum expressions then read the attribute instead of re-hashing
     val toks = docs.select(col(idCol),
-      explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("__t"))
-    val h = xxhash64(col("__t"))
+        explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val h = col("__h")
     val sums = (0 until 64).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b"))
     toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
