@@ -128,11 +128,12 @@ object SparkEntry {
         lead(col("ts"), 1).over(w).isNull.as("is_current_version"))
     }),
 
-    // §2.11 T2/T3: watermark + 90s-overlap incremental window scan.
+    // §2.11 T2/T3: watermark + 90s-overlap incremental window scan. The
+    // predicate is pushed on the RAW nanos column (Tables.loadSince) so the
+    // scan prunes row groups instead of reading the full table.
     "q15_watermark_scan" -> ((s, dir) =>
-      T(s, dir, "events")
-        .filter(col("ts") >=
-          expr("timestamp'2024-01-20 00:00:00' - interval '90' second"))
+      Tables.loadSince(s, dir, "events", "ts",
+          java.sql.Timestamp.valueOf("2024-01-19 23:58:30"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("min_ts"),
           max(col("ts")).as("max_ts"), decimalSum(col("value")).as("sum_value"))),

@@ -105,6 +105,7 @@ object MergeSink {
       case Some(existing) =>
         b.join(existing.select(keys.map(col): _*).dropDuplicates(keys),
             keys, "left_anti")
+          .select(existing.columns.map(col).toSeq: _*) // stable column order
           .write.mode("append").parquet(dir)
     }
   }

@@ -24,12 +24,15 @@ object Schemas {
     f("withdraw_at", TimestampType),
     f("etl_created_at", TimestampType), f("etl_updated_at", TimestampType)))
 
-  /** fact_scenario_timeline (setup_target.py:86-103): M4 event-log target. */
+  /** fact_scenario_timeline (setup_target.py:86-103): M4 event-log target;
+    * the 10-column shape of the UNION ALL (extract.py:278-288). */
   val factScenarioTimeline: StructType = StructType(Seq(
     f("source_key", StringType, nullable = false),
-    f("event_type", StringType), f("event_time", TimestampType),
-    f("scenario_id", StringType), f("run_id", StringType),
+    f("event_type", StringType), f("event_category", StringType),
+    f("event_time", TimestampType),
     f("actor", StringType), f("description", StringType),
+    f("run_id", StringType), f("node_name", StringType),
+    f("event_type_name", StringType), f("scenario_id", StringType),
     f("etl_created_at", TimestampType)))
 
   /** fact_node_input_history (setup_target.py:113-153): M2 SCD2 target. */

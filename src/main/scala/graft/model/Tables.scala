@@ -35,4 +35,27 @@ object Tables {
       else d
     }
   }
+
+  /** Incremental scan with watermark pushdown. A predicate on the CONVERTED
+    * timestamp can't reach the parquet scan (the conversion expression hides
+    * the column), which would make every incremental cycle a full scan at
+    * 100 TB. Filtering the raw nanos long first is pushed into the scan
+    * (row-group pruning) and is exactly equivalent:
+    * floor_us(ts_ns) >= since  ⟺  ts_ns >= since_us × 1000 for whole-µs
+    * `since`. Falls back to a plain timestamp filter for µs-typed tables. */
+  def loadSince(spark: SparkSession, dir: String, name: String,
+                tsCol: String, since: java.sql.Timestamp): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val sinceUs = since.toInstant.getEpochSecond * 1000000L + since.getNanos / 1000L
+    if (nanosColumns.getOrElse(name, Nil).contains(tsCol) &&
+        raw.schema(tsCol).dataType == LongType) {
+      val filtered = raw.filter(col(tsCol) >= sinceUs * 1000L)
+      nanosColumns.getOrElse(name, Nil).foldLeft(filtered) { (d, c) =>
+        if (d.schema(c).dataType == LongType)
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        else d
+      }
+    } else
+      load(spark, dir, name).filter(col(tsCol) >= lit(since))
+  }
 }

@@ -1,0 +1,353 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Bootstrap
+import graft.functions.{JsonFlatten, SafeCasts}
+import graft.functions.SafeCasts._
+import graft.merge.MergeSink
+import graft.runtime.StreamSpec
+
+/** The reference's six table-pipelines, re-expressed as fused Spark plans
+  * (SURVEY §3.1): each extract's joins/filters/aggregates AND its Python
+  * row-at-a-time transform collapse into ONE DataFrame plan per stream —
+  * scan → join → filter → flatten → project — with the merge sink attached
+  * by the incremental runner.
+  *
+  * Source layout mirrors extract.py's tables; outputs are the §1.2-typed
+  * star-schema targets (model.Schemas). Dimension sides are broadcast. Each
+  * extract carries a `wm_ts` column — the greatest of its incremental
+  * predicate columns — so the runner's deterministic cap ordering and
+  * max-seen watermark advancement (SURVEY §2.12.a/e fixes) have a single
+  * total order to work with.
+  */
+final case class ScenarioSources(
+    fcScenario: DataFrame, fcModel: DataFrame, fcForecastInit: DataFrame,
+    fcScenarioNodeData: DataFrame, fcModelNode: DataFrame,
+    fcModelNodeGroups: DataFrame, fcModelNodeTab: DataFrame,
+    fcScenarioRun: DataFrame, fcScenarioRunBranch: DataFrame,
+    fcScenarioNodeCalc: DataFrame, fcScenarioEventData: DataFrame,
+    fcScenarioEventType: DataFrame, fcEventType: DataFrame)
+
+object ScenarioPipeline {
+
+  private def geCoalesced(since: Timestamp, cols: Column*): Column =
+    cols.map(c => c.isNotNull && c >= lit(since)).reduce(_ || _)
+
+  private def wmGreatest(cols: Column*): Column =
+    if (cols.size == 1) cols.head else greatest(cols: _*)
+
+  /** dim_scenario (extract.py:50-107 + transform.py:107-154): J1 pre-join of
+    * model + forecast cycle, 5-column OR incremental predicate (F1). */
+  def extractScenarios(src: ScenarioSources, since: Timestamp): DataFrame = {
+    val s = src.fcScenario.alias("s")
+    s.join(broadcast(src.fcModel.alias("m")), col("s.model_id") === col("m.id"))
+      .join(broadcast(src.fcForecastInit.alias("fi")),
+        col("s.forecast_init_id") === col("fi.id"))
+      .filter(geCoalesced(since, col("s.created_at"), col("s.updated_at"),
+        col("s.submitted_at"), col("s.locked_at"), col("s.withdraw_at")))
+      .select(
+        col("s.id").as("scenario_id"),
+        col("s.scenario_display_name").as("scenario_name"),
+        col("s.status").as("scenario_status"),
+        col("s.is_starter"),
+        col("s.model_id"),
+        col("m.model_display_name").as("model_name"),
+        col("s.scenario_start_year").cast("int").as("scenario_start_year"),
+        col("s.forecast_init_id").as("forecast_cycle_id"),
+        col("fi.forecast_cycle_display_name").as("forecast_cycle_name"),
+        col("s.created_at"), col("s.updated_at"), col("s.submitted_at"),
+        col("s.locked_at"), col("s.withdraw_at"),
+        current_timestamp().as("etl_created_at"),
+        current_timestamp().as("etl_updated_at"),
+        wmGreatest(col("s.created_at"),
+          coalesce(col("s.updated_at"), col("s.created_at")),
+          coalesce(col("s.submitted_at"), col("s.created_at")),
+          coalesce(col("s.locked_at"), col("s.created_at")),
+          coalesce(col("s.withdraw_at"), col("s.created_at"))).as("wm_ts"))
+  }
+
+  /** fact_node_input_history (extract.py:113-155 + transform.py:157-205):
+    * J2 hierarchy denorm + C12 JSON flatten + C15 is_current. Implements
+    * the INTENT of the reference's validation-message passthrough, not its
+    * KeyError (SURVEY §2.12.h). */
+  def extractNodeData(src: ScenarioSources, since: Timestamp): DataFrame = {
+    val nd = src.fcScenarioNodeData.alias("nd")
+    val joined = nd
+      .join(broadcast(src.fcModelNode.alias("mn")),
+        col("nd.model_node_id") === col("mn.id"))
+      .join(broadcast(src.fcModelNodeGroups.alias("mg")),
+        col("mn.model_node_group_id") === col("mg.id"))
+      .join(broadcast(src.fcModelNodeTab.alias("mt")),
+        col("mg.model_node_tab_id") === col("mt.id"))
+      .filter(col("nd.created_at") >= lit(since) ||
+        (col("nd.end_at").isNotNull && col("nd.end_at") >= lit(since)))
+    val flat = JsonFlatten.flatten(
+      joined.select(
+        col("nd.id").as("source_id"),
+        col("nd.scenario_id"), col("nd.model_node_id"),
+        col("mn.node_display_name").as("node_name"),
+        col("mg.group_display_name").as("group_name"),
+        col("mt.tab_display_name").as("tab_name"),
+        col("nd.input_data"),
+        col("nd.input_validated"),
+        col("nd.input_validation_message"),
+        col("nd.created_at").as("version_started_at"),
+        col("nd.end_at").as("version_ended_at")),
+      "input_data", JsonFlatten.inputDataKeys, prefix = "inp_")
+    flat.select(
+      col("source_id"), col("scenario_id"), col("model_node_id"),
+      col("node_name"), col("group_name"), col("tab_name"),
+      col("inp_value"), col("inp_unit"),
+      col("inp_start_year"), col("inp_end_year"),
+      col("inp_input_type"), col("inp_timeframe"), col("inp_dosing_type"),
+      col("inp_actuals_flag"), col("inp_curve_type"),
+      col("inp_selected_output"), col("inp_pfs_flag"), col("inp_ppc_flag"),
+      col("inp_full_text").as("input_full_text"),
+      col("input_validated"),
+      col("input_validation_message").cast("string").as("input_validation_message"),
+      col("version_started_at"), col("version_ended_at"),
+      isCurrent(col("version_ended_at")).as("is_current_version"),
+      current_timestamp().as("etl_created_at"),
+      current_timestamp().as("etl_updated_at"),
+      wmGreatest(col("version_started_at"),
+        coalesce(col("version_ended_at"), col("version_started_at"))).as("wm_ts"))
+  }
+
+  /** fact_run_summary (extract.py:158-193 + transform.py:208-227): J3 double
+    * left join, A1-A4 rollup with C16 null-to-zero, C5/C6 duration. */
+  def extractRuns(src: ScenarioSources, since: Timestamp): DataFrame = {
+    val sr = src.fcScenarioRun.alias("sr")
+    sr.join(src.fcScenarioRunBranch.alias("rb"),
+        col("rb.scenario_run_id") === col("sr.id"), "left")
+      .join(src.fcScenarioNodeCalc.alias("nc"),
+        col("nc.scenario_run_branch_id") === col("rb.id"), "left")
+      .filter(col("sr.run_at") >= lit(since) ||
+        (col("sr.run_complete_at").isNotNull && col("sr.run_complete_at") >= lit(since)))
+      .groupBy(col("sr.id").as("run_id"), col("sr.scenario_id"),
+        col("sr.run_status"), col("sr.run_at"), col("sr.run_complete_at"),
+        col("sr.fail_reason"))
+      .agg(
+        countDistinct(col("rb.id")).as("n_branches"),
+        count(col("nc.id")).as("n_calcs"),
+        zeroIfNull(sum(when(col("nc.status") === "success", 1).otherwise(0)))
+          .cast("long").as("n_success"),
+        zeroIfNull(sum(when(col("nc.status") === "failed", 1).otherwise(0)))
+          .cast("long").as("n_failed"),
+        zeroIfNull(sum(when(col("nc.status") === "timeout", 1).otherwise(0)))
+          .cast("long").as("n_timeout"))
+      .select(col("run_id"), col("scenario_id"), col("run_status"),
+        col("run_at"), col("run_complete_at"),
+        durationMinutes(col("run_at"), col("run_complete_at"))
+          .cast("decimal(10,2)").as("run_duration_minutes"),
+        col("fail_reason"), col("n_branches"), col("n_calcs"),
+        col("n_success"), col("n_failed"), col("n_timeout"),
+        current_timestamp().as("etl_created_at"),
+        current_timestamp().as("etl_updated_at"),
+        wmGreatest(col("run_at"),
+          coalesce(col("run_complete_at"), col("run_at"))).as("wm_ts"))
+  }
+
+  /** fact_node_calc_results (extract.py:197-232 + transform.py:230-250): J4
+    * fact-chain joins + C5 sub-second duration (3dp) + C2 ::text cast. */
+  def extractNodeCalc(src: ScenarioSources, since: Timestamp): DataFrame = {
+    val nc = src.fcScenarioNodeCalc.alias("nc")
+    nc.join(src.fcScenarioRunBranch.alias("rb"),
+        col("nc.scenario_run_branch_id") === col("rb.id"))
+      .join(src.fcScenarioRun.alias("sr"), col("rb.scenario_run_id") === col("sr.id"))
+      .join(broadcast(src.fcModelNode.alias("mn")),
+        col("nc.model_node_id") === col("mn.id"))
+      .filter(col("nc.created_at") >= lit(since))
+      .select(
+        col("nc.id").as("source_id"),
+        col("sr.id").as("run_id"),
+        col("sr.scenario_id"),
+        col("nc.model_node_id"),
+        col("mn.node_display_name").as("node_name"),
+        col("nc.status").as("calc_status"),
+        col("nc.output_data").cast("string").as("output_data_text"),
+        durationSeconds(col("nc.processing_start_at"), col("nc.processing_end_at"))
+          .cast("decimal(10,3)").as("processing_duration_s"),
+        current_timestamp().as("etl_created_at"),
+        col("nc.created_at").as("wm_ts"))
+  }
+
+  /** fact_event_input_history (extract.py:236-266 + transform.py:253-284):
+    * J5 event-type joins + J6 aliased SELF-JOIN of fc_model_node as
+    * population (pn) and parent-product (ppn) + C13 flatten. */
+  def extractEventData(src: ScenarioSources, since: Timestamp): DataFrame = {
+    val ed = src.fcScenarioEventData.alias("ed")
+    val pn = src.fcModelNode.select(col("id").as("pn_id"),
+      col("node_display_name").as("population_node"))
+    val ppn = src.fcModelNode.select(col("id").as("ppn_id"),
+      col("node_display_name").as("parent_product_node"))
+    val joined = ed
+      .join(broadcast(src.fcScenarioEventType.alias("st")),
+        col("ed.scenario_event_type_id") === col("st.id"))
+      .join(broadcast(src.fcEventType.alias("et")),
+        col("st.event_type_id") === col("et.id"))
+      .join(broadcast(pn), col("ed.population_node_id") === col("pn_id"), "left")
+      .join(broadcast(ppn), col("ed.parent_product_node_id") === col("ppn_id"), "left")
+      .filter(col("ed.created_at") >= lit(since) ||
+        (col("ed.end_at").isNotNull && col("ed.end_at") >= lit(since)))
+    val flat = JsonFlatten.flatten(
+      joined.select(
+        col("ed.id").as("source_id"),
+        col("st.scenario_id"),
+        col("et.display_name").as("event_type_name"),
+        col("population_node"), col("parent_product_node"),
+        col("ed.event_data"),
+        col("ed.event_shares_overridden").cast("string")
+          .as("event_shares_overridden_text"),
+        col("ed.created_at").as("version_started_at"),
+        col("ed.end_at").as("version_ended_at")),
+      "event_data", JsonFlatten.eventDataKeys, prefix = "evt_")
+    flat.select(
+      col("source_id"), col("scenario_id"), col("event_type_name"),
+      col("population_node"), col("parent_product_node"),
+      col("evt_year"), col("evt_share_value"), col("evt_entry_quarter"),
+      col("evt_erosion_rate"), col("evt_launch_date"), col("evt_steady_state"),
+      col("evt_sob_value"),
+      col("evt_full_text").as("event_full_text"),
+      col("event_shares_overridden_text"),
+      col("version_started_at"), col("version_ended_at"),
+      isCurrent(col("version_ended_at")).as("is_current_version"),
+      current_timestamp().as("etl_created_at"),
+      current_timestamp().as("etl_updated_at"),
+      wmGreatest(col("version_started_at"),
+        coalesce(col("version_ended_at"), col("version_started_at"))).as("wm_ts"))
+  }
+
+  /** fact_scenario_timeline (extract.py:270-419): the 8-branch UNION ALL —
+    * literal synthesis (P3), typed nulls (P4), key synthesis (C1), null-
+    * propagating concat + COALESCE fragments (C3), union by NAME (U1). */
+  def extractTimeline(src: ScenarioSources, since: Timestamp): DataFrame = {
+    import Timeline.{nullString, sourceKey}
+    val sinceFilter = (c: Column) => c.isNotNull && c >= lit(since)
+
+    def branch(df: DataFrame, time: Column, eventType: String, category: String,
+               actor: Column, description: Column, runId: Column,
+               nodeName: Column, eventTypeName: Column, scenarioId: Column,
+               keyPrefix: String, keyId: Column): DataFrame =
+      df.select(
+        time.as("event_time"), lit(eventType).as("event_type"),
+        lit(category).as("event_category"), actor.as("actor"),
+        description.as("description"), runId.as("run_id"),
+        nodeName.as("node_name"), eventTypeName.as("event_type_name"),
+        scenarioId.as("scenario_id"),
+        sourceKey(keyPrefix, keyId).as("source_key"))
+
+    val s = src.fcScenario
+    val b1 = branch(s.filter(sinceFilter(col("created_at"))), col("created_at"),
+      "SCENARIO_CREATED", "LIFECYCLE", col("created_by"),
+      lit("Scenario created"), nullString, nullString, nullString, col("id"),
+      "SC", col("id"))
+    val b2 = branch(s.filter(sinceFilter(col("submitted_at"))), col("submitted_at"),
+      "SUBMITTED", "LIFECYCLE", col("submitted_by"),
+      lit("Scenario submitted"), nullString, nullString, nullString, col("id"),
+      "SUBM", col("id"))
+    val b3 = branch(s.filter(sinceFilter(col("locked_at"))), col("locked_at"),
+      "LOCKED", "LIFECYCLE", col("locked_by"),
+      lit("Scenario locked"), nullString, nullString, nullString, col("id"),
+      "LOCK", col("id"))
+    val b4 = branch(s.filter(sinceFilter(col("withdraw_at"))), col("withdraw_at"),
+      "WITHDRAWN", "LIFECYCLE", col("withdraw_by"),
+      lit("Scenario withdrawn"), nullString, nullString, nullString, col("id"),
+      "WITH", col("id"))
+
+    val ndJoined = src.fcScenarioNodeData.alias("nd")
+      .filter(sinceFilter(col("nd.created_at")))
+      .join(broadcast(src.fcModelNode.alias("mn")),
+        col("nd.model_node_id") === col("mn.id"))
+    val b5 = branch(ndJoined, col("nd.created_at"),
+      "NODE_EDITED", "INPUT_CHANGE", col("nd.created_by"),
+      concat(lit("Node edited: "), col("mn.node_display_name"),
+        lit(" | Validated: "), col("nd.input_validated").cast("string")),
+      nullString, col("mn.node_display_name"), nullString,
+      col("nd.scenario_id"), "NE", col("nd.id"))
+
+    val pn = src.fcModelNode.select(col("id").as("pn_id"),
+      col("node_display_name").as("pn_name"))
+    val edJoined = src.fcScenarioEventData.alias("ed")
+      .filter(sinceFilter(col("ed.created_at")))
+      .join(broadcast(src.fcScenarioEventType.alias("st")),
+        col("ed.scenario_event_type_id") === col("st.id"))
+      .join(broadcast(src.fcEventType.alias("et")),
+        col("st.event_type_id") === col("et.id"))
+      .join(broadcast(pn), col("ed.population_node_id") === col("pn_id"), "left")
+    val b6 = branch(edJoined, col("ed.created_at"),
+      "EVENT_EDITED", "EVENT_CHANGE", col("ed.created_by"),
+      concat(lit("Event edited: "), col("et.display_name"),
+        coalesce(concat(lit(" | Segment: "), col("pn_name")), lit(""))),
+      nullString, nullString, col("et.display_name"),
+      col("st.scenario_id"), "EVT", col("ed.id"))
+
+    val r = src.fcScenarioRun
+    val b7 = branch(r.filter(sinceFilter(col("run_at"))), col("run_at"),
+      "RUN_TRIGGERED", "RUN", col("run_by"), lit("Run started"),
+      col("id"), nullString, nullString, col("scenario_id"), "RT", col("id"))
+    val b8 = branch(r.filter(sinceFilter(col("run_complete_at"))), col("run_complete_at"),
+      "RUN_COMPLETED", "RUN", col("run_by"),
+      concat(lit("Run completed: "), col("run_status"),
+        coalesce(concat(lit(" | Error: "), col("fail_reason")), lit(""))),
+      col("id"), nullString, nullString, col("scenario_id"), "RC", col("id"))
+
+    Seq(b1, b2, b3, b4, b5, b6, b7, b8).reduce(_ unionByName _)
+      .filter(col("event_time").isNotNull)
+      .withColumn("etl_created_at", current_timestamp())
+      .withColumn("wm_ts", col("event_time"))
+  }
+
+  /** Wire all six pipelines as incremental streams against a bootstrapped
+    * warehouse, with the reference's merge mode and cap per stream
+    * (pipeline.py:41-110, load.py). */
+  def streams(spark: SparkSession, src: ScenarioSources,
+              boot: Bootstrap): Seq[StreamSpec] = {
+    // within-batch: keep the newest row per key by wm_ts, then drop the
+    // runner-only wm_ts column so it never reaches the target schema
+    def latest(b: DataFrame, keys: Seq[String]): DataFrame =
+      MergeSink.latestPerKey(b, keys, Seq("wm_ts")).drop("wm_ts")
+    Seq(
+      StreamSpec("fc_scenario",
+        (sp, since) => extractScenarios(src, since), "wm_ts", "scenario_id",
+        b => MergeSink.upsertPartial(spark, boot.tablePath("dim_scenario"),
+          latest(b, Seq("scenario_id")), Seq("scenario_id"),
+          Seq("scenario_status", "updated_at", "submitted_at", "locked_at",
+            "withdraw_at", "etl_updated_at")),
+        cap = 5000),
+      StreamSpec("fc_scenario_node_data",
+        (sp, since) => extractNodeData(src, since), "wm_ts", "source_id",
+        b => MergeSink.scd2(spark, boot.tablePath("fact_node_input_history"),
+          latest(b, Seq("source_id")), "source_id",
+          Seq("version_ended_at", "is_current_version", "input_validated",
+            "input_validation_message", "etl_updated_at")),
+        cap = 5000),
+      StreamSpec("fc_scenario_run",
+        (sp, since) => extractRuns(src, since), "wm_ts", "run_id",
+        b => MergeSink.upsertPartial(spark, boot.tablePath("fact_run_summary"),
+          latest(b, Seq("run_id")), Seq("run_id"),
+          Seq("run_status", "run_complete_at", "run_duration_minutes",
+            "fail_reason", "n_branches", "n_calcs", "n_success", "n_failed",
+            "n_timeout", "etl_updated_at")),
+        cap = 1000),
+      StreamSpec("fc_scenario_node_calc",
+        (sp, since) => extractNodeCalc(src, since), "wm_ts", "source_id",
+        b => MergeSink.insertIfAbsent(spark,
+          boot.tablePath("fact_node_calc_results"),
+          b.drop("wm_ts"), Seq("source_id")),
+        cap = 5000),
+      StreamSpec("fc_scenario_event_data",
+        (sp, since) => extractEventData(src, since), "wm_ts", "source_id",
+        b => MergeSink.scd2(spark, boot.tablePath("fact_event_input_history"),
+          latest(b, Seq("source_id")), "source_id",
+          Seq("version_ended_at", "is_current_version", "etl_updated_at")),
+        cap = 5000),
+      StreamSpec("fc_scenario_timeline",
+        (sp, since) => extractTimeline(src, since), "wm_ts", "source_key",
+        b => MergeSink.appendDedup(spark,
+          boot.tablePath("fact_scenario_timeline"),
+          b.drop("wm_ts"), "source_key"),
+        cap = 10000))
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.ScenarioSources
+
+/** Reference-shaped synthetic source tables (FIXTURES.md §B): deterministic
+  * (fixed seed), tiny, covering the semantics the pipeline must preserve —
+  * versioned SCD2 chains, lifecycle timestamp progressions, childless runs,
+  * JSON coercion edge cases, malformed JSON, self-join node roles.
+  */
+object ReferenceFixtures {
+
+  def ts(day: Int, hour: Int = 0, min: Int = 0, sec: Int = 0, ms: Int = 0): Timestamp = {
+    val t = Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:$min%02d:$sec%02d")
+    t.setNanos(ms * 1000000)
+    t
+  }
+
+  final case class Sc(id: String, name: String, status: String, starter: Boolean,
+                      modelId: String, fiId: String, startYear: Int,
+                      createdAt: Timestamp, createdBy: String,
+                      updatedAt: Option[Timestamp], submittedAt: Option[Timestamp],
+                      submittedBy: Option[String], lockedAt: Option[Timestamp],
+                      lockedBy: Option[String], withdrawAt: Option[Timestamp],
+                      withdrawBy: Option[String])
+
+  def build(spark: SparkSession): ScenarioSources = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+
+    val fcModel = Seq(
+      ("m1", "Oncology Model"), ("m2", "Vaccines Model"), ("m3", "Rare Disease Model"))
+      .toDF("id", "model_display_name")
+    val fcForecastInit = Seq(
+      ("fi1", "FC-2024-H1"), ("fi2", "FC-2024-H2")).toDF("id", "forecast_cycle_display_name")
+
+    val fcModelNodeTab = Seq(("t1", "Epidemiology"), ("t2", "Market Share"))
+      .toDF("id", "tab_display_name")
+    val fcModelNodeGroups = Seq(
+      ("g1", "Population", "t1"), ("g2", "Incidence", "t1"), ("g3", "Share", "t2"))
+      .toDF("id", "group_display_name", "model_node_tab_id")
+    val fcModelNode = (1 to 8).map(i =>
+      (s"n$i", s"Node $i", if (i <= 3) "g1" else if (i <= 5) "g2" else "g3"))
+      .toDF("id", "node_display_name", "model_node_group_id")
+
+    // 20 scenarios with progressive lifecycle; statuses evolve over days
+    val scenarios = (1 to 20).map { i =>
+      val created = ts(1 + i % 3, 8 + i % 6, i % 50)
+      val submitted = if (i % 2 == 0) Some(ts(4, 9, i % 50)) else None
+      val locked = if (i % 4 == 0) Some(ts(5, 10, i % 50)) else None
+      val withdrawn = if (i % 10 == 0) Some(ts(6, 11, i % 50)) else None
+      val status = if (withdrawn.isDefined) "withdrawn" else if (locked.isDefined) "locked"
+        else if (submitted.isDefined) "submitted" else "draft"
+      val updated = submitted.orElse(Some(created))
+      Sc(s"s$i", s"Scenario $i", status, i % 5 == 0, s"m${1 + i % 3}",
+        s"fi${1 + i % 2}", 2024 + i % 3, created, s"user${i % 4}",
+        updated, submitted, submitted.map(_ => s"user${i % 4}"),
+        locked, locked.map(_ => "approver"), withdrawn, withdrawn.map(_ => "admin"))
+    }
+    val fcScenario = scenarios.map(s => (s.id, s.name, s.status, s.starter,
+      s.modelId, s.fiId, s.startYear, s.createdAt, s.createdBy,
+      s.updatedAt.orNull, s.submittedAt.orNull, s.submittedBy.orNull,
+      s.lockedAt.orNull, s.lockedBy.orNull, s.withdrawAt.orNull, s.withdrawBy.orNull))
+      .toDF("id", "scenario_display_name", "status", "is_starter", "model_id",
+        "forecast_init_id", "scenario_start_year", "created_at", "created_by",
+        "updated_at", "submitted_at", "submitted_by", "locked_at", "locked_by",
+        "withdraw_at", "withdraw_by")
+
+    // versioned node inputs: chains of 1-3 versions; JSON edge cases
+    val jsonVariants = Seq(
+      """{"value": "3.5", "unit": "mg", "start_year": 2024, "actuals_flag": "yes"}""",
+      """{"value": 12, "unit": "pct", "start_year": "2025", "actuals_flag": true, "extra_key": 1}""",
+      """{"value": 7.25, "actuals_flag": "0", "pfs_flag": "1", "curve_type": "linear"}""",
+      """not-valid-json""",
+      """[1,2,3]""",
+      """{"value": null, "unit": null}""")
+    val nodeData = (for {
+      si <- 1 to 20; ni <- 1 to 3
+      versions = 1 + (si + ni) % 3
+      v <- 1 to versions
+    } yield {
+      val id = s"nd-$si-$ni-$v"
+      val created = ts(1 + (si + v) % 5, 12, (si * 7 + v) % 60)
+      val endAt = if (v < versions) Some(ts(1 + (si + v + 1) % 5, 12, (si * 7 + v + 1) % 60))
+        else None
+      (id, s"s$si", s"n${1 + (si + ni) % 8}", jsonVariants((si + ni + v) % jsonVariants.size),
+        s"hash-$id", v % 2 == 0,
+        if (v % 3 == 0) s"msg for $id" else null,
+        created, endAt.orNull, s"user${si % 4}")
+    }).toDF("id", "scenario_id", "model_node_id", "input_data", "input_hash",
+      "input_validated", "input_validation_message", "created_at", "end_at",
+      "created_by")
+
+    // runs: some incomplete, some childless (no branches)
+    val runs = (1 to 30).map { i =>
+      val runAt = ts(2 + i % 6, 14, (i * 3) % 60, i % 60, (i * 37) % 1000)
+      val complete = if (i % 5 != 0)
+        Some(ts(2 + i % 6, 14, (i * 3 + 2) % 60, (i * 11) % 60, (i * 53) % 1000))
+      else None
+      val status = if (complete.isEmpty) "running" else if (i % 7 == 0) "failed" else "success"
+      (s"r$i", s"s${1 + i % 20}", status, runAt, s"user${i % 4}",
+        complete.orNull, if (status == "failed") s"error $i" else null)
+    }.toDF("id", "scenario_id", "run_status", "run_at", "run_by",
+      "run_complete_at", "fail_reason")
+
+    val branches = (for (i <- 1 to 30; b <- 1 to (i % 4)) yield
+      (s"b$i-$b", s"r$i", s"tag$b")).toDF("id", "scenario_run_id", "event_tag")
+
+    val calcs = (for {
+      i <- 1 to 30; b <- 1 to (i % 4); c <- 1 to ((i + b) % 6)
+    } yield {
+      val start = ts(2 + i % 6, 14, (i * 3 + 1) % 60, c % 60, (c * 117) % 1000)
+      val end = ts(2 + i % 6, 14, (i * 3 + 1) % 60, (c + 2) % 60, (c * 241) % 1000)
+      val status = Seq("success", "success", "failed", "timeout")((i + c) % 4)
+      (s"c$i-$b-$c", s"b$i-$b", s"n${1 + (i + c) % 8}", status,
+        if (status == "failed") "calc blew up" else null,
+        start, end, s"""{"result": ${i * 100 + c}}""", start)
+    }).toDF("id", "scenario_run_branch_id", "model_node_id", "status",
+      "fail_reason", "processing_start_at", "processing_end_at", "output_data",
+      "created_at")
+
+    val fcEventType = Seq(("et1", "LOE", true), ("et2", "Launch", false))
+      .toDF("id", "display_name", "inherent")
+    val fcScenarioEventType = (1 to 20).map(i =>
+      (s"set$i", s"s$i", if (i % 2 == 0) "et1" else "et2"))
+      .toDF("id", "scenario_id", "event_type_id")
+
+    val eventJson = Seq(
+      """{"year": 2026, "share_value": "0.35", "steady_state": "yes"}""",
+      """{"year": "2027", "share_value": 0.5, "erosion_rate": 0.8, "entry_quarter": "Q2"}""",
+      """broken{""")
+    val eventData = (for {
+      si <- 1 to 20; v <- 1 to (1 + si % 2)
+    } yield {
+      val created = ts(3 + (si + v) % 4, 16, (si * 5 + v) % 60)
+      val endAt = if (v < 1 + si % 2) Some(ts(3 + (si + v + 1) % 4, 16, (si * 5 + v + 1) % 60))
+        else None
+      (s"ed-$si-$v", s"set$si", eventJson((si + v) % eventJson.size),
+        s"ehash-$si-$v", si % 3 == 0,
+        if (si % 3 == 0) s"""{"override": $si}""" else null,
+        v % 2 == 1, null: String,
+        if (si % 2 == 0) s"n${1 + si % 8}" else null,
+        if (si % 4 == 0) s"n${1 + (si + 1) % 8}" else null,
+        created, endAt.orNull, s"user${si % 4}")
+    }).toDF("id", "scenario_event_type_id", "event_data", "event_data_hash",
+      "is_overridden", "event_shares_overridden", "is_validated",
+      "input_validation_message", "population_node_id", "parent_product_node_id",
+      "created_at", "end_at", "created_by")
+
+    ScenarioSources(fcScenario, fcModel, fcForecastInit, nodeData, fcModelNode,
+      fcModelNodeGroups, fcModelNodeTab, runs, branches, calcs, eventData,
+      fcScenarioEventType, fcEventType)
+  }
+
+  /** Restrict every source table to rows the "OLTP source" has written
+    * before `horizon` (by its own creation-ish column). */
+  def visibleBefore(src: ScenarioSources, horizon: Timestamp): ScenarioSources = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def vis(df: DataFrame, c: String): DataFrame = df.filter(col(c) < lit(horizon))
+    src.copy(
+      fcScenario = vis(src.fcScenario, "created_at"),
+      fcScenarioNodeData = vis(src.fcScenarioNodeData, "created_at"),
+      fcScenarioRun = vis(src.fcScenarioRun, "run_at"),
+      fcScenarioNodeCalc = vis(src.fcScenarioNodeCalc, "created_at"),
+      fcScenarioEventData = vis(src.fcScenarioEventData, "created_at"))
+  }
+}
