@@ -52,6 +52,8 @@ object Scratch {
       val r = runner.runCycle(Seq(spec))
       println(s"[scratch] cycle@$h: rows=${r.totalRows} loops=${r.results.head.drainedLoops} err=${r.failed.size}")
     }
+    graft.functions.Registry.registerAll(spark)
+    spark.sql("SELECT safe_bool('yes') b, dot_product(array(1.0d,2.0d), array(3.0d,4.0d)) d").show()
     println(s"[scratch] sink rows=${spark.read.parquet(s"$base/sink").count()} " +
       s"(source=${events.count()}) watermark=${store.get("events").get}")
     spark.stop()

@@ -98,23 +98,30 @@ object MergeSink {
     * append only rows whose key is not already in the sink. Pure append —
     * no rewrite, safe under overlap replay. */
   def insertIfAbsent(spark: SparkSession, dir: String, batch: DataFrame,
-                     keys: Seq[String]): Unit = {
+                     keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
+    def write(df: DataFrame): Unit = {
+      val w = df.write.mode("append")
+      // date-partitioned layout (the reference's index access paths become
+      // partition pruning, SURVEY §4): new files land only in the partitions
+      // the batch touches
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(dir)
+    }
     val b = batch.dropDuplicates(keys)
     readTarget(spark, dir) match {
-      case None => b.write.mode("append").parquet(dir)
+      case None => write(b)
       case Some(existing) =>
-        b.join(existing.select(keys.map(col): _*).dropDuplicates(keys),
+        write(b.join(existing.select(keys.map(col): _*).dropDuplicates(keys),
             keys, "left_anti")
-          .select(existing.columns.map(col).toSeq: _*) // stable column order
-          .write.mode("append").parquet(dir)
+          .select(existing.columns.map(col).toSeq: _*)) // stable column order
     }
   }
 
   /** M4 — event-log append with unique-key dedup (load.py:169-187): same as
     * M3 on a synthesized source_key. */
   def appendDedup(spark: SparkSession, dir: String, batch: DataFrame,
-                  key: String): Unit =
-    insertIfAbsent(spark, dir, batch, Seq(key))
+                  key: String, partitionCols: Seq[String] = Nil): Unit =
+    insertIfAbsent(spark, dir, batch, Seq(key), partitionCols)
 
   /** Materialize `df` into `dir` via tmp-dir + swap, so a reader never sees
     * a half-written table and the plan can read the old contents. Local-FS

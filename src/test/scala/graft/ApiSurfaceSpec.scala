@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Registry
+import graft.model.Models
+import graft.ops.Skew
+import graft.sources.Jdbc
+
+/** The remaining API edges: typed Datasets, SQL function registration,
+  * JDBC option surface, skew salting, partitioned append. */
+class ApiSurfaceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("SQL registry: safe casts + vector functions callable from spark.sql") {
+    Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT safe_bool('yes') AS b, safe_bool('nope') AS b2,
+        | safe_long('3.5') AS l, safe_numeric('2.5') AS d,
+        | dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        | long_array_agree(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agree,
+        | cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+        | duration_seconds(timestamp'2024-01-01 00:00:00.25',
+        |                  timestamp'2024-01-01 00:00:01.5') AS ds
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Boolean]("b") && !r.getAs[Boolean]("b2"))
+    assert(r.isNullAt(r.fieldIndex("l")))
+    assert(r.getAs[Double]("d") == 2.5)
+    assert(r.getAs[Double]("dp") == 11.0)
+    assert(r.getAs[Int]("agree") == 2)
+    assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("ds") == 1.25)
+  }
+
+  test("typed Dataset edge round-trips the watermark table") {
+    val wmDir = tmpDir("wmt")
+    val store = new graft.runtime.WatermarkStore(spark, wmDir)
+    store.advance("t1", 5, ReferenceFixtures.ts(1), ReferenceFixtures.ts(1))
+    val ds = Models.watermarks(spark.read.parquet(wmDir))
+    val row = ds.collect().head
+    assert(row.table_name == "t1" && row.rows_last_run == 5L && row.total_rows_ever == 5L)
+  }
+
+  test("JDBC upsert SQL matches the reference's ON CONFLICT shapes") {
+    assert(Jdbc.upsertSql("dim_scenario", Seq("id", "status", "name"),
+      Seq("id"), Seq("status")) ==
+      "INSERT INTO dim_scenario (id, status, name) VALUES (?, ?, ?) " +
+        "ON CONFLICT (id) DO UPDATE SET status = EXCLUDED.status")
+    assert(Jdbc.upsertSql("fact_node_calc_results", Seq("source_id", "v"),
+      Seq("source_id"), Nil) ==
+      "INSERT INTO fact_node_calc_results (source_id, v) VALUES (?, ?) " +
+        "ON CONFLICT (source_id) DO NOTHING")
+  }
+
+  test("JDBC reader surface builds partitioned pushdown plans (no connect)") {
+    val conf = Jdbc.SourceConf("jdbc:postgresql://example.invalid/db", "u", "p")
+    // building the reader must not touch the network; only an action would
+    val reader = Jdbc.partitionedTable(spark, conf, "public.fc_scenario",
+      "seq_id", 0L, 1000000L, 16)
+    assert(reader != null)
+  }
+
+  test("salted join equals plain join; salted count equals groupBy count") {
+    val left = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val right = Seq(("hot", "H"), ("k901", "A"), ("k950", "B")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).select("k", "v", "tag")
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .select("k", "v", "tag")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    val counts = Skew.saltedCount(left, col("k"), 8).as[(String, Long)]
+      .collect().toMap
+    assert(counts("hot") == 900L)
+  }
+
+  test("partitioned append: new files land under partition dirs, pruning works") {
+    val dir = tmpDir("part")
+    val b1 = Seq(("e1", "2024-03-01", 1.0), ("e2", "2024-03-02", 2.0))
+      .toDF("source_key", "event_date", "v")
+    graft.merge.MergeSink.appendDedup(spark, dir, b1, "source_key", Seq("event_date"))
+    val b2 = Seq(("e2", "2024-03-02", 99.0), ("e3", "2024-03-02", 3.0))
+      .toDF("source_key", "event_date", "v")
+    graft.merge.MergeSink.appendDedup(spark, dir, b2, "source_key", Seq("event_date"))
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 3)
+    assert(new java.io.File(s"$dir/event_date=2024-03-01").exists())
+    assert(got.filter(col("event_date") === "2024-03-02").count() == 2)
+  }
+}
