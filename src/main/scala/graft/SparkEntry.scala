@@ -170,7 +170,70 @@ object SparkEntry {
     // §7.6 embedding-cosine near-dup pairs (brute-force baseline).
     "q20_cosine_neardup" -> ((s, dir) =>
       SimSearch.cosineNearDups(T(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r6")))
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r6"))),
+
+    // §7.6 exact n-gram Jaccard (the verification metric behind MinHash).
+    "q21_ngram_jaccard" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      def uni(t: Column) = array_distinct(split(trim(lower(t)), "\\s+"))
+      def tri(t: Column) = Dedup.shingles(t, 3)
+      a.join(b, col("doc_b") === col("doc_a") + 250)
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(uni(col("ta")), uni(col("tb")))).cast("double") /
+            size(array_union(uni(col("ta")), uni(col("tb"))))).as("jaccard_1gram"),
+          (size(array_intersect(tri(col("ta")), tri(col("tb")))).cast("double") /
+            size(array_union(tri(col("ta")), tri(col("tb"))))).as("jaccard_3gram"))
+    }),
+
+    // §2.13/§7.6: Generator path — explode tokens, global top-k by count.
+    "q22_token_explode" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(20)),
+
+    // §2.6 extension: frame-bounded running window (decimal-exact sum).
+    "q23_running_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      T(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+          .as("run_sum3"),
+        count(lit(1)).over(w).as("n_window"))
+    }),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS shapes).
+    "q24_semi_anti" -> ((s, dir) => {
+      val customer = T(s, dir, "customer")
+      val orders = T(s, dir, "orders")
+      val active = customer
+        .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+        .withColumn("cohort", lit("with_orders"))
+      val inactive = customer
+        .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+        .withColumn("cohort", lit("no_orders"))
+      active.unionByName(inactive)
+    }),
+
+    // §2.13: the SQL-text surface — registered views + engine functions
+    // (safe casts via Registry) driven through spark.sql.
+    "q25_sql_text" -> ((s, dir) => {
+      graft.functions.Registry.registerAll(s)
+      T(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_id,
+          |  safe_long(get_json_object(props, '$.k')) AS k_long,
+          |  safe_bool(CAST(user_id % 2 AS STRING)) AS odd_user
+          |FROM events_v""".stripMargin)
+    })
   )
 
   /** q06 body: five branches over orders+events mirroring the reference's
@@ -415,6 +478,54 @@ object SparkEntry {
         |   list_dot_product(a.v, b.v)
         |     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
         |  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(sim, 6) AS sim_r6 FROM p WHERE sim >= 0.4""".stripMargin
+        |SELECT id_a, id_b, round(sim, 6) AS sim_r6 FROM p WHERE sim >= 0.4""".stripMargin,
+
+    "q21_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        | s AS (SELECT doc_id, list_distinct(toks) AS uni,
+        |   list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)),
+        |     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS tri
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(len(list_distinct(list_intersect(a.uni, b.uni))) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.uni, b.uni))) AS jaccard_1gram,
+        | CAST(len(list_distinct(list_intersect(a.tri, b.tri))) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.tri, b.tri))) AS jaccard_3gram
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 250""".stripMargin,
+
+    "q22_token_explode" ->
+      """SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents) u
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 20""".stripMargin,
+
+    "q23_running_window" ->
+      """SELECT user_id, event_id, ts,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_sum3,
+        | COUNT(*) OVER w AS n_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q24_semi_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers, 'with_orders' AS cohort
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, COUNT(*) AS n_customers, 'no_orders' AS cohort
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q25_sql_text" ->
+      """SELECT event_id,
+        | TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        | CASE WHEN CAST(user_id % 2 AS VARCHAR) IS NULL THEN NULL
+        |      WHEN lower(CAST(user_id % 2 AS VARCHAR)) IN ('true','1','yes') THEN TRUE
+        |      ELSE FALSE END AS odd_user
+        |FROM events""".stripMargin
   )
 }
