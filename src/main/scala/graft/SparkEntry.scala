@@ -233,7 +233,32 @@ object SparkEntry {
           |  safe_long(get_json_object(props, '$.k')) AS k_long,
           |  safe_bool(CAST(user_id % 2 AS STRING)) AS odd_user
           |FROM events_v""".stripMargin)
-    })
+    }),
+
+    // Gap-based sessionization: lag + conditional cumulative window — the
+    // event-analytics shape behind session windows, exact int arithmetic.
+    "q26_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = T(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"),
+        when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(byUser)) > 30L * 60 * 1000000, 1)
+          .otherwise(when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+          .as("new_session"))
+      flagged
+        .withColumn("session_no", sum(col("new_session")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+    }),
+
+    // Rollup subtotals (grouping-set aggregation beyond the reference).
+    "q27_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          decimalSum(col("l_quantity")).as("sum_qty")))
   )
 
   /** q06 body: five branches over orders+events mirroring the reference's
@@ -526,6 +551,29 @@ object SparkEntry {
         | CASE WHEN CAST(user_id % 2 AS VARCHAR) IS NULL THEN NULL
         |      WHEN lower(CAST(user_id % 2 AS VARCHAR)) IN ('true','1','yes') THEN TRUE
         |      ELSE FALSE END AS odd_user
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q26_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |       WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        | SELECT user_id, event_id, ts,
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        | FROM flagged)
+        |SELECT user_id, session_no, COUNT(*) AS n_events,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM numbered GROUP BY user_id, session_no""".stripMargin,
+
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
   )
 }
