@@ -1,0 +1,42 @@
+package graft
+
+/** Physical-plan quality guards (SURVEY §4): catches regressions where a
+  * filter stops reaching the scan, a dim stops broadcasting, or top-k
+  * degrades to a full sort — the properties that decide 100 TB viability.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf())
+      .queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q02: OR-predicate pushed; top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = plan("q02_incremental_scan")
+    assert(p.contains("PushedFilters: [Or(GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q03: both dimension joins are broadcast hash joins") {
+    val p = plan("q03_customer_geo")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q15: watermark predicate reaches the scan on the raw nanos column") {
+    val p = plan("q15_watermark_scan")
+    assert(p.contains("GreaterThanOrEqual(ts,1705708710000000000)"), p)
+  }
+
+  test("q01 scan reads only referenced columns (pruning)") {
+    val p = SparkEntry.queries("q01_pricing_summary")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"), read)
+  }
+}
