@@ -258,7 +258,13 @@ object SparkEntry {
       T(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_items"),
-          decimalSum(col("l_quantity")).as("sum_qty")))
+          decimalSum(col("l_quantity")).as("sum_qty"))),
+
+    // §7.6 IVF ANN (coarse-quantizer scale path; rows-only, recall<1).
+    "q28_ivf_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    })
   )
 
   /** q06 body: five branches over orders+events mirroring the reference's

@@ -27,9 +27,12 @@ class Bootstrap(spark: SparkSession, warehouseDir: String) {
     fs.exists(p)
   }
 
-  private def createEmpty(name: String, schema: StructType): Unit =
-    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      .write.mode("ignore").parquet(tablePath(name))
+  private def createEmpty(name: String, schema: StructType): Unit = {
+    val w = spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      .write.mode("ignore")
+    val parts = Bootstrap.partitioning.getOrElse(name, Nil)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(name))
+  }
 
   /** Idempotent: creates missing tables, seeds missing watermark rows,
     * leaves existing data untouched (setup_target.py:244-261). */
@@ -54,4 +57,9 @@ object Bootstrap {
   val defaultSourceTables: Seq[String] = Seq(
     "fc_scenario", "fc_scenario_node_data", "fc_scenario_run",
     "fc_scenario_node_calc", "fc_scenario_event_data", "fc_scenario_timeline")
+
+  /** Physical layout: the event log is date-partitioned — the reference's
+    * timeline indexes (setup_target.py:104-107) become partition pruning. */
+  val partitioning: Map[String, Seq[String]] =
+    Map("fact_scenario_timeline" -> Seq("event_date"))
 }

@@ -83,6 +83,70 @@ object SimSearch {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer assigns each corpus
+    * vector to its nearest centroid cell; queries probe only the `nProbe`
+    * nearest cells. Centroids are seeded deterministically from the corpus
+    * (hash-ranked sample) and refined with `lloydIters` assign-average
+    * rounds — all DataFrame ops, centroids broadcast, corpus touched
+    * linearly per iteration. The scale profile: cell assignment is a narrow
+    * map; the probe join fans each query to nProbe cells instead of the
+    * whole corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .repartition(spark.sparkContext.defaultParallelism)
+
+    // deterministic seed centroids: top-nCells vectors by id hash
+    var centroids = c
+      .withColumn("__r", xxhash64(col("neighbor_id")))
+      .orderBy(col("__r")).limit(nCells)
+      .select(monotonically_increasing_id().as("cell_id"), col("c_vec").as("centroid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    def nearestCell(v: Column): Column = {
+      // argmax over broadcast centroid literals; unrolled at plan build
+      val sims = centroids.map { case (id, ctr) =>
+        struct(cosine(v, typedlit(ctr)).as("s"), lit(id).as("id"))
+      }
+      greatest(sims: _*).getField("id")
+    }
+
+    var iter = 0
+    while (iter < lloydIters) {
+      // assign + average: one linear pass, map-side partial aggregation
+      val dim = centroids.head._2.length
+      val assigned = c.withColumn("cell_id", nearestCell(col("c_vec")))
+      val sums = assigned
+        .groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("c_vec"), i + 1).cast("double"))): _*).as("vsum"))
+        .collect()
+      centroids = sums.map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getLong(0), r.getSeq[Double](2).map(x => (x / n).toFloat))
+      }
+      iter += 1
+    }
+
+    val assigned = c.withColumn("cell_id", nearestCell(col("c_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // probe the nProbe nearest cells per query
+    val probeCells = q.select(col("query_id"), col("q_vec"),
+      explode(slice(array_sort(array(centroids.map { case (id, ctr) =>
+        struct((-cosine(col("q_vec"), typedlit(ctr))).as("negs"), lit(id).as("id"))
+      }: _*)), 1, nProbe).getField("id")).as("cell_id"))
+    val sims = assigned.join(broadcast(probeCells), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: exact cosine, but only within matching LSH buckets.
     * Recall < 1 by construction; multiply probes by also checking buckets at
     * hamming distance 1 (`probeNeighbors = true`). */

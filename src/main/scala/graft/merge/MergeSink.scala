@@ -26,11 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object MergeSink {
 
-  /** Read current sink contents, or None before first write. */
+  /** Read current sink contents, or None before first write. A directory
+    * holding only a _SUCCESS marker (a bootstrapped PARTITIONED table has no
+    * data files until the first append) also counts as absent. */
   def readTarget(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(spark.read.parquet(dir))
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      try Some(spark.read.parquet(dir))
+      catch {
+        // empty partitioned dir: no footers to infer from
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+      }
     else None
   }
 

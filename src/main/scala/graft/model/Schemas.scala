@@ -33,6 +33,7 @@ object Schemas {
     f("actor", StringType), f("description", StringType),
     f("run_id", StringType), f("node_name", StringType),
     f("event_type_name", StringType), f("scenario_id", StringType),
+    f("event_date", DateType), // partition column (Bootstrap.partitioning)
     f("etl_created_at", TimestampType)))
 
   /** fact_node_input_history (setup_target.py:113-153): M2 SCD2 target. */

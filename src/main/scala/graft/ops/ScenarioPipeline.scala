@@ -295,6 +295,7 @@ object ScenarioPipeline {
 
     Seq(b1, b2, b3, b4, b5, b6, b7, b8).reduce(_ unionByName _)
       .filter(col("event_time").isNotNull)
+      .withColumn("event_date", to_date(col("event_time"))) // partition column
       .withColumn("etl_created_at", current_timestamp())
       .withColumn("wm_ts", col("event_time"))
   }
@@ -345,9 +346,11 @@ object ScenarioPipeline {
         cap = 5000),
       StreamSpec("fc_scenario_timeline",
         (sp, since) => extractTimeline(src, since), "wm_ts", "source_key",
+        // date-partitioned event log: BI's "recent events" access path
+        // becomes partition pruning; appends touch only the batch's dates
         b => MergeSink.appendDedup(spark,
           boot.tablePath("fact_scenario_timeline"),
-          b.drop("wm_ts"), "source_key"),
+          b.drop("wm_ts"), "source_key", partitionCols = Seq("event_date")),
         cap = 10000))
   }
 }

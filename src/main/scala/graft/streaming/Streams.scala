@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.merge.MergeSink
 
@@ -50,4 +51,52 @@ object Streams {
     events.withWatermark(tsCol, lateness)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  // -------------------------------------------------------------------
+  // Custom cross-batch state: flatMapGroupsWithState sessionization.
+  // The batch engine's gap-session query (q26) re-expressed as streaming
+  // state — sessions close on a processing-time gap and are emitted once,
+  // so unbounded streams carry O(active users) state, not history.
+  // -------------------------------------------------------------------
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessionState(start: Timestamp, last: Timestamp, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+                                 session_end: Timestamp, n_events: Long)
+
+  /** Gap-based streaming sessionization over a typed event stream. Emits a
+    * session when a new event arrives more than `gapSec` after the previous
+    * one (the final open session flushes on state timeout). */
+  def sessionize(events: Dataset[SessionEvent], gapSec: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              ClosedSession(user, s.start, s.last, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime > gapSec * 1000 =>
+                  closed += ClosedSession(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, e.ts, s.n + 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(s"${gapSec * 2} seconds")
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -12,9 +12,15 @@ class BootstrapSpec extends SparkTestBase {
     val boot = new Bootstrap(spark, wh)
     boot.setup()
     Schemas.targets.foreach { case (name, schema) =>
-      val df = spark.read.parquet(boot.tablePath(name))
-      assert(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq, name)
-      assert(df.count() == 0, name)
+      if (Bootstrap.partitioning.contains(name))
+        // partitioned tables have no data files until first append; the sink
+        // treats the bootstrapped dir as empty
+        assert(graft.merge.MergeSink.readTarget(spark, boot.tablePath(name)).isEmpty, name)
+      else {
+        val df = spark.read.parquet(boot.tablePath(name))
+        assert(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq, name)
+        assert(df.count() == 0, name)
+      }
     }
     val store = new WatermarkStore(spark, boot.tablePath("etl_watermark"))
     assert(store.all().keySet == Bootstrap.defaultSourceTables.toSet)

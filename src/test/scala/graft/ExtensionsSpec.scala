@@ -74,6 +74,18 @@ class ExtensionsSpec extends SparkTestBase {
     assert(recall > 0.2, s"recall=$recall")  // bucketed search trades recall for cost
   }
 
+  test("IVF ANN recall vs brute force is reasonable on testdata") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("token stats match hand computation") {
     val df = Seq("the quick brown fox").toDF("text")
     val r = df.select(

@@ -33,6 +33,30 @@ class StreamsSpec extends SparkTestBase {
     assert(spark.read.parquet(sinkDir).count() == events.count())
   }
 
+  test("stateful sessionization closes the same sessions as the batch query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val srcDir = tmpDir("sess-src")
+    val events = Tables.load(spark, sf(), "events")
+    // one ts-sorted file -> one ordered micro-batch, so in-batch session
+    // splits are deterministic and comparable to the batch q26 result
+    events.orderBy("ts").coalesce(1).write.parquet(srcDir)
+    val stream = Streams.parquetStream(spark, srcDir,
+      spark.read.parquet(srcDir).schema, maxFilesPerTrigger = 1)
+      .selectExpr("user_id", "ts").as[Streams.SessionEvent]
+    val closed = Streams.sessionize(stream, gapSec = 30 * 60)
+    val q = closed.writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT COUNT(*) FROM sessions").collect()(0).getLong(0)
+    val batchSessions = SparkEntry.queries("q26_sessionize")(spark, sf()).count()
+    val nUsers = events.select("user_id").distinct().count()
+    // every session closes except each user's final (still-open) one
+    assert(streamed == batchSessions - nUsers,
+      s"streamed=$streamed batch=$batchSessions users=$nUsers")
+  }
+
   test("windowed counts with watermark produce sane totals") {
     val srcDir = tmpDir("wstream-src")
     val events = Tables.load(spark, sf(), "events")
