@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   */
 object VectorExprs {
 
-  /** Σ aᵢ·bᵢ in double; accepts float or double arrays on either side. */
+  /** Σ aᵢ·bᵢ in double; accepts float or double arrays on either side.
+    * Implements doGenCode, so pairwise sweeps stay inside whole-stage
+    * codegen (interpreted eval remains as the fallback path). */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -53,15 +55,29 @@ object VectorExprs {
       }
       s
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (n, i, acc) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("acc"))
+        def get(arr: String, e: Expression) =
+          if (isFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${get(a, left)} * ${get(b, right)};
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(newLeft, newRight)
   }
 
   /** Count of positions where two long arrays agree (MinHash signature
-    * agreement; estimated Jaccard = agree / k). */
+    * agreement; estimated Jaccard = agree / k). Codegen'd like DotProduct. */
   case class LongArrayAgree(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = IntegerType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -72,6 +88,18 @@ object VectorExprs {
       while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
       c
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (n, i, acc) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("acc"))
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $acc = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(newLeft, newRight)

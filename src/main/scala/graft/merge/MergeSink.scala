@@ -134,14 +134,53 @@ object MergeSink {
   /** Materialize `df` into `dir` via tmp-dir + swap, so a reader never sees
     * a half-written table and the plan can read the old contents. Local-FS
     * commit protocol; a cluster deployment swaps this for Delta's log. */
-  def writeReplace(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+  def writeReplace(spark: SparkSession, dir: String, df: DataFrame,
+                   partitionCols: Seq[String] = Nil): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + "__tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     if (fs.exists(p)) fs.delete(p, true)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"merge commit failed: rename $tmp -> $p")
+  }
+
+  /** Number of parquet data files under the table (recursively). */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+  }
+
+  /** Small-file compaction: append-mode sinks (M3/M4) accrete one file set
+    * per micro-batch — at a 30 s cadence that is ~2.9k file sets/day, which
+    * degrades scan planning and row-group pruning long before storage cost
+    * matters. When the file count passes `maxFiles`, rewrite the table into
+    * `targetPartitions` files per partition (atomic swap). Run it from a
+    * maintenance cycle, not the hot path. */
+  def compactIfNeeded(spark: SparkSession, dir: String, maxFiles: Int,
+                      targetPartitions: Int,
+                      partitionCols: Seq[String] = Nil): Boolean = {
+    if (dataFileCount(spark, dir) <= maxFiles) false
+    else readTarget(spark, dir) match {
+      case None => false
+      case Some(df) =>
+        val compacted =
+          if (partitionCols.nonEmpty)
+            df.repartition(targetPartitions, partitionCols.map(col): _*)
+          else df.repartition(targetPartitions)
+        // localCheckpoint: the rewrite reads the dir it will replace
+        writeReplace(spark, dir, compacted.localCheckpoint(), partitionCols)
+        true
+    }
   }
 }

@@ -80,14 +80,20 @@ class IncrementalRunner(spark: SparkSession, store: WatermarkStore,
   }
 }
 
-/** Cycle scheduler with failure escalation (scheduler.py:35-69, T1/T7). */
+/** Cycle scheduler with failure escalation (scheduler.py:35-69, T1/T7) and
+  * optional persisted per-cycle metrics (A5 observability). */
 class CycleScheduler(runner: IncrementalRunner,
                      maxConsecutiveFailures: Int = 10,
-                     onAlert: String => Unit = s => System.err.println(s)) {
+                     onAlert: String => Unit = s => System.err.println(s),
+                     metrics: Option[MetricsStore] = None,
+                     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
   private var consecutiveFailures = 0
+  private var cycleId = 0L
 
   def runOnce(streams: Seq[StreamSpec]): CycleReport = {
     val report = runner.runCycle(streams)
+    cycleId += 1
+    metrics.foreach(_.record(cycleId, now(), report))
     if (report.failed.nonEmpty) {
       consecutiveFailures += 1
       if (consecutiveFailures >= maxConsecutiveFailures)

@@ -82,6 +82,36 @@ class IncrementalRunnerSpec extends SparkTestBase {
     assert(store.get("boom").isEmpty)               // failed stream not advanced
   }
 
+  test("cycle metrics persist per stream; append sinks compact when fragmented") {
+    val wmDir = tmpDir("wm5")
+    val sinkDir = tmpDir("sink5")
+    val metricsDir = tmpDir("metrics5")
+    val store = new WatermarkStore(spark, wmDir)
+    val src = new Source
+    src.horizon = Timestamp.valueOf("2024-02-01 00:00:00")
+    val spec = StreamSpec("events",
+      extract = src.extract, watermarkCol = "ts", tieBreakCol = "event_id",
+      sink = b => MergeSink.appendDedup(spark, sinkDir, b, "event_id"),
+      cap = 100)
+    val runner = new IncrementalRunner(spark, store, 90, () => src.horizon)
+    val sched = new graft.runtime.CycleScheduler(runner,
+      metrics = Some(new graft.runtime.MetricsStore(spark, metricsDir)),
+      now = () => src.horizon)
+    sched.runOnce(Seq(spec))
+    val m = spark.read.parquet(metricsDir)
+    assert(m.count() == 1)
+    val row = m.collect()(0)
+    // extracted-row counts include 90s-overlap re-deliveries across drain
+    // loops (the reference's counters have the same at-least-once semantics)
+    assert(row.getAs[String]("stream") == "events" && row.getAs[Long]("rows") >= 1000L)
+    // the tiny cap forced ~10 loops => >= 10 file sets; compaction collapses them
+    val before = MergeSink.dataFileCount(spark, sinkDir)
+    assert(before > 8, s"files=$before")
+    assert(MergeSink.compactIfNeeded(spark, sinkDir, maxFiles = 8, targetPartitions = 2))
+    assert(MergeSink.dataFileCount(spark, sinkDir) <= 2)
+    assert(spark.read.parquet(sinkDir).count() == 1000)
+  }
+
   test("scheduler escalates after N consecutive failing cycles (T7)") {
     val wmDir = tmpDir("wm4")
     val store = new WatermarkStore(spark, wmDir)
