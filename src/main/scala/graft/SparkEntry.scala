@@ -264,7 +264,12 @@ object SparkEntry {
     "q28_ivf_ann" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
-    })
+    }),
+
+    // §7.6 multimodal plumbing (rows-only: partition-wise stubbed decode).
+    "q29_multimodal_features" -> ((s, dir) =>
+      graft.ext.Multimodal.extractFeatures(
+        graft.ext.Multimodal.assetsFromDocuments(T(s, dir, "documents"))))
   )
 
   /** q06 body: five branches over orders+events mirroring the reference's
