@@ -269,7 +269,23 @@ object SparkEntry {
     // §7.6 multimodal plumbing (rows-only: partition-wise stubbed decode).
     "q29_multimodal_features" -> ((s, dir) =>
       graft.ext.Multimodal.extractFeatures(
-        graft.ext.Multimodal.assetsFromDocuments(T(s, dir, "documents"))))
+        graft.ext.Multimodal.assetsFromDocuments(T(s, dir, "documents")))),
+
+    // As-of join (composed; oracle = DuckDB's native ASOF LEFT JOIN): each
+    // event picks up the user's most recent order-day summary at-or-before
+    // its timestamp.
+    "q30_asof_join" -> ((s, dir) => {
+      val ordersByDay = T(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          decimalSum(col("o_totalprice")).as("day_total"))
+      graft.ops.AsOfJoin.asof(
+          T(s, dir, "events").select("event_id", "user_id", "ts"),
+          ordersByDay, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderdate", "o_orderkey", "day_total"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_o_orderdate"), col("asof_o_orderkey"), col("asof_day_total"))
+    })
   )
 
   /** q06 body: five branches over orders+events mirroring the reference's
@@ -585,6 +601,19 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q30_asof_join" ->
+      """WITH oa AS (
+        | SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        | FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.ts,
+        | oa.o_orderdate AS asof_o_orderdate,
+        | oa.o_orderkey AS asof_o_orderkey,
+        | oa.day_total AS asof_day_total
+        |FROM events e
+        |ASOF LEFT JOIN oa
+        |  ON e.user_id = oa.o_custkey AND e.ts >= oa.o_orderdate""".stripMargin
   )
 }
