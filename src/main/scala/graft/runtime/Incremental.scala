@@ -37,16 +37,33 @@ final case class CycleReport(results: Seq[StreamResult]) {
 
 class IncrementalRunner(spark: SparkSession, store: WatermarkStore,
                         overlapSec: Long = 90L,
-                        now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+                        now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+                        maxConcurrentStreams: Int = 1) {
 
   /** One cycle over all streams; failures are isolated per stream
-    * (pipeline.py's per-table try/except, T6). */
-  def runCycle(streams: Seq[StreamSpec]): CycleReport =
-    CycleReport(streams.map { s =>
+    * (pipeline.py's per-table try/except, T6). With
+    * `maxConcurrentStreams > 1` the independent streams run as concurrent
+    * Spark jobs (they touch disjoint targets and watermark rows commute per
+    * table) — the reference's sequential table loop is its biggest
+    * throughput cliff at scale; cluster-side the scheduler interleaves the
+    * stages. */
+  def runCycle(streams: Seq[StreamSpec]): CycleReport = {
+    def one(s: StreamSpec): StreamResult =
       try runStream(s)
       catch { case NonFatal(e) =>
         StreamResult(s.name, 0L, 0, Some(e.toString)) }
-    })
+    if (maxConcurrentStreams <= 1) CycleReport(streams.map(one))
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrentStreams, math.max(streams.size, 1)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try CycleReport(Await.result(
+        Future.sequence(streams.map(s => Future(one(s)))), Duration.Inf))
+      finally pool.shutdown()
+    }
+  }
 
   /** Extract-cap-sink-advance for one stream, looping until drained (T5). */
   private def runStream(s: StreamSpec): StreamResult = {

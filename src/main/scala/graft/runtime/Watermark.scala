@@ -19,10 +19,15 @@ final case class WatermarkState(table: String, lastFetchedAt: Timestamp,
                                 rowsLastRun: Long, lastRunAt: Timestamp,
                                 totalRowsEver: Long)
 
+/** All operations serialize on the store instance: advance() is a
+  * read-modify-write over one shared table whose commit is a directory
+  * swap, so concurrent streams (IncrementalRunner maxConcurrentStreams>1)
+  * would otherwise lose updates or read mid-swap. The table is a handful
+  * of rows — serialization costs nothing. */
 class WatermarkStore(spark: SparkSession, dir: String) {
   import WatermarkStore._
 
-  def all(): Map[String, WatermarkState] =
+  def all(): Map[String, WatermarkState] = this.synchronized {
     MergeSink.readTarget(spark, dir).map { df =>
       df.collect().map { r =>
         val s = WatermarkState(r.getAs[String]("table_name"),
@@ -31,6 +36,7 @@ class WatermarkStore(spark: SparkSession, dir: String) {
         s.table -> s
       }.toMap
     }.getOrElse(Map.empty)
+  }
 
   def get(table: String): Option[WatermarkState] = all().get(table)
 
@@ -43,17 +49,18 @@ class WatermarkStore(spark: SparkSession, dir: String) {
   /** Advance the stream's offset (extract.py:33-49): set last_fetched_at to
     * `to`, bump counters. Runs even for empty batches (T8) so the overlap
     * window never grows unboundedly. */
-  def advance(table: String, rows: Long, to: Timestamp, now: Timestamp): Unit = {
-    val prev = get(table)
-    val next = WatermarkState(table, to, rows, now,
-      prev.map(_.totalRowsEver).getOrElse(0L) + rows)
-    val row = Row(next.table, next.lastFetchedAt, next.rowsLastRun,
-      next.lastRunAt, next.totalRowsEver)
-    val df = spark.createDataFrame(
-      java.util.Arrays.asList(row), schema)
-    MergeSink.upsertPartial(spark, dir, df, Seq("table_name"),
-      Seq("last_fetched_at", "rows_last_run", "last_run_at", "total_rows_ever"))
-  }
+  def advance(table: String, rows: Long, to: Timestamp, now: Timestamp): Unit =
+    this.synchronized {
+      val prev = get(table)
+      val next = WatermarkState(table, to, rows, now,
+        prev.map(_.totalRowsEver).getOrElse(0L) + rows)
+      val row = Row(next.table, next.lastFetchedAt, next.rowsLastRun,
+        next.lastRunAt, next.totalRowsEver)
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(row), schema)
+      MergeSink.upsertPartial(spark, dir, df, Seq("table_name"),
+        Seq("last_fetched_at", "rows_last_run", "last_run_at", "total_rows_ever"))
+    }
 }
 
 object WatermarkStore {

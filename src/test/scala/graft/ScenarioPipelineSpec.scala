@@ -60,6 +60,27 @@ class ScenarioPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("concurrent streams produce the same targets as the sequential cycle") {
+    val seqBoot = runAll(tmpDir("whseq"), Seq(ReferenceFixtures.ts(20)))
+    val parWh = tmpDir("whpar")
+    val parBoot = new Bootstrap(spark, parWh)
+    parBoot.setup()
+    val store = new WatermarkStore(spark, parBoot.tablePath("etl_watermark"))
+    val runner = new IncrementalRunner(spark, store, overlapSec = 90,
+      now = () => ReferenceFixtures.ts(20), maxConcurrentStreams = 6)
+    val report = runner.runCycle(ScenarioPipeline.streams(spark, src, parBoot))
+    assert(report.failed.isEmpty, report.failed.mkString("; "))
+    for (t <- graft.model.Schemas.targets.keys) {
+      val a = read(seqBoot, t).drop("etl_created_at", "etl_updated_at")
+      val b = read(parBoot, t).drop("etl_created_at", "etl_updated_at")
+      assert(a.count() == b.count(), s"$t rows")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$t content")
+    }
+    // all six watermark rows survived the concurrent advances
+    assert(store.all().keySet.intersect(
+      ScenarioPipeline.streams(spark, src, parBoot).map(_.name).toSet).size == 6)
+  }
+
   test("SCD2 invariant: at most one current version per (scenario, node)") {
     val boot = runAll(tmpDir("wh4"), Seq(ReferenceFixtures.ts(20)))
     val nih = read(boot, "fact_node_input_history")
