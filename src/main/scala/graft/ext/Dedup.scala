@@ -108,6 +108,42 @@ object Dedup {
         col("max_est_jaccard"))
   }
 
+  /** Transitive near-dup clusters: connected components over the candidate
+    * pair graph by iterative min-label propagation — doc chains a~b~c
+    * collapse to one cluster even when a,c never paired directly. Each
+    * iteration is one join + aggregate; lineage is cut per iteration
+    * (localCheckpoint) so the plan stays flat; converges in O(log diameter)
+    * rounds and is capped by `maxIter`. Output: (doc_id, cluster_id) where
+    * cluster_id = min doc_id of the component. */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "v")
+          .withColumnRenamed("cluster_id", "v_label"), Seq("v"))
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("v_label")).as("nbr_label"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = updated.alias("n")
+        .join(labels.alias("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count() > 0
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard for a pair table (verification pass after LSH). */
   def ngramJaccard(pairs: DataFrame, left: Column, right: Column, n: Int): Column = {
     val (ls, rs) = (shingles(left, n), shingles(right, n))

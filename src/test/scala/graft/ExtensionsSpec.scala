@@ -31,6 +31,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("near-dup clusters: transitive chains collapse to one component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+  }
+
+  test("quality checks return violation rows only") {
+    import graft.ext.Quality
+    val t = Seq((1L, "a"), (1L, "b"), (2L, null: String)).toDF("id", "v")
+    assert(Quality.duplicates(t, Seq("id")).count() == 1)
+    assert(Quality.nulls(t, Seq("v")).count() == 1)
+    val parent = Seq(1L).toDF("pid")
+    assert(Quality.orphans(t, parent, "id", "pid")
+      .select("id").as[Long].collect().toSet == Set(2L))
+    assert(Quality.outOfRange(Seq(0.5, 99.0).toDF("x"), "x", 0.0, 1.0).count() == 1)
+    val rep = Quality.report(Map("dups" -> Quality.duplicates(t, Seq("id"))))
+    assert(rep == Map("dups" -> 1L))
+  }
+
   test("ngramJaccard computes exact overlap") {
     val pairs = Seq(("a b c d", "a b c z")).toDF("l", "r")
     val j = pairs.select(Dedup.ngramJaccard(pairs, col("l"), col("r"), 1).as("j"))
