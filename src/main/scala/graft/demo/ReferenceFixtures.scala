@@ -1,4 +1,4 @@
-package graft
+package graft.demo
 
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}

@@ -34,7 +34,7 @@ class ApiSurfaceSpec extends SparkTestBase {
   test("typed Dataset edge round-trips the watermark table") {
     val wmDir = tmpDir("wmt")
     val store = new graft.runtime.WatermarkStore(spark, wmDir)
-    store.advance("t1", 5, ReferenceFixtures.ts(1), ReferenceFixtures.ts(1))
+    store.advance("t1", 5, graft.demo.ReferenceFixtures.ts(1), graft.demo.ReferenceFixtures.ts(1))
     val ds = Models.watermarks(spark.read.parquet(wmDir))
     val row = ds.collect().head
     assert(row.table_name == "t1" && row.rows_last_run == 5L && row.total_rows_ever == 5L)

@@ -14,14 +14,14 @@ import graft.runtime.{IncrementalRunner, WatermarkStore}
 class ScenarioPipelineSpec extends SparkTestBase {
   import spark.implicits._
 
-  private lazy val src = ReferenceFixtures.build(spark)
+  private lazy val src = graft.demo.ReferenceFixtures.build(spark)
 
   private def runAll(warehouse: String, horizons: Seq[Timestamp]): Bootstrap = {
     val boot = new Bootstrap(spark, warehouse)
     boot.setup()
     val store = new WatermarkStore(spark, boot.tablePath("etl_watermark"))
     horizons.foreach { h =>
-      val visible = ReferenceFixtures.visibleBefore(src, h)
+      val visible = graft.demo.ReferenceFixtures.visibleBefore(src, h)
       val runner = new IncrementalRunner(spark, store, overlapSec = 90, now = () => h)
       val report = runner.runCycle(ScenarioPipeline.streams(spark, visible, boot))
       assert(report.failed.isEmpty, report.failed.mkString("; "))
@@ -33,7 +33,7 @@ class ScenarioPipelineSpec extends SparkTestBase {
     spark.read.parquet(boot.tablePath(name))
 
   test("one-shot pipeline populates all six targets with expected shapes") {
-    val boot = runAll(tmpDir("wh1"), Seq(ReferenceFixtures.ts(20)))
+    val boot = runAll(tmpDir("wh1"), Seq(graft.demo.ReferenceFixtures.ts(20)))
     assert(read(boot, "dim_scenario").count() == 20)
     assert(read(boot, "fact_node_input_history").count() ==
       src.fcScenarioNodeData.count())
@@ -49,9 +49,9 @@ class ScenarioPipelineSpec extends SparkTestBase {
   }
 
   test("incremental (3 cycles) converges to one-shot state on every target") {
-    val oneShot = runAll(tmpDir("wh2"), Seq(ReferenceFixtures.ts(20)))
+    val oneShot = runAll(tmpDir("wh2"), Seq(graft.demo.ReferenceFixtures.ts(20)))
     val inc = runAll(tmpDir("wh3"),
-      Seq(ReferenceFixtures.ts(3), ReferenceFixtures.ts(5), ReferenceFixtures.ts(20)))
+      Seq(graft.demo.ReferenceFixtures.ts(3), graft.demo.ReferenceFixtures.ts(5), graft.demo.ReferenceFixtures.ts(20)))
     for (t <- graft.model.Schemas.targets.keys) {
       val a = read(oneShot, t).drop("etl_created_at", "etl_updated_at")
       val b = read(inc, t).drop("etl_created_at", "etl_updated_at")
@@ -61,13 +61,13 @@ class ScenarioPipelineSpec extends SparkTestBase {
   }
 
   test("concurrent streams produce the same targets as the sequential cycle") {
-    val seqBoot = runAll(tmpDir("whseq"), Seq(ReferenceFixtures.ts(20)))
+    val seqBoot = runAll(tmpDir("whseq"), Seq(graft.demo.ReferenceFixtures.ts(20)))
     val parWh = tmpDir("whpar")
     val parBoot = new Bootstrap(spark, parWh)
     parBoot.setup()
     val store = new WatermarkStore(spark, parBoot.tablePath("etl_watermark"))
     val runner = new IncrementalRunner(spark, store, overlapSec = 90,
-      now = () => ReferenceFixtures.ts(20), maxConcurrentStreams = 6)
+      now = () => graft.demo.ReferenceFixtures.ts(20), maxConcurrentStreams = 6)
     val report = runner.runCycle(ScenarioPipeline.streams(spark, src, parBoot))
     assert(report.failed.isEmpty, report.failed.mkString("; "))
     for (t <- graft.model.Schemas.targets.keys) {
@@ -82,7 +82,7 @@ class ScenarioPipelineSpec extends SparkTestBase {
   }
 
   test("SCD2 invariant: at most one current version per (scenario, node)") {
-    val boot = runAll(tmpDir("wh4"), Seq(ReferenceFixtures.ts(20)))
+    val boot = runAll(tmpDir("wh4"), Seq(graft.demo.ReferenceFixtures.ts(20)))
     val nih = read(boot, "fact_node_input_history")
     assert(MergeSink.scd2Violations(nih,
       Seq("scenario_id", "model_node_id"), "is_current_version").isEmpty)
@@ -92,7 +92,7 @@ class ScenarioPipelineSpec extends SparkTestBase {
   }
 
   test("flatten semantics inside the pipeline: coercions + malformed JSON") {
-    val boot = runAll(tmpDir("wh5"), Seq(ReferenceFixtures.ts(20)))
+    val boot = runAll(tmpDir("wh5"), Seq(graft.demo.ReferenceFixtures.ts(20)))
     val nih = read(boot, "fact_node_input_history")
     // variant 0: value "3.5" -> 3.5 double, actuals_flag "yes" -> true
     val v0 = nih.filter(col("input_full_text").contains(""""value": "3.5""""))
@@ -105,7 +105,7 @@ class ScenarioPipelineSpec extends SparkTestBase {
   }
 
   test("run summary: childless runs have zeroed counts, duration rounded to 2dp") {
-    val boot = runAll(tmpDir("wh6"), Seq(ReferenceFixtures.ts(20)))
+    val boot = runAll(tmpDir("wh6"), Seq(graft.demo.ReferenceFixtures.ts(20)))
     val rs = read(boot, "fact_run_summary")
     val childless = rs.filter(col("n_branches") === 0)
     assert(childless.count() > 0) // i%4==0 runs have no branches
@@ -122,7 +122,7 @@ class ScenarioPipelineSpec extends SparkTestBase {
     boot.setup()
     val store = new WatermarkStore(spark, boot.tablePath("etl_watermark"))
     // cycle 1: everything as-is
-    val r1 = new IncrementalRunner(spark, store, 90, () => ReferenceFixtures.ts(20))
+    val r1 = new IncrementalRunner(spark, store, 90, () => graft.demo.ReferenceFixtures.ts(20))
     assert(r1.runCycle(ScenarioPipeline.streams(spark, src, boot)).failed.isEmpty)
     val before = read(boot, "dim_scenario").filter(col("scenario_id") === "s1")
       .select("scenario_status", "created_at").as[(String, Timestamp)].head()
@@ -130,10 +130,10 @@ class ScenarioPipelineSpec extends SparkTestBase {
     val mutated = src.copy(fcScenario = src.fcScenario
       .withColumn("status", when(col("id") === "s1", "locked").otherwise(col("status")))
       .withColumn("updated_at", when(col("id") === "s1",
-        lit(ReferenceFixtures.ts(21))).otherwise(col("updated_at")))
+        lit(graft.demo.ReferenceFixtures.ts(21))).otherwise(col("updated_at")))
       .withColumn("created_at", when(col("id") === "s1",
-        lit(ReferenceFixtures.ts(19))).otherwise(col("created_at")))) // must NOT win
-    val r2 = new IncrementalRunner(spark, store, 90, () => ReferenceFixtures.ts(22))
+        lit(graft.demo.ReferenceFixtures.ts(19))).otherwise(col("created_at")))) // must NOT win
+    val r2 = new IncrementalRunner(spark, store, 90, () => graft.demo.ReferenceFixtures.ts(22))
     assert(r2.runCycle(ScenarioPipeline.streams(spark, mutated, boot)).failed.isEmpty)
     val after = read(boot, "dim_scenario").filter(col("scenario_id") === "s1")
       .select("scenario_status", "created_at").as[(String, Timestamp)].head()
