@@ -44,11 +44,13 @@ object JsonFlatten {
     KeySpec("curve_type", AsString), KeySpec("selected_output", AsString),
     KeySpec("pfs_flag", AsBool), KeySpec("ppc_flag", AsBool))
 
-  /** The reference's EVENT_DATA_KEYS (config.py:42-45). */
+  /** The reference's EVENT_DATA_KEYS (config.py:42-45) with the coercions
+    * of transform.py:96-103 — note steady_state is safe_NUMERIC there (the
+    * target column is NUMERIC, setup_target.py:229), not a boolean. */
   val eventDataKeys: Seq[KeySpec] = Seq(
     KeySpec("year", AsLong), KeySpec("share_value", AsDouble),
     KeySpec("entry_quarter", AsString), KeySpec("erosion_rate", AsDouble),
-    KeySpec("launch_date", AsString), KeySpec("steady_state", AsBool),
+    KeySpec("launch_date", AsString), KeySpec("steady_state", AsDouble),
     KeySpec("sob_value", AsDouble))
 
   /** Flatten `jsonCol` into one column per KeySpec plus the retained raw

@@ -4,23 +4,25 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Bootstrap
-import graft.functions.{JsonFlatten, SafeCasts}
+import graft.functions.JsonFlatten
 import graft.functions.SafeCasts._
 import graft.merge.MergeSink
+import graft.model.Schemas
 import graft.runtime.StreamSpec
 
 /** The reference's six table-pipelines, re-expressed as fused Spark plans
   * (SURVEY §3.1): each extract's joins/filters/aggregates AND its Python
   * row-at-a-time transform collapse into ONE DataFrame plan per stream —
   * scan → join → filter → flatten → project — with the merge sink attached
-  * by the incremental runner.
+  * by the incremental runner. Output columns match the target DDL at full
+  * fidelity (model.Schemas; column lists from extract.py + transform.py +
+  * load.py, cited per method).
   *
-  * Source layout mirrors extract.py's tables; outputs are the §1.2-typed
-  * star-schema targets (model.Schemas). Dimension sides are broadcast. Each
-  * extract carries a `wm_ts` column — the greatest of its incremental
+  * Source layout mirrors extract.py's tables; dimension sides broadcast.
+  * Each extract carries a `wm_ts` column — the greatest of its incremental
   * predicate columns — so the runner's deterministic cap ordering and
-  * max-seen watermark advancement (SURVEY §2.12.a/e fixes) have a single
-  * total order to work with.
+  * max-seen watermark advancement (SURVEY §2.12.a/e fixes) have one total
+  * order to work with.
   */
 final case class ScenarioSources(
     fcScenario: DataFrame, fcModel: DataFrame, fcForecastInit: DataFrame,
@@ -35,9 +37,6 @@ object ScenarioPipeline {
   private def geCoalesced(since: Timestamp, cols: Column*): Column =
     cols.map(c => c.isNotNull && c >= lit(since)).reduce(_ || _)
 
-  private def wmGreatest(cols: Column*): Column =
-    if (cols.size == 1) cols.head else greatest(cols: _*)
-
   /** dim_scenario (extract.py:50-107 + transform.py:107-154): J1 pre-join of
     * model + forecast cycle, 5-column OR incremental predicate (F1). */
   def extractScenarios(src: ScenarioSources, since: Timestamp): DataFrame = {
@@ -49,19 +48,36 @@ object ScenarioPipeline {
         col("s.submitted_at"), col("s.locked_at"), col("s.withdraw_at")))
       .select(
         col("s.id").as("scenario_id"),
-        col("s.scenario_display_name").as("scenario_name"),
+        col("s.scenario_display_name"),
         col("s.status").as("scenario_status"),
         col("s.is_starter"),
-        col("s.model_id"),
-        col("m.model_display_name").as("model_name"),
+        col("s.currency"), col("s.currency_code"),
         col("s.scenario_start_year").cast("int").as("scenario_start_year"),
-        col("s.forecast_init_id").as("forecast_cycle_id"),
+        col("s.scenario_end_year").cast("int").as("scenario_end_year"),
+        col("s.scenario_region_name"), col("s.scenario_country_name"),
+        col("s.created_at"), col("s.created_by"),
+        col("s.submitted_at"), col("s.submitted_by"),
+        col("s.locked_at"), col("s.locked_by"),
+        col("s.updated_at"), col("s.updated_by"),
+        col("s.withdraw_at"), col("s.withdraw_by"),
+        col("s.delete_at"),
+        col("s.model_id"),
+        col("m.model_display_name"),
+        col("m.model_type"), col("m.model_publish_level"),
+        col("m.therapeutic_area_name"),
+        col("m.model_disease_area_name").as("disease_area_name"),
+        col("m.has_inherent_event").as("loe_enabled"),
+        col("m.model_region_display_name").as("model_region_name"),
+        col("m.model_country_display_name").as("model_country_name"),
         col("fi.forecast_cycle_display_name").as("forecast_cycle_name"),
-        col("s.created_at"), col("s.updated_at"), col("s.submitted_at"),
-        col("s.locked_at"), col("s.withdraw_at"),
-        current_timestamp().as("etl_created_at"),
+        col("fi.forecast_cycle_start_dt").as("forecast_cycle_start"),
+        col("fi.forecast_cycle_end_dt").as("forecast_cycle_end"),
+        col("fi.horizon_start_limit").cast("int").as("horizon_start_limit"),
+        col("fi.horizon_end_limit").cast("int").as("horizon_end_limit"),
+        col("fi.starter_created"),
+        current_timestamp().as("etl_loaded_at"),
         current_timestamp().as("etl_updated_at"),
-        wmGreatest(col("s.created_at"),
+        greatest(col("s.created_at"),
           coalesce(col("s.updated_at"), col("s.created_at")),
           coalesce(col("s.submitted_at"), col("s.created_at")),
           coalesce(col("s.locked_at"), col("s.created_at")),
@@ -87,36 +103,47 @@ object ScenarioPipeline {
       joined.select(
         col("nd.id").as("source_id"),
         col("nd.scenario_id"), col("nd.model_node_id"),
-        col("mn.node_display_name").as("node_name"),
-        col("mg.group_display_name").as("group_name"),
+        col("mn.node_display_name"), col("mn.node_type"),
         col("mt.tab_display_name").as("tab_name"),
-        col("nd.input_data"),
-        col("nd.input_validated"),
-        col("nd.input_validation_message"),
+        col("mt.tab_level").cast("int").as("tab_level"),
+        col("mg.group_display_name").as("group_name"),
+        col("mg.group_type"),
+        col("mn.node_seq").cast("int").as("node_seq"),
+        col("mn.flow"),
         col("nd.created_at").as("version_started_at"),
-        col("nd.end_at").as("version_ended_at")),
+        col("nd.end_at").as("version_ended_at"),
+        col("nd.created_by").as("edited_by"),
+        col("nd.input_hash"),
+        col("nd.input_validated"),
+        col("nd.input_validation_message").cast("string").as("validation_message"),
+        col("nd.source").as("data_source"),
+        col("nd.input_data")),
       "input_data", JsonFlatten.inputDataKeys, prefix = "inp_")
     flat.select(
       col("source_id"), col("scenario_id"), col("model_node_id"),
-      col("node_name"), col("group_name"), col("tab_name"),
+      col("node_display_name"), col("node_type"),
+      col("tab_name"), col("tab_level"),
+      col("group_name"), col("group_type"), col("node_seq"), col("flow"),
+      col("version_started_at"), col("version_ended_at"),
+      isCurrent(col("version_ended_at")).as("is_current_version"),
+      col("edited_by"), col("input_hash"),
+      col("input_validated"), col("validation_message"), col("data_source"),
       col("inp_value"), col("inp_unit"),
-      col("inp_start_year"), col("inp_end_year"),
+      col("inp_start_year").cast("int").as("inp_start_year"),
+      col("inp_end_year").cast("int").as("inp_end_year"),
       col("inp_input_type"), col("inp_timeframe"), col("inp_dosing_type"),
       col("inp_actuals_flag"), col("inp_curve_type"),
       col("inp_selected_output"), col("inp_pfs_flag"), col("inp_ppc_flag"),
-      col("inp_full_text").as("input_full_text"),
-      col("input_validated"),
-      col("input_validation_message").cast("string").as("input_validation_message"),
-      col("version_started_at"), col("version_ended_at"),
-      isCurrent(col("version_ended_at")).as("is_current_version"),
-      current_timestamp().as("etl_created_at"),
-      current_timestamp().as("etl_updated_at"),
-      wmGreatest(col("version_started_at"),
+      col("inp_full_text").as("input_data_full_text"),
+      current_timestamp().as("etl_loaded_at"),
+      greatest(col("version_started_at"),
         coalesce(col("version_ended_at"), col("version_started_at"))).as("wm_ts"))
   }
 
   /** fact_run_summary (extract.py:158-193 + transform.py:208-227): J3 double
-    * left join, A1-A4 rollup with C16 null-to-zero, C5/C6 duration. */
+    * left join, A1-A4 rollup with C16 null-to-zero, C5/C6 duration. The
+    * *_since_prev_run counters default to 0 as in the DDL (the reference
+    * never populates them — setup_target.py:178-179). */
   def extractRuns(src: ScenarioSources, since: Timestamp): DataFrame = {
     val sr = src.fcScenarioRun.alias("sr")
     sr.join(src.fcScenarioRunBranch.alias("rb"),
@@ -126,26 +153,32 @@ object ScenarioPipeline {
       .filter(col("sr.run_at") >= lit(since) ||
         (col("sr.run_complete_at").isNotNull && col("sr.run_complete_at") >= lit(since)))
       .groupBy(col("sr.id").as("run_id"), col("sr.scenario_id"),
-        col("sr.run_status"), col("sr.run_at"), col("sr.run_complete_at"),
-        col("sr.fail_reason"))
+        col("sr.run_status"), col("sr.run_at"), col("sr.run_by"),
+        col("sr.run_complete_at"), col("sr.fail_reason"))
       .agg(
-        countDistinct(col("rb.id")).as("n_branches"),
-        count(col("nc.id")).as("n_calcs"),
+        countDistinct(col("rb.id")).as("branch_count"),
+        count(col("nc.id")).as("total_nodes_processed"),
         zeroIfNull(sum(when(col("nc.status") === "success", 1).otherwise(0)))
-          .cast("long").as("n_success"),
+          .as("nodes_success"),
         zeroIfNull(sum(when(col("nc.status") === "failed", 1).otherwise(0)))
-          .cast("long").as("n_failed"),
+          .as("nodes_failed"),
         zeroIfNull(sum(when(col("nc.status") === "timeout", 1).otherwise(0)))
-          .cast("long").as("n_timeout"))
+          .as("nodes_timeout"))
       .select(col("run_id"), col("scenario_id"), col("run_status"),
-        col("run_at"), col("run_complete_at"),
+        col("run_at"), col("run_by"), col("run_complete_at"),
         durationMinutes(col("run_at"), col("run_complete_at"))
           .cast("decimal(10,2)").as("run_duration_minutes"),
-        col("fail_reason"), col("n_branches"), col("n_calcs"),
-        col("n_success"), col("n_failed"), col("n_timeout"),
-        current_timestamp().as("etl_created_at"),
+        col("fail_reason"),
+        col("branch_count").cast("int").as("branch_count"),
+        col("total_nodes_processed").cast("int").as("total_nodes_processed"),
+        col("nodes_success").cast("int").as("nodes_success"),
+        col("nodes_failed").cast("int").as("nodes_failed"),
+        col("nodes_timeout").cast("int").as("nodes_timeout"),
+        lit(0).as("node_edits_since_prev_run"),
+        lit(0).as("event_edits_since_prev_run"),
+        current_timestamp().as("etl_loaded_at"),
         current_timestamp().as("etl_updated_at"),
-        wmGreatest(col("run_at"),
+        greatest(col("run_at"),
           coalesce(col("run_complete_at"), col("run_at"))).as("wm_ts"))
   }
 
@@ -163,13 +196,17 @@ object ScenarioPipeline {
         col("nc.id").as("source_id"),
         col("sr.id").as("run_id"),
         col("sr.scenario_id"),
+        col("rb.id").as("branch_id"),
+        col("rb.event_tag"),
         col("nc.model_node_id"),
-        col("mn.node_display_name").as("node_name"),
+        col("mn.node_display_name"), col("mn.node_type"),
         col("nc.status").as("calc_status"),
-        col("nc.output_data").cast("string").as("output_data_text"),
+        col("nc.fail_reason"),
+        col("nc.processing_start_at"), col("nc.processing_end_at"),
         durationSeconds(col("nc.processing_start_at"), col("nc.processing_end_at"))
           .cast("decimal(10,3)").as("processing_duration_s"),
-        current_timestamp().as("etl_created_at"),
+        col("nc.output_data").cast("string").as("output_data_text"),
+        current_timestamp().as("etl_loaded_at"),
         col("nc.created_at").as("wm_ts"))
   }
 
@@ -179,9 +216,9 @@ object ScenarioPipeline {
   def extractEventData(src: ScenarioSources, since: Timestamp): DataFrame = {
     val ed = src.fcScenarioEventData.alias("ed")
     val pn = src.fcModelNode.select(col("id").as("pn_id"),
-      col("node_display_name").as("population_node"))
+      col("node_display_name").as("population_node_name"))
     val ppn = src.fcModelNode.select(col("id").as("ppn_id"),
-      col("node_display_name").as("parent_product_node"))
+      col("node_display_name").as("parent_product_name"))
     val joined = ed
       .join(broadcast(src.fcScenarioEventType.alias("st")),
         col("ed.scenario_event_type_id") === col("st.id"))
@@ -196,26 +233,32 @@ object ScenarioPipeline {
         col("ed.id").as("source_id"),
         col("st.scenario_id"),
         col("et.display_name").as("event_type_name"),
-        col("population_node"), col("parent_product_node"),
-        col("ed.event_data"),
-        col("ed.event_shares_overridden").cast("string")
-          .as("event_shares_overridden_text"),
+        col("et.inherent").as("is_inherent"),
+        col("population_node_name"), col("parent_product_name"),
         col("ed.created_at").as("version_started_at"),
-        col("ed.end_at").as("version_ended_at")),
+        col("ed.end_at").as("version_ended_at"),
+        col("ed.created_by").as("edited_by"),
+        col("ed.event_data_hash"),
+        col("ed.is_overridden"),
+        col("ed.event_shares_overridden").cast("string").as("override_data_text"),
+        col("ed.is_validated"),
+        col("ed.input_validation_message").cast("string").as("validation_message"),
+        col("ed.event_data")),
       "event_data", JsonFlatten.eventDataKeys, prefix = "evt_")
     flat.select(
       col("source_id"), col("scenario_id"), col("event_type_name"),
-      col("population_node"), col("parent_product_node"),
-      col("evt_year"), col("evt_share_value"), col("evt_entry_quarter"),
-      col("evt_erosion_rate"), col("evt_launch_date"), col("evt_steady_state"),
-      col("evt_sob_value"),
-      col("evt_full_text").as("event_full_text"),
-      col("event_shares_overridden_text"),
+      col("is_inherent"), col("population_node_name"), col("parent_product_name"),
       col("version_started_at"), col("version_ended_at"),
       isCurrent(col("version_ended_at")).as("is_current_version"),
-      current_timestamp().as("etl_created_at"),
-      current_timestamp().as("etl_updated_at"),
-      wmGreatest(col("version_started_at"),
+      col("edited_by"), col("event_data_hash"),
+      col("is_overridden"), col("override_data_text"),
+      col("is_validated"), col("validation_message"),
+      col("evt_year").cast("int").as("evt_year"),
+      col("evt_share_value"), col("evt_entry_quarter"), col("evt_erosion_rate"),
+      col("evt_launch_date"), col("evt_steady_state"), col("evt_sob_value"),
+      col("evt_full_text").as("event_data_full_text"),
+      current_timestamp().as("etl_loaded_at"),
+      greatest(col("version_started_at"),
         coalesce(col("version_ended_at"), col("version_started_at"))).as("wm_ts"))
   }
 
@@ -231,11 +274,11 @@ object ScenarioPipeline {
                nodeName: Column, eventTypeName: Column, scenarioId: Column,
                keyPrefix: String, keyId: Column): DataFrame =
       df.select(
+        scenarioId.as("scenario_id"),
         time.as("event_time"), lit(eventType).as("event_type"),
         lit(category).as("event_category"), actor.as("actor"),
         description.as("description"), runId.as("run_id"),
         nodeName.as("node_name"), eventTypeName.as("event_type_name"),
-        scenarioId.as("scenario_id"),
         sourceKey(keyPrefix, keyId).as("source_key"))
 
     val s = src.fcScenario
@@ -296,13 +339,13 @@ object ScenarioPipeline {
     Seq(b1, b2, b3, b4, b5, b6, b7, b8).reduce(_ unionByName _)
       .filter(col("event_time").isNotNull)
       .withColumn("event_date", to_date(col("event_time"))) // partition column
-      .withColumn("etl_created_at", current_timestamp())
+      .withColumn("etl_loaded_at", current_timestamp())
       .withColumn("wm_ts", col("event_time"))
   }
 
   /** Wire all six pipelines as incremental streams against a bootstrapped
-    * warehouse, with the reference's merge mode and cap per stream
-    * (pipeline.py:41-110, load.py). */
+    * warehouse, with the reference's merge mode, mutable-column subset, and
+    * cap per stream (pipeline.py:41-110, load.py). */
   def streams(spark: SparkSession, src: ScenarioSources,
               boot: Bootstrap): Seq[StreamSpec] = {
     // within-batch: keep the newest row per key by wm_ts, then drop the
@@ -314,23 +357,17 @@ object ScenarioPipeline {
         (sp, since) => extractScenarios(src, since), "wm_ts", "scenario_id",
         b => MergeSink.upsertPartial(spark, boot.tablePath("dim_scenario"),
           latest(b, Seq("scenario_id")), Seq("scenario_id"),
-          Seq("scenario_status", "updated_at", "submitted_at", "locked_at",
-            "withdraw_at", "etl_updated_at")),
+          Schemas.dimScenarioMutable),
         cap = 5000),
       StreamSpec("fc_scenario_node_data",
         (sp, since) => extractNodeData(src, since), "wm_ts", "source_id",
         b => MergeSink.scd2(spark, boot.tablePath("fact_node_input_history"),
-          latest(b, Seq("source_id")), "source_id",
-          Seq("version_ended_at", "is_current_version", "input_validated",
-            "input_validation_message", "etl_updated_at")),
+          latest(b, Seq("source_id")), "source_id", Schemas.nodeHistoryMutable),
         cap = 5000),
       StreamSpec("fc_scenario_run",
         (sp, since) => extractRuns(src, since), "wm_ts", "run_id",
         b => MergeSink.upsertPartial(spark, boot.tablePath("fact_run_summary"),
-          latest(b, Seq("run_id")), Seq("run_id"),
-          Seq("run_status", "run_complete_at", "run_duration_minutes",
-            "fail_reason", "n_branches", "n_calcs", "n_success", "n_failed",
-            "n_timeout", "etl_updated_at")),
+          latest(b, Seq("run_id")), Seq("run_id"), Schemas.runSummaryMutable),
         cap = 1000),
       StreamSpec("fc_scenario_node_calc",
         (sp, since) => extractNodeCalc(src, since), "wm_ts", "source_id",
@@ -341,8 +378,7 @@ object ScenarioPipeline {
       StreamSpec("fc_scenario_event_data",
         (sp, since) => extractEventData(src, since), "wm_ts", "source_id",
         b => MergeSink.scd2(spark, boot.tablePath("fact_event_input_history"),
-          latest(b, Seq("source_id")), "source_id",
-          Seq("version_ended_at", "is_current_version", "etl_updated_at")),
+          latest(b, Seq("source_id")), "source_id", Schemas.eventHistoryMutable),
         cap = 5000),
       StreamSpec("fc_scenario_timeline",
         (sp, since) => extractTimeline(src, since), "wm_ts", "source_key",

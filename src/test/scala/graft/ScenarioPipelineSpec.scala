@@ -53,8 +53,8 @@ class ScenarioPipelineSpec extends SparkTestBase {
     val inc = runAll(tmpDir("wh3"),
       Seq(graft.demo.ReferenceFixtures.ts(3), graft.demo.ReferenceFixtures.ts(5), graft.demo.ReferenceFixtures.ts(20)))
     for (t <- graft.model.Schemas.targets.keys) {
-      val a = read(oneShot, t).drop("etl_created_at", "etl_updated_at")
-      val b = read(inc, t).drop("etl_created_at", "etl_updated_at")
+      val a = read(oneShot, t).drop("etl_loaded_at", "etl_updated_at")
+      val b = read(inc, t).drop("etl_loaded_at", "etl_updated_at")
       assert(a.count() == b.count(), s"$t row count")
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$t content")
     }
@@ -71,8 +71,8 @@ class ScenarioPipelineSpec extends SparkTestBase {
     val report = runner.runCycle(ScenarioPipeline.streams(spark, src, parBoot))
     assert(report.failed.isEmpty, report.failed.mkString("; "))
     for (t <- graft.model.Schemas.targets.keys) {
-      val a = read(seqBoot, t).drop("etl_created_at", "etl_updated_at")
-      val b = read(parBoot, t).drop("etl_created_at", "etl_updated_at")
+      val a = read(seqBoot, t).drop("etl_loaded_at", "etl_updated_at")
+      val b = read(parBoot, t).drop("etl_loaded_at", "etl_updated_at")
       assert(a.count() == b.count(), s"$t rows")
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$t content")
     }
@@ -95,11 +95,11 @@ class ScenarioPipelineSpec extends SparkTestBase {
     val boot = runAll(tmpDir("wh5"), Seq(graft.demo.ReferenceFixtures.ts(20)))
     val nih = read(boot, "fact_node_input_history")
     // variant 0: value "3.5" -> 3.5 double, actuals_flag "yes" -> true
-    val v0 = nih.filter(col("input_full_text").contains(""""value": "3.5""""))
+    val v0 = nih.filter(col("input_data_full_text").contains(""""value": "3.5""""))
     assert(v0.count() > 0)
     assert(v0.filter(col("inp_value") === 3.5 && col("inp_actuals_flag")).count() == v0.count())
     // malformed JSON -> all typed fields null, raw preserved verbatim
-    val bad = nih.filter(col("input_full_text") === "not-valid-json")
+    val bad = nih.filter(col("input_data_full_text") === "not-valid-json")
     assert(bad.count() > 0)
     assert(bad.filter(col("inp_value").isNull && col("inp_unit").isNull).count() == bad.count())
   }
@@ -107,10 +107,10 @@ class ScenarioPipelineSpec extends SparkTestBase {
   test("run summary: childless runs have zeroed counts, duration rounded to 2dp") {
     val boot = runAll(tmpDir("wh6"), Seq(graft.demo.ReferenceFixtures.ts(20)))
     val rs = read(boot, "fact_run_summary")
-    val childless = rs.filter(col("n_branches") === 0)
+    val childless = rs.filter(col("branch_count") === 0)
     assert(childless.count() > 0) // i%4==0 runs have no branches
-    assert(childless.filter(col("n_calcs") === 0 && col("n_success") === 0 &&
-      col("n_failed") === 0 && col("n_timeout") === 0).count() == childless.count())
+    assert(childless.filter(col("total_nodes_processed") === 0 && col("nodes_success") === 0 &&
+      col("nodes_failed") === 0 && col("nodes_timeout") === 0).count() == childless.count())
     // incomplete runs: null duration (concat-null semantics of interval math)
     assert(rs.filter(col("run_status") === "running" &&
       col("run_duration_minutes").isNotNull).isEmpty)
