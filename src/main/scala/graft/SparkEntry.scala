@@ -271,6 +271,20 @@ object SparkEntry {
       graft.ext.Multimodal.extractFeatures(
         graft.ext.Multimodal.assetsFromDocuments(T(s, dir, "documents")))),
 
+    // Exact order-statistics per group (interpolated quantiles).
+    "q31_quantiles" -> ((s, dir) =>
+      T(s, dir, "events").groupBy(col("event_type"))
+        .agg(expr("round(percentile(value, 0.5), 6)").as("p50"),
+          expr("round(percentile(value, 0.9), 6)").as("p90"),
+          expr("round(percentile(value, 0.99), 6)").as("p99"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))),
+
+    // Sketch aggregates (rows-only: approximate by design).
+    "q32_sketches" -> ((s, dir) =>
+      T(s, dir, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"))),
+
     // As-of join (composed; oracle = DuckDB's native ASOF LEFT JOIN): each
     // event picks up the user's most recent order-day summary at-or-before
     // its timestamp.
@@ -602,6 +616,14 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q31_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99,
+        | MIN(value) AS v_min, MAX(value) AS v_max
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q30_asof_join" ->
       """WITH oa AS (
