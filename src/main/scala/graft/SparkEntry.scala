@@ -279,6 +279,13 @@ object SparkEntry {
           expr("round(percentile(value, 0.99), 6)").as("p99"),
           min(col("value")).as("v_min"), max(col("value")).as("v_max"))),
 
+    // Pivot (wide conditional aggregation; explicit value list so the
+    // output schema is static — required for both determinism and scale).
+    "q33_pivot" -> ((s, dir) =>
+      T(s, dir, "events").groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()),
+
     // Sketch aggregates (rows-only: approximate by design).
     "q32_sketches" -> ((s, dir) =>
       T(s, dir, "events").groupBy(col("event_type"))
@@ -624,6 +631,15 @@ object SparkEntry {
         | round(quantile_cont(value, 0.99), 6) AS p99,
         | MIN(value) AS v_min, MAX(value) AS v_max
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q33_pivot" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS "click",
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS "error",
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS "purchase",
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS "signup",
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q30_asof_join" ->
       """WITH oa AS (

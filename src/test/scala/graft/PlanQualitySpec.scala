@@ -32,6 +32,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("GreaterThanOrEqual(ts,1705708710000000000)"), p)
   }
 
+  test("q01 runs inside whole-stage codegen (no interpreted hot path)") {
+    // AQE only shows codegen spans in the FINAL plan — execute first
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen"), p)
+  }
+
   test("q01 scan reads only referenced columns (pruning)") {
     val p = SparkEntry.queries("q01_pricing_summary")(spark, sf())
       .queryExecution.explainString(
