@@ -37,7 +37,8 @@ class PlanQualitySpec extends SparkTestBase {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf())
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("WholeStageCodegen"), p)
+    // "*(n)" prefixes mark WholeStageCodegen spans in the simple plan string
+    assert(p.contains("*(1)") && p.contains("*(2)"), p)
   }
 
   test("q01 scan reads only referenced columns (pruning)") {
