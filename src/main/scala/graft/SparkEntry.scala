@@ -261,9 +261,12 @@ object SparkEntry {
           decimalSum(col("l_quantity")).as("sum_qty"))),
 
     // §7.6 IVF ANN (coarse-quantizer scale path; rows-only, recall<1).
+    // One Lloyd round: the coarse quantizer only needs rough cells, and
+    // each extra round is a full corpus pass + a centroid collect.
     "q28_ivf_ann" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        10, lloydIters = 1)
     }),
 
     // §7.6 multimodal plumbing (rows-only: partition-wise stubbed decode).
