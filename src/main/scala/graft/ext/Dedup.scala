@@ -177,25 +177,42 @@ object Dedup {
 
   def simhash(text: Column): Column = packBits(simhashBitSums(text))
 
-  /** Table-level simhash, the fast path: explode tokens and compute the 64
-    * bit-sums as native sum-aggregates with literal shift counts — fully
+  /** Table-level simhash, the fast path: explode tokens and compute the bit
+    * counters as native sum-aggregates with literal shift counts — fully
     * codegen'd, map-side partial aggregation, Aggregate as collapse barrier
     * (same rationale as [[signatures]]; the Column form above is
-    * CodegenFallback and ~50× slower per doc). Output: (idCol, out). */
+    * CodegenFallback and ~50× slower per doc). Output: (idCol, out).
+    *
+    * The 64 counters are packed two-per-long into 32 sum aggregates (bit b
+    * in the low 32-bit lane, bit b+32 in the high lane) plus one count(*):
+    * 64 separate sums put >128 fields in the aggregation buffer, past
+    * `spark.sql.codegen.maxFields` (100), dropping the hot aggregate out of
+    * whole-stage codegen (~10× slower). Each lane accumulates a 0/1 per
+    * token, so lane overflow would need 2^32 distinct tokens in one doc —
+    * impossible. Set-bit count S_b relates to the ±1 formulation by
+    * sum(±1) = 2*S_b − n, so fingerprint bit b is set iff 2*S_b > n. */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String,
                    out: String = "simhash64"): DataFrame = {
-    // hash each token ONCE in a projection below the aggregate — the 64
+    // hash each token ONCE in a projection below the aggregate — the packed
     // bit-sum expressions then read the attribute instead of re-hashing
     val toks = docs.select(col(idCol),
         explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("__t"))
       .select(col(idCol), xxhash64(col("__t")).as("__h"))
     val h = col("__h")
-    val sums = (0 until 64).map(b =>
-      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b"))
-    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b =>
-          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce((x, y) => x.bitwiseOR(y)).as(out))
+    val packedSums = (0 until 32).map { b =>
+      val lo = shiftright(h, b).bitwiseAND(1)
+      val hi = shiftleft(shiftright(h, b + 32).bitwiseAND(1), 32)
+      sum(lo.bitwiseOR(hi)).as(s"__p$b")
+    }
+    val aggs = packedSums :+ count(lit(1)).as("__n")
+    val grouped = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    def bitCount(b: Int): Column = {
+      val p = col(s"__p${b % 32}")
+      if (b < 32) p.bitwiseAND(0xFFFFFFFFL) else shiftright(p, 32)
+    }
+    grouped.select(col(idCol),
+      (0 until 64).map(b =>
+        when(bitCount(b) * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce((x, y) => x.bitwiseOR(y)).as(out))
   }
 }

@@ -65,33 +65,56 @@ class IncrementalRunner(spark: SparkSession, store: WatermarkStore,
     }
   }
 
-  /** Extract-cap-sink-advance for one stream, looping until drained (T5). */
+  /** Extract-cap-sink-advance for one stream, looping until drained (T5).
+    *
+    * The overlap window applies once, at cycle start; inside the drain loop
+    * pagination is a strictly-greater composite cursor over
+    * (watermarkCol, tieBreakCol). That keeps two invariants the reference
+    * breaks (§2.12.e): >cap rows sharing one watermark value still make
+    * progress (the tie-break orders within the tie, so no row past the cap
+    * is ever skipped), and the stored watermark never regresses — a capped
+    * batch that fell entirely inside the overlap window carries only
+    * already-seen timestamps, so advancing to its max would walk the
+    * watermark backwards and wedge the stream on the same historical page.
+    */
   private def runStream(s: StreamSpec): StreamResult = {
     var total = 0L
     var loops = 0
     var drained = false
+    val since = store.since(s.name, overlapSec)
+    var cursor: Option[(Timestamp, Any)] = None
     while (!drained) {
-      val since = store.since(s.name, overlapSec)
-      val batch = s.extract(spark, since)
+      val base = s.extract(spark, since)
+      val page = cursor match {
+        case None => base
+        case Some((wm, tie)) =>
+          base.filter(col(s.watermarkCol) > lit(wm) ||
+            (col(s.watermarkCol) === lit(wm) && col(s.tieBreakCol) > lit(tie)))
+      }
+      val batch = page
         .orderBy(col(s.watermarkCol), col(s.tieBreakCol))
         .limit(s.cap)
         .localCheckpoint() // batch is consumed 3× (sink, count, max); pin it
       val n = batch.count()
-      if (n > 0) s.sink(batch)
+      if (n > 0) {
+        s.sink(batch)
+        val top = batch
+          .agg(max(struct(col(s.watermarkCol).as("w"), col(s.tieBreakCol).as("t"))))
+          .collect()(0).getStruct(0)
+        cursor = Some((top.getTimestamp(0), top.get(1)))
+      }
       val wallNow = now()
-      val newWm: Timestamp =
-        if (n < s.cap) wallNow // fully drained: NOW, like the reference
-        else batch.agg(max(col(s.watermarkCol))).collect()(0).getTimestamp(0)
+      drained = n < s.cap
       // T8: advance even on an empty batch so the overlap window stays 90s.
+      // Never regress: max(previous watermark, candidate) — candidate is NOW
+      // once fully drained (like the reference) else the max seen this page.
+      val candidate: Timestamp =
+        if (drained) wallNow else cursor.map(_._1).getOrElse(wallNow)
       val prev = store.get(s.name).map(_.lastFetchedAt)
+      val newWm = prev.filter(_.after(candidate)).getOrElse(candidate)
       store.advance(s.name, n, newWm, wallNow)
       total += n
       loops += 1
-      drained = n < s.cap
-      // Guard: > cap rows sharing one watermark value can't make progress by
-      // timestamp alone; idempotent sinks absorbed them, so stop the loop
-      // rather than spin (the reference would silently lose these, §2.12.e).
-      if (!drained && prev.contains(newWm)) drained = true
     }
     StreamResult(s.name, total, loops, None)
   }

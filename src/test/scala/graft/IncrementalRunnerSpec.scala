@@ -112,6 +112,58 @@ class IncrementalRunnerSpec extends SparkTestBase {
     assert(spark.read.parquet(sinkDir).count() == 1000)
   }
 
+  test("dense overlap window >= cap does not wedge the stream or regress the watermark") {
+    // 200 already-seen rows packed inside the 90s overlap window, 50 new rows
+    // after the stored watermark, cap 100: the first page is pure overlap, so
+    // max(batch) < stored watermark. Pre-fix this walked the watermark
+    // backwards and the progress guard wedged the stream; the new rows were
+    // never ingested.
+    val wmDir = tmpDir("wm6")
+    val sinkDir = tmpDir("sink6")
+    val store = new WatermarkStore(spark, wmDir)
+    val rows = (0 until 200).map(i =>
+      (Timestamp.valueOf(f"2024-01-01 10:00:${i % 50}%02d"), s"old_$i%03d")) ++
+      (0 until 50).map(i =>
+        (Timestamp.valueOf(f"2024-01-01 10:05:${i % 50}%02d"), s"new_$i%03d"))
+    val df = rows.toDF("ts", "event_id")
+    val prevWm = Timestamp.valueOf("2024-01-01 10:01:00")
+    store.advance("s", 200, prevWm, prevWm)
+    val spec = StreamSpec("s",
+      extract = (_, since) => df.filter(col("ts") >= lit(since)),
+      watermarkCol = "ts", tieBreakCol = "event_id",
+      sink = b => MergeSink.appendDedup(spark, sinkDir, b, "event_id"),
+      cap = 100)
+    val horizon = Timestamp.valueOf("2024-01-01 10:10:00")
+    val runner = new IncrementalRunner(spark, store, overlapSec = 90, now = () => horizon)
+    val r = runner.runCycle(Seq(spec))
+    assert(r.failed.isEmpty, r.failed.mkString(","))
+    val got = spark.read.parquet(sinkDir)
+    assert(got.count() == 250)                            // new rows ingested
+    assert(!store.get("s").get.lastFetchedAt.before(prevWm)) // never regressed
+  }
+
+  test(">cap rows sharing one watermark value all ingest via the tie-break cursor") {
+    // 30 rows at an identical timestamp, cap 10: progress within the tie is
+    // only possible through the composite (ts, tieBreak) cursor. Pre-fix the
+    // rows beyond the cap were silently lost (the §2.12.e bug).
+    val wmDir = tmpDir("wm7")
+    val sinkDir = tmpDir("sink7")
+    val store = new WatermarkStore(spark, wmDir)
+    val ts = Timestamp.valueOf("2024-03-01 12:00:00")
+    val df = (0 until 30).map(i => (ts, f"e$i%03d")).toDF("ts", "event_id")
+    val spec = StreamSpec("ties",
+      extract = (_, since) => df.filter(col("ts") >= lit(since)),
+      watermarkCol = "ts", tieBreakCol = "event_id",
+      sink = b => MergeSink.appendDedup(spark, sinkDir, b, "event_id"),
+      cap = 10)
+    val runner = new IncrementalRunner(spark, store, overlapSec = 90,
+      now = () => Timestamp.valueOf("2024-03-01 12:01:00"))
+    val r = runner.runCycle(Seq(spec))
+    assert(r.failed.isEmpty)
+    assert(r.results.head.drainedLoops >= 3)
+    assert(spark.read.parquet(sinkDir).count() == 30)     // nothing lost
+  }
+
   test("scheduler escalates after N consecutive failing cycles (T7)") {
     val wmDir = tmpDir("wm4")
     val store = new WatermarkStore(spark, wmDir)

@@ -41,6 +41,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("*(1)") && p.contains("*(2)"), p)
   }
 
+  test("q17: simhash aggregate stays inside whole-stage codegen") {
+    // 64 separate bit-sums blow past spark.sql.codegen.maxFields and drop
+    // the hot aggregate to interpreted mode (~10× slower, the round-1 20s
+    // outlier); the packed-lane form must keep every HashAggregate codegen'd.
+    val df = SparkEntry.queries("q17_simhash")(spark, sf())
+    df.collect()
+    // AQE plan strings repeat the tree as "== Initial Plan ==" without
+    // codegen markers — audit only the executed (final) section.
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toList
+    assert(aggLines.nonEmpty, p)
+    val interpreted = aggLines.filterNot(_.matches(""".*\*\(\d+\) HashAggregate.*"""))
+    assert(interpreted.isEmpty, s"interpreted HashAggregate:\n${interpreted.mkString("\n")}\n$p")
+  }
+
   test("q01 scan reads only referenced columns (pruning)") {
     val p = SparkEntry.queries("q01_pricing_summary")(spark, sf())
       .queryExecution.explainString(
