@@ -270,9 +270,16 @@ object SparkEntry {
     }),
 
     // §7.6 multimodal plumbing (rows-only: partition-wise stubbed decode).
+    // The raw feature array is reduced to hashable scalars — the driver's
+    // canonicalizer sorts on every column and cannot order array cells.
     "q29_multimodal_features" -> ((s, dir) =>
       graft.ext.Multimodal.extractFeatures(
-        graft.ext.Multimodal.assetsFromDocuments(T(s, dir, "documents")))),
+          graft.ext.Multimodal.assetsFromDocuments(T(s, dir, "documents")))
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          xxhash64(to_json(col("feature"))).as("feature_hash"),
+          round(sqrt(aggregate(col("feature"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 6)
+            .as("feature_norm_r6"))),
 
     // Exact order-statistics per group (interpolated quantiles).
     "q31_quantiles" -> ((s, dir) =>
@@ -309,8 +316,42 @@ object SparkEntry {
           Seq("o_orderdate", "o_orderkey", "day_total"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_o_orderdate"), col("asof_o_orderkey"), col("asof_day_total"))
-    })
+    }),
+
+    // ----------------------------------------------------------------
+    // q34-q39: the six reference table-pipelines (extract.py:50-419 +
+    // transform.py) run end-to-end over the full-fidelity fixtures and
+    // oracle-checked against a DuckDB transliteration of the reference
+    // SQL. The fixtures are materialized to parquet once per JVM so both
+    // engines consume byte-identical inputs; the current_timestamp etl_*
+    // audit columns are excluded (nondeterministic by construction).
+    // ----------------------------------------------------------------
+    "q34_ref_scenarios" -> ((s, _) =>
+      graft.ops.ScenarioPipeline.extractScenarios(refSrc(s), refSince)
+        .drop("etl_loaded_at", "etl_updated_at")),
+    "q35_ref_node_inputs" -> ((s, _) =>
+      graft.ops.ScenarioPipeline.extractNodeData(refSrc(s), refSince)
+        .drop("etl_loaded_at")),
+    "q36_ref_run_summary" -> ((s, _) =>
+      graft.ops.ScenarioPipeline.extractRuns(refSrc(s), refSince)
+        .drop("etl_loaded_at", "etl_updated_at")),
+    "q37_ref_node_calc" -> ((s, _) =>
+      graft.ops.ScenarioPipeline.extractNodeCalc(refSrc(s), refSince)
+        .drop("etl_loaded_at")),
+    "q38_ref_event_inputs" -> ((s, _) =>
+      graft.ops.ScenarioPipeline.extractEventData(refSrc(s), refSince)
+        .drop("etl_loaded_at")),
+    "q39_ref_timeline" -> ((s, _) =>
+      graft.ops.ScenarioPipeline.extractTimeline(refSrc(s), refSince)
+        .drop("etl_loaded_at"))
   )
+
+  /** Incremental horizon for the q34-q39 pipeline runs: mid-fixture so the
+    * OR-of-timestamp predicates genuinely filter (fixtures span 03-01..03-07). */
+  private val refSince = java.sql.Timestamp.valueOf("2024-03-03 00:00:00")
+
+  private def refSrc(s: SparkSession): graft.ops.ScenarioSources =
+    graft.demo.ReferenceFixtures.parquetSources(s)
 
   /** q06 body: five branches over orders+events mirroring the reference's
     * 8-branch UNION ALL (extract.py:277-415). */
@@ -655,6 +696,220 @@ object SparkEntry {
         | oa.day_total AS asof_day_total
         |FROM events e
         |ASOF LEFT JOIN oa
-        |  ON e.user_id = oa.o_custkey AND e.ts >= oa.o_orderdate""".stripMargin
+        |  ON e.user_id = oa.o_custkey AND e.ts >= oa.o_orderdate""".stripMargin,
+
+    "q34_ref_scenarios" ->
+      s"""SELECT
+        | s.id AS scenario_id, s.scenario_display_name,
+        | s.status AS scenario_status, s.is_starter, s.currency, s.currency_code,
+        | s.scenario_start_year, s.scenario_end_year,
+        | s.scenario_region_name, s.scenario_country_name,
+        | s.created_at, s.created_by, s.submitted_at, s.submitted_by,
+        | s.locked_at, s.locked_by, s.updated_at, s.updated_by,
+        | s.withdraw_at, s.withdraw_by, s.delete_at,
+        | s.model_id, m.model_display_name, m.model_type, m.model_publish_level,
+        | m.therapeutic_area_name, m.model_disease_area_name AS disease_area_name,
+        | m.has_inherent_event AS loe_enabled,
+        | m.model_region_display_name AS model_region_name,
+        | m.model_country_display_name AS model_country_name,
+        | fi.forecast_cycle_display_name AS forecast_cycle_name,
+        | fi.forecast_cycle_start_dt AS forecast_cycle_start,
+        | fi.forecast_cycle_end_dt AS forecast_cycle_end,
+        | fi.horizon_start_limit, fi.horizon_end_limit, fi.starter_created,
+        | greatest(s.created_at, coalesce(s.updated_at, s.created_at),
+        |   coalesce(s.submitted_at, s.created_at), coalesce(s.locked_at, s.created_at),
+        |   coalesce(s.withdraw_at, s.created_at)) AS wm_ts
+        |FROM ${rp("fc_scenario")} s
+        |JOIN ${rp("fc_model")} m ON s.model_id = m.id
+        |JOIN ${rp("fc_forecast_init")} fi ON s.forecast_init_id = fi.id
+        |WHERE s.created_at >= $refSinceSql OR s.updated_at >= $refSinceSql
+        |   OR s.submitted_at >= $refSinceSql OR s.locked_at >= $refSinceSql
+        |   OR s.withdraw_at >= $refSinceSql""".stripMargin,
+
+    "q35_ref_node_inputs" ->
+      s"""WITH j AS (
+        | SELECT nd.id AS source_id, nd.scenario_id, nd.model_node_id,
+        |  mn.node_display_name, mn.node_type,
+        |  mt.tab_display_name AS tab_name, mt.tab_level,
+        |  mg.group_display_name AS group_name, mg.group_type,
+        |  mn.node_seq, mn.flow,
+        |  nd.created_at AS version_started_at, nd.end_at AS version_ended_at,
+        |  nd.created_by AS edited_by, nd.input_hash, nd.input_validated,
+        |  nd.input_validation_message AS validation_message,
+        |  nd.source AS data_source, nd.input_data,
+        |  CASE WHEN json_valid(nd.input_data) THEN nd.input_data END AS js
+        | FROM ${rp("fc_scenario_node_data")} nd
+        | JOIN ${rp("fc_model_node")} mn ON nd.model_node_id = mn.id
+        | JOIN ${rp("fc_model_node_groups")} mg ON mn.model_node_group_id = mg.id
+        | JOIN ${rp("fc_model_node_tab")} mt ON mg.model_node_tab_id = mt.id
+        | WHERE nd.created_at >= $refSinceSql
+        |    OR (nd.end_at IS NOT NULL AND nd.end_at >= $refSinceSql))
+        |SELECT source_id, scenario_id, model_node_id, node_display_name, node_type,
+        | tab_name, tab_level, group_name, group_type, node_seq, flow,
+        | version_started_at, version_ended_at,
+        | (version_ended_at IS NULL) AS is_current_version,
+        | edited_by, input_hash, input_validated, validation_message, data_source,
+        | TRY_CAST(json_extract_string(js, '$$.value') AS DOUBLE) AS inp_value,
+        | json_extract_string(js, '$$.unit') AS inp_unit,
+        | TRY_CAST(json_extract_string(js, '$$.start_year') AS INTEGER) AS inp_start_year,
+        | TRY_CAST(json_extract_string(js, '$$.end_year') AS INTEGER) AS inp_end_year,
+        | json_extract_string(js, '$$.input_type') AS inp_input_type,
+        | json_extract_string(js, '$$.timeframe') AS inp_timeframe,
+        | json_extract_string(js, '$$.dosing_type') AS inp_dosing_type,
+        | CASE WHEN json_extract_string(js, '$$.actuals_flag') IS NULL THEN NULL
+        |      WHEN lower(json_extract_string(js, '$$.actuals_flag')) IN ('true','1','yes') THEN TRUE
+        |      ELSE FALSE END AS inp_actuals_flag,
+        | json_extract_string(js, '$$.curve_type') AS inp_curve_type,
+        | json_extract_string(js, '$$.selected_output') AS inp_selected_output,
+        | CASE WHEN json_extract_string(js, '$$.pfs_flag') IS NULL THEN NULL
+        |      WHEN lower(json_extract_string(js, '$$.pfs_flag')) IN ('true','1','yes') THEN TRUE
+        |      ELSE FALSE END AS inp_pfs_flag,
+        | CASE WHEN json_extract_string(js, '$$.ppc_flag') IS NULL THEN NULL
+        |      WHEN lower(json_extract_string(js, '$$.ppc_flag')) IN ('true','1','yes') THEN TRUE
+        |      ELSE FALSE END AS inp_ppc_flag,
+        | input_data AS input_data_full_text,
+        | greatest(version_started_at,
+        |   coalesce(version_ended_at, version_started_at)) AS wm_ts
+        |FROM j""".stripMargin,
+
+    "q36_ref_run_summary" ->
+      s"""WITH g AS (
+        | SELECT sr.id AS run_id, sr.scenario_id, sr.run_status, sr.run_at,
+        |  sr.run_by, sr.run_complete_at, sr.fail_reason,
+        |  CAST(COUNT(DISTINCT rb.id) AS INTEGER) AS branch_count,
+        |  CAST(COUNT(nc.id) AS INTEGER) AS total_nodes_processed,
+        |  CAST(COALESCE(SUM(CASE WHEN nc.status = 'success' THEN 1 ELSE 0 END), 0) AS INTEGER) AS nodes_success,
+        |  CAST(COALESCE(SUM(CASE WHEN nc.status = 'failed' THEN 1 ELSE 0 END), 0) AS INTEGER) AS nodes_failed,
+        |  CAST(COALESCE(SUM(CASE WHEN nc.status = 'timeout' THEN 1 ELSE 0 END), 0) AS INTEGER) AS nodes_timeout
+        | FROM ${rp("fc_scenario_run")} sr
+        | LEFT JOIN ${rp("fc_scenario_run_branch")} rb ON rb.scenario_run_id = sr.id
+        | LEFT JOIN ${rp("fc_scenario_node_calc")} nc ON nc.scenario_run_branch_id = rb.id
+        | WHERE sr.run_at >= $refSinceSql
+        |    OR (sr.run_complete_at IS NOT NULL AND sr.run_complete_at >= $refSinceSql)
+        | GROUP BY sr.id, sr.scenario_id, sr.run_status, sr.run_at, sr.run_by,
+        |  sr.run_complete_at, sr.fail_reason)
+        |SELECT run_id, scenario_id, run_status, run_at, run_by, run_complete_at,
+        | CAST(round(((epoch_us(run_complete_at)//1000000)
+        |   - (epoch_us(run_at)//1000000))/60.0, 2) AS DECIMAL(10,2)) AS run_duration_minutes,
+        | fail_reason, branch_count, total_nodes_processed,
+        | nodes_success, nodes_failed, nodes_timeout,
+        | 0 AS node_edits_since_prev_run, 0 AS event_edits_since_prev_run,
+        | greatest(run_at, coalesce(run_complete_at, run_at)) AS wm_ts
+        |FROM g""".stripMargin,
+
+    "q37_ref_node_calc" ->
+      s"""SELECT nc.id AS source_id, sr.id AS run_id, sr.scenario_id,
+        | rb.id AS branch_id, rb.event_tag, nc.model_node_id,
+        | mn.node_display_name, mn.node_type,
+        | nc.status AS calc_status, nc.fail_reason,
+        | nc.processing_start_at, nc.processing_end_at,
+        | CAST(round(epoch_us(nc.processing_end_at)/1000000.0
+        |   - epoch_us(nc.processing_start_at)/1000000.0, 3) AS DECIMAL(10,3)) AS processing_duration_s,
+        | nc.output_data AS output_data_text,
+        | nc.created_at AS wm_ts
+        |FROM ${rp("fc_scenario_node_calc")} nc
+        |JOIN ${rp("fc_scenario_run_branch")} rb ON nc.scenario_run_branch_id = rb.id
+        |JOIN ${rp("fc_scenario_run")} sr ON rb.scenario_run_id = sr.id
+        |JOIN ${rp("fc_model_node")} mn ON nc.model_node_id = mn.id
+        |WHERE nc.created_at >= $refSinceSql""".stripMargin,
+
+    "q38_ref_event_inputs" ->
+      s"""WITH j AS (
+        | SELECT ed.id AS source_id, st.scenario_id,
+        |  et.display_name AS event_type_name, et.inherent AS is_inherent,
+        |  pn.node_display_name AS population_node_name,
+        |  ppn.node_display_name AS parent_product_name,
+        |  ed.created_at AS version_started_at, ed.end_at AS version_ended_at,
+        |  ed.created_by AS edited_by, ed.event_data_hash, ed.is_overridden,
+        |  ed.event_shares_overridden AS override_data_text,
+        |  ed.is_validated, ed.input_validation_message AS validation_message,
+        |  ed.event_data,
+        |  CASE WHEN json_valid(ed.event_data) THEN ed.event_data END AS js
+        | FROM ${rp("fc_scenario_event_data")} ed
+        | JOIN ${rp("fc_scenario_event_type")} st ON ed.scenario_event_type_id = st.id
+        | JOIN ${rp("fc_event_type")} et ON st.event_type_id = et.id
+        | LEFT JOIN ${rp("fc_model_node")} pn ON ed.population_node_id = pn.id
+        | LEFT JOIN ${rp("fc_model_node")} ppn ON ed.parent_product_node_id = ppn.id
+        | WHERE ed.created_at >= $refSinceSql
+        |    OR (ed.end_at IS NOT NULL AND ed.end_at >= $refSinceSql))
+        |SELECT source_id, scenario_id, event_type_name, is_inherent,
+        | population_node_name, parent_product_name,
+        | version_started_at, version_ended_at,
+        | (version_ended_at IS NULL) AS is_current_version,
+        | edited_by, event_data_hash, is_overridden, override_data_text,
+        | is_validated, validation_message,
+        | TRY_CAST(json_extract_string(js, '$$.year') AS INTEGER) AS evt_year,
+        | TRY_CAST(json_extract_string(js, '$$.share_value') AS DOUBLE) AS evt_share_value,
+        | json_extract_string(js, '$$.entry_quarter') AS evt_entry_quarter,
+        | TRY_CAST(json_extract_string(js, '$$.erosion_rate') AS DOUBLE) AS evt_erosion_rate,
+        | json_extract_string(js, '$$.launch_date') AS evt_launch_date,
+        | TRY_CAST(json_extract_string(js, '$$.steady_state') AS DOUBLE) AS evt_steady_state,
+        | TRY_CAST(json_extract_string(js, '$$.sob_value') AS DOUBLE) AS evt_sob_value,
+        | event_data AS event_data_full_text,
+        | greatest(version_started_at,
+        |   coalesce(version_ended_at, version_started_at)) AS wm_ts
+        |FROM j""".stripMargin,
+
+    "q39_ref_timeline" ->
+      s"""WITH u AS (
+        | SELECT id AS scenario_id, created_at AS event_time,
+        |   'SCENARIO_CREATED' AS event_type, 'LIFECYCLE' AS event_category,
+        |   created_by AS actor, 'Scenario created' AS description,
+        |   CAST(NULL AS VARCHAR) AS run_id, CAST(NULL AS VARCHAR) AS node_name,
+        |   CAST(NULL AS VARCHAR) AS event_type_name,
+        |   'SC_' || id AS source_key
+        | FROM ${rp("fc_scenario")} WHERE created_at >= $refSinceSql
+        | UNION ALL
+        | SELECT id, submitted_at, 'SUBMITTED', 'LIFECYCLE', submitted_by,
+        |   'Scenario submitted', NULL, NULL, NULL, 'SUBM_' || id
+        | FROM ${rp("fc_scenario")} WHERE submitted_at >= $refSinceSql
+        | UNION ALL
+        | SELECT id, locked_at, 'LOCKED', 'LIFECYCLE', locked_by,
+        |   'Scenario locked', NULL, NULL, NULL, 'LOCK_' || id
+        | FROM ${rp("fc_scenario")} WHERE locked_at >= $refSinceSql
+        | UNION ALL
+        | SELECT id, withdraw_at, 'WITHDRAWN', 'LIFECYCLE', withdraw_by,
+        |   'Scenario withdrawn', NULL, NULL, NULL, 'WITH_' || id
+        | FROM ${rp("fc_scenario")} WHERE withdraw_at >= $refSinceSql
+        | UNION ALL
+        | SELECT nd.scenario_id, nd.created_at, 'NODE_EDITED', 'INPUT_CHANGE',
+        |   nd.created_by,
+        |   'Node edited: ' || mn.node_display_name
+        |     || ' | Validated: ' || CAST(nd.input_validated AS VARCHAR),
+        |   NULL, mn.node_display_name, NULL, 'NE_' || nd.id
+        | FROM ${rp("fc_scenario_node_data")} nd
+        | JOIN ${rp("fc_model_node")} mn ON nd.model_node_id = mn.id
+        | WHERE nd.created_at >= $refSinceSql
+        | UNION ALL
+        | SELECT st.scenario_id, ed.created_at, 'EVENT_EDITED', 'EVENT_CHANGE',
+        |   ed.created_by,
+        |   'Event edited: ' || et.display_name
+        |     || COALESCE(' | Segment: ' || pn.node_display_name, ''),
+        |   NULL, NULL, et.display_name, 'EVT_' || ed.id
+        | FROM ${rp("fc_scenario_event_data")} ed
+        | JOIN ${rp("fc_scenario_event_type")} st ON ed.scenario_event_type_id = st.id
+        | JOIN ${rp("fc_event_type")} et ON st.event_type_id = et.id
+        | LEFT JOIN ${rp("fc_model_node")} pn ON ed.population_node_id = pn.id
+        | WHERE ed.created_at >= $refSinceSql
+        | UNION ALL
+        | SELECT scenario_id, run_at, 'RUN_TRIGGERED', 'RUN', run_by,
+        |   'Run started', id, NULL, NULL, 'RT_' || id
+        | FROM ${rp("fc_scenario_run")} WHERE run_at >= $refSinceSql
+        | UNION ALL
+        | SELECT scenario_id, run_complete_at, 'RUN_COMPLETED', 'RUN', run_by,
+        |   'Run completed: ' || run_status
+        |     || COALESCE(' | Error: ' || fail_reason, ''),
+        |   id, NULL, NULL, 'RC_' || id
+        | FROM ${rp("fc_scenario_run")}
+        | WHERE run_complete_at >= $refSinceSql AND run_complete_at IS NOT NULL)
+        |SELECT *, CAST(event_time AS DATE) AS event_date, event_time AS wm_ts
+        |FROM u WHERE event_time IS NOT NULL""".stripMargin
   )
+
+  /** read_parquet over a materialized reference-fixture table (the oracle's
+    * view of the exact bytes the Spark side read). */
+  private def rp(table: String): String =
+    s"read_parquet('${graft.demo.ReferenceFixtures.parquetDir}/$table/*.parquet')"
+
+  private val refSinceSql = "TIMESTAMP '2024-03-03 00:00:00'"
 }

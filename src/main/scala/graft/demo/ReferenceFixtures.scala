@@ -180,6 +180,56 @@ object ReferenceFixtures {
       fcScenarioEventType, fcEventType)
   }
 
+  /** Fixed location the fixture tables are dumped to so the DuckDB oracle
+    * can read the SAME inputs via read_parquet — the bridge that lets the
+    * six reference pipelines be driver-verified instead of unit-only. */
+  val parquetDir = "/tmp/graft_ref_fixtures_v1"
+
+  private def tableMap(src: ScenarioSources): Seq[(String, DataFrame)] = Seq(
+    "fc_scenario" -> src.fcScenario,
+    "fc_model" -> src.fcModel,
+    "fc_forecast_init" -> src.fcForecastInit,
+    "fc_scenario_node_data" -> src.fcScenarioNodeData,
+    "fc_model_node" -> src.fcModelNode,
+    "fc_model_node_groups" -> src.fcModelNodeGroups,
+    "fc_model_node_tab" -> src.fcModelNodeTab,
+    "fc_scenario_run" -> src.fcScenarioRun,
+    "fc_scenario_run_branch" -> src.fcScenarioRunBranch,
+    "fc_scenario_node_calc" -> src.fcScenarioNodeCalc,
+    "fc_scenario_event_data" -> src.fcScenarioEventData,
+    "fc_scenario_event_type" -> src.fcScenarioEventType,
+    "fc_event_type" -> src.fcEventType)
+
+  @volatile private var written = false
+
+  /** Write the (deterministic) fixtures to [[parquetDir]] once per JVM and
+    * return sources re-read FROM that parquet, so Spark and DuckDB consume
+    * byte-identical inputs. */
+  def parquetSources(spark: SparkSession): ScenarioSources = {
+    this.synchronized {
+      if (!written) {
+        tableMap(build(spark)).foreach { case (n, df) =>
+          df.write.mode("overwrite").parquet(s"$parquetDir/$n")
+        }
+        written = true
+      }
+    }
+    ScenarioSources(
+      spark.read.parquet(s"$parquetDir/fc_scenario"),
+      spark.read.parquet(s"$parquetDir/fc_model"),
+      spark.read.parquet(s"$parquetDir/fc_forecast_init"),
+      spark.read.parquet(s"$parquetDir/fc_scenario_node_data"),
+      spark.read.parquet(s"$parquetDir/fc_model_node"),
+      spark.read.parquet(s"$parquetDir/fc_model_node_groups"),
+      spark.read.parquet(s"$parquetDir/fc_model_node_tab"),
+      spark.read.parquet(s"$parquetDir/fc_scenario_run"),
+      spark.read.parquet(s"$parquetDir/fc_scenario_run_branch"),
+      spark.read.parquet(s"$parquetDir/fc_scenario_node_calc"),
+      spark.read.parquet(s"$parquetDir/fc_scenario_event_data"),
+      spark.read.parquet(s"$parquetDir/fc_scenario_event_type"),
+      spark.read.parquet(s"$parquetDir/fc_event_type"))
+  }
+
   /** Restrict every source table to rows the "OLTP source" has written
     * before `horizon` (by its own creation-ish column). */
   def visibleBefore(src: ScenarioSources, horizon: Timestamp): ScenarioSources = {
