@@ -28,10 +28,12 @@ object MergeSink {
 
   /** Read current sink contents, or None before first write. A directory
     * holding only a _SUCCESS marker (a bootstrapped PARTITIONED table has no
-    * data files until the first append) also counts as absent. */
+    * data files until the first append) also counts as absent. Runs crash
+    * [[recover]]y first, so a reader never observes a half-committed swap. */
   def readTarget(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir)
     if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       try Some(spark.read.parquet(dir))
       catch {
@@ -65,23 +67,96 @@ object MergeSink {
     readTarget(spark, dir) match {
       case None => writeReplace(spark, dir, b)
       case Some(existing) =>
-        val cols = existing.columns.toSeq
-        val e = existing.withColumn("__e", lit(true))
-        val n = b.withColumn("__b", lit(true))
-        val joined = e.alias("e").join(n.alias("n"),
-          keys.map(k => col(s"e.$k") <=> col(s"n.$k")).reduce(_ && _), "full_outer")
-        val merged = joined.select(cols.map { c =>
-          val fromE = col(s"e.$c"); val fromN = col(s"n.$c")
-          val out =
-            if (keys.contains(c)) coalesce(fromE, fromN)
-            else if (mutableCols.contains(c))
-              when(col("n.__b").isNotNull, fromN).otherwise(fromE)
-            else when(col("e.__e").isNotNull, fromE).otherwise(fromN)
-          out.as(c)
-        }: _*)
-        writeReplace(spark, dir, merged)
+        writeReplace(spark, dir, mergeRows(existing, b, keys, mutableCols))
     }
   }
+
+  /** The M1 merge plan: full-outer join existing vs batch on `keys`;
+    * key columns coalesce, `mutableCols` take the batch value whenever the
+    * batch has the key (nulls included, `SET c = EXCLUDED.c`), everything
+    * else keeps its first-seen value. Output columns = existing's. */
+  private def mergeRows(existing: DataFrame, b: DataFrame,
+                        keys: Seq[String], mutableCols: Seq[String]): DataFrame = {
+    val cols = existing.columns.toSeq
+    val e = existing.withColumn("__e", lit(true))
+    val n = b.withColumn("__b", lit(true))
+    val joined = e.alias("e").join(n.alias("n"),
+      keys.map(k => col(s"e.$k") <=> col(s"n.$k")).reduce(_ && _), "full_outer")
+    joined.select(cols.map { c =>
+      val fromE = col(s"e.$c"); val fromN = col(s"n.$c")
+      val out =
+        if (keys.contains(c)) coalesce(fromE, fromN)
+        else if (mutableCols.contains(c))
+          when(col("n.__b").isNotNull, fromN).otherwise(fromE)
+        else when(col("e.__e").isNotNull, fromE).otherwise(fromN)
+      out.as(c)
+    }: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Partition-scoped merge (the 100 TB path for M1/M2)
+  //
+  // A naive parquet upsert reads and rewrites the WHOLE target per batch —
+  // O(|target|) every 30 s cycle, the definitional scale-killer. Scoped
+  // merge keys the physical layout so a batch only touches the partitions
+  // its keys live in: merge cost is O(|batch| + size of touched partitions).
+  // This is what a Delta/Iceberg MERGE does with partition pruning, minus
+  // the transaction log; the swap protocol below supplies the atomicity.
+  // ---------------------------------------------------------------------
+
+  /** Physical layout for scoped merges: `expr` derives the partition value
+    * from a row. The same key must always land in the same partition
+    * (hash-of-key or an immutable date column), so the batch's partition set
+    * is computable from the batch alone. Size `buckets` so one partition
+    * stays executor-memory-sized at the target scale: 16 suffices locally;
+    * a 100 TB dim wants O(4k) buckets (~25 GB each). */
+  final case class PartitionScheme(colName: String, expr: Column)
+  object PartitionScheme {
+    /** Stable hash buckets over the merge key — dims and keyed facts. */
+    def keyHash(keys: Seq[String], buckets: Int): PartitionScheme =
+      PartitionScheme("part_bucket",
+        pmod(xxhash64(keys.map(col): _*), lit(buckets.toLong)).cast("int"))
+    /** Immutable event-date partitions — append-mostly fact tables. */
+    def byDate(tsCol: String): PartitionScheme =
+      PartitionScheme("part_date", to_date(col(tsCol)))
+  }
+
+  /** M1 with partition-scoped rewrite: only partitions holding batch keys are
+    * read, merged, and swapped; untouched partition files are not rewritten
+    * (byte-identical after the merge). A legacy/bootstrapped unpartitioned
+    * target is migrated to the scoped layout by one full rewrite. */
+  def upsertPartialScoped(spark: SparkSession, dir: String, batch: DataFrame,
+                          keys: Seq[String], mutableCols: Seq[String],
+                          scheme: PartitionScheme,
+                          orderCols: Seq[String] = Nil): Unit = {
+    val b = latestPerKey(batch, keys, orderCols)
+    readTarget(spark, dir) match {
+      case None =>
+        writeReplace(spark, dir, b.withColumn(scheme.colName, scheme.expr),
+          Seq(scheme.colName))
+      case Some(existing) if !existing.columns.contains(scheme.colName) =>
+        writeReplace(spark, dir,
+          mergeRows(existing, b, keys, mutableCols)
+            .withColumn(scheme.colName, scheme.expr), Seq(scheme.colName))
+      case Some(existing) =>
+        // the batch's partition set — bounded by #buckets (or #dates in the
+        // batch), so the collect is a few scalar rows, never data
+        val touched = b.select(scheme.expr.as(scheme.colName)).distinct()
+          .collect().map(_.get(0)).toSeq
+        val scoped = existing
+          .filter(col(scheme.colName).isInCollection(touched)) // partition pruning
+          .drop(scheme.colName)
+        val merged = mergeRows(scoped, b, keys, mutableCols)
+          .withColumn(scheme.colName, scheme.expr)
+        replacePartitions(spark, dir, merged, scheme.colName)
+    }
+  }
+
+  /** M2 on the scoped layout (see [[scd2]] for semantics). */
+  def scd2Scoped(spark: SparkSession, dir: String, batch: DataFrame,
+                 key: String, mutableCols: Seq[String], scheme: PartitionScheme,
+                 orderCols: Seq[String] = Nil): Unit =
+    upsertPartialScoped(spark, dir, batch, Seq(key), mutableCols, scheme, orderCols)
 
   /** M2 — versioned upsert, SCD2-flavored (load.py:50-83, 139-166): rows are
     * immutable versions keyed by `key` (source_id); a re-delivered version
@@ -133,19 +208,86 @@ object MergeSink {
 
   /** Materialize `df` into `dir` via tmp-dir + swap, so a reader never sees
     * a half-written table and the plan can read the old contents. Local-FS
-    * commit protocol; a cluster deployment swaps this for Delta's log. */
+    * commit protocol; a cluster deployment swaps this for Delta's log.
+    *
+    * Crash-atomic: the live dir is renamed ASIDE (`__bak`) before the tmp
+    * dir is renamed in — there is no window where the table is simply gone.
+    * A crash inside the swap leaves a `__bak`/`__tmp` pair that [[recover]]
+    * rolls back on the next read or write. */
   def writeReplace(spark: SparkSession, dir: String, df: DataFrame,
                    partitionCols: Seq[String] = Nil): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir)
     val tmp = new Path(dir + "__tmp")
+    val bak = new Path(dir + "__bak")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
-    if (fs.exists(p)) fs.delete(p, true)
+    if (fs.exists(p) && !fs.rename(p, bak))
+      throw new java.io.IOException(s"merge commit failed: rename $p -> $bak")
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"merge commit failed: rename $tmp -> $p")
+    fs.delete(bak, true)
+  }
+
+  /** Swap only the partition directories present in `df` into the live
+    * table; every other partition's files are left physically untouched.
+    * Per-partition protocol: live partition → `__pbak`, tmp partition →
+    * live, then delete backups. A crash mid-swap strands partitions in
+    * `__pbak`; [[recover]] restores any that went missing from the live
+    * tree, and the interrupted batch re-merges idempotently on replay
+    * (the watermark only advances after the sink call returns). */
+  private def replacePartitions(spark: SparkSession, dir: String,
+                                df: DataFrame, partCol: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + "__tmp")
+    val pbak = new Path(dir + "__pbak")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(pbak)) fs.delete(pbak, true)
+    df.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    fs.mkdirs(pbak)
+    fs.listStatus(tmp).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      .foreach { st =>
+        val name = st.getPath.getName
+        val live = new Path(p, name)
+        if (fs.exists(live) && !fs.rename(live, new Path(pbak, name)))
+          throw new java.io.IOException(s"merge commit failed: rename $live aside")
+        if (!fs.rename(st.getPath, live))
+          throw new java.io.IOException(s"merge commit failed: rename $name -> $live")
+      }
+    fs.delete(pbak, true)
+    fs.delete(tmp, true)
+  }
+
+  /** Roll the sink forward out of any crash window the swap protocols can
+    * leave behind: a whole-table backup with the live dir missing is renamed
+    * back; a leftover whole-table backup beside a live dir is dropped;
+    * partitions stranded in `__pbak` but missing from the live tree are
+    * restored; stale `__tmp` staging is deleted. Idempotent and cheap (a
+    * few metadata ops) — called from every read and write entry point. */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(dir + "__bak")
+    val pbak = new Path(dir + "__pbak")
+    val tmp = new Path(dir + "__tmp")
+    if (fs.exists(bak)) {
+      if (!fs.exists(p)) fs.rename(bak, p)   // crashed between the two renames
+      else fs.delete(bak, true)              // crashed before backup cleanup
+    }
+    if (fs.exists(pbak)) {
+      if (!fs.exists(p)) fs.mkdirs(p)
+      fs.listStatus(pbak).foreach { st =>
+        val live = new Path(p, st.getPath.getName)
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+      }
+      fs.delete(pbak, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Number of parquet data files under the table (recursively). */

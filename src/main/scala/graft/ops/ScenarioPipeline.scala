@@ -352,22 +352,29 @@ object ScenarioPipeline {
     // runner-only wm_ts column so it never reaches the target schema
     def latest(b: DataFrame, keys: Seq[String]): DataFrame =
       MergeSink.latestPerKey(b, keys, Seq("wm_ts")).drop("wm_ts")
+    // M1/M2 targets are hash-bucketed on their merge key so each micro-batch
+    // rewrites only the partitions it touches (MergeSink scoped merge).
+    // 16 buckets suits the demo scale; a 100 TB deployment sizes this so one
+    // bucket stays executor-memory-sized (O(4k) buckets ≈ 25 GB each).
+    def buckets(key: String) = MergeSink.PartitionScheme.keyHash(Seq(key), 16)
     Seq(
       StreamSpec("fc_scenario",
         (sp, since) => extractScenarios(src, since), "wm_ts", "scenario_id",
-        b => MergeSink.upsertPartial(spark, boot.tablePath("dim_scenario"),
+        b => MergeSink.upsertPartialScoped(spark, boot.tablePath("dim_scenario"),
           latest(b, Seq("scenario_id")), Seq("scenario_id"),
-          Schemas.dimScenarioMutable),
+          Schemas.dimScenarioMutable, buckets("scenario_id")),
         cap = 5000),
       StreamSpec("fc_scenario_node_data",
         (sp, since) => extractNodeData(src, since), "wm_ts", "source_id",
-        b => MergeSink.scd2(spark, boot.tablePath("fact_node_input_history"),
-          latest(b, Seq("source_id")), "source_id", Schemas.nodeHistoryMutable),
+        b => MergeSink.scd2Scoped(spark, boot.tablePath("fact_node_input_history"),
+          latest(b, Seq("source_id")), "source_id", Schemas.nodeHistoryMutable,
+          buckets("source_id")),
         cap = 5000),
       StreamSpec("fc_scenario_run",
         (sp, since) => extractRuns(src, since), "wm_ts", "run_id",
-        b => MergeSink.upsertPartial(spark, boot.tablePath("fact_run_summary"),
-          latest(b, Seq("run_id")), Seq("run_id"), Schemas.runSummaryMutable),
+        b => MergeSink.upsertPartialScoped(spark, boot.tablePath("fact_run_summary"),
+          latest(b, Seq("run_id")), Seq("run_id"), Schemas.runSummaryMutable,
+          buckets("run_id")),
         cap = 1000),
       StreamSpec("fc_scenario_node_calc",
         (sp, since) => extractNodeCalc(src, since), "wm_ts", "source_id",
@@ -377,8 +384,9 @@ object ScenarioPipeline {
         cap = 5000),
       StreamSpec("fc_scenario_event_data",
         (sp, since) => extractEventData(src, since), "wm_ts", "source_id",
-        b => MergeSink.scd2(spark, boot.tablePath("fact_event_input_history"),
-          latest(b, Seq("source_id")), "source_id", Schemas.eventHistoryMutable),
+        b => MergeSink.scd2Scoped(spark, boot.tablePath("fact_event_input_history"),
+          latest(b, Seq("source_id")), "source_id", Schemas.eventHistoryMutable,
+          buckets("source_id")),
         cap = 5000),
       StreamSpec("fc_scenario_timeline",
         (sp, since) => extractTimeline(src, since), "wm_ts", "source_key",

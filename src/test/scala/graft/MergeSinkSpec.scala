@@ -89,6 +89,105 @@ class MergeSinkSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  // ---- partition-scoped merge + crash-atomic swap --------------------
+
+  private val scheme = MergeSink.PartitionScheme.keyHash(Seq("k"), 8)
+
+  /** (relative path, length, mtime) of every parquet data file under dir. */
+  private def fileState(dir: String): Set[(String, Long, Long)] = {
+    val base = new java.io.File(dir).toPath
+    val out = scala.collection.mutable.Set[(String, Long, Long)]()
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        out += ((base.relativize(p).toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+    }
+    out.toSet
+  }
+
+  test("scoped upsert rewrites ONLY touched partitions; untouched files byte-identical") {
+    val dir = tmpDir("scoped")
+    val init = (1 to 100).map(i => (s"k$i", "open", s"note-$i")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScoped(spark, dir, init, Seq("k"), Seq("status"), scheme)
+    val before = fileState(dir)
+    assert(before.map(_._1.split('/').head).size >= 2) // really partitioned
+
+    // one-key batch: touches exactly one bucket
+    val b = Seq(("k7", "closed", "IGNORED")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScoped(spark, dir, b, Seq("k"), Seq("status"), scheme)
+    val after = fileState(dir)
+
+    val touchedBucket = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.lit("k7")),
+        org.apache.spark.sql.functions.lit(8L)).cast("int")).head().getInt(0)
+    val untouchedBefore = before.filterNot(_._1.startsWith(s"part_bucket=$touchedBucket/"))
+    val untouchedAfter = after.filterNot(_._1.startsWith(s"part_bucket=$touchedBucket/"))
+    assert(untouchedAfter == untouchedBefore) // same files, sizes, mtimes
+    assert(untouchedAfter.nonEmpty)
+
+    // semantics identical to the unscoped merge
+    val got = spark.read.parquet(dir).select("k", "status", "note")
+      .as[(String, String, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got("k7") == ("closed", "note-7"))
+    assert(got("k8") == ("open", "note-8"))
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("scoped upsert is idempotent under overlap replay") {
+    val dir = tmpDir("scopedreplay")
+    val init = (1 to 40).map(i => (s"k$i", "open", s"n$i")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScoped(spark, dir, init, Seq("k"), Seq("status"), scheme)
+    val b = Seq(("k3", "closed", "X"), ("k41", "open", "n41")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScoped(spark, dir, b, Seq("k"), Seq("status"), scheme)
+    val snap1 = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    MergeSink.upsertPartialScoped(spark, dir, b, Seq("k"), Seq("status"), scheme)
+    val snap2 = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(snap1 == snap2 && snap1.length == 41)
+  }
+
+  test("scoped upsert migrates a legacy unpartitioned target in one rewrite") {
+    val dir = tmpDir("scopedmigrate")
+    val init = Seq(("a", "open", "n1")).toDF("k", "status", "note")
+    MergeSink.upsertPartial(spark, dir, init, Seq("k"), Seq("status")) // legacy layout
+    val b = Seq(("a", "closed", "X"), ("b", "open", "n2")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScoped(spark, dir, b, Seq("k"), Seq("status"), scheme)
+    val t = spark.read.parquet(dir)
+    assert(t.columns.contains("part_bucket"))
+    assert(t.count() == 2)
+    val got = t.select("k", "status", "note").as[(String, String, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got("a") == ("closed", "n1"))
+  }
+
+  test("recover restores a table stranded mid writeReplace swap (live missing, __bak present)") {
+    val dir = tmpDir("crashswap")
+    val init = Seq(("a", "open", "n1")).toDF("k", "status", "note")
+    MergeSink.upsertPartial(spark, dir, init, Seq("k"), Seq("status"))
+    // simulate the crash window: live renamed aside, replacement never landed
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(dir + "__bak")))
+    assert(!new java.io.File(dir).exists())
+    val restored = MergeSink.readTarget(spark, dir) // recovery path
+    assert(restored.isDefined && restored.get.count() == 1)
+    assert(!new java.io.File(dir + "__bak").exists())
+  }
+
+  test("recover restores partitions stranded in __pbak mid scoped swap") {
+    val dir = tmpDir("crashpart")
+    val init = (1 to 50).map(i => (s"k$i", "open", s"n$i")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScoped(spark, dir, init, Seq("k"), Seq("status"), scheme)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part_bucket="))
+    assert(parts.length >= 2)
+    // simulate: one live partition moved aside, crash before tmp moved in
+    val victim = parts.head
+    val pbak = new java.io.File(dir + "__pbak")
+    assert(pbak.mkdirs())
+    assert(victim.renameTo(new java.io.File(pbak, victim.getName)))
+    val restored = MergeSink.readTarget(spark, dir)
+    assert(restored.isDefined && restored.get.count() == 50) // nothing lost
+    assert(!pbak.exists())
+  }
+
   test("latestPerKey picks newest by orderCols for within-batch upserts") {
     val b = Seq(("a", "old", "2024-01-01 00:00:00"), ("a", "new", "2024-01-02 00:00:00"))
       .toDF("k", "v", "at")
