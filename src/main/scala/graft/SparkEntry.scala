@@ -138,21 +138,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("min_ts"),
           max(col("ts")).as("max_ts"), decimalSum(col("value")).as("sum_value"))),
 
-    // §7.6 near-dup via MinHash+LSH (rows-only check: hash fn not in DuckDB).
-    // Unigram shingles: this corpus is bag-of-words near-duplicated, and the
-    // output is per-doc keeper assignments, not the quadratic pair set.
+    // §7.6 near-dup via MinHash+LSH, fully oracle-checked: the portable md5
+    // hash makes signatures, bands, candidate pairs, and keeper assignments
+    // reproducible in DuckDB bit-for-bit. Unigram shingles: this corpus is
+    // bag-of-words near-duplicated, and the output is per-doc keeper
+    // assignments, not the quadratic pair set. (Production-scale dedup uses
+    // the xxhash64 fast path, same structure — Dedup.minhashDedupAssignments.)
     "q16_minhash_neardup" -> ((s, dir) =>
-      Dedup.minhashDedupAssignments(T(s, dir, "documents"), "doc_id", "text",
+      Dedup.portableDedupAssignments(T(s, dir, "documents"), "doc_id", "text",
         n = 1, k = 32, bands = 4, threshold = 0.6)),
 
     // §7.6 SimHash fingerprint (rows-only check).
     "q17_simhash" -> ((s, dir) =>
       Dedup.simhashTable(T(s, dir, "documents"), "doc_id", "text")),
 
-    // §7.6 LSH-bucketed ANN (scale path; rows-only, recall<1 by design).
+    // §7.6 LSH-bucketed ANN (scale path), fully value-checked: the
+    // hyperplane sign literals are shared with the oracle SQL, and bucket
+    // assignment / probing / cosine / ranking all use arithmetic DuckDB
+    // reproduces exactly (the q13 pattern proved rank-stable parity).
     "q18_lsh_ann" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), round(col("sim"), 6).as("sim_r6"))
     }),
 
     // §2.9 C5-C7: timestamp-difference durations with exact oracle parity
@@ -173,18 +181,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r6"))),
 
     // §7.6 exact n-gram Jaccard (the verification metric behind MinHash).
+    // Shingle arrays are computed ONCE per row in a projection below the
+    // join — referencing them through join-output attributes, so
+    // CollapseProject cannot inline the (expensive) array construction into
+    // each of the four set expressions (the house rule from Dedup.signatures).
     "q21_ngram_jaccard" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
       def uni(t: Column) = array_distinct(split(trim(lower(t)), "\\s+"))
-      def tri(t: Column) = Dedup.shingles(t, 3)
+      val sh = docs.select(col("doc_id"), uni(col("text")).as("uni"),
+        Dedup.shingles(col("text"), 3).as("tri"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("uni").as("uni_a"),
+        col("tri").as("tri_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("uni").as("uni_b"),
+        col("tri").as("tri_b"))
       a.join(b, col("doc_b") === col("doc_a") + 250)
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(uni(col("ta")), uni(col("tb")))).cast("double") /
-            size(array_union(uni(col("ta")), uni(col("tb"))))).as("jaccard_1gram"),
-          (size(array_intersect(tri(col("ta")), tri(col("tb")))).cast("double") /
-            size(array_union(tri(col("ta")), tri(col("tb"))))).as("jaccard_3gram"))
+          (size(array_intersect(col("uni_a"), col("uni_b"))).cast("double") /
+            size(array_union(col("uni_a"), col("uni_b")))).as("jaccard_1gram"),
+          (size(array_intersect(col("tri_a"), col("tri_b"))).cast("double") /
+            size(array_union(col("tri_a"), col("tri_b")))).as("jaccard_3gram"))
     }),
 
     // §2.13/§7.6: Generator path — explode tokens, global top-k by count.
@@ -260,13 +275,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           decimalSum(col("l_quantity")).as("sum_qty"))),
 
-    // §7.6 IVF ANN (coarse-quantizer scale path; rows-only, recall<1).
-    // One Lloyd round: the coarse quantizer only needs rough cells, and
-    // each extra round is a full corpus pass + a centroid collect.
+    // §7.6 IVF ANN (coarse-quantizer scale path), fully value-checked:
+    // lloydIters=0 keeps the quantizer at the md5-ranked sample centroids,
+    // which the oracle recomputes exactly; assignment, probing, and ranking
+    // then reproduce in DuckDB like q18. (Lloyd refinement stays available
+    // on SimSearch.ivfTopK and is covered by the recall unit tests.)
     "q28_ivf_ann" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        10, lloydIters = 1)
+          10, lloydIters = 0)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), round(col("sim"), 6).as("sim_r6"))
     }),
 
     // §7.6 multimodal plumbing (rows-only: partition-wise stubbed decode).
@@ -698,6 +717,42 @@ object SparkEntry {
         |ASOF LEFT JOIN oa
         |  ON e.user_id = oa.o_custkey AND e.ts >= oa.o_orderdate""".stripMargin,
 
+    "q18_lsh_ann" -> lshAnnOracleSql,
+    "q28_ivf_ann" -> ivfAnnOracleSql,
+
+    "q16_minhash_neardup" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
+        | FROM documents),
+        |mins AS (
+        | SELECT doc_id, r.i,
+        |  min(substr(md5(CAST(r.i AS VARCHAR) || '|' || t), 1, 16)) AS h
+        | FROM toks CROSS JOIN range(32) r(i) GROUP BY doc_id, r.i),
+        |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, b.b AS band_id,
+        |  md5(array_to_string(sig[b.b*8+1 : b.b*8+8], ',')) AS band_hash
+        | FROM sigs CROSS JOIN range(4) b(b)),
+        |pairs AS (
+        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |  AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+        |est AS (
+        | SELECT doc_a, doc_b, est_jaccard FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |   CAST(len(list_filter(generate_series(1, 32),
+        |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/32 AS est_jaccard
+        |  FROM pairs p
+        |  JOIN sigs sa ON sa.doc_id = p.doc_a
+        |  JOIN sigs sb ON sb.doc_id = p.doc_b) z
+        | WHERE est_jaccard >= 0.6),
+        |keep AS (
+        | SELECT doc_b AS doc_id, min(doc_a) AS cand, max(est_jaccard) AS max_est_jaccard
+        | FROM est GROUP BY doc_b)
+        |SELECT d.doc_id, coalesce(k.cand, d.doc_id) AS keeper_id, k.max_est_jaccard
+        |FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id""".stripMargin,
+
     "q34_ref_scenarios" ->
       s"""SELECT
         | s.id AS scenario_id, s.scenario_display_name,
@@ -912,4 +967,77 @@ object SparkEntry {
     s"read_parquet('${graft.demo.ReferenceFixtures.parquetDir}/$table/*.parquet')"
 
   private val refSinceSql = "TIMESTAMP '2024-03-03 00:00:00'"
+
+  /** q18's oracle: the SAME hyperplane sign literals as lshBucket, so bucket
+    * assignment, hamming-1 probing, cosine, and ranking reproduce exactly
+    * (identical double arithmetic — the q13-proven pattern). */
+  private def lshAnnOracleSql: String = {
+    val planes = graft.ext.SimSearch.hyperplaneSigns(6, 64)
+    def arr(signs: Seq[Double]): String =
+      signs.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bucketTerms = planes.zipWithIndex.map { case (sg, p) =>
+      s"(CASE WHEN list_dot_product(v, ${arr(sg)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n   + ")
+    val xors = Seq(1, 2, 4, 8, 16, 32).map(m =>
+      s"  UNION ALL SELECT query_id, q_vec, xor(bucket0, $m) AS bucket FROM q")
+      .mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $bucketTerms AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS q_vec, bucket AS bucket0
+       |      FROM b WHERE vec_id < 5),
+       |probes AS (
+       | SELECT DISTINCT query_id, q_vec, bucket FROM (
+       |  SELECT query_id, q_vec, bucket0 AS bucket FROM q
+       |$xors) px),
+       |sims AS (
+       | SELECT query_id, c.vec_id AS neighbor_id,
+       |  max(list_dot_product(q_vec, c.v)
+       |    / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c.v, c.v)))) AS sim
+       | FROM probes p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.query_id
+       | GROUP BY query_id, c.vec_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk, sim FROM sims)
+       |SELECT query_id, neighbor_id, rnk, round(sim, 6) AS sim_r6
+       |FROM r WHERE rnk <= 10""".stripMargin
+  }
+
+  /** q28's oracle: seed centroids = top-16 corpus vectors by the portable
+    * md5 ranking (exactly SimSearch.ivfTopK with lloydIters=0); assignment
+    * tiebreak is cos DESC, cell DESC (Spark's greatest-of-structs), probe
+    * tiebreak cos DESC, cell ASC (array_sort of (-cos, id)). */
+  private def ivfAnnOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |seeds AS (
+      | SELECT CAST(row_number() OVER (ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR))) AS BIGINT) - 1
+      |   AS cell_id, v AS centroid
+      | FROM e ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+      |assign AS (
+      | SELECT vec_id, v, cell_id FROM (
+      |  SELECT e.vec_id, e.v, s.cell_id,
+      |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |     list_dot_product(e.v, s.centroid)
+      |       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.centroid, s.centroid))) DESC,
+      |     s.cell_id DESC) AS rn
+      |  FROM e CROSS JOIN seeds s) z WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS q_vec FROM e WHERE vec_id < 5),
+      |probes AS (
+      | SELECT query_id, q_vec, cell_id FROM (
+      |  SELECT q.query_id, q.q_vec, s.cell_id,
+      |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |     list_dot_product(q.q_vec, s.centroid)
+      |       / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(s.centroid, s.centroid))) DESC,
+      |     s.cell_id ASC) AS rn
+      |  FROM q CROSS JOIN seeds s) z WHERE rn <= 4),
+      |sims AS (
+      | SELECT p.query_id, a.vec_id AS neighbor_id,
+      |  list_dot_product(p.q_vec, a.v)
+      |    / (sqrt(list_dot_product(p.q_vec, p.q_vec)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+      | FROM probes p JOIN assign a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk, sim FROM sims)
+      |SELECT query_id, neighbor_id, rnk, round(sim, 6) AS sim_r6
+      |FROM r WHERE rnk <= 10""".stripMargin
 }

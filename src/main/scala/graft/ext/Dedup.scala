@@ -108,6 +108,68 @@ object Dedup {
         col("max_est_jaccard"))
   }
 
+  // ---------------------------------------------------------------------
+  // Portable (cross-engine-reproducible) MinHash
+  //
+  // The fast path above hashes with xxhash64, which most other engines
+  // lack, so its outputs can only be rows-checked. This variant hashes with
+  // h_i(t) = substr(md5(i || '|' || t), 1, 16) — equal-length lowercase hex
+  // compares lexicographically == numerically, so `min` is the same hash-min
+  // — and every stage reproduces bit-for-bit in any engine with md5 (the
+  // DuckDB oracle does, q16). ~3× the CPU of xxhash64; production-scale
+  // dedup uses [[signatures]], verification uses this.
+  // ---------------------------------------------------------------------
+
+  def portableSignatures(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, k: Int): DataFrame = {
+    val shingleRows = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val mins = (0 until k).map(i =>
+      min(substring(md5(concat(lit(i + "|"), col("s")).cast("binary")), 1, 16))
+        .as(s"__h$i"))
+    shingleRows.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** [[lshBands]] with an md5 band hash over the comma-joined band slice. */
+  def portableBands(sigTable: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    sigTable
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_id"),
+            md5(array_join(slice(col("sig"), b * r + 1, lit(r)), ",").cast("binary"))
+              .as("band_hash")))).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** [[minhashDedupAssignments]] on the portable hash — same LSH structure,
+    * same narrow-join discipline, every value DuckDB-reproducible. */
+  def portableDedupAssignments(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int = 1, k: Int = 32, bands: Int = 4,
+                               threshold: Double = 0.6): DataFrame = {
+    val sigs = portableSignatures(docs, idCol, textCol, n, k)
+    val narrow = portableBands(sigs, k, bands)
+    val pairs = narrow
+      .join(narrow.withColumnRenamed("doc_id", "doc_b"), Seq("band_id", "band_hash"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    val keepers = est.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("cand"), max(col("est_jaccard")).as("max_est_jaccard"))
+    docs.select(col(idCol).as("doc_id")).join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cand"), col("doc_id")).as("keeper_id"),
+        col("max_est_jaccard"))
+  }
+
   /** Transitive near-dup clusters: connected components over the candidate
     * pair graph by iterative min-label propagation — doc chains a~b~c
     * collapse to one cluster even when a,c never paired directly. Each

@@ -66,18 +66,26 @@ object SimSearch {
       .filter(col("sim") >= threshold)
   }
 
+  /** The ±1 Rademacher hyperplanes behind [[lshBucket]], exposed so the
+    * DuckDB oracle can be built from the SAME sign pattern (q18 is
+    * value-checked end-to-end: identical literals + identical double
+    * arithmetic ⇒ identical buckets, candidates, and ranking). */
+  def hyperplaneSigns(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      val rnd = new java.util.Random(0x5EED0000L + p)
+      Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot(v, h_i) packed into a
-    * long. Hyperplanes are derived deterministically from xxhash64 so driver
-    * and executors agree without shipping state. */
+    * long. Hyperplanes are derived deterministically from a fixed seed so
+    * driver and executors agree without shipping state. */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
     // h_p = ±1 Rademacher hyperplane, materialized at plan-build time from a
     // fixed seed into a literal array — the sign pattern is constant per
     // (plane, dim), so driver and executors agree with no state shipped, and
     // the projection is one primitive-loop dot per plane instead of an
     // interpreted per-element fold. Planes unroll for literal bit shifts.
-    (0 until nPlanes).map { p =>
-      val rnd = new java.util.Random(0x5EED0000L + p)
-      val signs = Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    hyperplaneSigns(nPlanes, dim).zipWithIndex.map { case (signs, p) =>
       val s = graft.functions.VectorExprs.dotProduct(vec, typedlit(signs))
       when(s >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -98,9 +106,12 @@ object SimSearch {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .repartition(spark.sparkContext.defaultParallelism)
 
-    // deterministic seed centroids: top-nCells vectors by id hash
+    // deterministic seed centroids: top-nCells vectors ranked by a PORTABLE
+    // hash of the id (md5 hex orders lexicographically the same in any
+    // engine) — with lloydIters=0 this makes the whole quantizer, and thus
+    // the q28 result set, reproducible by the DuckDB oracle
     var centroids = c
-      .withColumn("__r", xxhash64(col("neighbor_id")))
+      .withColumn("__r", md5(concat(lit("seed|"), col("neighbor_id").cast("string"))))
       .orderBy(col("__r")).limit(nCells)
       .select(monotonically_increasing_id().as("cell_id"), col("c_vec").as("centroid"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -118,11 +129,15 @@ object SimSearch {
       // assign + average: one linear pass, map-side partial aggregation
       val dim = centroids.head._2.length
       val assigned = c.withColumn("cell_id", nearestCell(col("c_vec")))
+      // decimal-exact element sums: double accumulation is order-dependent
+      // across partitions, which would make centroids (and every downstream
+      // result) vary run to run
       val sums = assigned
         .groupBy(col("cell_id"))
         .agg(count(lit(1)).as("n"),
           array((0 until dim).map(i =>
-            sum(element_at(col("c_vec"), i + 1).cast("double"))): _*).as("vsum"))
+            sum(element_at(col("c_vec"), i + 1).cast("decimal(27,10)"))
+              .cast("double")): _*).as("vsum"))
         .collect()
       centroids = sums.map { r =>
         val n = r.getLong(1).toDouble
@@ -145,6 +160,21 @@ object SimSearch {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Per-query recall@k of an ANN result against the exact top-k — the
+    * checked property behind q18/q28's oracle rows. The ANN neighbor set
+    * itself is hash-derived (not reproducible in another engine), but its
+    * quality floor is: the driver asserts `recall >= floor` per query. */
+  def recallAtK(exact: DataFrame, ann: DataFrame, k: Int): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = ann.select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__n_hits"), lit(0L)) / k.toDouble).as("recall_at_k"))
   }
 
   /** Bucketed ANN: exact cosine, but only within matching LSH buckets.

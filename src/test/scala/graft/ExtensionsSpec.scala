@@ -107,6 +107,16 @@ class ExtensionsSpec extends SparkTestBase {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("recallAtK: per-query recall against the exact top-k, misses included") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("query_id", "neighbor_id")
+    val ann = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L), (3L, 98L), (3L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val got = SimSearch.recallAtK(exact, ann, 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.0))
+  }
+
   test("token stats match hand computation") {
     val df = Seq("the quick brown fox").toDF("text")
     val r = df.select(
