@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Composition: tag and union both sides into one keyed stream, then one
   * window pass per key ordered by (time, rightness-first) carries the right
-  * columns forward with `last(_, ignoreNulls = true)`; keep only left rows.
+  * row forward with `last(_, ignoreNulls = true)`; keep only left rows.
+  * The right columns travel as ONE struct so the matched row is carried
+  * atomically — carrying columns independently would back-fill a NULL in
+  * the matched row from an older right row, silently mixing rows.
   * Cost: one shuffle on the key — the same exchange a custom sort-merge
   * as-of physical operator would need — then a linear per-key scan. Ties
   * (left.time == right.time) match the right row, mirroring ASOF's `>=`.
@@ -27,25 +30,29 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(right.schema.fieldIndex(c))))
     val lSide = left.select(
       (leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
-        Seq(col(leftKey).as("__k"), col(leftTime).as("__t"),
+        Seq(lit(null).cast(rStructType).as("__r"),
+          col(leftKey).as("__k"), col(leftTime).as("__t"),
           lit(1).as("__is_left"))): _*)
     val rSide = right.select(
       (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")) ++
-        Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        Seq(struct(rightCols.map(col): _*).as("__r"),
+          col(rightKey).as("__k"), col(rightTime).as("__t"),
           lit(0).as("__is_left"))): _*)
     val unioned = lSide.unionByName(rSide)
     // rights sort BEFORE lefts at equal time, so an exact-tie left sees them
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // one last() over the whole struct: the struct is null for left rows and
+    // never null for right rows, so ignoreNulls skips lefts but carries the
+    // matched right row whole, nulls inside it preserved
+    val carried = unioned.withColumn("__c",
+      last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__is_left") === 1)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"__c_$c").as(s"asof_$c")): _*)
+        rightCols.map(c => col("__c").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -29,4 +29,18 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == Map(
       1L -> None, 2L -> Some(101.0), 3L -> Some(102.0), 4L -> Some(55.0)))
   }
+
+  test("matched right row is carried atomically: its nulls are NOT back-filled") {
+    val lefts = Seq((1L, "A", t("2024-01-01 11:00:00"))).toDF("id", "sym", "ts")
+    val quotes = Seq(
+      ("A", t("2024-01-01 10:00:00"), Some(100.0), Some("src-old")),
+      ("A", t("2024-01-01 10:30:00"), None, Some("src-new"))) // matched row, null price
+      .toDF("q_sym", "q_ts", "price", "src")
+    val got = AsOfJoin.asof(lefts, quotes, "sym", "q_sym", "ts", "q_ts",
+        Seq("price", "src"))
+      .select("id", "asof_price", "asof_src")
+      .as[(Long, Option[Double], Option[String])].collect().toSeq
+    // price must stay null (from the 10:30 matched row), not 100.0 from 10:00
+    assert(got == Seq((1L, None, Some("src-new"))))
+  }
 }
