@@ -48,23 +48,39 @@ object Jdbc {
   // load.py shape (pages of 500, db.py:68-76), no driver-side collect.
   // -------------------------------------------------------------------
 
-  /** The ON CONFLICT statement for a merge mode (load.py:18-187). Exposed
-    * for tests; executed by [[upsertPartition]]. */
+  /** Quote an SQL identifier (double-quote style, embedded quotes doubled)
+    * and reject names no sane schema produces — table/column names reach
+    * this module from config, and unquoted interpolation would make a
+    * hostile name an injection vector. */
+  def quoteIdent(name: String): String = {
+    require(name.nonEmpty && name.length <= 128 && !name.contains(' '),
+      s"invalid SQL identifier: '$name'")
+    "\"" + name.replace("\"", "\"\"") + "\""
+  }
+
+  /** The ON CONFLICT statement for a merge mode (load.py:18-187), all
+    * identifiers quoted. Exposed for tests; executed by [[writeUpsert]]. */
   def upsertSql(table: String, columns: Seq[String], keys: Seq[String],
                 mutableCols: Seq[String]): String = {
-    val collist = columns.mkString(", ")
+    // table may be schema-qualified: quote each dotted part separately
+    val qtable = table.split('.').map(quoteIdent).mkString(".")
+    val collist = columns.map(quoteIdent).mkString(", ")
     val params = columns.map(_ => "?").mkString(", ")
-    val conflict = keys.mkString(", ")
+    val conflict = keys.map(quoteIdent).mkString(", ")
     val action =
       if (mutableCols.isEmpty) "DO NOTHING"
       else "DO UPDATE SET " +
-        mutableCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")
-    s"INSERT INTO $table ($collist) VALUES ($params) ON CONFLICT ($conflict) $action"
+        mutableCols.map(c => s"${quoteIdent(c)} = EXCLUDED.${quoteIdent(c)}").mkString(", ")
+    s"INSERT INTO $qtable ($collist) VALUES ($params) ON CONFLICT ($conflict) $action"
   }
 
   /** Apply a batch to a JDBC target with upsert semantics, page-committed.
     * Runs on executors via `df.foreachPartition` — each partition opens one
-    * connection, addBatch/executeBatch in pages (S3), commits per page. */
+    * connection, addBatch/executeBatch in pages (S3), commits per page.
+    * On mid-page failure the uncommitted page is rolled back before the
+    * connection closes (committed pages stand — per-page atomicity, and the
+    * ON CONFLICT statement is idempotent under task retry); the statement
+    * and connection always close. */
   def writeUpsert(df: DataFrame, url: String, props: java.util.Properties,
                   table: String, keys: Seq[String], mutableCols: Seq[String],
                   pageSize: Int = 500): Unit = {
@@ -76,14 +92,20 @@ object Jdbc {
         try {
           conn.setAutoCommit(false)
           val st = conn.prepareStatement(sql)
-          var n = 0
-          rows.foreach { r =>
-            columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
-            st.addBatch()
-            n += 1
-            if (n % pageSize == 0) { st.executeBatch(); conn.commit() }
-          }
-          st.executeBatch(); conn.commit()
+          try {
+            var n = 0
+            rows.foreach { r =>
+              columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+              st.addBatch()
+              n += 1
+              if (n % pageSize == 0) { st.executeBatch(); conn.commit() }
+            }
+            st.executeBatch(); conn.commit()
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally st.close()
         } finally conn.close()
       }
     }

@@ -40,15 +40,18 @@ class ApiSurfaceSpec extends SparkTestBase {
     assert(row.table_name == "t1" && row.rows_last_run == 5L && row.total_rows_ever == 5L)
   }
 
-  test("JDBC upsert SQL matches the reference's ON CONFLICT shapes") {
+  test("JDBC upsert SQL matches the reference's ON CONFLICT shapes, idents quoted") {
     assert(Jdbc.upsertSql("dim_scenario", Seq("id", "status", "name"),
       Seq("id"), Seq("status")) ==
-      "INSERT INTO dim_scenario (id, status, name) VALUES (?, ?, ?) " +
-        "ON CONFLICT (id) DO UPDATE SET status = EXCLUDED.status")
-    assert(Jdbc.upsertSql("fact_node_calc_results", Seq("source_id", "v"),
+      """INSERT INTO "dim_scenario" ("id", "status", "name") VALUES (?, ?, ?) """ +
+        """ON CONFLICT ("id") DO UPDATE SET "status" = EXCLUDED."status"""")
+    assert(Jdbc.upsertSql("etl.fact_node_calc_results", Seq("source_id", "v"),
       Seq("source_id"), Nil) ==
-      "INSERT INTO fact_node_calc_results (source_id, v) VALUES (?, ?) " +
-        "ON CONFLICT (source_id) DO NOTHING")
+      """INSERT INTO "etl"."fact_node_calc_results" ("source_id", "v") VALUES (?, ?) """ +
+        """ON CONFLICT ("source_id") DO NOTHING""")
+    // a hostile identifier cannot break out of its quotes
+    assert(Jdbc.quoteIdent("""x""y""") == "\"x\"\"\"\"y\"")
+    intercept[IllegalArgumentException](Jdbc.quoteIdent("t; DROP TABLE x"))
   }
 
   test("JDBC reader surface builds partitioned pushdown plans (no connect)") {
