@@ -47,16 +47,19 @@ object Denormalize {
   /** J6: aliased self-join — the same dimension joined twice under different
     * roles (reference extract.py:259-260 joins fc_model_node as `pn` and
     * `ppn`). Here: nation as supplier-nation and customer-nation (TPC-H Q7
-    * shape), both sides broadcast. */
+    * shape). Only the genuine dims (the two nation roles) carry broadcast
+    * hints: customer and supplier scale linearly with SF, so a forced
+    * broadcast would OOM the driver at 100× — AQE picks the strategy for
+    * them from observed sizes (broadcast while small, shuffle join beyond). */
   def supplierCustomerNations(lineitem: DataFrame, orders: DataFrame,
                               customer: DataFrame, supplier: DataFrame,
                               nation: DataFrame): DataFrame = {
     val sn = nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val cn = nation.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     lineitem
-      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
       .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(sn), supplier("s_nationkey") === col("sn_key"))
       .join(broadcast(cn), customer("c_nationkey") === col("cn_key"))
       .groupBy(col("supp_nation"), col("cust_nation"))
