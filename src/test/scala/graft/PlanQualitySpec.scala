@@ -63,4 +63,52 @@ class PlanQualitySpec extends SparkTestBase {
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
     assert(!read.contains("l_orderkey") && !read.contains("l_partkey"), read)
   }
+
+  test("q05: no forced broadcast of the fact-sized sides (AQE decides)") {
+    // a hard broadcast() hint on customer/supplier overrides AQE's size
+    // checks and OOMs the driver at 100× — only the nation dims may carry
+    // hints (they project to sn_key/cn_key before the hint)
+    val lp = SparkEntry.queries("q05_nation_pairs")(spark, sf())
+      .queryExecution.analyzed.toString
+    val hinted = lp.linesIterator.filter(_.contains("ResolvedHint")).toList
+    assert(hinted.size == 2, s"expected 2 dim hints, got:\n${hinted.mkString("\n")}")
+    val hintTargets = lp.split("ResolvedHint").drop(1)
+    assert(!lp.contains("c_mktsegment#") || {
+      // neither hint subtree may contain customer/supplier base columns
+      val subtrees = hintTargets.map(_.take(400))
+      subtrees.forall(t => !t.contains("c_custkey") && !t.contains("s_suppkey"))
+    }, lp)
+  }
+
+  test("q21: shingle arrays are computed once per side, below the join") {
+    // the CollapseProject house rule: the four set expressions must read
+    // join-output attributes, not re-inline the array construction 4×
+    val p = SparkEntry.queries("q21_ngram_jaccard")(spark, sf())
+      .queryExecution.executedPlan.toString
+    val n = "array_distinct\\(split\\(".r.findAllIn(p).size
+    assert(n <= 2, s"shingle construction appears $n times (expected <=2):\n$p")
+  }
+
+  test("scoped merge reads only the touched partitions of the target") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("scoped-plan")
+    val scheme = graft.merge.MergeSink.PartitionScheme.keyHash(Seq("k"), 8)
+    val init = (1 to 100).map(i => (s"k$i", "open")).toDF("k", "status")
+    graft.merge.MergeSink.upsertPartialScoped(spark, dir, init, Seq("k"),
+      Seq("status"), scheme)
+    // reproduce the scoped read the merge performs for a one-key batch
+    val touched = Seq(("k7", "closed")).toDF("k", "status")
+      .select(scheme.expr.as(scheme.colName)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val scan = spark.read.parquet(dir)
+      .filter(col(scheme.colName).isInCollection(touched))
+    val p = scan.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*part_bucket#".r.findFirstIn(p).isDefined, p)
+    // partition pruning is visible in the scan's selected partition count
+    val parts = scan.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.partitionCount
+    assert(parts == 1, s"expected 1 selected partition, got $parts")
+  }
 }
