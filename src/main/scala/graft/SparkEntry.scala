@@ -362,7 +362,28 @@ object SparkEntry {
         .drop("etl_loaded_at")),
     "q39_ref_timeline" -> ((s, _) =>
       graft.ops.ScenarioPipeline.extractTimeline(refSrc(s), refSince)
-        .drop("etl_loaded_at"))
+        .drop("etl_loaded_at")),
+
+    // §7.6 text analysis: top-5 TF-IDF terms per document (integer-exact
+    // ranking; score rounded where cross-libm ln ulps vanish).
+    "q40_tfidf" -> ((s, dir) =>
+      TextStats.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text", 5)),
+
+    // Scale posture: explicit salted two-phase aggregation (the hot-key
+    // path AQE can't rewrite) — must equal the plain GROUP BY exactly.
+    "q41_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedCount(T(s, dir, "events"), col("user_id"), 8)),
+
+    // Scale posture: salted equi-join (replicated build side) — must equal
+    // the plain join; aggregated so the oracle row set stays small.
+    "q42_salted_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      graft.ops.Skew.saltedJoin(li, o, Seq("k"), saltFactor = 4)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          decimalSum(col("l_extendedprice")).as("volume"))
+    })
   )
 
   /** Incremental horizon for the q34-q39 pipeline runs: mid-fixture so the
@@ -719,6 +740,34 @@ object SparkEntry {
 
     "q18_lsh_ann" -> lshAnnOracleSql,
     "q28_ivf_ann" -> ivfAnnOracleSql,
+
+    "q40_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |          FROM toks GROUP BY term),
+        |r AS (
+        | SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |  CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS BIGINT) AS rnk
+        | FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id, term, tf, df, rnk,
+        | round(tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df), 6)
+        |   AS tfidf_r6
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q41_salted_agg" ->
+      """SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q42_salted_join" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus""".stripMargin,
 
     "q16_minhash_neardup" ->
       """WITH toks AS (

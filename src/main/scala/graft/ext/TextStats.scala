@@ -46,6 +46,33 @@ object TextStats {
     df.withColumn("fp_md5", md5(col(textCol)))
       .withColumn("fp_sha256", sha2(col(textCol), 256))
 
+  /** Top-k TF-IDF terms per document — the classic distinctive-term scorer
+    * a training-data pipeline uses for quality/topic signals.
+    *
+    * Ranking is by integer-exact keys (tf desc, df asc, term) rather than
+    * the float score, so the result order is reproducible across engines —
+    * `ln` differs by ±1 ulp between libm implementations, which could flip
+    * near-equal float ranks; the score itself is emitted rounded to 6dp
+    * where that ulp vanishes. Two aggregations + one window — each shuffles
+    * on a key (doc or term), nothing collects beyond the N scalar. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.count() // one bounded scalar job, reused as a literal
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rnk").cast("long").as("rnk"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf_r6"))
+  }
+
   /** Per-document quality report — one pass, all expressions fused. */
   def qualityReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

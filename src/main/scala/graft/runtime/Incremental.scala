@@ -126,7 +126,11 @@ class CycleScheduler(runner: IncrementalRunner,
                      maxConsecutiveFailures: Int = 10,
                      onAlert: String => Unit = s => System.err.println(s),
                      metrics: Option[MetricsStore] = None,
-                     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+                     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+                     /** off-hot-path upkeep (e.g. small-file compaction),
+                       * invoked with the cycle id after each cycle; failures
+                       * are contained — upkeep must never kill the loop */
+                     maintenance: Long => Unit = _ => ()) {
   private var consecutiveFailures = 0
   private var cycleId = 0L
 
@@ -140,6 +144,8 @@ class CycleScheduler(runner: IncrementalRunner,
         onAlert(s"$consecutiveFailures consecutive failed cycles: " +
           report.failed.map(r => s"${r.name}: ${r.error.get}").mkString("; "))
     } else consecutiveFailures = 0
+    try maintenance(cycleId)
+    catch { case NonFatal(e) => onAlert(s"maintenance failed: $e") }
     report
   }
 

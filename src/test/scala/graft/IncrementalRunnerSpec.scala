@@ -177,4 +177,26 @@ class IncrementalRunnerSpec extends SparkTestBase {
     (1 to 4).foreach(_ => sched.runOnce(Seq(boom)))
     assert(alerts == 2)                             // fired at cycles 3 and 4
   }
+
+  test("scheduler runs maintenance per cycle and contains its failures") {
+    val store = new WatermarkStore(spark, tmpDir("wm5"))
+    val runner = new IncrementalRunner(spark, store)
+    var seen = Seq.empty[Long]
+    var alerts = Seq.empty[String]
+    val sched = new CycleScheduler(runner, onAlert = alerts :+= _,
+      maintenance = id => {
+        seen :+= id
+        if (id == 2) throw new RuntimeException("compaction hiccup")
+      })
+    val noop = StreamSpec("noop",
+      extract = (s, since) => {
+        import spark.implicits._
+        Seq.empty[(Timestamp, Long)].toDF("ts", "event_id")
+      },
+      watermarkCol = "ts", tieBreakCol = "event_id", sink = _ => (), cap = 10)
+    val reports = (1 to 3).map(_ => sched.runOnce(Seq(noop)))
+    assert(seen == Seq(1L, 2L, 3L))                 // ran every cycle
+    assert(reports.forall(_.failed.isEmpty))        // hiccup didn't fail the cycle
+    assert(alerts.exists(_.contains("maintenance failed")))
+  }
 }
