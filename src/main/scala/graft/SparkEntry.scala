@@ -383,7 +383,12 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
           decimalSum(col("l_extendedprice")).as("volume"))
-    })
+    }),
+
+    // §7.6 embedding storage: int8 scalar-quantization error profile
+    // (floor-based rounding + decimal-exact mean ⇒ value-checked oracle).
+    "q43_quantize_int8" -> ((s, dir) =>
+      SimSearch.quantizationError(T(s, dir, "embeddings"), "vec_id", "embedding"))
   )
 
   /** Incremental horizon for the q34-q39 pipeline runs: mid-fixture so the
@@ -762,6 +767,20 @@ object SparkEntry {
     "q41_salted_agg" ->
       """SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q43_quantize_int8" ->
+      """WITH el AS (
+        | SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+        |mx AS (SELECT vec_id, max(abs(x)) AS mx FROM el GROUP BY vec_id),
+        |e AS (
+        | SELECT el.vec_id, mx,
+        |  abs(x - floor(x * 127 / mx + 0.5) * mx / 127) AS err
+        | FROM el JOIN mx USING (vec_id))
+        |SELECT vec_id, round(mx / 127, 6) AS scale_r6,
+        | round(max(err), 6) AS max_abs_err_r6,
+        | round(CAST(SUM(CAST(err AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+        |   AS mean_abs_err_r6
+        |FROM e GROUP BY vec_id, mx""".stripMargin,
 
     "q42_salted_join" ->
       """SELECT o.o_orderstatus, COUNT(*) AS n_items,

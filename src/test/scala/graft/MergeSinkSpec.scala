@@ -172,6 +172,27 @@ class MergeSinkSpec extends SparkTestBase {
     assert(!new java.io.File(dir + "__bak").exists())
   }
 
+  test("scoped upsert with a byDate scheme rewrites only the batch's dates") {
+    val dateScheme = MergeSink.PartitionScheme.byDate("at")
+    val dir = tmpDir("scopeddate")
+    val init = (1 to 30).map(i =>
+      (s"k$i", "open", f"2024-01-${1 + i % 3}%02d 00:00:00"))
+      .toDF("k", "status", "at").withColumn("at", col("at").cast("timestamp"))
+    MergeSink.upsertPartialScoped(spark, dir, init, Seq("k"), Seq("status"), dateScheme)
+    val before = fileState(dir)
+    // batch touches only 2024-01-02 (k1 -> 1 % 3 = 1 -> day 02)
+    val b = Seq(("k1", "closed", "2024-01-02 00:00:00")).toDF("k", "status", "at")
+      .withColumn("at", col("at").cast("timestamp"))
+    MergeSink.upsertPartialScoped(spark, dir, b, Seq("k"), Seq("status"), dateScheme)
+    val after = fileState(dir)
+    val untouchedB = before.filterNot(_._1.startsWith("part_date=2024-01-02/"))
+    val untouchedA = after.filterNot(_._1.startsWith("part_date=2024-01-02/"))
+    assert(untouchedA == untouchedB && untouchedA.nonEmpty)
+    val got = spark.read.parquet(dir).select("k", "status")
+      .as[(String, String)].collect().toMap
+    assert(got("k1") == "closed" && got("k2") == "open" && got.size == 30)
+  }
+
   test("recover restores partitions stranded in __pbak mid scoped swap") {
     val dir = tmpDir("crashpart")
     val init = (1 to 50).map(i => (s"k$i", "open", s"n$i")).toDF("k", "status", "note")
