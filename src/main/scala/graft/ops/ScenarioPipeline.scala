@@ -262,42 +262,63 @@ object ScenarioPipeline {
         coalesce(col("version_ended_at"), col("version_started_at"))).as("wm_ts"))
   }
 
+  private def tlSinceFilter(since: Timestamp)(c: Column): Column =
+    c.isNotNull && c >= lit(since)
+
+  private def tlBranch(df: DataFrame, time: Column, eventType: String,
+                       category: String, actor: Column, description: Column,
+                       runId: Column, nodeName: Column, eventTypeName: Column,
+                       scenarioId: Column, keyPrefix: String,
+                       keyId: Column): DataFrame =
+    df.select(
+      scenarioId.as("scenario_id"),
+      time.as("event_time"), lit(eventType).as("event_type"),
+      lit(category).as("event_category"), actor.as("actor"),
+      description.as("description"), runId.as("run_id"),
+      nodeName.as("node_name"), eventTypeName.as("event_type_name"),
+      Timeline.sourceKey(keyPrefix, keyId).as("source_key"))
+
+  /** The four scenario-lifecycle timeline branches (extract.py:291-334) —
+    * exposed separately because they are stateless projections + union and
+    * therefore run unchanged over a STREAMING fc_scenario scan (StreamsSpec
+    * proves batch/stream equivalence through the dedup sink). */
+  def timelineLifecycleBranches(fcScenario: DataFrame, since: Timestamp): DataFrame = {
+    import Timeline.nullString
+    val sinceFilter = tlSinceFilter(since) _
+    val s = fcScenario
+    val b1 = tlBranch(s.filter(sinceFilter(col("created_at"))), col("created_at"),
+      "SCENARIO_CREATED", "LIFECYCLE", col("created_by"),
+      lit("Scenario created"), nullString, nullString, nullString, col("id"),
+      "SC", col("id"))
+    val b2 = tlBranch(s.filter(sinceFilter(col("submitted_at"))), col("submitted_at"),
+      "SUBMITTED", "LIFECYCLE", col("submitted_by"),
+      lit("Scenario submitted"), nullString, nullString, nullString, col("id"),
+      "SUBM", col("id"))
+    val b3 = tlBranch(s.filter(sinceFilter(col("locked_at"))), col("locked_at"),
+      "LOCKED", "LIFECYCLE", col("locked_by"),
+      lit("Scenario locked"), nullString, nullString, nullString, col("id"),
+      "LOCK", col("id"))
+    val b4 = tlBranch(s.filter(sinceFilter(col("withdraw_at"))), col("withdraw_at"),
+      "WITHDRAWN", "LIFECYCLE", col("withdraw_by"),
+      lit("Scenario withdrawn"), nullString, nullString, nullString, col("id"),
+      "WITH", col("id"))
+    Seq(b1, b2, b3, b4).reduce(_ unionByName _)
+  }
+
   /** fact_scenario_timeline (extract.py:270-419): the 8-branch UNION ALL —
     * literal synthesis (P3), typed nulls (P4), key synthesis (C1), null-
     * propagating concat + COALESCE fragments (C3), union by NAME (U1). */
   def extractTimeline(src: ScenarioSources, since: Timestamp): DataFrame = {
-    import Timeline.{nullString, sourceKey}
-    val sinceFilter = (c: Column) => c.isNotNull && c >= lit(since)
-
+    import Timeline.nullString
+    val sinceFilter = tlSinceFilter(since) _
     def branch(df: DataFrame, time: Column, eventType: String, category: String,
                actor: Column, description: Column, runId: Column,
                nodeName: Column, eventTypeName: Column, scenarioId: Column,
                keyPrefix: String, keyId: Column): DataFrame =
-      df.select(
-        scenarioId.as("scenario_id"),
-        time.as("event_time"), lit(eventType).as("event_type"),
-        lit(category).as("event_category"), actor.as("actor"),
-        description.as("description"), runId.as("run_id"),
-        nodeName.as("node_name"), eventTypeName.as("event_type_name"),
-        sourceKey(keyPrefix, keyId).as("source_key"))
+      tlBranch(df, time, eventType, category, actor, description, runId,
+        nodeName, eventTypeName, scenarioId, keyPrefix, keyId)
 
-    val s = src.fcScenario
-    val b1 = branch(s.filter(sinceFilter(col("created_at"))), col("created_at"),
-      "SCENARIO_CREATED", "LIFECYCLE", col("created_by"),
-      lit("Scenario created"), nullString, nullString, nullString, col("id"),
-      "SC", col("id"))
-    val b2 = branch(s.filter(sinceFilter(col("submitted_at"))), col("submitted_at"),
-      "SUBMITTED", "LIFECYCLE", col("submitted_by"),
-      lit("Scenario submitted"), nullString, nullString, nullString, col("id"),
-      "SUBM", col("id"))
-    val b3 = branch(s.filter(sinceFilter(col("locked_at"))), col("locked_at"),
-      "LOCKED", "LIFECYCLE", col("locked_by"),
-      lit("Scenario locked"), nullString, nullString, nullString, col("id"),
-      "LOCK", col("id"))
-    val b4 = branch(s.filter(sinceFilter(col("withdraw_at"))), col("withdraw_at"),
-      "WITHDRAWN", "LIFECYCLE", col("withdraw_by"),
-      lit("Scenario withdrawn"), nullString, nullString, nullString, col("id"),
-      "WITH", col("id"))
+    val lifecycle = timelineLifecycleBranches(src.fcScenario, since)
 
     val ndJoined = src.fcScenarioNodeData.alias("nd")
       .filter(sinceFilter(col("nd.created_at")))
@@ -336,7 +357,7 @@ object ScenarioPipeline {
         coalesce(concat(lit(" | Error: "), col("fail_reason")), lit(""))),
       col("id"), nullString, nullString, col("scenario_id"), "RC", col("id"))
 
-    Seq(b1, b2, b3, b4, b5, b6, b7, b8).reduce(_ unionByName _)
+    Seq(lifecycle, b5, b6, b7, b8).reduce(_ unionByName _)
       .filter(col("event_time").isNotNull)
       .withColumn("event_date", to_date(col("event_time"))) // partition column
       .withColumn("etl_loaded_at", current_timestamp())

@@ -57,6 +57,32 @@ class StreamsSpec extends SparkTestBase {
       s"streamed=$streamed batch=$batchSessions users=$nUsers")
   }
 
+  test("reference timeline lifecycle transform runs unchanged as a stream") {
+    import java.sql.Timestamp
+    val srcDir = tmpDir("tlstream-src")
+    val sinkDir = tmpDir("tlstream-sink")
+    val since = Timestamp.valueOf("2024-03-01 00:00:00")
+    val fcScenario = graft.demo.ReferenceFixtures.build(spark).fcScenario
+    fcScenario.repartition(3).write.parquet(srcDir) // several micro-batches
+    val expected = graft.ops.ScenarioPipeline
+      .timelineLifecycleBranches(spark.read.parquet(srcDir), since)
+      .select("source_key", "event_type", "scenario_id")
+      .collect().map(_.toString).sorted.toSeq
+
+    // the SAME transform over a readStream scan, merged via the dedup sink
+    val stream = Streams.parquetStream(spark, srcDir,
+      spark.read.parquet(srcDir).schema, maxFilesPerTrigger = 1)
+    val q = Streams.toMergeSink(
+      graft.ops.ScenarioPipeline.timelineLifecycleBranches(stream, since),
+      tmpDir("tlstream-ck"), Trigger.AvailableNow())(
+      (s, batch, _) => MergeSink.appendDedup(s, sinkDir, batch, "source_key"))
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(sinkDir)
+      .select("source_key", "event_type", "scenario_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("windowed counts with watermark produce sane totals") {
     val srcDir = tmpDir("wstream-src")
     val events = Tables.load(spark, sf(), "events")
