@@ -148,9 +148,12 @@ object SparkEntry {
       Dedup.portableDedupAssignments(T(s, dir, "documents"), "doc_id", "text",
         n = 1, k = 32, bands = 4, threshold = 0.6)),
 
-    // §7.6 SimHash fingerprint (rows-only check).
+    // §7.6 SimHash fingerprint, fully value-checked: portable md5-derived
+    // token bits (two 32-bit halves) reproduce in DuckDB bit-for-bit.
+    // (Production-scale fingerprinting uses the xxhash64 fast path,
+    // identical aggregate structure — Dedup.simhashTable.)
     "q17_simhash" -> ((s, dir) =>
-      Dedup.simhashTable(T(s, dir, "documents"), "doc_id", "text")),
+      Dedup.portableSimhashTable(T(s, dir, "documents"), "doc_id", "text")),
 
     // §7.6 LSH-bucketed ANN (scale path), fully value-checked: the
     // hyperplane sign literals are shared with the oracle SQL, and bucket
@@ -743,6 +746,7 @@ object SparkEntry {
         |ASOF LEFT JOIN oa
         |  ON e.user_id = oa.o_custkey AND e.ts >= oa.o_orderdate""".stripMargin,
 
+    "q17_simhash" -> simhashOracleSql,
     "q18_lsh_ann" -> lshAnnOracleSql,
     "q28_ivf_ann" -> ivfAnnOracleSql,
 
@@ -1035,6 +1039,38 @@ object SparkEntry {
     s"read_parquet('${graft.demo.ReferenceFixtures.parquetDir}/$table/*.parquet')"
 
   private val refSinceSql = "TIMESTAMP '2024-03-03 00:00:00'"
+
+  /** q17's oracle: the portable simhash transliterated — md5-half token
+    * bits, 32 packed-lane sums, 64-term fingerprint pack. Generated because
+    * the lane/pack expressions are mechanical; bit-b literals are embedded
+    * as computed values (DuckDB's checked `<<` cannot shift into the sign
+    * bit, Scala's `1L << 63` can). */
+  private def simhashOracleSql: String = {
+    val sums = (0 until 32).map(b =>
+      s" CAST(SUM(((hlo >> $b) & 1) + (((hhi >> $b) & 1) << 32)) AS BIGINT) AS p$b")
+      .mkString(",\n")
+    def bitCount(b: Int): String =
+      if (b < 32) s"(p${b % 32} & 4294967295)" else s"(p${b % 32} >> 32)"
+    val packTerms = (0 until 64).map(b =>
+      s"  (CASE WHEN 2 * ${bitCount(b)} > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" +\n")
+    s"""WITH toks AS (
+       | SELECT doc_id,
+       |  unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS t
+       | FROM documents),
+       |h AS (
+       | SELECT doc_id,
+       |  CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT) AS hlo,
+       |  CAST(('0x' || substr(md5(t), 9, 8))::UBIGINT AS BIGINT) AS hhi
+       | FROM toks),
+       |g AS (
+       | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |$sums
+       | FROM h GROUP BY doc_id)
+       |SELECT doc_id,
+       |$packTerms AS simhash64
+       |FROM g""".stripMargin
+  }
 
   /** q18's oracle: the SAME hyperplane sign literals as lshBucket, so bucket
     * assignment, hamming-1 probing, cosine, and ranking reproduce exactly

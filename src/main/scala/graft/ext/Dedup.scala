@@ -239,6 +239,36 @@ object Dedup {
 
   def simhash(text: Column): Column = packBits(simhashBitSums(text))
 
+  /** [[simhashTable]] on the portable hash: the 64 token-hash bits come from
+    * two 32-bit halves of md5 hex (each parses into an int64 without sign
+    * trouble in ANY engine — a full 16-hex value can exceed 2^63), so the
+    * whole fingerprint computation transliterates to the DuckDB oracle.
+    * Same packed-lane aggregate structure as the fast path. */
+  def portableSimhashTable(docs: DataFrame, idCol: String, textCol: String,
+                           out: String = "simhash64"): DataFrame = {
+    val md5hex = md5(col("__t").cast("binary"))
+    val toks = docs.select(col(idCol),
+        explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("__t"))
+      .select(col(idCol),
+        conv(substring(md5hex, 1, 8), 16, 10).cast("long").as("__hlo"),
+        conv(substring(md5hex, 9, 8), 16, 10).cast("long").as("__hhi"))
+    val packedSums = (0 until 32).map { b =>
+      val lo = shiftright(col("__hlo"), b).bitwiseAND(1)
+      val hi = shiftleft(shiftright(col("__hhi"), b).bitwiseAND(1), 32)
+      sum(lo.bitwiseOR(hi)).as(s"__p$b")
+    }
+    val aggs = packedSums :+ count(lit(1)).as("__n")
+    val grouped = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    def bitCount(b: Int): Column = {
+      val p = col(s"__p${b % 32}")
+      if (b < 32) p.bitwiseAND(0xFFFFFFFFL) else shiftright(p, 32)
+    }
+    grouped.select(col(idCol),
+      (0 until 64).map(b =>
+        when(bitCount(b) * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce((x, y) => x.bitwiseOR(y)).as(out))
+  }
+
   /** Table-level simhash, the fast path: explode tokens and compute the bit
     * counters as native sum-aggregates with literal shift counts — fully
     * codegen'd, map-side partial aggregation, Aggregate as collapse barrier
