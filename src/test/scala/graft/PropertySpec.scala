@@ -62,6 +62,45 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("scoped merge law: any batch sequence == the unscoped merge result") {
+    val scheme = graft.merge.MergeSink.PartitionScheme.keyHash(Seq("k"), 4)
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 15); status <- Gen.oneOf("open", "closed", "held")
+      note <- Gen.alphaStr.map(_.take(6))
+    } yield (s"k$k", status, note)
+    val gen = Gen.listOfN(3, Gen.listOfN(12, rowGen)) // a sequence of batches
+    checkProp(forAll(gen) { batches =>
+      val scopedDir = tmpDir("p-scoped"); val plainDir = tmpDir("p-plain")
+      batches.foreach { rows =>
+        val df = rows.toDF("k", "status", "note")
+        graft.merge.MergeSink.upsertPartialScoped(spark, scopedDir, df,
+          Seq("k"), Seq("status"), scheme, orderCols = Seq("note"))
+        graft.merge.MergeSink.upsertPartial(spark, plainDir, df,
+          Seq("k"), Seq("status"), orderCols = Seq("note"))
+      }
+      val scoped = spark.read.parquet(scopedDir).drop("part_bucket")
+        .collect().map(_.toString).sorted.toSeq
+      val plain = spark.read.parquet(plainDir)
+        .collect().map(_.toString).sorted.toSeq
+      scoped == plain
+    }, min = 5)
+  }
+
+  test("simhash is invariant under token order (portable and fast paths)") {
+    val docGen = Gen.listOfN(12, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+    checkProp(forAll(docGen) { toks =>
+      val shuffled = scala.util.Random.shuffle(toks)
+      val df = Seq((1L, toks.mkString(" ")), (2L, shuffled.mkString(" ")))
+        .toDF("doc_id", "text")
+      def fps(f: org.apache.spark.sql.DataFrame) =
+        f.orderBy("doc_id").select("simhash64").as[Long].collect().toSeq
+      val portable = fps(graft.ext.Dedup.portableSimhashTable(df, "doc_id", "text"))
+      val fast = fps(graft.ext.Dedup.simhashTable(df, "doc_id", "text"))
+      portable(0) == portable(1) && fast(0) == fast(1)
+    }, min = 8)
+  }
+
   test("merge idempotency: applying any batch twice == once (M1, M3)") {
     val rowGen = for {
       k <- Gen.chooseNum(0, 20); status <- Gen.oneOf("a", "b", "c")
