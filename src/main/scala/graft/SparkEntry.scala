@@ -398,8 +398,18 @@ object SparkEntry {
     * OR-of-timestamp predicates genuinely filter (fixtures span 03-01..03-07). */
   private val refSince = java.sql.Timestamp.valueOf("2024-03-03 00:00:00")
 
-  private def refSrc(s: SparkSession): graft.ops.ScenarioSources =
-    graft.demo.ReferenceFixtures.parquetSources(s)
+  // memoized per session: each call otherwise re-lists and re-footers 13
+  // parquet dirs, pure driver latency repeated across the six q34-q39 runs
+  @volatile private var refSrcCache: (SparkSession, graft.ops.ScenarioSources) = null
+  private def refSrc(s: SparkSession): graft.ops.ScenarioSources = {
+    val c = refSrcCache
+    if (c != null && (c._1 eq s)) c._2
+    else {
+      val built = graft.demo.ReferenceFixtures.parquetSources(s)
+      refSrcCache = (s, built)
+      built
+    }
+  }
 
   /** q06 body: five branches over orders+events mirroring the reference's
     * 8-branch UNION ALL (extract.py:277-415). */
