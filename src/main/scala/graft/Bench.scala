@@ -24,9 +24,12 @@ object Bench {
     // production cycle re-runs the same plans every 30 s — warm codegen IS
     // the steady state, and Spark's codegen cache keys on generated source,
     // so the sf0.001 run compiles the same classes the measured run uses.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir // fall back to the measured dir rather than silently skipping
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      try fn(spark, warmDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $n: $e") }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -934,6 +934,10 @@ object SparkEntry {
         | greatest(run_at, coalesce(run_complete_at, run_at)) AS wm_ts
         |FROM g""".stripMargin,
 
+    // NOTE round(…,3) here mirrors the reference's ROUND(EXTRACT(EPOCH…),3);
+    // Spark and DuckDB round doubles differently ONLY at exact .5ms ties,
+    // which the ms-granular fixture timestamps cannot produce. Sub-ms
+    // sources would switch this to the truncating µs-div pattern (q19).
     "q37_ref_node_calc" ->
       s"""SELECT nc.id AS source_id, sr.id AS run_id, sr.scenario_id,
         | rb.id AS branch_id, rb.event_tag, nc.model_node_id,

@@ -24,9 +24,10 @@ object Curation {
       nearDupThreshold: Double = 0.6,
       langAllow: Seq[String] = Nil) // empty = all languages pass
 
-  /** Per-stage survivor sets, as (stage name → doc_id set). Stages apply in
-    * declaration order; each is computed against the ORIGINAL corpus so the
-    * report attributes every drop to the first gate that rejects it. */
+  /** Per-stage survivor sets, as (stage name → doc_id set). Every gate is
+    * computed against the ORIGINAL corpus: a doc failing several gates is
+    * counted by each of them (independent per-gate signals — see
+    * [[report]]); the curated output intersects all of them. */
   private def gateSets(docs: DataFrame, gates: Gates): Seq[(String, DataFrame)] = {
     val exactKeepers = Dedup.exact(docs, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
@@ -46,14 +47,18 @@ object Curation {
       "quality" -> quality, "language" -> lang)
   }
 
+  private def survivors(docs: DataFrame,
+                        sets: Seq[(String, DataFrame)]): DataFrame =
+    sets.foldLeft(docs) { case (acc, (_, pass)) =>
+      acc.join(pass, Seq("doc_id"), "left_semi")
+    }
+
   /** Curated corpus: documents surviving every gate, enriched with
     * fingerprints and token counts (and the embedding when `embeddings`
     * is supplied — left join; docs without a vector keep null). */
   def curate(docs: DataFrame, gates: Gates = Gates(),
              embeddings: Option[DataFrame] = None): DataFrame = {
-    val kept = gateSets(docs, gates).foldLeft(docs) { case (acc, (_, pass)) =>
-      acc.join(pass, Seq("doc_id"), "left_semi")
-    }
+    val kept = survivors(docs, gateSets(docs, gates))
     val enriched = TextStats.fingerprints(kept, "text")
       .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long"))
     embeddings.fold(enriched)(emb =>
@@ -64,15 +69,17 @@ object Curation {
   /** Drop accounting: one row per gate with how many of the ORIGINAL docs
     * it rejects, plus the final survivor count ("curated"). Gate counts are
     * independent (a doc failing two gates counts in both) — the honest
-    * per-gate signal for tuning thresholds. */
+    * per-gate signal for tuning thresholds. The gate sets are built ONCE
+    * and reused for the survivor count: the near-dup gate is a full-corpus
+    * MinHash pass, far too expensive to run twice per accounting call. */
   def report(docs: DataFrame, gates: Gates = Gates()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val total = docs.count()
-    val sets = gateSets(docs, gates)
+    val sets = gateSets(docs, gates).map { case (n, df) => (n, df.localCheckpoint()) }
     val rows = sets.map { case (name, pass) =>
       (name, total - docs.join(pass, Seq("doc_id"), "left_semi").count())
-    } :+ ("curated" -> curate(docs, gates).count())
+    } :+ ("curated" -> survivors(docs, sets).count())
     rows.toDF("stage", "n_docs")
   }
 }

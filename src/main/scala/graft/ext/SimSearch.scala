@@ -109,12 +109,19 @@ object SimSearch {
     // deterministic seed centroids: top-nCells vectors ranked by a PORTABLE
     // hash of the id (md5 hex orders lexicographically the same in any
     // engine) — with lloydIters=0 this makes the whole quantizer, and thus
-    // the q28 result set, reproducible by the DuckDB oracle
+    // the q28 result set, reproducible by the DuckDB oracle. Cell ids are
+    // assigned DRIVER-side after the collect (sort on the hash again, then
+    // index): monotonically_increasing_id after orderBy+limit only happens
+    // to be rank-ordered under today's physical plan, and the oracle's
+    // row_number ids must match unconditionally.
     var centroids = c
       .withColumn("__r", md5(concat(lit("seed|"), col("neighbor_id").cast("string"))))
       .orderBy(col("__r")).limit(nCells)
-      .select(monotonically_increasing_id().as("cell_id"), col("c_vec").as("centroid"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .select(col("__r"), col("c_vec"))
+      .collect()
+      .sortBy(_.getString(0))
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
 
     def nearestCell(v: Column): Column = {
       // argmax over broadcast centroid literals; unrolled at plan build

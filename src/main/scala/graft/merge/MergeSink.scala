@@ -109,16 +109,45 @@ object MergeSink {
     * (hash-of-key or an immutable date column), so the batch's partition set
     * is computable from the batch alone. Size `buckets` so one partition
     * stays executor-memory-sized at the target scale: 16 suffices locally;
-    * a 100 TB dim wants O(4k) buckets (~25 GB each). */
-  final case class PartitionScheme(colName: String, expr: Column)
+    * a 100 TB dim wants O(4k) buckets (~25 GB each).
+    *
+    * `descriptor` identifies the layout on disk (`_graft_scheme` marker):
+    * a scoped merge against a table laid out under a DIFFERENT scheme
+    * (e.g. after a bucket-count resize) would prune to the wrong
+    * partitions and duplicate keys silently — instead the mismatch
+    * triggers one full migration rewrite to the new layout. */
+  final case class PartitionScheme(colName: String, expr: Column, descriptor: String)
   object PartitionScheme {
     /** Stable hash buckets over the merge key — dims and keyed facts. */
     def keyHash(keys: Seq[String], buckets: Int): PartitionScheme =
       PartitionScheme("part_bucket",
-        pmod(xxhash64(keys.map(col): _*), lit(buckets.toLong)).cast("int"))
+        pmod(xxhash64(keys.map(col): _*), lit(buckets.toLong)).cast("int"),
+        s"keyHash(${keys.mkString(",")}):$buckets")
     /** Immutable event-date partitions — append-mostly fact tables. */
     def byDate(tsCol: String): PartitionScheme =
-      PartitionScheme("part_date", to_date(col(tsCol)))
+      PartitionScheme("part_date", to_date(col(tsCol)), s"byDate($tsCol)")
+  }
+
+  private def schemeMarker(dir: String) = new Path(dir, "_graft_scheme")
+
+  private def readSchemeMarker(spark: SparkSession, dir: String): Option[String] = {
+    val p = schemeMarker(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  private def writeSchemeMarker(spark: SparkSession, dir: String,
+                                descriptor: String): Unit = {
+    val p = schemeMarker(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(descriptor.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** M1 with partition-scoped rewrite: only partitions holding batch keys are
@@ -129,26 +158,40 @@ object MergeSink {
                           keys: Seq[String], mutableCols: Seq[String],
                           scheme: PartitionScheme,
                           orderCols: Seq[String] = Nil): Unit = {
-    val b = latestPerKey(batch, keys, orderCols)
+    // pin the batch: the scoped path consumes it twice (partition-set
+    // collect + merge write) and upstream is a full extract plan
+    val b = latestPerKey(batch, keys, orderCols).localCheckpoint()
+    def migrate(existing: DataFrame): Unit =
+      writeReplace(spark, dir,
+        mergeRows(existing.drop(scheme.colName), b, keys, mutableCols)
+          .withColumn(scheme.colName, scheme.expr), Seq(scheme.colName))
     readTarget(spark, dir) match {
       case None =>
         writeReplace(spark, dir, b.withColumn(scheme.colName, scheme.expr),
           Seq(scheme.colName))
-      case Some(existing) if !existing.columns.contains(scheme.colName) =>
-        writeReplace(spark, dir,
-          mergeRows(existing, b, keys, mutableCols)
-            .withColumn(scheme.colName, scheme.expr), Seq(scheme.colName))
+        writeSchemeMarker(spark, dir, scheme.descriptor)
+      case Some(existing) if !existing.columns.contains(scheme.colName) ||
+          !readSchemeMarker(spark, dir).contains(scheme.descriptor) =>
+        // legacy/unmarked layout, or the scheme changed (bucket resize):
+        // pruning against the old layout would merge against the wrong
+        // partitions and duplicate keys — one full rewrite migrates safely
+        migrate(existing)
+        writeSchemeMarker(spark, dir, scheme.descriptor)
       case Some(existing) =>
         // the batch's partition set — bounded by #buckets (or #dates in the
         // batch), so the collect is a few scalar rows, never data
         val touched = b.select(scheme.expr.as(scheme.colName)).distinct()
           .collect().map(_.get(0)).toSeq
-        val scoped = existing
-          .filter(col(scheme.colName).isInCollection(touched)) // partition pruning
-          .drop(scheme.colName)
-        val merged = mergeRows(scoped, b, keys, mutableCols)
-          .withColumn(scheme.colName, scheme.expr)
-        replacePartitions(spark, dir, merged, scheme.colName)
+        if (touched.nonEmpty) {
+          // null-safe membership: a null partition value (e.g. byDate over a
+          // null timestamp) must still select the existing null-partition
+          // rows, or the swap would drop them
+          val member = touched.map(v => col(scheme.colName) <=> lit(v)).reduce(_ || _)
+          val scoped = existing.filter(member).drop(scheme.colName)
+          val merged = mergeRows(scoped, b, keys, mutableCols)
+            .withColumn(scheme.colName, scheme.expr)
+          replacePartitions(spark, dir, merged, scheme.colName)
+        }
     }
   }
 
@@ -268,7 +311,14 @@ object MergeSink {
     * back; a leftover whole-table backup beside a live dir is dropped;
     * partitions stranded in `__pbak` but missing from the live tree are
     * restored; stale `__tmp` staging is deleted. Idempotent and cheap (a
-    * few metadata ops) — called from every read and write entry point. */
+    * few metadata ops) — called from every read and write entry point.
+    *
+    * SINGLE-WRITER CONTRACT: recovery mutates the staging/backup dirs, so
+    * each sink directory must have one writing process at a time (the
+    * incremental runner guarantees it — streams own disjoint targets).
+    * A concurrent out-of-band reader during an in-flight swap could delete
+    * the writer's staging; on a cluster this local-FS protocol is replaced
+    * by a transactional table format anyway (see [[writeReplace]]). */
   def recover(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -51,7 +51,12 @@ object Jdbc {
   /** Quote an SQL identifier (double-quote style, embedded quotes doubled)
     * and reject names no sane schema produces — table/column names reach
     * this module from config, and unquoted interpolation would make a
-    * hostile name an injection vector. */
+    * hostile name an injection vector.
+    *
+    * Quoting makes names case-SENSITIVE on PostgreSQL (unquoted identifiers
+    * fold to lowercase): configs must use the exact stored-case names —
+    * all-lowercase throughout the reference schema. Schema-qualified names
+    * are split on '.', so dotted identifiers themselves are unsupported. */
   def quoteIdent(name: String): String = {
     require(name.nonEmpty && name.length <= 128 && !name.contains(' '),
       s"invalid SQL identifier: '$name'")

@@ -193,6 +193,39 @@ class MergeSinkSpec extends SparkTestBase {
     assert(got("k1") == "closed" && got("k2") == "open" && got.size == 30)
   }
 
+  test("changing the partition scheme triggers a full migration, never duplicates") {
+    val dir = tmpDir("scopedresize")
+    val init = (1 to 60).map(i => (s"k$i", "open", s"n$i")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScoped(spark, dir, init, Seq("k"), Seq("status"),
+      MergeSink.PartitionScheme.keyHash(Seq("k"), 4))
+    // ops resizes the bucket count: pruning under the old layout would merge
+    // against the wrong partitions and leave stale duplicates
+    val b = Seq(("k7", "closed", "X")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScoped(spark, dir, b, Seq("k"), Seq("status"),
+      MergeSink.PartitionScheme.keyHash(Seq("k"), 16))
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 60) // no duplicated keys
+    assert(t.filter(col("k") === "k7").select("status").as[String].head() == "closed")
+    assert(t.select(col("part_bucket")).distinct().count() > 4) // new layout live
+  }
+
+  test("scoped byDate merge keeps existing rows in the null partition") {
+    val dateScheme = MergeSink.PartitionScheme.byDate("at")
+    val dir = tmpDir("scopednull")
+    val init = Seq(("k1", "open", Some("2024-01-02 00:00:00")),
+        ("k2", "open", None), ("k3", "open", None))
+      .toDF("k", "status", "at").withColumn("at", col("at").cast("timestamp"))
+    MergeSink.upsertPartialScoped(spark, dir, init, Seq("k"), Seq("status"), dateScheme)
+    // a later null-dated batch must merge WITH the null partition, not
+    // replace it wholesale
+    val b = Seq(("k2", "closed", None: Option[String]))
+      .toDF("k", "status", "at").withColumn("at", col("at").cast("timestamp"))
+    MergeSink.upsertPartialScoped(spark, dir, b, Seq("k"), Seq("status"), dateScheme)
+    val got = spark.read.parquet(dir).select("k", "status")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "open", "k2" -> "closed", "k3" -> "open"))
+  }
+
   test("recover restores partitions stranded in __pbak mid scoped swap") {
     val dir = tmpDir("crashpart")
     val init = (1 to 50).map(i => (s"k$i", "open", s"n$i")).toDF("k", "status", "note")
