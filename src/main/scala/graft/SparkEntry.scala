@@ -354,12 +354,22 @@ object SparkEntry {
     "q35_ref_node_inputs" -> ((s, _) =>
       graft.ops.ScenarioPipeline.extractNodeData(refSrc(s), refSince)
         .drop("etl_loaded_at")),
+    // q36/q37: the pipeline's sink columns are DECIMAL (reference NUMERIC
+    // fidelity), but the oracle harness canonicalizes DECIMAL inconsistently
+    // between a DuckDB result set and a Spark parquet file (r2: rows/schema
+    // matched, hash didn't — the only two DECIMAL-output queries). Cast to
+    // DOUBLE on both sides for the comparison; the values are 2-3dp-rounded
+    // so double conversion is exact-nearest on both engines.
     "q36_ref_run_summary" -> ((s, _) =>
       graft.ops.ScenarioPipeline.extractRuns(refSrc(s), refSince)
-        .drop("etl_loaded_at", "etl_updated_at")),
+        .drop("etl_loaded_at", "etl_updated_at")
+        .withColumn("run_duration_minutes",
+          col("run_duration_minutes").cast("double"))),
     "q37_ref_node_calc" -> ((s, _) =>
       graft.ops.ScenarioPipeline.extractNodeCalc(refSrc(s), refSince)
-        .drop("etl_loaded_at")),
+        .drop("etl_loaded_at")
+        .withColumn("processing_duration_s",
+          col("processing_duration_s").cast("double"))),
     "q38_ref_event_inputs" -> ((s, _) =>
       graft.ops.ScenarioPipeline.extractEventData(refSrc(s), refSince)
         .drop("etl_loaded_at")),
@@ -926,8 +936,8 @@ object SparkEntry {
         | GROUP BY sr.id, sr.scenario_id, sr.run_status, sr.run_at, sr.run_by,
         |  sr.run_complete_at, sr.fail_reason)
         |SELECT run_id, scenario_id, run_status, run_at, run_by, run_complete_at,
-        | CAST(round(((epoch_us(run_complete_at)//1000000)
-        |   - (epoch_us(run_at)//1000000))/60.0, 2) AS DECIMAL(10,2)) AS run_duration_minutes,
+        | round(((epoch_us(run_complete_at)//1000000)
+        |   - (epoch_us(run_at)//1000000))/60.0, 2) AS run_duration_minutes,
         | fail_reason, branch_count, total_nodes_processed,
         | nodes_success, nodes_failed, nodes_timeout,
         | 0 AS node_edits_since_prev_run, 0 AS event_edits_since_prev_run,
@@ -944,8 +954,8 @@ object SparkEntry {
         | mn.node_display_name, mn.node_type,
         | nc.status AS calc_status, nc.fail_reason,
         | nc.processing_start_at, nc.processing_end_at,
-        | CAST(round(epoch_us(nc.processing_end_at)/1000000.0
-        |   - epoch_us(nc.processing_start_at)/1000000.0, 3) AS DECIMAL(10,3)) AS processing_duration_s,
+        | round(epoch_us(nc.processing_end_at)/1000000.0
+        |   - epoch_us(nc.processing_start_at)/1000000.0, 3) AS processing_duration_s,
         | nc.output_data AS output_data_text,
         | nc.created_at AS wm_ts
         |FROM ${rp("fc_scenario_node_calc")} nc
