@@ -62,7 +62,14 @@ object TextStats {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df derived from tf — (doc,term) is unique there, so a count per term
+    // equals countDistinct(doc) over the raw tokens. The count deliberately
+    // reads `tf` (always >= 1): otherwise column pruning drops `tf` from
+    // this branch's copy of the (doc,term) aggregate, the two subtrees stop
+    // being canonically equal, and ReuseExchange can't collapse them — the
+    // corpus would be scanned and exploded twice.
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term"))
     tf.join(dfreq, "term")

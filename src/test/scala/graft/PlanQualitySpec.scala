@@ -80,6 +80,16 @@ class PlanQualitySpec extends SparkTestBase {
     }, lp)
   }
 
+  test("q40: tf-idf tokenizes the corpus once (df branch reuses the tf shuffle)") {
+    // dfreq's count deliberately reads the tf column so column pruning can't
+    // de-canonicalize its copy of the (doc,term) aggregate; AQE then reuses
+    // the shuffle stage instead of scanning+exploding the corpus twice.
+    val df = SparkEntry.queries("q40_tfidf")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("q21: shingle arrays are computed once per side, below the join") {
     // the CollapseProject house rule: the four set expressions must read
     // join-output attributes, not re-inline the array construction 4×

@@ -19,8 +19,14 @@ object TimeQ {
     spark.range(1000).selectExpr("sum(id)").collect()
     for (name <- names; i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val n = df.count()
       println(f"[timeq] $name run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (i == 1 && sys.env.contains("GRAFT_PRINT_PLAN")) {
+        // post-action executedPlan = AQE final plan (shows runtime reuse)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }
