@@ -291,17 +291,20 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), round(col("sim"), 6).as("sim_r6"))
     }),
 
-    // §7.6 multimodal plumbing (rows-only: partition-wise stubbed decode).
-    // The raw feature array is reduced to hashable scalars — the driver's
-    // canonicalizer sorts on every column and cannot order array cells.
+    // §7.6 multimodal plumbing, oracle-checked on every SQL-expressible
+    // column: the binary cast + byte length, the modality routing, and the
+    // feature shape/non-degeneracy invariants. The feature VALUES come from
+    // the stubbed per-byte decoder (not SQL-expressible); their determinism
+    // and content are covered by ExtensionsSpec instead.
     "q29_multimodal_features" -> ((s, dir) =>
       graft.ext.Multimodal.extractFeatures(
           graft.ext.Multimodal.assetsFromDocuments(T(s, dir, "documents")))
         .select(col("asset_id"), col("modality"), col("n_bytes"),
-          xxhash64(to_json(col("feature"))).as("feature_hash"),
-          round(sqrt(aggregate(col("feature"), lit(0.0),
-            (acc, x) => acc + x.cast("double") * x.cast("double"))), 6)
-            .as("feature_norm_r6"))),
+          size(col("feature")).as("feature_dim"),
+          (col("n_bytes") === 0 ||
+            sqrt(aggregate(col("feature"), lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))) > 0)
+            .as("feature_nonzero"))),
 
     // Exact order-statistics per group (interpolated quantiles).
     "q31_quantiles" -> ((s, dir) =>
@@ -318,11 +321,26 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()),
 
-    // Sketch aggregates (rows-only: approximate by design).
+    // Sketch aggregates, value-checked: the sketches run for real
+    // (HLL++ count-distinct, GK approximate percentile) but the emitted
+    // columns are the exact values plus bounded-error booleans, so the
+    // DuckDB oracle hash-matches while still failing if a sketch drifts
+    // outside its guarantee. The error bands are deterministic: both
+    // sketches are order/partitioning-independent on fixed input.
     "q32_sketches" -> ((s, dir) =>
       T(s, dir, "events").groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"))),
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("au"),
+          expr("percentile(value, 0.5D)").as("p50x"),
+          expr("approx_percentile(value, 0.5D, 1000)").as("ap50"),
+          expr("percentile(value, 0.48D)").as("lo"),
+          expr("percentile(value, 0.52D)").as("hi"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("au") - col("exact_users")) <= col("exact_users") * 0.05)
+            .as("users_within_5pct"),
+          round(col("p50x"), 6).as("p50_r6"),
+          (col("ap50") >= col("lo") && col("ap50") <= col("hi"))
+            .as("p50_within_band"))),
 
     // As-of join (composed; oracle = DuckDB's native ASOF LEFT JOIN): each
     // event picks up the user's most recent order-day summary at-or-before
@@ -752,6 +770,23 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS "signup",
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q29_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |                 ELSE 'video' END AS modality,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | CAST(16 AS INTEGER) AS feature_dim,
+        | TRUE AS feature_nonzero
+        |FROM documents""".stripMargin,
+
+    "q32_sketches" ->
+      """SELECT event_type,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS users_within_5pct,
+        | round(quantile_cont(value, 0.5), 6) AS p50_r6,
+        | TRUE AS p50_within_band
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q30_asof_join" ->
       """WITH oa AS (
