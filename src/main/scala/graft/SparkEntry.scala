@@ -419,7 +419,82 @@ object SparkEntry {
     // §7.6 embedding storage: int8 scalar-quantization error profile
     // (floor-based rounding + decimal-exact mean ⇒ value-checked oracle).
     "q43_quantize_int8" -> ((s, dir) =>
-      SimSearch.quantizationError(T(s, dir, "embeddings"), "vec_id", "embedding"))
+      SimSearch.quantizationError(T(s, dir, "embeddings"), "vec_id", "embedding")),
+
+    // Range (point-in-interval) join via time-bin bucketing — clicks
+    // attributed to the purchase windows [ts, ts+2h) of the same user.
+    // The naive inequality join is a nested-loop at scale; RangeJoin turns
+    // it into an equi-join on (key, bin). Left-preserving: every purchase
+    // keeps a row, zero-filled.
+    "q44_range_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts"))
+      val matched = graft.ops.RangeJoin.pointInInterval(clicks, purchases,
+          "c_user", "p_user", "ts", "w_start", "w_end", binSeconds = 7200L)
+        .groupBy(col("purchase_id")).agg(count(lit(1)).as("n"))
+      purchases.join(matched, Seq("purchase_id"), "left")
+        .select(col("purchase_id"), col("p_user").as("user_id"),
+          coalesce(col("n"), lit(0L)).as("n_clicks_2h"))
+    }),
+
+    // SpaceSaving heavy-hitters sketch (custom TypedImperativeAggregate):
+    // O(capacity) memory per partition regardless of input size. Capacity
+    // 512 exceeds the distinct-user count at oracle scale, so retained
+    // counts are provably exact (est_err = 0) and DuckDB can hash-match
+    // the top-10 against a plain GROUP BY.
+    "q45_heavy_hitters" -> ((s, dir) =>
+      T(s, dir, "events")
+        .agg(graft.functions.SketchAggs.topkFreq(
+          col("user_id").cast("string"), 512).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"), col("h.cnt").as("cnt"),
+          col("h.err").as("est_err"))
+        .orderBy(desc("cnt"), col("item")).limit(10)),
+
+    // Deterministic ~12.5% corpus sample + shard assignment (training-data
+    // reproducibility: decisions are a pure function of doc_id, stable
+    // across partitionings, retries, and engines).
+    "q46_det_sample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.Sampling.uniform(docs, col("doc_id"), 0.125)
+        .select(col("doc_id"), col("source"),
+          graft.ext.Sampling.hashBucket(col("doc_id")).as("bucket"),
+          graft.ext.Sampling.shard(col("doc_id"), 8).as("shard"))
+    }),
+
+    // Deterministic per-stratum quota: 20 docs per (lang, source) cell,
+    // hash-ordered — exact stratified sampling with one shuffle.
+    "q47_stratified_sample" -> ((s, dir) =>
+      graft.ext.Sampling.stratified(T(s, dir, "documents"),
+          Seq("lang", "source"), col("doc_id"), 20)
+        .select(col("lang"), col("source"), col("doc_id"),
+          col("strat_rank").cast("long").as("strat_rank"))),
+
+    // PII scrubbing over a synthesized-PII corpus (testdata texts carry no
+    // PII, so each doc gets a planted email/phone/ID suffix — the scrub
+    // itself must find and mask all three) + match accounting.
+    "q48_pii_scrub" -> ((s, dir) => {
+      val synth = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-123-4567 ref 123456789"))
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.ext.TextPrep.scrubPii(synth).as("clean"),
+        graft.ext.TextPrep.piiCount(synth).cast("long").as("n_pii"))
+    }),
+
+    // Overlapping token-window chunking (context-window packing prep):
+    // 24-token windows, stride 12.
+    "q49_chunk_tokens" -> ((s, dir) =>
+      graft.ext.TextPrep.chunkTokens(T(s, dir, "documents"),
+          col("doc_id"), col("text"), window = 24, stride = 12)
+        .select(col("doc_id"), col("chunk_no"), col("chunk"),
+          col("chunk_tokens")))
   )
 
   /** Incremental horizon for the q34-q39 pipeline runs: mid-fixture so the
@@ -770,6 +845,73 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS "signup",
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q48_pii_scrub" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || doc_id ||
+        |    '@example.com or 555-123-4567 ref 123456789' AS synth
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(synth,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |  '\b\d{9,}\b', '<ID>', 'g') AS clean,
+        | CAST(len(regexp_extract_all(synth,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(synth, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+        |  + len(regexp_extract_all(synth, '\b\d{9,}\b')) AS BIGINT) AS n_pii
+        |FROM s""".stripMargin,
+
+    "q49_chunk_tokens" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        | FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+        |c AS (SELECT doc_id, toks, n_tok,
+        |  CASE WHEN n_tok <= 24 THEN 1
+        |       ELSE (n_tok - 24 + 11) // 12 + 1 END AS n_chunks FROM n),
+        |w AS (SELECT doc_id, toks, n_tok,
+        |  unnest(range(n_chunks)) AS chunk_no FROM c)
+        |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+        | array_to_string(toks[chunk_no*12+1 : chunk_no*12+24], ' ') AS chunk,
+        | least(24, n_tok - chunk_no*12) AS chunk_tokens
+        |FROM w""".stripMargin,
+
+    "q46_det_sample" ->
+      """SELECT doc_id, source,
+        | CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        |   AS bucket,
+        | CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8
+        |   AS shard
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        |      < 8192""".stripMargin,
+
+    "q47_stratified_sample" ->
+      """SELECT lang, source, doc_id, strat_rank FROM (
+        | SELECT lang, source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS strat_rank
+        | FROM documents) r
+        |WHERE strat_rank <= 20""".stripMargin,
+
+    "q45_heavy_hitters" ->
+      """SELECT CAST(user_id AS VARCHAR) AS item,
+        | CAST(COUNT(*) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS est_err
+        |FROM events GROUP BY user_id
+        |ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+
+    "q44_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        | CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_2h
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 2 HOUR
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id""".stripMargin,
 
     "q29_multimodal_features" ->
       """SELECT doc_id AS asset_id,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Sampling
+
+/** Deterministic sampling: decisions are pure functions of the key —
+  * stable under repartitioning, nested across rates, quota-exact. */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val ids = (1L to 2000L).toDF("id")
+
+  test("uniform: deterministic, partition-independent, rate in bounds") {
+    val a = Sampling.uniform(ids, col("id"), 0.2).select("id")
+      .as[Long].collect().toSet
+    val b = Sampling.uniform(ids.repartition(13), col("id"), 0.2).select("id")
+      .as[Long].collect().toSet
+    assert(a == b)
+    // md5 is uniform: 2000 draws at p=0.2 land well inside ±5σ (~±90)
+    assert(a.size > 310 && a.size < 490, s"rate off: ${a.size}/2000")
+  }
+
+  test("uniform: samples nest — a lower rate is a subset of a higher rate") {
+    val small = Sampling.uniform(ids, col("id"), 0.05).select("id")
+      .as[Long].collect().toSet
+    val big = Sampling.uniform(ids, col("id"), 0.2).select("id")
+      .as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("shard: complete, in-range, and balanced-ish") {
+    val shards = ids.select(Sampling.shard(col("id"), 8).as("s"))
+      .groupBy("s").count().as[(Int, Long)].collect().toMap
+    assert(shards.keySet.forall(s => s >= 0 && s < 8))
+    assert(shards.values.sum == 2000L)
+    assert(shards.size == 8 && shards.values.forall(_ > 150L))
+  }
+
+  test("stratified: exact quota per stratum, stable under repartitioning") {
+    val df = (1 to 900).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val a = Sampling.stratified(df, Seq("g"), col("id"), 10)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val b = Sampling.stratified(df.repartition(11), Seq("g"), col("id"), 10)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(a == b)
+    assert(a.groupBy(_._1).forall(_._2.size == 10))
+  }
+
+  test("stratified: a stratum's picks don't depend on other strata") {
+    val base = (1 to 300).map(i => ("keep", i.toLong)).toDF("g", "id")
+    val noisy = base.union(
+      (1000 to 1400).map(i => ("other", i.toLong)).toDF("g", "id"))
+    def picks(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratified(df, Seq("g"), col("id"), 7)
+        .filter(col("g") === "keep").select("id").as[Long].collect().toSet
+    assert(picks(base) == picks(noisy))
+  }
+}
