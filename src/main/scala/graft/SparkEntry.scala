@@ -494,7 +494,23 @@ object SparkEntry {
       graft.ext.TextPrep.chunkTokens(T(s, dir, "documents"),
           col("doc_id"), col("text"), window = 24, stride = 12)
         .select(col("doc_id"), col("chunk_no"), col("chunk"),
-          col("chunk_tokens")))
+          col("chunk_tokens"))),
+
+    // Bloom-filter semi-join reduction: lineitem is pruned against the
+    // urgent-order bloom BEFORE the join shuffle. No false negatives +
+    // the join removes false positives ⇒ identical to the plain join,
+    // which is exactly what the oracle asserts.
+    "q50_bloom_prune" -> ((s, dir) => {
+      val urgent = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.ops.BloomPrune.prunedJoin(
+          T(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+          urgent, "l_orderkey", "o_orderkey", expectedItems = 100000L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          decimalSum(col("l_extendedprice")).as("volume"))
+    })
   )
 
   /** Incremental horizon for the q34-q39 pipeline runs: mid-fixture so the
@@ -845,6 +861,13 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS "signup",
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q50_bloom_prune" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderstatus""".stripMargin,
 
     "q48_pii_scrub" ->
       """WITH s AS (
