@@ -99,6 +99,45 @@ class PlanQualitySpec extends SparkTestBase {
     assert(n <= 2, s"shingle construction appears $n times (expected <=2):\n$p")
   }
 
+  test("q44: range join plans as an equi-join, never a nested loop") {
+    // the bin-bucketing must keep the point-in-interval join out of
+    // BroadcastNestedLoopJoin/CartesianProduct territory — the O(|L|·|R|)
+    // cliff the operator exists to avoid
+    val p = plan("q44_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("q45: heavy-hitters sketch aggregates map-side before one exchange") {
+    val df = SparkEntry.queries("q45_heavy_hitters")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // TypedImperativeAggregate runs as ObjectHashAggregate: a partial pass
+    // per partition, then one single-partition final — shuffle carries only
+    // capacity-bounded buffers, not raw rows
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q46/q49: sampling and chunking stay narrow (no shuffle at all)") {
+    for (q <- Seq("q46_det_sample", "q49_chunk_tokens")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("q50: bloom might_contain filters the probe side pre-shuffle") {
+    val p = plan("q50_bloom_prune")
+    assert(p.contains("might_contain"), p)
+    // the pruning filter must sit in the probe scan stage: in the plan tree
+    // it appears strictly below the join operator
+    val lines = p.linesIterator.toList
+    val joinIdx = lines.indexWhere(l => l.contains("HashJoin"))
+    val filterIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter not below the join (join@$joinIdx, filter@$filterIdx):\n$p")
+  }
+
   test("scoped merge reads only the touched partitions of the target") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
