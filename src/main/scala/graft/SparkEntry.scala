@@ -510,6 +510,35 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
           decimalSum(col("l_extendedprice")).as("volume"))
+    }),
+
+    // Vocabulary build (frequency-ranked ids) + integer encoding of every
+    // token position — the tokenize-and-encode step of a pretraining
+    // pipeline. Vocab joins by token (shuffle, not broadcast: web-scale
+    // vocabs don't fit an executor broadcast).
+    "q51_vocab_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.Corpus.encode(docs, col("doc_id"), col("text"),
+        graft.ext.Corpus.buildVocab(docs, col("text")))
+    }),
+
+    // Greedy fixed-capacity sequence packing in deterministic hash order,
+    // parallel per shard: pack key is (shard, pack_id), so the window sort
+    // never runs on a single global partition.
+    "q52_sequence_pack" -> ((s, dir) =>
+      graft.ext.Corpus.packSequences(T(s, dir, "documents"),
+        col("doc_id"), col("text"), capacity = 512, nShards = 4)),
+
+    // Benchmark decontamination: training docs sharing any distinct 3-gram
+    // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
+    // real corpora use longer grams, but the synthetic texts only collide
+    // meaningfully at n=3 — 257 of 490 train docs here).
+    "q53_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.Corpus.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
+        n = 3)
     })
   )
 
@@ -861,6 +890,61 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS "signup",
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q51_vocab_encode" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        |p AS (SELECT doc_id, unnest(range(CAST(len(t) AS BIGINT))) AS pos, t
+        |      FROM t),
+        |tok AS (SELECT doc_id, pos, t[pos + 1] AS token FROM p),
+        |vocab AS (
+        | SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |         AS token FROM documents) u
+        | GROUP BY token),
+        |v AS (SELECT token,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |    AS token_id
+        | FROM vocab)
+        |SELECT tok.doc_id, tok.pos, tok.token, v.token_id
+        |FROM tok LEFT JOIN v USING (token)""".stripMargin,
+
+    "q52_sequence_pack" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 4
+        |    AS shard
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, shard, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |    AS cum_before
+        | FROM d)
+        |SELECT doc_id, shard, cum_before // 512 AS pack_id,
+        | cum_before % 512 AS pack_offset, n_tokens
+        |FROM c""".stripMargin,
+
+    "q53_decontaminate" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |   list_distinct(list_transform(range(1, len(t) - 1),
+        |     i -> array_to_string(t[i : i + 2], ' ')))
+        |  ELSE [] END) AS gram
+        | FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |train AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+        |SELECT train.doc_id,
+        | CAST(COUNT(DISTINCT train.gram) AS BIGINT) AS n_shared_grams
+        |FROM train JOIN bench USING (gram)
+        |GROUP BY train.doc_id""".stripMargin,
 
     "q50_bloom_prune" ->
       """SELECT o.o_orderstatus, COUNT(*) AS n_items,

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Corpus
+
+/** Corpus assembly: vocab ranks are dense and frequency-ordered, encoding
+  * round-trips, packing respects capacity and shard-determinism,
+  * contamination finds exactly the planted overlaps. */
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("vocab: frequency-ranked, deterministic ties, dense 1-based ids") {
+    val docs = Seq("b b b a a c", "a c").toDF("text")
+    val v = Corpus.buildVocab(docs, col("text"))
+      .select("token", "token_id", "freq")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    // freq: b=3, a=3, c=2 — tie between a and b broken by token asc
+    assert(v.toSeq == Seq(("a", 1L, 3L), ("b", 2L, 3L), ("c", 3L, 2L)))
+  }
+
+  test("encode: every position, in order, with vocab ids; unknowns null") {
+    val docs = Seq((1L, "b a b")).toDF("id", "text")
+    val vocab = Seq(("a", 1L), ("b", 2L)).toDF("token", "token_id")
+    val got = Corpus.encode(docs, col("id"), col("text"), vocab)
+      .orderBy("pos").select("pos", "token", "token_id")
+      .as[(Long, String, Long)].collect()
+    assert(got.toSeq == Seq((0L, "b", 2L), (1L, "a", 1L), (2L, "b", 2L)))
+    val unk = Corpus.encode(docs, col("id"), col("text"),
+        vocab.filter(col("token") =!= "a"))
+      .filter(col("token") === "a").select("token_id")
+      .collect().head.isNullAt(0)
+    assert(unk)
+  }
+
+  test("packing: offsets stay within capacity and are contiguous per pack") {
+    val docs = (1L to 200L).map(i => (i, Seq.fill(7)(s"w$i").mkString(" ")))
+      .toDF("id", "text") // every doc is 7 tokens
+    val got = Corpus.packSequences(docs, col("id"), col("text"),
+        capacity = 50, nShards = 3)
+      .select("doc_id", "shard", "pack_id", "pack_offset", "n_tokens")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(got.forall { case (_, _, _, off, _) => off >= 0 && off < 50 })
+    // concat-and-chunk semantics: per shard the docs tile the token stream
+    // contiguously (cum = pack_id*C + offset advances by exactly n_tokens),
+    // and a doc straddling a boundary stays in the pack of its first token
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val cums = rows.map { case (_, _, pid, off, n) => (pid * 50L + off, n) }
+        .sortBy(_._1)
+      assert(cums.head._1 == 0L)
+      cums.sliding(2).foreach {
+        case Array((c0, n0), (c1, _)) => assert(c1 == c0 + n0)
+        case _ =>
+      }
+    }
+    // deterministic under repartitioning
+    val again = Corpus.packSequences(docs.repartition(11), col("id"),
+        col("text"), capacity = 50, nShards = 3)
+      .select("doc_id", "shard", "pack_id", "pack_offset", "n_tokens")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
+  test("contamination: exactly the planted n-gram overlaps, distinct-counted") {
+    val bench = Seq((100L, "the secret benchmark phrase ends here")).toDF("id", "text")
+    val train = Seq(
+      (1L, "nothing shared at all with anything"),
+      // shares "secret benchmark phrase" (and the 3-grams around it)
+      (2L, "contains the secret benchmark phrase twice the secret benchmark phrase"),
+      (3L, "phrase ends here but nothing else")).toDF("id", "text")
+    val got = Corpus.contamination(train, col("id"), col("text"),
+        bench, col("id"), col("text"), n = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 2: "the secret benchmark","secret benchmark phrase" (dup counted once)
+    // doc 3: "phrase ends here"
+    assert(got == Map(2L -> 2L, 3L -> 1L))
+  }
+
+  test("contamination: docs shorter than n produce no grams and no crash") {
+    val bench = Seq((1L, "a b")).toDF("id", "text")
+    val train = Seq((2L, "a b")).toDF("id", "text")
+    assert(Corpus.contamination(train, col("id"), col("text"),
+      bench, col("id"), col("text"), n = 3).count() == 0L)
+  }
+}
