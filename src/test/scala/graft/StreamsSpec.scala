@@ -83,6 +83,38 @@ class StreamsSpec extends SparkTestBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("curation prep (scrub + sample + chunk) runs unchanged as a stream") {
+    // the training-data prep operators are stateless narrow transforms, so
+    // the SAME composition must work over readStream with identical output
+    import graft.ext.{Sampling, TextPrep}
+    val srcDir = tmpDir("prep-src")
+    val sinkDir = tmpDir("prep-sink")
+    val docs = Tables.load(spark, sf(), "documents")
+    docs.repartition(4).write.parquet(srcDir)
+
+    def prep(df: org.apache.spark.sql.DataFrame) = {
+      val sampled = Sampling.uniform(df, col("doc_id"), 0.5)
+        .select(col("doc_id"), TextPrep.scrubPii(col("text")).as("clean"))
+      TextPrep.chunkTokens(sampled, col("doc_id"), col("clean"), 24, 12)
+        .withColumn("chunk_key",
+          concat(col("doc_id"), lit("#"), col("chunk_no")))
+    }
+    val expected = prep(spark.read.parquet(srcDir))
+      .select("chunk_key", "chunk_tokens")
+      .collect().map(_.toString).sorted.toSeq
+
+    val stream = Streams.parquetStream(spark, srcDir,
+      spark.read.parquet(srcDir).schema, maxFilesPerTrigger = 1)
+    val q = Streams.toMergeSink(prep(stream), tmpDir("prep-ck"),
+      Trigger.AvailableNow())(
+      (s, batch, _) => MergeSink.appendDedup(s, sinkDir, batch, "chunk_key"))
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(sinkDir)
+      .select("chunk_key", "chunk_tokens")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("windowed counts with watermark produce sane totals") {
     val srcDir = tmpDir("wstream-src")
     val events = Tables.load(spark, sf(), "events")
