@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.Registry
+import graft.plans.RangeJoinRewrite
+
+/** The engine as a Spark extension — installable without touching user
+  * code via `--conf spark.sql.extensions=graft.GraftExtensions`:
+  *
+  *  - the [[graft.plans.RangeJoinRewrite]] optimizer rule (naive temporal
+  *    range joins become binned equi-joins instead of nested loops);
+  *  - the SQL function surface (`safe_bool`, `dot_product`, ... — the same
+  *    set `Registry.registerAll` adds per-session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule { session =>
+      RangeJoinRewrite(() =>
+        session.conf.get("spark.graft.rangeJoin.binSeconds", "3600").toLong)
+    }
+    Registry.functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.Registry", name), builder))
+    }
+  }
+}

@@ -41,18 +41,23 @@ object Registry {
       UnixSeconds(Cast(a, TimestampType))), DoubleType), Literal(60.0)),
       Literal(2))
 
+  /** The engine's SQL function surface, shared by the per-session
+    * registration below and the SparkSessionExtensions path
+    * ([[graft.GraftExtensions]]). */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "safe_bool" -> (es => safeBool(es.head)),
+    "safe_numeric" -> (es => tryCast(es.head, DoubleType)),
+    "safe_long" -> (es => tryCast(es.head, LongType)),
+    "duration_minutes" -> (es => minutesBetween(es.head, es(1))),
+    "duration_seconds" -> (es => secondsBetween(es.head, es(1))),
+    "dot_product" -> (es => dot(es.head, es(1))),
+    "long_array_agree" -> (es => VectorExprs.LongArrayAgree(es.head, es(1))),
+    "cosine_sim" -> (es => cosine(es.head, es(1))))
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def add(name: String, builder: Seq[Expression] => Expression): Unit =
+    functions.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-
-    add("safe_bool", es => safeBool(es.head))
-    add("safe_numeric", es => tryCast(es.head, DoubleType))
-    add("safe_long", es => tryCast(es.head, LongType))
-    add("duration_minutes", es => minutesBetween(es.head, es(1)))
-    add("duration_seconds", es => secondsBetween(es.head, es(1)))
-    add("dot_product", es => dot(es.head, es(1)))
-    add("long_array_agree", es => VectorExprs.LongArrayAgree(es.head, es(1)))
-    add("cosine_sim", es => cosine(es.head, es(1)))
+    }
   }
 }
