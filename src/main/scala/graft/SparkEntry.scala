@@ -450,8 +450,7 @@ object SparkEntry {
     // the top-10 against a plain GROUP BY.
     "q45_heavy_hitters" -> ((s, dir) =>
       T(s, dir, "events")
-        .agg(graft.functions.SketchAggs.topkFreq(
-          col("user_id").cast("string"), 512).as("hh"))
+        .agg(graft.functions.SketchAggs.topkFreq(col("user_id"), 512).as("hh"))
         .select(explode(col("hh")).as("h"))
         .select(col("h.item").as("item"), col("h.cnt").as("cnt"),
           col("h.err").as("est_err"))

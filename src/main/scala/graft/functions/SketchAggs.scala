@@ -1,7 +1,8 @@
 package graft.functions
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-import scala.collection.mutable
+import java.util.{HashMap => JHashMap}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -24,22 +25,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct items never exceeds `capacity`, nothing is evicted and every
   * count is EXACT with err = 0.
   *
-  * Scale shape: each partition builds one bounded map (update is O(1)
-  * amortized via a hash map; eviction scans for the min, amortized fine at
-  * capacity ≤ ~64k), partial buffers are merged pairwise on the reduce side
-  * (counts and errors add; overflow trims back to capacity keeping the
-  * largest counts). Memory is O(capacity) per partition regardless of
-  * input size — the reason to use it over an exact GROUP BY at 100 TB is
-  * exactly that the shuffle carries `capacity` rows per partition, not one
-  * row per distinct key.
+  * Scale shape: each partition builds one bounded map (the hot path — an
+  * existing key — is a single java.util.HashMap probe plus an in-place
+  * `Array[Long]` increment: no boxing, no Option, no tuple churn), partial
+  * buffers merge pairwise on the reduce side (counts and errors add;
+  * overflow trims back to capacity keeping the largest counts). Memory is
+  * O(capacity) per partition regardless of input size — the reason to use
+  * it over an exact GROUP BY at 100 TB is exactly that the shuffle carries
+  * `capacity` rows per partition, not one row per distinct key.
   */
 object SketchAggs {
 
-  private type SSMap = mutable.HashMap[String, (Long, Long)] // item -> (count, err)
+  // item -> [count, err]; java.util.HashMap keeps the per-row path
+  // allocation-free (no Option/tuple wrappers)
+  private type SSMap = JHashMap[String, Array[Long]]
 
-  /** SpaceSaving top-k sketch over a string column. Returns the retained
-    * (item, cnt, err) entries sorted by (cnt desc, item asc); callers
-    * explode and LIMIT for the final top-k. */
+  /** SpaceSaving top-k sketch over any atomic column (keyed by its string
+    * form). Returns the retained (item, cnt, err) entries sorted by
+    * (cnt desc, item asc); callers explode and LIMIT for the final top-k. */
   case class SpaceSavingTopK(
       child: Expression,
       capacity: Int,
@@ -55,7 +58,7 @@ object SketchAggs {
       StructField("cnt", LongType),
       StructField("err", LongType))))
 
-    override def createAggregationBuffer(): SSMap = mutable.HashMap.empty
+    override def createAggregationBuffer(): SSMap = new JHashMap()
 
     override def update(buf: SSMap, input: InternalRow): SSMap = {
       val v = child.eval(input)
@@ -63,37 +66,49 @@ object SketchAggs {
       buf
     }
 
-    private def add(buf: SSMap, item: String, cnt: Long, err: Long): Unit =
-      buf.get(item) match {
-        case Some((c, e)) => buf.update(item, (c + cnt, e + err))
-        case None if buf.size < capacity => buf.update(item, (cnt, err))
-        case None =>
-          // evict the min counter; the newcomer inherits its count as error
-          val (mItem, (mCnt, _)) = buf.minBy { case (i, (c, _)) => (c, i) }
-          buf.remove(mItem)
-          buf.update(item, (mCnt + cnt, mCnt + err))
+    private def add(buf: SSMap, item: String, cnt: Long, err: Long): Unit = {
+      val cell = buf.get(item)
+      if (cell != null) { cell(0) += cnt; cell(1) += err }
+      else if (buf.size < capacity) buf.put(item, Array(cnt, err))
+      else {
+        // evict the min counter; the newcomer inherits its count as error
+        var mItem: String = null
+        var mCnt = Long.MaxValue
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue()(0)
+          if (c < mCnt || (c == mCnt && (mItem == null || e.getKey < mItem))) {
+            mCnt = c; mItem = e.getKey
+          }
+        }
+        buf.remove(mItem)
+        buf.put(item, Array(mCnt + cnt, mCnt + err))
       }
+    }
 
     override def merge(buf: SSMap, other: SSMap): SSMap = {
-      other.foreach { case (item, (c, e)) =>
-        buf.get(item) match {
-          case Some((c0, e0)) => buf.update(item, (c0 + c, e0 + e))
-          case None => buf.update(item, (c, e))
-        }
+      other.forEach { (item, ce) =>
+        val cell = buf.get(item)
+        if (cell != null) { cell(0) += ce(0); cell(1) += ce(1) }
+        else buf.put(item, ce)
       }
       if (buf.size > capacity) {
         // keep the `capacity` largest counts (deterministic tie-break on item)
-        val keep = buf.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
+        val keep = buf.entrySet().asScala.toSeq
+          .sortBy(e => (-e.getValue()(0), e.getKey)).take(capacity)
+          .map(e => (e.getKey, e.getValue))
         buf.clear()
-        keep.foreach { case (i, ce) => buf.update(i, ce) }
+        keep.foreach { case (i, ce) => buf.put(i, ce) }
       }
       buf
     }
 
     override def eval(buf: SSMap): Any = {
-      val sorted = buf.toSeq.sortBy { case (i, (c, _)) => (-c, i) }
-      new GenericArrayData(sorted.map { case (i, (c, e)) =>
-        InternalRow(UTF8String.fromString(i), c, e)
+      val sorted = buf.entrySet().asScala.toSeq
+        .sortBy(e => (-e.getValue()(0), e.getKey))
+      new GenericArrayData(sorted.map { e =>
+        InternalRow(UTF8String.fromString(e.getKey), e.getValue()(0), e.getValue()(1))
       }.toArray[Any])
     }
 
@@ -101,8 +116,8 @@ object SketchAggs {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
       out.writeInt(buf.size)
-      buf.foreach { case (i, (c, e)) =>
-        out.writeUTF(i); out.writeLong(c); out.writeLong(e)
+      buf.forEach { (i, ce) =>
+        out.writeUTF(i); out.writeLong(ce(0)); out.writeLong(ce(1))
       }
       out.flush(); bos.toByteArray
     }
@@ -110,9 +125,9 @@ object SketchAggs {
     override def deserialize(bytes: Array[Byte]): SSMap = {
       val in = new DataInputStream(new ByteArrayInputStream(bytes))
       val n = in.readInt()
-      val m: SSMap = mutable.HashMap.empty
+      val m: SSMap = new JHashMap()
       var i = 0
-      while (i < n) { m.update(in.readUTF(), (in.readLong(), in.readLong())); i += 1 }
+      while (i < n) { m.put(in.readUTF(), Array(in.readLong(), in.readLong())); i += 1 }
       m
     }
 
@@ -125,7 +140,9 @@ object SketchAggs {
     override def prettyName: String = "topk_freq"
   }
 
-  /** Column API: `topkFreq($"item", 1024)` → array<struct<item,cnt,err>>. */
+  /** Column API: `topkFreq($"item", 1024)` → array<struct<item,cnt,err>>.
+    * Pass the column UNCAST — keys use the value's string form directly,
+    * which skips an interpreted per-row Cast. */
   def topkFreq(col: Column, capacity: Int): Column =
     ColumnBridge.column(
       SpaceSavingTopK(ColumnBridge.expression(col), capacity)
