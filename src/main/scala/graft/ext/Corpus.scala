@@ -56,6 +56,21 @@ object Corpus {
         expr(s"cum_before % $capacity").as("pack_offset"), col("n_tokens"))
   }
 
+  /** Publish a corpus: parquet partitioned by shard, rows sorted within
+    * partitions (clusters parquet min/max stats on the sort key, so pack-
+    * range reads prune row groups), file sizes bounded by
+    * `maxRecordsPerFile`. One shuffle (the repartition on shard); the sort
+    * is partition-local. Readers consume one `shard=N/` directory per
+    * training worker. */
+  def writeSharded(df: DataFrame, outDir: String, shardCol: String,
+      sortCols: Seq[String], maxRecordsPerFile: Long): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions((shardCol +: sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(shardCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(outDir)
+
   /** Benchmark decontamination: training docs sharing at least one distinct
     * `n`-gram with any benchmark doc, with the shared-gram count as
     * evidence. Shuffles on the gram hash — each side carries only

@@ -81,4 +81,31 @@ class CorpusSpec extends SparkTestBase {
     assert(Corpus.contamination(train, col("id"), col("text"),
       bench, col("id"), col("text"), n = 3).count() == 0L)
   }
+
+  test("writeSharded: shard dirs, bounded files, sorted within each file") {
+    val out = tmpDir("corpus-out")
+    val docs = (1L to 800L)
+      .map(i => (i, ((i * 37) % 100).toString + " tokens here for " + i))
+      .toDF("id", "text")
+    val packed = Corpus.packSequences(docs, col("id"), col("text"),
+      capacity = 64, nShards = 4)
+    Corpus.writeSharded(packed, out, "shard",
+      Seq("pack_id", "pack_offset"), maxRecordsPerFile = 100L)
+
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("shard=0", "shard=1", "shard=2", "shard=3"))
+    val files = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select("pack_id", "pack_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length <= 100, s"${f.getName}: ${rows.length} rows")
+      assert(rows.sameElements(rows.sortBy(identity)), s"${f.getName} unsorted")
+    }
+    // nothing lost in the layout
+    assert(spark.read.parquet(out).count() == 800L)
+  }
 }

@@ -41,4 +41,35 @@ class CurationSpec extends SparkTestBase {
     val total = docs.count()
     assert(rep.values.forall(v => v >= 0 && v <= total))
   }
+
+  test("full publish flow: curate -> scrub -> sample -> chunk -> pack -> write") {
+    import graft.ext.{Corpus, Sampling, TextPrep}
+    val out = tmpDir("publish")
+    val curated = Curation.curate(docs)
+      .select(col("doc_id"), TextPrep.scrubPii(col("text")).as("text"))
+    val sampled = Sampling.uniform(curated, col("doc_id"), 0.8)
+    val chunks = TextPrep.chunkTokens(sampled, col("doc_id"), col("text"), 32, 16)
+      .withColumn("chunk_id",
+        concat(col("doc_id"), lit("_"), col("chunk_no")))
+    val packed = Corpus.packSequences(chunks, col("chunk_id"), col("chunk"),
+      capacity = 64, nShards = 2)
+    Corpus.writeSharded(packed, out, "shard",
+      Seq("pack_id", "pack_offset"), maxRecordsPerFile = 500L)
+
+    val published = spark.read.parquet(out)
+    // accounting ties out end to end: every chunk of every sampled doc lands
+    assert(published.count() == chunks.count() && published.count() > 0)
+    assert(published.select("shard").distinct().count() <= 2)
+    // deterministic: the same flow re-run produces the identical corpus
+    val out2 = tmpDir("publish2")
+    Corpus.writeSharded(
+      Corpus.packSequences(chunks, col("chunk_id"), col("chunk"), 64, 2),
+      out2, "shard", Seq("pack_id", "pack_offset"), 500L)
+    val a = published.select("doc_id", "shard", "pack_id", "pack_offset")
+      .collect().map(_.toString).sorted
+    val b = spark.read.parquet(out2)
+      .select("doc_id", "shard", "pack_id", "pack_offset")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }
