@@ -36,6 +36,80 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("range join law: binned == naive inequality join for any bin width") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val gen = for {
+      binSec <- Gen.oneOf(60L, 600L, 3600L, 7200L)
+      pts <- Gen.listOfN(80, Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 48 * 3600L)))
+      ivs <- Gen.listOfN(25, Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 48 * 3600L),
+        Gen.choose(-600L, 6 * 3600L))) // negative span = empty interval case
+    } yield (binSec, pts, ivs)
+    checkProp(forAll(gen) { case (binSec, pts, ivs) =>
+      val points = pts.zipWithIndex.map { case ((k, off), i) =>
+        (i.toLong, s"k$k", new Timestamp(base + off * 1000L)) }
+        .toDF("pid", "k", "ts")
+      val intervals = ivs.zipWithIndex.map { case ((k, off, span), i) =>
+        (s"k$k", i.toLong, new Timestamp(base + off * 1000L),
+          new Timestamp(base + (off + span) * 1000L)) }
+        .toDF("ik", "iid", "s", "e")
+      val binned = graft.ops.RangeJoin.pointInInterval(points, intervals,
+          "k", "ik", "ts", "s", "e", binSec)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val naive = points.join(intervals,
+          col("k") === col("ik") && col("ts") >= col("s") && col("ts") < col("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      binned == naive
+    }, min = 8)
+  }
+
+  test("SpaceSaving law: never undercounts; heavy items always retained") {
+    val gen = for {
+      cap <- Gen.oneOf(8, 16, 64)
+      items <- Gen.listOfN(400, Gen.frequency(
+        5 -> Gen.const("HEAVY"), 3 -> Gen.choose(0, 500).map(i => s"t$i")))
+    } yield (cap, items)
+    checkProp(forAll(gen) { case (cap, items) =>
+      val out = items.toDF("item")
+        .repartition(3)
+        .agg(graft.functions.SketchAggs.topkFreq(col("item"), cap).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item"), col("h.cnt"), col("h.err"))
+        .as[(String, Long, Long)].collect()
+      val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val noUndercount = out.forall { case (i, c, _) => c >= truth.getOrElse(i, 0L) }
+      val boundedOver = out.forall { case (i, c, e) => c - e <= truth.getOrElse(i, 0L) }
+      // SpaceSaving guarantee: true freq > N/cap => retained
+      val n = items.size.toLong
+      val mustKeep = truth.filter(_._2 > n / cap).keySet
+      val kept = out.map(_._1).toSet
+      noUndercount && boundedOver && mustKeep.subsetOf(kept)
+    }, min = 8)
+  }
+
+  test("chunking law: stride-aligned prefix windows reconstruct every doc") {
+    val word = Gen.choose('a', 'z').map(_.toString)
+    val gen = Gen.listOfN(12, Gen.choose(1, 120).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+    checkProp(forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "txt")
+      val chunks = graft.ext.TextPrep.chunkTokens(docs, col("id"), col("txt"),
+          window = 16, stride = 8)
+        .select("doc_id", "chunk_no", "chunk", "chunk_tokens")
+        .as[(Long, Long, String, Long)].collect()
+      texts.zipWithIndex.forall { case (t, i) =>
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+        val mine = chunks.filter(_._1 == i.toLong).sortBy(_._2)
+        // stitching the first `stride` tokens of every chunk plus the whole
+        // final chunk reconstructs the doc exactly (overlap = window-stride)
+        val rebuilt = mine.init.flatMap(_._3.split(" ").take(8)) ++
+          mine.last._3.split(" ")
+        rebuilt.toSeq == toks && mine.forall(_._4 <= 16)
+      }
+    }, min = 8)
+  }
+
   test("safeNumeric law: engine == model over numeric-ish strings") {
     val numish = Gen.oneOf(
       Gen.chooseNum(-1e6, 1e6).map(_.toString),
