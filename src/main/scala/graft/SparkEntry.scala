@@ -528,6 +528,14 @@ object SparkEntry {
       graft.ext.Corpus.packSequences(T(s, dir, "documents"),
         col("doc_id"), col("text"), capacity = 512, nShards = 4)),
 
+    // Weighted source mixture (deterministic data-mixture knob): src0 kept
+    // whole, src1 at 50%, src2 at 12.5%; every other source dropped.
+    "q54_weighted_mixture" -> ((s, dir) =>
+      graft.ext.Sampling.weightedMixture(T(s, dir, "documents"),
+          col("source"), col("doc_id"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.125))
+        .select(col("doc_id"), col("source"))),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -889,6 +897,12 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS "signup",
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q54_weighted_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        |  < CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
+        |                WHEN 'src2' THEN 8192 ELSE 0 END""".stripMargin,
 
     "q51_vocab_encode" ->
       """WITH t AS (

@@ -38,6 +38,25 @@ object Sampling {
     hashBucket(key) % nShards
   }
 
+  /** Weighted mixture: keep each row at its source's rate — the
+    * data-mixture knob of a pretraining corpus ("2x web, 0.5x forums").
+    * Rates are a literal when-chain on the source column (no join, stays
+    * narrow); sources absent from `rates` are dropped. Deterministic like
+    * [[uniform]]: the same doc survives the same mixture everywhere. */
+  def weightedMixture(df: DataFrame, source: Column, key: Column,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "rates must not be empty")
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      s"rates out of [0,1]: $rates")
+    val threshold = rates.tail.foldLeft(
+      when(source === rates.head._1,
+        lit(math.round(rates.head._2 * 65536).toInt))) {
+      case (acc, (s, r)) =>
+        acc.when(source === s, lit(math.round(r * 65536).toInt))
+    }.otherwise(lit(0))
+    df.filter(hashBucket(key) < threshold)
+  }
+
   /** Per-stratum quota: the `n` rows of each group with the smallest
     * (md5(key), key) — a deterministic "random n per group". Emits the
     * stratum rank as `rankCol` (1-based). */

@@ -46,6 +46,20 @@ class SamplingSpec extends SparkTestBase {
     assert(a.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("weightedMixture: rate 1.0 keeps all, 0 and unlisted drop all, mid-rates nest in uniform") {
+    val df = (1L to 900L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val out = Sampling.weightedMixture(df, col("src"), col("id"),
+        Map("s0" -> 1.0, "s1" -> 0.25))
+      .select("id", "src").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc.getOrElse("s0", Set.empty).size == 300) // rate 1.0: everything
+    assert(!bySrc.contains("s2"))                        // unlisted: dropped
+    // mixture at rate r == uniform at rate r restricted to that source
+    val uni = Sampling.uniform(df.filter(col("src") === "s1"), col("id"), 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(bySrc.getOrElse("s1", Set.empty) == uni)
+  }
+
   test("stratified: a stratum's picks don't depend on other strata") {
     val base = (1 to 300).map(i => ("keep", i.toLong)).toDF("g", "id")
     val noisy = base.union(
