@@ -99,4 +99,48 @@ object Streams {
           }
       }
   }
+
+  // -------------------------------------------------------------------
+  // Streaming heavy hitters: the SpaceSaving sketch as cross-batch state.
+  // Each group (e.g. an event type) keeps one bounded counter map; every
+  // micro-batch folds its items in and emits the group's current top-k.
+  // State is O(groups × capacity) forever — the streaming analog of q45.
+  // -------------------------------------------------------------------
+
+  final case class KeyedItem(group: String, item: String)
+  /** `group_total` = items folded into the group so far — strictly grows
+    * with every emitting batch, so consumers can order snapshots. */
+  final case class TopKSnapshot(group: String, item: String, cnt: Long,
+                                err: Long, batch_rank: Int, group_total: Long)
+
+  /** Per-group streaming top-k via SpaceSaving (update-mode: each batch
+    * re-emits the group's refreshed top `k`). Same guarantees as the batch
+    * aggregate: no undercounts, overestimates bounded by `err`, exact while
+    * a group's distinct items fit `capacity`. */
+  def topkFreq(items: Dataset[KeyedItem], capacity: Int, k: Int)
+      : Dataset[TopKSnapshot] = {
+    import items.sparkSession.implicits._
+    items.groupByKey(_.group)
+      .flatMapGroupsWithState[(Map[String, (Long, Long)], Long), TopKSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[KeyedItem],
+         state: GroupState[(Map[String, (Long, Long)], Long)]) =>
+          var (m, total) = state.getOption.getOrElse((Map.empty[String, (Long, Long)], 0L))
+          rows.foreach { r =>
+            total += 1
+            m.get(r.item) match {
+              case Some((c, e)) => m = m.updated(r.item, (c + 1, e))
+              case None if m.size < capacity => m = m.updated(r.item, (1L, 0L))
+              case None =>
+                val (mi, (mc, _)) = m.minBy { case (i, (c, _)) => (c, i) }
+                m = (m - mi).updated(r.item, (mc + 1, mc))
+            }
+          }
+          state.update((m, total))
+          m.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k).zipWithIndex
+            .map { case ((i, (c, e)), rank) =>
+              TopKSnapshot(group, i, c, e, rank + 1, total) }
+            .iterator
+      }
+  }
 }

@@ -115,6 +115,42 @@ class StreamsSpec extends SparkTestBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("streaming top-k converges to the batch heavy hitters") {
+    import spark.implicits._
+    val srcDir = tmpDir("hh-src")
+    val events = Tables.load(spark, sf(), "events")
+    events.repartition(3).write.parquet(srcDir)
+    val stream = Streams.parquetStream(spark, srcDir,
+        spark.read.parquet(srcDir).schema, maxFilesPerTrigger = 1)
+      .selectExpr("event_type AS group", "CAST(user_id AS STRING) AS item")
+      .as[Streams.KeyedItem]
+    val q = Streams.topkFreq(stream, capacity = 512, k = 5)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hh")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // update mode re-emits per batch; the LAST snapshot per (group, rank)
+    // must equal the batch top-5 (capacity 512 > distinct users => exact)
+    val streamed = spark.sql(
+      """SELECT group, item, cnt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY group, batch_rank
+        |    ORDER BY group_total DESC) AS rn FROM hh) WHERE rn = 1""".stripMargin)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val batch = events.groupBy("event_type", "user_id").count()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(desc("count"), col("user_id").cast("string"))))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("user_id").cast("string"), col("count"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (g, items) =>
+      assert(items == batch(g), s"group $g: $items vs ${batch(g)}")
+    }
+  }
+
   test("windowed counts with watermark produce sane totals") {
     val srcDir = tmpDir("wstream-src")
     val events = Tables.load(spark, sf(), "events")
