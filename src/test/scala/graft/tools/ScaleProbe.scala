@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale probe: replicate the sf0.1 corpus k× (ids shifted so
+  * dedup/join semantics stay honest) and time the heavy operators at 1×
+  * and k×. A scale-safe operator should grow ~linearly (ratio ≈ k); a
+  * superlinear ratio flags a pair-blowup or a single-partition collapse
+  * before it would bite at 100 TB.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "Test/runMain graft.ScaleProbe [k]"
+  */
+object ScaleProbe {
+
+  private def replicate(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    val n = 10000000L
+    (0 until k).map(i =>
+      df.withColumn(idCol, col(idCol) + lit(i * n)))
+      .reduce(_ unionByName _)
+  }
+
+  private def time(label: String)(f: => Long): Double = {
+    val t0 = System.nanoTime()
+    val rows = f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] $label: $rows rows in $s%.2f s")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs1 = graft.model.Tables.load(spark, sfDir, "documents").localCheckpoint()
+    val docsK = replicate(docs1, "doc_id", k)
+      .repartition(32).localCheckpoint() // k files -> realistic partitioning
+    val emb1 = graft.model.Tables.load(spark, sfDir, "embeddings").localCheckpoint()
+    val embK = replicate(emb1, "vec_id", k).repartition(32).localCheckpoint()
+
+    val probes: Seq[(String, DataFrame => Long)] = Seq(
+      ("exact_dedup", d => graft.ext.Dedup.exact(d, "doc_id", "text").count()),
+      ("minhash_lsh", d => graft.ext.Dedup.minhashDedupAssignments(
+        d, "doc_id", "text", n = 1, k = 32, bands = 4, threshold = 0.6).count()),
+      ("simhash", d => graft.ext.Dedup.simhashTable(d, "doc_id", "text").count()),
+      ("decontaminate", d => graft.ext.Corpus.contamination(
+        d.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
+        n = 3).count()),
+      ("chunk_pack", d => graft.ext.Corpus.packSequences(
+        d, col("doc_id"), col("text"), 512, 8).count()),
+      ("vocab_encode", d => graft.ext.Corpus.encode(
+        d, col("doc_id"), col("text"),
+        graft.ext.Corpus.buildVocab(d, col("text"))).count()))
+
+    println(s"[probe] docs 1x=${docs1.count()} ${k}x=${docsK.count()}")
+    for ((name, f) <- probes) {
+      f(docs1) // warm plans/codegen once
+      val t1 = time(s"$name 1x")(f(docs1))
+      val tk = time(s"$name ${k}x")(f(docsK))
+      println(f"[probe] $name ratio=${tk / t1}%.1f (k=$k, linear=~$k)")
+    }
+
+    // ANN: queries fixed (50), corpus grows k x — should stay ~linear
+    val q = emb1.filter(col("vec_id") < 50)
+    def ann(corpus: DataFrame): Long =
+      graft.ext.SimSearch.lshTopK(corpus, q, "vec_id", "embedding", 10).count()
+    ann(emb1)
+    val a1 = time("lsh_ann 1x")(ann(emb1))
+    val ak = time(s"lsh_ann ${k}x")(ann(embK))
+    println(f"[probe] lsh_ann ratio=${ak / a1}%.1f (k=$k, linear=~$k)")
+
+    spark.stop()
+  }
+}
