@@ -5,13 +5,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.Registry
-import graft.plans.RangeJoinRewrite
+import graft.plans.{AsOfJoinStrategy, RangeJoinRewrite}
 
 /** The engine as a Spark extension — installable without touching user
   * code via `--conf spark.sql.extensions=graft.GraftExtensions`:
   *
   *  - the [[graft.plans.RangeJoinRewrite]] optimizer rule (naive temporal
   *    range joins become binned equi-joins instead of nested loops);
+  *  - the [[graft.plans.AsOfJoinStrategy]] planner strategy (the custom
+  *    merge-based as-of join physical operator);
   *  - the SQL function surface (`safe_bool`, `dot_product`, ... — the same
   *    set `Registry.registerAll` adds per-session).
   */
@@ -21,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RangeJoinRewrite(() =>
         session.conf.get("spark.graft.rangeJoin.binSeconds", "3600").toLong)
     }
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     Registry.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.Registry", name), builder))

@@ -528,6 +528,24 @@ object SparkEntry {
       graft.ext.Corpus.packSequences(T(s, dir, "documents"),
         col("doc_id"), col("text"), capacity = 512, nShards = 4)),
 
+    // The custom merge-based as-of join PHYSICAL operator (logical node +
+    // strategy + exec via SparkSessionExtensions) on the same shape as q30
+    // — one pass per co-clustered partition, no window state. Must produce
+    // exactly what DuckDB's native ASOF LEFT JOIN produces.
+    "q55_asof_exec" -> ((s, dir) => {
+      val ordersByDay = T(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          decimalSum(col("o_totalprice")).as("day_total"))
+      graft.plans.AsOfExec.asof(
+          T(s, dir, "events").select("event_id", "user_id", "ts"),
+          ordersByDay, "user_id", "o_custkey", "ts", "o_orderdate")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderdate").as("asof_o_orderdate"),
+          col("o_orderkey").as("asof_o_orderkey"),
+          col("day_total").as("asof_day_total"))
+    }),
+
     // Weighted source mixture (deterministic data-mixture knob): src0 kept
     // whole, src1 at 50%, src2 at 12.5%; every other source dropped.
     "q54_weighted_mixture" -> ((s, dir) =>
@@ -897,6 +915,19 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS "signup",
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q55_asof_exec" ->
+      """WITH oa AS (
+        | SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        | FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.ts,
+        | oa.o_orderdate AS asof_o_orderdate,
+        | oa.o_orderkey AS asof_o_orderkey,
+        | oa.day_total AS asof_day_total
+        |FROM events e
+        |ASOF LEFT JOIN oa
+        |  ON e.user_id = oa.o_custkey AND e.ts >= oa.o_orderdate""".stripMargin,
 
     "q54_weighted_mixture" ->
       """SELECT doc_id, source FROM documents
