@@ -38,7 +38,43 @@ object SketchAggs {
 
   // item -> [count, err]; java.util.HashMap keeps the per-row path
   // allocation-free (no Option/tuple wrappers)
-  private type SSMap = JHashMap[String, Array[Long]]
+  type SSMap = JHashMap[String, Array[Long]]
+
+  /** The SpaceSaving update step, shared by the batch aggregate and the
+    * streaming state fold ([[graft.streaming.Streams.topkFreq]]) so the
+    * two surfaces cannot drift. */
+  def add(buf: SSMap, capacity: Int, item: String, cnt: Long, err: Long): Unit = {
+    val cell = buf.get(item)
+    if (cell != null) { cell(0) += cnt; cell(1) += err }
+    else if (buf.size < capacity) buf.put(item, Array(cnt, err))
+    else {
+      // evict the min counter; the newcomer inherits its count as error
+      var mItem: String = null
+      var mCnt = Long.MaxValue
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c < mCnt || (c == mCnt && (mItem == null || e.getKey < mItem))) {
+          mCnt = c; mItem = e.getKey
+        }
+      }
+      buf.remove(mItem)
+      buf.put(item, Array(mCnt + cnt, mCnt + err))
+    }
+  }
+
+  /** Minimum counter a summary could have silently absorbed: 0 while it
+    * never evicted (size < capacity), else its smallest count. An item
+    * ABSENT from such a summary may still have occurred up to this many
+    * times in that summary's stream — merging must credit it. */
+  private def absentCredit(buf: SSMap, capacity: Int): Long =
+    if (buf.size < capacity) 0L
+    else {
+      var m = Long.MaxValue
+      buf.forEach { (_, ce) => if (ce(0) < m) m = ce(0) }
+      if (m == Long.MaxValue) 0L else m
+    }
 
   /** SpaceSaving top-k sketch over any atomic column (keyed by its string
     * form). Returns the retained (item, cnt, err) entries sorted by
@@ -62,36 +98,28 @@ object SketchAggs {
 
     override def update(buf: SSMap, input: InternalRow): SSMap = {
       val v = child.eval(input)
-      if (v != null) add(buf, v.toString, 1L, 0L)
+      if (v != null) SketchAggs.add(buf, capacity, v.toString, 1L, 0L)
       buf
     }
 
-    private def add(buf: SSMap, item: String, cnt: Long, err: Long): Unit = {
-      val cell = buf.get(item)
-      if (cell != null) { cell(0) += cnt; cell(1) += err }
-      else if (buf.size < capacity) buf.put(item, Array(cnt, err))
-      else {
-        // evict the min counter; the newcomer inherits its count as error
-        var mItem: String = null
-        var mCnt = Long.MaxValue
-        val it = buf.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val c = e.getValue()(0)
-          if (c < mCnt || (c == mCnt && (mItem == null || e.getKey < mItem))) {
-            mCnt = c; mItem = e.getKey
-          }
-        }
-        buf.remove(mItem)
-        buf.put(item, Array(mCnt + cnt, mCnt + err))
-      }
-    }
-
+    /** Mergeable-summaries merge (Agarwal et al., TODS 2013): an item
+      * absent from one summary may still have occurred up to that
+      * summary's minimum counter many times there (it could have been
+      * evicted), so absence credits the min as both count and error —
+      * simply copying (the naive merge) would UNDERCOUNT items split
+      * across partials and falsely report them exact. In the exact regime
+      * (no summary ever evicted) both credits are 0 and counts stay exact. */
     override def merge(buf: SSMap, other: SSMap): SSMap = {
+      val creditBuf = absentCredit(buf, capacity)   // for items only in other
+      val creditOth = absentCredit(other, capacity) // for items only in buf
+      if (creditOth > 0)
+        buf.forEach { (item, ce) =>
+          if (other.get(item) == null) { ce(0) += creditOth; ce(1) += creditOth }
+        }
       other.forEach { (item, ce) =>
         val cell = buf.get(item)
         if (cell != null) { cell(0) += ce(0); cell(1) += ce(1) }
-        else buf.put(item, ce)
+        else buf.put(item, Array(ce(0) + creditBuf, ce(1) + creditBuf))
       }
       if (buf.size > capacity) {
         // keep the `capacity` largest counts (deterministic tie-break on item)
@@ -117,7 +145,11 @@ object SketchAggs {
       val out = new DataOutputStream(bos)
       out.writeInt(buf.size)
       buf.forEach { (i, ce) =>
-        out.writeUTF(i); out.writeLong(ce(0)); out.writeLong(ce(1))
+        // length-prefixed raw UTF-8, not writeUTF: items beyond 64 KiB
+        // (e.g. whole document texts) must survive the shuffle
+        val b = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+        out.writeLong(ce(0)); out.writeLong(ce(1))
       }
       out.flush(); bos.toByteArray
     }
@@ -127,7 +159,14 @@ object SketchAggs {
       val n = in.readInt()
       val m: SSMap = new JHashMap()
       var i = 0
-      while (i < n) { m.put(in.readUTF(), Array(in.readLong(), in.readLong())); i += 1 }
+      while (i < n) {
+        val len = in.readInt()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        m.put(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+          Array(in.readLong(), in.readLong()))
+        i += 1
+      }
       m
     }
 

@@ -83,11 +83,13 @@ case class RangeJoinRewrite(binSeconds: () => Long)
               (a.references.subsetOf(rOut) && b.references.subsetOf(lOut)))
         case _ => false
       }
-      if (hasEqui) j
+      // optimizer rules must not throw and must not emit a div-by-zero bin:
+      // an unusable binSeconds conf leaves the join unrewritten
+      val w = try binSeconds() catch { case _: NumberFormatException => -1L }
+      if (hasEqui || w <= 0) j
       else rangePattern(conjuncts, left, right) match {
         case None => j
         case Some((ts, start, end, strictEnd)) =>
-          val w = binSeconds()
           val tsOnLeft = ts.references.subsetOf(left.outputSet)
           val (pointPlan, intervalPlan) = if (tsOnLeft) (left, right) else (right, left)
 

@@ -114,28 +114,32 @@ object Streams {
                                 err: Long, batch_rank: Int, group_total: Long)
 
   /** Per-group streaming top-k via SpaceSaving (update-mode: each batch
-    * re-emits the group's refreshed top `k`). Same guarantees as the batch
-    * aggregate: no undercounts, overestimates bounded by `err`, exact while
-    * a group's distinct items fit `capacity`. */
+    * re-emits the group's refreshed top `k`). The update step is
+    * [[graft.functions.SketchAggs.add]] — literally the batch aggregate's
+    * code, folded over an encoder-friendly Map state — so the two surfaces
+    * share one set of guarantees: no undercounts, overestimates bounded by
+    * `err`, exact while a group's distinct items fit `capacity`. */
   def topkFreq(items: Dataset[KeyedItem], capacity: Int, k: Int)
       : Dataset[TopKSnapshot] = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(k > 0, s"k must be positive: $k")
     import items.sparkSession.implicits._
     items.groupByKey(_.group)
       .flatMapGroupsWithState[(Map[String, (Long, Long)], Long), TopKSnapshot](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (group: String, rows: Iterator[KeyedItem],
          state: GroupState[(Map[String, (Long, Long)], Long)]) =>
-          var (m, total) = state.getOption.getOrElse((Map.empty[String, (Long, Long)], 0L))
+          val (m0, total0) = state.getOption.getOrElse((Map.empty[String, (Long, Long)], 0L))
+          // state Map <-> the aggregate's mutable buffer (bounded by capacity)
+          val buf = new graft.functions.SketchAggs.SSMap()
+          m0.foreach { case (i, (c, e)) => buf.put(i, Array(c, e)) }
+          var total = total0
           rows.foreach { r =>
             total += 1
-            m.get(r.item) match {
-              case Some((c, e)) => m = m.updated(r.item, (c + 1, e))
-              case None if m.size < capacity => m = m.updated(r.item, (1L, 0L))
-              case None =>
-                val (mi, (mc, _)) = m.minBy { case (i, (c, _)) => (c, i) }
-                m = (m - mi).updated(r.item, (mc + 1, mc))
-            }
+            graft.functions.SketchAggs.add(buf, capacity, r.item, 1L, 0L)
           }
+          var m = Map.empty[String, (Long, Long)]
+          buf.forEach { (i, ce) => m = m.updated(i, (ce(0), ce(1))) }
           state.update((m, total))
           m.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k).zipWithIndex
             .map { case ((i, (c, e)), rank) =>

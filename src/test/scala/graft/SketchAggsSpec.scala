@@ -44,4 +44,38 @@ class SketchAggsSpec extends SparkTestBase {
     val got = topk(df, 8)
     assert(got.toSeq == Seq(("a", 2L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
   }
+
+  test("merge credits items absent from an evicting summary (no undercount)") {
+    import graft.functions.SketchAggs
+    // partition 1: x occurs twice then is EVICTED by c (capacity 3);
+    // partition 2: x occurs 10 more times. The naive merge would report
+    // x: cnt=10, err=0 ("provably exact") against a true count of 12.
+    val agg = SketchAggs.SpaceSavingTopK(
+      org.apache.spark.sql.catalyst.expressions.Literal("ignored"), 3)
+    val p1 = agg.createAggregationBuffer()
+    Seq("x", "x", "a", "a", "a", "b", "b", "b", "c", "c", "c")
+      .foreach(SketchAggs.add(p1, 3, _, 1L, 0L))
+    assert(p1.get("x") == null, "precondition: x evicted from partial 1")
+    val p2 = agg.createAggregationBuffer()
+    (1 to 10).foreach(_ => SketchAggs.add(p2, 3, "x", 1L, 0L))
+    SketchAggs.add(p2, 3, "e", 1L, 0L)
+    SketchAggs.add(p2, 3, "f", 1L, 0L)
+    val merged = agg.merge(p1, p2)
+    val x = merged.get("x")
+    assert(x != null, "heavy item lost in merge")
+    assert(x(0) >= 12L, s"undercount: cnt=${x(0)} < true 12")
+    assert(x(0) - x(1) <= 12L, s"claimed-exact floor above truth: ${x(0)}-${x(1)}")
+  }
+
+  test("serialize round-trips items larger than 64 KiB") {
+    import graft.functions.SketchAggs
+    val agg = SketchAggs.SpaceSavingTopK(
+      org.apache.spark.sql.catalyst.expressions.Literal("ignored"), 4)
+    val big = "x" * 100000 // writeUTF would throw UTFDataFormatException
+    val buf = agg.createAggregationBuffer()
+    SketchAggs.add(buf, 4, big, 7L, 0L)
+    SketchAggs.add(buf, 4, "small", 1L, 0L)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.get(big)(0) == 7L && back.get("small")(0) == 1L)
+  }
 }
