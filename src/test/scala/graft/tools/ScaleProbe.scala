@@ -78,6 +78,30 @@ object ScaleProbe {
     val ak = time(s"lsh_ann ${k}x")(ann(embK))
     println(f"[probe] lsh_ann ratio=${ak / a1}%.1f (k=$k, linear=~$k)")
 
+    // temporal joins: both sides grow k x (events + per-day order summaries)
+    val ev1 = graft.model.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts").localCheckpoint()
+    val evK = replicate(ev1, "event_id", k).repartition(32).localCheckpoint()
+    val od1 = graft.model.Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey")).localCheckpoint()
+    val odK = (0 until k).map(i => od1.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _).repartition(32).localCheckpoint()
+    def asofComposed(e: DataFrame, o: DataFrame): Long =
+      graft.ops.AsOfJoin.asof(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey")).count()
+    def asofExec(e: DataFrame, o: DataFrame): Long =
+      graft.plans.AsOfExec.asof(e, o, "user_id", "o_custkey",
+        "ts", "o_orderdate").count()
+    asofComposed(ev1, od1); asofExec(ev1, od1)
+    val c1 = time("asof_composed 1x")(asofComposed(ev1, od1))
+    val cK = time(s"asof_composed ${k}x")(asofComposed(evK, odK))
+    println(f"[probe] asof_composed ratio=${cK / c1}%.1f (k=$k, linear=~$k)")
+    val x1 = time("asof_exec 1x")(asofExec(ev1, od1))
+    val xK = time(s"asof_exec ${k}x")(asofExec(evK, odK))
+    println(f"[probe] asof_exec ratio=${xK / x1}%.1f (k=$k, linear=~$k)")
+
     spark.stop()
   }
 }
