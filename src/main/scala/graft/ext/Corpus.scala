@@ -80,11 +80,8 @@ object Corpus {
       bench: DataFrame, benchId: Column, benchText: Column,
       n: Int): DataFrame = {
     def grams(df: DataFrame, id: Column, text: Column, out: String) =
-      df.select(id.as(out), toks(text).as("t"))
-        .select(col(out), explode(expr(
-          s"CASE WHEN size(t) >= $n THEN array_distinct(transform(" +
-            s"sequence(0, size(t) - $n), i -> array_join(slice(t, i + 1, $n), ' ')))" +
-            " ELSE array() END")).as("gram"))
+      df.select(id.as(out),
+        explode(graft.functions.TextExprs.wordNGrams(text, n)).as("gram"))
     val tg = grams(train, trainId, trainText, "doc_id")
     val bg = grams(bench, benchId, benchText, "bench_id").select("gram").distinct()
     tg.join(bg, Seq("gram"))

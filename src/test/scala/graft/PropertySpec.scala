@@ -110,6 +110,31 @@ class PropertySpec extends SparkTestBase {
     }, min = 8)
   }
 
+  test("word_ngrams law: custom expression == the HOF chain, any n") {
+    val word = Gen.oneOf(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.const("The"),
+      Gen.const("x"), Gen.const("éß"))
+    val doc = for {
+      k <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(k, word)
+      sep <- Gen.oneOf(" ", "  ", "\t", " \n ")
+    } yield ws.mkString(sep)
+    val gen = Gen.zip(Gen.choose(1, 4), Gen.listOfN(25, doc))
+    checkProp(forAll(gen) { case (n, texts) =>
+      val df = texts.toDF("text")
+      val fast = df.select(
+        graft.functions.TextExprs.wordNGrams(col("text"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val hof = df
+        .select(split(trim(lower(col("text"))), "\\s+").as("t"))
+        .select(expr(
+          s"CASE WHEN size(t) >= $n THEN array_distinct(transform(" +
+            s"sequence(0, size(t) - $n), i -> array_join(slice(t, i + 1, $n), ' ')))" +
+            " ELSE array() END").as("g"))
+        .as[Seq[String]].collect().toSeq
+      fast == hof
+    }, min = 10)
+  }
+
   test("safeNumeric law: engine == model over numeric-ish strings") {
     val numish = Gen.oneOf(
       Gen.chooseNum(-1e6, 1e6).map(_.toString),
