@@ -52,7 +52,9 @@ object Registry {
     "duration_seconds" -> (es => secondsBetween(es.head, es(1))),
     "dot_product" -> (es => dot(es.head, es(1))),
     "long_array_agree" -> (es => VectorExprs.LongArrayAgree(es.head, es(1))),
-    "cosine_sim" -> (es => cosine(es.head, es(1))))
+    "cosine_sim" -> (es => cosine(es.head, es(1))),
+    "word_ngrams" -> (es => TextExprs.WordNGrams(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -20,7 +20,8 @@ class ApiSurfaceSpec extends SparkTestBase {
         | long_array_agree(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agree,
         | cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
         | duration_seconds(timestamp'2024-01-01 00:00:00.25',
-        |                  timestamp'2024-01-01 00:00:01.5') AS ds
+        |                  timestamp'2024-01-01 00:00:01.5') AS ds,
+        | word_ngrams(' The quick  quick fox ', 2) AS ng
         |""".stripMargin).collect()(0)
     assert(r.getAs[Boolean]("b") && !r.getAs[Boolean]("b2"))
     assert(r.isNullAt(r.fieldIndex("l")))
@@ -29,6 +30,8 @@ class ApiSurfaceSpec extends SparkTestBase {
     assert(r.getAs[Int]("agree") == 2)
     assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
     assert(r.getAs[Double]("ds") == 1.25)
+    assert(r.getAs[scala.collection.Seq[String]]("ng").toSeq ==
+      Seq("the quick", "quick quick", "quick fox"))
   }
 
   test("typed Dataset edge round-trips the watermark table") {
