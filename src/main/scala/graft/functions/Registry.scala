@@ -53,8 +53,14 @@ object Registry {
     "dot_product" -> (es => dot(es.head, es(1))),
     "long_array_agree" -> (es => VectorExprs.LongArrayAgree(es.head, es(1))),
     "cosine_sim" -> (es => cosine(es.head, es(1))),
-    "word_ngrams" -> (es => TextExprs.WordNGrams(es.head,
-      es(1).eval().asInstanceOf[Number].intValue())))
+    "word_ngrams" -> (es => {
+      val nArg = if (es(1).foldable) es(1).eval() else null
+      nArg match {
+        case i: Number => TextExprs.WordNGrams(es.head, i.intValue())
+        case _ => throw new IllegalArgumentException(
+          "word_ngrams(text, n): n must be a foldable integer literal")
+      }
+    }))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -23,6 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExprs {
 
+  // compiled once: String.split("\\s+") would recompile the regex per row
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   /** Distinct space-joined word n-grams of `trim(lower(text))` split on
     * `\s+`; empty array when the doc has fewer than `n` tokens. */
   case class WordNGrams(child: Expression, n: Int)
@@ -40,7 +43,10 @@ object TextExprs {
     override def nullSafeEval(input: Any): Any = {
       // UTF8String lower/trim match the Lower/StringTrim expressions
       val s = input.asInstanceOf[UTF8String].toLowerCase.trim.toString
-      val toks = s.split("\\s+") // matches StringSplit(\s+) incl. "" -> [""]
+      // limit -1 matches Spark's StringSplit exactly: leading/trailing
+      // \s runs (trim strips only 0x20) produce empty tokens, as the HOF
+      // chain did — Java's one-arg split would silently drop trailing ones
+      val toks = WS.split(s, -1)
       if (toks.length < n) new GenericArrayData(Array.empty[Any])
       else {
         val seen = new mutable.LinkedHashSet[String] // array_distinct order

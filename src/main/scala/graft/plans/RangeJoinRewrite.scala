@@ -83,12 +83,14 @@ case class RangeJoinRewrite(binSeconds: () => Long)
               (a.references.subsetOf(rOut) && b.references.subsetOf(lOut)))
         case _ => false
       }
-      // optimizer rules must not throw and must not emit a div-by-zero bin:
-      // an unusable binSeconds conf leaves the join unrewritten
-      val w = try binSeconds() catch { case _: NumberFormatException => -1L }
-      if (hasEqui || w <= 0) j
+      // optimizer rules must not throw and must not emit a div-by-zero or
+      // overflowed bin divisor: an unusable binSeconds conf leaves the join
+      // unrewritten. Read lazily — equi joins (the common case) skip it.
+      lazy val w = try binSeconds() catch { case _: NumberFormatException => -1L }
+      if (hasEqui) j
       else rangePattern(conjuncts, left, right) match {
         case None => j
+        case Some(_) if w <= 0 || w > Long.MaxValue / 1000000L => j
         case Some((ts, start, end, strictEnd)) =>
           val tsOnLeft = ts.references.subsetOf(left.outputSet)
           val (pointPlan, intervalPlan) = if (tsOnLeft) (left, right) else (right, left)

@@ -117,7 +117,11 @@ class PropertySpec extends SparkTestBase {
       k <- Gen.choose(0, 12)
       ws <- Gen.listOfN(k, word)
       sep <- Gen.oneOf(" ", "  ", "\t", " \n ")
-    } yield ws.mkString(sep)
+      // leading/trailing whitespace matters: trim strips only 0x20, so \t\n
+      // edges exercise the empty-token semantics of split(limit = -1)
+      lead <- Gen.oneOf("", " ", "\t", "\n ")
+      tail <- Gen.oneOf("", " ", "\t ", "\n")
+    } yield lead + ws.mkString(sep) + tail
     val gen = Gen.zip(Gen.choose(1, 4), Gen.listOfN(25, doc))
     checkProp(forAll(gen) { case (n, texts) =>
       val df = texts.toDF("text")

@@ -78,15 +78,21 @@ object ScaleProbe {
     val ak = time(s"lsh_ann ${k}x")(ann(embK))
     println(f"[probe] lsh_ann ratio=${ak / a1}%.1f (k=$k, linear=~$k)")
 
-    // temporal joins: both sides grow k x (events + per-day order summaries)
+    // temporal joins: both sides grow k x. Each replica shifts its USER
+    // universe too — shifting only surrogate ids would stack k duplicate
+    // (custkey, orderdate) rows, violating the uniqueness AsOfJoin
+    // documents and probing a tie-collapse workload instead of k x keys.
+    def shiftUsers(df: DataFrame, userCol: String, idCol: String, i: Int) =
+      df.withColumn(userCol, col(userCol) + lit(i * 10000000L))
+        .withColumn(idCol, col(idCol) + lit(i * 10000000L))
     val ev1 = graft.model.Tables.load(spark, sfDir, "events")
       .select("event_id", "user_id", "ts").localCheckpoint()
-    val evK = replicate(ev1, "event_id", k).repartition(32).localCheckpoint()
+    val evK = (0 until k).map(i => shiftUsers(ev1, "user_id", "event_id", i))
+      .reduce(_ unionByName _).repartition(32).localCheckpoint()
     val od1 = graft.model.Tables.load(spark, sfDir, "orders")
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey")).localCheckpoint()
-    val odK = (0 until k).map(i => od1.withColumn("o_orderkey",
-        col("o_orderkey") + lit(i * 10000000L)))
+    val odK = (0 until k).map(i => shiftUsers(od1, "o_custkey", "o_orderkey", i))
       .reduce(_ unionByName _).repartition(32).localCheckpoint()
     def asofComposed(e: DataFrame, o: DataFrame): Long =
       graft.ops.AsOfJoin.asof(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
