@@ -307,4 +307,90 @@ object Dedup {
         when(bitCount(b) * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
         .reduce((x, y) => x.bitwiseOR(y)).as(out))
   }
+
+  // ---------------------------------------------------------------------
+  // Incremental near-dup: a 100 TB corpus is built batch by batch, so new
+  // documents must dedup against the EXISTING corpus without re-reading
+  // its text. The corpus is represented by its persisted MinHash index —
+  // the signature table (doc_id, sig) and the band table (doc_id, band_id,
+  // band_hash), both tiny relative to the text — and each batch joins its
+  // own bands against it. Cost per batch: O(|batch| × bands) shuffle rows
+  // plus the bucket-candidate joins; the old corpus is never rescanned.
+  // ---------------------------------------------------------------------
+
+  /** The persisted dedup state: append `kept` docs' rows after each batch
+    * (e.g. through MergeSink.appendDedup keyed on doc_id). */
+  final case class DedupIndex(signatures: DataFrame, bands: DataFrame)
+
+  def emptyIndex(spark: org.apache.spark.sql.SparkSession, k: Int): DedupIndex = {
+    import org.apache.spark.sql.types._
+    val sigSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sig", ArrayType(LongType))))
+    val bandSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band_id", IntegerType), StructField("band_hash", LongType)))
+    DedupIndex(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigSchema),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema))
+  }
+
+  /** Build the index for an initial corpus (equivalently: fold
+    * [[incrementalAssignments]] over it in batches). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, k: Int = 64, bands: Int = 16): DedupIndex = {
+    val sigs = signatures(docs, idCol, textCol, n, k)
+    DedupIndex(sigs, lshBands(sigs, k, bands))
+  }
+
+  /** Dedup one new batch against the corpus index. Returns the per-doc
+    * assignments (`doc_id, keeper_id, max_est_jaccard`) and the index rows
+    * of the KEPT docs (the ones to append to the persisted index).
+    *
+    * Keeper preference is first-seen: a match already in the corpus always
+    * wins over an in-batch match (regardless of id), in-batch matches fall
+    * back to the smallest id — so with an empty index this degenerates to
+    * exactly [[minhashDedupAssignments]]. Chained duplicates keep the batch
+    * semantics: a doc's keeper may itself be assigned elsewhere.
+    */
+  def incrementalAssignments(newDocs: DataFrame, idCol: String, textCol: String,
+                             index: DedupIndex,
+                             n: Int = 3, k: Int = 64, bands: Int = 16,
+                             threshold: Double = 0.5): (DataFrame, DedupIndex) = {
+    // reused by two candidate joins, the estimate join, and the kept split
+    val newSigs = signatures(newDocs, idCol, textCol, n, k).localCheckpoint()
+    val newBands = lshBands(newSigs, k, bands).localCheckpoint()
+
+    def renamed(df: DataFrame) = df.select(col("doc_id").as("tgt"),
+      col("band_id"), col("band_hash"))
+    // corpus matches (priority 0: first-seen wins) + in-batch smaller ids
+    val corpusCand = newBands.join(renamed(index.bands), Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("tgt"), lit(0).as("prio"))
+    val batchCand = newBands.join(renamed(newBands), Seq("band_id", "band_hash"))
+      .filter(col("tgt") < col("doc_id"))
+      .select(col("doc_id"), col("tgt"), lit(1).as("prio"))
+    val tgtSigs = index.signatures.unionByName(newSigs)
+      .select(col("doc_id").as("tgt"), col("sig").as("sig_t"))
+
+    val scored = corpusCand.unionByName(batchCand).distinct()
+      .join(newSigs.select(col("doc_id"), col("sig")), Seq("doc_id"))
+      .join(tgtSigs, Seq("tgt"))
+      .select(col("doc_id"), col("tgt"), col("prio"),
+        (graft.functions.VectorExprs.longArrayAgree(col("sig"), col("sig_t"))
+          .cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+
+    val keepers = scored.groupBy(col("doc_id"))
+      .agg(min(struct(col("prio"), col("tgt"))).as("best"),
+        max(col("est_jaccard")).as("max_est_jaccard"))
+      .select(col("doc_id"), col("best.tgt").as("cand"), col("max_est_jaccard"))
+    val assignments = newDocs.select(col(idCol).as("doc_id"))
+      .join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cand"), col("doc_id")).as("keeper_id"),
+        col("max_est_jaccard"))
+
+    val kept = assignments.filter(col("keeper_id") === col("doc_id"))
+      .select(col("doc_id"))
+    (assignments, DedupIndex(
+      newSigs.join(kept, Seq("doc_id"), "left_semi"),
+      newBands.join(kept, Seq("doc_id"), "left_semi")))
+  }
 }

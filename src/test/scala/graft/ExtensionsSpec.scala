@@ -139,4 +139,45 @@ class ExtensionsSpec extends SparkTestBase {
     assert(Multimodal.sampleFrames(assets).columns.toSeq ==
       Seq("asset_id", "frame_no", "frame_payload_b64"))
   }
+
+  test("incremental dedup: empty index degenerates to the batch algorithm") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val (assign, _) = Dedup.incrementalAssignments(docs, "doc_id", "text",
+      Dedup.emptyIndex(spark, 64), threshold = 0.6)
+    val batch = Dedup.minhashDedupAssignments(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.6)
+    val a = assign.select("doc_id", "keeper_id")
+      .as[(Long, Long)].collect().toSet
+    val b = batch.select("doc_id", "keeper_id")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("incremental dedup: cross-batch duplicates map to the corpus keeper") {
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark and parquet files"))
+      .toDF("doc_id", "text")
+    val (a1, idx1) = Dedup.incrementalAssignments(b1, "doc_id", "text",
+      Dedup.emptyIndex(spark, 64), threshold = 0.6)
+    assert(a1.filter(col("doc_id") === col("keeper_id")).count() == 2)
+
+    // batch 2: an exact copy of doc 1 (smaller id!) + a fresh doc
+    val b2 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (9L, "novel text that matches nothing else in the whole corpus"))
+      .toDF("doc_id", "text")
+    val (a2, idx2) = Dedup.incrementalAssignments(b2, "doc_id", "text", idx1,
+      threshold = 0.6)
+    val m = a2.select("doc_id", "keeper_id").as[(Long, Long)].collect().toMap
+    // first-seen semantics: the corpus doc wins even over the smaller id
+    assert(m == Map(0L -> 1L, 9L -> 9L))
+    // only the kept doc's rows extend the index
+    assert(idx2.signatures.select("doc_id").as[Long].collect().toSeq == Seq(9L))
+
+    // idempotent replay of the same batch against the same index
+    val (a2b, _) = Dedup.incrementalAssignments(b2, "doc_id", "text", idx1,
+      threshold = 0.6)
+    assert(a2b.select("doc_id", "keeper_id").as[(Long, Long)].collect().toMap == m)
+  }
 }
