@@ -151,6 +151,69 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup runs as a streaming fold over a persisted index") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val srcDir = tmpDir("incdedup-src")
+    val sigDir = tmpDir("incdedup-sig")
+    val bandDir = tmpDir("incdedup-band")
+    val asgDir = tmpDir("incdedup-asg")
+
+    // 3 files = 3 micro-batches; copies planted across batches
+    val mk = (id: Long, text: String) => (id, text)
+    Seq(mk(1, "alpha beta gamma delta epsilon zeta eta theta"),
+        mk(2, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir + "/f1")
+    Seq(mk(3, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+        mk(4, "fresh unique content in the second batch entirely"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir + "/f2")
+    Seq(mk(5, "one two three four five six seven eight nine"),  // dup of 2
+        mk(6, "alpha beta gamma delta epsilon zeta eta theta")) // dup of 1
+      .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir + "/f3")
+    // one flat dir for the file stream, ordered by name = batch order
+    val flat = tmpDir("incdedup-flat")
+    new java.io.File(flat).mkdirs()
+    for ((f, i) <- Seq("f1", "f2", "f3").zipWithIndex) {
+      val part = new java.io.File(srcDir + "/" + f).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(flat, s"$f.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // FileStreamSource orders batches by mtime, not name — make it strict
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+
+    def loadIndex() = {
+      def loadOr(dir: String, like: org.apache.spark.sql.DataFrame) =
+        if (new java.io.File(dir).exists()) spark.read.parquet(dir) else like
+      val empty = Dedup.emptyIndex(spark, 64)
+      Dedup.DedupIndex(loadOr(sigDir, empty.signatures),
+        loadOr(bandDir, empty.bands))
+    }
+    val stream = Streams.parquetStream(spark, flat,
+      spark.read.parquet(flat).schema, maxFilesPerTrigger = 1)
+    val q = Streams.toMergeSink(stream, tmpDir("incdedup-ck"),
+      Trigger.AvailableNow()) { (s, batch, _) =>
+      val (assign, add) = Dedup.incrementalAssignments(
+        batch, "doc_id", "text", loadIndex(), threshold = 0.6)
+      // persist assignments, then extend the index with the kept docs
+      MergeSink.appendDedup(s, asgDir, assign, "doc_id")
+      MergeSink.appendDedup(s, sigDir, add.signatures, "doc_id")
+      MergeSink.appendDedup(s, bandDir,
+        add.bands.withColumn("bk",
+          concat_ws("#", col("doc_id"), col("band_id"))), "bk")
+    }
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(asgDir).select("doc_id", "keeper_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L,
+      5L -> 2L, 6L -> 1L))
+    // the persisted index holds exactly the kept representatives
+    assert(spark.read.parquet(sigDir).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+
   test("windowed counts with watermark produce sane totals") {
     val srcDir = tmpDir("wstream-src")
     val events = Tables.load(spark, sf(), "events")
