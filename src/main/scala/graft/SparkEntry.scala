@@ -554,6 +554,30 @@ object SparkEntry {
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.125))
         .select(col("doc_id"), col("source"))),
 
+    // Per-label centroid cohesion: element-wise label centroids, then each
+    // vector's cosine to its own label's prototype, averaged per label —
+    // the embedding-quality eval of a labeled corpus. All sums go through
+    // the decimal-exact pattern so both engines agree bit-for-bit.
+    "q56_label_centroids" -> ((s, dir) => {
+      val el = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("xf").cast("double").as("x"))
+      val cent = el.groupBy(col("label"), col("pos"))
+        .agg(decimalAvg(col("x"), 12).as("c"))
+      val per = el.join(cent, Seq("label", "pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(decimalSum(col("x") * col("c"), 12).as("dot"),
+          decimalSum(col("x") * col("x"), 12).as("nx"),
+          decimalSum(col("c") * col("c"), 12).as("nc"))
+      per.select(col("label"),
+          (col("dot") / sqrt(col("nx") * col("nc"))).as("cos"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(decimalSum(col("cos"), 12) / count(lit(1)), 6).as("mean_cos_r6"))
+    }),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -915,6 +939,30 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS "signup",
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q56_label_centroids" ->
+      """WITH e AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        | FROM embeddings),
+        |p AS (SELECT vec_id, label, v,
+        |      unnest(range(CAST(len(v) AS BIGINT))) AS pos FROM e),
+        |x AS (SELECT vec_id, label, pos, v[pos + 1] AS x FROM p),
+        |cent AS (
+        | SELECT label, pos,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / COUNT(x) AS c
+        | FROM x GROUP BY label, pos),
+        |per AS (
+        | SELECT x.vec_id, x.label,
+        |  CAST(SUM(CAST(x.x * cent.c AS DECIMAL(18,12))) AS DOUBLE) AS dot,
+        |  CAST(SUM(CAST(x.x * x.x AS DECIMAL(18,12))) AS DOUBLE) AS nx,
+        |  CAST(SUM(CAST(cent.c * cent.c AS DECIMAL(18,12))) AS DOUBLE) AS nc
+        | FROM x JOIN cent USING (label, pos)
+        | GROUP BY x.vec_id, x.label),
+        |cv AS (SELECT label, dot / sqrt(nx * nc) AS cos FROM per)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        | round(CAST(SUM(CAST(cos AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+        |   AS mean_cos_r6
+        |FROM cv GROUP BY label""".stripMargin,
 
     "q55_asof_exec" ->
       """WITH oa AS (
