@@ -578,6 +578,26 @@ object SparkEntry {
           round(decimalSum(col("cos"), 12) / count(lit(1)), 6).as("mean_cos_r6"))
     }),
 
+    // The corpus end product: encode (q51) joined to packing (q52) and
+    // materialized as ordered token-id sequences per (shard, pack) — what
+    // a training job actually reads. Order inside a pack is
+    // (pack_offset, pos), both unique, so the concatenation is total.
+    "q57_pack_sequences" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val enc = graft.ext.Corpus.encode(docs, col("doc_id"), col("text"),
+        graft.ext.Corpus.buildVocab(docs, col("text")))
+      val packs = graft.ext.Corpus.packSequences(docs, col("doc_id"),
+        col("text"), capacity = 512, nShards = 4)
+      enc.join(packs.select("doc_id", "shard", "pack_id", "pack_offset"),
+          Seq("doc_id"))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(pack_offset, pos, token_id)))," +
+              " x -> cast(x.token_id as string))"), " ").as("seq"))
+    }),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -939,6 +959,47 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS "signup",
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view"
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q57_pack_sequences" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        |p0 AS (SELECT doc_id, unnest(range(CAST(len(t) AS BIGINT))) AS pos, t
+        |       FROM t),
+        |tok AS (SELECT doc_id, pos, t[pos + 1] AS token FROM p0),
+        |vocab AS (
+        | SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        | FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |         AS token FROM documents) u
+        | GROUP BY token),
+        |v AS (SELECT token,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |    AS token_id
+        | FROM vocab),
+        |enc AS (SELECT tok.doc_id, tok.pos, v.token_id
+        |        FROM tok JOIN v USING (token)),
+        |d AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 4
+        |    AS shard
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, shard, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |    AS cum_before
+        | FROM d),
+        |pk AS (SELECT doc_id, shard, cum_before // 512 AS pack_id,
+        |       cum_before % 512 AS pack_offset FROM c)
+        |SELECT pk.shard, pk.pack_id,
+        | CAST(COUNT(DISTINCT enc.doc_id) AS BIGINT) AS n_docs,
+        | CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        | string_agg(CAST(enc.token_id AS VARCHAR), ' '
+        |   ORDER BY pk.pack_offset, enc.pos) AS seq
+        |FROM enc JOIN pk USING (doc_id)
+        |GROUP BY pk.shard, pk.pack_id""".stripMargin,
 
     "q56_label_centroids" ->
       """WITH e AS (
