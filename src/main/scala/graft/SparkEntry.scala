@@ -571,7 +571,10 @@ object SparkEntry {
         .agg(decimalSum(col("x") * col("c"), 12).as("dot"),
           decimalSum(col("x") * col("x"), 12).as("nx"),
           decimalSum(col("c") * col("c"), 12).as("nc"))
-      per.select(col("label"),
+      // zero-norm guard: Spark's 0/0 is NULL while DuckDB's NaN aborts the
+      // decimal cast — exclude degenerate vectors identically on both sides
+      per.filter(col("nx") > 0 && col("nc") > 0)
+        .select(col("label"),
           (col("dot") / sqrt(col("nx") * col("nc"))).as("cos"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
@@ -1019,7 +1022,8 @@ object SparkEntry {
         |  CAST(SUM(CAST(cent.c * cent.c AS DECIMAL(18,12))) AS DOUBLE) AS nc
         | FROM x JOIN cent USING (label, pos)
         | GROUP BY x.vec_id, x.label),
-        |cv AS (SELECT label, dot / sqrt(nx * nc) AS cos FROM per)
+        |cv AS (SELECT label, dot / sqrt(nx * nc) AS cos FROM per
+        |       WHERE nx > 0 AND nc > 0)
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         | round(CAST(SUM(CAST(cos AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
         |   AS mean_cos_r6

@@ -318,11 +318,15 @@ object Dedup {
   // plus the bucket-candidate joins; the old corpus is never rescanned.
   // ---------------------------------------------------------------------
 
-  /** The persisted dedup state: append `kept` docs' rows after each batch
-    * (e.g. through MergeSink.appendDedup keyed on doc_id). */
+  /** The persisted dedup state: append the returned DELTA (the kept docs'
+    * rows) after each batch. When persisting through
+    * `MergeSink.appendDedup`, key signatures on `doc_id` but bands on the
+    * COMPOSITE (doc_id, band_id) — the sink dedups on its key, and a bare
+    * doc_id key would collapse a doc's `bands` rows to one, silently
+    * dropping most LSH buckets. */
   final case class DedupIndex(signatures: DataFrame, bands: DataFrame)
 
-  def emptyIndex(spark: org.apache.spark.sql.SparkSession, k: Int): DedupIndex = {
+  def emptyIndex(spark: org.apache.spark.sql.SparkSession): DedupIndex = {
     import org.apache.spark.sql.types._
     val sigSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("sig", ArrayType(LongType))))
@@ -333,17 +337,21 @@ object Dedup {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema))
   }
 
-  /** Build the index for an initial corpus (equivalently: fold
-    * [[incrementalAssignments]] over it in batches). */
+  /** Build the index for an initial corpus: dedup it first, index ONLY the
+    * kept representatives. Indexing every doc would let later batches pick
+    * a dropped near-duplicate as keeper — a ghost reference to a document
+    * that no longer exists in the published corpus. This is exactly one
+    * step of the incremental fold with an empty starting index. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int = 3, k: Int = 64, bands: Int = 16): DedupIndex = {
-    val sigs = signatures(docs, idCol, textCol, n, k)
-    DedupIndex(sigs, lshBands(sigs, k, bands))
-  }
+                 n: Int = 3, k: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.5): DedupIndex =
+    incrementalAssignments(docs, idCol, textCol,
+      emptyIndex(docs.sparkSession), n, k, bands, threshold)._2
 
   /** Dedup one new batch against the corpus index. Returns the per-doc
-    * assignments (`doc_id, keeper_id, max_est_jaccard`) and the index rows
-    * of the KEPT docs (the ones to append to the persisted index).
+    * assignments (`doc_id, keeper_id, max_est_jaccard`) and the index
+    * DELTA — the kept docs' rows only, to APPEND to the persisted index
+    * (it is not the accumulated index itself).
     *
     * Keeper preference is first-seen: a match already in the corpus always
     * wins over an in-batch match (regardless of id), in-batch matches fall

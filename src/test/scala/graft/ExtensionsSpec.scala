@@ -143,7 +143,7 @@ class ExtensionsSpec extends SparkTestBase {
   test("incremental dedup: empty index degenerates to the batch algorithm") {
     val docs = Tables.load(spark, sf(), "documents")
     val (assign, _) = Dedup.incrementalAssignments(docs, "doc_id", "text",
-      Dedup.emptyIndex(spark, 64), threshold = 0.6)
+      Dedup.emptyIndex(spark), threshold = 0.6)
     val batch = Dedup.minhashDedupAssignments(docs, "doc_id", "text",
       n = 3, k = 64, bands = 16, threshold = 0.6)
     val a = assign.select("doc_id", "keeper_id")
@@ -153,13 +153,31 @@ class ExtensionsSpec extends SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("buildIndex indexes only the kept representatives (no ghost keepers)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // dropped dup of 1
+      (5L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(docs, "doc_id", "text", threshold = 0.6)
+    // doc 3 was assigned to keeper 1, so it must not be indexable as a
+    // keeper for future batches
+    assert(idx.signatures.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+    assert(idx.bands.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 5L))
+    val (a, _) = Dedup.incrementalAssignments(
+      Seq((9L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx, threshold = 0.6)
+    assert(a.select("doc_id", "keeper_id").as[(Long, Long)].collect().toMap ==
+      Map(9L -> 1L))
+  }
+
   test("incremental dedup: cross-batch duplicates map to the corpus keeper") {
     val b1 = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "completely different content about spark and parquet files"))
       .toDF("doc_id", "text")
     val (a1, idx1) = Dedup.incrementalAssignments(b1, "doc_id", "text",
-      Dedup.emptyIndex(spark, 64), threshold = 0.6)
+      Dedup.emptyIndex(spark), threshold = 0.6)
     assert(a1.filter(col("doc_id") === col("keeper_id")).count() == 2)
 
     // batch 2: an exact copy of doc 1 (smaller id!) + a fresh doc

@@ -160,15 +160,14 @@ class StreamsSpec extends SparkTestBase {
     val asgDir = tmpDir("incdedup-asg")
 
     // 3 files = 3 micro-batches; copies planted across batches
-    val mk = (id: Long, text: String) => (id, text)
-    Seq(mk(1, "alpha beta gamma delta epsilon zeta eta theta"),
-        mk(2, "one two three four five six seven eight nine"))
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight nine"))
       .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir + "/f1")
-    Seq(mk(3, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
-        mk(4, "fresh unique content in the second batch entirely"))
+    Seq((3L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+        (4L, "fresh unique content in the second batch entirely"))
       .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir + "/f2")
-    Seq(mk(5, "one two three four five six seven eight nine"),  // dup of 2
-        mk(6, "alpha beta gamma delta epsilon zeta eta theta")) // dup of 1
+    Seq((5L, "one two three four five six seven eight nine"),  // dup of 2
+        (6L, "alpha beta gamma delta epsilon zeta eta theta")) // dup of 1
       .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir + "/f3")
     // one flat dir for the file stream, ordered by name = batch order
     val flat = tmpDir("incdedup-flat")
@@ -186,7 +185,7 @@ class StreamsSpec extends SparkTestBase {
     def loadIndex() = {
       def loadOr(dir: String, like: org.apache.spark.sql.DataFrame) =
         if (new java.io.File(dir).exists()) spark.read.parquet(dir) else like
-      val empty = Dedup.emptyIndex(spark, 64)
+      val empty = Dedup.emptyIndex(spark)
       Dedup.DedupIndex(loadOr(sigDir, empty.signatures),
         loadOr(bandDir, empty.bands))
     }
