@@ -14,15 +14,49 @@ object Corpus {
   private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Frequency-ranked vocabulary: `(token, token_id, freq)`, token_id
-    * 1-based dense rank by (freq desc, token). The global window runs on a
-    * single partition, but only over the DISTINCT-token aggregate — ~10M
-    * rows at web scale, not the corpus — which is the standard shape for
-    * vocab construction. */
-  def buildVocab(docs: DataFrame, text: Column): DataFrame =
-    docs.select(explode(toks(text)).as("token"))
+    * 1-based rank by (freq desc, token).
+    *
+    * The rank is computed WITHOUT a global single-partition window: the
+    * distinct-token aggregate is range-partitioned on the rank order, ranked
+    * within each partition, and shifted by per-partition row-count offsets
+    * (a bounded collect of one row per partition). Output is identical to
+    * `row_number() OVER (ORDER BY freq DESC, token)` — (freq, token) is a
+    * strict total order since token is unique — but the sort distributes
+    * over all shuffle partitions, so a 10M-token web-scale vocab ranks in
+    * parallel instead of on one executor thread. */
+  def buildVocab(docs: DataFrame, text: Column): DataFrame = {
+    val freqs = docs.select(explode(toks(text)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(desc("freq"), col("token"))).cast("long"))
+    globalRank(freqs, Seq(desc("freq"), col("token")), "token_id")
+  }
+
+  /** Attach a 1-based global rank column by `order` (which must be a strict
+    * total order) without a single-partition window: range-partition on the
+    * order, rank within partitions, add per-partition offsets. The only
+    * driver-side state is one (partition, count) row per shuffle partition. */
+  private[graft] def globalRank(df: DataFrame, order: Seq[Column],
+      out: String): DataFrame = {
+    // Pin the range-shuffled aggregate: both the offset job and the final
+    // plan read it, and without the checkpoint each would re-run the
+    // upstream corpus scan.
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // Bounded collect: one row per shuffle partition. Offsets make the
+    // within-partition ranks globally consecutive in range order.
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__offset")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    parted
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), "__pid")
+      .withColumn(out, col("__offset") + col("__r"))
+      .drop("__pid", "__r", "__offset")
+  }
 
   /** Integer-encode documents against a vocabulary: one row per token
     * position `(doc_id, pos, token, token_id)`. The vocab join shuffles on
