@@ -559,18 +559,31 @@ object SparkEntry {
     // the embedding-quality eval of a labeled corpus. All sums go through
     // the decimal-exact pattern so both engines agree bit-for-bit.
     "q56_label_centroids" -> ((s, dir) => {
-      val el = T(s, dir, "embeddings")
+      val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "xf")))
-        .select(col("vec_id"), col("label"), col("pos"),
-          col("xf").cast("double").as("x"))
-      val cent = el.groupBy(col("label"), col("pos"))
+          col("embedding").cast("array<double>").as("v"))
+      // centroid aggregate still goes through the exploded form (that's the
+      // distributed mean), but the per-vector cosine no longer joins against
+      // 64× inflated rows: centroids reassemble into per-label arrays
+      // (O(labels) rows), broadcast, and the dot/norm fold runs as a narrow
+      // single pass over the original vectors (decimalSumArr keeps the
+      // term-wise decimal cast, so the result is bit-identical to the old
+      // shuffle-join plan and to the DuckDB oracle).
+      val cent = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
         .agg(decimalAvg(col("x"), 12).as("c"))
-      val per = el.join(cent, Seq("label", "pos"))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(decimalSum(col("x") * col("c"), 12).as("dot"),
-          decimalSum(col("x") * col("x"), 12).as("nx"),
-          decimalSum(col("c") * col("c"), 12).as("nc"))
+      val centArr = cent.groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), t -> t.c)")
+          .as("carr"))
+        // per-label centroid norm: identical terms to the old per-vector
+        // decimalSum(c*c), computed once per label instead of once per vector
+        .withColumn("nc", decimalSumArr(expr("transform(carr, c -> c * c)"), 12))
+      val per = emb.join(broadcast(centArr), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          decimalSumArr(expr("zip_with(v, carr, (x, c) -> x * c)"), 12).as("dot"),
+          decimalSumArr(expr("transform(v, x -> x * x)"), 12).as("nx"),
+          col("nc"))
       // zero-norm guard: Spark's 0/0 is NULL while DuckDB's NaN aborts the
       // decimal cast — exclude degenerate vectors identically on both sides
       per.filter(col("nx") > 0 && col("nc") > 0)
@@ -994,8 +1007,9 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
         |    AS cum_before
         | FROM d),
-        |pk AS (SELECT doc_id, shard, cum_before // 512 AS pack_id,
-        |       cum_before % 512 AS pack_offset FROM c)
+        |pk AS (SELECT doc_id, shard,
+        |       CAST(cum_before // 512 AS BIGINT) AS pack_id,
+        |       CAST(cum_before % 512 AS BIGINT) AS pack_offset FROM c)
         |SELECT pk.shard, pk.pack_id,
         | CAST(COUNT(DISTINCT enc.doc_id) AS BIGINT) AS n_docs,
         | CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -1082,8 +1096,8 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
         |    AS cum_before
         | FROM d)
-        |SELECT doc_id, shard, cum_before // 512 AS pack_id,
-        | cum_before % 512 AS pack_offset, n_tokens
+        |SELECT doc_id, shard, CAST(cum_before // 512 AS BIGINT) AS pack_id,
+        | CAST(cum_before % 512 AS BIGINT) AS pack_offset, n_tokens
         |FROM c""".stripMargin,
 
     "q53_decontaminate" ->

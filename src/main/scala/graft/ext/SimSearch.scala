@@ -171,27 +171,24 @@ object SimSearch {
 
   /** Int8 scalar-quantization error profile per vector — the storage-
     * compression step of a large embedding store (4× smaller than float32),
-    * validated by its reconstruction error. Exploded formulation: the
-    * per-vector scale comes from a codegen'd max-aggregate (never a HOF
-    * re-inlined per element), and the rounding is explicit floor(x+0.5) so
-    * any engine reproduces the quantized values bit-for-bit (no
-    * round-half-mode ambiguity). */
+    * validated by its reconstruction error. Single-pass formulation: the
+    * whole profile (scale, max error, decimal-exact mean error) folds over
+    * each vector's array in place — no explode, no dim× row inflation, no
+    * per-vector shuffle join back to its own max. The rounding is explicit
+    * floor(x+0.5) so any engine reproduces the quantized values bit-for-bit
+    * (no round-half-mode ambiguity), and the mean goes through
+    * [[graft.functions.SafeCasts.decimalSumArr]] — the same per-term decimal
+    * cast the old exploded aggregate used, so results are bit-identical. */
   def quantizationError(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val el = corpus.select(col(idCol).as("vec_id"),
-      explode(col(vecCol).cast("array<double>")).as("x"))
-    val mx = el.groupBy(col("vec_id")).agg(max(abs(col("x"))).as("mx"))
-    val q = col("x") * 127.0 / col("mx")
-    val err = abs(col("x") - floor(q + 0.5) * col("mx") / 127.0)
-    el.join(mx, "vec_id")
-      .select(col("vec_id"), col("mx"), err.as("err"))
-      .groupBy(col("vec_id"), col("mx"))
-      .agg(max(col("err")).as("maxe"),
-        // decimal-exact mean: double accumulation is order-dependent
-        (sum(col("err").cast("decimal(18,12)")).cast("double") / count(lit(1)))
-          .as("meane"))
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("errs", expr(
+        "transform(v, x -> abs(x - floor(x * 127.0D / mx + 0.5D) * mx / 127.0D))"))
       .select(col("vec_id"), round(col("mx") / 127.0, 6).as("scale_r6"),
-        round(col("maxe"), 6).as("max_abs_err_r6"),
-        round(col("meane"), 6).as("mean_abs_err_r6"))
+        round(expr("array_max(errs)"), 6).as("max_abs_err_r6"),
+        round(graft.functions.SafeCasts.decimalSumArr(col("errs"), 12)
+          / size(col("v")), 6).as("mean_abs_err_r6"))
   }
 
   /** Per-query recall@k of an ANN result against the exact top-k — the

@@ -63,4 +63,24 @@ object SafeCasts {
   /** Order-independent mean: exact decimal sum divided by count. */
   def decimalAvg(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+
+  /** Single-pass, per-row equivalent of [[decimalSum]] over an array<double>:
+    * each element goes through the SAME `Cast(double → decimal(18,scale))`
+    * the aggregate form uses (so cross-engine rounding agreement carries
+    * over verbatim), and exact decimal addition makes the fold equal to any
+    * other exact summation of those terms. This replaces the
+    * explode → shuffle → re-aggregate pattern for vector math: one narrow
+    * map instead of a dim× row inflation. Higher-order functions are
+    * interpreted (not codegen'd), but the work is O(dim) per row with no
+    * shuffle — the trade you want at scale. */
+  def decimalSumArr(arr: Column, scale: Int = 2): Column =
+    // accumulator at precision 37 so each Add promotes to exactly (38,scale)
+    // — at 38 the promotion would overflow the cap and silently DROP a scale
+    // digit (38,scale-1), losing exactness. The cast back to (37,scale) is
+    // exact for any sum under 10^(37-scale), far beyond these workloads.
+    aggregate(arr,
+      lit(0).cast(DecimalType(37, scale)),
+      (acc, x) =>
+        (acc + x.cast(DecimalType(18, scale))).cast(DecimalType(37, scale)))
+      .cast("double")
 }
