@@ -58,12 +58,13 @@ object Main {
     // compact the date-partitioned event log off the hot path every 120
     // cycles (~hourly) once it fragments past 256 files
     val compactEvery = env.getOrElse("GRAFT_COMPACT_EVERY_CYCLES", "120").trim.toInt
+    val compactMaxFiles = env.getOrElse("GRAFT_COMPACT_MAX_FILES", "256").trim.toInt
     val sched = new CycleScheduler(runner, conf.maxConsecutiveFailures,
       metrics = Some(new MetricsStore(spark, boot.tablePath("etl_metrics"))),
       maintenance = cycleId =>
         if (compactEvery > 0 && cycleId % compactEvery == 0)
           graft.merge.MergeSink.compactIfNeeded(spark,
-            boot.tablePath("fact_scenario_timeline"), maxFiles = 256,
+            boot.tablePath("fact_scenario_timeline"), maxFiles = compactMaxFiles,
             targetPartitions = 1, partitionCols = Seq("event_date")))
     val cycles = env.get("GRAFT_CYCLES").map(_.trim.toInt).getOrElse(Int.MaxValue)
     sched.run(ScenarioPipeline.streams(spark, src, boot),

@@ -33,9 +33,23 @@ object Corpus {
   /** Attach a 1-based global rank column by `order` (which must be a strict
     * total order) without a single-partition window: range-partition on the
     * order, rank within partitions, add per-partition offsets. The only
-    * driver-side state is one (partition, count) row per shuffle partition. */
+    * driver-side state is one (partition, count) row per shuffle partition.
+    *
+    * Caveats of the `localCheckpoint` pin (same trade as the connected-
+    * components rounds in [[Dedup]]): it executes the upstream scan EAGERLY
+    * at call time, truncates lineage — losing an executor that holds
+    * checkpointed blocks (spot kill, dynamic deallocation) fails the job
+    * unrecoverably rather than recomputing — and the blocks stay cached
+    * until the result is fully consumed and GC'd. On a cluster where
+    * executor churn is expected, swap for `persist(MEMORY_AND_DISK)` +
+    * `count()`: same double-read protection, lineage preserved. */
   private[graft] def globalRank(df: DataFrame, order: Seq[Column],
       out: String): DataFrame = {
+    // withColumn silently REPLACES an existing column of the same name,
+    // which would corrupt both the rank and the caller's data.
+    val reserved = Set("__pid", "__r", "__offset")
+    require(!df.columns.exists(reserved),
+      s"globalRank input must not contain helper columns $reserved")
     // Pin the range-shuffled aggregate: both the offset job and the final
     // plan read it, and without the checkpoint each would re-run the
     // upstream corpus scan.

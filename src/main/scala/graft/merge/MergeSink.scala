@@ -353,6 +353,91 @@ object MergeSink {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Transactional mode (M1-M4 over the TxTable commit log)
+  //
+  // Same merge plans, different commit protocol: instead of the rename
+  // swap (multi-step, needs recover()), each batch publishes via ONE log
+  // rename — no crash window a reader can observe, no recovery pass. This
+  // is the binding writeReplace's scaladoc promises for cluster deploys.
+  // ---------------------------------------------------------------------
+
+  /** M1 over the commit log: full merge + atomic `replace` commit. */
+  def upsertPartialTx(spark: SparkSession, dir: String, batch: DataFrame,
+                      keys: Seq[String], mutableCols: Seq[String],
+                      orderCols: Seq[String] = Nil): Unit = {
+    val b = latestPerKey(batch, keys, orderCols)
+    TxTable.read(spark, dir) match {
+      case None           => TxTable.replace(spark, dir, b)
+      case Some(existing) =>
+        TxTable.replace(spark, dir, mergeRows(existing, b, keys, mutableCols))
+    }
+  }
+
+  /** M2 over the commit log (see [[scd2]] for semantics). */
+  def scd2Tx(spark: SparkSession, dir: String, batch: DataFrame,
+             key: String, mutableCols: Seq[String],
+             orderCols: Seq[String] = Nil): Unit =
+    upsertPartialTx(spark, dir, batch, Seq(key), mutableCols, orderCols)
+
+  /** M1 scoped + transactional — the 100 TB path with an O(1) commit:
+    * read ONLY the partitions holding batch keys (pruned at the log level,
+    * no footer of an untouched partition is opened), merge, and publish a
+    * `replacePartitions` commit. Untouched partitions' files are never
+    * rewritten, moved, or re-listed. Scheme changes migrate via one full
+    * rewrite, as in [[upsertPartialScoped]]. */
+  def upsertPartialScopedTx(spark: SparkSession, dir: String, batch: DataFrame,
+                            keys: Seq[String], mutableCols: Seq[String],
+                            scheme: PartitionScheme,
+                            orderCols: Seq[String] = Nil): Unit = {
+    val b = latestPerKey(batch, keys, orderCols).localCheckpoint()
+    def staged(df: DataFrame) = df.withColumn(scheme.colName, scheme.expr)
+    if (!TxTable.exists(spark, dir))
+      TxTable.replace(spark, dir, staged(b), Seq(scheme.colName),
+        Some(scheme.descriptor))
+    else if (!TxTable.currentScheme(spark, dir).contains(scheme.descriptor)) {
+      // layout mismatch (bucket resize / legacy): pruning would merge
+      // against the wrong partitions — one full rewrite migrates safely
+      val existing = TxTable.read(spark, dir).get
+      TxTable.replace(spark, dir,
+        staged(mergeRows(existing.drop(scheme.colName), b, keys, mutableCols)),
+        Seq(scheme.colName), Some(scheme.descriptor))
+    } else {
+      // bounded collect: one scalar per touched partition, never data
+      val touched = b.select(scheme.expr.as(scheme.colName)).distinct()
+        .collect().map(r => TxTable.fragment(scheme.colName, r.get(0))).toSet
+      if (touched.nonEmpty) {
+        val merged = TxTable.read(spark, dir, Some(touched)) match {
+          case None         => b // no live rows in the touched partitions
+          case Some(scoped) =>
+            mergeRows(scoped.drop(scheme.colName), b, keys, mutableCols)
+        }
+        TxTable.replacePartitions(spark, dir, staged(merged), scheme.colName,
+          Some(scheme.descriptor))
+      }
+    }
+  }
+
+  /** M3 over the commit log: anti-join then a pure `append` commit. */
+  def insertIfAbsentTx(spark: SparkSession, dir: String, batch: DataFrame,
+                       keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
+    val b = batch.dropDuplicates(keys)
+    TxTable.read(spark, dir) match {
+      case None => TxTable.append(spark, dir, b, partitionCols)
+      case Some(existing) =>
+        val fresh = b.join(
+            existing.select(keys.map(col): _*).dropDuplicates(keys),
+            keys, "left_anti")
+          .select(existing.columns.map(col).toSeq: _*) // stable column order
+        if (!fresh.isEmpty) TxTable.append(spark, dir, fresh, partitionCols)
+    }
+  }
+
+  /** M4 over the commit log: [[insertIfAbsentTx]] on a synthesized key. */
+  def appendDedupTx(spark: SparkSession, dir: String, batch: DataFrame,
+                    key: String, partitionCols: Seq[String] = Nil): Unit =
+    insertIfAbsentTx(spark, dir, batch, Seq(key), partitionCols)
+
   /** Small-file compaction: append-mode sinks (M3/M4) accrete one file set
     * per micro-batch — at a 30 s cadence that is ~2.9k file sets/day, which
     * degrades scan planning and row-group pruning long before storage cost

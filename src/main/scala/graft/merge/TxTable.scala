@@ -1,0 +1,297 @@
+package graft.merge
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal commit-log table format — the transactional binding
+  * [[MergeSink.writeReplace]]'s scaladoc promises, so M1/M2 merges stop
+  * depending on multi-step directory renames (SURVEY §2.10; the reference
+  * gets this for free from PostgreSQL transactions, load.py:10-187).
+  *
+  * Layout:
+  * {{{
+  *   <dir>/_graft_log/00000000000000000001.commit   // one text file per commit
+  *   <dir>/data/b-<uuid>/[partCol=val/]part-*.parquet  // immutable data files
+  * }}}
+  *
+  * Protocol (the Delta-lake shape, cut to what a single writer needs):
+  *  - Writers stage data files under a fresh `data/b-<uuid>/` dir, then
+  *    publish them by renaming ONE small log file into the next numbered
+  *    slot. That single rename is the only atomicity requirement (atomic on
+  *    local FS and HDFS; an object store needs a conditional put — same as
+  *    every log-based format).
+  *  - Readers replay the numbered commits in order to a live file set and
+  *    read exactly those files. There is NO window where a reader can see a
+  *    half-written table: uncommitted staging is simply never referenced.
+  *  - A crash at ANY point before the log rename leaves only orphan staging
+  *    files, invisible to every reader; [[vacuum]] reclaims them. No
+  *    recovery protocol runs on read or write — compare
+  *    [[MergeSink.recover]], which must actively roll back interrupted
+  *    swaps.
+  *
+  * Commit actions: `replace` (new live set = this commit's files), `append`
+  * (add files), `replacePartitions` (drop live files in the listed
+  * partition fragments, then add — the partition-scoped merge path, so a
+  * batch commit touches O(batch partitions) not O(table)).
+  *
+  * Partition values are stored as hive-style `col=value` path fragments;
+  * scoped pruning renders values with [[fragment]], which matches Spark's
+  * encoding for the int/date partition schemes [[MergeSink.PartitionScheme]]
+  * produces (string partition values with chars needing hive-escaping are
+  * out of scope and rejected nowhere — don't use them for scoped tables).
+  *
+  * Single-writer contract (same as MergeSink's): one writing process per
+  * table; the exclusive log-slot rename turns a violated contract into a
+  * failed commit instead of corruption.
+  */
+object TxTable {
+
+  private val LogDirName = "_graft_log"
+  private val DataDirName = "data"
+
+  /** One live data file: `path` relative to the table root; `part` is the
+    * hive fragment (`part_bucket=3`) for partitioned layouts. */
+  final case class FileEntry(path: String, part: Option[String])
+
+  private final case class Commit(action: String, partCol: Option[String],
+                                  scheme: Option[String],
+                                  removedParts: Seq[String],
+                                  files: Seq[FileEntry])
+
+  private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(dir: String) = new Path(dir, LogDirName)
+
+  // ------------------------------------------------------------------ log
+
+  private val CommitName = """(\d{20})\.commit""".r
+
+  private def listCommits(fs: FileSystem, dir: String): Seq[(Long, Path)] = {
+    val ld = logDir(dir)
+    if (!fs.exists(ld)) Nil
+    else fs.listStatus(ld).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case CommitName(v) => Some(v.toLong -> st.getPath)
+        case _             => None // writer tmp files
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Text format, one `key<TAB>value` line each; `file` lines repeat as
+    * `file<TAB>relpath<TAB>fragment` (fragment empty for unpartitioned).
+    * Hive-encoded paths never contain tabs/newlines, so no quoting. */
+  private def render(c: Commit): String = {
+    val sb = new StringBuilder
+    sb.append("action\t").append(c.action).append('\n')
+    c.partCol.foreach(p => sb.append("partCol\t").append(p).append('\n'))
+    c.scheme.foreach(s => sb.append("scheme\t").append(s).append('\n'))
+    c.removedParts.foreach(r => sb.append("removed\t").append(r).append('\n'))
+    c.files.foreach { f =>
+      sb.append("file\t").append(f.path).append('\t')
+        .append(f.part.getOrElse("")).append('\n')
+    }
+    sb.result()
+  }
+
+  private def parse(fs: FileSystem, p: Path): Commit = {
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    var action = ""; var partCol: Option[String] = None
+    var scheme: Option[String] = None
+    val removed = Seq.newBuilder[String]; val files = Seq.newBuilder[FileEntry]
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      line.split('\t') match {
+        case Array("action", a)  => action = a
+        case Array("partCol", v) => partCol = Some(v)
+        case Array("scheme", v)  => scheme = Some(v)
+        case Array("removed", v) => removed += v
+        case Array("file", path, frag) =>
+          files += FileEntry(path, if (frag.isEmpty) None else Some(frag))
+        case Array("file", path) => files += FileEntry(path, None)
+        case other => throw new java.io.IOException(
+          s"corrupt commit $p: unparseable line '${other.mkString("\t")}'")
+      }
+    }
+    require(action.nonEmpty, s"corrupt commit $p: no action")
+    Commit(action, partCol, scheme, removed.result(), files.result())
+  }
+
+  /** Replay the log: (live files, latest scheme descriptor). */
+  private def replay(fs: FileSystem, dir: String): (Seq[FileEntry], Option[String]) = {
+    var live = Vector.empty[FileEntry]
+    var scheme: Option[String] = None
+    listCommits(fs, dir).foreach { case (_, p) =>
+      val c = parse(fs, p)
+      c.action match {
+        case "replace" => live = c.files.toVector
+        case "append"  => live = live ++ c.files
+        case "replacePartitions" =>
+          val drop = c.removedParts.toSet
+          live = live.filterNot(_.part.exists(drop)) ++ c.files
+        case other => throw new java.io.IOException(
+          s"corrupt commit $p: unknown action '$other'")
+      }
+      if (c.scheme.isDefined) scheme = c.scheme
+    }
+    (live, scheme)
+  }
+
+  /** Publish a commit into the next numbered log slot. The content is
+    * written to a tmp name first; the rename into the numbered slot is the
+    * atomic visibility point, and its failure (slot taken) means a
+    * concurrent writer — fail loudly rather than corrupt. */
+  private def commit(fs: FileSystem, dir: String, c: Commit): Unit = {
+    val ld = logDir(dir)
+    fs.mkdirs(ld)
+    val next = listCommits(fs, dir).lastOption.map(_._1 + 1).getOrElse(1L)
+    val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(render(c).getBytes(UTF_8)) finally out.close()
+    val slot = new Path(ld, f"$next%020d.commit")
+    if (fs.exists(slot) || !fs.rename(tmp, slot)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"tx commit failed: log slot $slot already taken (concurrent writer?)")
+    }
+  }
+
+  // ----------------------------------------------------------------- data
+
+  /** Write `df` into a fresh staging dir; return its (relative) file
+    * entries. Nothing is visible until the caller commits. */
+  private def stage(spark: SparkSession, dir: String, df: DataFrame,
+                    partitionCols: Seq[String]): Seq[FileEntry] = {
+    val fs = hadoopFs(spark, dir)
+    val batch = s"b-${java.util.UUID.randomUUID()}"
+    val stagingDir = new Path(new Path(dir, DataDirName), batch)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(stagingDir.toString)
+    // listFiles returns fully-qualified paths (file:/…); qualify the prefix
+    // the same way or the relativization silently produces garbage
+    val qualified = fs.makeQualified(stagingDir)
+    val it = fs.listFiles(qualified, true)
+    val files = Seq.newBuilder[FileEntry]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = s"$DataDirName/$batch" +
+          p.toString.stripPrefix(qualified.toString)
+        val frag = p.getParent.getName match {
+          case f if f.contains("=") => Some(f)
+          case _                    => None
+        }
+        files += FileEntry(rel, frag)
+      }
+    }
+    files.result()
+  }
+
+  /** Hive path-fragment rendering for a partition VALUE, matching what
+    * Spark writes for the int/date/string-without-special-chars values the
+    * [[MergeSink.PartitionScheme]]s produce. */
+  def fragment(partCol: String, value: Any): String = value match {
+    case null => s"$partCol=__HIVE_DEFAULT_PARTITION__"
+    case v    => s"$partCol=$v"
+  }
+
+  // ------------------------------------------------------------ public API
+
+  /** True once the table has at least one commit. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    listCommits(hadoopFs(spark, dir), dir).nonEmpty
+
+  /** Latest scheme descriptor recorded in the log (partition-layout guard,
+    * same role as MergeSink's `_graft_scheme` marker). */
+  def currentScheme(spark: SparkSession, dir: String): Option[String] =
+    replay(hadoopFs(spark, dir), dir)._2
+
+  /** Snapshot read of the live file set; None before the first commit or if
+    * the live set is empty. `parts` prunes AT THE LOG LEVEL to the given
+    * partition fragments — file-skipping before any footer is opened, the
+    * scoped-merge fast path. */
+  def read(spark: SparkSession, dir: String,
+           parts: Option[Set[String]] = None): Option[DataFrame] = {
+    val fs = hadoopFs(spark, dir)
+    val (liveAll, _) = replay(fs, dir)
+    val live = parts match {
+      case None    => liveAll
+      case Some(s) => liveAll.filter(_.part.exists(s))
+    }
+    if (live.isEmpty) None
+    else {
+      // one read per staging batch (each needs its own basePath so the
+      // hive fragments re-materialize the partition column), unioned by
+      // name; vacuum/compaction keep the batch count bounded
+      val byBatch = live.groupBy(_.path.split('/').take(2).mkString("/"))
+      val frames = byBatch.toSeq.sortBy(_._1).map { case (batch, entries) =>
+        spark.read
+          .option("basePath", new Path(dir, batch).toString)
+          .parquet(entries.map(e => new Path(dir, e.path).toString): _*)
+      }
+      Some(frames.reduce(_.unionByName(_)))
+    }
+  }
+
+  /** Atomically replace the whole table. */
+  def replace(spark: SparkSession, dir: String, df: DataFrame,
+              partitionCols: Seq[String] = Nil,
+              scheme: Option[String] = None): Unit = {
+    val files = stage(spark, dir, df, partitionCols)
+    commit(hadoopFs(spark, dir), dir,
+      Commit("replace", partitionCols.headOption, scheme, Nil, files))
+  }
+
+  /** Atomically append files (M3/M4 path — nothing existing is rewritten). */
+  def append(spark: SparkSession, dir: String, df: DataFrame,
+             partitionCols: Seq[String] = Nil): Unit = {
+    val files = stage(spark, dir, df, partitionCols)
+    commit(hadoopFs(spark, dir), dir,
+      Commit("append", partitionCols.headOption, None, Nil, files))
+  }
+
+  /** Atomically swap the partitions present in `df`: live files under those
+    * fragments are dropped from the log's live set (their bytes stay until
+    * [[vacuum]]), the staged files added — untouched partitions' files are
+    * never rewritten OR moved, so the scoped-merge cost is
+    * O(touched partitions), commit cost O(1). */
+  def replacePartitions(spark: SparkSession, dir: String, df: DataFrame,
+                        partCol: String, scheme: Option[String] = None): Unit = {
+    val files = stage(spark, dir, df, Seq(partCol))
+    val removed = files.flatMap(_.part).distinct
+    commit(hadoopFs(spark, dir), dir,
+      Commit("replacePartitions", Some(partCol), scheme, removed, files))
+  }
+
+  /** Reclaim data files no commit references anymore (superseded replaces,
+    * crash-orphaned staging). Maintenance-cycle work, never the hot path.
+    * Returns the number of staging dirs deleted. */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val fs = hadoopFs(spark, dir)
+    val (live, _) = replay(fs, dir)
+    val liveBatches = live.map(_.path.split('/')(1)).toSet
+    val dataDir = new Path(dir, DataDirName)
+    if (!fs.exists(dataDir)) 0
+    else {
+      val stale = fs.listStatus(dataDir).toSeq
+        .filter(st => st.isDirectory && !liveBatches.contains(st.getPath.getName))
+      stale.foreach(st => fs.delete(st.getPath, true))
+      stale.size
+    }
+  }
+
+  /** Squash the log into one `replace` commit of the current live set —
+    * bounds replay cost for long-lived tables (the checkpoint a full
+    * format writes every N commits). Data files are not touched. */
+  def compactLog(spark: SparkSession, dir: String): Unit = {
+    val fs = hadoopFs(spark, dir)
+    val (live, scheme) = replay(fs, dir)
+    val before = listCommits(fs, dir)
+    val partCol = live.flatMap(_.part).headOption.map(_.split('=')(0))
+    commit(fs, dir, Commit("replace", partCol, scheme, Nil, live))
+    before.foreach { case (_, p) => fs.delete(p, false) }
+  }
+}

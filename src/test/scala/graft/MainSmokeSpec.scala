@@ -19,4 +19,29 @@ class MainSmokeSpec extends SparkTestBase {
     assert(wm.all().keySet.contains("fc_scenario"))
     assert(spark.read.parquet(s"$wh/etl_metrics").count() > 0)
   }
+
+  test("maintenance compaction keeps the append-sink file count bounded across cycles") {
+    spark
+    val wh = tmpDir("main-compact")
+    // compact aggressively (every cycle, threshold 1) so three cycles of the
+    // 30s-cadence append story exercise the maintenance path end-to-end
+    Main.run(Map(
+      "GRAFT_WAREHOUSE" -> wh,
+      "GRAFT_CYCLES" -> "3",
+      "POLL_INTERVAL_SEC" -> "0",
+      "GRAFT_COMPACT_EVERY_CYCLES" -> "1",
+      "GRAFT_COMPACT_MAX_FILES" -> "1"))
+    val timeline = s"$wh/fact_scenario_timeline"
+    val rows = spark.read.parquet(timeline).count()
+    assert(rows > 0)
+    // demo fixtures span 7 event dates; targetPartitions=1 ⇒ one file per
+    // date partition after compaction (un-compacted, the first cycle alone
+    // writes shuffle-partitions × dates file sets)
+    val files = graft.merge.MergeSink.dataFileCount(spark, timeline)
+    assert(files <= 10, s"expected compacted file count <= 10, got $files")
+    // compaction must not disturb correctness: replaying the same corpus
+    // produced no duplicate events
+    val keyed = spark.read.parquet(timeline).select("source_key")
+    assert(keyed.count() == keyed.distinct().count())
+  }
 }

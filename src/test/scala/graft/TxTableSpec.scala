@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.merge.{MergeSink, TxTable}
+
+/** Commit-log table format: atomicity without renames-of-live-data.
+  * Mirrors MergeSinkSpec's crash-recovery coverage — here the "recovery"
+  * assertion is stronger: there is nothing to recover, because uncommitted
+  * state is never visible. */
+class TxTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val scheme = MergeSink.PartitionScheme.keyHash(Seq("k"), 8)
+
+  private def snapshot(dir: String): Map[String, (String, String)] =
+    TxTable.read(spark, dir).get.select("k", "status", "note")
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+
+  test("M1 upsertPartialTx matches rename-mode upsertPartial exactly") {
+    val txDir = tmpDir("tx-m1"); val fsDir = tmpDir("fs-m1")
+    val b1 = Seq(("a", "open", "created-a"), ("b", "open", "created-b"))
+      .toDF("k", "status", "note")
+    val b2 = Seq(("a", "closed", "SHOULD-NOT-REPLACE"), ("c", "open", "created-c"))
+      .toDF("k", "status", "note")
+    for (b <- Seq(b1, b2, b2)) { // includes an overlap replay
+      MergeSink.upsertPartialTx(spark, txDir, b, Seq("k"), Seq("status"))
+      MergeSink.upsertPartial(spark, fsDir, b, Seq("k"), Seq("status"))
+    }
+    val fromFs = spark.read.parquet(fsDir).select("k", "status", "note")
+      .as[(String, String, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(snapshot(txDir) == fromFs)
+    assert(snapshot(txDir)("a") == ("closed", "created-a"))
+  }
+
+  test("M2 scd2Tx: close-out flips is_current, invariant holds, replay converges") {
+    val dir = tmpDir("tx-m2")
+    def row(id: String, ended: Option[String], cur: Boolean) =
+      (id, "e1", ended.orNull, cur)
+    val cols = Seq("source_id", "entity", "version_ended_at", "is_current_version")
+    val b1 = Seq(row("v1", None, cur = true)).toDF(cols: _*)
+    MergeSink.scd2Tx(spark, dir, b1, "source_id",
+      Seq("version_ended_at", "is_current_version"))
+    val b2 = Seq(
+      row("v1", Some("2024-01-02 00:00:00"), cur = false),
+      row("v2", None, cur = true)).toDF(cols: _*)
+    MergeSink.scd2Tx(spark, dir, b2, "source_id",
+      Seq("version_ended_at", "is_current_version"))
+    MergeSink.scd2Tx(spark, dir, b2, "source_id",
+      Seq("version_ended_at", "is_current_version")) // replay
+    val t = TxTable.read(spark, dir).get
+    assert(t.count() == 2)
+    assert(t.filter(col("is_current_version")).select("source_id")
+      .as[String].head() == "v2")
+    assert(MergeSink.scd2Violations(t, Seq("entity"), "is_current_version").isEmpty)
+  }
+
+  test("M3/M4 insertIfAbsentTx: conflicts dropped, replay is a no-op commit-wise") {
+    val dir = tmpDir("tx-m3")
+    MergeSink.insertIfAbsentTx(spark, dir,
+      Seq(("r1", 1.0), ("r2", 2.0)).toDF("k", "v"), Seq("k"))
+    MergeSink.insertIfAbsentTx(spark, dir,
+      Seq(("r2", 999.0), ("r3", 3.0)).toDF("k", "v"), Seq("k"))
+    val got = TxTable.read(spark, dir).get.as[(String, Double)].collect().toMap
+    assert(got == Map("r1" -> 1.0, "r2" -> 2.0, "r3" -> 3.0))
+    MergeSink.insertIfAbsentTx(spark, dir,
+      Seq(("r2", 999.0), ("r3", 3.0)).toDF("k", "v"), Seq("k")) // full replay
+    assert(TxTable.read(spark, dir).get.count() == 3)
+  }
+
+  test("scoped Tx upsert: untouched partitions' files never touched, semantics exact") {
+    val dir = tmpDir("tx-scoped")
+    val init = (1 to 100).map(i => (s"k$i", "open", s"note-$i"))
+      .toDF("k", "status", "note")
+    MergeSink.upsertPartialScopedTx(spark, dir, init, Seq("k"), Seq("status"), scheme)
+
+    def files(d: String): Set[(String, Long, Long)] = {
+      val base = new java.io.File(d).toPath
+      val out = scala.collection.mutable.Set[(String, Long, Long)]()
+      java.nio.file.Files.walk(base).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          out += ((base.relativize(p).toString, java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      }
+      out.toSet
+    }
+    val before = files(dir)
+
+    val b = Seq(("k7", "closed", "IGNORED")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScopedTx(spark, dir, b, Seq("k"), Seq("status"), scheme)
+    val after = files(dir)
+
+    // every pre-existing file is still there, byte- and mtime-identical:
+    // replacePartitions only ADDS files + a log entry (stale ones wait for
+    // vacuum) — strictly stronger than the rename-swap's guarantee
+    assert(before.subsetOf(after))
+    assert(after.size > before.size)
+
+    val got = snapshot(dir)
+    assert(got("k7") == ("closed", "note-7"))
+    assert(got("k8") == ("open", "note-8"))
+    assert(TxTable.read(spark, dir).get.count() == 100)
+
+    // replay converges
+    MergeSink.upsertPartialScopedTx(spark, dir, b, Seq("k"), Seq("status"), scheme)
+    assert(snapshot(dir) == got)
+  }
+
+  test("scheme change migrates scoped Tx table via one full rewrite") {
+    val dir = tmpDir("tx-migrate")
+    val init = (1 to 20).map(i => (s"k$i", "open", s"n$i")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScopedTx(spark, dir, init, Seq("k"), Seq("status"), scheme)
+    val resized = MergeSink.PartitionScheme.keyHash(Seq("k"), 16)
+    val b = Seq(("k3", "closed", "X")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScopedTx(spark, dir, b, Seq("k"), Seq("status"), resized)
+    assert(TxTable.currentScheme(spark, dir).contains(resized.descriptor))
+    val got = snapshot(dir)
+    assert(got.size == 20 && got("k3") == ("closed", "n3"))
+  }
+
+  test("crash window: uncommitted staging and tmp log files are invisible; vacuum reclaims") {
+    val dir = tmpDir("tx-crash")
+    MergeSink.upsertPartialTx(spark, dir,
+      Seq(("a", "open", "n1")).toDF("k", "status", "note"), Seq("k"), Seq("status"))
+    val committed = snapshot(dir)
+
+    // simulate a writer that died after staging data but before the log
+    // rename: parquet files exist under data/, no commit references them
+    Seq(("zz", "GHOST", "GHOST")).toDF("k", "status", "note")
+      .write.parquet(s"$dir/data/b-orphan-crash")
+    // ...and one that died mid-log-write
+    val tmpLog = java.nio.file.Paths.get(s"$dir/_graft_log/.tmp-crashed")
+    java.nio.file.Files.write(tmpLog, "action\treplace\n".getBytes)
+
+    assert(snapshot(dir) == committed)          // readers never see either
+    assert(TxTable.vacuum(spark, dir) == 1)     // orphan staging reclaimed
+    assert(!new java.io.File(s"$dir/data/b-orphan-crash").exists())
+    assert(snapshot(dir) == committed)
+
+    // vacuum also drops batches superseded by a later replace
+    MergeSink.upsertPartialTx(spark, dir,
+      Seq(("a", "closed", "X")).toDF("k", "status", "note"), Seq("k"), Seq("status"))
+    assert(TxTable.vacuum(spark, dir) >= 1)
+    assert(snapshot(dir)("a") == ("closed", "n1"))
+  }
+
+  test("compactLog squashes history without touching data; reads unchanged") {
+    val dir = tmpDir("tx-logcompact")
+    for (i <- 1 to 5)
+      MergeSink.insertIfAbsentTx(spark, dir,
+        Seq((s"r$i", i.toDouble)).toDF("k", "v"), Seq("k"))
+    val before = TxTable.read(spark, dir).get.as[(String, Double)].collect().toSet
+    TxTable.compactLog(spark, dir)
+    val logs = new java.io.File(s"$dir/_graft_log").listFiles()
+      .filter(_.getName.endsWith(".commit"))
+    assert(logs.length == 1)
+    assert(TxTable.read(spark, dir).get.as[(String, Double)].collect().toSet == before)
+    // still writable after compaction
+    MergeSink.insertIfAbsentTx(spark, dir, Seq(("r9", 9.0)).toDF("k", "v"), Seq("k"))
+    assert(TxTable.read(spark, dir).get.count() == 6)
+  }
+
+  test("partitioned append Tx keeps partition column round-trippable") {
+    val dir = tmpDir("tx-partapp")
+    val b = Seq(("e1", "2024-03-01", 1.0), ("e2", "2024-03-02", 2.0))
+      .toDF("k", "d", "v")
+    MergeSink.appendDedupTx(spark, dir, b, "k", Seq("d"))
+    MergeSink.appendDedupTx(spark, dir,
+      Seq(("e2", "2024-03-02", 99.0), ("e3", "2024-03-01", 3.0)).toDF("k", "d", "v"),
+      "k", Seq("d"))
+    val t = TxTable.read(spark, dir).get
+    assert(t.count() == 3)
+    assert(t.columns.toSet == Set("k", "d", "v"))
+    assert(t.filter(col("d") === "2024-03-01").count() == 2)
+  }
+}
