@@ -27,6 +27,9 @@ import graft.sources.Jdbc
   *                            exists in this environment; the binding is the
   *                            same pushdown reader ApiSurfaceSpec covers.
   *  - `GRAFT_CYCLES`          cycle count (default: run forever)
+  *  - `GRAFT_TX_SINKS`        "1"/"true": commit every target through the
+  *                            TxTable log (atomic single-rename commits)
+  *                            instead of the rename-swap protocol
   *  - `GRAFT_MASTER`          master when not launched via spark-submit
   *
   * With neither source set, the deterministic demo corpus is used — that
@@ -59,15 +62,28 @@ object Main {
     // cycles (~hourly) once it fragments past 256 files
     val compactEvery = env.getOrElse("GRAFT_COMPACT_EVERY_CYCLES", "120").trim.toInt
     val compactMaxFiles = env.getOrElse("GRAFT_COMPACT_MAX_FILES", "256").trim.toInt
+    // GRAFT_TX_SINKS=1 flips every target to the TxTable commit-log protocol
+    val txSinks = Set("1", "true").contains(
+      env.getOrElse("GRAFT_TX_SINKS", "").trim.toLowerCase)
     val sched = new CycleScheduler(runner, conf.maxConsecutiveFailures,
       metrics = Some(new MetricsStore(spark, boot.tablePath("etl_metrics"))),
       maintenance = cycleId =>
-        if (compactEvery > 0 && cycleId % compactEvery == 0)
-          graft.merge.MergeSink.compactIfNeeded(spark,
+        if (compactEvery > 0 && cycleId % compactEvery == 0) {
+          if (txSinks)
+            // tx maintenance: squash the log + reclaim superseded data files
+            graft.model.Schemas.targets.keys.foreach { t =>
+              val dir = boot.tablePath(t)
+              if (graft.merge.TxTable.exists(spark, dir)) {
+                graft.merge.TxTable.compactLog(spark, dir)
+                graft.merge.TxTable.vacuum(spark, dir)
+              }
+            }
+          else graft.merge.MergeSink.compactIfNeeded(spark,
             boot.tablePath("fact_scenario_timeline"), maxFiles = compactMaxFiles,
-            targetPartitions = 1, partitionCols = Seq("event_date")))
+            targetPartitions = 1, partitionCols = Seq("event_date"))
+        })
     val cycles = env.get("GRAFT_CYCLES").map(_.trim.toInt).getOrElse(Int.MaxValue)
-    sched.run(ScenarioPipeline.streams(spark, src, boot),
+    sched.run(ScenarioPipeline.streams(spark, src, boot, txSinks),
       conf.pollIntervalSec, cycles)
   }
 

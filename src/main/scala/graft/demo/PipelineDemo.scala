@@ -54,12 +54,12 @@ object PipelineDemo {
     println("[demo] watermarks: " + store.all().keys.toSeq.sorted.mkString(", "))
     graft.model.Schemas.targets.keys.toSeq.sorted.foreach { t =>
       println(s"[demo] $t rows=" +
-        MergeSink.readTarget(spark, boot.tablePath(t)).map(_.count()).getOrElse(0L))
+        MergeSink.readAny(spark, boot.tablePath(t)).map(_.count()).getOrElse(0L))
     }
 
-    val dim = spark.read.parquet(boot.tablePath("dim_scenario"))
-    val nih = spark.read.parquet(boot.tablePath("fact_node_input_history"))
-    val rs = spark.read.parquet(boot.tablePath("fact_run_summary"))
+    val dim = MergeSink.readAny(spark, boot.tablePath("dim_scenario")).get
+    val nih = MergeSink.readAny(spark, boot.tablePath("fact_node_input_history")).get
+    val rs = MergeSink.readAny(spark, boot.tablePath("fact_run_summary")).get
     val health = Quality.report(Map(
       "dim_scenario.pk_dups" -> Quality.duplicates(dim, Seq("scenario_id")),
       "node_history.pk_dups" -> Quality.duplicates(nih, Seq("source_id")),

@@ -18,6 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** MinHash/LSH tuning profile. The numbers that matter:
+    *  - `n`: shingle width in WORDS. Real prose needs n in 5..13 — unigrams
+    *    make every document that shares vocabulary a candidate pair and the
+    *    bucket join degenerates toward quadratic. Small n is only right for
+    *    very short texts (titles, synthetic corpora) where a 5-gram window
+    *    would exceed the document.
+    *  - `k`: signature length (hash functions). Estimator std-err ≈
+    *    1/sqrt(k): k=128 gives ±0.09 on the Jaccard estimate.
+    *  - `bands`: LSH bands (k % bands == 0, r = k/bands rows per band).
+    *    Collision probability for similarity s is 1-(1-s^r)^bands — the
+    *    (32 bands, r=4) curve crosses 50% near s≈0.5 and 97% at s≈0.7.
+    *  - `threshold`: estimated-Jaccard cut applied AFTER banding.
+    */
+  final case class MinHashParams(n: Int, k: Int, bands: Int, threshold: Double) {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(n >= 1 && threshold >= 0 && threshold <= 1, s"bad profile: $this")
+  }
+  object MinHashParams {
+    /** Production default for web/document corpora: 5-gram shingles, 128
+      * hashes in 32 bands (catches ≥0.7-Jaccard pairs with p≈0.97 while a
+      * 0.3-Jaccard pair collides with p≈0.03), verified at threshold 0.7.
+      * Use with the xxhash64 fast path ([[minhashDedupAssignments]]). */
+    val production = MinHashParams(n = 5, k = 128, bands = 32, threshold = 0.7)
+    /** Short-text / synthetic-corpus profile — the q16 oracle settings.
+      * Unigram shingles ONLY because these documents are a few words long;
+      * never use n=1 on real prose (see [[MinHashParams]]). */
+    val shortText = MinHashParams(n = 1, k = 32, bands = 4, threshold = 0.6)
+  }
+
   /** Exact dedup: keep the minimum id per identical content. Grouping on the
     * content digest keeps shuffle rows narrow at 100 TB. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -92,6 +121,17 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** [[minhashNearDups]] under a named tuning profile. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      p: MinHashParams): DataFrame =
+    minhashNearDups(docs, idCol, textCol, p.n, p.k, p.bands, p.threshold)
+
+  /** [[minhashDedupAssignments]] under a named tuning profile —
+    * [[MinHashParams.production]] is the 100 TB default. */
+  def minhashDedupAssignments(docs: DataFrame, idCol: String, textCol: String,
+                              p: MinHashParams): DataFrame =
+    minhashDedupAssignments(docs, idCol, textCol, p.n, p.k, p.bands, p.threshold)
+
   /** Doc-level dedup decisions from the near-dup pair set: each doc maps to
     * its smallest-id near-duplicate as keeper (docs with no candidate keep
     * themselves, keeper_id = doc_id). Output is one row per document — the
@@ -144,8 +184,15 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
   }
 
+  /** [[portableDedupAssignments]] under a named tuning profile. */
+  def portableDedupAssignments(docs: DataFrame, idCol: String, textCol: String,
+                               p: MinHashParams): DataFrame =
+    portableDedupAssignments(docs, idCol, textCol, p.n, p.k, p.bands, p.threshold)
+
   /** [[minhashDedupAssignments]] on the portable hash — same LSH structure,
-    * same narrow-join discipline, every value DuckDB-reproducible. */
+    * same narrow-join discipline, every value DuckDB-reproducible. The
+    * default args are [[MinHashParams.shortText]] (the q16 oracle profile);
+    * production corpora should pass [[MinHashParams.production]]. */
   def portableDedupAssignments(docs: DataFrame, idCol: String, textCol: String,
                                n: Int = 1, k: Int = 32, bands: Int = 4,
                                threshold: Double = 0.6): DataFrame = {

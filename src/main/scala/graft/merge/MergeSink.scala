@@ -44,6 +44,14 @@ object MergeSink {
     else None
   }
 
+  /** Read a sink regardless of its commit protocol: a directory carrying a
+    * TxTable log reads through the log's live set; anything else through
+    * [[readTarget]]'s rename-swap recovery. Lets health checks and demos
+    * work unchanged when a deployment flips to transactional sinks. */
+  def readAny(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (TxTable.exists(spark, dir)) TxTable.read(spark, dir)
+    else readTarget(spark, dir)
+
   /** Latest row per key within a batch (ties broken by orderCols desc).
     * The reference gets within-batch uniqueness from source PKs; we make it
     * explicit so overlap re-extraction can never double-apply. */

@@ -366,9 +366,15 @@ object ScenarioPipeline {
 
   /** Wire all six pipelines as incremental streams against a bootstrapped
     * warehouse, with the reference's merge mode, mutable-column subset, and
-    * cap per stream (pipeline.py:41-110, load.py). */
+    * cap per stream (pipeline.py:41-110, load.py).
+    *
+    * `txSinks` flips every target to the TxTable commit-log protocol
+    * (same merge plans, atomic single-rename commits, log-level partition
+    * pruning) — the production setting for deployments where readers and
+    * the writer overlap; downstream reads go through
+    * [[MergeSink.readAny]] either way. */
   def streams(spark: SparkSession, src: ScenarioSources,
-              boot: Bootstrap): Seq[StreamSpec] = {
+              boot: Bootstrap, txSinks: Boolean = false): Seq[StreamSpec] = {
     // within-batch: keep the newest row per key by wm_ts, then drop the
     // runner-only wm_ts column so it never reaches the target schema
     def latest(b: DataFrame, keys: Seq[String]): DataFrame =
@@ -378,44 +384,57 @@ object ScenarioPipeline {
     // 16 buckets suits the demo scale; a 100 TB deployment sizes this so one
     // bucket stays executor-memory-sized (O(4k) buckets ≈ 25 GB each).
     def buckets(key: String) = MergeSink.PartitionScheme.keyHash(Seq(key), 16)
+    def upsert(table: String, b: DataFrame, key: String,
+               mutable: Seq[String]): Unit =
+      if (txSinks) MergeSink.upsertPartialScopedTx(spark, boot.tablePath(table),
+        latest(b, Seq(key)), Seq(key), mutable, buckets(key))
+      else MergeSink.upsertPartialScoped(spark, boot.tablePath(table),
+        latest(b, Seq(key)), Seq(key), mutable, buckets(key))
+    def scd2(table: String, b: DataFrame, key: String,
+             mutable: Seq[String]): Unit =
+      // M2 ≡ M1 on (key) — both modes keep the partition-scoped plan
+      if (txSinks) MergeSink.upsertPartialScopedTx(spark, boot.tablePath(table),
+        latest(b, Seq(key)), Seq(key), mutable, buckets(key))
+      else MergeSink.scd2Scoped(spark, boot.tablePath(table),
+        latest(b, Seq(key)), key, mutable, buckets(key))
     Seq(
       StreamSpec("fc_scenario",
         (sp, since) => extractScenarios(src, since), "wm_ts", "scenario_id",
-        b => MergeSink.upsertPartialScoped(spark, boot.tablePath("dim_scenario"),
-          latest(b, Seq("scenario_id")), Seq("scenario_id"),
-          Schemas.dimScenarioMutable, buckets("scenario_id")),
+        b => upsert("dim_scenario", b, "scenario_id", Schemas.dimScenarioMutable),
         cap = 5000),
       StreamSpec("fc_scenario_node_data",
         (sp, since) => extractNodeData(src, since), "wm_ts", "source_id",
-        b => MergeSink.scd2Scoped(spark, boot.tablePath("fact_node_input_history"),
-          latest(b, Seq("source_id")), "source_id", Schemas.nodeHistoryMutable,
-          buckets("source_id")),
+        b => scd2("fact_node_input_history", b, "source_id",
+          Schemas.nodeHistoryMutable),
         cap = 5000),
       StreamSpec("fc_scenario_run",
         (sp, since) => extractRuns(src, since), "wm_ts", "run_id",
-        b => MergeSink.upsertPartialScoped(spark, boot.tablePath("fact_run_summary"),
-          latest(b, Seq("run_id")), Seq("run_id"), Schemas.runSummaryMutable,
-          buckets("run_id")),
+        b => upsert("fact_run_summary", b, "run_id", Schemas.runSummaryMutable),
         cap = 1000),
       StreamSpec("fc_scenario_node_calc",
         (sp, since) => extractNodeCalc(src, since), "wm_ts", "source_id",
-        b => MergeSink.insertIfAbsent(spark,
-          boot.tablePath("fact_node_calc_results"),
-          b.drop("wm_ts"), Seq("source_id")),
+        b =>
+          if (txSinks) MergeSink.insertIfAbsentTx(spark,
+            boot.tablePath("fact_node_calc_results"), b.drop("wm_ts"), Seq("source_id"))
+          else MergeSink.insertIfAbsent(spark,
+            boot.tablePath("fact_node_calc_results"), b.drop("wm_ts"), Seq("source_id")),
         cap = 5000),
       StreamSpec("fc_scenario_event_data",
         (sp, since) => extractEventData(src, since), "wm_ts", "source_id",
-        b => MergeSink.scd2Scoped(spark, boot.tablePath("fact_event_input_history"),
-          latest(b, Seq("source_id")), "source_id", Schemas.eventHistoryMutable,
-          buckets("source_id")),
+        b => scd2("fact_event_input_history", b, "source_id",
+          Schemas.eventHistoryMutable),
         cap = 5000),
       StreamSpec("fc_scenario_timeline",
         (sp, since) => extractTimeline(src, since), "wm_ts", "source_key",
         // date-partitioned event log: BI's "recent events" access path
         // becomes partition pruning; appends touch only the batch's dates
-        b => MergeSink.appendDedup(spark,
-          boot.tablePath("fact_scenario_timeline"),
-          b.drop("wm_ts"), "source_key", partitionCols = Seq("event_date")),
+        b =>
+          if (txSinks) MergeSink.appendDedupTx(spark,
+            boot.tablePath("fact_scenario_timeline"),
+            b.drop("wm_ts"), "source_key", partitionCols = Seq("event_date"))
+          else MergeSink.appendDedup(spark,
+            boot.tablePath("fact_scenario_timeline"),
+            b.drop("wm_ts"), "source_key", partitionCols = Seq("event_date")),
         cap = 10000))
   }
 }

@@ -31,6 +31,22 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("production profile (n=5 shingles) finds prose near-dups, ignores shared vocabulary") {
+    // two paragraphs that are 90% the same word-SEQUENCE, and a third that
+    // reuses much of the same vocabulary in a different order — unigram
+    // shingling would flag the third as a near-dup; 5-gram shingling must not
+    val words = (1 to 200).map(i => s"tok${i % 50}w$i")
+    val base = words.mkString(" ")
+    val near = (words.take(180) ++ (1 to 20).map(i => s"fresh$i")).mkString(" ")
+    val shuffled = new scala.util.Random(42).shuffle(words).mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, shuffled)).toDF("doc_id", "text")
+    val assign = Dedup.minhashDedupAssignments(docs, "doc_id", "text",
+        Dedup.MinHashParams.production)
+      .as[(Long, Long, Option[Double])].collect().map(t => t._1 -> t._2).toMap
+    assert(assign(2L) == 1L)   // sequence near-dup collapses
+    assert(assign(3L) == 3L)   // same vocabulary, different text: kept
+  }
+
   test("near-dup clusters: transitive chains collapse to one component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val clusters = Dedup.nearDupClusters(pairs)

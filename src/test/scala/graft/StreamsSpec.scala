@@ -213,6 +213,90 @@ class StreamsSpec extends SparkTestBase {
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("streaming corpus pipeline (dedup -> curation -> packing) equals the one-shot batch run") {
+    import spark.implicits._
+    import graft.ext.{Corpus, Curation, Dedup}
+
+    // distinct vocabularies so the only near-dup pairs are the planted
+    // copies; every dup cluster's min id arrives in its EARLIEST batch, so
+    // first-seen (streaming) and min-id (batch) keeper rules coincide
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textB = "one two three four five six seven eight nine ten eleven twelve"
+    val textC = "crimson amber cobalt viridian ochre sienna umber teal magenta cyan"
+    val textD = "quartz basalt gneiss schist marble granite slate obsidian pumice chert"
+    val batches = Seq(
+      Seq(10L -> textA, 20L -> textB),
+      Seq(30L -> textA, 40L -> textC, 15L -> "tiny scrap"), // 15: quality-gate drop
+      Seq(50L -> textB, 60L -> textD, 70L -> textC))
+    val allDocs = batches.flatten.toDF("doc_id", "text")
+
+    // ---- one-shot baseline: whole corpus in a single batch
+    val (asgAll, _) = Dedup.incrementalAssignments(allDocs, "doc_id", "text",
+      Dedup.emptyIndex(spark), threshold = 0.6)
+    val keptAll = allDocs.join(
+      asgAll.filter(col("keeper_id") === col("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val curatedAll = Curation.curate(keptAll)
+    val packedAll = Corpus.packSequences(curatedAll, col("doc_id"), col("text"),
+      capacity = 16, nShards = 2)
+
+    // ---- streaming fold: three micro-batches through the same pieces
+    val flat = tmpDir("corpus-flat"); new java.io.File(flat).mkdirs()
+    for ((docs, i) <- batches.zipWithIndex) {
+      val one = tmpDir(s"corpus-b$i")
+      docs.toDF("doc_id", "text").coalesce(1).write.parquet(one)
+      val part = new java.io.File(one).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(flat, f"b$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // FileStreamSource orders batches by mtime — make the order strict
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val sigDir = tmpDir("corpus-sig"); val bandDir = tmpDir("corpus-band")
+    val corpusDir = tmpDir("corpus-out")
+    def loadIndex() = {
+      def loadOr(dir: String, like: org.apache.spark.sql.DataFrame) =
+        if (new java.io.File(dir).exists()) spark.read.parquet(dir) else like
+      val empty = Dedup.emptyIndex(spark)
+      Dedup.DedupIndex(loadOr(sigDir, empty.signatures),
+        loadOr(bandDir, empty.bands))
+    }
+    val stream = Streams.parquetStream(spark, flat,
+      spark.read.parquet(flat).schema, maxFilesPerTrigger = 1)
+    val q = Streams.toMergeSink(stream, tmpDir("corpus-ck"),
+      Trigger.AvailableNow()) { (s, batch, _) =>
+      val (assign, delta) = Dedup.incrementalAssignments(
+        batch, "doc_id", "text", loadIndex(), threshold = 0.6)
+      MergeSink.appendDedup(s, sigDir, delta.signatures, "doc_id")
+      MergeSink.appendDedup(s, bandDir,
+        delta.bands.withColumn("bk",
+          concat_ws("#", col("doc_id"), col("band_id"))), "bk")
+      val kept = batch.join(
+        assign.filter(col("keeper_id") === col("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      MergeSink.appendDedup(s, corpusDir, Curation.curate(kept), "doc_id")
+    }
+    q.awaitTermination(120000)
+
+    val curatedStream = spark.read.parquet(corpusDir)
+    // curated corpora identical: same docs, same enrichment
+    assert(curatedStream.columns.sorted.sameElements(curatedAll.columns.sorted))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "text").as[(Long, Long, String)]
+        .collect().toSet
+    assert(snap(curatedStream) == snap(curatedAll))
+    assert(snap(curatedStream).map(_._1) == Set(10L, 20L, 40L, 60L))
+
+    // ...and the published pack table is identical pack-for-pack
+    val packedStream = Corpus.packSequences(curatedStream, col("doc_id"),
+      col("text"), capacity = 16, nShards = 2)
+    def packSnap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "pack_id", "pack_offset", "n_tokens")
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(packSnap(packedStream) == packSnap(packedAll))
+  }
+
   test("windowed counts with watermark produce sane totals") {
     val srcDir = tmpDir("wstream-src")
     val events = Tables.load(spark, sf(), "events")
