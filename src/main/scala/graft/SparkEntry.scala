@@ -558,41 +558,9 @@ object SparkEntry {
     // vector's cosine to its own label's prototype, averaged per label —
     // the embedding-quality eval of a labeled corpus. All sums go through
     // the decimal-exact pattern so both engines agree bit-for-bit.
-    "q56_label_centroids" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-      // centroid aggregate still goes through the exploded form (that's the
-      // distributed mean), but the per-vector cosine no longer joins against
-      // 64× inflated rows: centroids reassemble into per-label arrays
-      // (O(labels) rows), broadcast, and the dot/norm fold runs as a narrow
-      // single pass over the original vectors (decimalSumArr keeps the
-      // term-wise decimal cast, so the result is bit-identical to the old
-      // shuffle-join plan and to the DuckDB oracle).
-      val cent = emb
-        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        .agg(decimalAvg(col("x"), 12).as("c"))
-      val centArr = cent.groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), t -> t.c)")
-          .as("carr"))
-        // per-label centroid norm: identical terms to the old per-vector
-        // decimalSum(c*c), computed once per label instead of once per vector
-        .withColumn("nc", decimalSumArr(expr("transform(carr, c -> c * c)"), 12))
-      val per = emb.join(broadcast(centArr), Seq("label"))
-        .select(col("vec_id"), col("label"),
-          decimalSumArr(expr("zip_with(v, carr, (x, c) -> x * c)"), 12).as("dot"),
-          decimalSumArr(expr("transform(v, x -> x * x)"), 12).as("nx"),
-          col("nc"))
-      // zero-norm guard: Spark's 0/0 is NULL while DuckDB's NaN aborts the
-      // decimal cast — exclude degenerate vectors identically on both sides
-      per.filter(col("nx") > 0 && col("nc") > 0)
-        .select(col("label"),
-          (col("dot") / sqrt(col("nx") * col("nc"))).as("cos"))
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n_vecs"),
-          round(decimalSum(col("cos"), 12) / count(lit(1)), 6).as("mean_cos_r6"))
-    }),
+    "q56_label_centroids" -> ((s, dir) =>
+      SimSearch.labelCohesion(T(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")),
 
     // The corpus end product: encode (q51) joined to packing (q52) and
     // materialized as ordered token-id sequences per (shard, pack) — what

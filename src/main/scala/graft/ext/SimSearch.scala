@@ -191,6 +191,46 @@ object SimSearch {
           / size(col("v")), 6).as("mean_abs_err_r6"))
   }
 
+  /** Per-label centroid cohesion — the embedding-quality eval of a labeled
+    * corpus: element-wise label centroids, then each vector's cosine to its
+    * own label's prototype, averaged per label. Output:
+    * (label, n_vecs, mean_cos_r6).
+    *
+    * Plan shape (the one that survives 100×): the centroid mean is the only
+    * exploded aggregate (dim× rows collapse immediately); centroids then
+    * reassemble into per-label ARRAYS — O(labels) rows — broadcast to the
+    * corpus, and the per-vector dot/norms run as narrow single-pass array
+    * folds ([[graft.functions.SafeCasts.decimalSumArr]], so every sum is
+    * decimal-exact and cross-engine reproducible). No dim× shuffle join. */
+  def labelCohesion(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    import graft.functions.SafeCasts.{decimalAvg, decimalSum, decimalSumArr}
+    val emb = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cent = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(decimalAvg(col("x"), 12).as("c"))
+    val centArr = cent.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), t -> t.c)")
+        .as("carr"))
+      // per-label centroid norm: computed once per label, not once per vector
+      .withColumn("nc", decimalSumArr(expr("transform(carr, c -> c * c)"), 12))
+    val per = emb.join(broadcast(centArr), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        decimalSumArr(expr("zip_with(v, carr, (x, c) -> x * c)"), 12).as("dot"),
+        decimalSumArr(expr("transform(v, x -> x * x)"), 12).as("nx"),
+        col("nc"))
+    // zero-norm guard: Spark's 0/0 is NULL while DuckDB's NaN aborts the
+    // decimal cast — exclude degenerate vectors identically on both sides
+    per.filter(col("nx") > 0 && col("nc") > 0)
+      .select(col("label"),
+        (col("dot") / sqrt(col("nx") * col("nc"))).as("cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(decimalSum(col("cos"), 12) / count(lit(1)), 6).as("mean_cos_r6"))
+  }
+
   /** Per-query recall@k of an ANN result against the exact top-k — the
     * checked property behind q18/q28's oracle rows. The ANN neighbor set
     * itself is hash-derived (not reproducible in another engine), but its

@@ -78,6 +78,21 @@ object ScaleProbe {
     val ak = time(s"lsh_ann ${k}x")(ann(embK))
     println(f"[probe] lsh_ann ratio=${ak / a1}%.1f (k=$k, linear=~$k)")
 
+    // vector ops: narrow per-row array folds + an O(labels) broadcast —
+    // should be embarrassingly linear (no dim× explode/shuffle since r4)
+    def quant(c: DataFrame): Long =
+      graft.ext.SimSearch.quantizationError(c, "vec_id", "embedding").count()
+    quant(emb1)
+    val qz1 = time("quantize_int8 1x")(quant(emb1))
+    val qzk = time(s"quantize_int8 ${k}x")(quant(embK))
+    println(f"[probe] quantize_int8 ratio=${qzk / qz1}%.1f (k=$k, linear=~$k)")
+    def cohesion(c: DataFrame): Long =
+      graft.ext.SimSearch.labelCohesion(c, "vec_id", "embedding", "label").count()
+    cohesion(emb1)
+    val ch1 = time("label_cohesion 1x")(cohesion(emb1))
+    val chk = time(s"label_cohesion ${k}x")(cohesion(embK))
+    println(f"[probe] label_cohesion ratio=${chk / ch1}%.1f (k=$k, linear=~$k)")
+
     // temporal joins: both sides grow k x. Each replica shifts its USER
     // universe too — shifting only surrogate ids would stack k duplicate
     // (custkey, orderdate) rows, violating the uniqueness AsOfJoin
