@@ -119,11 +119,15 @@ object TxTable {
     Commit(action, partCol, scheme, removed.result(), files.result())
   }
 
-  /** Replay the log: (live files, latest scheme descriptor). */
-  private def replay(fs: FileSystem, dir: String): (Seq[FileEntry], Option[String]) = {
+  /** Replay the log up to `asOf` (inclusive; None = head):
+    * (live files, latest scheme descriptor). */
+  private def replay(fs: FileSystem, dir: String,
+                     asOf: Option[Long] = None): (Seq[FileEntry], Option[String]) = {
     var live = Vector.empty[FileEntry]
     var scheme: Option[String] = None
-    listCommits(fs, dir).foreach { case (_, p) =>
+    listCommits(fs, dir)
+      .filter { case (v, _) => asOf.forall(v <= _) }
+      .foreach { case (_, p) =>
       val c = parse(fs, p)
       c.action match {
         case "replace" => live = c.files.toVector
@@ -209,14 +213,23 @@ object TxTable {
   def currentScheme(spark: SparkSession, dir: String): Option[String] =
     replay(hadoopFs(spark, dir), dir)._2
 
+  /** Committed versions, ascending — each is a valid [[read]] `asOf`
+    * target until [[compactLog]] squashes history or [[vacuum]] reclaims
+    * the files an old version references (the Delta trade: retention
+    * bounds time travel). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] =
+    listCommits(hadoopFs(spark, dir), dir).map(_._1)
+
   /** Snapshot read of the live file set; None before the first commit or if
     * the live set is empty. `parts` prunes AT THE LOG LEVEL to the given
     * partition fragments — file-skipping before any footer is opened, the
-    * scoped-merge fast path. */
+    * scoped-merge fast path. `asOf` time-travels to the table as of that
+    * commit version (see [[versions]]). */
   def read(spark: SparkSession, dir: String,
-           parts: Option[Set[String]] = None): Option[DataFrame] = {
+           parts: Option[Set[String]] = None,
+           asOf: Option[Long] = None): Option[DataFrame] = {
     val fs = hadoopFs(spark, dir)
-    val (liveAll, _) = replay(fs, dir)
+    val (liveAll, _) = replay(fs, dir, asOf)
     val live = parts match {
       case None    => liveAll
       case Some(s) => liveAll.filter(_.part.exists(s))

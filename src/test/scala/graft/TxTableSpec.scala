@@ -160,6 +160,45 @@ class TxTableSpec extends SparkTestBase {
     assert(TxTable.read(spark, dir).get.count() == 6)
   }
 
+  test("randomized op sequence matches an in-memory model, incl. time travel") {
+    val dir = tmpDir("tx-model")
+    val rnd = new scala.util.Random(7)
+    var nextK = 0L
+    def rows(n: Int): Seq[(Long, Double, Int)] =
+      (1 to n).map { _ => nextK += 1; (nextK, rnd.nextDouble(), rnd.nextInt(4)) }
+    def df(rs: Seq[(Long, Double, Int)]) = rs.toDF("k", "v", "p")
+
+    var model = Set.empty[(Long, Double, Int)]
+    val history = Seq.newBuilder[(Long, Set[(Long, Double, Int)])]
+    def readSet(asOf: Option[Long] = None): Set[(Long, Double, Int)] =
+      TxTable.read(spark, dir, asOf = asOf)
+        .map(_.select("k", "v", "p").as[(Long, Double, Int)].collect().toSet)
+        .getOrElse(Set.empty)
+
+    for (_ <- 1 to 24) {
+      rnd.nextInt(3) match {
+        case 0 =>
+          val rs = rows(1 + rnd.nextInt(5))
+          TxTable.replace(spark, dir, df(rs), Seq("p"))
+          model = rs.toSet
+        case 1 =>
+          val rs = rows(1 + rnd.nextInt(5))
+          TxTable.append(spark, dir, df(rs), Seq("p"))
+          model = model ++ rs
+        case 2 =>
+          val rs = rows(1 + rnd.nextInt(5))
+          val touched = rs.map(_._3).toSet
+          TxTable.replacePartitions(spark, dir, df(rs), "p")
+          model = model.filterNot(r => touched(r._3)) ++ rs
+      }
+      assert(readSet() == model)
+      history += ((TxTable.versions(spark, dir).last, model))
+    }
+    // every historical version time-travels back exactly (nothing vacuumed)
+    for ((v, snap) <- history.result())
+      assert(readSet(asOf = Some(v)) == snap, s"time travel to v$v diverged")
+  }
+
   test("partitioned append Tx keeps partition column round-trippable") {
     val dir = tmpDir("tx-partapp")
     val b = Seq(("e1", "2024-03-01", 1.0), ("e2", "2024-03-02", 2.0))
