@@ -370,15 +370,20 @@ object MergeSink {
   // is the binding writeReplace's scaladoc promises for cluster deploys.
   // ---------------------------------------------------------------------
 
-  /** M1 over the commit log: full merge + atomic `replace` commit. */
+  /** M1 over the commit log: full merge + atomic `replace` commit. The head
+    * version captured before the read rides along as the commit's
+    * `expectedHead`, so an interleaved writer turns into a loud commit
+    * failure instead of a silently dropped write. */
   def upsertPartialTx(spark: SparkSession, dir: String, batch: DataFrame,
                       keys: Seq[String], mutableCols: Seq[String],
                       orderCols: Seq[String] = Nil): Unit = {
     val b = latestPerKey(batch, keys, orderCols)
+    val v0 = TxTable.headVersion(spark, dir)
     TxTable.read(spark, dir) match {
-      case None           => TxTable.replace(spark, dir, b)
+      case None           => TxTable.replace(spark, dir, b, expectedHead = v0)
       case Some(existing) =>
-        TxTable.replace(spark, dir, mergeRows(existing, b, keys, mutableCols))
+        TxTable.replace(spark, dir, mergeRows(existing, b, keys, mutableCols),
+          expectedHead = v0)
     }
   }
 
@@ -399,17 +404,18 @@ object MergeSink {
                             scheme: PartitionScheme,
                             orderCols: Seq[String] = Nil): Unit = {
     val b = latestPerKey(batch, keys, orderCols).localCheckpoint()
+    val v0 = TxTable.headVersion(spark, dir)
     def staged(df: DataFrame) = df.withColumn(scheme.colName, scheme.expr)
-    if (!TxTable.exists(spark, dir))
+    if (v0.isEmpty)
       TxTable.replace(spark, dir, staged(b), Seq(scheme.colName),
-        Some(scheme.descriptor))
+        Some(scheme.descriptor), expectedHead = v0)
     else if (!TxTable.currentScheme(spark, dir).contains(scheme.descriptor)) {
       // layout mismatch (bucket resize / legacy): pruning would merge
       // against the wrong partitions — one full rewrite migrates safely
       val existing = TxTable.read(spark, dir).get
       TxTable.replace(spark, dir,
         staged(mergeRows(existing.drop(scheme.colName), b, keys, mutableCols)),
-        Seq(scheme.colName), Some(scheme.descriptor))
+        Seq(scheme.colName), Some(scheme.descriptor), expectedHead = v0)
     } else {
       // bounded collect: one scalar per touched partition, never data
       val touched = b.select(scheme.expr.as(scheme.colName)).distinct()
@@ -421,7 +427,7 @@ object MergeSink {
             mergeRows(scoped.drop(scheme.colName), b, keys, mutableCols)
         }
         TxTable.replacePartitions(spark, dir, staged(merged), scheme.colName,
-          Some(scheme.descriptor))
+          Some(scheme.descriptor), expectedHead = v0)
       }
     }
   }

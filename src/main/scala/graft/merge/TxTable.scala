@@ -145,20 +145,48 @@ object TxTable {
 
   /** Publish a commit into the next numbered log slot. The content is
     * written to a tmp name first; the rename into the numbered slot is the
-    * atomic visibility point, and its failure (slot taken) means a
-    * concurrent writer — fail loudly rather than corrupt. */
-  private def commit(fs: FileSystem, dir: String, c: Commit): Unit = {
+    * atomic visibility point.
+    *
+    * Conflict policy (the optimistic-concurrency split every log format
+    * makes): a taken slot means another writer committed since we read the
+    * log. An `append` commit is conflict-free by construction — it
+    * references only its own new files and removes nothing — so it simply
+    * retries into the next slot (bounded). `replace`/`replacePartitions`
+    * were computed AGAINST the state we read; committing them after an
+    * interleaved write would silently drop that write, so they fail loudly
+    * for the caller to re-read and re-merge. */
+  private def commit(fs: FileSystem, dir: String, c: Commit,
+                     expectedHead: Option[Long] = None): Unit = {
     val ld = logDir(dir)
     fs.mkdirs(ld)
-    val next = listCommits(fs, dir).lastOption.map(_._1 + 1).getOrElse(1L)
     val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(render(c).getBytes(UTF_8)) finally out.close()
-    val slot = new Path(ld, f"$next%020d.commit")
-    if (fs.exists(slot) || !fs.rename(tmp, slot)) {
-      fs.delete(tmp, true)
-      throw new java.io.IOException(
-        s"tx commit failed: log slot $slot already taken (concurrent writer?)")
+    val maxAttempts = if (c.action == "append") 5 else 1
+    // non-append: pin the slot to the version the caller read
+    // (`expectedHead`) — if anything committed since, the state this commit
+    // was merged against is stale and claiming a later slot would silently
+    // drop the interleaved write. The slot rename doubles as the atomic
+    // compare-and-swap: expectedHead+1 taken ⇔ head moved.
+    val pinned = expectedHead
+      .map(_ + 1)
+      .getOrElse(listCommits(fs, dir).lastOption.map(_._1 + 1).getOrElse(1L))
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val next =
+        if (c.action == "append")
+          listCommits(fs, dir).lastOption.map(_._1 + 1).getOrElse(1L)
+        else pinned
+      val slot = new Path(ld, f"$next%020d.commit")
+      done = !fs.exists(slot) && fs.rename(tmp, slot)
+      if (!done && attempt >= maxAttempts) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"tx commit failed: log slot $slot already taken (concurrent " +
+            s"writer); ${c.action} commits must re-read and re-merge")
+      }
     }
   }
 
@@ -249,13 +277,23 @@ object TxTable {
     }
   }
 
-  /** Atomically replace the whole table. */
+  /** Head commit version, None before the first commit. Capture BEFORE
+    * reading the state a replace-style write will be merged against, and
+    * pass it as that write's `expectedHead` — the commit then fails if
+    * anything landed in between (optimistic concurrency). */
+  def headVersion(spark: SparkSession, dir: String): Option[Long] =
+    listCommits(hadoopFs(spark, dir), dir).lastOption.map(_._1)
+
+  /** Atomically replace the whole table. `expectedHead`: see
+    * [[headVersion]]; None skips the staleness check (single-writer). */
   def replace(spark: SparkSession, dir: String, df: DataFrame,
               partitionCols: Seq[String] = Nil,
-              scheme: Option[String] = None): Unit = {
+              scheme: Option[String] = None,
+              expectedHead: Option[Long] = None): Unit = {
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
-      Commit("replace", partitionCols.headOption, scheme, Nil, files))
+      Commit("replace", partitionCols.headOption, scheme, Nil, files),
+      expectedHead)
   }
 
   /** Atomically append files (M3/M4 path — nothing existing is rewritten). */
@@ -272,11 +310,13 @@ object TxTable {
     * never rewritten OR moved, so the scoped-merge cost is
     * O(touched partitions), commit cost O(1). */
   def replacePartitions(spark: SparkSession, dir: String, df: DataFrame,
-                        partCol: String, scheme: Option[String] = None): Unit = {
+                        partCol: String, scheme: Option[String] = None,
+                        expectedHead: Option[Long] = None): Unit = {
     val files = stage(spark, dir, df, Seq(partCol))
     val removed = files.flatMap(_.part).distinct
     commit(hadoopFs(spark, dir), dir,
-      Commit("replacePartitions", Some(partCol), scheme, removed, files))
+      Commit("replacePartitions", Some(partCol), scheme, removed, files),
+      expectedHead)
   }
 
   /** Reclaim data files no commit references anymore (superseded replaces,

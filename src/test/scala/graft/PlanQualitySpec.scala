@@ -80,6 +80,22 @@ class PlanQualitySpec extends SparkTestBase {
     }, lp)
   }
 
+  test("q43: quantization profile is a zero-shuffle narrow chain (no explode)") {
+    val p = plan("q43_quantize_int8")
+    assert(!p.contains("Exchange"), p)   // no shuffle at all
+    assert(!p.contains("Generate"), p)   // no dim-times row inflation
+  }
+
+  test("q56: per-vector cosine joins an O(labels) broadcast, never a dim-exploded side") {
+    val p = plan("q56_label_centroids")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one Generate: the centroid mean's posexplode (collapses
+    // immediately into its aggregate) — a second one would mean the
+    // per-vector side regressed to the exploded join
+    assert("Generate".r.findAllIn(p).size == 1, p)
+  }
+
   test("q40: tf-idf tokenizes the corpus once (df branch reuses the tf shuffle)") {
     // dfreq's count deliberately reads the tf column so column pruning can't
     // de-canonicalize its copy of the (doc,term) aggregate; AQE then reuses

@@ -199,6 +199,35 @@ class TxTableSpec extends SparkTestBase {
       assert(readSet(asOf = Some(v)) == snap, s"time travel to v$v diverged")
   }
 
+  test("append commits retry past a taken log slot; replace fails loudly") {
+    val dir = tmpDir("tx-occ")
+    MergeSink.insertIfAbsentTx(spark, dir,
+      Seq(("r1", 1.0)).toDF("k", "v"), Seq("k"))
+    // simulate a concurrent writer grabbing the next slot
+    def occupyNextSlot(): Unit = {
+      val next = TxTable.versions(spark, dir).last + 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$dir/_graft_log/$next%020d.commit"),
+        "action\tappend\n".getBytes)
+    }
+    occupyNextSlot()
+    // append is conflict-free: lands in the slot after the interloper
+    MergeSink.insertIfAbsentTx(spark, dir,
+      Seq(("r2", 2.0)).toDF("k", "v"), Seq("k"))
+    assert(TxTable.read(spark, dir).get.count() == 2)
+
+    // OCC: capture the head as a reader would, let a writer interleave,
+    // then try to commit a replace merged against the stale read
+    val staleHead = TxTable.headVersion(spark, dir)
+    occupyNextSlot()
+    val e = intercept[java.io.IOException] {
+      TxTable.replace(spark, dir, Seq(("x", 9.0)).toDF("k", "v"),
+        expectedHead = staleHead)
+    }
+    assert(e.getMessage.contains("re-read and re-merge"))
+    assert(TxTable.read(spark, dir).get.count() == 2) // state unchanged
+  }
+
   test("partitioned append Tx keeps partition column round-trippable") {
     val dir = tmpDir("tx-partapp")
     val b = Seq(("e1", "2024-03-01", 1.0), ("e2", "2024-03-02", 2.0))
