@@ -400,6 +400,12 @@ object SparkEntry {
     "q40_tfidf" -> ((s, dir) =>
       TextStats.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text", 5)),
 
+    // §7.6 text analysis: within-doc bigram repetition profile — the
+    // duplicate-n-gram quality signal corpus filters cut on (boilerplate /
+    // generated text repeats; clean prose doesn't).
+    "q58_repetition" -> ((s, dir) =>
+      TextStats.repetitionProfile(T(s, dir, "documents"), "doc_id", "text", 2)),
+
     // Scale posture: explicit salted two-phase aggregation (the hot-key
     // path AQE can't rewrite) — must equal the plain GROUP BY exactly.
     "q41_salted_agg" -> ((s, dir) =>
@@ -1192,6 +1198,25 @@ object SparkEntry {
     "q17_simhash" -> simhashOracleSql,
     "q18_lsh_ann" -> lshAnnOracleSql,
     "q28_ivf_ann" -> ivfAnnOracleSql,
+
+    "q58_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+        |   list_transform(range(1, CAST(len(w) AS BIGINT)),
+        |     i -> array_to_string(w[i : i + 1], ' '))
+        |  ELSE [] END) AS gram
+        | FROM t),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        | CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        | round(1 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+        |   AS dup_frac_r6,
+        | round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+        |   AS top_frac_r6
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "q40_tfidf" ->
       """WITH toks AS (

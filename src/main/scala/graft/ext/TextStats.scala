@@ -91,4 +91,31 @@ object TextStats {
       alphaRatio(t).as("alpha_ratio"),
       stopwordRatio(t, englishStopwords).as("en_stopword_ratio"))
   }
+
+  /** Within-document n-gram repetition profile — the duplicate-n-gram
+    * quality signal corpus filters cut on (machine-generated and boiler-
+    * plate text repeats itself; clean prose doesn't): per doc, the total
+    * and distinct n-gram counts, the duplicated-gram fraction, and the
+    * most frequent gram's share. Docs with fewer than `n` tokens emit no
+    * row (no grams to profile).
+    *
+    * Plan: positional grams via the single-pass [[graft.functions.TextExprs]]
+    * expression (multiplicity kept), exploded straight into a two-level
+    * aggregate — the (doc, gram) shuffle carries narrow rows and partial
+    * aggregation collapses repeats map-side, so cost is O(tokens) with no
+    * pair blowup. */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextExprs.wordNGrams(col(textCol), n,
+        distinct = false)).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_grams"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        round(lit(1.0) - count(lit(1)).cast("double")
+          / sum(col("cnt")).cast("double"), 6).as("dup_frac_r6"),
+        round(max(col("cnt")).cast("double")
+          / sum(col("cnt")).cast("double"), 6).as("top_frac_r6"))
+  }
 }

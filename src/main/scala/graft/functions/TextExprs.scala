@@ -26,9 +26,12 @@ object TextExprs {
   // compiled once: String.split("\\s+") would recompile the regex per row
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
-  /** Distinct space-joined word n-grams of `trim(lower(text))` split on
-    * `\s+`; empty array when the doc has fewer than `n` tokens. */
-  case class WordNGrams(child: Expression, n: Int)
+  /** Space-joined word n-grams of `trim(lower(text))` split on `\s+`;
+    * empty array when the doc has fewer than `n` tokens. `distinct=true`
+    * (the dedup/decontamination shape) keeps first occurrences only;
+    * `distinct=false` keeps every positional gram WITH multiplicity — the
+    * input repetition profiling needs. */
+  case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
       extends UnaryExpression with CodegenFallback {
     require(n > 0, s"n must be positive: $n")
 
@@ -49,7 +52,11 @@ object TextExprs {
       val toks = WS.split(s, -1)
       if (toks.length < n) new GenericArrayData(Array.empty[Any])
       else {
-        val seen = new mutable.LinkedHashSet[String] // array_distinct order
+        // LinkedHashSet preserves array_distinct's first-occurrence order;
+        // the non-distinct path keeps positional multiplicity
+        val out: mutable.Growable[String] with Iterable[String] =
+          if (distinct) new mutable.LinkedHashSet[String]
+          else new mutable.ArrayBuffer[String](toks.length - n + 1)
         val sb = new java.lang.StringBuilder
         var i = 0
         while (i <= toks.length - n) {
@@ -60,11 +67,11 @@ object TextExprs {
             sb.append(toks(i + j))
             j += 1
           }
-          seen += sb.toString
+          out += sb.toString
           i += 1
         }
         new GenericArrayData(
-          seen.iterator.map(UTF8String.fromString(_): Any).toArray)
+          out.iterator.map(UTF8String.fromString(_): Any).toArray)
       }
     }
 
@@ -73,6 +80,6 @@ object TextExprs {
     override def prettyName: String = "word_ngrams"
   }
 
-  def wordNGrams(col: Column, n: Int): Column =
-    ColumnBridge.column(WordNGrams(ColumnBridge.expression(col), n))
+  def wordNGrams(col: Column, n: Int, distinct: Boolean = true): Column =
+    ColumnBridge.column(WordNGrams(ColumnBridge.expression(col), n, distinct))
 }

@@ -68,6 +68,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rep == Map("dups" -> 1L))
   }
 
+  test("repetitionProfile: hand-computed bigram stats; sub-n docs emit no row") {
+    import graft.ext.TextStats
+    val docs = Seq((1L, "a b a b c"), (2L, "solo"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = TextStats.repetitionProfile(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1 bigrams: "a b","b a","a b","b c" -> 4 total, 3 distinct
+    assert(got(1L) == ((4L, 3L, 0.25, 0.5)))
+    // doc 3: all unique -> zero repetition
+    assert(got(3L) == ((2L, 2L, 0.0, 0.5)))
+    assert(!got.contains(2L)) // one token: no bigrams to profile
+  }
+
   test("ngramJaccard computes exact overlap") {
     val pairs = Seq(("a b c d", "a b c z")).toDF("l", "r")
     val j = pairs.select(Dedup.ngramJaccard(pairs, col("l"), col("r"), 1).as("j"))

@@ -139,6 +139,31 @@ class PropertySpec extends SparkTestBase {
     }, min = 10)
   }
 
+  test("word_ngrams law (distinct=false): positional multiplicity == the HOF chain") {
+    val word = Gen.oneOf(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.const("a"),
+      Gen.const("a")) // repeats likely, so multiplicity actually differs from distinct
+    val doc = for {
+      k <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(k, word)
+    } yield ws.mkString(" ")
+    val gen = Gen.zip(Gen.choose(1, 4), Gen.listOfN(25, doc))
+    checkProp(forAll(gen) { case (n, texts) =>
+      val df = texts.toDF("text")
+      val fast = df.select(
+        graft.functions.TextExprs.wordNGrams(col("text"), n, distinct = false)
+          .as("g"))
+        .as[Seq[String]].collect().toSeq
+      val hof = df
+        .select(split(trim(lower(col("text"))), "\\s+").as("t"))
+        .select(expr(
+          s"CASE WHEN size(t) >= $n THEN transform(" +
+            s"sequence(0, size(t) - $n), i -> array_join(slice(t, i + 1, $n), ' '))" +
+            " ELSE array() END").as("g"))
+        .as[Seq[String]].collect().toSeq
+      fast == hof
+    }, min = 10)
+  }
+
   test("safeNumeric law: engine == model over numeric-ish strings") {
     val numish = Gen.oneOf(
       Gen.chooseNum(-1e6, 1e6).map(_.toString),
