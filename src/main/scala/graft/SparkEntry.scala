@@ -183,6 +183,12 @@ object SparkEntry {
       SimSearch.cosineNearDups(T(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r6"))),
 
+    // §7.6 SemDeDup-style semantic dedup: per-vector keeper decisions from
+    // the cosine-neighbor graph (one row per vector, the pipeline artifact).
+    "q59_semantic_dedup" -> ((s, dir) =>
+      SimSearch.semanticDedupAssignments(T(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.4)),
+
     // §7.6 exact n-gram Jaccard (the verification metric behind MinHash).
     // Shingle arrays are computed ONCE per row in a projection below the
     // join — referencing them through join-output attributes, so
@@ -861,6 +867,18 @@ object SparkEntry {
         |     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
         |  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(sim, 6) AS sim_r6 FROM p WHERE sim >= 0.4""".stripMargin,
+
+    "q59_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_dot_product(a.v, b.v)
+        |     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id),
+        | f AS (SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4),
+        | k AS (SELECT id_b AS vec_id, MIN(id_a) AS cand,
+        |   round(MAX(sim), 6) AS max_sim_r6 FROM f GROUP BY id_b)
+        |SELECT e.vec_id, COALESCE(k.cand, e.vec_id) AS keeper_id, k.max_sim_r6
+        |FROM e LEFT JOIN k USING (vec_id)""".stripMargin,
 
     "q21_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

@@ -66,6 +66,27 @@ object SimSearch {
       .filter(col("sim") >= threshold)
   }
 
+  /** Semantic dedup assignments (the SemDeDup idea — Abbas et al. 2023,
+    * arXiv:2303.09540 — reduced to its deterministic core): every vector
+    * maps to its smallest-id cosine-neighbor at or above `threshold` as
+    * keeper; vectors with no neighbor keep themselves. One row per input
+    * vector — the artifact an embedding-dedup pipeline materializes,
+    * mirroring [[graft.ext.Dedup.minhashDedupAssignments]] for text.
+    * Composes [[cosineNearDups]], so this is the exact baseline; at corpus
+    * scale restrict the pair space to [[lshBucket]] buckets or IVF cells
+    * first (same composition, per-bucket pairs). */
+  def semanticDedupAssignments(corpus: DataFrame, idCol: String,
+                               vecCol: String, threshold: Double): DataFrame = {
+    val pairs = cosineNearDups(corpus, idCol, vecCol, threshold)
+    val keepers = pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("cand"),
+        round(max(col("sim")), 6).as("max_sim_r6"))
+    corpus.select(col(idCol).as("vec_id")).join(keepers, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cand"), col("vec_id")).as("keeper_id"),
+        col("max_sim_r6"))
+  }
+
   /** The ±1 Rademacher hyperplanes behind [[lshBucket]], exposed so the
     * DuckDB oracle can be built from the SAME sign pattern (q18 is
     * value-checked end-to-end: identical literals + identical double

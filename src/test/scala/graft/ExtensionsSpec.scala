@@ -68,6 +68,17 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rep == Map("dups" -> 1L))
   }
 
+  test("semantic dedup maps a planted near-identical vector to its min-id keeper") {
+    val base = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val near = base.clone(); near(0) += 0.001f
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val corpus = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("vec_id", "embedding")
+    val got = SimSearch.semanticDedupAssignments(corpus, "vec_id", "embedding", 0.95)
+      .select("vec_id", "keeper_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("repetitionProfile: hand-computed bigram stats; sub-n docs emit no row") {
     import graft.ext.TextStats
     val docs = Seq((1L, "a b a b c"), (2L, "solo"), (3L, "x y z"))
