@@ -87,6 +87,51 @@ object SimSearch {
         col("max_sim_r6"))
   }
 
+  /** [[semanticDedupAssignments]] at corpus scale: banded multi-table LSH —
+    * `tables` independent tables of `planesPerTable` hyperplane sign bits;
+    * vectors are candidates if ANY table agrees (the MinHash banding curve:
+    * P(collide) = 1-(1-p^r)^L with p = 1-θ/π per plane), so the cosine
+    * sweep is per-bucket quadratic instead of corpus-quadratic. A single
+    * wide bucket only catches near-identical vectors; banding is what makes
+    * moderate thresholds (0.4-0.7) reachable. Recall is probabilistic and
+    * deterministic per (seed, corpus) — tune r/L against the threshold.
+    * Keeper semantics match the exact form. */
+  def semanticDedupAssignmentsBucketed(corpus: DataFrame, idCol: String,
+                                       vecCol: String, threshold: Double,
+                                       tables: Int, planesPerTable: Int,
+                                       dim: Int): DataFrame = {
+    val nPlanes = tables * planesPerTable
+    require(nPlanes <= 63, s"tables*planesPerTable must fit a long: $nPlanes")
+    val mask = (1L << planesPerTable) - 1
+    val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), nPlanes, dim).as("b")).localCheckpoint()
+    // one (table, bucket-slice) row per table; rows carry only (key, id) —
+    // the vector joins back after the pair set is distinct
+    val probes = bucketed.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          shiftright(col("b"), t * planesPerTable).bitwiseAND(lit(mask))
+            .as("tb"))): _*)).as("k"))
+      .select(col("vec_id"), col("k.t"), col("k.tb"))
+    val cand = probes
+      .join(probes.select(col("vec_id").as("id_b"), col("t"), col("tb")),
+        Seq("t", "tb"))
+      .filter(col("vec_id") < col("id_b"))
+      .select(col("vec_id").as("id_a"), col("id_b")).distinct()
+    val pairs = cand
+      .join(bucketed.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(bucketed.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+    val keepers = pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("cand"),
+        round(max(col("sim")), 6).as("max_sim_r6"))
+    corpus.select(col(idCol).as("vec_id")).join(keepers, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cand"), col("vec_id")).as("keeper_id"),
+        col("max_sim_r6"))
+  }
+
   /** The ±1 Rademacher hyperplanes behind [[lshBucket]], exposed so the
     * DuckDB oracle can be built from the SAME sign pattern (q18 is
     * value-checked end-to-end: identical literals + identical double
