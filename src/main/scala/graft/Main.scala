@@ -70,10 +70,14 @@ object Main {
       maintenance = cycleId =>
         if (compactEvery > 0 && cycleId % compactEvery == 0) {
           if (txSinks)
-            // tx maintenance: squash the log + reclaim superseded data files
+            // tx maintenance: rewrite fragmented live sets into one batch
+            // (bounds read()'s union fan-in), squash the log, reclaim
+            // superseded data files
             graft.model.Schemas.targets.keys.foreach { t =>
               val dir = boot.tablePath(t)
               if (graft.merge.TxTable.exists(spark, dir)) {
+                if (graft.merge.TxTable.liveBatchCount(spark, dir) > compactMaxFiles)
+                  graft.merge.TxTable.compactData(spark, dir, targetPartitions = 1)
                 graft.merge.TxTable.compactLog(spark, dir)
                 graft.merge.TxTable.vacuum(spark, dir)
               }

@@ -336,6 +336,41 @@ object TxTable {
     }
   }
 
+  /** Number of distinct staging batches the live set spans — the fan-in of
+    * [[read]]'s union. Append-heavy tables grow one batch per commit
+    * (~2.9k/day at a 30 s cadence); compare against a bound and
+    * [[compactData]] in the maintenance cycle. */
+  def liveBatchCount(spark: SparkSession, dir: String): Int =
+    replay(hadoopFs(spark, dir), dir)._1.map(_.path.split('/')(1)).distinct.size
+
+  /** Rewrite the live set into ONE staging batch via a single `replace`
+    * commit, then vacuum the superseded files. Bounds [[read]]'s union
+    * fan-in AND the small-file count in one pass. Unlike the rename-swap
+    * [[MergeSink.compactIfNeeded]], no localCheckpoint is needed: the
+    * rewrite reads the old immutable files while staging new ones, the
+    * commit flips atomically, and readers mid-flight keep working against
+    * the files they already resolved. `targetPartitions` > 0 additionally
+    * coalesces (per partition column when the layout has one). */
+  def compactData(spark: SparkSession, dir: String,
+                  targetPartitions: Int = 0): Boolean = {
+    val fs = hadoopFs(spark, dir)
+    val (live, scheme) = replay(fs, dir)
+    if (live.isEmpty) false
+    else {
+      val partCol = live.flatMap(_.part).headOption.map(_.split('=')(0))
+      val df0 = read(spark, dir).get
+      val df = (targetPartitions, partCol) match {
+        case (n, Some(p)) if n > 0 =>
+          df0.repartition(n, org.apache.spark.sql.functions.col(p))
+        case (n, None) if n > 0 => df0.repartition(n)
+        case _                  => df0
+      }
+      replace(spark, dir, df, partCol.toSeq, scheme)
+      vacuum(spark, dir)
+      true
+    }
+  }
+
   /** Squash the log into one `replace` commit of the current live set —
     * bounds replay cost for long-lived tables (the checkpoint a full
     * format writes every N commits). Data files are not touched. */

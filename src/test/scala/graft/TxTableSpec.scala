@@ -228,6 +228,35 @@ class TxTableSpec extends SparkTestBase {
     assert(TxTable.read(spark, dir).get.count() == 2) // state unchanged
   }
 
+  test("compactData collapses an append-fragmented table to one batch, contents intact") {
+    val dir = tmpDir("tx-datacompact")
+    for (i <- 1 to 6)
+      MergeSink.appendDedupTx(spark, dir,
+        Seq((s"e$i", s"2024-03-0${(i % 3) + 1}", i.toDouble)).toDF("k", "d", "v"),
+        "k", Seq("d"))
+    assert(TxTable.liveBatchCount(spark, dir) == 6)
+    // partition inference types d as DATE and appends it — project explicitly
+    def snap() = TxTable.read(spark, dir).get
+      .select(col("k"), col("d").cast("string"), col("v"))
+      .as[(String, String, Double)].collect().toSet
+    val before = snap()
+
+    assert(TxTable.compactData(spark, dir, targetPartitions = 1))
+    assert(TxTable.liveBatchCount(spark, dir) == 1)   // union fan-in bounded
+    val after = snap()
+    assert(after == before)
+    // partition column survives the rewrite (layout preserved)
+    assert(TxTable.read(spark, dir).get
+      .filter(col("d") === "2024-03-02").count() == before.count(_._2 == "2024-03-02"))
+    // superseded staging dirs were vacuumed
+    val batches = new java.io.File(s"$dir/data").listFiles().count(_.isDirectory)
+    assert(batches == 1, s"expected 1 staging dir after vacuum, got $batches")
+    // still writable; appends start fragmenting again from the compacted base
+    MergeSink.appendDedupTx(spark, dir,
+      Seq(("e9", "2024-03-01", 9.0)).toDF("k", "d", "v"), "k", Seq("d"))
+    assert(TxTable.read(spark, dir).get.count() == 7)
+  }
+
   test("partitioned append Tx keeps partition column round-trippable") {
     val dir = tmpDir("tx-partapp")
     val b = Seq(("e1", "2024-03-01", 1.0), ("e2", "2024-03-02", 2.0))
