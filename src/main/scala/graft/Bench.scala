@@ -1,6 +1,68 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** Tables whose keys shift per replica so per-replica join/dedup
+    * semantics stay honest (region/nation are TPC-H fixed dims). */
+  private val keyShifts: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Materialize a k×-replicated copy of the corpus. Foreign keys shift
+    * together (i·10M per replica) so each replica is a self-contained join
+    * universe. documents.text and embeddings.embedding are deterministically
+    * PERTURBED per replica — identical copies would multiply duplicate
+    * CLUSTER SIZE, making near-dup pair counts grow quadratically and
+    * measuring a fully-duplicated-corpus stress instead of a scale slope
+    * (the ScaleProbe rationale). Every 7th word salted ⇒ cross-replica
+    * shingle Jaccard ≈ 0.2, far below the 0.6 near-dup threshold, while
+    * WITHIN-replica planted dups are preserved (same salt). */
+  private def buildScaled(spark: SparkSession, sfDir: String, k: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"bench-${k}x-").toString
+    val all = graft.model.Tables.relational ++ graft.model.Tables.stream ++
+      graft.model.Tables.corpus
+    for (t <- all) {
+      val base = graft.model.Tables.load(spark, sfDir, t)
+      val df =
+        if (!keyShifts.contains(t)) base
+        else (0 until k).map { i =>
+          var d = keyShifts(t).foldLeft(base)((acc, c) =>
+            acc.withColumn(c, col(c) + lit(i * 10000000L)))
+          if (i > 0 && t == "documents")
+            d = d.withColumn("text", expr(
+              s"array_join(transform(split(text, ' '), (w, j) -> " +
+                s"CASE WHEN pmod(j + $i, 7) = 0 THEN concat(w, '_r$i') " +
+                s"ELSE w END), ' ')"))
+          if (i > 0 && t == "embeddings")
+            d = d.withColumn("embedding", expr(
+              s"transform(embedding, (x, j) -> " +
+                s"cast(x + (pmod($i * 31 + j, 7) - 3) * 0.17 as float))"))
+          d
+        }.reduce(_ unionByName _)
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    out
+  }
+
+  /** The queries worth a second scale point: the reference-shaped headline
+    * aggregates plus every pipeline operator whose 100 TB posture the
+    * VERDICT graded (dedup, ANN, text stats, packing, skew handling). The
+    * two documented O(n²) oracle baselines (q20/q59) are excluded by
+    * design — their bucketed/banded scale paths (q16/q60) are measured. */
+  private val heavy = Seq(
+    "q01_pricing_summary", "q04_orders_rollup", "q06_timeline_union",
+    "q13_ann_topk", "q16_minhash_neardup", "q30_asof_join", "q40_tfidf",
+    "q42_salted_join", "q45_heavy_hitters", "q51_vocab_encode",
+    "q52_sequence_pack", "q53_decontaminate", "q56_label_centroids",
+    "q58_repetition", "q60_semantic_dedup_bucketed")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -38,18 +100,48 @@ object Bench {
     // strictly additive, so the smallest observation is the closest to the
     // true data-path cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    def run(fn: (SparkSession, String) => DataFrame, dir: String, n: Int): Double =
+      (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.min
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> run(fn, sfDir, reps)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // second scale point: the same heavy queries over a k×-replicated
+    // corpus, so "survives a scale-up" is a measured slope (t_kx/t_1x per
+    // query), not a probe-only claim. SPARK_GRAFT_BENCH_SCALE2=0 disables.
+    val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE2", "8").trim.toInt
+    val scaled: Option[(String, Seq[(String, Double)])] =
+      if (k <= 1) None
+      else {
+        val dirK = buildScaled(spark, sfDir, k)
+        val r = heavy.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            run(fn, dirK, 1) // warm plans from the 1× pass; codegen is shared
+            name -> run(fn, dirK, math.min(2, reps))
+          }
+        }
+        Some((dirK, r))
+      }
+    val extra = scaled match {
+      case None => ""
+      case Some((dirK, r)) =>
+        val base = results.toMap
+        val qsK = r.map { case (n, v) => s"\"" + n + "\":" + v }
+          .mkString("{", ",", "}")
+        val slope = r.map { case (n, v) =>
+          val s = base.get(n).filter(_ > 0).map(b => v / b).getOrElse(-1.0)
+          s"\"" + n + "\":" + f"$s%.2f"
+        }.mkString("{", ",", "}")
+        s""","scale_k":$k,"queries_${k}x":$qsK,"slope_vs_1x":$slope,"sf_${k}x":"$dirK""""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }

@@ -76,10 +76,18 @@ object Main {
             graft.model.Schemas.targets.keys.foreach { t =>
               val dir = boot.tablePath(t)
               if (graft.merge.TxTable.exists(spark, dir)) {
+                // retainVersions=2 + a 5 min orphan age: a reader that
+                // resolved files at the pre-compaction head keeps working
+                // for at least one maintenance interval, and a crashed or
+                // in-flight staging dir is never swept while fresh.
+                // vacuum MUST precede compactLog — the squash discards the
+                // version history retention is computed from
                 if (graft.merge.TxTable.liveBatchCount(spark, dir) > compactMaxFiles)
-                  graft.merge.TxTable.compactData(spark, dir, targetPartitions = 1)
+                  graft.merge.TxTable.compactData(spark, dir,
+                    targetPartitions = 1, retainVersions = 2)
+                graft.merge.TxTable.vacuum(spark, dir, retainVersions = 2,
+                  minOrphanAgeMs = 5 * 60 * 1000L)
                 graft.merge.TxTable.compactLog(spark, dir)
-                graft.merge.TxTable.vacuum(spark, dir)
               }
             }
           else graft.merge.MergeSink.compactIfNeeded(spark,

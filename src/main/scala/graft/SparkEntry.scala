@@ -189,6 +189,18 @@ object SparkEntry {
       SimSearch.semanticDedupAssignments(T(s, dir, "embeddings"),
         "vec_id", "embedding", 0.4)),
 
+    // §7.6 the SCALE path of q59, value-checked end-to-end: banded
+    // multi-table LSH candidates → per-bucket cosine sweep → identical
+    // keeper semantics. The oracle is built from the SAME hyperplane sign
+    // literals (the q18 technique), so buckets, band slices, candidate
+    // pairs, and keepers reproduce exactly in DuckDB — the 100 TB route is
+    // the verified route, not an unit-tested understudy. Parameters match
+    // the recall-measured profile in ExtensionsSpec (12 tables × 3 planes,
+    // 0.98 recall vs exact on this corpus).
+    "q60_semantic_dedup_bucketed" -> ((s, dir) =>
+      SimSearch.semanticDedupAssignmentsBucketed(T(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.4, tables = 12, planesPerTable = 3, dim = 64)),
+
     // §7.6 exact n-gram Jaccard (the verification metric behind MinHash).
     // Shingle arrays are computed ONCE per row in a projection below the
     // join — referencing them through join-output attributes, so
@@ -879,6 +891,8 @@ object SparkEntry {
         |   round(MAX(sim), 6) AS max_sim_r6 FROM f GROUP BY id_b)
         |SELECT e.vec_id, COALESCE(k.cand, e.vec_id) AS keeper_id, k.max_sim_r6
         |FROM e LEFT JOIN k USING (vec_id)""".stripMargin,
+
+    "q60_semantic_dedup_bucketed" -> semanticDedupBucketedOracleSql,
 
     "q21_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -1595,6 +1609,43 @@ object SparkEntry {
        |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk, sim FROM sims)
        |SELECT query_id, neighbor_id, rnk, round(sim, 6) AS sim_r6
        |FROM r WHERE rnk <= 10""".stripMargin
+  }
+
+  /** q60's oracle: [[lshAnnOracleSql]]'s shared-literal technique applied
+    * to the banded multi-table form — the SAME 36 hyperplane sign vectors
+    * as `SimSearch.semanticDedupAssignmentsBucketed(tables=12, r=3)`, the
+    * same band slicing (`bucket >> t*3 & 7`), the same candidate predicate
+    * (any table agrees, id_a < id_b, distinct), the same cosine and keeper
+    * aggregation as q59. Identical double arithmetic ⇒ identical keepers. */
+  private def semanticDedupBucketedOracleSql: String = {
+    val tables = 12; val ppt = 3
+    val planes = graft.ext.SimSearch.hyperplaneSigns(tables * ppt, 64)
+    def arr(signs: Seq[Double]): String =
+      signs.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bucketTerms = planes.zipWithIndex.map { case (sg, p) =>
+      s"(CASE WHEN list_dot_product(v, ${arr(sg)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n   + ")
+    val tableRows = (0 until tables).map(t => s"($t)").mkString(",")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $bucketTerms AS bucket FROM e),
+       |probes AS (
+       | SELECT vec_id, t.t AS t, (bucket >> (t.t * $ppt)) & ${(1L << ppt) - 1} AS tb
+       | FROM b, (VALUES $tableRows) t(t)),
+       |cand AS (
+       | SELECT DISTINCT p1.vec_id AS id_a, p2.vec_id AS id_b
+       | FROM probes p1 JOIN probes p2
+       |   ON p1.t = p2.t AND p1.tb = p2.tb AND p1.vec_id < p2.vec_id),
+       |pr AS (
+       | SELECT c.id_a, c.id_b,
+       |  list_dot_product(ba.v, bb.v)
+       |    / (sqrt(list_dot_product(ba.v, ba.v)) * sqrt(list_dot_product(bb.v, bb.v))) AS sim
+       | FROM cand c JOIN b ba ON ba.vec_id = c.id_a JOIN b bb ON bb.vec_id = c.id_b),
+       |f AS (SELECT id_a, id_b, sim FROM pr WHERE sim >= 0.4),
+       |k AS (SELECT id_b AS vec_id, MIN(id_a) AS cand,
+       |  round(MAX(sim), 6) AS max_sim_r6 FROM f GROUP BY id_b)
+       |SELECT e.vec_id, COALESCE(k.cand, e.vec_id) AS keeper_id, k.max_sim_r6
+       |FROM e LEFT JOIN k USING (vec_id)""".stripMargin
   }
 
   /** q28's oracle: seed centroids = top-16 corpus vectors by the portable

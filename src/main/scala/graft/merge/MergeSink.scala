@@ -411,10 +411,15 @@ object MergeSink {
         Some(scheme.descriptor), expectedHead = v0)
     else if (!TxTable.currentScheme(spark, dir).contains(scheme.descriptor)) {
       // layout mismatch (bucket resize / legacy): pruning would merge
-      // against the wrong partitions — one full rewrite migrates safely
-      val existing = TxTable.read(spark, dir).get
-      TxTable.replace(spark, dir,
-        staged(mergeRows(existing.drop(scheme.colName), b, keys, mutableCols)),
+      // against the wrong partitions — one full rewrite migrates safely.
+      // A log can exist with an EMPTY live set (e.g. a replace that
+      // committed zero rows): treat that as no existing rows, not a crash
+      val merged = TxTable.read(spark, dir) match {
+        case None           => b
+        case Some(existing) =>
+          mergeRows(existing.drop(scheme.colName), b, keys, mutableCols)
+      }
+      TxTable.replace(spark, dir, staged(merged),
         Seq(scheme.colName), Some(scheme.descriptor), expectedHead = v0)
     } else {
       // bounded collect: one scalar per touched partition, never data

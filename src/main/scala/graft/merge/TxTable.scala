@@ -43,13 +43,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * out of scope and rejected nowhere — don't use them for scoped tables).
   *
   * Single-writer contract (same as MergeSink's): one writing process per
-  * table; the exclusive log-slot rename turns a violated contract into a
-  * failed commit instead of corruption.
+  * table; the exclusive log-slot claim turns a violated contract into a
+  * failed commit instead of corruption. The claim is atomic cross-process
+  * on both filesystem families we run on: `file:` uses POSIX link(2)
+  * (EEXIST on a taken slot — a plain rename(2) would silently overwrite),
+  * HDFS-like stores use rename-to-destination (which fails when the
+  * destination exists). Object stores would need a conditional put, same
+  * as every log-based format.
+  *
+  * Retention (the Delta trade): [[vacuum]] keeps the files referenced by
+  * the live sets of the last `retainVersions` commits, so a reader that
+  * resolved file paths at version v keeps working across a concurrent
+  * [[compactData]] as long as v is inside the retention window. Versions
+  * older than the window become unreadable — [[read]] fails loudly on an
+  * `asOf` below the recorded vacuum floor instead of surfacing a
+  * mid-scan FileNotFoundException, and [[versions]] stops advertising
+  * them.
   */
 object TxTable {
 
   private val LogDirName = "_graft_log"
   private val DataDirName = "data"
+  private val FloorName = "_vacuum_floor"
 
   /** One live data file: `path` relative to the table root; `part` is the
     * hive fragment (`part_bucket=3`) for partitioned layouts. */
@@ -143,6 +158,46 @@ object TxTable {
     (live, scheme)
   }
 
+  /** One replay pass yielding the live set AFTER each commit, ascending —
+    * what [[vacuum]] retention needs without re-replaying per version. */
+  private def liveSetsByVersion(fs: FileSystem,
+                                dir: String): Seq[(Long, Vector[FileEntry])] = {
+    var live = Vector.empty[FileEntry]
+    listCommits(fs, dir).map { case (v, p) =>
+      val c = parse(fs, p)
+      c.action match {
+        case "replace" => live = c.files.toVector
+        case "append"  => live = live ++ c.files
+        case "replacePartitions" =>
+          val drop = c.removedParts.toSet
+          live = live.filterNot(_.part.exists(drop)) ++ c.files
+        case other => throw new java.io.IOException(
+          s"corrupt commit $p: unknown action '$other'")
+      }
+      (v, live)
+    }
+  }
+
+  // --------------------------------------------------------- vacuum floor
+
+  /** Oldest version guaranteed readable after vacuums (see [[vacuum]]);
+    * absent until a vacuum actually removes a committed batch. */
+  private def readFloor(fs: FileSystem, dir: String): Option[Long] = {
+    val p = new Path(logDir(dir), FloorName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), UTF_8).trim finally in.close()
+      text.toLongOption
+    }
+  }
+
+  private def writeFloor(fs: FileSystem, dir: String, v: Long): Unit = {
+    val p = new Path(logDir(dir), FloorName)
+    val out = fs.create(p, true) // marker, not a commit — overwrite is fine
+    try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+  }
+
   /** Publish a commit into the next numbered log slot. The content is
     * written to a tmp name first; the rename into the numbered slot is the
     * atomic visibility point.
@@ -166,7 +221,7 @@ object TxTable {
     // non-append: pin the slot to the version the caller read
     // (`expectedHead`) — if anything committed since, the state this commit
     // was merged against is stale and claiming a later slot would silently
-    // drop the interleaved write. The slot rename doubles as the atomic
+    // drop the interleaved write. The slot claim doubles as the atomic
     // compare-and-swap: expectedHead+1 taken ⇔ head moved.
     val pinned = expectedHead
       .map(_ + 1)
@@ -180,7 +235,7 @@ object TxTable {
           listCommits(fs, dir).lastOption.map(_._1 + 1).getOrElse(1L)
         else pinned
       val slot = new Path(ld, f"$next%020d.commit")
-      done = !fs.exists(slot) && fs.rename(tmp, slot)
+      done = claimSlot(fs, tmp, slot)
       if (!done && attempt >= maxAttempts) {
         fs.delete(tmp, true)
         throw new java.io.IOException(
@@ -189,6 +244,25 @@ object TxTable {
       }
     }
   }
+
+  /** Atomically claim `slot` with the staged commit content in `tmp`.
+    * `file:` schemes use POSIX link(2), whose EEXIST on a taken slot is
+    * atomic cross-process — a rename(2) would silently OVERWRITE an
+    * existing destination, letting two racing writers both "succeed" and
+    * clobbering one commit. HDFS-like stores keep the rename path, where
+    * rename-to-existing-destination fails by contract. */
+  private def claimSlot(fs: FileSystem, tmp: Path, slot: Path): Boolean =
+    if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(slot).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !fs.exists(slot) && fs.rename(tmp, slot)
 
   // ----------------------------------------------------------------- data
 
@@ -222,6 +296,16 @@ object TxTable {
     files.result()
   }
 
+  /** The log records one partition column and [[stage]] captures the
+    * innermost hive fragment per file — with 2+ partition columns,
+    * log-level pruning and replacePartitions removal would be silently
+    * wrong, so reject the layout up front. */
+  private def requireSinglePartCol(partitionCols: Seq[String]): Unit =
+    require(partitionCols.size <= 1,
+      s"TxTable supports at most one partition column, got " +
+        s"${partitionCols.mkString("[", ",", "]")} — the commit log records " +
+        "a single hive fragment per file")
+
   /** Hive path-fragment rendering for a partition VALUE, matching what
     * Spark writes for the int/date/string-without-special-chars values the
     * [[MergeSink.PartitionScheme]]s produce. */
@@ -244,9 +328,13 @@ object TxTable {
   /** Committed versions, ascending — each is a valid [[read]] `asOf`
     * target until [[compactLog]] squashes history or [[vacuum]] reclaims
     * the files an old version references (the Delta trade: retention
-    * bounds time travel). */
-  def versions(spark: SparkSession, dir: String): Seq[Long] =
-    listCommits(hadoopFs(spark, dir), dir).map(_._1)
+    * bounds time travel). Versions below the vacuum floor are no longer
+    * advertised: their files may be gone. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = hadoopFs(spark, dir)
+    val floor = readFloor(fs, dir).getOrElse(Long.MinValue)
+    listCommits(fs, dir).map(_._1).filter(_ >= floor)
+  }
 
   /** Snapshot read of the live file set; None before the first commit or if
     * the live set is empty. `parts` prunes AT THE LOG LEVEL to the given
@@ -257,6 +345,13 @@ object TxTable {
            parts: Option[Set[String]] = None,
            asOf: Option[Long] = None): Option[DataFrame] = {
     val fs = hadoopFs(spark, dir)
+    // fail loudly BEFORE planning a scan over reclaimed files — the
+    // alternative is a mid-scan FileNotFoundException with no cause
+    for (v <- asOf; floor <- readFloor(fs, dir))
+      require(v >= floor,
+        s"asOf=$v predates the vacuum retention floor $floor for $dir: " +
+          "the data files those versions referenced have been reclaimed " +
+          "(vacuum with a larger retainVersions to keep more history)")
     val (liveAll, _) = replay(fs, dir, asOf)
     val live = parts match {
       case None    => liveAll
@@ -290,6 +385,7 @@ object TxTable {
               partitionCols: Seq[String] = Nil,
               scheme: Option[String] = None,
               expectedHead: Option[Long] = None): Unit = {
+    requireSinglePartCol(partitionCols)
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
       Commit("replace", partitionCols.headOption, scheme, Nil, files),
@@ -299,6 +395,7 @@ object TxTable {
   /** Atomically append files (M3/M4 path — nothing existing is rewritten). */
   def append(spark: SparkSession, dir: String, df: DataFrame,
              partitionCols: Seq[String] = Nil): Unit = {
+    requireSinglePartCol(partitionCols)
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
       Commit("append", partitionCols.headOption, None, Nil, files))
@@ -319,19 +416,50 @@ object TxTable {
       expectedHead)
   }
 
-  /** Reclaim data files no commit references anymore (superseded replaces,
+  /** Reclaim data files outside the retention window (superseded replaces,
     * crash-orphaned staging). Maintenance-cycle work, never the hot path.
-    * Returns the number of staging dirs deleted. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+    * Returns the number of staging dirs deleted.
+    *
+    * `retainVersions`: keep every file referenced by the live set of any of
+    * the last N commits — a reader that resolved file paths at one of those
+    * versions keeps working across this vacuum (the Delta retention trade;
+    * default 1 = head only, the aggressive reclaim). When a vacuum removes
+    * a batch some OLDER commit still references, the oldest retained
+    * version is recorded as the table's floor: [[read]] rejects `asOf`
+    * below it and [[versions]] stops advertising those versions.
+    *
+    * `minOrphanAgeMs`: staging dirs referenced by NO commit are either
+    * crash debris or a concurrent writer's in-flight batch — only dirs
+    * older than this are deleted (default 0 keeps single-process tests
+    * exact; production maintenance should pass minutes). */
+  def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 1,
+             minOrphanAgeMs: Long = 0L): Int = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = hadoopFs(spark, dir)
-    val (live, _) = replay(fs, dir)
-    val liveBatches = live.map(_.path.split('/')(1)).toSet
+    val sets = liveSetsByVersion(fs, dir)
+    def batches(s: Seq[(Long, Vector[FileEntry])]) =
+      s.flatMap(_._2.map(_.path.split('/')(1))).toSet
+    val retained = sets.takeRight(retainVersions)
+    val keep = batches(retained)
+    val everCommitted = batches(sets) // every batch is live right after its
+                                      // adding commit, so this is complete
     val dataDir = new Path(dir, DataDirName)
     if (!fs.exists(dataDir)) 0
     else {
-      val stale = fs.listStatus(dataDir).toSeq
-        .filter(st => st.isDirectory && !liveBatches.contains(st.getPath.getName))
+      val now = System.currentTimeMillis()
+      var removedCommitted = false
+      val stale = fs.listStatus(dataDir).toSeq.filter { st =>
+        val name = st.getPath.getName
+        st.isDirectory && !keep.contains(name) && {
+          if (everCommitted.contains(name)) { removedCommitted = true; true }
+          else now - st.getModificationTime >= minOrphanAgeMs
+        }
+      }
       stale.foreach(st => fs.delete(st.getPath, true))
+      if (removedCommitted) retained.headOption.foreach { case (oldest, _) =>
+        val prior = readFloor(fs, dir).getOrElse(Long.MinValue)
+        if (oldest > prior) writeFloor(fs, dir, oldest)
+      }
       stale.size
     }
   }
@@ -349,10 +477,15 @@ object TxTable {
     * [[MergeSink.compactIfNeeded]], no localCheckpoint is needed: the
     * rewrite reads the old immutable files while staging new ones, the
     * commit flips atomically, and readers mid-flight keep working against
-    * the files they already resolved. `targetPartitions` > 0 additionally
-    * coalesces (per partition column when the layout has one). */
+    * the files they already resolved for as long as the trailing
+    * [[vacuum]]'s retention covers their version — pass
+    * `retainVersions` >= 2 when concurrent readers are possible (the
+    * default 1 reclaims the superseded files immediately).
+    * `targetPartitions` > 0 additionally coalesces (per partition column
+    * when the layout has one). */
   def compactData(spark: SparkSession, dir: String,
-                  targetPartitions: Int = 0): Boolean = {
+                  targetPartitions: Int = 0,
+                  retainVersions: Int = 1): Boolean = {
     val fs = hadoopFs(spark, dir)
     val (live, scheme) = replay(fs, dir)
     if (live.isEmpty) false
@@ -366,7 +499,7 @@ object TxTable {
         case _                  => df0
       }
       replace(spark, dir, df, partCol.toSeq, scheme)
-      vacuum(spark, dir)
+      vacuum(spark, dir, retainVersions)
       true
     }
   }

@@ -43,6 +43,50 @@ object Streams {
       }
       .start()
 
+  /** Ready-made [[toMergeSink]] callbacks with the commit protocol chosen
+    * per deployment — the streaming analog of `ScenarioPipeline.streams`'
+    * `txSinks` parameter, resolving the same `GRAFT_TX_SINKS` switch Main
+    * reads. `tx = true` applies each micro-batch through the TxTable
+    * commit-log modes (one atomic log-slot claim per batch, no recovery
+    * pass); `false` through the rename-swap modes. Both families are
+    * idempotent per batch, so the engine's at-least-once redelivery stays
+    * effectively-once either way; read targets back with
+    * [[MergeSink.readAny]], which handles both layouts. */
+  object Sinks {
+    /** Main's deploy switch, shared verbatim: GRAFT_TX_SINKS ∈ {1, true}. */
+    def txEnabled(env: Map[String, String] = sys.env): Boolean =
+      Set("1", "true").contains(
+        env.getOrElse("GRAFT_TX_SINKS", "").trim.toLowerCase)
+
+    def appendDedup(dir: String, key: String,
+                    partitionCols: Seq[String] = Nil,
+                    tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit =
+      if (tx) (s, b, _) => MergeSink.appendDedupTx(s, dir, b, key, partitionCols)
+      else (s, b, _) => MergeSink.appendDedup(s, dir, b, key, partitionCols)
+
+    def insertIfAbsent(dir: String, keys: Seq[String],
+                       partitionCols: Seq[String] = Nil,
+                       tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit =
+      if (tx) (s, b, _) => MergeSink.insertIfAbsentTx(s, dir, b, keys, partitionCols)
+      else (s, b, _) => MergeSink.insertIfAbsent(s, dir, b, keys, partitionCols)
+
+    def upsertPartial(dir: String, keys: Seq[String], mutableCols: Seq[String],
+                      orderCols: Seq[String] = Nil,
+                      tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit =
+      if (tx) (s, b, _) => MergeSink.upsertPartialTx(s, dir, b, keys, mutableCols, orderCols)
+      else (s, b, _) => MergeSink.upsertPartial(s, dir, b, keys, mutableCols, orderCols)
+
+    def scd2(dir: String, key: String, mutableCols: Seq[String],
+             orderCols: Seq[String] = Nil,
+             tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit =
+      if (tx) (s, b, _) => MergeSink.scd2Tx(s, dir, b, key, mutableCols, orderCols)
+      else (s, b, _) => MergeSink.scd2(s, dir, b, key, mutableCols, orderCols)
+  }
+
   /** Windowed aggregation with late-data bound — the standard watermarked
     * tumbling-window shape (T4 is absent in the reference; provided as a
     * first-class extension). */

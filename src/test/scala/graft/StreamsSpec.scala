@@ -297,6 +297,90 @@ class StreamsSpec extends SparkTestBase {
     assert(packSnap(packedStream) == packSnap(packedAll))
   }
 
+  test("tx-mode streaming corpus pipeline equals the one-shot batch run") {
+    import spark.implicits._
+    import graft.ext.{Corpus, Curation, Dedup}
+    import graft.merge.TxTable
+
+    // env-switch resolution is what Main and a deployment share
+    assert(!Streams.Sinks.txEnabled(Map.empty))
+    assert(Streams.Sinks.txEnabled(Map("GRAFT_TX_SINKS" -> "1")))
+    assert(Streams.Sinks.txEnabled(Map("GRAFT_TX_SINKS" -> " TRUE ")))
+
+    // same corpus and operators as the rename-swap parity case above —
+    // the ONLY difference is the commit protocol behind every target
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textB = "one two three four five six seven eight nine ten eleven twelve"
+    val textC = "crimson amber cobalt viridian ochre sienna umber teal magenta cyan"
+    val textD = "quartz basalt gneiss schist marble granite slate obsidian pumice chert"
+    val batches = Seq(
+      Seq(10L -> textA, 20L -> textB),
+      Seq(30L -> textA, 40L -> textC, 15L -> "tiny scrap"),
+      Seq(50L -> textB, 60L -> textD, 70L -> textC))
+    val allDocs = batches.flatten.toDF("doc_id", "text")
+    val (asgAll, _) = Dedup.incrementalAssignments(allDocs, "doc_id", "text",
+      Dedup.emptyIndex(spark), threshold = 0.6)
+    val curatedAll = Curation.curate(allDocs.join(
+      asgAll.filter(col("keeper_id") === col("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+
+    val flat = tmpDir("txcorpus-flat"); new java.io.File(flat).mkdirs()
+    for ((docs, i) <- batches.zipWithIndex) {
+      val one = tmpDir(s"txcorpus-b$i")
+      docs.toDF("doc_id", "text").coalesce(1).write.parquet(one)
+      val part = new java.io.File(one).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(flat, f"b$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val sigDir = tmpDir("txcorpus-sig"); val bandDir = tmpDir("txcorpus-band")
+    val corpusDir = tmpDir("txcorpus-out")
+    // readAny reads the commit-log layout the tx sinks write
+    def loadIndex() = {
+      val empty = Dedup.emptyIndex(spark)
+      Dedup.DedupIndex(
+        MergeSink.readAny(spark, sigDir).getOrElse(empty.signatures),
+        MergeSink.readAny(spark, bandDir).getOrElse(empty.bands))
+    }
+    val sinkSig = Streams.Sinks.appendDedup(sigDir, "doc_id", tx = true)
+    val sinkBand = Streams.Sinks.appendDedup(bandDir, "bk", tx = true)
+    val sinkCorpus = Streams.Sinks.appendDedup(corpusDir, "doc_id", tx = true)
+    val stream = Streams.parquetStream(spark, flat,
+      spark.read.parquet(flat).schema, maxFilesPerTrigger = 1)
+    val q = Streams.toMergeSink(stream, tmpDir("txcorpus-ck"),
+      Trigger.AvailableNow()) { (s, batch, id) =>
+      val (assign, delta) = Dedup.incrementalAssignments(
+        batch, "doc_id", "text", loadIndex(), threshold = 0.6)
+      sinkSig(s, delta.signatures, id)
+      sinkBand(s, delta.bands.withColumn("bk",
+        concat_ws("#", col("doc_id"), col("band_id"))), id)
+      val kept = batch.join(
+        assign.filter(col("keeper_id") === col("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      sinkCorpus(s, Curation.curate(kept), id)
+    }
+    q.awaitTermination(120000)
+
+    // targets genuinely carry the commit log (one commit per emitting batch)
+    assert(TxTable.exists(spark, sigDir) && TxTable.exists(spark, corpusDir))
+    assert(TxTable.versions(spark, corpusDir).nonEmpty)
+    val curatedStream = MergeSink.readAny(spark, corpusDir).get
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "text").as[(Long, Long, String)]
+        .collect().toSet
+    assert(snap(curatedStream) == snap(curatedAll))
+    assert(snap(curatedStream).map(_._1) == Set(10L, 20L, 40L, 60L))
+    // ...and the published pack table is identical pack-for-pack
+    def packSnap(df: org.apache.spark.sql.DataFrame) =
+      Corpus.packSequences(df, col("doc_id"), col("text"), capacity = 16,
+          nShards = 2)
+        .select("doc_id", "shard", "pack_id", "pack_offset", "n_tokens")
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(packSnap(curatedStream) == packSnap(curatedAll))
+  }
+
   test("windowed counts with watermark produce sane totals") {
     val srcDir = tmpDir("wstream-src")
     val events = Tables.load(spark, sf(), "events")

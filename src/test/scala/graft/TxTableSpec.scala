@@ -270,4 +270,188 @@ class TxTableSpec extends SparkTestBase {
     assert(t.columns.toSet == Set("k", "d", "v"))
     assert(t.filter(col("d") === "2024-03-01").count() == 2)
   }
+
+  test("vacuum retention: reader resolved pre-compaction survives; floor rejects older asOf") {
+    val dir = tmpDir("tx-retain")
+    // v1's batch is superseded by v2's replace — it exists ONLY for time
+    // travel; v3 appends on top of v2
+    TxTable.replace(spark, dir, Seq((1L, "old")).toDF("k", "s"))              // v1
+    TxTable.replace(spark, dir,
+      Seq((1L, "v1"), (2L, "v2")).toDF("k", "s"))                             // v2
+    TxTable.append(spark, dir, Seq((3L, "v3")).toDF("k", "s"))                // v3
+    val preHead = TxTable.headVersion(spark, dir).get                         // 3
+    // a reader resolves its file paths NOW (plan is lazy; collect later)
+    val midFlight = TxTable.read(spark, dir).get
+
+    // compaction + retention vacuum lands while that reader is in flight
+    assert(TxTable.compactData(spark, dir, targetPartitions = 1,
+      retainVersions = 2))                                                    // v4
+    // retained = {v3, v4} live sets → the pre-compaction reader's files
+    // are still on disk; its deferred collect works
+    assert(midFlight.as[(Long, String)].collect().toSet ==
+      Set((1L, "v1"), (2L, "v2"), (3L, "v3")))
+    assert(TxTable.read(spark, dir, asOf = Some(preHead)).get.count() == 3)
+
+    // ...but v1's superseded batch was reclaimed: floor recorded,
+    // versions() stops advertising v1/v2, read(asOf) fails loudly up front
+    assert(TxTable.versions(spark, dir) == Seq(3L, 4L))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.read(spark, dir, asOf = Some(1L))
+    }
+    assert(e.getMessage.contains("retention floor"))
+    // head read unaffected
+    assert(TxTable.read(spark, dir).get.count() == 3)
+  }
+
+  test("vacuum floor is monotonic and survives a subsequent head-only vacuum") {
+    val dir = tmpDir("tx-floor")
+    for (i <- 1 to 4)
+      TxTable.replace(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "s"))
+    TxTable.vacuum(spark, dir, retainVersions = 2)   // floor = 3
+    assert(TxTable.versions(spark, dir) == Seq(3L, 4L))
+    TxTable.vacuum(spark, dir, retainVersions = 2)   // nothing new to remove
+    assert(TxTable.versions(spark, dir) == Seq(3L, 4L))
+    TxTable.replace(spark, dir, Seq((5L, "v5")).toDF("k", "s"))  // v5
+    TxTable.vacuum(spark, dir, retainVersions = 1)   // floor advances to 5
+    assert(TxTable.versions(spark, dir) == Seq(5L))
+    assert(TxTable.read(spark, dir).get.as[(Long, String)].head() == ((5L, "v5")))
+  }
+
+  test("vacuum minOrphanAgeMs: a fresh in-flight staging dir is not swept") {
+    val dir = tmpDir("tx-orphanage")
+    TxTable.replace(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    // simulate a concurrent writer mid-stage: parquet exists, no commit yet
+    Seq((9L, "inflight")).toDF("k", "s").write.parquet(s"$dir/data/b-inflight")
+    assert(TxTable.vacuum(spark, dir, retainVersions = 1,
+      minOrphanAgeMs = 60 * 1000L) == 0)             // too young to sweep
+    assert(new java.io.File(s"$dir/data/b-inflight").exists())
+    assert(TxTable.vacuum(spark, dir) == 1)          // age 0 = crash-debris mode
+    assert(!new java.io.File(s"$dir/data/b-inflight").exists())
+  }
+
+  test("randomized ops with interleaved retention vacuums match the model") {
+    val dir = tmpDir("tx-model-vac")
+    val rnd = new scala.util.Random(13)
+    var nextK = 0L
+    def rows(n: Int): Seq[(Long, Double, Int)] =
+      (1 to n).map { _ => nextK += 1; (nextK, rnd.nextDouble(), rnd.nextInt(4)) }
+    def df(rs: Seq[(Long, Double, Int)]) = rs.toDF("k", "v", "p")
+    def readSet(asOf: Option[Long] = None): Set[(Long, Double, Int)] =
+      TxTable.read(spark, dir, asOf = asOf)
+        .map(_.select("k", "v", "p").as[(Long, Double, Int)].collect().toSet)
+        .getOrElse(Set.empty)
+
+    var model = Set.empty[(Long, Double, Int)]
+    var history = Vector.empty[(Long, Set[(Long, Double, Int)])]
+    for (_ <- 1 to 20) {
+      rnd.nextInt(4) match {
+        case 0 =>
+          val rs = rows(1 + rnd.nextInt(4))
+          TxTable.replace(spark, dir, df(rs), Seq("p"))
+          model = rs.toSet
+        case 1 =>
+          val rs = rows(1 + rnd.nextInt(4))
+          TxTable.append(spark, dir, df(rs), Seq("p"))
+          model = model ++ rs
+        case 2 =>
+          val rs = rows(1 + rnd.nextInt(4))
+          val touched = rs.map(_._3).toSet
+          TxTable.replacePartitions(spark, dir, df(rs), "p")
+          model = model.filterNot(r => touched(r._3)) ++ rs
+        case 3 if history.nonEmpty =>
+          TxTable.vacuum(spark, dir, retainVersions = 1 + rnd.nextInt(3))
+        case _ => ()
+      }
+      if (TxTable.versions(spark, dir).nonEmpty) {
+        assert(readSet() == model)
+        history = history :+ ((TxTable.versions(spark, dir).last, model))
+      }
+    }
+    // every version still advertised time-travels exactly; every version
+    // aged out of retention fails loudly, never with a mid-scan surprise
+    val advertised = TxTable.versions(spark, dir).toSet
+    for ((v, snap) <- history) {
+      if (advertised(v))
+        assert(readSet(asOf = Some(v)) == snap, s"time travel to v$v diverged")
+      else {
+        val e = intercept[IllegalArgumentException] {
+          TxTable.read(spark, dir, asOf = Some(v))
+        }
+        assert(e.getMessage.contains("retention floor"))
+      }
+    }
+  }
+
+  test("multi-threaded OCC: racing appends all land; racing replace wins once or fails loudly") {
+    val dir = tmpDir("tx-race")
+    TxTable.replace(spark, dir, Seq((0L, "base")).toDF("k", "s"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+
+    // the replace is merged against the PRE-RACE head: it may only win the
+    // very next slot (before any racing append lands) or fail loudly
+    val h0 = TxTable.headVersion(spark, dir)
+    val appendsPerWriter = 4
+    def appender(base: Long) = Future {
+      var ok = 0
+      for (i <- 1 to appendsPerWriter) {
+        try { TxTable.append(spark, dir,
+          Seq((base + i, s"w$base-$i")).toDF("k", "s")); ok += 1 }
+        catch { case _: java.io.IOException => () } // bounded retry exhausted
+      }
+      ok
+    }
+    val fa = appender(100) // all three race from here
+    val fb = appender(200)
+    val fr = Future {
+      try { TxTable.replace(spark, dir,
+        Seq((999L, "replaced")).toDF("k", "s"), expectedHead = h0); true }
+      catch { case e: java.io.IOException =>
+        assert(e.getMessage.contains("re-read and re-merge")); false }
+    }
+    val (okA, okB, replaced) = Await.result(
+      for (a <- fa; b <- fb; r <- fr) yield (a, b, r), 120.seconds)
+    pool.shutdown()
+
+    val rowsNow = TxTable.read(spark, dir).get.as[(Long, String)].collect().toSet
+    val versions = TxTable.versions(spark, dir)
+    // log is gapless and strictly ordered — no clobbered slots
+    assert(versions == (versions.min to versions.max))
+    // no lost commit, either way: every append that reported success is
+    // live (a replace that won slot h0+1 preceded all of them; one that
+    // would have overwritten them failed instead)
+    assert(rowsNow.count(r => r._2.startsWith("w")) == okA + okB)
+    if (replaced) assert(rowsNow.contains((999L, "replaced")))
+    else assert(rowsNow.contains((0L, "base")))
+  }
+
+  test("multi-partition-column layouts are rejected up front") {
+    val dir = tmpDir("tx-multipart")
+    val df = Seq((1L, "a", "b")).toDF("k", "p1", "p2")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.replace(spark, dir, df, Seq("p1", "p2"))
+    }
+    assert(e.getMessage.contains("at most one partition column"))
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, dir, df, Seq("p1", "p2"))
+    }
+  }
+
+  test("scheme migration over a log whose live set is empty starts fresh, no crash") {
+    val dir = tmpDir("tx-emptymigrate")
+    // a committed replace of ZERO rows: log exists, live set is empty
+    TxTable.replace(spark, dir,
+      Seq.empty[(String, String, String)].toDF("k", "status", "note")
+        .withColumn(scheme.colName, scheme.expr),
+      Seq(scheme.colName), Some("legacy-scheme"))
+    assert(TxTable.exists(spark, dir))
+    assert(TxTable.read(spark, dir).isEmpty)
+    // previously: NoSuchElementException from read().get in the migration arm
+    val b = Seq(("k1", "open", "n1")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScopedTx(spark, dir, b, Seq("k"), Seq("status"), scheme)
+    assert(snapshot(dir) == Map("k1" -> (("open", "n1"))))
+  }
 }

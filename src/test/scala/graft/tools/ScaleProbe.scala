@@ -59,7 +59,9 @@ object ScaleProbe {
         d, col("doc_id"), col("text"), 512, 8).count()),
       ("vocab_encode", d => graft.ext.Corpus.encode(
         d, col("doc_id"), col("text"),
-        graft.ext.Corpus.buildVocab(d, col("text"))).count()))
+        graft.ext.Corpus.buildVocab(d, col("text"))).count()),
+      ("repetition_profile", d => graft.ext.TextStats.repetitionProfile(
+        d, "doc_id", "text", 2).count()))
 
     println(s"[probe] docs 1x=${docs1.count()} ${k}x=${docsK.count()}")
     for ((name, f) <- probes) {
@@ -92,6 +94,58 @@ object ScaleProbe {
     val ch1 = time("label_cohesion 1x")(cohesion(emb1))
     val chk = time(s"label_cohesion ${k}x")(cohesion(embK))
     println(f"[probe] label_cohesion ratio=${chk / ch1}%.1f (k=$k, linear=~$k)")
+
+    // banded multi-table LSH semantic dedup (q60's scale path). Replicas
+    // are deterministically PERTURBED, not copied — identical replicas
+    // would grow the true near-dup pair count quadratically and probe a
+    // fully-duplicated-corpus stress instead of scale. With density held
+    // constant, growth tracks bucket occupancy (at real scale, planes are
+    // tuned up with log n to hold occupancy flat).
+    val embPK = (0 until k).map { i =>
+      if (i == 0) emb1
+      else emb1.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> cast(x + (pmod($i * 31 + j, 7) - 3) * 0.17 as float))"))
+    }.reduce(_ unionByName _).repartition(32).localCheckpoint()
+    def semdedup(c: DataFrame): Long =
+      graft.ext.SimSearch.semanticDedupAssignmentsBucketed(
+        c, "vec_id", "embedding", 0.4,
+        tables = 12, planesPerTable = 3, dim = 64).count()
+    semdedup(emb1)
+    val sd1 = time("semdedup_bucketed 1x")(semdedup(emb1))
+    val sdk = time(s"semdedup_bucketed ${k}x")(semdedup(embPK))
+    println(f"[probe] semdedup_bucketed ratio=${sdk / sd1}%.1f (k=$k, linear=~$k)")
+
+    // Tx scoped merge: cost must track the BATCH, not the table — the
+    // O(touched partitions) + O(1)-commit claim. Same fixed 200-doc batch
+    // against a 1x-seeded and a kx-seeded table: ratio should be ~1
+    // (sublinear), while compactData's full rewrite is the ~k baseline.
+    val txScheme = graft.merge.MergeSink.PartitionScheme.keyHash(Seq("doc_id"), 64)
+    val txBatch = docs1.limit(200)
+      .withColumn("text", concat(col("text"), lit(" upd"))).localCheckpoint()
+    def txUpsert(dir: String): Long = {
+      graft.merge.MergeSink.upsertPartialScopedTx(spark, dir, txBatch,
+        Seq("doc_id"), Seq("text"), txScheme)
+      txBatch.count()
+    }
+    val txDir1 = java.nio.file.Files.createTempDirectory("probe-tx1").toString
+    val txDirK = java.nio.file.Files.createTempDirectory("probe-txk").toString
+    graft.merge.MergeSink.upsertPartialScopedTx(spark, txDir1, docs1,
+      Seq("doc_id"), Seq("text"), txScheme)
+    graft.merge.MergeSink.upsertPartialScopedTx(spark, txDirK, docsK,
+      Seq("doc_id"), Seq("text"), txScheme)
+    txUpsert(txDir1) // warm
+    val tx1 = time("tx_scoped_upsert 1x-table")(txUpsert(txDir1))
+    val txk = time(s"tx_scoped_upsert ${k}x-table")(txUpsert(txDirK))
+    println(f"[probe] tx_scoped_upsert ratio=${txk / tx1}%.1f (k=$k, " +
+      "table-size-independent=~1)")
+    def txCompact(dir: String): Long = {
+      graft.merge.TxTable.compactData(spark, dir, targetPartitions = 8)
+      1L
+    }
+    val tc1 = time("tx_compact_data 1x")(txCompact(txDir1))
+    val tck = time(s"tx_compact_data ${k}x")(txCompact(txDirK))
+    println(f"[probe] tx_compact_data ratio=${tck / tc1}%.1f (k=$k, linear=~$k)")
 
     // temporal joins: both sides grow k x. Each replica shifts its USER
     // universe too — shifting only surrogate ids would stack k duplicate
