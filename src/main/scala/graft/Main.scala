@@ -80,14 +80,15 @@ object Main {
                 // resolved files at the pre-compaction head keeps working
                 // for at least one maintenance interval, and a crashed or
                 // in-flight staging dir is never swept while fresh.
-                // vacuum MUST precede compactLog — the squash discards the
-                // version history retention is computed from
+                // compactLog checkpoints before pruning, so the retained
+                // version tail survives log compaction and the three
+                // maintenance steps commute.
                 if (graft.merge.TxTable.liveBatchCount(spark, dir) > compactMaxFiles)
                   graft.merge.TxTable.compactData(spark, dir,
                     targetPartitions = 1, retainVersions = 2)
                 graft.merge.TxTable.vacuum(spark, dir, retainVersions = 2,
                   minOrphanAgeMs = 5 * 60 * 1000L)
-                graft.merge.TxTable.compactLog(spark, dir)
+                graft.merge.TxTable.compactLog(spark, dir, retainVersions = 2)
               }
             }
           else graft.merge.MergeSink.compactIfNeeded(spark,

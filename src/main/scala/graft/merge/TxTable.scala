@@ -56,9 +56,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * resolved file paths at version v keeps working across a concurrent
   * [[compactData]] as long as v is inside the retention window. Versions
   * older than the window become unreadable — [[read]] fails loudly on an
-  * `asOf` below the recorded vacuum floor instead of surfacing a
-  * mid-scan FileNotFoundException, and [[versions]] stops advertising
-  * them.
+  * `asOf` below the recorded floor instead of surfacing a mid-scan
+  * FileNotFoundException, and [[versions]] stops advertising them.
+  * [[compactLog]] bounds replay cost the same way: a checkpoint at the
+  * retention cut seeds replay, commits below it are pruned, and the floor
+  * fences what was pruned — so log compaction, vacuum, and data
+  * compaction commute in a maintenance cycle.
   */
 object TxTable {
 
@@ -83,6 +86,7 @@ object TxTable {
   // ------------------------------------------------------------------ log
 
   private val CommitName = """(\d{20})\.commit""".r
+  private val CkptName = """(\d{20})\.ckpt""".r
 
   private def listCommits(fs: FileSystem, dir: String): Seq[(Long, Path)] = {
     val ld = logDir(dir)
@@ -90,10 +94,33 @@ object TxTable {
     else fs.listStatus(ld).toSeq.flatMap { st =>
       st.getPath.getName match {
         case CommitName(v) => Some(v.toLong -> st.getPath)
-        case _             => None // writer tmp files
+        case _             => None // writer tmp files, checkpoints, floor
       }
     }.sortBy(_._1)
   }
+
+  /** Checkpoints: `{v}.ckpt` holds the full live set AFTER version v in the
+    * same text format as a `replace` commit — the replay seed that lets
+    * [[compactLog]] prune old commit files without destroying the history
+    * retention and time travel are computed from (the Delta checkpoint
+    * idea). A checkpoint is a pure function of the log at v, so writing one
+    * twice is a no-op. */
+  private def listCheckpoints(fs: FileSystem, dir: String): Seq[(Long, Path)] = {
+    val ld = logDir(dir)
+    if (!fs.exists(ld)) Nil
+    else fs.listStatus(ld).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case CkptName(v) => Some(v.toLong -> st.getPath)
+        case _           => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Latest checkpoint at or below `target`, parsed: (version, seed). */
+  private def baseFor(fs: FileSystem, dir: String,
+                      target: Long): Option[(Long, Commit)] =
+    listCheckpoints(fs, dir).filter(_._1 <= target).lastOption
+      .map { case (v, p) => (v, parse(fs, p)) }
 
   /** Text format, one `key<TAB>value` line each; `file` lines repeat as
     * `file<TAB>relpath<TAB>fragment` (fragment empty for unpartitioned).
@@ -134,48 +161,60 @@ object TxTable {
     Commit(action, partCol, scheme, removed.result(), files.result())
   }
 
+  private def applyCommit(live: Vector[FileEntry], c: Commit,
+                          p: Path): Vector[FileEntry] = c.action match {
+    case "replace" => c.files.toVector
+    case "append"  => live ++ c.files
+    case "replacePartitions" =>
+      val drop = c.removedParts.toSet
+      live.filterNot(_.part.exists(drop)) ++ c.files
+    case other => throw new java.io.IOException(
+      s"corrupt commit $p: unknown action '$other'")
+  }
+
   /** Replay the log up to `asOf` (inclusive; None = head):
-    * (live files, latest scheme descriptor). */
+    * (live files, latest scheme descriptor). Seeds from the latest
+    * checkpoint at or below the target, so replay cost is O(commits since
+    * the last [[compactLog]]), not O(table lifetime). */
   private def replay(fs: FileSystem, dir: String,
                      asOf: Option[Long] = None): (Seq[FileEntry], Option[String]) = {
-    var live = Vector.empty[FileEntry]
-    var scheme: Option[String] = None
+    val target = asOf.getOrElse(Long.MaxValue)
+    val base = baseFor(fs, dir, target)
+    var live = base.map(_._2.files.toVector).getOrElse(Vector.empty)
+    var scheme = base.flatMap(_._2.scheme)
+    val from = base.map(_._1).getOrElse(Long.MinValue)
     listCommits(fs, dir)
-      .filter { case (v, _) => asOf.forall(v <= _) }
+      .filter { case (v, _) => v > from && v <= target }
       .foreach { case (_, p) =>
-      val c = parse(fs, p)
-      c.action match {
-        case "replace" => live = c.files.toVector
-        case "append"  => live = live ++ c.files
-        case "replacePartitions" =>
-          val drop = c.removedParts.toSet
-          live = live.filterNot(_.part.exists(drop)) ++ c.files
-        case other => throw new java.io.IOException(
-          s"corrupt commit $p: unknown action '$other'")
+        val c = parse(fs, p)
+        live = applyCommit(live, c, p)
+        if (c.scheme.isDefined) scheme = c.scheme
       }
-      if (c.scheme.isDefined) scheme = c.scheme
-    }
     (live, scheme)
   }
 
-  /** One replay pass yielding the live set AFTER each commit, ascending —
-    * what [[vacuum]] retention needs without re-replaying per version. */
+  /** One replay pass yielding the live set AFTER each available version,
+    * ascending — what [[vacuum]] retention needs without re-replaying per
+    * version. When [[compactLog]] has pruned old commits, the enumeration
+    * starts from the pruning-base checkpoint (whose version IS the floor),
+    * so every advertised version is covered. */
   private def liveSetsByVersion(fs: FileSystem,
                                 dir: String): Seq[(Long, Vector[FileEntry])] = {
-    var live = Vector.empty[FileEntry]
-    listCommits(fs, dir).map { case (v, p) =>
-      val c = parse(fs, p)
-      c.action match {
-        case "replace" => live = c.files.toVector
-        case "append"  => live = live ++ c.files
-        case "replacePartitions" =>
-          val drop = c.removedParts.toSet
-          live = live.filterNot(_.part.exists(drop)) ++ c.files
-        case other => throw new java.io.IOException(
-          s"corrupt commit $p: unknown action '$other'")
-      }
-      (v, live)
+    val commits = listCommits(fs, dir)
+    // only a ckpt at/below the FIRST commit may seed: a mid-history ckpt
+    // would skip enumerating the older-but-still-present versions
+    val base = commits.headOption.flatMap { case (first, _) =>
+      baseFor(fs, dir, first)
     }
+    var live = base.map(_._2.files.toVector).getOrElse(Vector.empty)
+    val from = base.map(_._1).getOrElse(Long.MinValue)
+    val sets = Seq.newBuilder[(Long, Vector[FileEntry])]
+    base.foreach { case (v, _) => sets += ((v, live)) }
+    commits.filter(_._1 > from).foreach { case (v, p) =>
+      live = applyCommit(live, parse(fs, p), p)
+      sets += ((v, live))
+    }
+    sets.result()
   }
 
   // --------------------------------------------------------- vacuum floor
@@ -326,10 +365,10 @@ object TxTable {
     replay(hadoopFs(spark, dir), dir)._2
 
   /** Committed versions, ascending — each is a valid [[read]] `asOf`
-    * target until [[compactLog]] squashes history or [[vacuum]] reclaims
-    * the files an old version references (the Delta trade: retention
-    * bounds time travel). Versions below the vacuum floor are no longer
-    * advertised: their files may be gone. */
+    * target until [[compactLog]] prunes it past its retention tail or
+    * [[vacuum]] reclaims the files it references (the Delta trade:
+    * retention bounds time travel). Versions below the recorded floor are
+    * no longer advertised: their commits or files may be gone. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val fs = hadoopFs(spark, dir)
     val floor = readFloor(fs, dir).getOrElse(Long.MinValue)
@@ -504,15 +543,47 @@ object TxTable {
     }
   }
 
-  /** Squash the log into one `replace` commit of the current live set —
-    * bounds replay cost for long-lived tables (the checkpoint a full
-    * format writes every N commits). Data files are not touched. */
-  def compactLog(spark: SparkSession, dir: String): Unit = {
+  /** Bound replay cost for long-lived tables WITHOUT destroying the
+    * history retention and time travel are computed from: write a
+    * checkpoint of the live set at the retention cut (head −
+    * `retainVersions`), then prune the commit files below it (plus older
+    * checkpoints). The cut's commit file is kept, so version numbering,
+    * OCC slot claims, and [[versions]] stay monotonic; replay seeds from
+    * the checkpoint, so versions [cut, head] remain exactly readable.
+    * Versions pruned away are fenced by the same floor [[vacuum]] uses —
+    * [[read]] rejects them loudly. Data files are never touched.
+    * `retainVersions = 0` keeps only the head readable (the aggressive
+    * squash). */
+  def compactLog(spark: SparkSession, dir: String,
+                 retainVersions: Int = 0): Unit = {
+    require(retainVersions >= 0,
+      s"retainVersions must be >= 0, got $retainVersions")
     val fs = hadoopFs(spark, dir)
-    val (live, scheme) = replay(fs, dir)
-    val before = listCommits(fs, dir)
-    val partCol = live.flatMap(_.part).headOption.map(_.split('=')(0))
-    commit(fs, dir, Commit("replace", partCol, scheme, Nil, live))
-    before.foreach { case (_, p) => fs.delete(p, false) }
+    val commits = listCommits(fs, dir)
+    if (commits.isEmpty) return
+    val cut = commits.last._1 - retainVersions
+    if (cut < commits.head._1) return // whole history is inside the tail
+    val ld = logDir(dir)
+    val ckptSlot = new Path(ld, f"$cut%020d.ckpt")
+    if (!fs.exists(ckptSlot)) {
+      // live set AS OF the cut — the seed that replaces every commit below
+      val (live, scheme) = replay(fs, dir, asOf = Some(cut))
+      val partCol = live.flatMap(_.part).headOption.map(_.split('=')(0))
+      val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(render(
+        Commit("replace", partCol, scheme, Nil, live)).getBytes(UTF_8))
+      finally out.close()
+      // a lost race is fine: a ckpt at cut is a pure function of the log
+      if (!claimSlot(fs, tmp, ckptSlot)) fs.delete(tmp, true)
+    }
+    val pruned = commits.filter(_._1 < cut)
+    if (pruned.nonEmpty) {
+      pruned.foreach { case (_, p) => fs.delete(p, false) }
+      val prior = readFloor(fs, dir).getOrElse(Long.MinValue)
+      if (cut > prior) writeFloor(fs, dir, cut)
+    }
+    listCheckpoints(fs, dir).filter(_._1 < cut)
+      .foreach { case (_, p) => fs.delete(p, false) }
   }
 }

@@ -329,7 +329,7 @@ class TxTableSpec extends SparkTestBase {
     assert(!new java.io.File(s"$dir/data/b-inflight").exists())
   }
 
-  test("randomized ops with interleaved retention vacuums match the model") {
+  test("randomized ops with interleaved retention vacuums + log compaction match the model") {
     val dir = tmpDir("tx-model-vac")
     val rnd = new scala.util.Random(13)
     var nextK = 0L
@@ -343,8 +343,8 @@ class TxTableSpec extends SparkTestBase {
 
     var model = Set.empty[(Long, Double, Int)]
     var history = Vector.empty[(Long, Set[(Long, Double, Int)])]
-    for (_ <- 1 to 20) {
-      rnd.nextInt(4) match {
+    for (_ <- 1 to 24) {
+      rnd.nextInt(5) match {
         case 0 =>
           val rs = rows(1 + rnd.nextInt(4))
           TxTable.replace(spark, dir, df(rs), Seq("p"))
@@ -360,6 +360,8 @@ class TxTableSpec extends SparkTestBase {
           model = model.filterNot(r => touched(r._3)) ++ rs
         case 3 if history.nonEmpty =>
           TxTable.vacuum(spark, dir, retainVersions = 1 + rnd.nextInt(3))
+        case 4 if history.nonEmpty =>
+          TxTable.compactLog(spark, dir, retainVersions = rnd.nextInt(3))
         case _ => ()
       }
       if (TxTable.versions(spark, dir).nonEmpty) {
@@ -438,6 +440,54 @@ class TxTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       TxTable.append(spark, dir, df, Seq("p1", "p2"))
     }
+  }
+
+  test("compactLog with retention: recent versions stay time-travelable, pruned ones fence") {
+    val dir = tmpDir("tx-ckpt")
+    val snaps = (1 to 6).map { i =>
+      if (i % 2 == 1)
+        TxTable.replace(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "s"))
+      else
+        TxTable.append(spark, dir, Seq((100L + i, s"v$i")).toDF("k", "s"))
+      i.toLong -> TxTable.read(spark, dir).get
+        .as[(Long, String)].collect().toSet
+    }.toMap
+
+    TxTable.compactLog(spark, dir, retainVersions = 2)
+    // commits 1-3 pruned, base checkpoint at 4 = head-2, tail 5-6 kept
+    assert(TxTable.versions(spark, dir) == Seq(4L, 5L, 6L))
+    for (v <- 4L to 6L)
+      assert(TxTable.read(spark, dir, asOf = Some(v)).get
+        .as[(Long, String)].collect().toSet == snaps(v), s"asOf=$v diverged")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.read(spark, dir, asOf = Some(3L))
+    }
+    assert(e.getMessage.contains("retention floor"))
+    // no data file was touched: vacuum still sees every retained batch
+    assert(TxTable.read(spark, dir).get
+      .as[(Long, String)].collect().toSet == snaps(6L))
+    // still writable; replay seeds from the checkpoint
+    TxTable.append(spark, dir, Seq((999L, "v7")).toDF("k", "s"))
+    assert(TxTable.versions(spark, dir) == Seq(4L, 5L, 6L, 7L))
+    assert(TxTable.read(spark, dir).get.count() == snaps(6L).size + 1)
+    // idempotent: a second compaction at the same head prunes to the new tail
+    TxTable.compactLog(spark, dir, retainVersions = 2)
+    assert(TxTable.versions(spark, dir) == Seq(5L, 6L, 7L))
+    assert(TxTable.read(spark, dir).get.count() == snaps(6L).size + 1)
+  }
+
+  test("vacuum after a pruned log enumerates versions from the checkpoint base") {
+    val dir = tmpDir("tx-ckpt-vac")
+    TxTable.replace(spark, dir, Seq((1L, "a")).toDF("k", "s"))   // v1
+    TxTable.replace(spark, dir, Seq((2L, "b")).toDF("k", "s"))   // v2
+    TxTable.append(spark, dir, Seq((3L, "c")).toDF("k", "s"))    // v3
+    TxTable.compactLog(spark, dir, retainVersions = 1)           // base ckpt @2
+    // retention vacuum over the pruned log: keeps live sets of v2+v3
+    // (enumerated from the checkpoint), reclaims v1's superseded batch
+    assert(TxTable.vacuum(spark, dir, retainVersions = 2) == 1)
+    assert(TxTable.read(spark, dir).get.as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+    assert(TxTable.read(spark, dir, asOf = Some(2L)).get.count() == 1)
   }
 
   test("scheme migration over a log whose live set is empty starts fresh, no crash") {
