@@ -154,6 +154,15 @@ class PlanQualitySpec extends SparkTestBase {
       s"bloom filter not below the join (join@$joinIdx, filter@$filterIdx):\n$p")
   }
 
+  test("q60: banded semantic dedup candidates are equi-joins, never a cross product") {
+    // the whole point of the bucketed path is replacing q59's crossJoin
+    // with per-bucket pairs — a planner regression to a nested loop or
+    // cartesian product would silently reintroduce the O(n²) sweep
+    val p = plan("q60_semantic_dedup_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("scoped merge reads only the touched partitions of the target") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
