@@ -127,6 +127,9 @@ object Bench {
             name -> run(fn, dirK, math.min(2, reps))
           }
         }
+        // the replicated corpus is measurement scaffolding (~10× sf size on
+        // /tmp) — reclaim it; the JSON keeps the path for provenance only
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dirK))
         Some((dirK, r))
       }
     val extra = scaled match {

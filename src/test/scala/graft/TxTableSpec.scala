@@ -476,6 +476,29 @@ class TxTableSpec extends SparkTestBase {
     assert(TxTable.read(spark, dir).get.count() == snaps(6L).size + 1)
   }
 
+  test("partition scheme survives checkpointed log compaction (scoped path stays scoped)") {
+    val dir = tmpDir("tx-ckpt-scheme")
+    val init = (1 to 40).map(i => (s"k$i", "open", s"n$i")).toDF("k", "status", "note")
+    MergeSink.upsertPartialScopedTx(spark, dir, init, Seq("k"), Seq("status"), scheme)
+    MergeSink.upsertPartialScopedTx(spark, dir,
+      Seq(("k3", "closed", "X")).toDF("k", "status", "note"),
+      Seq("k"), Seq("status"), scheme)
+    assert(TxTable.currentScheme(spark, dir).contains(scheme.descriptor))
+
+    TxTable.compactLog(spark, dir) // aggressive squash: scheme must ride the ckpt
+    assert(TxTable.currentScheme(spark, dir).contains(scheme.descriptor))
+    // a follow-up scoped merge takes the pruned fast path, not a migration
+    // rewrite: version advances by exactly one replacePartitions commit
+    val vBefore = TxTable.headVersion(spark, dir).get
+    MergeSink.upsertPartialScopedTx(spark, dir,
+      Seq(("k5", "closed", "Y")).toDF("k", "status", "note"),
+      Seq("k"), Seq("status"), scheme)
+    assert(TxTable.headVersion(spark, dir).contains(vBefore + 1))
+    val got = snapshot(dir)
+    assert(got.size == 40 && got("k3") == (("closed", "n3")) &&
+      got("k5") == (("closed", "n5")))
+  }
+
   test("vacuum after a pruned log enumerates versions from the checkpoint base") {
     val dir = tmpDir("tx-ckpt-vac")
     TxTable.replace(spark, dir, Seq((1L, "a")).toDF("k", "s"))   // v1
