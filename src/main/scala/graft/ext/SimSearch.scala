@@ -132,6 +132,106 @@ object SimSearch {
         col("max_sim_r6"))
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental semantic dedup vs a persisted bucket index — the embedding
+  // analog of Dedup.incrementalAssignments. At 100 TB a streaming corpus
+  // must dedup each new embedding batch WITHOUT rescanning the corpus: the
+  // corpus is represented by one index row per KEPT vector (id, vector,
+  // packed bucket id — tiny relative to raw data), and a batch probes only
+  // the band slices it shares with the index. Cost per batch:
+  // O(|batch| × tables) probe rows plus per-slice candidate joins.
+  // ---------------------------------------------------------------------
+
+  /** The persisted dedup state: one row per kept vector
+    * (`vec_id, v, bucket`). Append the returned DELTA after each batch;
+    * when persisting through `MergeSink.appendDedup`, key on `vec_id`
+    * (unlike the text index there is no multi-row band table — band slices
+    * recompute from the packed `bucket` long at probe time). */
+  final case class SemIndex(entries: DataFrame)
+
+  def emptySemIndex(spark: org.apache.spark.sql.SparkSession): SemIndex = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(FloatType)),
+      StructField("bucket", LongType)))
+    SemIndex(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
+
+  /** Index an initial corpus: dedup it first, index ONLY the kept
+    * representatives (indexing dropped near-dups would hand later batches
+    * ghost keepers — same rule as `Dedup.buildIndex`). Exactly one step of
+    * the incremental fold from an empty index. */
+  def buildSemIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, tables: Int, planesPerTable: Int,
+                    dim: Int): SemIndex =
+    incrementalSemanticAssignments(corpus, idCol, vecCol,
+      emptySemIndex(corpus.sparkSession), threshold, tables, planesPerTable,
+      dim)._2
+
+  /** Dedup one new embedding batch against the corpus index. Returns the
+    * per-vector assignments (`vec_id, keeper_id, max_sim_r6`) and the index
+    * DELTA (the kept vectors' rows only — append it, it is not the
+    * accumulated index).
+    *
+    * Keeper preference is first-seen, mirroring
+    * [[graft.ext.Dedup.incrementalAssignments]]: a corpus match always
+    * wins over an in-batch match, in-batch matches fall back to the
+    * smallest id — so with an empty index this degenerates to exactly
+    * [[semanticDedupAssignmentsBucketed]]. Chained duplicates keep batch
+    * semantics: a vector's keeper may itself be assigned elsewhere. */
+  def incrementalSemanticAssignments(batch: DataFrame, idCol: String,
+                                     vecCol: String, index: SemIndex,
+                                     threshold: Double, tables: Int,
+                                     planesPerTable: Int, dim: Int)
+      : (DataFrame, SemIndex) = {
+    val nPlanes = tables * planesPerTable
+    require(nPlanes <= 63, s"tables*planesPerTable must fit a long: $nPlanes")
+    val mask = (1L << planesPerTable) - 1
+    val b = batch.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket")).localCheckpoint()
+
+    def probesOf(df: DataFrame, idAs: String): DataFrame = df.select(
+      col("vec_id").as(idAs),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          shiftright(col("bucket"), t * planesPerTable).bitwiseAND(lit(mask))
+            .as("tb"))): _*)).as("k"))
+      .select(col(idAs), col("k.t"), col("k.tb"))
+
+    val newProbes = probesOf(b, "vec_id")
+    // corpus matches (priority 0: first-seen wins) + in-batch smaller ids
+    val corpusCand = newProbes
+      .join(probesOf(index.entries, "tgt"), Seq("t", "tb"))
+      .select(col("vec_id"), col("tgt"), lit(0).as("prio"))
+    val batchCand = newProbes.join(probesOf(b, "tgt"), Seq("t", "tb"))
+      .filter(col("tgt") < col("vec_id"))
+      .select(col("vec_id"), col("tgt"), lit(1).as("prio"))
+    val tgtVecs = index.entries.select(col("vec_id").as("tgt"), col("v").as("vt"))
+      .unionByName(b.select(col("vec_id").as("tgt"), col("v").as("vt")))
+
+    val scored = corpusCand.unionByName(batchCand).distinct()
+      .join(b.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(tgtVecs, Seq("tgt"))
+      .select(col("vec_id"), col("tgt"), col("prio"),
+        cosine(col("v"), col("vt")).as("sim"))
+      .filter(col("sim") >= threshold)
+
+    val keepers = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("prio"), col("tgt"))).as("best"),
+        round(max(col("sim")), 6).as("max_sim_r6"))
+      .select(col("vec_id"), col("best.tgt").as("cand"), col("max_sim_r6"))
+    val assignments = batch.select(col(idCol).as("vec_id"))
+      .join(keepers, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cand"), col("vec_id")).as("keeper_id"),
+        col("max_sim_r6"))
+
+    val kept = assignments.filter(col("keeper_id") === col("vec_id"))
+      .select(col("vec_id"))
+    (assignments, SemIndex(b.join(kept, Seq("vec_id"), "left_semi")))
+  }
+
   /** The ±1 Rademacher hyperplanes behind [[lshBucket]], exposed so the
     * DuckDB oracle can be built from the SAME sign pattern (q18 is
     * value-checked end-to-end: identical literals + identical double

@@ -264,4 +264,49 @@ class ExtensionsSpec extends SparkTestBase {
       threshold = 0.6)
     assert(a2b.select("doc_id", "keeper_id").as[(Long, Long)].collect().toMap == m)
   }
+
+  test("incremental semantic dedup: empty index degenerates to the bucketed batch algorithm") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val (assign, _) = SimSearch.incrementalSemanticAssignments(
+      emb, "vec_id", "embedding", SimSearch.emptySemIndex(spark),
+      threshold = 0.4, tables = 12, planesPerTable = 3, dim = 64)
+    val batch = SimSearch.semanticDedupAssignmentsBucketed(
+      emb, "vec_id", "embedding", 0.4, tables = 12, planesPerTable = 3, dim = 64)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "keeper_id", "max_sim_r6")
+        .as[(Long, Long, Option[Double])].collect().toSet
+    val a = snap(assign); val b = snap(batch)
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("incremental semantic dedup: cross-batch dups map first-seen; index holds keepers only") {
+    val base = Array.tabulate(64)(i => 0.1f * ((i % 7) + 1))
+    val near = base.clone(); near(0) += 0.001f
+    val far = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val other = Array.tabulate(64)(i => ((i % 5) - 2).toFloat)
+
+    val b1 = Seq((5L, base), (6L, far)).toDF("vec_id", "embedding")
+    val (a1, idx1) = SimSearch.incrementalSemanticAssignments(
+      b1, "vec_id", "embedding", SimSearch.emptySemIndex(spark),
+      threshold = 0.95, tables = 12, planesPerTable = 3, dim = 64)
+    assert(a1.filter(col("vec_id") === col("keeper_id")).count() == 2)
+    assert(idx1.entries.select("vec_id").as[Long].collect().toSet == Set(5L, 6L))
+
+    // batch 2: a near-copy of vec 5 with a SMALLER id + a fresh vector —
+    // first-seen semantics must pick the corpus keeper 5, not id order
+    val b2 = Seq((2L, near), (9L, other)).toDF("vec_id", "embedding")
+    val (a2, idx2) = SimSearch.incrementalSemanticAssignments(
+      b2, "vec_id", "embedding", idx1,
+      threshold = 0.95, tables = 12, planesPerTable = 3, dim = 64)
+    val m = a2.select("vec_id", "keeper_id").as[(Long, Long)].collect().toMap
+    assert(m == Map(2L -> 5L, 9L -> 9L))
+    // only the kept vector extends the index (no ghost keepers)
+    assert(idx2.entries.select("vec_id").as[Long].collect().toSeq == Seq(9L))
+
+    // idempotent replay against the same index
+    val (a2b, _) = SimSearch.incrementalSemanticAssignments(
+      b2, "vec_id", "embedding", idx1,
+      threshold = 0.95, tables = 12, planesPerTable = 3, dim = 64)
+    assert(a2b.select("vec_id", "keeper_id").as[(Long, Long)].collect().toMap == m)
+  }
 }

@@ -297,6 +297,59 @@ class StreamsSpec extends SparkTestBase {
     assert(packSnap(packedStream) == packSnap(packedAll))
   }
 
+  test("streaming embedding batches fold through the persisted semantic index") {
+    import spark.implicits._
+    import graft.ext.SimSearch
+
+    val base = Array.tabulate(64)(i => 0.1f * ((i % 7) + 1))
+    val nearBase = base.clone(); nearBase(0) += 0.001f
+    val far = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val other = Array.tabulate(64)(i => ((i % 5) - 2).toFloat)
+    val nearOther = other.clone(); nearOther(1) += 0.001f
+    // batch 2's near-dup of vec 10 has a SMALLER id: only first-seen
+    // corpus-keeper semantics (not id order) give 5 -> 10
+    val batches = Seq(
+      Seq(10L -> base, 20L -> far),
+      Seq(5L -> nearBase, 15L -> other),
+      Seq(30L -> nearOther))
+
+    val flat = tmpDir("semidx-flat"); new java.io.File(flat).mkdirs()
+    for ((vecs, i) <- batches.zipWithIndex) {
+      val one = tmpDir(s"semidx-b$i")
+      vecs.toDF("vec_id", "embedding").coalesce(1).write.parquet(one)
+      val part = new java.io.File(one).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(flat, f"b$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val asgDir = tmpDir("semidx-asg"); val idxDir = tmpDir("semidx-idx")
+    def loadIndex() =
+      if (new java.io.File(idxDir).exists())
+        SimSearch.SemIndex(spark.read.parquet(idxDir))
+      else SimSearch.emptySemIndex(spark)
+    val stream = Streams.parquetStream(spark, flat,
+      spark.read.parquet(flat).schema, maxFilesPerTrigger = 1)
+    val q = Streams.toMergeSink(stream, tmpDir("semidx-ck"),
+      Trigger.AvailableNow()) { (s, batch, _) =>
+      val (assign, delta) = SimSearch.incrementalSemanticAssignments(
+        batch, "vec_id", "embedding", loadIndex(),
+        threshold = 0.95, tables = 12, planesPerTable = 3, dim = 64)
+      MergeSink.appendDedup(s, asgDir, assign, "vec_id")
+      MergeSink.appendDedup(s, idxDir, delta.entries, "vec_id")
+    }
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(asgDir).select("vec_id", "keeper_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 20L -> 20L, 5L -> 10L, 15L -> 15L,
+      30L -> 15L))
+    // the persisted index holds exactly the kept representatives
+    assert(spark.read.parquet(idxDir).select("vec_id")
+      .as[Long].collect().toSet == Set(10L, 20L, 15L))
+  }
+
   test("tx-mode streaming corpus pipeline equals the one-shot batch run") {
     import spark.implicits._
     import graft.ext.{Corpus, Curation, Dedup}
