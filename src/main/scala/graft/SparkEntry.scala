@@ -201,6 +201,22 @@ object SparkEntry {
       SimSearch.semanticDedupAssignmentsBucketed(T(s, dir, "embeddings"),
         "vec_id", "embedding", 0.4, tables = 12, planesPerTable = 3, dim = 64)),
 
+    // §7.6 the INCREMENTAL semantic-dedup path, value-checked end-to-end:
+    // stage A builds the persisted bucket index from the first half of the
+    // corpus (keeper representatives only), stage B dedups the second half
+    // against that index — first-seen corpus keepers beat in-batch id
+    // order. The oracle replays BOTH stages in DuckDB from the shared
+    // hyperplane literals, so the streaming-corpus route (never rescan the
+    // corpus, probe the index's band slices) is itself oracle-verified.
+    "q61_semantic_dedup_incremental" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val idx = SimSearch.buildSemIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", 0.4, tables = 12, planesPerTable = 3, dim = 64)
+      SimSearch.incrementalSemanticAssignments(
+        emb.filter(col("vec_id") >= 250), "vec_id", "embedding", idx,
+        0.4, tables = 12, planesPerTable = 3, dim = 64)._1
+    }),
+
     // §7.6 exact n-gram Jaccard (the verification metric behind MinHash).
     // Shingle arrays are computed ONCE per row in a projection below the
     // join — referencing them through join-output attributes, so
@@ -893,6 +909,8 @@ object SparkEntry {
         |FROM e LEFT JOIN k USING (vec_id)""".stripMargin,
 
     "q60_semantic_dedup_bucketed" -> semanticDedupBucketedOracleSql,
+
+    "q61_semantic_dedup_incremental" -> semanticDedupIncrementalOracleSql,
 
     "q21_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -1646,6 +1664,70 @@ object SparkEntry {
        |  round(MAX(sim), 6) AS max_sim_r6 FROM f GROUP BY id_b)
        |SELECT e.vec_id, COALESCE(k.cand, e.vec_id) AS keeper_id, k.max_sim_r6
        |FROM e LEFT JOIN k USING (vec_id)""".stripMargin
+  }
+
+  /** q61's oracle: both stages of the incremental semantic dedup replayed
+    * in DuckDB from the q60 literals. Stage A = the bucketed batch
+    * algorithm over vec_id < 250; its keepers (vectors with no
+    * smaller-id neighbor ≥ threshold) form the index. Stage B scores the
+    * vec_id >= 250 batch against (index ∪ in-batch smaller ids) with
+    * first-seen priority — `min(struct(prio, tgt))` in Spark ⇔
+    * `ORDER BY prio, tgt LIMIT 1` per vector here; max_sim spans both
+    * candidate classes, exactly as the Spark aggregate does. */
+  private def semanticDedupIncrementalOracleSql: String = {
+    val tables = 12; val ppt = 3
+    val planes = graft.ext.SimSearch.hyperplaneSigns(tables * ppt, 64)
+    def arr(signs: Seq[Double]): String =
+      signs.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bucketTerms = planes.zipWithIndex.map { case (sg, p) =>
+      s"(CASE WHEN list_dot_product(v, ${arr(sg)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n   + ")
+    val tableRows = (0 until tables).map(t => s"($t)").mkString(",")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $bucketTerms AS bucket FROM e),
+       |probes AS (
+       | SELECT vec_id, t.t AS t, (bucket >> (t.t * $ppt)) & ${(1L << ppt) - 1} AS tb
+       | FROM b, (VALUES $tableRows) t(t)),
+       |candA AS (
+       | SELECT DISTINCT p1.vec_id AS id_a, p2.vec_id AS id_b
+       | FROM probes p1 JOIN probes p2
+       |   ON p1.t = p2.t AND p1.tb = p2.tb AND p1.vec_id < p2.vec_id
+       | WHERE p1.vec_id < 250 AND p2.vec_id < 250),
+       |fA AS (
+       | SELECT c.id_a, c.id_b FROM candA c
+       |  JOIN b ba ON ba.vec_id = c.id_a JOIN b bb ON bb.vec_id = c.id_b
+       | WHERE list_dot_product(ba.v, bb.v)
+       |    / (sqrt(list_dot_product(ba.v, ba.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+       |    >= 0.4),
+       |keptA AS (
+       | SELECT vec_id FROM e WHERE vec_id < 250
+       |  AND vec_id NOT IN (SELECT id_b FROM fA)),
+       |cand AS (
+       | SELECT DISTINCT p1.vec_id, p2.vec_id AS tgt, 0 AS prio
+       | FROM probes p1 JOIN probes p2 ON p1.t = p2.t AND p1.tb = p2.tb
+       | WHERE p1.vec_id >= 250 AND p2.vec_id IN (SELECT vec_id FROM keptA)
+       | UNION
+       | SELECT DISTINCT p1.vec_id, p2.vec_id AS tgt, 1 AS prio
+       | FROM probes p1 JOIN probes p2 ON p1.t = p2.t AND p1.tb = p2.tb
+       | WHERE p1.vec_id >= 250 AND p2.vec_id >= 250 AND p2.vec_id < p1.vec_id),
+       |fB AS (
+       | SELECT c.vec_id, c.tgt, c.prio,
+       |  list_dot_product(bn.v, bt.v)
+       |    / (sqrt(list_dot_product(bn.v, bn.v)) * sqrt(list_dot_product(bt.v, bt.v))) AS sim
+       | FROM cand c
+       |  JOIN b bn ON bn.vec_id = c.vec_id JOIN b bt ON bt.vec_id = c.tgt
+       | WHERE list_dot_product(bn.v, bt.v)
+       |    / (sqrt(list_dot_product(bn.v, bn.v)) * sqrt(list_dot_product(bt.v, bt.v)))
+       |    >= 0.4),
+       |kB AS (
+       | SELECT vec_id, tgt AS cand, max_sim_r6 FROM (
+       |  SELECT vec_id, tgt,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY prio, tgt) AS rn,
+       |   round(max(sim) OVER (PARTITION BY vec_id), 6) AS max_sim_r6
+       |  FROM fB) z WHERE rn = 1)
+       |SELECT e.vec_id, COALESCE(kB.cand, e.vec_id) AS keeper_id, kB.max_sim_r6
+       |FROM e LEFT JOIN kB USING (vec_id) WHERE e.vec_id >= 250""".stripMargin
   }
 
   /** q28's oracle: seed centroids = top-16 corpus vectors by the portable
