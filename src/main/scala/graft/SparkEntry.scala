@@ -217,6 +217,19 @@ object SparkEntry {
         0.4, tables = 12, planesPerTable = 3, dim = 64)._1
     }),
 
+    // §7.6 the incremental TEXT dedup path, value-checked end-to-end on the
+    // portable md5 hash family (the q16 technique staged twice): index from
+    // the first corpus half's keepers, then the second half dedups against
+    // it with first-seen priority — the q61 pattern for MinHash.
+    "q62_minhash_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val idx = Dedup.portableIncrementalAssignments(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        Dedup.emptyPortableIndex(s))._2
+      Dedup.portableIncrementalAssignments(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", idx)._1
+    }),
+
     // §7.6 exact n-gram Jaccard (the verification metric behind MinHash).
     // Shingle arrays are computed ONCE per row in a projection below the
     // join — referencing them through join-output attributes, so
@@ -911,6 +924,67 @@ object SparkEntry {
     "q60_semantic_dedup_bucketed" -> semanticDedupBucketedOracleSql,
 
     "q61_semantic_dedup_incremental" -> semanticDedupIncrementalOracleSql,
+
+    // q62: the q16 portable-md5 MinHash SQL staged twice — stage A keepers
+    // (doc_id < 250, in-batch only) form the index; stage B scores the
+    // doc_id >= 250 batch against (index ∪ in-batch smaller ids) with
+    // first-seen priority (ORDER BY prio, tgt ⇔ Spark's min(struct)).
+    "q62_minhash_incremental" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
+        | FROM documents),
+        |mins AS (
+        | SELECT doc_id, r.i,
+        |  min(substr(md5(CAST(r.i AS VARCHAR) || '|' || t), 1, 16)) AS h
+        | FROM toks CROSS JOIN range(32) r(i) GROUP BY doc_id, r.i),
+        |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, b.b AS band_id,
+        |  md5(array_to_string(sig[b.b*8+1 : b.b*8+8], ',')) AS band_hash
+        | FROM sigs CROSS JOIN range(4) b(b)),
+        |pairsA AS (
+        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |  AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+        | WHERE x.doc_id < 250 AND y.doc_id < 250),
+        |estA AS (
+        | SELECT doc_b FROM (
+        |  SELECT p.doc_b,
+        |   CAST(len(list_filter(generate_series(1, 32),
+        |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/32 AS est
+        |  FROM pairsA p
+        |  JOIN sigs sa ON sa.doc_id = p.doc_a
+        |  JOIN sigs sb ON sb.doc_id = p.doc_b) z
+        | WHERE est >= 0.6),
+        |keptA AS (
+        | SELECT doc_id FROM documents WHERE doc_id < 250
+        |  AND doc_id NOT IN (SELECT doc_b FROM estA)),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id, y.doc_id AS tgt, 0 AS prio
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+        | WHERE x.doc_id >= 250 AND y.doc_id IN (SELECT doc_id FROM keptA)
+        | UNION
+        | SELECT DISTINCT x.doc_id, y.doc_id AS tgt, 1 AS prio
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+        | WHERE x.doc_id >= 250 AND y.doc_id >= 250 AND y.doc_id < x.doc_id),
+        |fB AS (
+        | SELECT doc_id, tgt, prio, est FROM (
+        |  SELECT c.doc_id, c.tgt, c.prio,
+        |   CAST(len(list_filter(generate_series(1, 32),
+        |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/32 AS est
+        |  FROM cand c
+        |  JOIN sigs sa ON sa.doc_id = c.doc_id
+        |  JOIN sigs sb ON sb.doc_id = c.tgt) z
+        | WHERE est >= 0.6),
+        |kB AS (
+        | SELECT doc_id, tgt AS cand, max_est_jaccard FROM (
+        |  SELECT doc_id, tgt,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY prio, tgt) AS rn,
+        |   max(est) OVER (PARTITION BY doc_id) AS max_est_jaccard
+        |  FROM fB) z WHERE rn = 1)
+        |SELECT d.doc_id, COALESCE(kB.cand, d.doc_id) AS keeper_id, kB.max_est_jaccard
+        |FROM documents d LEFT JOIN kB USING (doc_id) WHERE d.doc_id >= 250""".stripMargin,
 
     "q21_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

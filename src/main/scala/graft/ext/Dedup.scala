@@ -409,10 +409,56 @@ object Dedup {
   def incrementalAssignments(newDocs: DataFrame, idCol: String, textCol: String,
                              index: DedupIndex,
                              n: Int = 3, k: Int = 64, bands: Int = 16,
-                             threshold: Double = 0.5): (DataFrame, DedupIndex) = {
+                             threshold: Double = 0.5): (DataFrame, DedupIndex) =
+    incrementalCore(newDocs, idCol, index, threshold,
+      d => signatures(d, idCol, textCol, n, k),
+      s => lshBands(s, k, bands),
+      (a, b) => graft.functions.VectorExprs.longArrayAgree(a, b)
+        .cast("double") / k)
+
+  /** [[incrementalAssignments]] on the portable md5 hash — the
+    * verification twin ([[portableSignatures]]/[[portableBands]] rationale):
+    * every stage, including the first-seen keeper priority, reproduces
+    * bit-for-bit in DuckDB (the q62 oracle replays both the index build and
+    * the batch step). Defaults are the `shortText` oracle profile.
+    * Production corpora use [[incrementalAssignments]] (xxhash64). */
+  def portableIncrementalAssignments(newDocs: DataFrame, idCol: String,
+                                     textCol: String, index: DedupIndex,
+                                     n: Int = 1, k: Int = 32, bands: Int = 4,
+                                     threshold: Double = 0.6)
+      : (DataFrame, DedupIndex) =
+    incrementalCore(newDocs, idCol, index, threshold,
+      d => portableSignatures(d, idCol, textCol, n, k),
+      s => portableBands(s, k, bands),
+      (a, b) => size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+        .cast("double") / k)
+
+  /** [[emptyIndex]] for the portable hash family: string signatures and
+    * md5 band hashes instead of xxhash64 longs. */
+  def emptyPortableIndex(spark: org.apache.spark.sql.SparkSession): DedupIndex = {
+    import org.apache.spark.sql.types._
+    val sigSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sig", ArrayType(StringType))))
+    val bandSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band_id", IntegerType), StructField("band_hash", StringType)))
+    DedupIndex(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigSchema),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema))
+  }
+
+  /** The hash-agnostic incremental step both variants share: candidate
+    * generation (corpus bands at priority 0, in-batch smaller ids at 1),
+    * signature-agreement estimate, first-seen keeper pick, keeper-only
+    * index delta. `sigOf`/`bandsOf`/`estFrac` carry the hash family. */
+  private def incrementalCore(newDocs: DataFrame, idCol: String,
+                              index: DedupIndex, threshold: Double,
+                              sigOf: DataFrame => DataFrame,
+                              bandsOf: DataFrame => DataFrame,
+                              estFrac: (Column, Column) => Column)
+      : (DataFrame, DedupIndex) = {
     // reused by two candidate joins, the estimate join, and the kept split
-    val newSigs = signatures(newDocs, idCol, textCol, n, k).localCheckpoint()
-    val newBands = lshBands(newSigs, k, bands).localCheckpoint()
+    val newSigs = sigOf(newDocs).localCheckpoint()
+    val newBands = bandsOf(newSigs).localCheckpoint()
 
     def renamed(df: DataFrame) = df.select(col("doc_id").as("tgt"),
       col("band_id"), col("band_hash"))
@@ -429,8 +475,7 @@ object Dedup {
       .join(newSigs.select(col("doc_id"), col("sig")), Seq("doc_id"))
       .join(tgtSigs, Seq("tgt"))
       .select(col("doc_id"), col("tgt"), col("prio"),
-        (graft.functions.VectorExprs.longArrayAgree(col("sig"), col("sig_t"))
-          .cast("double") / k).as("est_jaccard"))
+        estFrac(col("sig"), col("sig_t")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
 
     val keepers = scored.groupBy(col("doc_id"))

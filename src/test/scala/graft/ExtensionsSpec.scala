@@ -265,6 +265,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(a2b.select("doc_id", "keeper_id").as[(Long, Long)].collect().toMap == m)
   }
 
+  test("portable incremental dedup: empty index degenerates to portableDedupAssignments") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val (assign, idx) = Dedup.portableIncrementalAssignments(docs, "doc_id",
+      "text", Dedup.emptyPortableIndex(spark))
+    val batch = Dedup.portableDedupAssignments(docs, "doc_id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "keeper_id", "max_est_jaccard")
+        .as[(Long, Long, Option[Double])].collect().toSet
+    assert(snap(assign) == snap(batch) && snap(assign).nonEmpty)
+    // the delta indexes keepers only, in the portable hash family's types
+    assert(idx.signatures.schema("sig").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val keepers = assign.filter(col("keeper_id") === col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(idx.signatures.select("doc_id").as[Long].collect().toSet == keepers)
+  }
+
   test("incremental semantic dedup: empty index degenerates to the bucketed batch algorithm") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val (assign, _) = SimSearch.incrementalSemanticAssignments(
