@@ -147,6 +147,34 @@ object ScaleProbe {
     val tck = time(s"tx_compact_data ${k}x")(txCompact(txDirK))
     println(f"[probe] tx_compact_data ratio=${tck / tc1}%.1f (k=$k, linear=~$k)")
 
+    // incremental dedup: the 100 TB claim is per-BATCH cost independent of
+    // corpus size — the corpus is its persisted index, probed by band
+    // slice. Same fixed batch against a 1x- vs kx-built index: ~1 expected.
+    val txtBatch = docs1.limit(200).localCheckpoint()
+    val idx1 = graft.ext.Dedup.buildIndex(docs1, "doc_id", "text", threshold = 0.6)
+    val idxK = graft.ext.Dedup.buildIndex(docsK, "doc_id", "text", threshold = 0.6)
+    def incText(idx: graft.ext.Dedup.DedupIndex): Long =
+      graft.ext.Dedup.incrementalAssignments(txtBatch, "doc_id", "text", idx,
+        threshold = 0.6)._1.count()
+    incText(idx1)
+    val it1 = time("inc_minhash 1x-index")(incText(idx1))
+    val itk = time(s"inc_minhash ${k}x-index")(incText(idxK))
+    println(f"[probe] inc_minhash ratio=${itk / it1}%.1f (k=$k, " +
+      "corpus-size-independent=~1)")
+    val embBatch = emb1.limit(200).localCheckpoint()
+    val sidx1 = graft.ext.SimSearch.buildSemIndex(emb1, "vec_id", "embedding",
+      0.4, tables = 12, planesPerTable = 3, dim = 64)
+    val sidxK = graft.ext.SimSearch.buildSemIndex(embPK, "vec_id", "embedding",
+      0.4, tables = 12, planesPerTable = 3, dim = 64)
+    def incSem(idx: graft.ext.SimSearch.SemIndex): Long =
+      graft.ext.SimSearch.incrementalSemanticAssignments(embBatch, "vec_id",
+        "embedding", idx, 0.4, tables = 12, planesPerTable = 3, dim = 64)._1.count()
+    incSem(sidx1)
+    val is1 = time("inc_semdedup 1x-index")(incSem(sidx1))
+    val isk = time(s"inc_semdedup ${k}x-index")(incSem(sidxK))
+    println(f"[probe] inc_semdedup ratio=${isk / is1}%.1f (k=$k, " +
+      "corpus-size-independent=~1)")
+
     // temporal joins: both sides grow k x. Each replica shifts its USER
     // universe too — shifting only surrogate ids would stack k duplicate
     // (custkey, orderdate) rows, violating the uniqueness AsOfJoin
