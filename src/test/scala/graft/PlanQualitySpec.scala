@@ -154,13 +154,17 @@ class PlanQualitySpec extends SparkTestBase {
       s"bloom filter not below the join (join@$joinIdx, filter@$filterIdx):\n$p")
   }
 
-  test("q60: banded semantic dedup candidates are equi-joins, never a cross product") {
-    // the whole point of the bucketed path is replacing q59's crossJoin
-    // with per-bucket pairs — a planner regression to a nested loop or
-    // cartesian product would silently reintroduce the O(n²) sweep
-    val p = plan("q60_semantic_dedup_bucketed")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  test("q60-q62: banded/incremental dedup candidates are equi-joins, never a cross product") {
+    // the whole point of the bucketed/indexed paths is replacing q59's
+    // crossJoin with per-bucket (or per-band-slice) pairs — a planner
+    // regression to a nested loop or cartesian product would silently
+    // reintroduce the O(n²) sweep
+    for (q <- Seq("q60_semantic_dedup_bucketed", "q61_semantic_dedup_incremental",
+        "q62_minhash_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
   }
 
   test("scoped merge reads only the touched partitions of the target") {
