@@ -132,6 +132,42 @@ object SimSearch {
         col("max_sim_r6"))
   }
 
+  /** Choose (tables, planesPerTable) for a corpus size — the executable
+    * form of "tune the planes up with log n". Planes per table r is set so
+    * expected bucket occupancy n/2^r stays near `targetOccupancy` (bucket
+    * sweeps are quadratic in occupancy, so occupancy — not corpus size —
+    * is what must stay constant as data grows); the table count L is then
+    * the smallest satisfying the banding recall bound
+    * 1 − (1 − p^r)^L ≥ `minRecall` with per-plane collision probability
+    * p = 1 − arccos(θ)/π (random-hyperplane LSH). If r·L would overflow
+    * the packed 63-bit bucket, r backs off (more occupancy, cheaper
+    * tables) until it fits — at loose thresholds (θ≈0.4, recall 0.95) the
+    * one-long budget binds and r caps at the largest fitting value, so
+    * occupancy grows with n past that point (lift it with multiple bucket
+    * words if that ever dominates); at θ≥0.6 the log-n scaling fits. At
+    * sf0.01 (n=500, θ=0.4) this reproduces the hand-tuned q60 profile's
+    * shape: r=3, L=11. */
+  def semDedupParamsFor(corpusSize: Long, threshold: Double,
+                        targetOccupancy: Int = 64,
+                        minRecall: Double = 0.95): (Int, Int) = {
+    require(corpusSize > 0 && threshold > 0 && threshold < 1)
+    require(minRecall > 0 && minRecall < 1)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    def tablesFor(r: Int): Int = {
+      val pr = math.pow(p, r)
+      if (pr >= 1.0) 1
+      else math.ceil(math.log1p(-minRecall) / math.log1p(-pr)).toInt.max(1)
+    }
+    var r = math.max(1, math.ceil(
+      math.log(corpusSize.toDouble / targetOccupancy) / math.log(2)).toInt)
+    while (r > 1 && r * tablesFor(r) > 63) r -= 1
+    val l = tablesFor(r)
+    require(r * l <= 63,
+      s"no (tables=$l, planes=$r) fits 63 bits for threshold=$threshold, " +
+        s"minRecall=$minRecall — lower minRecall or raise targetOccupancy")
+    (l, r)
+  }
+
   // ---------------------------------------------------------------------
   // Incremental semantic dedup vs a persisted bucket index — the embedding
   // analog of Dedup.incrementalAssignments. At 100 TB a streaming corpus

@@ -265,6 +265,33 @@ class ExtensionsSpec extends SparkTestBase {
     assert(a2b.select("doc_id", "keeper_id").as[(Long, Long)].collect().toMap == m)
   }
 
+  test("semDedupParamsFor: reproduces the tuned profile shape and scales planes with log n") {
+    // n=500 @ θ=0.4: r = ceil(log2(500/64)) = 3 planes; recall bound at
+    // p = 1 - acos(0.4)/π ≈ 0.631 → p³ ≈ 0.251 → 11 tables for 0.95
+    assert(SimSearch.semDedupParamsFor(500, 0.4) == ((11, 3)))
+    // at θ=0.4 the one-long (63-bit) budget binds: more planes would need
+    // more tables than fit, so the helper returns the largest fitting r
+    // instead of overflowing — occupancy then grows with n (the documented
+    // trade; multiple bucket words would lift it)
+    assert(SimSearch.semDedupParamsFor(500000L, 0.4) == ((11, 3)))
+    // at a higher similarity threshold the per-plane collision p is larger,
+    // banding is cheaper, and the log-n plane scaling fits the budget:
+    // 1000× the corpus → more planes per table, occupancy held
+    val (l1, r1) = SimSearch.semDedupParamsFor(500L, 0.7)
+    val (lK, rK) = SimSearch.semDedupParamsFor(500000L, 0.7)
+    assert(rK > r1 && rK * lK <= 63)
+    // the recall bound the table count was solved for is actually met
+    def recall(theta: Double, l: Int, r: Int): Double = {
+      val p = 1.0 - math.acos(theta) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, r), l)
+    }
+    assert(recall(0.7, l1, r1) >= 0.95 && recall(0.7, lK, rK) >= 0.95)
+    assert(recall(0.4, 11, 3) >= 0.95)
+    // looser similarity thresholds collide less per plane → more tables
+    val (lLoose, _) = SimSearch.semDedupParamsFor(500L, 0.2)
+    assert(lLoose >= 11)
+  }
+
   test("portable incremental dedup: empty index degenerates to portableDedupAssignments") {
     val docs = Tables.load(spark, sf(), "documents")
     val (assign, idx) = Dedup.portableIncrementalAssignments(docs, "doc_id",
