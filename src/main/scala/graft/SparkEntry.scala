@@ -220,9 +220,15 @@ object SparkEntry {
     // §7.6 the incremental TEXT dedup path, value-checked end-to-end on the
     // portable md5 hash family (the q16 technique staged twice): index from
     // the first corpus half's keepers, then the second half dedups against
-    // it with first-seen priority — the q61 pattern for MinHash.
+    // it with first-seen priority — the q61 pattern for MinHash. The corpus
+    // is capped at 500 docs (= the whole verification corpus at sf0.01) on
+    // purpose: the md5 family is the VERIFICATION twin (32 md5s per
+    // shingle, ~13x the xxhash64 production family's constant factor), so
+    // an uncapped bench run would measure hash throughput, not the engine;
+    // the production family's batch-vs-corpus scaling is what ScaleProbe's
+    // inc_minhash probe measures (1.0x at an 8x corpus).
     "q62_minhash_incremental" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
       val idx = Dedup.portableIncrementalAssignments(
         docs.filter(col("doc_id") < 250), "doc_id", "text",
         Dedup.emptyPortableIndex(s))._2
@@ -933,7 +939,7 @@ object SparkEntry {
       """WITH toks AS (
         | SELECT doc_id,
         |  unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
-        | FROM documents),
+        | FROM documents WHERE doc_id < 500),
         |mins AS (
         | SELECT doc_id, r.i,
         |  min(substr(md5(CAST(r.i AS VARCHAR) || '|' || t), 1, 16)) AS h
@@ -960,6 +966,7 @@ object SparkEntry {
         |keptA AS (
         | SELECT doc_id FROM documents WHERE doc_id < 250
         |  AND doc_id NOT IN (SELECT doc_b FROM estA)),
+        |-- batch universe capped to match the Spark side's doc_id < 500
         |cand AS (
         | SELECT DISTINCT x.doc_id, y.doc_id AS tgt, 0 AS prio
         | FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.band_hash = y.band_hash
@@ -984,7 +991,8 @@ object SparkEntry {
         |   max(est) OVER (PARTITION BY doc_id) AS max_est_jaccard
         |  FROM fB) z WHERE rn = 1)
         |SELECT d.doc_id, COALESCE(kB.cand, d.doc_id) AS keeper_id, kB.max_est_jaccard
-        |FROM documents d LEFT JOIN kB USING (doc_id) WHERE d.doc_id >= 250""".stripMargin,
+        |FROM documents d LEFT JOIN kB USING (doc_id)
+        |WHERE d.doc_id >= 250 AND d.doc_id < 500""".stripMargin,
 
     "q21_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
