@@ -300,6 +300,10 @@ object TxTable {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // exotic local FS without hard links: keep working with the
+          // weaker check-then-rename claim (single-process atomicity only)
+          !fs.exists(slot) && fs.rename(tmp, slot)
       }
     } else !fs.exists(slot) && fs.rename(tmp, slot)
 
@@ -509,6 +513,35 @@ object TxTable {
     * [[compactData]] in the maintenance cycle. */
   def liveBatchCount(spark: SparkSession, dir: String): Int =
     replay(hadoopFs(spark, dir), dir)._1.map(_.path.split('/')(1)).distinct.size
+
+  /** Operational snapshot for monitoring/maintenance decisions. All values
+    * come from the log and a directory listing — no data file is opened. */
+  final case class TableInfo(headVersion: Long, commitCount: Int,
+                             checkpointVersion: Option[Long],
+                             retentionFloor: Option[Long],
+                             liveFiles: Int, liveBatches: Int,
+                             onDiskBatches: Int, scheme: Option[String])
+
+  /** [[TableInfo]] for a table, None before the first commit. `onDiskBatches`
+    * minus `liveBatches` approximates reclaimable staging dirs (retained
+    * history + orphans) — a maintenance trigger alongside
+    * [[liveBatchCount]]. */
+  def describe(spark: SparkSession, dir: String): Option[TableInfo] = {
+    val fs = hadoopFs(spark, dir)
+    val commits = listCommits(fs, dir)
+    commits.lastOption.map { case (head, _) =>
+      val (live, scheme) = replay(fs, dir)
+      val dataDir = new Path(dir, DataDirName)
+      val onDisk =
+        if (!fs.exists(dataDir)) 0
+        else fs.listStatus(dataDir).count(_.isDirectory)
+      TableInfo(head, commits.size,
+        listCheckpoints(fs, dir).lastOption.map(_._1),
+        readFloor(fs, dir),
+        live.size, live.map(_.path.split('/')(1)).distinct.size,
+        onDisk, scheme)
+    }
+  }
 
   /** Rewrite the live set into ONE staging batch via a single `replace`
     * commit, then vacuum the superseded files. Bounds [[read]]'s union

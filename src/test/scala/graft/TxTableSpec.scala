@@ -513,6 +513,25 @@ class TxTableSpec extends SparkTestBase {
     assert(TxTable.read(spark, dir, asOf = Some(2L)).get.count() == 1)
   }
 
+  test("describe reports the log's operational state without opening data files") {
+    val dir = tmpDir("tx-describe")
+    assert(TxTable.describe(spark, dir).isEmpty)
+    TxTable.replace(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    TxTable.replace(spark, dir, Seq((2L, "b"), (3L, "c")).toDF("k", "s"))
+    TxTable.append(spark, dir, Seq((4L, "d")).toDF("k", "s"))
+    val i1 = TxTable.describe(spark, dir).get
+    assert(i1.headVersion == 3 && i1.commitCount == 3)
+    assert(i1.checkpointVersion.isEmpty && i1.retentionFloor.isEmpty)
+    assert(i1.liveBatches == 2 && i1.onDiskBatches == 3) // v1's superseded batch
+    TxTable.vacuum(spark, dir, retainVersions = 2)
+    TxTable.compactLog(spark, dir, retainVersions = 1)
+    val i2 = TxTable.describe(spark, dir).get
+    assert(i2.headVersion == 3 && i2.commitCount == 2)   // v1's commit pruned
+    assert(i2.checkpointVersion.contains(2L))
+    assert(i2.retentionFloor.contains(2L))
+    assert(i2.onDiskBatches == 2 && i2.liveBatches == 2)
+  }
+
   test("scheme migration over a log whose live set is empty starts fresh, no crash") {
     val dir = tmpDir("tx-emptymigrate")
     // a committed replace of ZERO rows: log exists, live set is empty
