@@ -480,6 +480,14 @@ object SparkEntry {
     "q43_quantize_int8" -> ((s, dir) =>
       SimSearch.quantizationError(T(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // §7.6 embedding storage, width axis: similarity preservation under
+    // prefix truncation — per near-dup pair, the cosine at 32/16-dim
+    // prefixes next to the full-width value (the matryoshka-style check
+    // before storing a narrower embedding).
+    "q63_truncation_profile" -> ((s, dir) =>
+      SimSearch.truncationProfile(T(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.4, Seq(32, 16))),
+
     // Range (point-in-interval) join via time-bin bucketing — clicks
     // attributed to the purchase windows [ts, ts+2h) of the same user.
     // The naive inequality join is a nested-loop at scale; RangeJoin turns
@@ -928,6 +936,21 @@ object SparkEntry {
         |FROM e LEFT JOIN k USING (vec_id)""".stripMargin,
 
     "q60_semantic_dedup_bucketed" -> semanticDedupBucketedOracleSql,
+
+    "q63_truncation_profile" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb,
+        |   list_dot_product(a.v, b.v)
+        |     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS cos_full_r6,
+        | round(list_dot_product(va[1:32], vb[1:32])
+        |   / (sqrt(list_dot_product(va[1:32], va[1:32]))
+        |    * sqrt(list_dot_product(vb[1:32], vb[1:32]))), 6) AS cos_d32_r6,
+        | round(list_dot_product(va[1:16], vb[1:16])
+        |   / (sqrt(list_dot_product(va[1:16], va[1:16]))
+        |    * sqrt(list_dot_product(vb[1:16], vb[1:16]))), 6) AS cos_d16_r6
+        |FROM p WHERE sim >= 0.4""".stripMargin,
 
     "q61_semantic_dedup_incremental" -> semanticDedupIncrementalOracleSql,
 

@@ -132,6 +132,30 @@ object SimSearch {
         col("max_sim_r6"))
   }
 
+  /** Similarity preservation under prefix truncation (the
+    * matryoshka-style question: how much cheaper can the embedding width
+    * get before neighbor similarities drift?). For each near-dup pair at
+    * the full dimension, recompute the cosine at each prefix width — the
+    * per-pair table you read before committing a corpus to a narrower
+    * stored embedding. Composes [[cosineNearDups]]' exact pair set (the
+    * oracle baseline); at corpus scale feed banded-LSH candidate pairs
+    * through the same projection instead. Narrow per-pair math — no
+    * additional shuffle beyond the pair set itself. */
+  def truncationProfile(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0))
+    val pairs = cosineNearDups(corpus, idCol, vecCol, threshold)
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val truncCols = dims.map { d =>
+      round(cosine(slice(col("va"), 1, d), slice(col("vb"), 1, d)), 6)
+        .as(s"cos_d${d}_r6")
+    }
+    pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(Seq(col("id_a"), col("id_b"),
+        round(col("sim"), 6).as("cos_full_r6")) ++ truncCols: _*)
+  }
+
   /** Choose (tables, planesPerTable) for a corpus size — the executable
     * form of "tune the planes up with log n". Planes per table r is set so
     * expected bucket occupancy n/2^r stays near `targetOccupancy` (bucket

@@ -265,6 +265,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(a2b.select("doc_id", "keeper_id").as[(Long, Long)].collect().toMap == m)
   }
 
+  test("truncationProfile: identical prefixes score 1.0 at the prefix width, lower at full") {
+    // a and b agree exactly on dims 0-3 and diverge after → cos at d=4 is
+    // exactly 1.0 while the full-width cosine is strictly below it
+    val a = Array.tabulate(8)(i => if (i < 4) 1.0f else 1.0f)
+    val b = Array.tabulate(8)(i => if (i < 4) 1.0f else -1.0f)
+    val c = Array.tabulate(8)(_ => 1.0f) // exact dup of a
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    val rows = SimSearch.truncationProfile(corpus, "vec_id", "embedding",
+        threshold = -1.0, dims = Seq(4))
+      .select("id_a", "id_b", "cos_full_r6", "cos_d4_r6")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(rows((1L, 2L)) == ((0.0, 1.0)))  // orthogonal at full, equal prefix
+    assert(rows((1L, 3L)) == ((1.0, 1.0)))  // exact dup everywhere
+    assert(rows((2L, 3L)) == ((0.0, 1.0)))
+  }
+
   test("semDedupParamsFor: reproduces the tuned profile shape and scales planes with log n") {
     // n=500 @ θ=0.4: r = ceil(log2(500/64)) = 3 planes; recall bound at
     // p = 1 - acos(0.4)/π ≈ 0.631 → p³ ≈ 0.251 → 11 tables for 0.95
