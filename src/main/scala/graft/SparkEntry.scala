@@ -217,6 +217,16 @@ object SparkEntry {
         0.4, tables = 12, planesPerTable = 3, dim = 64)._1
     }),
 
+    // §7.6 transitive near-dup clusters: connected components by iterative
+    // min-label propagation over the q16-verified portable pair set. The
+    // oracle computes the same components with a DuckDB recursive CTE
+    // (transitive closure → min reachable id), so the ITERATIVE Spark
+    // algorithm — convergence included — is value-checked against a
+    // declarative fixpoint formulation.
+    "q64_neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.portableNearDups(T(s, dir, "documents"), "doc_id", "text"))),
+
     // §7.6 the incremental TEXT dedup path, value-checked end-to-end on the
     // portable md5 hash family (the q16 technique staged twice): index from
     // the first corpus half's keepers, then the second half dedups against
@@ -953,6 +963,44 @@ object SparkEntry {
         |FROM p WHERE sim >= 0.4""".stripMargin,
 
     "q61_semantic_dedup_incremental" -> semanticDedupIncrementalOracleSql,
+
+    // q64: q16's pair machinery + a recursive CTE computing each node's
+    // minimum reachable id over the undirected pair graph — the
+    // declarative fixpoint the iterative Spark propagation must match.
+    "q64_neardup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
+        | FROM documents),
+        |mins AS (
+        | SELECT doc_id, r.i,
+        |  min(substr(md5(CAST(r.i AS VARCHAR) || '|' || t), 1, 16)) AS h
+        | FROM toks CROSS JOIN range(32) r(i) GROUP BY doc_id, r.i),
+        |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, b.b AS band_id,
+        |  md5(array_to_string(sig[b.b*8+1 : b.b*8+8], ',')) AS band_hash
+        | FROM sigs CROSS JOIN range(4) b(b)),
+        |pairs AS (
+        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |  AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+        |est AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |   CAST(len(list_filter(generate_series(1, 32),
+        |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/32 AS est_jaccard
+        |  FROM pairs p
+        |  JOIN sigs sa ON sa.doc_id = p.doc_a
+        |  JOIN sigs sb ON sb.doc_id = p.doc_b) z
+        | WHERE est_jaccard >= 0.6),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM est
+        |          UNION ALL SELECT doc_b, doc_a FROM est),
+        |reach(doc_id, m) AS (
+        | SELECT DISTINCT u, u FROM edges
+        | UNION
+        | SELECT e.u, reach.m FROM edges e JOIN reach ON reach.doc_id = e.v)
+        |SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
 
     // q62: the q16 portable-md5 MinHash SQL staged twice — stage A keepers
     // (doc_id < 250, in-batch only) form the index; stage B scores the

@@ -193,9 +193,13 @@ object Dedup {
     * same narrow-join discipline, every value DuckDB-reproducible. The
     * default args are [[MinHashParams.shortText]] (the q16 oracle profile);
     * production corpora should pass [[MinHashParams.production]]. */
-  def portableDedupAssignments(docs: DataFrame, idCol: String, textCol: String,
-                               n: Int = 1, k: Int = 32, bands: Int = 4,
-                               threshold: Double = 0.6): DataFrame = {
+  /** The thresholded near-dup PAIR set on the portable hash —
+    * (doc_a, doc_b, est_jaccard), a < b — exposed so cluster-level
+    * consumers ([[nearDupClusters]], q64) share the exact q16-verified
+    * candidate machinery. */
+  def portableNearDups(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 1, k: Int = 32, bands: Int = 4,
+                       threshold: Double = 0.6): DataFrame = {
     val sigs = portableSignatures(docs, idCol, textCol, n, k)
     val narrow = portableBands(sigs, k, bands)
     val pairs = narrow
@@ -203,13 +207,19 @@ object Dedup {
       .filter(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
       .distinct()
-    val est = pairs
+    pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           v => v)).cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  def portableDedupAssignments(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int = 1, k: Int = 32, bands: Int = 4,
+                               threshold: Double = 0.6): DataFrame = {
+    val est = portableNearDups(docs, idCol, textCol, n, k, bands, threshold)
     val keepers = est.groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("cand"), max(col("est_jaccard")).as("max_est_jaccard"))
     docs.select(col(idCol).as("doc_id")).join(keepers, Seq("doc_id"), "left")

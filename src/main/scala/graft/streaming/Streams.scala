@@ -85,6 +85,19 @@ object Streams {
         : (SparkSession, DataFrame, Long) => Unit =
       if (tx) (s, b, _) => MergeSink.scd2Tx(s, dir, b, key, mutableCols, orderCols)
       else (s, b, _) => MergeSink.scd2(s, dir, b, key, mutableCols, orderCols)
+
+    /** The partition-scoped upsert — the sink the production pipelines
+      * bind (each micro-batch merges against ONLY the hash buckets its
+      * keys live in; O(batch + touched partitions), never O(target)). */
+    def upsertScoped(dir: String, keys: Seq[String], mutableCols: Seq[String],
+                     scheme: MergeSink.PartitionScheme,
+                     orderCols: Seq[String] = Nil,
+                     tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit =
+      if (tx) (s, b, _) =>
+        MergeSink.upsertPartialScopedTx(s, dir, b, keys, mutableCols, scheme, orderCols)
+      else (s, b, _) =>
+        MergeSink.upsertPartialScoped(s, dir, b, keys, mutableCols, scheme, orderCols)
   }
 
   /** Windowed aggregation with late-data bound — the standard watermarked

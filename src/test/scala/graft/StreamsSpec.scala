@@ -297,6 +297,28 @@ class StreamsSpec extends SparkTestBase {
     assert(packSnap(packedStream) == packSnap(packedAll))
   }
 
+  test("Sinks.upsertScoped binds the partition-scoped merge in both protocols") {
+    import spark.implicits._
+    val scheme = MergeSink.PartitionScheme.keyHash(Seq("k"), 8)
+    val dirFs = tmpDir("sink-scoped-fs"); val dirTx = tmpDir("sink-scoped-tx")
+    val b1 = Seq(("k1", "open"), ("k2", "open")).toDF("k", "status")
+    val b2 = Seq(("k2", "closed")).toDF("k", "status")
+    val sinkFs = Streams.Sinks.upsertScoped(dirFs, Seq("k"), Seq("status"),
+      scheme, tx = false)
+    val sinkTx = Streams.Sinks.upsertScoped(dirTx, Seq("k"), Seq("status"),
+      scheme, tx = true)
+    for ((b, i) <- Seq(b1, b2).zipWithIndex) {
+      sinkFs(spark, b, i.toLong); sinkTx(spark, b, i.toLong)
+    }
+    def snap(dir: String) = MergeSink.readAny(spark, dir).get
+      .select("k", "status").as[(String, String)].collect().toMap
+    assert(snap(dirFs) == Map("k1" -> "open", "k2" -> "closed"))
+    assert(snap(dirTx) == snap(dirFs))
+    // same semantics, different commit protocol underneath
+    assert(graft.merge.TxTable.exists(spark, dirTx))
+    assert(!graft.merge.TxTable.exists(spark, dirFs))
+  }
+
   test("streaming embedding batches fold through the persisted semantic index") {
     import spark.implicits._
     import graft.ext.SimSearch
