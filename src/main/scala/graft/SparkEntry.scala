@@ -223,9 +223,14 @@ object SparkEntry {
     // (transitive closure → min reachable id), so the ITERATIVE Spark
     // algorithm — convergence included — is value-checked against a
     // declarative fixpoint formulation.
+    // Corpus capped at 500 docs for the same reason as q62: the md5 family
+    // is the verification twin; production clustering feeds xxhash64 pairs
+    // (minhashNearDups) through the same propagation.
     "q64_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
-        Dedup.portableNearDups(T(s, dir, "documents"), "doc_id", "text"))),
+        Dedup.portableNearDups(
+          T(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text"))),
 
     // §7.6 the incremental TEXT dedup path, value-checked end-to-end on the
     // portable md5 hash family (the q16 technique staged twice): index from
@@ -971,7 +976,7 @@ object SparkEntry {
       """WITH RECURSIVE toks AS (
         | SELECT doc_id,
         |  unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
-        | FROM documents),
+        | FROM documents WHERE doc_id < 500),
         |mins AS (
         | SELECT doc_id, r.i,
         |  min(substr(md5(CAST(r.i AS VARCHAR) || '|' || t), 1, 16)) AS h

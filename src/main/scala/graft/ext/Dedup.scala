@@ -235,8 +235,13 @@ object Dedup {
     * rounds and is capped by `maxIter`. Output: (doc_id, cluster_id) where
     * cluster_id = min doc_id of the component. */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // pin the edge set: EVERY iteration (and each convergence check) joins
+    // against it — without this the upstream pair computation (banding +
+    // signature agreement, the expensive part) re-executes per iteration,
+    // turning an O(iters × |edges|) loop into O(iters × pair-derivation)
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
@@ -248,16 +253,17 @@ object Dedup {
           .withColumnRenamed("cluster_id", "v_label"), Seq("v"))
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("v_label")).as("nbr_label"))
+      // the changed flag rides the checkpointed frame, so convergence
+      // detection is a filter over stored rows, not a second labels join
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_label"), col("cluster_id")) < col("cluster_id"))
+            .as("__changed"))
         .localCheckpoint()
-      changed = updated.alias("n")
-        .join(labels.alias("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count() > 0
-      labels = updated
+      changed = updated.filter(col("__changed")).limit(1).count() > 0
+      labels = updated.drop("__changed")
       iter += 1
     }
     labels
