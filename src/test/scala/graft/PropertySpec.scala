@@ -251,4 +251,27 @@ class PropertySpec extends SparkTestBase {
       once1 == twice1 && once3 == twice3
     }, min = 6)
   }
+
+  test("semDedupParamsFor law: any returned config fits one long and meets the recall bound") {
+    // pure parameter math — no Spark. Either the solver returns a config
+    // that (a) packs into the 63-bit bucket word and (b) satisfies the
+    // banding recall bound it was solved for, or it refuses loudly.
+    val gen = for {
+      n <- Gen.choose(1L, 2_000_000_000L)
+      theta <- Gen.choose(0.05, 0.95)
+      occ <- Gen.oneOf(16, 64, 256)
+      rec <- Gen.oneOf(0.9, 0.95, 0.99)
+    } yield (n, theta, occ, rec)
+    checkProp(forAll(gen) { case (n, theta, occ, rec) =>
+      try {
+        val (l, r) = graft.ext.SimSearch.semDedupParamsFor(n, theta, occ, rec)
+        val p = 1.0 - math.acos(theta) / math.Pi
+        val recall = 1.0 - math.pow(1.0 - math.pow(p, r), l)
+        l >= 1 && r >= 1 && r * l <= 63 && recall >= rec - 1e-9
+      } catch {
+        // infeasible corners (tiny theta + high recall) must refuse loudly
+        case e: IllegalArgumentException => e.getMessage.contains("63 bits")
+      }
+    }, min = 200)
+  }
 }
