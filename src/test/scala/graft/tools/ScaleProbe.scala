@@ -147,6 +147,27 @@ object ScaleProbe {
     val tck = time(s"tx_compact_data ${k}x")(txCompact(txDirK))
     println(f"[probe] tx_compact_data ratio=${tck / tc1}%.1f (k=$k, linear=~$k)")
 
+    // iterative connected components over the xxhash64 (production) pair
+    // set. Doc replicas are salted (every 7th word) so true cluster count
+    // grows k x while cluster SIZE stays constant — identical replicas
+    // would grow within-cluster pair counts quadratically and measure a
+    // dup-stress, not scale (same rationale as embPK above).
+    val docsPK = (0 until k).map { i =>
+      if (i == 0) docs1
+      else docs1.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", expr(
+          s"array_join(transform(split(text, ' '), (w, j) -> " +
+            s"CASE WHEN pmod(j + $i, 7) = 0 THEN concat(w, '_r$i') " +
+            s"ELSE w END), ' ')"))
+    }.reduce(_ unionByName _).repartition(32).localCheckpoint()
+    def clusters(d: DataFrame): Long =
+      graft.ext.Dedup.nearDupClusters(graft.ext.Dedup.minhashNearDups(
+        d, "doc_id", "text", n = 1, k = 32, bands = 4, threshold = 0.6)).count()
+    clusters(docs1)
+    val cl1 = time("neardup_clusters 1x")(clusters(docs1))
+    val clk = time(s"neardup_clusters ${k}x")(clusters(docsPK))
+    println(f"[probe] neardup_clusters ratio=${clk / cl1}%.1f (k=$k, linear=~$k)")
+
     // incremental dedup: the 100 TB claim is per-BATCH cost independent of
     // corpus size — the corpus is its persisted index, probed by band
     // slice. Same fixed batch against a 1x- vs kx-built index: ~1 expected.
