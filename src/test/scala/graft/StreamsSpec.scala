@@ -297,6 +297,38 @@ class StreamsSpec extends SparkTestBase {
     assert(packSnap(packedStream) == packSnap(packedAll))
   }
 
+  test("every Sinks family yields identical contents under both commit protocols") {
+    import spark.implicits._
+    val b1 = Seq((1L, "open", "n1"), (2L, "open", "n2")).toDF("k", "status", "note")
+    val b2 = Seq((2L, "closed", "IGNORED"), (3L, "open", "n3"))
+      .toDF("k", "status", "note")
+    def apply2(mk: (String, Boolean) => (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.DataFrame, Long) => Unit, tag: String)
+        : (Set[(Long, String, String)], Set[(Long, String, String)]) = {
+      val dF = tmpDir(s"sf-$tag"); val dT = tmpDir(s"st-$tag")
+      val (fs, tx) = (mk(dF, false), mk(dT, true))
+      for ((b, i) <- Seq(b1, b2).zipWithIndex) {
+        fs(spark, b, i.toLong); tx(spark, b, i.toLong)
+      }
+      def snap(d: String) = MergeSink.readAny(spark, d).get
+        .select("k", "status", "note").as[(Long, String, String)].collect().toSet
+      assert(graft.merge.TxTable.exists(spark, dT), tag)
+      assert(!graft.merge.TxTable.exists(spark, dF), tag)
+      (snap(dF), snap(dT))
+    }
+    val (u1, u2) = apply2((d, t) =>
+      Streams.Sinks.upsertPartial(d, Seq("k"), Seq("status"), tx = t), "upsert")
+    assert(u1 == u2 && u1 == Set((1L, "open", "n1"), (2L, "closed", "n2"),
+      (3L, "open", "n3")))
+    val (s1, s2) = apply2((d, t) =>
+      Streams.Sinks.scd2(d, "k", Seq("status"), tx = t), "scd2")
+    assert(s1 == s2 && s1 == u1) // M2 ≡ M1 on a single key
+    val (i1, i2) = apply2((d, t) =>
+      Streams.Sinks.insertIfAbsent(d, Seq("k"), tx = t), "insert")
+    assert(i1 == i2 && i1 == Set((1L, "open", "n1"), (2L, "open", "n2"),
+      (3L, "open", "n3"))) // conflict on k=2 dropped, first-seen kept
+  }
+
   test("Sinks.upsertScoped binds the partition-scoped merge in both protocols") {
     import spark.implicits._
     val scheme = MergeSink.PartitionScheme.keyHash(Seq("k"), 8)
