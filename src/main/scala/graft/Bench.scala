@@ -100,12 +100,18 @@ object Bench {
     // strictly additive, so the smallest observation is the closest to the
     // true data-path cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def run(fn: (SparkSession, String) => DataFrame, dir: String, n: Int): Double =
-      (1 to n).map { _ =>
+    // a failing query reports the -1 sentinel, NOT its elapsed-to-failure
+    // time — a plausible-looking latency for a query that returned nothing
+    // would poison the slope/total numbers silently
+    def run(fn: (SparkSession, String) => DataFrame, dir: String, n: Int): Double = {
+      val times = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query failed: $e"); None }
+      }
+      if (times.isEmpty) -1.0 else times.min
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(fn, sfDir, reps)
     }
@@ -139,8 +145,13 @@ object Bench {
         val qsK = r.map { case (n, v) => s"\"" + n + "\":" + v }
           .mkString("{", ",", "}")
         val slope = r.map { case (n, v) =>
-          val s = base.get(n).filter(_ > 0).map(b => v / b).getOrElse(-1.0)
-          s"\"" + n + "\":" + f"$s%.2f"
+          // slope is meaningless if either side failed (-1 sentinel);
+          // Locale.ROOT so a comma-decimal default locale can't emit "0,97"
+          // and break the JSON line
+          val s = base.get(n).filter(_ > 0).filter(_ => v > 0)
+            .map(b => v / b).getOrElse(-1.0)
+          s"\"" + n + "\":" +
+            String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))
         }.mkString("{", ",", "}")
         s""","scale_k":$k,"queries_${k}x":$qsK,"slope_vs_1x":$slope,"sf_${k}x":"$dirK""""
     }

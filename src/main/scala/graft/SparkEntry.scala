@@ -232,6 +232,29 @@ object SparkEntry {
           T(s, dir, "documents").filter(col("doc_id") < 500),
           "doc_id", "text"))),
 
+    // §7.6 the INCREMENTAL clustering path: stage A batch-clusters the
+    // first corpus half into persisted (doc_id, cluster_id) labels; stage B
+    // derives the new batch's edge set against the stage-A index (never
+    // rescanning stage A's text) and folds it into the labels with
+    // driver-side union-find over the contracted label graph. The oracle is
+    // a DuckDB recursive CTE over the UNION of stage-A pairs and stage-B
+    // incremental edges — the fold must equal the declarative fixpoint of
+    // the whole union graph, min-label invariant included. Same md5
+    // verification-twin rationale and 500-doc cap as q62/q64; the index for
+    // CLUSTERING covers all stage-A docs (not dedup keepers: clustering
+    // wants every edge).
+    "q65_clusters_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val a = docs.filter(col("doc_id") < 250)
+      val labelsA = Dedup.nearDupClusters(
+        Dedup.portableNearDups(a, "doc_id", "text"))
+      val sigsA = Dedup.portableSignatures(a, "doc_id", "text", 1, 32)
+      val idx = Dedup.DedupIndex(sigsA, Dedup.portableBands(sigsA, 32, 4))
+      val edgesB = Dedup.portableIncrementalEdges(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", idx)
+      Dedup.incrementalClusters(edgesB, labelsA)
+    }),
+
     // §7.6 the incremental TEXT dedup path, value-checked end-to-end on the
     // portable md5 hash family (the q16 technique staged twice): index from
     // the first corpus half's keepers, then the second half dedups against
@@ -1001,6 +1024,65 @@ object SparkEntry {
         | WHERE est_jaccard >= 0.6),
         |edges AS (SELECT doc_a AS u, doc_b AS v FROM est
         |          UNION ALL SELECT doc_b, doc_a FROM est),
+        |reach(doc_id, m) AS (
+        | SELECT DISTINCT u, u FROM edges
+        | UNION
+        | SELECT e.u, reach.m FROM edges e JOIN reach ON reach.doc_id = e.v)
+        |SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
+
+    // q65: the q64 machinery split into the SAME two stages the Spark side
+    // runs — stage-A pairs (both ids < 250, the persisted-label build) and
+    // stage-B incremental edges (new docs >= 250 vs the indexed corpus plus
+    // in-batch smaller ids; since every corpus id < every batch id, the
+    // candidate predicate collapses to y.doc_id < x.doc_id) — then one
+    // recursive CTE over their union. The incremental fold must reproduce
+    // this fixpoint exactly, min-label invariant included.
+    "q65_clusters_incremental" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
+        | FROM documents WHERE doc_id < 500),
+        |mins AS (
+        | SELECT doc_id, r.i,
+        |  min(substr(md5(CAST(r.i AS VARCHAR) || '|' || t), 1, 16)) AS h
+        | FROM toks CROSS JOIN range(32) r(i) GROUP BY doc_id, r.i),
+        |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, b.b AS band_id,
+        |  md5(array_to_string(sig[b.b*8+1 : b.b*8+8], ',')) AS band_hash
+        | FROM sigs CROSS JOIN range(4) b(b)),
+        |pairsA AS (
+        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |  AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+        | WHERE x.doc_id < 250 AND y.doc_id < 250),
+        |estA AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |   CAST(len(list_filter(generate_series(1, 32),
+        |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/32 AS est
+        |  FROM pairsA p
+        |  JOIN sigs sa ON sa.doc_id = p.doc_a
+        |  JOIN sigs sb ON sb.doc_id = p.doc_b) z
+        | WHERE est >= 0.6),
+        |candB AS (
+        | SELECT DISTINCT y.doc_id AS doc_a, x.doc_id AS doc_b
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |  AND x.band_hash = y.band_hash
+        | WHERE x.doc_id >= 250 AND y.doc_id < x.doc_id),
+        |estB AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |   CAST(len(list_filter(generate_series(1, 32),
+        |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/32 AS est
+        |  FROM candB c
+        |  JOIN sigs sa ON sa.doc_id = c.doc_a
+        |  JOIN sigs sb ON sb.doc_id = c.doc_b) z
+        | WHERE est >= 0.6),
+        |allp AS (SELECT doc_a, doc_b FROM estA
+        |         UNION SELECT doc_a, doc_b FROM estB),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM allp
+        |          UNION ALL SELECT doc_b, doc_a FROM allp),
         |reach(doc_id, m) AS (
         | SELECT DISTINCT u, u FROM edges
         | UNION

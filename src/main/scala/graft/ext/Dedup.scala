@@ -231,10 +231,14 @@ object Dedup {
     * pair graph by iterative min-label propagation — doc chains a~b~c
     * collapse to one cluster even when a,c never paired directly. Each
     * iteration is one join + aggregate; lineage is cut per iteration
-    * (localCheckpoint) so the plan stays flat; converges in O(log diameter)
-    * rounds and is capped by `maxIter`. Output: (doc_id, cluster_id) where
-    * cluster_id = min doc_id of the component. */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * (localCheckpoint) so the plan stays flat; iteration count is bounded
+    * by the component diameter (one hop per round) and capped by `maxIter`.
+    * Hitting the cap with changes still in flight THROWS rather than
+    * returning silently under-merged labels — a chain-shaped cluster deeper
+    * than the cap would otherwise get wrong cluster ids that look valid.
+    * Output: (doc_id, cluster_id) where cluster_id = min doc_id of the
+    * component. */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // pin the edge set: EVERY iteration (and each convergence check) joins
     // against it — without this the upstream pair computation (banding +
     // signature agreement, the expensive part) re-executes per iteration,
@@ -266,7 +270,98 @@ object Dedup {
       labels = updated.drop("__changed")
       iter += 1
     }
+    if (changed) throw new IllegalStateException(
+      s"nearDupClusters did not converge within maxIter=$maxIter rounds: " +
+        "labels were still changing in the last iteration, so a component " +
+        "with diameter > maxIter would be silently under-merged. Re-run " +
+        "with a larger maxIter (rounds needed ~ longest chain in the pair " +
+        "graph)")
     labels
+  }
+
+  /** Empty persisted label table for [[incrementalClusters]] — the fold's
+    * zero element (folding a first batch into it equals batch clustering). */
+  def emptyLabels(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("cluster_id", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Fold ONE batch's near-dup edges into persisted cluster labels — the
+    * incremental analog of [[nearDupClusters]] for a corpus built batch by
+    * batch. `labels` is the persisted (doc_id, cluster_id) table (cluster_id
+    * = min doc_id of the component, the [[nearDupClusters]] invariant);
+    * `newEdges` is the batch's candidate pair set (doc_a, doc_b) — typically
+    * [[portableIncrementalEdges]] / the xxhash64 twin, so it contains
+    * new-vs-corpus and new-vs-new pairs only. Returns the UPDATED full label
+    * table (old docs relabeled where a new edge bridged their components,
+    * plus the batch's endpoint docs).
+    *
+    * Scale posture: the corpus-wide `labels` table is touched only by ONE
+    * broadcast-join relabel pass — no iterative propagation over it. The
+    * iterative part (component merging) runs as driver-side union-find over
+    * the batch's contracted LABEL graph, whose size is bounded by the
+    * batch's edge frontier (≤ |newEdges| pairs), not by the corpus: each old
+    * cluster participates as a single contracted node. The min-label
+    * invariant is preserved (union by min root), so folding batches one at
+    * a time converges to exactly [[nearDupClusters]] over the union graph
+    * — the q65 oracle replays both stages in DuckDB's recursive CTE. */
+  def incrementalClusters(newEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val sess = newEdges.sparkSession
+    import sess.implicits._
+    // pin the edge set: its derivation (band joins + signature agreement)
+    // must not re-execute per downstream reference
+    val e = newEdges.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val endpoints = e.select(col("doc_a").as("doc_id"))
+      .union(e.select(col("doc_b").as("doc_id"))).distinct()
+    // batch endpoints resolve to their current label; unseen docs label
+    // themselves (the singleton-component seed)
+    val endpointLabels = endpoints.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("label"))
+      .localCheckpoint()
+    // contract existing clusters to their label: the label-level edge list
+    // is bounded by the batch's frontier, safe to union-find on the driver
+    val labelPairs = e
+      .join(endpointLabels.select(col("doc_id").as("doc_a"), col("label").as("la")),
+        Seq("doc_a"))
+      .join(endpointLabels.select(col("doc_id").as("doc_b"), col("label").as("lb")),
+        Seq("doc_b"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb")).distinct()
+      .as[(Long, Long)].collect() // bounded: <= |newEdges| distinct label pairs
+
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    // union by MIN root keeps the cluster_id = min-member invariant: every
+    // incoming label is the min id of its component, so the min of merged
+    // roots is the min id of the merged component
+    labelPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val remap = parent.keysIterator.map(l => (l, find(l)))
+      .filter { case (l, r) => l != r }.toSeq
+    val remapDf = remap.toDF("__old", "__new")
+
+    // ONE broadcast relabel pass over the corpus labels; batch endpoints
+    // not yet in the table are appended with their (remapped) labels
+    val updatedOld = labels
+      .join(broadcast(remapDf), labels("cluster_id") === col("__old"), "left")
+      .select(labels("doc_id"),
+        coalesce(col("__new"), labels("cluster_id")).as("cluster_id"))
+    val appended = endpointLabels.join(labels, Seq("doc_id"), "left_anti")
+      .join(broadcast(remapDf), col("label") === col("__old"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("label")).as("cluster_id"))
+    updatedOld.unionByName(appended)
   }
 
   /** Exact n-gram Jaccard for a pair table (verification pass after LSH). */
@@ -449,6 +544,37 @@ object Dedup {
       (a, b) => size(filter(zip_with(a, b, (x, y) => x === y), v => v))
         .cast("double") / k)
 
+  /** One batch's thresholded near-dup EDGES against the corpus index:
+    * (doc_a, doc_b, est_jaccard) with doc_a = the corpus or smaller-id
+    * in-batch target — the pair feed for [[incrementalClusters]]. Exactly
+    * the candidate set [[incrementalAssignments]] scores (new-vs-corpus +
+    * new-vs-new), before any keeper aggregation collapses it. */
+  def incrementalEdges(newDocs: DataFrame, idCol: String, textCol: String,
+                       index: DedupIndex,
+                       n: Int = 3, k: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5): DataFrame =
+    incrementalScored(newDocs, idCol, index, threshold,
+      d => signatures(d, idCol, textCol, n, k),
+      s => lshBands(s, k, bands),
+      (a, b) => graft.functions.VectorExprs.longArrayAgree(a, b)
+        .cast("double") / k)._3
+      .select(col("tgt").as("doc_a"), col("doc_id").as("doc_b"),
+        col("est_jaccard")).distinct()
+
+  /** [[incrementalEdges]] on the portable md5 hash (the q65 oracle feed —
+    * every edge reproduces bit-for-bit in DuckDB). */
+  def portableIncrementalEdges(newDocs: DataFrame, idCol: String,
+                               textCol: String, index: DedupIndex,
+                               n: Int = 1, k: Int = 32, bands: Int = 4,
+                               threshold: Double = 0.6): DataFrame =
+    incrementalScored(newDocs, idCol, index, threshold,
+      d => portableSignatures(d, idCol, textCol, n, k),
+      s => portableBands(s, k, bands),
+      (a, b) => size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+        .cast("double") / k)._3
+      .select(col("tgt").as("doc_a"), col("doc_id").as("doc_b"),
+        col("est_jaccard")).distinct()
+
   /** [[emptyIndex]] for the portable hash family: string signatures and
     * md5 band hashes instead of xxhash64 longs. */
   def emptyPortableIndex(spark: org.apache.spark.sql.SparkSession): DedupIndex = {
@@ -466,12 +592,12 @@ object Dedup {
     * generation (corpus bands at priority 0, in-batch smaller ids at 1),
     * signature-agreement estimate, first-seen keeper pick, keeper-only
     * index delta. `sigOf`/`bandsOf`/`estFrac` carry the hash family. */
-  private def incrementalCore(newDocs: DataFrame, idCol: String,
-                              index: DedupIndex, threshold: Double,
-                              sigOf: DataFrame => DataFrame,
-                              bandsOf: DataFrame => DataFrame,
-                              estFrac: (Column, Column) => Column)
-      : (DataFrame, DedupIndex) = {
+  private def incrementalScored(newDocs: DataFrame, idCol: String,
+                                index: DedupIndex, threshold: Double,
+                                sigOf: DataFrame => DataFrame,
+                                bandsOf: DataFrame => DataFrame,
+                                estFrac: (Column, Column) => Column)
+      : (DataFrame, DataFrame, DataFrame) = {
     // reused by two candidate joins, the estimate join, and the kept split
     val newSigs = sigOf(newDocs).localCheckpoint()
     val newBands = bandsOf(newSigs).localCheckpoint()
@@ -493,6 +619,17 @@ object Dedup {
       .select(col("doc_id"), col("tgt"), col("prio"),
         estFrac(col("sig"), col("sig_t")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    (newSigs, newBands, scored)
+  }
+
+  private def incrementalCore(newDocs: DataFrame, idCol: String,
+                              index: DedupIndex, threshold: Double,
+                              sigOf: DataFrame => DataFrame,
+                              bandsOf: DataFrame => DataFrame,
+                              estFrac: (Column, Column) => Column)
+      : (DataFrame, DedupIndex) = {
+    val (newSigs, newBands, scored) =
+      incrementalScored(newDocs, idCol, index, threshold, sigOf, bandsOf, estFrac)
 
     val keepers = scored.groupBy(col("doc_id"))
       .agg(min(struct(col("prio"), col("tgt"))).as("best"),

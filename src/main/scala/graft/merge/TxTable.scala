@@ -70,8 +70,18 @@ object TxTable {
   private val FloorName = "_vacuum_floor"
 
   /** One live data file: `path` relative to the table root; `part` is the
-    * hive fragment (`part_bucket=3`) for partitioned layouts. */
+    * FULL relative hive fragment path (`part_bucket=3` or
+    * `region=eu/day=2024-01-01` for nested layouts) for partitioned
+    * layouts. Pruning and removal match fragments prefix-wise per segment
+    * (see [[partMatches]]), so a one-column scope addresses the whole
+    * subtree under a multi-column layout. */
   final case class FileEntry(path: String, part: Option[String])
+
+  /** True when `part` is addressed by fragment `scope`: exact match, or
+    * `scope` is a leading segment prefix (`region=eu` matches
+    * `region=eu/day=2024-01-01` but NOT `region=eu2/...`). */
+  private def partMatches(part: String, scope: String): Boolean =
+    part == scope || part.startsWith(scope + "/")
 
   private final case class Commit(action: String, partCol: Option[String],
                                   scheme: Option[String],
@@ -166,8 +176,9 @@ object TxTable {
     case "replace" => c.files.toVector
     case "append"  => live ++ c.files
     case "replacePartitions" =>
-      val drop = c.removedParts.toSet
-      live.filterNot(_.part.exists(drop)) ++ c.files
+      val drop = c.removedParts
+      live.filterNot(_.part.exists(p => drop.exists(partMatches(p, _)))) ++
+        c.files
     case other => throw new java.io.IOException(
       s"corrupt commit $p: unknown action '$other'")
   }
@@ -300,9 +311,13 @@ object TxTable {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException =>
-          // exotic local FS without hard links: keep working with the
-          // weaker check-then-rename claim (single-process atomicity only)
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // local FS without hard-link support: tmpfs/network/FUSE mounts
+          // surface EPERM/EOPNOTSUPP as FileSystemException rather than
+          // UnsupportedOperationException (FileAlreadyExists subclasses
+          // FileSystemException, so that case must stay above this one).
+          // Keep working with the weaker check-then-rename claim
+          // (single-process atomicity only).
           !fs.exists(slot) && fs.rename(tmp, slot)
       }
     } else !fs.exists(slot) && fs.rename(tmp, slot)
@@ -327,27 +342,26 @@ object TxTable {
     while (it.hasNext) {
       val p = it.next().getPath
       if (p.getName.endsWith(".parquet")) {
-        val rel = s"$DataDirName/$batch" +
-          p.toString.stripPrefix(qualified.toString)
-        val frag = p.getParent.getName match {
-          case f if f.contains("=") => Some(f)
-          case _                    => None
-        }
+        val inBatch = p.toString.stripPrefix(qualified.toString)
+        val rel = s"$DataDirName/$batch" + inBatch
+        // full relative fragment path: every `col=val` directory segment
+        // between the staging root and the file, so nested (multi-column)
+        // layouts round-trip through the log intact
+        val segs = inBatch.split('/').dropRight(1)
+          .filter(s => s.nonEmpty && s.contains("="))
+        val frag = if (segs.isEmpty) None else Some(segs.mkString("/"))
         files += FileEntry(rel, frag)
       }
     }
     files.result()
   }
 
-  /** The log records one partition column and [[stage]] captures the
-    * innermost hive fragment per file — with 2+ partition columns,
-    * log-level pruning and replacePartitions removal would be silently
-    * wrong, so reject the layout up front. */
-  private def requireSinglePartCol(partitionCols: Seq[String]): Unit =
-    require(partitionCols.size <= 1,
-      s"TxTable supports at most one partition column, got " +
-        s"${partitionCols.mkString("[", ",", "]")} — the commit log records " +
-        "a single hive fragment per file")
+  /** Comma-joined partition column list recorded in the commit's `partCol`
+    * field — informational (scheme-style metadata); pruning and removal
+    * operate on the full per-file fragment paths, so any number of
+    * partition columns is supported. */
+  private def partColField(partitionCols: Seq[String]): Option[String] =
+    if (partitionCols.isEmpty) None else Some(partitionCols.mkString(","))
 
   /** Hive path-fragment rendering for a partition VALUE, matching what
     * Spark writes for the int/date/string-without-special-chars values the
@@ -398,7 +412,8 @@ object TxTable {
     val (liveAll, _) = replay(fs, dir, asOf)
     val live = parts match {
       case None    => liveAll
-      case Some(s) => liveAll.filter(_.part.exists(s))
+      case Some(s) =>
+        liveAll.filter(_.part.exists(p => s.exists(partMatches(p, _))))
     }
     if (live.isEmpty) None
     else {
@@ -428,20 +443,18 @@ object TxTable {
               partitionCols: Seq[String] = Nil,
               scheme: Option[String] = None,
               expectedHead: Option[Long] = None): Unit = {
-    requireSinglePartCol(partitionCols)
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
-      Commit("replace", partitionCols.headOption, scheme, Nil, files),
+      Commit("replace", partColField(partitionCols), scheme, Nil, files),
       expectedHead)
   }
 
   /** Atomically append files (M3/M4 path — nothing existing is rewritten). */
   def append(spark: SparkSession, dir: String, df: DataFrame,
              partitionCols: Seq[String] = Nil): Unit = {
-    requireSinglePartCol(partitionCols)
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
-      Commit("append", partitionCols.headOption, None, Nil, files))
+      Commit("append", partColField(partitionCols), None, Nil, files))
   }
 
   /** Atomically swap the partitions present in `df`: live files under those
@@ -451,11 +464,24 @@ object TxTable {
     * O(touched partitions), commit cost O(1). */
   def replacePartitions(spark: SparkSession, dir: String, df: DataFrame,
                         partCol: String, scheme: Option[String] = None,
-                        expectedHead: Option[Long] = None): Unit = {
-    val files = stage(spark, dir, df, Seq(partCol))
+                        expectedHead: Option[Long] = None): Unit =
+    replacePartitionsBy(spark, dir, df, Seq(partCol), scheme, expectedHead)
+
+  /** [[replacePartitions]] for nested (multi-column) layouts: the swap
+    * granularity is the full (col1, col2, …) fragment combination present
+    * in `df`. Stage with the table's FULL partition layout — a commit whose
+    * files carry fewer path segments than the live set's would leave the
+    * union schema inconsistent across batches. */
+  def replacePartitionsBy(spark: SparkSession, dir: String, df: DataFrame,
+                          partCols: Seq[String],
+                          scheme: Option[String] = None,
+                          expectedHead: Option[Long] = None): Unit = {
+    require(partCols.nonEmpty, "replacePartitionsBy needs >= 1 partition column")
+    val files = stage(spark, dir, df, partCols)
     val removed = files.flatMap(_.part).distinct
     commit(hadoopFs(spark, dir), dir,
-      Commit("replacePartitions", Some(partCol), scheme, removed, files),
+      Commit("replacePartitions", partColField(partCols), scheme, removed,
+        files),
       expectedHead)
   }
 
@@ -498,11 +524,16 @@ object TxTable {
           else now - st.getModificationTime >= minOrphanAgeMs
         }
       }
-      stale.foreach(st => fs.delete(st.getPath, true))
+      // floor BEFORE the destructive deletes: the floor is monotonic and
+      // idempotent, so advancing it for a delete that never happens is
+      // harmless — whereas deleting first leaves a crash window where an
+      // advertised old version plans over reclaimed files and dies with
+      // the mid-scan FileNotFoundException the floor exists to prevent
       if (removedCommitted) retained.headOption.foreach { case (oldest, _) =>
         val prior = readFloor(fs, dir).getOrElse(Long.MinValue)
         if (oldest > prior) writeFloor(fs, dir, oldest)
       }
+      stale.foreach(st => fs.delete(st.getPath, true))
       stale.size
     }
   }
@@ -562,15 +593,16 @@ object TxTable {
     val (live, scheme) = replay(fs, dir)
     if (live.isEmpty) false
     else {
-      val partCol = live.flatMap(_.part).headOption.map(_.split('=')(0))
+      val partCols = live.flatMap(_.part).headOption.toSeq
+        .flatMap(_.split('/').toSeq.map(_.split('=')(0)))
       val df0 = read(spark, dir).get
-      val df = (targetPartitions, partCol) match {
-        case (n, Some(p)) if n > 0 =>
-          df0.repartition(n, org.apache.spark.sql.functions.col(p))
-        case (n, None) if n > 0 => df0.repartition(n)
-        case _                  => df0
-      }
-      replace(spark, dir, df, partCol.toSeq, scheme)
+      val df =
+        if (targetPartitions > 0 && partCols.nonEmpty)
+          df0.repartition(targetPartitions,
+            partCols.map(org.apache.spark.sql.functions.col): _*)
+        else if (targetPartitions > 0) df0.repartition(targetPartitions)
+        else df0
+      replace(spark, dir, df, partCols, scheme)
       vacuum(spark, dir, retainVersions)
       true
     }
@@ -601,7 +633,8 @@ object TxTable {
     if (!fs.exists(ckptSlot)) {
       // live set AS OF the cut — the seed that replaces every commit below
       val (live, scheme) = replay(fs, dir, asOf = Some(cut))
-      val partCol = live.flatMap(_.part).headOption.map(_.split('=')(0))
+      val partCol = live.flatMap(_.part).headOption
+        .map(_.split('/').map(_.split('=')(0)).mkString(","))
       val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, false)
       try out.write(render(
@@ -612,9 +645,12 @@ object TxTable {
     }
     val pruned = commits.filter(_._1 < cut)
     if (pruned.nonEmpty) {
-      pruned.foreach { case (_, p) => fs.delete(p, false) }
+      // fence BEFORE pruning (same crash-window reasoning as vacuum): a
+      // crash between a delete and a late floor write would let read(asOf)
+      // below the cut silently replay to an empty/None result
       val prior = readFloor(fs, dir).getOrElse(Long.MinValue)
       if (cut > prior) writeFloor(fs, dir, cut)
+      pruned.foreach { case (_, p) => fs.delete(p, false) }
     }
     listCheckpoints(fs, dir).filter(_._1 < cut)
       .foreach { case (_, p) => fs.delete(p, false) }

@@ -55,6 +55,49 @@ class ExtensionsSpec extends SparkTestBase {
     assert(clusters(10L) == 10L && clusters(11L) == 10L)
   }
 
+  test("near-dup clusters THROW at the iteration cap instead of under-merging") {
+    // a planted chain 1-2-3-...-12: min-label propagation moves the label
+    // one hop per round, so diameter 11 cannot converge in 4 rounds — the
+    // old behavior returned plausible-looking but WRONG cluster ids here
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.nearDupClusters(chain, maxIter = 4)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with headroom the same chain collapses to one component
+    val ok = Dedup.nearDupClusters(chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L) && ok.size == 12)
+  }
+
+  test("incremental clusters: new edges bridge persisted components, min-label kept") {
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    // (2,10) bridges the two persisted clusters; (11,30) attaches a new doc
+    // THROUGH the merged component; (20,21) is a fresh standalone pair
+    val edges = Seq((2L, 10L), (20L, 21L), (11L, 30L)).toDF("doc_a", "doc_b")
+    val got = Dedup.incrementalClusters(edges, labels)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 30L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("folding batch edges one at a time equals batch clustering over the union graph") {
+    val batches = Seq(
+      Seq((1L, 2L), (10L, 11L)),
+      Seq((2L, 10L), (20L, 21L)),             // bridge + fresh pair
+      Seq((11L, 30L), (21L, 22L), (40L, 41L)) // growth on both + another
+    )
+    var labels = Dedup.emptyLabels(spark)
+    for (b <- batches)
+      labels = Dedup.incrementalClusters(b.toDF("doc_a", "doc_b"), labels)
+        .localCheckpoint()
+    val folded = labels.as[(Long, Long)].collect().toMap
+    val batch = Dedup.nearDupClusters(batches.flatten.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(folded == batch)
+  }
+
   test("quality checks return violation rows only") {
     import graft.ext.Quality
     val t = Seq((1L, "a"), (1L, "b"), (2L, null: String)).toDF("id", "v")

@@ -213,6 +213,75 @@ class StreamsSpec extends SparkTestBase {
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("incremental clustering folds streamed batch edges into persisted labels") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // cross-batch duplicate CHAINS: 3~1 and 5~3 arrive in different batches,
+    // so the final clusters exist only if each fold bridges through the
+    // persisted labels (the index holds ALL prior docs — clustering wants
+    // every edge, not dedup keepers)
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight nine"
+    val batchesDocs = Seq(
+      Seq(1L -> tA, 2L -> tB),
+      Seq(3L -> tA, 4L -> "fresh unique content in the second batch entirely"),
+      Seq(5L -> tB, 6L -> tA))
+    val flat = tmpDir("clust-flat"); new java.io.File(flat).mkdirs()
+    for ((docs, i) <- batchesDocs.zipWithIndex) {
+      val one = tmpDir(s"clust-b$i")
+      docs.toDF("doc_id", "text").coalesce(1).write.parquet(one)
+      val part = new java.io.File(one).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(flat, f"b$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val sigDir = tmpDir("clust-sig"); val bandDir = tmpDir("clust-band")
+    val labelsDir = tmpDir("clust-labels")
+    def loadIndex() = {
+      def loadOr(dir: String, like: org.apache.spark.sql.DataFrame) =
+        if (new java.io.File(dir).exists()) spark.read.parquet(dir) else like
+      val empty = Dedup.emptyIndex(spark)
+      Dedup.DedupIndex(loadOr(sigDir, empty.signatures),
+        loadOr(bandDir, empty.bands))
+    }
+    def loadLabels() =
+      if (new java.io.File(labelsDir).exists()) spark.read.parquet(labelsDir)
+      else Dedup.emptyLabels(spark)
+
+    val stream = Streams.parquetStream(spark, flat,
+      spark.read.parquet(flat).schema, maxFilesPerTrigger = 1)
+    val q = Streams.toMergeSink(stream, tmpDir("clust-ck"),
+      Trigger.AvailableNow()) { (s, batch, _) =>
+      val edges = Dedup.incrementalEdges(batch, "doc_id", "text", loadIndex(),
+        n = 1, k = 32, bands = 4, threshold = 0.6)
+      // materialize BEFORE overwriting the labels the plan reads from
+      val updated = Dedup.incrementalClusters(edges, loadLabels())
+        .localCheckpoint()
+      updated.write.mode("overwrite").parquet(labelsDir)
+      // clustering index = every processed doc (NOT keepers-only)
+      val sigs = Dedup.signatures(batch, "doc_id", "text", 1, 32)
+        .localCheckpoint()
+      MergeSink.appendDedup(s, sigDir, sigs, "doc_id")
+      MergeSink.appendDedup(s, bandDir,
+        Dedup.lshBands(sigs, 32, 4).withColumn("bk",
+          concat_ws("#", col("doc_id"), col("band_id"))), "bk")
+    }
+    q.awaitTermination(120000)
+
+    val folded = spark.read.parquet(labelsDir)
+      .as[(Long, Long)].collect().toMap
+    // equals batch clustering over ALL pairs of the full corpus
+    val all = batchesDocs.flatten.toDF("doc_id", "text")
+    val batchLabels = Dedup.nearDupClusters(
+      Dedup.minhashNearDups(all, "doc_id", "text",
+        n = 1, k = 32, bands = 4, threshold = 0.6))
+      .as[(Long, Long)].collect().toMap
+    assert(folded == batchLabels)
+    assert(folded == Map(1L -> 1L, 3L -> 1L, 6L -> 1L, 2L -> 2L, 5L -> 2L))
+  }
+
   test("streaming corpus pipeline (dedup -> curation -> packing) equals the one-shot batch run") {
     import spark.implicits._
     import graft.ext.{Corpus, Curation, Dedup}

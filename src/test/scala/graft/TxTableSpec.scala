@@ -430,15 +430,87 @@ class TxTableSpec extends SparkTestBase {
     else assert(rowsNow.contains((0L, "base")))
   }
 
-  test("multi-partition-column layouts are rejected up front") {
+  test("two-partition-column layout: pruning, scoped swap, and compaction are exact") {
     val dir = tmpDir("tx-multipart")
-    val df = Seq((1L, "a", "b")).toDF("k", "p1", "p2")
-    val e = intercept[IllegalArgumentException] {
-      TxTable.replace(spark, dir, df, Seq("p1", "p2"))
+    def df(rs: Seq[(Long, String, String)]) = rs.toDF("k", "p1", "p2")
+    val init = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"), (4L, "b", "y"))
+    TxTable.replace(spark, dir, df(init), Seq("p1", "p2"))
+    TxTable.append(spark, dir, df(Seq((5L, "a", "x"))), Seq("p1", "p2"))
+    def readSet(parts: Option[Set[String]] = None): Set[(Long, String, String)] =
+      TxTable.read(spark, dir, parts = parts)
+        .map(_.select("k", "p1", "p2").as[(Long, String, String)].collect().toSet)
+        .getOrElse(Set.empty)
+    assert(readSet() == init.toSet + ((5L, "a", "x")))
+
+    // log-level pruning: a full fragment hits one leaf; a one-column prefix
+    // addresses the whole subtree (and "p1=a" must NOT match "p1=ab")
+    assert(readSet(Some(Set("p1=a/p2=x"))) == Set((1L, "a", "x"), (5L, "a", "x")))
+    assert(readSet(Some(Set("p1=b"))) == Set((3L, "b", "x"), (4L, "b", "y")))
+    TxTable.append(spark, dir, df(Seq((9L, "ab", "x"))), Seq("p1", "p2"))
+    assert(readSet(Some(Set("p1=a"))) ==
+      Set((1L, "a", "x"), (2L, "a", "y"), (5L, "a", "x")))
+
+    // scoped swap at the full-combination grain: only (a,x) is replaced
+    TxTable.replacePartitionsBy(spark, dir, df(Seq((10L, "a", "x"))),
+      Seq("p1", "p2"))
+    assert(readSet() == Set((10L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"),
+      (4L, "b", "y"), (9L, "ab", "x")))
+
+    // compactData preserves the nested layout and the contents
+    val before = readSet()
+    assert(TxTable.compactData(spark, dir, targetPartitions = 1))
+    assert(readSet() == before)
+    assert(readSet(Some(Set("p1=b"))) == Set((3L, "b", "x"), (4L, "b", "y")))
+    assert(TxTable.liveBatchCount(spark, dir) == 1)
+  }
+
+  test("randomized two-col model: replace/append/scoped-swap with vacuum + compactLog") {
+    val dir = tmpDir("tx-model-2col")
+    val rnd = new scala.util.Random(29)
+    var nextK = 0L
+    def rows(n: Int): Seq[(Long, Int, Int)] =
+      (1 to n).map { _ => nextK += 1; (nextK, rnd.nextInt(3), rnd.nextInt(3)) }
+    def df(rs: Seq[(Long, Int, Int)]) = rs.toDF("k", "p1", "p2")
+    def readSet(asOf: Option[Long] = None): Set[(Long, Int, Int)] =
+      TxTable.read(spark, dir, asOf = asOf)
+        .map(_.select("k", "p1", "p2").as[(Long, Int, Int)].collect().toSet)
+        .getOrElse(Set.empty)
+
+    var model = Set.empty[(Long, Int, Int)]
+    var history = Vector.empty[(Long, Set[(Long, Int, Int)])]
+    for (_ <- 1 to 20) {
+      rnd.nextInt(5) match {
+        case 0 =>
+          val rs = rows(1 + rnd.nextInt(4))
+          TxTable.replace(spark, dir, df(rs), Seq("p1", "p2"))
+          model = rs.toSet
+        case 1 =>
+          val rs = rows(1 + rnd.nextInt(4))
+          TxTable.append(spark, dir, df(rs), Seq("p1", "p2"))
+          model = model ++ rs
+        case 2 =>
+          val rs = rows(1 + rnd.nextInt(4))
+          val touched = rs.map(r => (r._2, r._3)).toSet
+          TxTable.replacePartitionsBy(spark, dir, df(rs), Seq("p1", "p2"))
+          model = model.filterNot(r => touched((r._2, r._3))) ++ rs
+        case 3 if history.nonEmpty =>
+          TxTable.vacuum(spark, dir, retainVersions = 1 + rnd.nextInt(3))
+        case 4 if history.nonEmpty =>
+          TxTable.compactLog(spark, dir, retainVersions = rnd.nextInt(3))
+        case _ => ()
+      }
+      if (TxTable.versions(spark, dir).nonEmpty) {
+        assert(readSet() == model)
+        history = history :+ ((TxTable.versions(spark, dir).last, model))
+      }
     }
-    assert(e.getMessage.contains("at most one partition column"))
-    intercept[IllegalArgumentException] {
-      TxTable.append(spark, dir, df, Seq("p1", "p2"))
+    val advertised = TxTable.versions(spark, dir).toSet
+    for ((v, snap) <- history) {
+      if (advertised(v))
+        assert(readSet(asOf = Some(v)) == snap, s"time travel to v$v diverged")
+      else intercept[IllegalArgumentException] {
+        TxTable.read(spark, dir, asOf = Some(v))
+      }
     }
   }
 
