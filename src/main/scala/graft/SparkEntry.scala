@@ -383,14 +383,17 @@ object SparkEntry {
     }),
 
     // §7.6 multimodal plumbing, oracle-checked on every SQL-expressible
-    // column: the binary cast + byte length, the modality routing, and the
-    // feature shape/non-degeneracy invariants. The feature VALUES come from
-    // the stubbed per-byte decoder (not SQL-expressible); their determinism
-    // and content are covered by ExtensionsSpec instead.
+    // column: the binary cast + byte length, the modality routing, the
+    // feature shape/non-degeneracy invariants, and the real-decode fallback
+    // contract (these payloads are text bytes, NOT decodable images, so
+    // width/height/channels must be null — the ImageIO route degrading to
+    // the hash decoder instead of failing the batch). Actual image decode
+    // values (in-test synthesized PNGs) are covered by ExtensionsSpec.
     "q29_multimodal_features" -> ((s, dir) =>
       graft.ext.Multimodal.extractFeatures(
           graft.ext.Multimodal.assetsFromDocuments(T(s, dir, "documents")))
         .select(col("asset_id"), col("modality"), col("n_bytes"),
+          col("width"), col("height"), col("channels"),
           size(col("feature")).as("feature_dim"),
           (col("n_bytes") === 0 ||
             sqrt(aggregate(col("feature"), lit(0.0),
@@ -1460,6 +1463,9 @@ object SparkEntry {
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |                 ELSE 'video' END AS modality,
         | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | CAST(NULL AS INTEGER) AS width,
+        | CAST(NULL AS INTEGER) AS height,
+        | CAST(NULL AS INTEGER) AS channels,
         | CAST(16 AS INTEGER) AS feature_dim,
         | TRUE AS feature_nonzero
         |FROM documents""".stripMargin,

@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, plus decode /
   * feature-extract / frame-sample operators.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * environment) behind [[FakeDecoder]], a deterministic hash-based stand-in
-  * — but everything Spark-side is real and tested: the asset schema, the
-  * partition-wise batch shape (`mapPartitions` over iterators, the Scala
-  * analog of `mapInPandas` batches: no per-row JNI/codec setup, one decoder
-  * instance per partition), and the feature schema the pipeline carries.
+  * IMAGE decode is REAL: [[ImageIoDecoder]] reads PNG/BMP/GIF/JPEG through
+  * the JDK's own `javax.imageio` (no external codec needed) and extracts
+  * width/height/channels plus a luminance-histogram feature vector.
+  * AUDIO/VIDEO decode stays STUBBED (no codecs installable in this
+  * environment) behind [[FakeDecoder]], a deterministic hash-based
+  * stand-in; an undecodable "image" payload also falls back to it, with
+  * null dimensions, so a corrupt blob degrades instead of failing the
+  * batch. Everything Spark-side is real and tested either way: the asset
+  * schema, the partition-wise batch shape (`mapPartitions` over iterators,
+  * the Scala analog of `mapInPandas` batches: no per-row codec setup, one
+  * decoder per partition), and the feature schema the pipeline carries.
   *
   * At 100 TB: assets are stored alongside (not inside) the relational
   * tables, partitioned by `modality` then bucketed by `asset_id`; decode is
@@ -35,11 +40,15 @@ object Multimodal {
     StructField("asset_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
     StructField("n_bytes", LongType),
+    StructField("width", IntegerType),    // real decode only; null otherwise
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
     StructField("feature", ArrayType(FloatType))))
 
   /** Deterministic stand-in for a real codec: "features" are derived from
     * content bytes with a rolling hash, so tests are stable and the real
-    * decoder drops in behind the same signature. */
+    * decoder drops in behind the same signature. Stub surface: audio/video
+    * modalities and undecodable image payloads. */
   object FakeDecoder {
     def features(content: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -51,6 +60,47 @@ object Multimodal {
         i += 1
       }
       out
+    }
+  }
+
+  /** Decoded image facts: dimensions, color channels, and a dim-bin
+    * luminance histogram normalized by pixel count (resolution-invariant,
+    * deterministic — the embedding-ish per-image feature a curation
+    * pipeline thresholds on). */
+  final case class ImageFacts(width: Int, height: Int, channels: Int,
+                              feature: Array[Float])
+
+  /** REAL image decode via the JDK's `javax.imageio` — PNG, BMP, GIF and
+    * JPEG readers ship with every JRE, so no external dependency. Returns
+    * None for payloads ImageIO does not recognize (the caller falls back
+    * to [[FakeDecoder]] rather than failing the batch — at 100 TB some
+    * blobs WILL be corrupt). */
+  object ImageIoDecoder {
+    def decode(content: Array[Byte], dim: Int): Option[ImageFacts] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null } // corrupt payloads return None
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Float](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) // sRGB regardless of storage format
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000 // integer Rec.601 luma, 0..255
+            out(math.min(dim - 1, lum * dim / 256)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var i = 0
+        while (i < dim) { out(i) /= n; i += 1 }
+        Some(ImageFacts(w, h, img.getColorModel.getNumComponents, out))
+      }
     }
   }
 
@@ -68,16 +118,29 @@ object Multimodal {
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
   /** Partition-wise feature extraction: one decoder per partition, iterator
-    * in / iterator out — the batch shape a real codec UDF needs. */
+    * in / iterator out — the batch shape a real codec UDF needs. `image`
+    * payloads go through the REAL [[ImageIoDecoder]] (width/height/channels
+    * populated, luminance-histogram feature); audio/video and undecodable
+    * images take the [[FakeDecoder]] hash path with null dimensions. */
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
     val spark = assets.sparkSession
     val rdd = assets.select("asset_id", "modality", "content").rdd
       .mapPartitions { rows =>
-        // real impl: initialize the codec once here, then stream the batch
+        // codec state (ImageIO reader caches) initializes per partition,
+        // never per row
         rows.map { r =>
           val content = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-          Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"),
-            content.length.toLong, FakeDecoder.features(content, dim).toSeq)
+          val modality = r.getAs[String]("modality")
+          val decoded =
+            if (modality == "image") ImageIoDecoder.decode(content, dim) else None
+          decoded match {
+            case Some(f) =>
+              Row(r.getAs[Long]("asset_id"), modality, content.length.toLong,
+                f.width, f.height, f.channels, f.feature.toSeq)
+            case None =>
+              Row(r.getAs[Long]("asset_id"), modality, content.length.toLong,
+                null, null, null, FakeDecoder.features(content, dim).toSeq)
+          }
         }
       }
     spark.createDataFrame(rdd, featureSchema)

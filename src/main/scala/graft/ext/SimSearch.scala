@@ -95,27 +95,34 @@ object SimSearch {
     * wide bucket only catches near-identical vectors; banding is what makes
     * moderate thresholds (0.4-0.7) reachable. Recall is probabilistic and
     * deterministic per (seed, corpus) — tune r/L against the threshold.
-    * Keeper semantics match the exact form. */
+    * Keeper semantics match the exact form.
+    *
+    * Skew guard: band-slice ids are only `planesPerTable` bits, so a
+    * natural-data cluster that collapses into one (t, tb) slice makes that
+    * slice's candidate self-join quadratic IN ONE TASK. `hotSliceBound` > 0
+    * routes slices whose occupancy exceeds the bound through the
+    * [[graft.ops.Skew.saltedJoin]] replicated-build treatment — the
+    * candidate PAIR SET is bit-identical (recall unchanged), only the
+    * per-task work is bounded at occupancy²/saltFactor. 0 disables (exact
+    * plan parity with the oracle-pinned q60 profile); production corpora
+    * should set it near `4 × targetOccupancy`. Monitor with
+    * [[bandSliceOccupancy]]. */
   def semanticDedupAssignmentsBucketed(corpus: DataFrame, idCol: String,
                                        vecCol: String, threshold: Double,
                                        tables: Int, planesPerTable: Int,
-                                       dim: Int): DataFrame = {
+                                       dim: Int,
+                                       hotSliceBound: Int = 0,
+                                       saltFactor: Int = 8): DataFrame = {
     val nPlanes = tables * planesPerTable
     require(nPlanes <= 63, s"tables*planesPerTable must fit a long: $nPlanes")
-    val mask = (1L << planesPerTable) - 1
     val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), nPlanes, dim).as("b")).localCheckpoint()
     // one (table, bucket-slice) row per table; rows carry only (key, id) —
     // the vector joins back after the pair set is distinct
-    val probes = bucketed.select(col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          shiftright(col("b"), t * planesPerTable).bitwiseAND(lit(mask))
-            .as("tb"))): _*)).as("k"))
-      .select(col("vec_id"), col("k.t"), col("k.tb"))
-    val cand = probes
-      .join(probes.select(col("vec_id").as("id_b"), col("t"), col("tb")),
-        Seq("t", "tb"))
+    val probes = sliceProbes(bucketed, "b", "vec_id", tables, planesPerTable)
+    val cand = sliceJoinSkewGuarded(probes,
+        probes.select(col("vec_id").as("id_b"), col("t"), col("tb")),
+        hotSliceBound, saltFactor)
       .filter(col("vec_id") < col("id_b"))
       .select(col("vec_id").as("id_a"), col("id_b")).distinct()
     val pairs = cand
@@ -130,6 +137,62 @@ object SimSearch {
       .select(col("vec_id"),
         coalesce(col("cand"), col("vec_id")).as("keeper_id"),
         col("max_sim_r6"))
+  }
+
+  /** Band-slice probe rows (id, t, tb) from a frame carrying a packed
+    * bucket long: one row per table, each keyed by that table's
+    * `planesPerTable`-bit slice. Narrow by construction — candidates join
+    * on (t, tb) and the vectors come back only after the pair set is
+    * distinct. */
+  private def sliceProbes(df: DataFrame, bucketCol: String, idAs: String,
+                          tables: Int, planesPerTable: Int): DataFrame = {
+    val mask = (1L << planesPerTable) - 1
+    df.select(col("vec_id").as(idAs),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          shiftright(col(bucketCol), t * planesPerTable).bitwiseAND(lit(mask))
+            .as("tb"))): _*)).as("k"))
+      .select(col(idAs), col("k.t"), col("k.tb"))
+  }
+
+  /** Equi-join on the (t, tb) band-slice key with the [[graft.ops.Skew]]
+    * replicated-build treatment applied ONLY to slices whose right-side
+    * occupancy exceeds `hotSliceBound` (0 disables, plain join). The output
+    * row set is identical either way — salting redistributes a hot slice's
+    * quadratic work across `saltFactor` tasks, it never drops candidates. */
+  private def sliceJoinSkewGuarded(left: DataFrame, right: DataFrame,
+                                   hotSliceBound: Int,
+                                   saltFactor: Int): DataFrame =
+    if (hotSliceBound <= 0) left.join(right, Seq("t", "tb"))
+    else {
+      val hot = right.groupBy(col("t"), col("tb"))
+        .agg(count(lit(1)).as("__occ"))
+        .filter(col("__occ") > hotSliceBound)
+        .select(col("t"), col("tb")).localCheckpoint() // tiny; read 3×
+      val coldJoin = left.join(hot, Seq("t", "tb"), "left_anti")
+        .join(right, Seq("t", "tb"))
+      val hotJoin = graft.ops.Skew.saltedJoin(
+        left.join(hot, Seq("t", "tb"), "left_semi"),
+        right.join(hot, Seq("t", "tb"), "left_semi"),
+        Seq("t", "tb"), saltFactor)
+      coldJoin.unionByName(hotJoin)
+    }
+
+  /** Per-slice occupancy of the banded LSH layout — the monitor an operator
+    * runs before/alongside [[semanticDedupAssignmentsBucketed]] at scale:
+    * any (t, tb) whose `n_vectors` dwarfs the target occupancy is a
+    * quadratic-sweep cliff (set `hotSliceBound` accordingly, or revisit
+    * the [[semDedupParamsFor]] inputs). */
+  def bandSliceOccupancy(corpus: DataFrame, idCol: String, vecCol: String,
+                         tables: Int, planesPerTable: Int,
+                         dim: Int): DataFrame = {
+    val nPlanes = tables * planesPerTable
+    require(nPlanes <= 63, s"tables*planesPerTable must fit a long: $nPlanes")
+    val bucketed = corpus.select(col(idCol).as("vec_id"),
+      lshBucket(col(vecCol), nPlanes, dim).as("b"))
+    sliceProbes(bucketed, "b", "vec_id", tables, planesPerTable)
+      .groupBy(col("t"), col("tb"))
+      .agg(count(lit(1)).as("n_vectors"))
   }
 
   /** Similarity preservation under prefix truncation (the
@@ -169,8 +232,11 @@ object SimSearch {
     * one-long budget binds and r caps at the largest fitting value, so
     * occupancy grows with n past that point (lift it with multiple bucket
     * words if that ever dominates); at θ≥0.6 the log-n scaling fits. At
-    * sf0.01 (n=500, θ=0.4) this reproduces the hand-tuned q60 profile's
-    * shape: r=3, L=11. */
+    * sf0.01 (n=500, θ=0.4) the solver yields r=3, L=11; the DEPLOYED
+    * q60/q61 oracle profile is the same shape rounded up to L=12 tables
+    * for extra recall margin (the pinned hyperplane literals predate the
+    * solver) — [[semanticDedupAssignmentsBucketedSolved]] uses the
+    * solver's own (11, 3). */
   def semDedupParamsFor(corpusSize: Long, threshold: Double,
                         targetOccupancy: Int = 64,
                         minRecall: Double = 0.95): (Int, Int) = {
@@ -190,6 +256,43 @@ object SimSearch {
       s"no (tables=$l, planes=$r) fits 63 bits for threshold=$threshold, " +
         s"minRecall=$minRecall — lower minRecall or raise targetOccupancy")
     (l, r)
+  }
+
+  /** [[semanticDedupAssignmentsBucketed]] with (tables, planesPerTable)
+    * derived from the corpus size by [[semDedupParamsFor]] — the solver
+    * actually driving the operator, so "planes grow with log n" is wired,
+    * not just solvable. Costs one `count()` of the corpus (cheap against
+    * the banded sweep it parameterizes); callers that already know the
+    * size should call the explicit form. Returns the assignments plus the
+    * solved (tables, planesPerTable) so downstream incremental batches can
+    * reuse the EXACT packing (a [[SemIndex]]'s packed buckets are only
+    * probe-compatible under the params that built them). */
+  def semanticDedupAssignmentsBucketedSolved(corpus: DataFrame, idCol: String,
+                                             vecCol: String, threshold: Double,
+                                             dim: Int,
+                                             targetOccupancy: Int = 64,
+                                             minRecall: Double = 0.95,
+                                             hotSliceBound: Int = 0,
+                                             saltFactor: Int = 8)
+      : (DataFrame, (Int, Int)) = {
+    val (l, r) = semDedupParamsFor(math.max(corpus.count(), 1L), threshold,
+      targetOccupancy, minRecall)
+    (semanticDedupAssignmentsBucketed(corpus, idCol, vecCol, threshold,
+      l, r, dim, hotSliceBound, saltFactor), (l, r))
+  }
+
+  /** [[buildSemIndex]] under solver-derived params. Returns the index AND
+    * the (tables, planesPerTable) it was packed with — every later
+    * [[incrementalSemanticAssignments]] against this index MUST pass the
+    * same pair (persist it next to the index). */
+  def buildSemIndexSolved(corpus: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, dim: Int,
+                          targetOccupancy: Int = 64,
+                          minRecall: Double = 0.95)
+      : (SemIndex, (Int, Int)) = {
+    val (l, r) = semDedupParamsFor(math.max(corpus.count(), 1L), threshold,
+      targetOccupancy, minRecall)
+    (buildSemIndex(corpus, idCol, vecCol, threshold, l, r, dim), (l, r))
   }
 
   // ---------------------------------------------------------------------
@@ -243,28 +346,28 @@ object SimSearch {
   def incrementalSemanticAssignments(batch: DataFrame, idCol: String,
                                      vecCol: String, index: SemIndex,
                                      threshold: Double, tables: Int,
-                                     planesPerTable: Int, dim: Int)
+                                     planesPerTable: Int, dim: Int,
+                                     hotSliceBound: Int = 0,
+                                     saltFactor: Int = 8)
       : (DataFrame, SemIndex) = {
     val nPlanes = tables * planesPerTable
     require(nPlanes <= 63, s"tables*planesPerTable must fit a long: $nPlanes")
-    val mask = (1L << planesPerTable) - 1
     val b = batch.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket")).localCheckpoint()
 
-    def probesOf(df: DataFrame, idAs: String): DataFrame = df.select(
-      col("vec_id").as(idAs),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          shiftright(col("bucket"), t * planesPerTable).bitwiseAND(lit(mask))
-            .as("tb"))): _*)).as("k"))
-      .select(col(idAs), col("k.t"), col("k.tb"))
+    def probesOf(df: DataFrame, idAs: String): DataFrame =
+      sliceProbes(df, "bucket", idAs, tables, planesPerTable)
 
     val newProbes = probesOf(b, "vec_id")
-    // corpus matches (priority 0: first-seen wins) + in-batch smaller ids
-    val corpusCand = newProbes
-      .join(probesOf(index.entries, "tgt"), Seq("t", "tb"))
+    // corpus matches (priority 0: first-seen wins) + in-batch smaller ids;
+    // both joins carry the same hot-slice skew guard as the batch path (a
+    // corpus cluster that collapses into one index slice would otherwise
+    // make every future batch's probe join a one-task quadratic)
+    val corpusCand = sliceJoinSkewGuarded(newProbes,
+        probesOf(index.entries, "tgt"), hotSliceBound, saltFactor)
       .select(col("vec_id"), col("tgt"), lit(0).as("prio"))
-    val batchCand = newProbes.join(probesOf(b, "tgt"), Seq("t", "tb"))
+    val batchCand = sliceJoinSkewGuarded(newProbes, probesOf(b, "tgt"),
+        hotSliceBound, saltFactor)
       .filter(col("tgt") < col("vec_id"))
       .select(col("vec_id"), col("tgt"), lit(1).as("prio"))
     val tgtVecs = index.entries.select(col("vec_id").as("tgt"), col("v").as("vt"))

@@ -122,6 +122,55 @@ class ExtensionsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("hot band slice: occupancy monitor flags it; salted guard preserves assignments") {
+    // planted hot cluster: 60 near-identical vectors collapse into ONE
+    // (t, tb) slice of every table (the skew cliff the guard bounds);
+    // 40 background vectors spread normally
+    val rnd = new scala.util.Random(5)
+    val base = Array.tabulate(16)(_ => rnd.nextFloat() * 2 - 1)
+    val hot = (1L to 60L).map(i => (i, base.map(x => x + (i % 7) * 1e-4f)))
+    val bg = (100L until 140L).map(i =>
+      (i, Array.tabulate(16)(_ => rnd.nextFloat() * 2 - 1)))
+    val corpus = (hot ++ bg).toDF("vec_id", "embedding")
+
+    val occ = SimSearch.bandSliceOccupancy(corpus, "vec_id", "embedding",
+      tables = 4, planesPerTable = 3, dim = 16)
+      .as[(Int, Long, Long)].collect()
+    assert(occ.map(_._3).max >= 60, "monitor must flag the planted hot slice")
+
+    def assigns(bound: Int, salt: Int) =
+      SimSearch.semanticDedupAssignmentsBucketed(corpus, "vec_id", "embedding",
+        0.9, tables = 4, planesPerTable = 3, dim = 16,
+        hotSliceBound = bound, saltFactor = salt)
+        .select("vec_id", "keeper_id").as[(Long, Long)].collect().toMap
+    val unguarded = assigns(0, 1)
+    // guard routes the hot slices through the salted join: the candidate
+    // pair set — and thus every assignment — must be bit-identical
+    assert(assigns(8, 4) == unguarded)
+    // bound below EVERY slice: the whole sweep goes through the salted
+    // path and still reproduces exactly
+    assert(assigns(1, 3) == unguarded)
+    // the planted cluster actually collapsed (the test is not vacuous)
+    assert(unguarded.count { case (v, k) => v != k } >= 55)
+  }
+
+  test("solver-derived params drive the bucketed dedup with the q60 contract intact") {
+    val emb = Tables.load(spark, sf("sf0.01"), "embeddings")
+    val (asg, (l, r)) = SimSearch.semanticDedupAssignmentsBucketedSolved(
+      emb, "vec_id", "embedding", 0.4, dim = 64)
+    assert((l, r) == (11, 3), "n=500, θ=0.4 must solve to the q60 profile shape")
+    val bucketed = asg.select("vec_id", "keeper_id")
+      .as[(Long, Long)].collect().toMap
+    val exact = SimSearch.semanticDedupAssignments(emb, "vec_id", "embedding", 0.4)
+      .select("vec_id", "keeper_id").as[(Long, Long)].collect().toMap
+    assert(bucketed.keySet == exact.keySet)
+    val exactDups = exact.filter { case (v, k) => v != k }.keySet
+    val solvedDups = bucketed.filter { case (v, k) => v != k }.keySet
+    assert(solvedDups.subsetOf(exactDups)) // soundness: same cosine gate
+    if (exactDups.nonEmpty)                // solver meets its recall target
+      assert(solvedDups.size.toDouble / exactDups.size >= 0.9)
+  }
+
   test("bucketed semantic dedup: no false keepers, deterministic recall vs exact") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val exact = SimSearch.semanticDedupAssignments(emb, "vec_id", "embedding", 0.4)
@@ -247,6 +296,43 @@ class ExtensionsSpec extends SparkTestBase {
     assert(f1.head.getAs[scala.collection.Seq[Float]]("feature").size == 16)
     assert(Multimodal.sampleFrames(assets).columns.toSeq ==
       Seq("asset_id", "frame_no", "frame_payload_b64"))
+  }
+
+  test("ImageIO decoder: real PNG bytes yield real dimensions and a luminance histogram") {
+    import java.awt.image.BufferedImage
+    // synthesize a REAL png in-test (ImageIO write -> decode roundtrip):
+    // 4x2, left half black, right half white
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+
+    val facts = Multimodal.ImageIoDecoder.decode(png, 8).get
+    assert(facts.width == 4 && facts.height == 2 && facts.channels == 3)
+    // 4 black pixels -> bin 0, 4 white -> top bin; normalized by pixel count
+    assert(facts.feature(0) == 0.5f && facts.feature(7) == 0.5f)
+    assert(math.abs(facts.feature.sum - 1.0f) < 1e-6)
+    // corrupt payload: None, never a throw
+    assert(Multimodal.ImageIoDecoder.decode("not an image".getBytes, 8).isEmpty)
+
+    // through the Spark pipeline: the real PNG gets real metadata; an
+    // undecodable "image" payload and an audio payload take the hash
+    // fallback with null dimensions
+    val assets = Seq((1L, "image", png), (2L, "image", "not an image".getBytes),
+      (3L, "audio", "some waveform".getBytes))
+      .toDF("asset_id", "modality", "content")
+    val got = Multimodal.extractFeatures(assets, dim = 8)
+      .orderBy("asset_id").collect()
+    assert(got(0).getAs[Int]("width") == 4 &&
+      got(0).getAs[Int]("height") == 2 && got(0).getAs[Int]("channels") == 3)
+    assert(got(0).getAs[scala.collection.Seq[Float]]("feature")(0) == 0.5f)
+    assert(got(1).isNullAt(got(1).fieldIndex("width")))
+    assert(got(2).isNullAt(got(2).fieldIndex("width")))
+    // the fallback features are the FakeDecoder's, unchanged
+    assert(got(2).getAs[scala.collection.Seq[Float]]("feature") ==
+      Multimodal.FakeDecoder.features("some waveform".getBytes, 8).toSeq)
   }
 
   test("incremental dedup: empty index degenerates to the batch algorithm") {

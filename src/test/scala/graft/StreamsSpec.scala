@@ -557,6 +557,121 @@ class StreamsSpec extends SparkTestBase {
     assert(packSnap(curatedStream) == packSnap(curatedAll))
   }
 
+  /** Restart-recovery contract: a streaming corpus query stopped mid-corpus
+    * restarts against the SAME checkpoint dir (a NEW query, same sinks) and
+    * converges to the one-shot batch result. The restart also REPLAYS its
+    * last micro-batch — the checkpoint's final commit marker is deleted to
+    * reproduce the real crash window (sink wrote, checkpoint commit didn't
+    * land) — so the idempotent-sink + checkpoint design is exercised on
+    * exactly the path a crash takes, in both commit protocols. */
+  private def restartRecoveryCase(tx: Boolean): Unit = {
+    import spark.implicits._
+    import graft.ext.{Curation, Dedup}
+    val tag = if (tx) "tx" else "fs"
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textB = "one two three four five six seven eight nine ten eleven twelve"
+    val textC = "crimson amber cobalt viridian ochre sienna umber teal magenta cyan"
+    val textD = "quartz basalt gneiss schist marble granite slate obsidian pumice chert"
+    val batches = Seq(
+      Seq(10L -> textA, 20L -> textB),
+      Seq(30L -> textA, 40L -> textC, 15L -> "tiny scrap"),
+      Seq(50L -> textB, 60L -> textD),
+      Seq(70L -> textC, 80L -> textD))
+    val allDocs = batches.flatten.toDF("doc_id", "text")
+
+    // one-shot baseline
+    val (asgAll, _) = Dedup.incrementalAssignments(allDocs, "doc_id", "text",
+      Dedup.emptyIndex(spark), threshold = 0.6)
+    val curatedAll = Curation.curate(allDocs.join(
+      asgAll.filter(col("keeper_id") === col("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+
+    val flat = tmpDir(s"restart-$tag-flat"); new java.io.File(flat).mkdirs()
+    def stage(i: Int): Unit = {
+      val one = tmpDir(s"restart-$tag-b$i")
+      batches(i).toDF("doc_id", "text").coalesce(1).write.parquet(one)
+      val part = new java.io.File(one).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(flat, f"b$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val ck = tmpDir(s"restart-$tag-ck")
+    val sigDir = tmpDir(s"restart-$tag-sig")
+    val bandDir = tmpDir(s"restart-$tag-band")
+    val corpusDir = tmpDir(s"restart-$tag-out")
+    def loadIndex() = {
+      val empty = Dedup.emptyIndex(spark)
+      Dedup.DedupIndex(
+        MergeSink.readAny(spark, sigDir).getOrElse(empty.signatures),
+        MergeSink.readAny(spark, bandDir).getOrElse(empty.bands))
+    }
+    val sinkSig = Streams.Sinks.appendDedup(sigDir, "doc_id", tx = tx)
+    val sinkBand = Streams.Sinks.appendDedup(bandDir, "bk", tx = tx)
+    val sinkCorpus = Streams.Sinks.appendDedup(corpusDir, "doc_id", tx = tx)
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery =
+      Streams.toMergeSink(
+        Streams.parquetStream(spark, flat,
+          allDocs.schema, maxFilesPerTrigger = 1),
+        ck, Trigger.AvailableNow()) { (s, batch, id) =>
+        val (assign, delta) = Dedup.incrementalAssignments(
+          batch, "doc_id", "text", loadIndex(), threshold = 0.6)
+        sinkSig(s, delta.signatures, id)
+        sinkBand(s, delta.bands.withColumn("bk",
+          concat_ws("#", col("doc_id"), col("band_id"))), id)
+        val kept = batch.join(
+          assign.filter(col("keeper_id") === col("doc_id")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        sinkCorpus(s, Curation.curate(kept), id)
+      }
+
+    // phase 1: only half the corpus exists; the query drains it and stops
+    stage(0); stage(1)
+    val q1 = startQuery()
+    q1.awaitTermination(120000)
+    assert(MergeSink.readAny(spark, corpusDir).get.count() >= 2)
+
+    // crash simulation: the sinks RECEIVED batch 1 but its checkpoint
+    // commit never landed — delete the latest commit marker, keeping the
+    // offsets, so the restart must re-deliver batch 1 to already-written
+    // sinks (the idempotent-replay window)
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length == 2, s"expected 2 committed batches, got ${commits.length}")
+    val crc = new java.io.File(commits.last.getParent,
+      s".${commits.last.getName}.crc") // ChecksumFs sidecar blocks the redo
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+
+    // phase 2: the rest of the corpus arrives; a NEW query on the SAME
+    // checkpoint replays batch 1, then processes batches 2 and 3
+    stage(2); stage(3)
+    val q2 = startQuery()
+    q2.awaitTermination(120000)
+
+    val curatedStream = MergeSink.readAny(spark, corpusDir).get
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "text").as[(Long, Long, String)]
+        .collect().toSet
+    assert(snap(curatedStream) == snap(curatedAll),
+      s"restarted stream diverged from one-shot batch (tx=$tx)")
+    assert(snap(curatedStream).map(_._1) == Set(10L, 20L, 40L, 60L))
+    // the index also converged to exactly the DEDUP-kept representatives
+    // (15 is unique so dedup keeps it; the curation quality gate drops it
+    // from the corpus only)
+    assert(MergeSink.readAny(spark, sigDir).get.select("doc_id")
+      .as[Long].collect().toSet == Set(10L, 15L, 20L, 40L, 60L))
+  }
+
+  test("restart recovery: rename-mode corpus stream resumes from its checkpoint") {
+    restartRecoveryCase(tx = false)
+  }
+
+  test("restart recovery: tx-mode corpus stream resumes from its checkpoint") {
+    restartRecoveryCase(tx = true)
+  }
+
   test("windowed counts with watermark produce sane totals") {
     val srcDir = tmpDir("wstream-src")
     val events = Tables.load(spark, sf(), "events")

@@ -116,6 +116,32 @@ object ScaleProbe {
     val sdk = time(s"semdedup_bucketed ${k}x")(semdedup(embPK))
     println(f"[probe] semdedup_bucketed ratio=${sdk / sd1}%.1f (k=$k, linear=~$k)")
 
+    // solver-parameterized variant: (tables, planes) derived from EACH
+    // corpus size by semDedupParamsFor, so the "planes grow with log n"
+    // policy is exercised at both scale points, not just solvable. At the
+    // deployed θ=0.4 the 63-bit bucket budget binds and the solver returns
+    // the same r at both sizes (documented); θ=0.6 is where planes actually
+    // grow with n — probe both. The hot-slice salt guard runs live here
+    // (bound 256 = 4×targetOccupancy), exercising the production config.
+    for (thr <- Seq(0.4, 0.6)) {
+      def solved(c: DataFrame): (Long, (Int, Int)) = {
+        val (df, lp) = graft.ext.SimSearch.semanticDedupAssignmentsBucketedSolved(
+          c, "vec_id", "embedding", thr, dim = 64, hotSliceBound = 256)
+        (df.count(), lp)
+      }
+      solved(emb1) // warm
+      var lp1: (Int, Int) = (0, 0); var lpk: (Int, Int) = (0, 0)
+      val s1 = time(f"semdedup_solved(θ=$thr%.1f) 1x") {
+        val (n, lp) = solved(emb1); lp1 = lp; n
+      }
+      val sk = time(f"semdedup_solved(θ=$thr%.1f) ${k}x") {
+        val (n, lp) = solved(embPK); lpk = lp; n
+      }
+      println(f"[probe] semdedup_solved(θ=$thr%.1f) ratio=${sk / s1}%.1f " +
+        s"(k=$k, params 1x=(L=${lp1._1},r=${lp1._2}) " +
+        s"${k}x=(L=${lpk._1},r=${lpk._2}))")
+    }
+
     // Tx scoped merge: cost must track the BATCH, not the table — the
     // O(touched partitions) + O(1)-commit claim. Same fixed 200-doc batch
     // against a 1x-seeded and a kx-seeded table: ratio should be ~1
