@@ -385,15 +385,17 @@ object SparkEntry {
     // §7.6 multimodal plumbing, oracle-checked on every SQL-expressible
     // column: the binary cast + byte length, the modality routing, the
     // feature shape/non-degeneracy invariants, and the real-decode fallback
-    // contract (these payloads are text bytes, NOT decodable images, so
-    // width/height/channels must be null — the ImageIO route degrading to
-    // the hash decoder instead of failing the batch). Actual image decode
-    // values (in-test synthesized PNGs) are covered by ExtensionsSpec.
+    // contract (these payloads are text bytes, NOT decodable images/audio,
+    // so width/height/channels/sample_rate_hz/duration_ms must be null —
+    // the ImageIO/sound routes degrading to the hash decoder instead of
+    // failing the batch). Actual decode values (in-test synthesized PNGs
+    // and WAVs) are covered by ExtensionsSpec.
     "q29_multimodal_features" -> ((s, dir) =>
       graft.ext.Multimodal.extractFeatures(
           graft.ext.Multimodal.assetsFromDocuments(T(s, dir, "documents")))
         .select(col("asset_id"), col("modality"), col("n_bytes"),
           col("width"), col("height"), col("channels"),
+          col("sample_rate_hz"), col("duration_ms"),
           size(col("feature")).as("feature_dim"),
           (col("n_bytes") === 0 ||
             sqrt(aggregate(col("feature"), lit(0.0),
@@ -1466,6 +1468,8 @@ object SparkEntry {
         | CAST(NULL AS INTEGER) AS width,
         | CAST(NULL AS INTEGER) AS height,
         | CAST(NULL AS INTEGER) AS channels,
+        | CAST(NULL AS INTEGER) AS sample_rate_hz,
+        | CAST(NULL AS BIGINT) AS duration_ms,
         | CAST(16 AS INTEGER) AS feature_dim,
         | TRUE AS feature_nonzero
         |FROM documents""".stripMargin,

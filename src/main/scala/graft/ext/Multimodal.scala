@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[ImageIoDecoder]] reads PNG/BMP/GIF/JPEG through
   * the JDK's own `javax.imageio` (no external codec needed) and extracts
   * width/height/channels plus a luminance-histogram feature vector.
-  * AUDIO/VIDEO decode stays STUBBED (no codecs installable in this
-  * environment) behind [[FakeDecoder]], a deterministic hash-based
-  * stand-in; an undecodable "image" payload also falls back to it, with
-  * null dimensions, so a corrupt blob degrades instead of failing the
+  * AUDIO decode is REAL for WAV/PCM: [[WavDecoder]] parses through the
+  * JDK's `javax.sound.sampled` (again no external codec) and extracts
+  * channels/sample-rate/duration plus an amplitude-histogram feature.
+  * Only VIDEO decode stays STUBBED (no container/codec support in the
+  * JDK) behind [[FakeDecoder]], a deterministic hash-based stand-in; an
+  * undecodable image/audio payload also falls back to it, with null
+  * metadata, so a corrupt blob degrades instead of failing the
   * batch. Everything Spark-side is real and tested either way: the asset
   * schema, the partition-wise batch shape (`mapPartitions` over iterators,
   * the Scala analog of `mapInPandas` batches: no per-row codec setup, one
@@ -40,9 +43,11 @@ object Multimodal {
     StructField("asset_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
     StructField("n_bytes", LongType),
-    StructField("width", IntegerType),    // real decode only; null otherwise
+    StructField("width", IntegerType),    // real image decode; null otherwise
     StructField("height", IntegerType),
-    StructField("channels", IntegerType),
+    StructField("channels", IntegerType), // image color / audio channels
+    StructField("sample_rate_hz", IntegerType), // real audio decode only
+    StructField("duration_ms", LongType),       // real audio decode only
     StructField("feature", ArrayType(FloatType))))
 
   /** Deterministic stand-in for a real codec: "features" are derived from
@@ -104,6 +109,61 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio facts: stream layout plus a dim-bin histogram of
+    * absolute sample amplitude (normalized by sample count — the
+    * loudness-profile feature a curation pipeline thresholds on, e.g. to
+    * drop silence or clipped captures). */
+  final case class AudioFacts(channels: Int, sampleRateHz: Int,
+                              durationMs: Long, feature: Array[Float])
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` — the WAV/AIFF
+    * PCM readers ship with every JRE. Returns None for payloads the
+    * sound API does not recognize (fallback to [[FakeDecoder]], same
+    * corrupt-blob contract as images). Feature: histogram of |amplitude|
+    * in [0, 1], all channels interleaved — sample-rate- and
+    * length-invariant. */
+  object WavDecoder {
+    def decode(content: Array[Byte], dim: Int): Option[AudioFacts] = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (in == null) None
+      else
+        try {
+          val fmt = in.getFormat
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            || (bytesPerSample != 2 && bytesPerSample != 1)) None
+          else {
+            val raw = in.readAllBytes()
+            val n = raw.length / bytesPerSample
+            val out = new Array[Float](dim)
+            val full = (1 << (fmt.getSampleSizeInBits - 1)).toFloat
+            var i = 0
+            while (i < n) {
+              val v =
+                if (bytesPerSample == 1) raw(i).toInt
+                else { // respect the container's declared endianness
+                  val (lo, hi) =
+                    if (fmt.isBigEndian) (raw(2 * i + 1), raw(2 * i))
+                    else (raw(2 * i), raw(2 * i + 1))
+                  (hi << 8) | (lo & 0xFF)
+                }
+              val amp = math.min(1.0f, math.abs(v) / full)
+              out(math.min(dim - 1, (amp * dim).toInt)) += 1f
+              i += 1
+            }
+            if (n > 0) { var j = 0; while (j < dim) { out(j) /= n; j += 1 } }
+            val frames = n / fmt.getChannels
+            Some(AudioFacts(fmt.getChannels, fmt.getSampleRate.toInt,
+              math.round(frames * 1000.0 / fmt.getSampleRate), out))
+          }
+        } catch { case _: Exception => None }
+        finally in.close()
+    }
+  }
+
   /** Derive a demo asset table from any binary-able column (testdata has no
     * real blobs; document texts stand in as payloads). */
   def assetsFromDocuments(docs: DataFrame): DataFrame =
@@ -120,27 +180,32 @@ object Multimodal {
   /** Partition-wise feature extraction: one decoder per partition, iterator
     * in / iterator out — the batch shape a real codec UDF needs. `image`
     * payloads go through the REAL [[ImageIoDecoder]] (width/height/channels
-    * populated, luminance-histogram feature); audio/video and undecodable
-    * images take the [[FakeDecoder]] hash path with null dimensions. */
+    * populated, luminance-histogram feature); `audio` payloads through the
+    * REAL [[WavDecoder]] (channels/sample-rate/duration, amplitude
+    * histogram); video and undecodable payloads take the [[FakeDecoder]]
+    * hash path with null metadata. */
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
     val spark = assets.sparkSession
     val rdd = assets.select("asset_id", "modality", "content").rdd
       .mapPartitions { rows =>
-        // codec state (ImageIO reader caches) initializes per partition,
-        // never per row
+        // codec state (ImageIO / sound reader caches) initializes per
+        // partition, never per row
         rows.map { r =>
           val content = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
           val modality = r.getAs[String]("modality")
-          val decoded =
-            if (modality == "image") ImageIoDecoder.decode(content, dim) else None
-          decoded match {
-            case Some(f) =>
-              Row(r.getAs[Long]("asset_id"), modality, content.length.toLong,
-                f.width, f.height, f.channels, f.feature.toSeq)
-            case None =>
-              Row(r.getAs[Long]("asset_id"), modality, content.length.toLong,
-                null, null, null, FakeDecoder.features(content, dim).toSeq)
+          val id = r.getAs[Long]("asset_id")
+          val nb = content.length.toLong
+          val row = modality match {
+            case "image" => ImageIoDecoder.decode(content, dim).map(f =>
+              Row(id, modality, nb, f.width, f.height, f.channels,
+                null, null, f.feature.toSeq))
+            case "audio" => WavDecoder.decode(content, dim).map(f =>
+              Row(id, modality, nb, null, null, f.channels,
+                f.sampleRateHz, f.durationMs, f.feature.toSeq))
+            case _ => None
           }
+          row.getOrElse(Row(id, modality, nb, null, null, null, null, null,
+            FakeDecoder.features(content, dim).toSeq))
         }
       }
     spark.createDataFrame(rdd, featureSchema)

@@ -335,6 +335,49 @@ class ExtensionsSpec extends SparkTestBase {
       Multimodal.FakeDecoder.features("some waveform".getBytes, 8).toSeq)
   }
 
+  test("WAV decoder: real PCM bytes yield stream layout and an amplitude histogram") {
+    import javax.sound.sampled._
+    // synthesize a REAL wav in-test (AudioSystem write -> decode
+    // roundtrip): 8 kHz mono 16-bit, 800 frames = 100 ms, constant
+    // half-amplitude square wave
+    val frames = 800
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val v = if (i % 2 == 0) 16384 else -16384 // |amplitude| = 0.5 exactly
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val facts = Multimodal.WavDecoder.decode(wav, 8).get
+    assert(facts.channels == 1 && facts.sampleRateHz == 8000)
+    assert(facts.durationMs == 100)
+    // every sample sits at |amp| = 0.5 -> bin 4 of 8 holds all the mass
+    assert(facts.feature(4) == 1.0f)
+    assert(math.abs(facts.feature.sum - 1.0f) < 1e-6)
+    // corrupt payload: None, never a throw
+    assert(Multimodal.WavDecoder.decode("not audio".getBytes, 8).isEmpty)
+
+    // through the Spark pipeline: real WAV gets real stream metadata;
+    // video stays on the hash fallback with null metadata
+    val assets = Seq((1L, "audio", wav), (2L, "video", "frames".getBytes))
+      .toDF("asset_id", "modality", "content")
+    val got = Multimodal.extractFeatures(assets, dim = 8)
+      .orderBy("asset_id").collect()
+    assert(got(0).getAs[Int]("sample_rate_hz") == 8000 &&
+      got(0).getAs[Long]("duration_ms") == 100L &&
+      got(0).getAs[Int]("channels") == 1)
+    assert(got(0).isNullAt(got(0).fieldIndex("width")))
+    assert(got(1).isNullAt(got(1).fieldIndex("sample_rate_hz")))
+    assert(got(1).getAs[scala.collection.Seq[Float]]("feature") ==
+      Multimodal.FakeDecoder.features("frames".getBytes, 8).toSeq)
+  }
+
   test("incremental dedup: empty index degenerates to the batch algorithm") {
     val docs = Tables.load(spark, sf(), "documents")
     val (assign, _) = Dedup.incrementalAssignments(docs, "doc_id", "text",
