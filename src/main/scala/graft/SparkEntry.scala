@@ -245,11 +245,12 @@ object SparkEntry {
     // wants every edge).
     "q65_clusters_incremental" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
-      val a = docs.filter(col("doc_id") < 250)
+      // ONE md5 signature pass over stage A: the pinned index feeds both
+      // the stage-A pair derivation and stage B's incremental probes
+      val idx = Dedup.portableClusterIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
       val labelsA = Dedup.nearDupClusters(
-        Dedup.portableNearDups(a, "doc_id", "text"))
-      val sigsA = Dedup.portableSignatures(a, "doc_id", "text", 1, 32)
-      val idx = Dedup.DedupIndex(sigsA, Dedup.portableBands(sigsA, 32, 4))
+        Dedup.portableNearDupsOverIndex(idx))
       val edgesB = Dedup.portableIncrementalEdges(
         docs.filter(col("doc_id") >= 250), "doc_id", "text", idx)
       Dedup.incrementalClusters(edgesB, labelsA)

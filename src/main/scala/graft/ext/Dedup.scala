@@ -544,6 +544,41 @@ object Dedup {
       (a, b) => size(filter(zip_with(a, b, (x, y) => x === y), v => v))
         .cast("double") / k)
 
+  /** ALL-docs portable index for cluster-grade consumers: clustering wants
+    * every edge, so unlike [[buildIndex]] nothing is keeper-filtered.
+    * Signatures are computed ONCE and pinned — the expensive md5 pass never
+    * re-executes across the several consumers an index feeds (pair
+    * derivation, incremental probes, estimate joins). */
+  def portableClusterIndex(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 1, k: Int = 32,
+                           bands: Int = 4): DedupIndex = {
+    val sigs = portableSignatures(docs, idCol, textCol, n, k).localCheckpoint()
+    DedupIndex(sigs, portableBands(sigs, k, bands).localCheckpoint())
+  }
+
+  /** Thresholded near-dup pairs WITHIN an index — [[portableNearDups]]
+    * without touching any text: candidates self-join the index's band
+    * table, estimates read its signatures. The index IS the corpus at this
+    * point; at 100 TB this is the only form that should run (the text was
+    * scanned exactly once, when the index was built). */
+  def portableNearDupsOverIndex(index: DedupIndex, k: Int = 32,
+                                threshold: Double = 0.6): DataFrame = {
+    val narrow = index.bands.select(col("doc_id"), col("band_id"), col("band_hash"))
+    val pairs = narrow
+      .join(narrow.withColumnRenamed("doc_id", "doc_b"), Seq("band_id", "band_hash"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val sigs = index.signatures
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** One batch's thresholded near-dup EDGES against the corpus index:
     * (doc_a, doc_b, est_jaccard) with doc_a = the corpus or smaller-id
     * in-batch target — the pair feed for [[incrementalClusters]]. Exactly

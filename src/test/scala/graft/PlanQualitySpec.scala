@@ -167,6 +167,34 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q65: incremental cluster edges stay equi-joins; relabel pass is broadcast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ext.Dedup
+    val docs = graft.model.Tables.load(spark, sf(), "documents")
+    val idx = Dedup.portableClusterIndex(
+      docs.filter(col("doc_id") < 25), "doc_id", "text")
+    // the two plans q65 composes BEFORE checkpoints hide them: the
+    // batch-vs-index edge derivation and the pairs-over-index derivation
+    for (df <- Seq(
+        Dedup.portableIncrementalEdges(
+          docs.filter(col("doc_id") >= 25 && col("doc_id") < 50),
+          "doc_id", "text", idx),
+        Dedup.portableNearDupsOverIndex(idx))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+    // the corpus-wide relabel is ONE broadcast join pass, no shuffle of
+    // the labels table against the remap
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val edges = Seq((2L, 3L)).toDF("doc_a", "doc_b")
+    val p = Dedup.incrementalClusters(edges, labels)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scoped merge reads only the touched partitions of the target") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
