@@ -388,9 +388,9 @@ object SparkEntry {
     // feature shape/non-degeneracy invariants, and the real-decode fallback
     // contract (these payloads are text bytes, NOT decodable images/audio,
     // so width/height/channels/sample_rate_hz/duration_ms must be null —
-    // the ImageIO/sound routes degrading to the hash decoder instead of
-    // failing the batch). Actual decode values (in-test synthesized PNGs
-    // and WAVs) are covered by ExtensionsSpec.
+    // the ImageIO/sound/AVI routes degrading to the hash decoder instead of
+    // failing the batch). Actual decode values (in-test synthesized PNGs,
+    // WAVs, and MJPEG AVIs) are covered by ExtensionsSpec.
     "q29_multimodal_features" -> ((s, dir) =>
       graft.ext.Multimodal.extractFeatures(
           graft.ext.Multimodal.assetsFromDocuments(T(s, dir, "documents")))

@@ -14,11 +14,15 @@ import org.apache.spark.sql.types._
   * AUDIO decode is REAL for WAV/PCM: [[WavDecoder]] parses through the
   * JDK's `javax.sound.sampled` (again no external codec) and extracts
   * channels/sample-rate/duration plus an amplitude-histogram feature.
-  * Only VIDEO decode stays STUBBED (no container/codec support in the
-  * JDK) behind [[FakeDecoder]], a deterministic hash-based stand-in; an
-  * undecodable image/audio payload also falls back to it, with null
-  * metadata, so a corrupt blob degrades instead of failing the
-  * batch. Everything Spark-side is real and tested either way: the asset
+  * VIDEO decode is REAL for MJPEG-in-AVI: [[AviMjpegDecoder]] walks the
+  * RIFF container (a ~60-line chunk parser — AVI is fourcc/length framed)
+  * and decodes the per-frame JPEG payloads through the same `javax.imageio`
+  * readers, extracting width/height/fps/duration plus a mean
+  * luminance-histogram feature over evenly sampled frames. Stub surface is
+  * now only NON-MJPEG video codecs (H.264 etc. — no JDK decoder exists):
+  * those, and any undecodable payload, fall back to [[FakeDecoder]], a
+  * deterministic hash-based stand-in, with null metadata, so a corrupt
+  * blob degrades instead of failing the batch. Everything Spark-side is real and tested either way: the asset
   * schema, the partition-wise batch shape (`mapPartitions` over iterators,
   * the Scala analog of `mapInPandas` batches: no per-row codec setup, one
   * decoder per partition), and the feature schema the pipeline carries.
@@ -164,6 +168,107 @@ object Multimodal {
     }
   }
 
+  /** Decoded video facts: frame geometry, rate/duration from the container
+    * header, and a mean luminance histogram over the sampled frames (the
+    * same resolution-invariant feature as images, averaged across time). */
+  final case class VideoFacts(width: Int, height: Int, channels: Int,
+                              fpsHz: Int, durationMs: Long, nFrames: Int,
+                              feature: Array[Float])
+
+  /** REAL video decode for MJPEG-in-AVI, pure JVM: AVI is a RIFF container
+    * (fourcc + little-endian u32 length chunks, `LIST` chunks nesting), and
+    * MJPEG stream chunks (`##dc`/`##db`) are plain JPEG images — which
+    * `javax.imageio` decodes natively. So parsing the container here and
+    * delegating frames to [[ImageIoDecoder]]'s machinery gives an honest
+    * end-to-end video path with zero external codecs. Returns None for
+    * anything that is not a parseable AVI with at least one decodable
+    * frame (caller falls back to [[FakeDecoder]], same corrupt-blob
+    * contract as images/audio). */
+  object AviMjpegDecoder {
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+    private def isFourcc(b: Array[Byte], off: Int, s: String): Boolean =
+      b(off) == s(0).toByte && b(off + 1) == s(1).toByte &&
+        b(off + 2) == s(2).toByte && b(off + 3) == s(3).toByte
+
+    /** Container structure: `avih` header fields plus the (offset, length)
+      * of every video stream-data chunk, in file order. */
+    final case class AviStructure(microSecPerFrame: Long, totalFrames: Long,
+                                  frames: Vector[(Int, Int)])
+
+    /** Walk the RIFF chunk tree (iterative, bounds-checked — malformed
+      * input yields None, never a throw or an out-of-bounds read). */
+    def parse(content: Array[Byte]): Option[AviStructure] = {
+      if (content.length < 12 || !isFourcc(content, 0, "RIFF") ||
+        !isFourcc(content, 8, "AVI ")) return None
+      var usPerFrame = 0L
+      var total = 0L
+      val frames = Vector.newBuilder[(Int, Int)]
+      // (cursor, end) per open LIST; chunks never straddle their list's end
+      var stack = List((12, math.min(content.length.toLong, 8 + u32(content, 4)).toInt))
+      while (stack.nonEmpty) {
+        val (pos, end) = stack.head
+        stack = stack.tail
+        if (pos + 8 <= end) {
+          val size = u32(content, pos + 4)
+          val dataEnd = math.min(end.toLong, pos + 8 + size).toInt
+          // resume this level after the (even-padded) chunk, then the chunk
+          stack = (math.min(end.toLong, pos + 8 + size + (size & 1)).toInt, end) :: stack
+          if (isFourcc(content, pos, "LIST") && dataEnd >= pos + 12)
+            stack = (pos + 12, dataEnd) :: stack // skip the 4-byte list type
+          else if (isFourcc(content, pos, "avih") && dataEnd >= pos + 28) {
+            usPerFrame = u32(content, pos + 8)
+            total = u32(content, pos + 8 + 16)
+          } else if (content(pos + 2) == 'd' &&
+            (content(pos + 3) == 'c' || content(pos + 3) == 'b') && size > 0)
+            frames += ((pos + 8, (dataEnd - pos - 8)))
+        }
+      }
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some(AviStructure(usPerFrame, total, fs))
+    }
+
+    /** The raw per-frame payloads (JPEG bytes for MJPEG), in stream order —
+      * the feed for [[sampleFrames]]. Empty for non-AVI payloads. */
+    def framePayloads(content: Array[Byte]): Vector[Array[Byte]] =
+      parse(content).map(_.frames.map { case (off, len) =>
+        java.util.Arrays.copyOfRange(content, off, off + len)
+      }).getOrElse(Vector.empty)
+
+    def decode(content: Array[Byte], dim: Int,
+               maxSampledFrames: Int = 8): Option[VideoFacts] =
+      parse(content).flatMap { avi =>
+        val n = avi.frames.size
+        // even temporal sampling: decoding every frame of a long clip is
+        // the classic driver-of-cost mistake; a histogram over ~8 spread
+        // frames carries the same curation signal
+        val picks = (0 until math.min(n, maxSampledFrames))
+          .map(i => (i.toLong * n / math.min(n, maxSampledFrames)).toInt).distinct
+        val decoded = picks.flatMap { i =>
+          val (off, len) = avi.frames(i)
+          ImageIoDecoder.decode(
+            java.util.Arrays.copyOfRange(content, off, off + len), dim)
+        }
+        if (decoded.isEmpty) None
+        else {
+          val out = new Array[Float](dim)
+          decoded.foreach { f =>
+            var i = 0; while (i < dim) { out(i) += f.feature(i); i += 1 }
+          }
+          var i = 0; while (i < dim) { out(i) /= decoded.size; i += 1 }
+          val totalFrames = if (avi.totalFrames > 0) avi.totalFrames else n.toLong
+          val fps = if (avi.microSecPerFrame > 0)
+            math.round(1e6 / avi.microSecPerFrame).toInt else 0
+          val durMs = avi.microSecPerFrame * totalFrames / 1000
+          Some(VideoFacts(decoded.head.width, decoded.head.height,
+            decoded.head.channels, fps, durMs, n, out))
+        }
+      }
+  }
+
   /** Derive a demo asset table from any binary-able column (testdata has no
     * real blobs; document texts stand in as payloads). */
   def assetsFromDocuments(docs: DataFrame): DataFrame =
@@ -182,8 +287,11 @@ object Multimodal {
     * payloads go through the REAL [[ImageIoDecoder]] (width/height/channels
     * populated, luminance-histogram feature); `audio` payloads through the
     * REAL [[WavDecoder]] (channels/sample-rate/duration, amplitude
-    * histogram); video and undecodable payloads take the [[FakeDecoder]]
-    * hash path with null metadata. */
+    * histogram); `video` payloads through the REAL [[AviMjpegDecoder]]
+    * (frame geometry, fps in the sample_rate_hz slot, duration, mean
+    * luminance histogram over sampled frames). Non-MJPEG codecs and
+    * undecodable payloads take the [[FakeDecoder]] hash path with null
+    * metadata. */
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
     val spark = assets.sparkSession
     val rdd = assets.select("asset_id", "modality", "content").rdd
@@ -202,6 +310,9 @@ object Multimodal {
             case "audio" => WavDecoder.decode(content, dim).map(f =>
               Row(id, modality, nb, null, null, f.channels,
                 f.sampleRateHz, f.durationMs, f.feature.toSeq))
+            case "video" => AviMjpegDecoder.decode(content, dim).map(f =>
+              Row(id, modality, nb, f.width, f.height, f.channels,
+                f.fpsHz, f.durationMs, f.feature.toSeq))
             case _ => None
           }
           row.getOrElse(Row(id, modality, nb, null, null, null, null, null,
@@ -211,12 +322,37 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  /** Frame sampling stub: every `stride`-th kilobyte of the payload becomes
-    * a "frame" row — the explode/partition shape of real video sampling. */
-  def sampleFrames(assets: DataFrame, stride: Int = 4): DataFrame =
-    assets.filter(col("modality") === "video")
-      .select(col("asset_id"),
-        posexplode(split(base64(col("content")), s"(?<=\\G.{${stride * 1024}})")))
-      .withColumnRenamed("pos", "frame_no")
-      .withColumnRenamed("col", "frame_payload_b64")
+  /** Frame sampling: for payloads that parse as MJPEG-AVI, every
+    * `stride`-th REAL frame becomes a row, `frame_no` = its index in the
+    * stream and the payload the frame's own JPEG bytes (base64 — each row
+    * is independently ImageIO-decodable downstream). Payloads that are not
+    * parseable video keep the previous chunking stand-in (every
+    * `stride`-th kilobyte), so the operator shape is total over corrupt
+    * blobs. Narrow partition-wise map, no shuffle — at 100 TB this is the
+    * fan-out step before a per-frame feature/caption stage. */
+  def sampleFrames(assets: DataFrame, stride: Int = 4): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame_payload_b64", StringType)))
+    val rdd = assets.filter(col("modality") === "video")
+      .select("asset_id", "content").rdd
+      .mapPartitions { rows =>
+        val enc = java.util.Base64.getEncoder // per-partition, not serialized
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("asset_id")
+          val content = Option(r.getAs[Array[Byte]]("content"))
+            .getOrElse(Array.emptyByteArray)
+          val real = AviMjpegDecoder.framePayloads(content)
+          if (real.nonEmpty)
+            real.indices.by(stride).map(i =>
+              Row(id, i, enc.encodeToString(real(i))))
+          else // chunking stand-in for non-AVI payloads
+            enc.encodeToString(content).grouped(stride * 1024)
+              .zipWithIndex.map { case (s, i) => Row(id, i, s) }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -378,6 +378,86 @@ class ExtensionsSpec extends SparkTestBase {
       Multimodal.FakeDecoder.features("frames".getBytes, 8).toSeq)
   }
 
+  // -- in-test MJPEG-AVI synthesis: JPEG frames via ImageIO, hand-framed
+  // RIFF container (fourcc + LE u32 length chunks) — a REAL AVI any
+  // player would open, built with zero external tooling
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    baos.toByteArray
+  }
+
+  private def aviBytes(frames: Seq[Array[Byte]], usPerFrame: Int): Array[Byte] = {
+    def u32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fourcc.getBytes("US-ASCII") ++ u32(data.length.toLong) ++ data ++ pad
+    }
+    def list(listType: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ data)
+    // avih: dwMicroSecPerFrame @0, dwTotalFrames @16, rest zero (56 bytes)
+    val avih = new Array[Byte](56)
+    u32(usPerFrame.toLong).copyToArray(avih, 0)
+    u32(frames.size.toLong).copyToArray(avih, 16)
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body
+  }
+
+  test("AVI decoder: real MJPEG container yields geometry, fps and a temporal-mean histogram") {
+    // 3 frames: black, white, white — 25 fps
+    val avi = aviBytes(Seq(jpegFrame(4, 2, 0x000000),
+      jpegFrame(4, 2, 0xFFFFFF), jpegFrame(4, 2, 0xFFFFFF)), usPerFrame = 40000)
+    val facts = Multimodal.AviMjpegDecoder.decode(avi, 4).get
+    assert(facts.width == 4 && facts.height == 2 && facts.channels == 3)
+    assert(facts.fpsHz == 25 && facts.nFrames == 3)
+    assert(facts.durationMs == 120L) // 3 frames / 25 fps
+    // JPEG is lossy but constant-color frames stay in their wide dim=4
+    // bins: 1/3 of sampled mass dark, 2/3 bright
+    assert(math.abs(facts.feature(0) - 1f / 3) < 0.05f)
+    assert(math.abs(facts.feature(3) - 2f / 3) < 0.05f)
+    assert(math.abs(facts.feature.sum - 1.0f) < 1e-5)
+    // corrupt payloads: None, never a throw (truncated AVI included)
+    assert(Multimodal.AviMjpegDecoder.decode("not video".getBytes, 4).isEmpty)
+    assert(Multimodal.AviMjpegDecoder.decode(avi.take(40), 4).isEmpty)
+
+    // through the Spark pipeline: real AVI gets real metadata (fps in the
+    // rate slot); a non-MJPEG payload stays on the hash fallback
+    val assets = Seq((1L, "video", avi), (2L, "video", "h264???".getBytes))
+      .toDF("asset_id", "modality", "content")
+    val got = Multimodal.extractFeatures(assets, dim = 4)
+      .orderBy("asset_id").collect()
+    assert(got(0).getAs[Int]("width") == 4 && got(0).getAs[Int]("height") == 2)
+    assert(got(0).getAs[Int]("sample_rate_hz") == 25 &&
+      got(0).getAs[Long]("duration_ms") == 120L)
+    assert(got(1).isNullAt(got(1).fieldIndex("width")))
+    assert(got(1).getAs[scala.collection.Seq[Float]]("feature") ==
+      Multimodal.FakeDecoder.features("h264???".getBytes, 4).toSeq)
+
+    // frame sampling: every real frame row round-trips through ImageIO
+    val sampled = Multimodal.sampleFrames(assets, stride = 1)
+      .orderBy("asset_id", "frame_no").collect()
+    val realRows = sampled.filter(_.getAs[Long]("asset_id") == 1L)
+    assert(realRows.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 1, 2))
+    for (r <- realRows) {
+      val bytes = java.util.Base64.getDecoder.decode(r.getAs[String]("frame_payload_b64"))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == 4 && img.getHeight == 2)
+    }
+    // stride skips frames: stride=2 over 3 frames keeps 0 and 2
+    assert(Multimodal.sampleFrames(assets, stride = 2)
+      .filter(col("asset_id") === 1L).select("frame_no")
+      .as[Int].collect().sorted.toSeq == Seq(0, 2))
+    // the non-AVI payload keeps the chunking stand-in (one kb-chunk row)
+    assert(sampled.count(_.getAs[Long]("asset_id") == 2L) == 1)
+  }
+
   test("incremental dedup: empty index degenerates to the batch algorithm") {
     val docs = Tables.load(spark, sf(), "documents")
     val (assign, _) = Dedup.incrementalAssignments(docs, "doc_id", "text",
