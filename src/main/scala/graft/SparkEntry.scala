@@ -256,6 +256,24 @@ object SparkEntry {
       Dedup.incrementalClusters(edgesB, labelsA)
     }),
 
+    // §7.6 the fold's DELTA form — what the streaming sink actually writes
+    // (Streams.Sinks.clusterFold applies it as a partition-scoped upsert:
+    // O(changed rows) per batch, never a full label rewrite). The oracle
+    // recomputes BOTH declarative fixpoints (stage-A-only and union graph)
+    // and diffs them: the delta must be exactly the rows whose label the
+    // stage-B fold changed plus the batch's new docs — nothing missing,
+    // nothing spurious, untouched corpus rows never rewritten.
+    "q66_clusters_delta" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val idx = Dedup.portableClusterIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val labelsA = Dedup.nearDupClusters(
+        Dedup.portableNearDupsOverIndex(idx))
+      val edgesB = Dedup.portableIncrementalEdges(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", idx)
+      Dedup.incrementalClustersDelta(edgesB, labelsA)
+    }),
+
     // §7.6 the incremental TEXT dedup path, value-checked end-to-end on the
     // portable md5 hash family (the q16 technique staged twice): index from
     // the first corpus half's keepers, then the second half dedups against
@@ -1094,6 +1112,71 @@ object SparkEntry {
         | UNION
         | SELECT e.u, reach.m FROM edges e JOIN reach ON reach.doc_id = e.v)
         |SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
+
+    // q66: the q65 machinery plus a SECOND fixpoint over stage-A edges
+    // alone; the delta is the anti/diff-join of the two label tables —
+    // exactly the rows the stage-B fold changed or created.
+    "q66_clusters_delta" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
+        | FROM documents WHERE doc_id < 500),
+        |mins AS (
+        | SELECT doc_id, r.i,
+        |  min(substr(md5(CAST(r.i AS VARCHAR) || '|' || t), 1, 16)) AS h
+        | FROM toks CROSS JOIN range(32) r(i) GROUP BY doc_id, r.i),
+        |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, b.b AS band_id,
+        |  md5(array_to_string(sig[b.b*8+1 : b.b*8+8], ',')) AS band_hash
+        | FROM sigs CROSS JOIN range(4) b(b)),
+        |pairsA AS (
+        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |  AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+        | WHERE x.doc_id < 250 AND y.doc_id < 250),
+        |estA AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |   CAST(len(list_filter(generate_series(1, 32),
+        |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/32 AS est
+        |  FROM pairsA p
+        |  JOIN sigs sa ON sa.doc_id = p.doc_a
+        |  JOIN sigs sb ON sb.doc_id = p.doc_b) z
+        | WHERE est >= 0.6),
+        |candB AS (
+        | SELECT DISTINCT y.doc_id AS doc_a, x.doc_id AS doc_b
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |  AND x.band_hash = y.band_hash
+        | WHERE x.doc_id >= 250 AND y.doc_id < x.doc_id),
+        |estB AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |   CAST(len(list_filter(generate_series(1, 32),
+        |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/32 AS est
+        |  FROM candB c
+        |  JOIN sigs sa ON sa.doc_id = c.doc_a
+        |  JOIN sigs sb ON sb.doc_id = c.doc_b) z
+        | WHERE est >= 0.6),
+        |edgesA AS (SELECT doc_a AS u, doc_b AS v FROM estA
+        |           UNION ALL SELECT doc_b, doc_a FROM estA),
+        |reachA(doc_id, m) AS (
+        | SELECT DISTINCT u, u FROM edgesA
+        | UNION
+        | SELECT e.u, reachA.m FROM edgesA e JOIN reachA ON reachA.doc_id = e.v),
+        |labelsA AS (SELECT doc_id, min(m) AS cluster_id FROM reachA GROUP BY doc_id),
+        |allp AS (SELECT doc_a, doc_b FROM estA
+        |         UNION SELECT doc_a, doc_b FROM estB),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM allp
+        |          UNION ALL SELECT doc_b, doc_a FROM allp),
+        |reach(doc_id, m) AS (
+        | SELECT DISTINCT u, u FROM edges
+        | UNION
+        | SELECT e.u, reach.m FROM edges e JOIN reach ON reach.doc_id = e.v),
+        |full_labels AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id)
+        |SELECT f.doc_id, f.cluster_id
+        |FROM full_labels f LEFT JOIN labelsA a ON f.doc_id = a.doc_id
+        |WHERE a.doc_id IS NULL OR a.cluster_id <> f.cluster_id""".stripMargin,
 
     // q62: the q16 portable-md5 MinHash SQL staged twice — stage A keepers
     // (doc_id < 250, in-batch only) form the index; stage B scores the

@@ -309,6 +309,45 @@ object Dedup {
     * a time converges to exactly [[nearDupClusters]] over the union graph
     * — the q65 oracle replays both stages in DuckDB's recursive CTE. */
   def incrementalClusters(newEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val (remapDf, endpointLabels) = clusterFoldParts(newEdges, labels)
+    // ONE broadcast relabel pass over the corpus labels; batch endpoints
+    // not yet in the table are appended with their (remapped) labels
+    val updatedOld = labels
+      .join(broadcast(remapDf), labels("cluster_id") === col("__old"), "left")
+      .select(labels("doc_id"),
+        coalesce(col("__new"), labels("cluster_id")).as("cluster_id"))
+    updatedOld.unionByName(clusterAppendRows(remapDf, endpointLabels, labels))
+  }
+
+  /** The DELTA of [[incrementalClusters]]: ONLY the rows whose label
+    * changed (members of merged clusters) plus the batch's new docs. The
+    * full fold ≡ old labels overridden by this delta — so a streaming sink
+    * can apply it as a partition-SCOPED upsert (O(changed rows) written
+    * per batch) instead of rewriting the whole label table, which is the
+    * difference between a 100 TB label table being maintainable per batch
+    * or not. Finding the changed rows is still one narrow broadcast-remap
+    * scan of `labels` (no shuffle); only the WRITE shrinks to the delta. */
+  def incrementalClustersDelta(newEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val (remapDf, endpointLabels) = clusterFoldParts(newEdges, labels)
+    val changed = labels
+      .join(broadcast(remapDf), labels("cluster_id") === col("__old"))
+      .select(labels("doc_id"), col("__new").as("cluster_id"))
+    changed.unionByName(clusterAppendRows(remapDf, endpointLabels, labels))
+  }
+
+  /** Batch endpoints not yet in the label table, with remapped labels. */
+  private def clusterAppendRows(remapDf: DataFrame, endpointLabels: DataFrame,
+                                labels: DataFrame): DataFrame =
+    endpointLabels.join(labels, Seq("doc_id"), "left_anti")
+      .join(broadcast(remapDf), col("label") === col("__old"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("label")).as("cluster_id"))
+
+  /** Shared fold core: contract the batch's edges to current labels,
+    * union-find the ≤|edges| label pairs on the driver, and return the
+    * (label → merged-min-label) remap plus each endpoint's pre-merge
+    * label. */
+  private def clusterFoldParts(newEdges: DataFrame, labels: DataFrame)
+      : (DataFrame, DataFrame) = {
     val sess = newEdges.sparkSession
     import sess.implicits._
     // pin the edge set: its derivation (band joins + signature agreement)
@@ -350,18 +389,7 @@ object Dedup {
     }
     val remap = parent.keysIterator.map(l => (l, find(l)))
       .filter { case (l, r) => l != r }.toSeq
-    val remapDf = remap.toDF("__old", "__new")
-
-    // ONE broadcast relabel pass over the corpus labels; batch endpoints
-    // not yet in the table are appended with their (remapped) labels
-    val updatedOld = labels
-      .join(broadcast(remapDf), labels("cluster_id") === col("__old"), "left")
-      .select(labels("doc_id"),
-        coalesce(col("__new"), labels("cluster_id")).as("cluster_id"))
-    val appended = endpointLabels.join(labels, Seq("doc_id"), "left_anti")
-      .join(broadcast(remapDf), col("label") === col("__old"), "left")
-      .select(col("doc_id"), coalesce(col("__new"), col("label")).as("cluster_id"))
-    updatedOld.unionByName(appended)
+    (remap.toDF("__old", "__new"), endpointLabels)
   }
 
   /** Exact n-gram Jaccard for a pair table (verification pass after LSH). */

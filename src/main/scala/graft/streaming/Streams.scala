@@ -98,6 +98,58 @@ object Streams {
         MergeSink.upsertPartialScopedTx(s, dir, b, keys, mutableCols, scheme, orderCols)
       else (s, b, _) =>
         MergeSink.upsertPartialScoped(s, dir, b, keys, mutableCols, scheme, orderCols)
+
+    /** Cluster-grade incremental dedup accounting as a streaming sink:
+      * each micro-batch derives its near-dup edges against the persisted
+      * ALL-docs signature index ([[graft.ext.Dedup.incrementalEdges]]),
+      * folds them into the persisted (doc_id, cluster_id) label table as a
+      * partition-scoped DELTA upsert
+      * ([[graft.ext.Dedup.incrementalClustersDelta]] — O(changed rows)
+      * written per batch, never a full label rewrite), then appends the
+      * batch's own signatures/bands so later batches see it. Unlike the
+      * KEEPER-only index of the dedup sinks, clustering indexes every doc
+      * — components need every edge.
+      *
+      * Replay-safe under at-least-once redelivery in any crash
+      * interleaving: re-folding a batch re-derives the same edges,
+      * already-merged labels produce an empty remap (no-op writes), and
+      * the index appends are key-deduplicated — StreamsSpec proves N
+      * micro-batch folds ≡ one-shot [[graft.ext.Dedup.nearDupClusters]]
+      * over the union corpus. Read labels back with [[MergeSink.readAny]]. */
+    def clusterFold(sigDir: String, bandDir: String, labelsDir: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 1, k: Int = 32, bands: Int = 4,
+                    threshold: Double = 0.6, labelBuckets: Int = 32,
+                    tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, _) => {
+      import graft.ext.Dedup
+      def loadOr(dir: String, like: DataFrame): DataFrame =
+        MergeSink.readAny(s, dir).getOrElse(like)
+      val empty = Dedup.emptyIndex(s)
+      val idx = Dedup.DedupIndex(loadOr(sigDir, empty.signatures),
+        loadOr(bandDir, empty.bands))
+      val labels = loadOr(labelsDir, Dedup.emptyLabels(s))
+        .select("doc_id", "cluster_id")
+      val edges = Dedup.incrementalEdges(batch, idCol, textCol, idx,
+        n = n, k = k, bands = bands, threshold = threshold)
+      // materialize the delta BEFORE the upsert mutates the labels it reads
+      val delta = Dedup.incrementalClustersDelta(edges, labels).localCheckpoint()
+      val scheme = MergeSink.PartitionScheme.keyHash(Seq("doc_id"), labelBuckets)
+      if (tx) MergeSink.upsertPartialScopedTx(
+        s, labelsDir, delta, Seq("doc_id"), Seq("cluster_id"), scheme)
+      else MergeSink.upsertPartialScoped(
+        s, labelsDir, delta, Seq("doc_id"), Seq("cluster_id"), scheme)
+      val sigs = Dedup.signatures(batch, idCol, textCol, n, k).localCheckpoint()
+      val bandRows = Dedup.lshBands(sigs, k, bands).withColumn("bk",
+        concat_ws("#", col("doc_id"), col("band_id")))
+      if (tx) {
+        MergeSink.appendDedupTx(s, sigDir, sigs, "doc_id")
+        MergeSink.appendDedupTx(s, bandDir, bandRows, "bk")
+      } else {
+        MergeSink.appendDedup(s, sigDir, sigs, "doc_id")
+        MergeSink.appendDedup(s, bandDir, bandRows, "bk")
+      }
+    }
   }
 
   /** Windowed aggregation with late-data bound — the standard watermarked

@@ -82,6 +82,25 @@ class ExtensionsSpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("incremental clusters delta: exactly the changed+new rows, override ≡ full fold") {
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (99L, 99L))
+      .toDF("doc_id", "cluster_id")
+    val edges = Seq((2L, 10L), (20L, 21L), (11L, 30L)).toDF("doc_a", "doc_b")
+    val delta = Dedup.incrementalClustersDelta(edges, labels)
+      .as[(Long, Long)].collect().toMap
+    // rows whose label does not change never appear in the delta — 99 is
+    // untouched, and 1/2 already carry the merged component's min label —
+    // so the streaming sink writes O(changed), not O(corpus)
+    assert(!delta.contains(99L) && !delta.contains(1L) && !delta.contains(2L))
+    assert(delta == Map(10L -> 1L, 11L -> 1L, 30L -> 1L, 20L -> 20L, 21L -> 20L))
+    // old labels overridden by the delta ≡ the full fold
+    val full = Dedup.incrementalClusters(edges, labels)
+      .as[(Long, Long)].collect().toMap
+    val overridden = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (99L, 99L))
+      .toMap ++ delta
+    assert(overridden == full)
+  }
+
   test("folding batch edges one at a time equals batch clustering over the union graph") {
     val batches = Seq(
       Seq((1L, 2L), (10L, 11L)),

@@ -237,49 +237,35 @@ class StreamsSpec extends SparkTestBase {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
-    val sigDir = tmpDir("clust-sig"); val bandDir = tmpDir("clust-band")
-    val labelsDir = tmpDir("clust-labels")
-    def loadIndex() = {
-      def loadOr(dir: String, like: org.apache.spark.sql.DataFrame) =
-        if (new java.io.File(dir).exists()) spark.read.parquet(dir) else like
-      val empty = Dedup.emptyIndex(spark)
-      Dedup.DedupIndex(loadOr(sigDir, empty.signatures),
-        loadOr(bandDir, empty.bands))
-    }
-    def loadLabels() =
-      if (new java.io.File(labelsDir).exists()) spark.read.parquet(labelsDir)
-      else Dedup.emptyLabels(spark)
-
-    val stream = Streams.parquetStream(spark, flat,
-      spark.read.parquet(flat).schema, maxFilesPerTrigger = 1)
-    val q = Streams.toMergeSink(stream, tmpDir("clust-ck"),
-      Trigger.AvailableNow()) { (s, batch, _) =>
-      val edges = Dedup.incrementalEdges(batch, "doc_id", "text", loadIndex(),
-        n = 1, k = 32, bands = 4, threshold = 0.6)
-      // materialize BEFORE overwriting the labels the plan reads from
-      val updated = Dedup.incrementalClusters(edges, loadLabels())
-        .localCheckpoint()
-      updated.write.mode("overwrite").parquet(labelsDir)
-      // clustering index = every processed doc (NOT keepers-only)
-      val sigs = Dedup.signatures(batch, "doc_id", "text", 1, 32)
-        .localCheckpoint()
-      MergeSink.appendDedup(s, sigDir, sigs, "doc_id")
-      MergeSink.appendDedup(s, bandDir,
-        Dedup.lshBands(sigs, 32, 4).withColumn("bk",
-          concat_ws("#", col("doc_id"), col("band_id"))), "bk")
-    }
-    q.awaitTermination(120000)
-
-    val folded = spark.read.parquet(labelsDir)
-      .as[(Long, Long)].collect().toMap
     // equals batch clustering over ALL pairs of the full corpus
     val all = batchesDocs.flatten.toDF("doc_id", "text")
     val batchLabels = Dedup.nearDupClusters(
       Dedup.minhashNearDups(all, "doc_id", "text",
         n = 1, k = 32, bands = 4, threshold = 0.6))
       .as[(Long, Long)].collect().toMap
-    assert(folded == batchLabels)
-    assert(folded == Map(1L -> 1L, 3L -> 1L, 6L -> 1L, 2L -> 2L, 5L -> 2L))
+
+    // the first-class sink, both commit protocols: the label table is a
+    // partition-scoped DELTA upsert (never a full rewrite)
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "ren"
+      val sigDir = tmpDir(s"clust-sig-$mode")
+      val bandDir = tmpDir(s"clust-band-$mode")
+      val labelsDir = tmpDir(s"clust-labels-$mode")
+      val stream = Streams.parquetStream(spark, flat,
+        spark.read.parquet(flat).schema, maxFilesPerTrigger = 1)
+      val q = Streams.toMergeSink(stream, tmpDir(s"clust-ck-$mode"),
+        Trigger.AvailableNow())(
+        Streams.Sinks.clusterFold(sigDir, bandDir, labelsDir,
+          n = 1, k = 32, bands = 4, threshold = 0.6, tx = tx))
+      q.awaitTermination(120000)
+
+      val folded = MergeSink.readAny(spark, labelsDir).get
+        .select("doc_id", "cluster_id")
+        .as[(Long, Long)].collect().toMap
+      assert(folded == batchLabels, s"mode=$mode")
+      assert(folded == Map(1L -> 1L, 3L -> 1L, 6L -> 1L, 2L -> 2L, 5L -> 2L),
+        s"mode=$mode")
+    }
   }
 
   test("streaming corpus pipeline (dedup -> curation -> packing) equals the one-shot batch run") {

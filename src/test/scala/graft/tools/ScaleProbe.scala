@@ -222,6 +222,30 @@ object ScaleProbe {
     println(f"[probe] inc_semdedup ratio=${isk / is1}%.1f (k=$k, " +
       "corpus-size-independent=~1)")
 
+    // incremental clustering: fold a fixed batch's edge set into persisted
+    // cluster labels built over a 1x vs kx corpus. The fold itself is
+    // batch-bounded (label-contracted edges -> driver union-find) plus ONE
+    // narrow broadcast-relabel scan of the label table; the alternative a
+    // streaming corpus has is reclustering from scratch (neardup_clusters
+    // above), so the honest 100 TB claim is "fold ≪ recluster at kx".
+    val labels1 = graft.ext.Dedup.nearDupClusters(graft.ext.Dedup.minhashNearDups(
+      docs1, "doc_id", "text", n = 1, k = 32, bands = 4, threshold = 0.6))
+      .localCheckpoint()
+    val labelsK = graft.ext.Dedup.nearDupClusters(graft.ext.Dedup.minhashNearDups(
+      docsPK, "doc_id", "text", n = 1, k = 32, bands = 4, threshold = 0.6))
+      .localCheckpoint()
+    val fe1 = graft.ext.Dedup.incrementalEdges(txtBatch, "doc_id", "text", idx1)
+      .localCheckpoint()
+    val feK = graft.ext.Dedup.incrementalEdges(txtBatch, "doc_id", "text", idxK)
+      .localCheckpoint()
+    def foldC(edges: DataFrame, labels: DataFrame): Long =
+      graft.ext.Dedup.incrementalClusters(edges, labels).count()
+    foldC(fe1, labels1)
+    val fc1 = time("inc_clusters 1x")(foldC(fe1, labels1))
+    val fcK = time(s"inc_clusters ${k}x")(foldC(feK, labelsK))
+    println(f"[probe] inc_clusters ratio=${fcK / fc1}%.1f (k=$k; one narrow " +
+      f"relabel scan — full ${k}x recluster is ${clk / fcK}%.1fx the fold cost)")
+
     // temporal joins: both sides grow k x. Each replica shifts its USER
     // universe too — shifting only surrogate ids would stack k duplicate
     // (custkey, orderdate) rows, violating the uniqueness AsOfJoin
