@@ -401,6 +401,20 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), round(col("sim"), 6).as("sim_r6"))
     }),
 
+    // §7.6 product-quantization ANN — the memory-bound 100 TB scale path
+    // (corpus scanned as m-byte codes, never raw floats). Deterministic by
+    // the q28 seeding technique, so encode + ADC + ranking all replay in
+    // DuckDB: codebooks are slices of the md5-ranked seed vectors,
+    // distances the shared ||a||²−2a·b+||b||² expansion, the j-term sum
+    // ordered on both sides.
+    "q67_pq_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimSearch.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          10, m = 4, nCodes = 16, dim = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("asim_r6"))
+    }),
+
     // §7.6 multimodal plumbing, oracle-checked on every SQL-expressible
     // column: the binary cast + byte length, the modality routing, the
     // feature shape/non-degeneracy invariants, and the real-decode fallback
@@ -1582,6 +1596,7 @@ object SparkEntry {
     "q17_simhash" -> simhashOracleSql,
     "q18_lsh_ann" -> lshAnnOracleSql,
     "q28_ivf_ann" -> ivfAnnOracleSql,
+    "q67_pq_ann" -> pqAnnOracleSql,
 
     "q58_repetition" ->
       """WITH t AS (
@@ -2063,6 +2078,54 @@ object SparkEntry {
        |SELECT e.vec_id, COALESCE(kB.cand, e.vec_id) AS keeper_id, kB.max_sim_r6
        |FROM e LEFT JOIN kB USING (vec_id) WHERE e.vec_id >= 250""".stripMargin
   }
+
+  /** q67's oracle: the PQ pipeline rebuilt relationally. Codebook j = the
+    * j-th 16-wide slice of the md5-ranked seed vectors over the NORMALIZED
+    * corpus; encode = per-(vec, j) argmin of the shared ||a||²−2a·b+||b||²
+    * expansion (tiebreak code ASC = Spark's array_sort of (d, c) structs);
+    * ADC = cosine of the reconstruction, both j-sums ordered (Spark's
+    * left-to-right reduce); ranking asim DESC, neighbor ASC. All doubles
+    * flow through the same operations in the same order, so the hashes
+    * match exactly. */
+  private def pqAnnOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |en AS (SELECT vec_id,
+      |  list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),
+      |seeds AS (
+      | SELECT CAST(row_number() OVER (ORDER BY md5('pqseed|' || CAST(vec_id AS VARCHAR))) AS INTEGER) - 1
+      |   AS code, v
+      | FROM en ORDER BY md5('pqseed|' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+      |cb AS (
+      | SELECT j.j AS j, code, v[j.j*16+1 : j.j*16+16] AS cvec
+      | FROM seeds CROSS JOIN range(4) j(j)),
+      |subv AS (
+      | SELECT vec_id, j.j AS j, v[j.j*16+1 : j.j*16+16] AS sv
+      | FROM en CROSS JOIN range(4) j(j)),
+      |codes AS (
+      | SELECT vec_id, j, code, cvec FROM (
+      |  SELECT s.vec_id, s.j, c.code, c.cvec,
+      |   row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+      |     list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cvec)
+      |       + list_dot_product(c.cvec, c.cvec) ASC, c.code ASC) AS rn
+      |  FROM subv s JOIN cb c ON c.j = s.j) z WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS q_vec FROM en WHERE vec_id < 5),
+      |qsub AS (
+      | SELECT query_id, j.j AS j, q_vec[j.j*16+1 : j.j*16+16] AS qv
+      | FROM q CROSS JOIN range(4) j(j)),
+      |terms AS (
+      | SELECT qs.query_id, co.vec_id AS neighbor_id, qs.j,
+      |  list_dot_product(qs.qv, co.cvec) AS t,
+      |  list_dot_product(co.cvec, co.cvec) AS d
+      | FROM qsub qs JOIN codes co ON co.j = qs.j
+      | WHERE co.vec_id <> qs.query_id),
+      |adc AS (SELECT query_id, neighbor_id,
+      |  sum(t ORDER BY j) / sqrt(sum(d ORDER BY j)) AS asim
+      |        FROM terms GROUP BY query_id, neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY asim DESC, neighbor_id ASC) AS BIGINT) AS rnk, asim FROM adc)
+      |SELECT query_id, neighbor_id, rnk, round(asim, 6) AS asim_r6
+      |FROM r WHERE rnk <= 10""".stripMargin
 
   /** q28's oracle: seed centroids = top-16 corpus vectors by the portable
     * md5 ranking (exactly SimSearch.ivfTopK with lloydIters=0); assignment

@@ -498,6 +498,92 @@ object SimSearch {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): split the dim-D space into `m`
+    * subspaces, quantize each subvector against its own `nCodes`-entry
+    * codebook, and store each corpus vector as m small codes — 64-dim
+    * float32 (256 B) compresses to m=4 bytes, so a 100 TB embedding store
+    * scans as ~1.6 TB of codes, the whole point of PQ: the ADC
+    * (asymmetric-distance) pass reads codes only, never the raw floats.
+    * Vectors are L2-normalized first; encode quantizes by per-subspace
+    * L2, and the ADC pass ranks by the cosine of the reconstruction.
+    *
+    * Deterministic by the q28 technique: codebook j = the j-th subvector
+    * slice of the md5-ranked seed vectors (no Lloyd iterations), so
+    * encode, ADC, and the final ranking replay exactly in the DuckDB
+    * oracle. Tie-breaks: encode argmin by (dist ASC, code ASC) via
+    * array_sort of (dist, code) structs; ranking by (adist ASC,
+    * neighbor_id ASC).
+    *
+    * At 100 TB: the codes table is the ONLY per-corpus-row state the scan
+    * touches (narrow: id + m bytes); queries broadcast; no shuffle until
+    * the per-query top-k window. Compose with [[ivfTopK]]'s cell
+    * assignment (filter codes to probed cells first) for the IVF-PQ
+    * sublinear variant — the composition is a plain equi-join on cell_id
+    * upstream of this scan. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4, nCodes: Int = 16,
+             dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+
+    def normalized(df: DataFrame, idAs: String, vAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          transform(col(vecCol), x => x.cast("double")).as("__v0"))
+        .withColumn("__n", l2Norm(col("__v0")))
+        .select(col(idAs), transform(col("__v0"), x => x / col("__n")).as(vAs))
+
+    val c = normalized(corpus, "neighbor_id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+
+    // seed vectors by the portable md5 ranking (q28), AFTER normalization;
+    // codebook j is their j-th slice
+    val seeds: Array[Seq[Double]] = c
+      .withColumn("__r", md5(concat(lit("pqseed|"), col("neighbor_id").cast("string"))))
+      .orderBy(col("__r")).limit(nCodes)
+      .select(col("__r"), col("v")).collect()
+      .sortBy(_.getString(0))
+      .map(_.getSeq[Double](1))
+    val codebooks: Array[Array[Seq[Double]]] = Array.tabulate(m)(j =>
+      seeds.map(_.slice(j * sub, (j + 1) * sub)))
+
+    // encode: argmin_c ||v_j − cb[j][c]||², computed as the SAME
+    // ||a||²−2a·b+||b||² expansion the oracle uses (bit-identical floats)
+    def sqL2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    def codeFor(j: Int): Column = {
+      val vj = slice(col("v"), j * sub + 1, sub)
+      element_at(array_sort(array(codebooks(j).zipWithIndex.map { case (cb, ci) =>
+        struct(sqL2(vj, typedlit(cb)).as("d"), lit(ci).as("c"))
+      }: _*)), 1).getField("c")
+    }
+    val codes = c.select(col("neighbor_id"),
+      array((0 until m).map(codeFor): _*).as("codes"))
+
+    // ADC scan: per (query, corpus-code-row), the similarity estimate is
+    // the cosine of the RECONSTRUCTION, cos(q, recon) = Σ_j q_j·cb_j /
+    // sqrt(Σ_j ||cb_j||²) (q is unit) — a materially better estimator of
+    // the true cosine ranking than ||q − recon||², which also charges the
+    // reconstruction's norm error. Both j-sums accumulate left-to-right
+    // (the oracle's ordered SUM matches).
+    val q = normalized(queries, "query_id", "q_vec")
+    def codeVec(j: Int): Column = element_at(typedlit(codebooks(j).toSeq),
+      element_at(col("codes"), j + 1) + 1)
+    val num = (0 until m).map { j =>
+      dot(slice(col("q_vec"), j * sub + 1, sub), codeVec(j))
+    }.reduce(_ + _)
+    val den = sqrt((0 until m).map(j => dot(codeVec(j), codeVec(j))).reduce(_ + _))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), (num / den).as("asim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("asim"), 6).as("asim_r6"))
+  }
+
   /** Int8 scalar-quantization error profile per vector — the storage-
     * compression step of a large embedding store (4× smaller than float32),
     * validated by its reconstruction error. Single-pass formulation: the

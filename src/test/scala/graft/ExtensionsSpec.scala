@@ -284,6 +284,33 @@ class ExtensionsSpec extends SparkTestBase {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("PQ ANN: planted same-code vector ranks first; recall vs brute force reasonable") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    // a near-identical copy of vector 0 encodes to vector 0's own argmin
+    // codes in every subspace, which is the global ADC minimum for query 0
+    // — PQ must rank it first
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val planted = v0.updated(0, v0.head + 0.001f)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((9999L, planted)).toDF("vec_id", "embedding"))
+    val top = SimSearch.pqTopK(corpus, corpus.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 3, m = 4, nCodes = 16, dim = 64)
+    val first = top.filter(col("rank") === 1).select("neighbor_id").as[Long].head()
+    assert(first == 9999L)
+
+    // coarse 16-entry codebooks on random data: recall tracks the other
+    // ANN variants' band, not exactness
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = SimSearch.pqTopK(emb, queries, "vec_id", "embedding", 5,
+      m = 16, nCodes = 16, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect pq).size.toDouble / bf.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
   test("recallAtK: per-query recall against the exact top-k, misses included") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
       .toDF("query_id", "neighbor_id")
