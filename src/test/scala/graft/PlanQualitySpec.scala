@@ -167,6 +167,19 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q67: PQ scan joins narrow codes against broadcast queries, one window shuffle") {
+    val df = SparkEntry.queries("q67_pq_ann")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the ADC pass is the documented broadcast pattern (tiny query set ×
+    // full codes scan) — but never a non-broadcast cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exchanges: the corpus spread (round-robin) + the per-query top-k
+    // window — nothing else may shuffle
+    val n = "Exchange".r.findAllIn(p.split("== Initial Plan ==")(0)).size
+    assert(n <= 3, s"$n exchanges:\n$p")
+  }
+
   test("q65: incremental cluster edges stay equi-joins; relabel pass is broadcast") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -94,6 +94,17 @@ object ScaleProbe {
     val ch1 = time("label_cohesion 1x")(cohesion(emb1))
     val chk = time(s"label_cohesion ${k}x")(cohesion(embK))
     println(f"[probe] label_cohesion ratio=${chk / ch1}%.1f (k=$k, linear=~$k)")
+    // PQ ANN: encode + ADC are one linear scan over m-byte codes — the
+    // 100 TB win is the 64x byte shrink of what that scan READS (compose
+    // with IVF cells for sublinear candidate counts)
+    val pqQ = emb1.filter(col("vec_id") < 5).localCheckpoint()
+    def pq(c: DataFrame): Long =
+      graft.ext.SimSearch.pqTopK(c, pqQ, "vec_id", "embedding", 10).count()
+    pq(emb1)
+    val pq1 = time("pq_ann 1x")(pq(emb1))
+    val pqk = time(s"pq_ann ${k}x")(pq(embK))
+    println(f"[probe] pq_ann ratio=${pqk / pq1}%.1f (k=$k, linear=~$k; " +
+      "scan reads m-byte codes, not raw floats)")
 
     // banded multi-table LSH semantic dedup (q60's scale path). Replicas
     // are deterministically PERTURBED, not copied — identical replicas
