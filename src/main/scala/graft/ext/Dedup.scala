@@ -667,8 +667,12 @@ object Dedup {
 
     def renamed(df: DataFrame) = df.select(col("doc_id").as("tgt"),
       col("band_id"), col("band_hash"))
-    // corpus matches (priority 0: first-seen wins) + in-batch smaller ids
+    // corpus matches (priority 0: first-seen wins) + in-batch smaller ids.
+    // tgt ≠ doc_id: under at-least-once redelivery the batch's own docs
+    // are already IN the index, and a self-match (est = 1.0) would turn a
+    // replay into degenerate self-edges/self-keepers
     val corpusCand = newBands.join(renamed(index.bands), Seq("band_id", "band_hash"))
+      .filter(col("tgt") =!= col("doc_id"))
       .select(col("doc_id"), col("tgt"), lit(0).as("prio"))
     val batchCand = newBands.join(renamed(newBands), Seq("band_id", "band_hash"))
       .filter(col("tgt") < col("doc_id"))

@@ -365,6 +365,9 @@ object SimSearch {
     // make every future batch's probe join a one-task quadratic)
     val corpusCand = sliceJoinSkewGuarded(newProbes,
         probesOf(index.entries, "tgt"), hotSliceBound, saltFactor)
+      // tgt ≠ vec_id: a redelivered batch already lives in the index; a
+      // self-match (sim = 1.0) must not shadow the true first-seen keeper
+      .filter(col("tgt") =!= col("vec_id"))
       .select(col("vec_id"), col("tgt"), lit(0).as("prio"))
     val batchCand = sliceJoinSkewGuarded(newProbes, probesOf(b, "tgt"),
         hotSliceBound, saltFactor)

@@ -265,6 +265,21 @@ class StreamsSpec extends SparkTestBase {
       assert(folded == batchLabels, s"mode=$mode")
       assert(folded == Map(1L -> 1L, 3L -> 1L, 6L -> 1L, 2L -> 2L, 5L -> 2L),
         s"mode=$mode")
+
+      // at-least-once redelivery: a fresh checkpoint re-sends EVERY batch
+      // through the same sinks; re-folded edges yield an empty remap, the
+      // index appends dedupe — labels must be byte-for-byte stable
+      val q2 = Streams.toMergeSink(
+        Streams.parquetStream(spark, flat, spark.read.parquet(flat).schema,
+          maxFilesPerTrigger = 1),
+        tmpDir(s"clust-ck2-$mode"), Trigger.AvailableNow())(
+        Streams.Sinks.clusterFold(sigDir, bandDir, labelsDir,
+          n = 1, k = 32, bands = 4, threshold = 0.6, tx = tx))
+      q2.awaitTermination(120000)
+      val refolded = MergeSink.readAny(spark, labelsDir).get
+        .select("doc_id", "cluster_id")
+        .as[(Long, Long)].collect().toMap
+      assert(refolded == batchLabels, s"redelivery changed labels, mode=$mode")
     }
   }
 
