@@ -415,6 +415,18 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("asim_r6"))
     }),
 
+    // §7.6 IVF-PQ — both quantizers composed (probed cells bound the
+    // candidates, codes bound the bytes); the oracle splices q28's
+    // cell/probe machinery with q67's codebook/ADC machinery, all from the
+    // same md5-ranked seeds over the normalized corpus.
+    "q68_ivfpq_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimSearch.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          10, nCells = 16, nProbe = 4, m = 4, nCodes = 16, dim = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("asim_r6"))
+    }),
+
     // §7.6 multimodal plumbing, oracle-checked on every SQL-expressible
     // column: the binary cast + byte length, the modality routing, the
     // feature shape/non-degeneracy invariants, and the real-decode fallback
@@ -1597,6 +1609,7 @@ object SparkEntry {
     "q18_lsh_ann" -> lshAnnOracleSql,
     "q28_ivf_ann" -> ivfAnnOracleSql,
     "q67_pq_ann" -> pqAnnOracleSql,
+    "q68_ivfpq_ann" -> ivfPqAnnOracleSql,
 
     "q58_repetition" ->
       """WITH t AS (
@@ -2118,6 +2131,75 @@ object SparkEntry {
       |  list_dot_product(co.cvec, co.cvec) AS d
       | FROM qsub qs JOIN codes co ON co.j = qs.j
       | WHERE co.vec_id <> qs.query_id),
+      |adc AS (SELECT query_id, neighbor_id,
+      |  sum(t ORDER BY j) / sqrt(sum(d ORDER BY j)) AS asim
+      |        FROM terms GROUP BY query_id, neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY asim DESC, neighbor_id ASC) AS BIGINT) AS rnk, asim FROM adc)
+      |SELECT query_id, neighbor_id, rnk, round(asim, 6) AS asim_r6
+      |FROM r WHERE rnk <= 10""".stripMargin
+
+  /** q68's oracle: q28's cell assignment + probe CTEs (over the NORMALIZED
+    * corpus, "seed|" ranking) spliced with q67's codebook + encode + ADC
+    * CTEs ("pqseed|" ranking); candidates are the equi-join of probed
+    * cells with assigned codes. Same tiebreaks as both parents. */
+  private def ivfPqAnnOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |en AS (SELECT vec_id,
+      |  list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),
+      |cells AS (
+      | SELECT CAST(row_number() OVER (ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR))) AS BIGINT) - 1
+      |   AS cell_id, v AS centroid
+      | FROM en ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+      |assign AS (
+      | SELECT vec_id, cell_id FROM (
+      |  SELECT en.vec_id, s.cell_id,
+      |   row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |     list_dot_product(en.v, s.centroid)
+      |       / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(s.centroid, s.centroid))) DESC,
+      |     s.cell_id DESC) AS rn
+      |  FROM en CROSS JOIN cells s) z WHERE rn = 1),
+      |seeds AS (
+      | SELECT CAST(row_number() OVER (ORDER BY md5('pqseed|' || CAST(vec_id AS VARCHAR))) AS INTEGER) - 1
+      |   AS code, v
+      | FROM en ORDER BY md5('pqseed|' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+      |cb AS (
+      | SELECT j.j AS j, code, v[j.j*16+1 : j.j*16+16] AS cvec
+      | FROM seeds CROSS JOIN range(4) j(j)),
+      |subv AS (
+      | SELECT vec_id, j.j AS j, v[j.j*16+1 : j.j*16+16] AS sv
+      | FROM en CROSS JOIN range(4) j(j)),
+      |codes AS (
+      | SELECT vec_id, j, code, cvec FROM (
+      |  SELECT s.vec_id, s.j, c.code, c.cvec,
+      |   row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+      |     list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cvec)
+      |       + list_dot_product(c.cvec, c.cvec) ASC, c.code ASC) AS rn
+      |  FROM subv s JOIN cb c ON c.j = s.j) z WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS q_vec FROM en WHERE vec_id < 5),
+      |probes AS (
+      | SELECT query_id, q_vec, cell_id FROM (
+      |  SELECT q.query_id, q.q_vec, s.cell_id,
+      |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |     list_dot_product(q.q_vec, s.centroid)
+      |       / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(s.centroid, s.centroid))) DESC,
+      |     s.cell_id ASC) AS rn
+      |  FROM q CROSS JOIN cells s) z WHERE rn <= 4),
+      |qsub AS (
+      | SELECT query_id, j.j AS j, q_vec[j.j*16+1 : j.j*16+16] AS qv
+      | FROM q CROSS JOIN range(4) j(j)),
+      |cand AS (
+      | SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      | FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+      | WHERE a.vec_id <> p.query_id),
+      |terms AS (
+      | SELECT qs.query_id, ca.neighbor_id, qs.j,
+      |  list_dot_product(qs.qv, co.cvec) AS t,
+      |  list_dot_product(co.cvec, co.cvec) AS d
+      | FROM cand ca
+      | JOIN qsub qs ON qs.query_id = ca.query_id
+      | JOIN codes co ON co.vec_id = ca.neighbor_id AND co.j = qs.j),
       |adc AS (SELECT query_id, neighbor_id,
       |  sum(t ORDER BY j) / sqrt(sum(d ORDER BY j)) AS asim
       |        FROM terms GROUP BY query_id, neighbor_id),

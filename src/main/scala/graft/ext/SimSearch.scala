@@ -520,39 +520,93 @@ object SimSearch {
     *
     * At 100 TB: the codes table is the ONLY per-corpus-row state the scan
     * touches (narrow: id + m bytes); queries broadcast; no shuffle until
-    * the per-query top-k window. Compose with [[ivfTopK]]'s cell
-    * assignment (filter codes to probed cells first) for the IVF-PQ
-    * sublinear variant — the composition is a plain equi-join on cell_id
-    * upstream of this scan. */
+    * the per-query top-k window. [[ivfPqTopK]] is the composed sublinear
+    * variant (probed IVF cells bound the candidates, codes bound the
+    * bytes). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 4, nCodes: Int = 16,
              dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val sub = dim / m
-    val spark = corpus.sparkSession
+    val c = pqNormalized(corpus, idCol, vecCol, "neighbor_id", "v")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val codebooks = pqCodebooks(c, m, sub, nCodes)
+    val codes = c.select(col("neighbor_id"), pqCodesCol(m, sub, codebooks))
+    val q = pqNormalized(queries, idCol, vecCol, "query_id", "q_vec")
+    pqRank(codes.crossJoin(broadcast(q)), m, sub, codebooks, k)
+  }
 
-    def normalized(df: DataFrame, idAs: String, vAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
-          transform(col(vecCol), x => x.cast("double")).as("__v0"))
-        .withColumn("__n", l2Norm(col("__v0")))
-        .select(col(idAs), transform(col("__v0"), x => x / col("__n")).as(vAs))
+  /** IVF-PQ — the two quantizers composed, each doing its own job: the
+    * coarse IVF quantizer limits WHICH codes each query scans (the
+    * `nProbe` nearest of `nCells` cells, exactly [[ivfTopK]]'s probe
+    * logic), and the product quantizer shrinks WHAT the scan reads (m
+    * codes per row). At 100 TB this is the standard billion-scale ANN
+    * layout: candidate volume sublinear via cells, bytes-per-candidate
+    * constant via codes, the scan join a broadcast equi-join on cell_id —
+    * never a full cross product. Same deterministic seeding as
+    * q28/q67 ("seed|" centroids, "pqseed|" codebooks, both over the
+    * normalized corpus), so the whole pipeline replays in the oracle. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 4, nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    val c = pqNormalized(corpus, idCol, vecCol, "neighbor_id", "v")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
 
-    val c = normalized(corpus, "neighbor_id", "v")
-      .repartition(spark.sparkContext.defaultParallelism)
+    // coarse quantizer: md5-ranked seed centroids over the SAME normalized
+    // vectors; assignment/probe tiebreaks exactly as ivfTopK (cos DESC +
+    // cell DESC via greatest-of-structs; cos DESC + cell ASC via
+    // array_sort of (-cos, id))
+    val centroids: Array[(Long, Seq[Double])] = c
+      .withColumn("__r", md5(concat(lit("seed|"), col("neighbor_id").cast("string"))))
+      .orderBy(col("__r")).limit(nCells)
+      .select(col("__r"), col("v")).collect()
+      .sortBy(_.getString(0)).zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    def nearestCell(v: Column): Column =
+      greatest(centroids.map { case (id, ctr) =>
+        struct(cosine(v, typedlit(ctr)).as("s"), lit(id).as("id"))
+      }: _*).getField("id")
 
-    // seed vectors by the portable md5 ranking (q28), AFTER normalization;
-    // codebook j is their j-th slice
-    val seeds: Array[Seq[Double]] = c
+    val codebooks = pqCodebooks(c, m, sub, nCodes)
+    val codes = c.select(col("neighbor_id"),
+      nearestCell(col("v")).as("cell_id"), pqCodesCol(m, sub, codebooks))
+
+    val q = pqNormalized(queries, idCol, vecCol, "query_id", "q_vec")
+    val probeCells = q.select(col("query_id"), col("q_vec"),
+      explode(slice(array_sort(array(centroids.map { case (id, ctr) =>
+        struct((-cosine(col("q_vec"), typedlit(ctr))).as("negs"), lit(id).as("id"))
+      }: _*)), 1, nProbe).getField("id")).as("cell_id"))
+    pqRank(codes.join(broadcast(probeCells), Seq("cell_id")), m, sub, codebooks, k)
+  }
+
+  /** Cast to double and L2-normalize (per-row norm computed once). */
+  private def pqNormalized(df: DataFrame, idCol: String, vecCol: String,
+                           idAs: String, vAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+        transform(col(vecCol), x => x.cast("double")).as("__v0"))
+      .withColumn("__n", l2Norm(col("__v0")))
+      .select(col(idAs), transform(col("__v0"), x => x / col("__n")).as(vAs))
+
+  /** Codebook j = the j-th `sub`-wide slice of the "pqseed|" md5-ranked
+    * seed vectors (the q28 determinism technique — no Lloyd iterations). */
+  private def pqCodebooks(cn: DataFrame, m: Int, sub: Int,
+                          nCodes: Int): Array[Array[Seq[Double]]] = {
+    val seeds: Array[Seq[Double]] = cn
       .withColumn("__r", md5(concat(lit("pqseed|"), col("neighbor_id").cast("string"))))
       .orderBy(col("__r")).limit(nCodes)
       .select(col("__r"), col("v")).collect()
       .sortBy(_.getString(0))
       .map(_.getSeq[Double](1))
-    val codebooks: Array[Array[Seq[Double]]] = Array.tabulate(m)(j =>
-      seeds.map(_.slice(j * sub, (j + 1) * sub)))
+    Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+  }
 
-    // encode: argmin_c ||v_j − cb[j][c]||², computed as the SAME
-    // ||a||²−2a·b+||b||² expansion the oracle uses (bit-identical floats)
+  /** Encode `v` as m codes: per subspace, argmin_c ||v_j − cb[j][c]||²
+    * computed as the SAME ||a||²−2a·b+||b||² expansion the oracle uses
+    * (bit-identical floats); tiebreak code ASC via array_sort. */
+  private def pqCodesCol(m: Int, sub: Int,
+                         codebooks: Array[Array[Seq[Double]]]): Column = {
     def sqL2(a: Column, b: Column): Column =
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
     def codeFor(j: Int): Column = {
@@ -561,23 +615,24 @@ object SimSearch {
         struct(sqL2(vj, typedlit(cb)).as("d"), lit(ci).as("c"))
       }: _*)), 1).getField("c")
     }
-    val codes = c.select(col("neighbor_id"),
-      array((0 until m).map(codeFor): _*).as("codes"))
+    array((0 until m).map(codeFor): _*).as("codes")
+  }
 
-    // ADC scan: per (query, corpus-code-row), the similarity estimate is
-    // the cosine of the RECONSTRUCTION, cos(q, recon) = Σ_j q_j·cb_j /
-    // sqrt(Σ_j ||cb_j||²) (q is unit) — a materially better estimator of
-    // the true cosine ranking than ||q − recon||², which also charges the
-    // reconstruction's norm error. Both j-sums accumulate left-to-right
-    // (the oracle's ordered SUM matches).
-    val q = normalized(queries, "query_id", "q_vec")
+  /** ADC + top-k over joined (codes × query) rows: the similarity estimate
+    * is the cosine of the RECONSTRUCTION, cos(q, recon) = Σ_j q_j·cb_j /
+    * sqrt(Σ_j ||cb_j||²) (q is unit) — a materially better estimator of
+    * the true cosine ranking than ||q − recon||², which also charges the
+    * reconstruction's norm error. Both j-sums accumulate left-to-right
+    * (the oracle's ordered SUM matches). */
+  private def pqRank(joined: DataFrame, m: Int, sub: Int,
+                     codebooks: Array[Array[Seq[Double]]], k: Int): DataFrame = {
     def codeVec(j: Int): Column = element_at(typedlit(codebooks(j).toSeq),
       element_at(col("codes"), j + 1) + 1)
     val num = (0 until m).map { j =>
       dot(slice(col("q_vec"), j * sub + 1, sub), codeVec(j))
     }.reduce(_ + _)
     val den = sqrt((0 until m).map(j => dot(codeVec(j), codeVec(j))).reduce(_ + _))
-    val scored = codes.crossJoin(broadcast(q))
+    val scored = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), (num / den).as("asim"))
     val w = Window.partitionBy(col("query_id"))

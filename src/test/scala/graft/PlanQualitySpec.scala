@@ -180,6 +180,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(n <= 3, s"$n exchanges:\n$p")
   }
 
+  test("q68: IVF-PQ candidates come through a broadcast equi-join on cell_id") {
+    val df = SparkEntry.queries("q68_ivfpq_ann")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the whole point vs q67: the probe join is an EQUI join on cell_id
+    // (candidates bounded by probed cells), never a full cross product
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q65: incremental cluster edges stay equi-joins; relabel pass is broadcast") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
