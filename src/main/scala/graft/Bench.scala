@@ -61,7 +61,8 @@ object Bench {
     "q13_ann_topk", "q16_minhash_neardup", "q30_asof_join", "q40_tfidf",
     "q42_salted_join", "q45_heavy_hitters", "q51_vocab_encode",
     "q52_sequence_pack", "q53_decontaminate", "q56_label_centroids",
-    "q58_repetition", "q60_semantic_dedup_bucketed")
+    "q58_repetition", "q60_semantic_dedup_bucketed",
+    "q67_pq_ann", "q68_ivfpq_ann", "q69_segment_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

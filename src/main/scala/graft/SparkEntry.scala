@@ -148,6 +148,15 @@ object SparkEntry {
       Dedup.portableDedupAssignments(T(s, dir, "documents"), "doc_id", "text",
         n = 1, k = 32, bands = 4, threshold = 0.6)),
 
+    // §7.6 cross-document boilerplate removal (CCNet-style segment-
+    // frequency dedup): 8-token segments occurring in ≥2 distinct docs are
+    // dropped, documents rebuilt in order. Fully value-checked — the
+    // segmentation, frequency cut, and ordered rebuild replay in DuckDB
+    // (which groups on segment text where Spark shuffles the xxhash64).
+    "q69_segment_dedup" -> ((s, dir) =>
+      Dedup.removeRepeatedSegments(T(s, dir, "documents"), "doc_id", "text",
+        window = 8, minDocs = 2)),
+
     // §7.6 SimHash fingerprint, fully value-checked: portable md5-derived
     // token bits (two 32-bit halves) reproduce in DuckDB bit-for-bit.
     // (Production-scale fingerprinting uses the xxhash64 fast path,
@@ -427,6 +436,16 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("asim_r6"))
     }),
 
+    // §7.6 ANN recall@k harness — the exact arm (q13's ranking) joined
+    // against the approximate arm (q68's IVF-PQ pipeline); both arms are
+    // individually hash-equal to DuckDB, so the composed per-query recall
+    // table replays exactly (the oracle nests both proofs as CTEs).
+    "q70_ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimSearch.annRecall(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        10, nCells = 16, nProbe = 4, m = 4, nCodes = 16, dim = 64)
+    }),
+
     // §7.6 multimodal plumbing, oracle-checked on every SQL-expressible
     // column: the binary cast + byte length, the modality routing, the
     // feature shape/non-degeneracy invariants, and the real-decode fallback
@@ -629,6 +648,15 @@ object SparkEntry {
           Seq("lang", "source"), col("doc_id"), 20)
         .select(col("lang"), col("source"), col("doc_id"),
           col("strat_rank").cast("long").as("strat_rank"))),
+
+    // α=0.5 temperature mixture over the lang distribution (the self-tuning
+    // form of q46/q47's mixture knob: rates DERIVED from observed counts so
+    // kept-counts ∝ n_lang^0.5). α=0.5 keeps the threshold arithmetic in
+    // sqrt — IEEE-correctly-rounded, hence engine-exact in the oracle.
+    "q71_temperature_sample" -> ((s, dir) =>
+      graft.ext.Sampling.temperatureMixture(T(s, dir, "documents"),
+          col("lang"), col("doc_id"), alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("mix_bucket"), col("mix_thr"))),
 
     // PII scrubbing over a synthesized-PII corpus (testdata texts carry no
     // PII, so each doc gets a planted email/phone/ID suffix — the scrub
@@ -969,19 +997,7 @@ object SparkEntry {
         |   / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS en_stopword_ratio
         |FROM documents""".stripMargin,
 
-    "q13_ann_topk" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |           FROM embeddings WHERE vec_id < 5),
-        | c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        | sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |   list_dot_product(q.e, c.e)
-        |     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
-        |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-        | r AS (SELECT query_id, neighbor_id,
-        |   CAST(row_number() OVER (PARTITION BY query_id
-        |     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk, sim FROM sims)
-        |SELECT query_id, neighbor_id, rnk, round(sim, 6) AS sim_r6
-        |FROM r WHERE rnk <= 10""".stripMargin,
+    "q13_ann_topk" -> exactAnnOracleSql,
 
     "q14_scd2_rebuild" ->
       """SELECT user_id, event_id AS version_id, ts AS version_started_at,
@@ -1610,6 +1626,48 @@ object SparkEntry {
     "q28_ivf_ann" -> ivfAnnOracleSql,
     "q67_pq_ann" -> pqAnnOracleSql,
     "q68_ivfpq_ann" -> ivfPqAnnOracleSql,
+    "q70_ann_recall" -> annRecallOracleSql,
+
+    // q69: the segment-dedup pipeline replayed — q49's split/range/slice
+    // technique for segmentation, HAVING count(DISTINCT doc_id) for the
+    // boilerplate cut (DuckDB groups on segment text where Spark shuffles
+    // its xxhash64 — identical up to a 64-bit collision), ordered
+    // string_agg for the rebuild, LEFT JOIN + coalesce('') so fully-
+    // boilerplate docs survive as empty rows.
+    "q69_segment_dedup" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        | FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+        |w AS (SELECT doc_id, toks, unnest(range((n_tok + 7) // 8)) AS seg_no FROM n),
+        |s AS (SELECT doc_id, CAST(seg_no AS BIGINT) AS seg_no,
+        |  array_to_string(toks[seg_no*8+1 : seg_no*8+8], ' ') AS seg FROM w),
+        |hot AS (SELECT seg FROM s GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT * FROM s WHERE seg NOT IN (SELECT seg FROM hot)),
+        |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS clean_text,
+        |        CAST(count(*) AS BIGINT) AS segs_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM s GROUP BY doc_id)
+        |SELECT tot.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+        | tot.n_segs, tot.n_segs - coalesce(reb.segs_kept, 0) AS segs_removed
+        |FROM tot LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    // q71: thresholds derived from lang counts — floor(sqrt(n_min/n)·65536)
+    // is engine-exact (double division, IEEE sqrt, power-of-two scale);
+    // acceptance is q46's md5-bucket rule.
+    "q71_temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS n_min FROM c),
+        |t AS (SELECT lang, CAST(floor(
+        |   sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) * 65536.0)
+        |  AS INTEGER) AS mix_thr FROM c, m)
+        |SELECT d.doc_id, d.lang,
+        | CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        |   AS mix_bucket,
+        | t.mix_thr
+        |FROM documents d JOIN t USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        |      < t.mix_thr""".stripMargin,
 
     "q58_repetition" ->
       """WITH t AS (
@@ -2091,6 +2149,40 @@ object SparkEntry {
        |SELECT e.vec_id, COALESCE(kB.cand, e.vec_id) AS keeper_id, kB.max_sim_r6
        |FROM e LEFT JOIN kB USING (vec_id) WHERE e.vec_id >= 250""".stripMargin
   }
+
+  /** q13's oracle (also the exact arm of q70's recall harness): brute-force
+    * cosine top-10 for the five seed queries, sim DESC + neighbor ASC
+    * tiebreak — the same arithmetic order as
+    * [[graft.ext.SimSearch.bruteForceTopK]]. */
+  private def exactAnnOracleSql: String =
+    """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |           FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      | sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |   list_dot_product(q.e, c.e)
+      |     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+      |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+      | r AS (SELECT query_id, neighbor_id,
+      |   CAST(row_number() OVER (PARTITION BY query_id
+      |     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk, sim FROM sims)
+      |SELECT query_id, neighbor_id, rnk, round(sim, 6) AS sim_r6
+      |FROM r WHERE rnk <= 10""".stripMargin
+
+  /** q70's oracle: both arms nested verbatim as derived-table CTEs — the
+    * exact arm is [[exactAnnOracleSql]] (q13's proof), the approximate arm
+    * is [[ivfPqAnnOracleSql]] (q68's proof) — intersected on
+    * (query_id, neighbor_id) and counted per query. k=10 divides the hit
+    * count; every seed query reports a row (LEFT JOIN + coalesce 0). */
+  private def annRecallOracleSql: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($exactAnnOracleSql) x),
+       |approx AS (SELECT query_id, neighbor_id FROM ($ivfPqAnnOracleSql) y),
+       |h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM exact e JOIN approx a USING (query_id, neighbor_id)
+       |      GROUP BY e.query_id),
+       |qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 5)
+       |SELECT qs.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       | round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10, 6) AS recall_r6
+       |FROM qs LEFT JOIN h USING (query_id)""".stripMargin
 
   /** q67's oracle: the PQ pipeline rebuilt relationally. Codebook j = the
     * j-th 16-wide slice of the md5-ranked seed vectors over the NORMALIZED

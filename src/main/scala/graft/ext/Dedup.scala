@@ -713,4 +713,64 @@ object Dedup {
       newSigs.join(kept, Seq("doc_id"), "left_semi"),
       newBands.join(kept, Seq("doc_id"), "left_semi")))
   }
+
+  /** Cross-document boilerplate removal (the CCNet/RefinedWeb paragraph-
+    * dedup step of a pretraining pipeline): segment each document into
+    * non-overlapping `window`-token pieces, drop every segment whose
+    * normalized text occurs in at least `minDocs` DISTINCT documents
+    * (headers, footers, license blocks, navigation chrome), and rebuild
+    * the document from the surviving segments in order.
+    *
+    * Semantics notes:
+    *  - the frequency count is per-document (`countDistinct(doc_id)`), so
+    *    a segment repeated many times WITHIN one document is kept — only
+    *    cross-document repetition marks boilerplate;
+    *  - every input document comes back out (a fully-boilerplate document
+    *    yields `clean_text = ""`), so the operator composes with
+    *    downstream curation without dropping corpus rows.
+    *
+    * Scale shape: the hot-segment aggregate shuffles the 64-bit xxhash of
+    * each segment, never its text (the q09 narrow-shuffle treatment); the
+    * anti-join against the hot set is an equi-join on that same hash; the
+    * rebuild shuffles each document's surviving segments once. Cost is
+    * O(total tokens), never quadratic in documents or segments.
+    * Determinism: segmentation, the frequency cut, and the ordered rebuild
+    * are all pure functions of the text, so the q69 oracle replays the
+    * whole pipeline in DuckDB (grouping on the raw segment text — hash vs
+    * text grouping only diverges on a 64-bit collision). */
+  def removeRepeatedSegments(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minDocs: Long): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(minDocs > 1, s"minDocs must exceed 1 (minDocs=1 empties every doc): $minDocs")
+    val segs = docs
+      .select(col(idCol).as("doc_id"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("seg_no",
+        explode(sequence(lit(0L),
+          expr(s"(n_tok + ${window - 1}) DIV $window - 1"))))
+      .select(col("doc_id"), col("seg_no"),
+        array_join(slice(col("toks"),
+          (col("seg_no") * window + 1).cast("int"), lit(window)), " ").as("seg"))
+      .withColumn("seg_hash", xxhash64(col("seg")))
+
+    val hot = segs.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("seg_hash"))
+
+    val kept = segs.join(hot, Seq("seg_hash"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_no"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"),
+        count(lit(1)).as("segs_kept"))
+    segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segs"),
+        (col("n_segs") - coalesce(col("segs_kept"), lit(0L))).as("segs_removed"))
+  }
 }

@@ -57,6 +57,47 @@ object Sampling {
     df.filter(hashBucket(key) < threshold)
   }
 
+  /** Temperature-scaled mixture (the α-sampling of multilingual /
+    * multi-source pretraining corpora, Lample & Conneau 2019 §3.1): keep
+    * counts proportional to n_s^alpha, flattening the source distribution —
+    * alpha=1 keeps everything (natural proportions), alpha=0 targets a
+    * uniform mix. Acceptance sampling can only downsample, so rates are
+    * scaled to the largest feasible corpus: rate_s = (n_min/n_s)^(1−α),
+    * which gives the smallest source rate 1.0 and every kept-count exactly
+    * ∝ n_s^alpha. Unlike [[weightedMixture]] the rates are DERIVED from the
+    * observed counts — the operator is the self-tuning form of the mixture
+    * knob.
+    *
+    * Output adds audit columns: `mix_bucket` (the row's md5 bucket) and
+    * `mix_thr` (its source's acceptance threshold in [0, 65536]).
+    *
+    * Scale shape: one count aggregate over the source column (narrow), the
+    * per-source thresholds broadcast back (|sources| rows), and the filter
+    * is a scan-level predicate — no corpus shuffle at any point.
+    * Determinism: rows are kept by the same md5-bucket rule as [[uniform]];
+    * for alpha=0.5 the threshold arithmetic is sqrt (IEEE-exact in any
+    * engine), which is what the q71 oracle pins — other alphas go through
+    * pow and are unit-verified instead. */
+  def temperatureMixture(df: DataFrame, source: Column, key: Column,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha out of [0,1]: $alpha")
+    val e = 1.0 - alpha
+    val counts = df.groupBy(source.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__n_min"))
+    val ratio = col("__n_min").cast("double") / col("__n").cast("double")
+    // sqrt, not pow, for the α=0.5 case: sqrt is correctly rounded per
+    // IEEE 754 so the DuckDB twin computes the identical threshold; pow
+    // carries no such guarantee across libm implementations.
+    val rate = if (e == 0.5) sqrt(ratio) else pow(ratio, lit(e))
+    val thr = counts.crossJoin(broadcast(nMin))
+      .select(col("__src"), floor(rate * lit(65536.0)).cast("int").as("mix_thr"))
+    df.join(broadcast(thr), source === col("__src"))
+      .withColumn("mix_bucket", hashBucket(key))
+      .filter(col("mix_bucket") < col("mix_thr"))
+      .drop("__src")
+  }
+
   /** Per-stratum quota: the `n` rows of each group with the smallest
     * (md5(key), key) — a deterministic "random n per group". Emits the
     * stratum rank as `rankCol` (1-based). */

@@ -744,4 +744,44 @@ object SimSearch {
       .orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Recall@k evaluation harness — the "measure, don't guess" step of an
+    * ANN deployment: run the exact brute-force top-k and the [[ivfPqTopK]]
+    * approximate top-k over the same corpus/queries, and report per-query
+    * `n_hits` (|approx ∩ exact|) and `recall_r6` (n_hits/k). An operator
+    * tuning (nCells, nProbe, m, nCodes) reads this table, not intuition.
+    * The end-to-end, oracle-verified form of [[recallAtK]] (which joins two
+    * ALREADY-COMPUTED result sets): both arms here are deterministic, so
+    * unlike the hash-derived inputs recallAtK usually sees, the whole
+    * composition replays in DuckDB down to the integer hit counts.
+    *
+    * Every query row comes back out (a query whose approximate list shares
+    * nothing with the exact list reports recall 0.0, not a missing row).
+    *
+    * Scale shape: the exact arm is the documented O(corpus × queries)
+    * baseline — recall evaluation runs on a SAMPLE of queries (the `queries`
+    * DataFrame the caller passes), never the full corpus, so the cross term
+    * stays bounded while the approximate arm exercises the real production
+    * path. The intersection join is narrow (query_id, neighbor_id) pairs,
+    * at most 2·k·|queries| rows. Determinism: both arms are deterministic
+    * (proven hash-equal to DuckDB individually — q13's exact ranking and
+    * q68's IVF-PQ pipeline), so the composed recall table replays exactly
+    * in the q70 oracle. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 4, nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfPqTopK(corpus, queries, idCol, vecCol, k,
+        nCells, nProbe, m, nCodes, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col(idCol).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+          .as("recall_r6"))
+  }
 }

@@ -236,6 +236,33 @@ class ExtensionsSpec extends SparkTestBase {
     assert(math.abs(j - 3.0 / 5.0) < 1e-12)   // {a,b,c} / {a,b,c,d,z}
   }
 
+  test("segment dedup: cross-doc boilerplate removed, within-doc repeats kept, full-boilerplate doc survives empty") {
+    val boiler = "subscribe to our newsletter terms of service apply" // 8 toks
+    val uniqA = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqB = "iota kappa lambda mu nu xi omicron pi"
+    val solo8 = Seq.fill(8)("solo").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $uniqA"),
+      (2L, s"$boiler $uniqB"),
+      (3L, s"$solo8 $solo8"), // repeated WITHIN one doc only — not boilerplate
+      (4L, boiler))           // nothing but boilerplate
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSegments(docs, "doc_id", "text",
+        window = 8, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), "every doc comes back")
+    assert(out(0) == ((1L, uniqA, 2L, 1L)))
+    assert(out(1) == ((2L, uniqB, 2L, 1L)))
+    assert(out(2) == ((3L, s"$solo8 $solo8", 2L, 0L)))
+    assert(out(3) == ((4L, "", 1L, 1L)))
+
+    // pure function of the text: stable under repartitioning
+    val re = Dedup.removeRepeatedSegments(docs.repartition(7), "doc_id",
+        "text", window = 8, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("simhash: identical texts agree, Column and table forms agree") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("doc_id", "text")
@@ -333,6 +360,25 @@ class ExtensionsSpec extends SparkTestBase {
       .select("count").as[Long].collect()
     val n = emb.count()
     assert(perQuery.forall(_ < n), s"nProbe=1 must scan under the corpus size $n")
+  }
+
+  test("annRecall: end-to-end recall table — every query reports, hits bounded, more probes never hurt on average") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val r = SimSearch.annRecall(emb, queries, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 4, m = 16, nCodes = 16, dim = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(r.length == 5, "one row per query, misses included")
+    assert(r.forall { case (_, h, rec) =>
+      h >= 0 && h <= 5 && math.abs(rec - h / 5.0) < 1e-9 })
+
+    // probing every cell removes the coarse quantizer's loss, so mean
+    // recall at nProbe=16 is at least the nProbe=1 mean (same codebooks)
+    def mean(nProbe: Int): Double = SimSearch.annRecall(emb, queries,
+        "vec_id", "embedding", 5, nCells = 16, nProbe = nProbe,
+        m = 16, nCodes = 16, dim = 64)
+      .agg(avg(col("recall_r6"))).as[Double].head()
+    assert(mean(16) >= mean(1) - 1e-9)
   }
 
   test("recallAtK: per-query recall against the exact top-k, misses included") {

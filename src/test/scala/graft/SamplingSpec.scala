@@ -69,4 +69,29 @@ class SamplingSpec extends SparkTestBase {
         .filter(col("g") === "keep").select("id").as[Long].collect().toSet
     assert(picks(base) == picks(noisy))
   }
+
+  test("temperatureMixture: α=1 keeps all, α=0.5 flattens to √n proportions, min source kept whole, deterministic") {
+    // skewed sources: 1600 / 400 / 100 rows
+    val df = ((1L to 1600L).map(i => (i, "big")) ++
+        (2001L to 2400L).map(i => (i, "mid")) ++
+        (3001L to 3100L).map(i => (i, "min"))).toDF("id", "src")
+
+    // α=1: natural proportions — everything survives, thresholds saturate
+    val all = Sampling.temperatureMixture(df, col("src"), col("id"), 1.0)
+    assert(all.count() == 2100)
+
+    // α=0.5: rate_s = sqrt(n_min/n_s) → 0.25 / 0.5 / 1.0; kept counts
+    // target 400/200/100 (∝ √n), md5 noise within ±5σ (√(n·p·(1-p)))
+    val kept = Sampling.temperatureMixture(df, col("src"), col("id"), 0.5)
+      .select("id", "src").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("min") == 100, "the smallest source is kept whole")
+    assert(math.abs(bySrc("big") - 400) < 90, s"big kept ${bySrc("big")}")
+    assert(math.abs(bySrc("mid") - 200) < 55, s"mid kept ${bySrc("mid")}")
+
+    // pure function of (key, observed counts): stable under repartitioning
+    val re = Sampling.temperatureMixture(df.repartition(13), col("src"),
+        col("id"), 0.5).select("id").as[Long].collect().toSet
+    assert(re == kept.map(_._1).toSet)
+  }
 }
