@@ -104,19 +104,30 @@ object Bench {
     // a failing query reports the -1 sentinel, NOT its elapsed-to-failure
     // time — a plausible-looking latency for a query that returned nothing
     // would poison the slope/total numbers silently
-    def run(fn: (SparkSession, String) => DataFrame, dir: String, n: Int): Double = {
-      val times = (1 to n).flatMap { _ =>
+    def runTimes(fn: (SparkSession, String) => DataFrame, dir: String, n: Int): Seq[Double] =
+      (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] query failed: $e"); None }
       }
+    def run(fn: (SparkSession, String) => DataFrame, dir: String, n: Int): Double = {
+      val times = runTimes(fn, dir, n)
       if (times.isEmpty) -1.0 else times.min
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> run(fn, sfDir, reps)
+    def median(ts: Seq[Double]): Double =
+      if (ts.isEmpty) -1.0
+      else { val s = ts.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2 }
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> runTimes(fn, sfDir, reps)
     }
+    val results = timed.map { case (n, ts) => n -> (if (ts.isEmpty) -1.0 else ts.min) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // medians alongside the mins: a min that diverges from its median flags
+    // a contended machine (the r7 lesson — same code, 4× slope swings), so
+    // the artifact carries its own noise evidence instead of needing a rerun
+    val qsMed = timed.map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
@@ -156,7 +167,7 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","scale_k":$k,"queries_${k}x":$qsK,"slope_vs_1x":$slope,"sf_${k}x":"$dirK""""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"reps":$reps,"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }

@@ -424,6 +424,20 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("asim_r6"))
     }),
 
+    // §7.6 PQ with ONE Lloyd refinement round — the recall path over q67's
+    // raw md5 seeds (whose recall@10 floor sits near 0.2 on this corpus;
+    // the refined books roughly double it, PqRefineSpec pins the ordering).
+    // Still fully oracle-checked: the refinement is a decimal-exact
+    // per-(subspace, code) element average of the seed-book assignment, so
+    // DuckDB replays encode₀ → refine → encode₁ → ADC bit-for-bit.
+    "q72_pq_refined" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimSearch.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          10, m = 4, nCodes = 16, dim = 64, lloydIters = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("asim_r6"))
+    }),
+
     // §7.6 IVF-PQ — both quantizers composed (probed cells bound the
     // candidates, codes bound the bytes); the oracle splices q28's
     // cell/probe machinery with q67's codebook/ADC machinery, all from the
@@ -1625,6 +1639,7 @@ object SparkEntry {
     "q18_lsh_ann" -> lshAnnOracleSql,
     "q28_ivf_ann" -> ivfAnnOracleSql,
     "q67_pq_ann" -> pqAnnOracleSql,
+    "q72_pq_refined" -> pqRefinedOracleSql,
     "q68_ivfpq_ann" -> ivfPqAnnOracleSql,
     "q70_ann_recall" -> annRecallOracleSql,
 
@@ -2206,6 +2221,72 @@ object SparkEntry {
       |subv AS (
       | SELECT vec_id, j.j AS j, v[j.j*16+1 : j.j*16+16] AS sv
       | FROM en CROSS JOIN range(4) j(j)),
+      |codes AS (
+      | SELECT vec_id, j, code, cvec FROM (
+      |  SELECT s.vec_id, s.j, c.code, c.cvec,
+      |   row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+      |     list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cvec)
+      |       + list_dot_product(c.cvec, c.cvec) ASC, c.code ASC) AS rn
+      |  FROM subv s JOIN cb c ON c.j = s.j) z WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS q_vec FROM en WHERE vec_id < 5),
+      |qsub AS (
+      | SELECT query_id, j.j AS j, q_vec[j.j*16+1 : j.j*16+16] AS qv
+      | FROM q CROSS JOIN range(4) j(j)),
+      |terms AS (
+      | SELECT qs.query_id, co.vec_id AS neighbor_id, qs.j,
+      |  list_dot_product(qs.qv, co.cvec) AS t,
+      |  list_dot_product(co.cvec, co.cvec) AS d
+      | FROM qsub qs JOIN codes co ON co.j = qs.j
+      | WHERE co.vec_id <> qs.query_id),
+      |adc AS (SELECT query_id, neighbor_id,
+      |  sum(t ORDER BY j) / sqrt(sum(d ORDER BY j)) AS asim
+      |        FROM terms GROUP BY query_id, neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY asim DESC, neighbor_id ASC) AS BIGINT) AS rnk, asim FROM adc)
+      |SELECT query_id, neighbor_id, rnk, round(asim, 6) AS asim_r6
+      |FROM r WHERE rnk <= 10""".stripMargin
+
+  /** q72's oracle: q67's pipeline with ONE Lloyd round spliced between the
+    * seed codebook and the final encode. The refinement replays exactly
+    * because it is order-independent arithmetic: encode₀ under the seed
+    * books (same expansion + tiebreak as q67), per-(j, code, element) sums
+    * of DECIMAL(27,10)-cast subvector components (exact, so partition order
+    * is irrelevant), the mean taken in double; codes nobody chose keep the
+    * seed centroid (LEFT JOIN + coalesce = Spark's clone-then-overwrite). */
+  private def pqRefinedOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |en AS (SELECT vec_id,
+      |  list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),
+      |seeds AS (
+      | SELECT CAST(row_number() OVER (ORDER BY md5('pqseed|' || CAST(vec_id AS VARCHAR))) AS INTEGER) - 1
+      |   AS code, v
+      | FROM en ORDER BY md5('pqseed|' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+      |cb0 AS (
+      | SELECT j.j AS j, code, v[j.j*16+1 : j.j*16+16] AS cvec
+      | FROM seeds CROSS JOIN range(4) j(j)),
+      |subv AS (
+      | SELECT vec_id, j.j AS j, v[j.j*16+1 : j.j*16+16] AS sv
+      | FROM en CROSS JOIN range(4) j(j)),
+      |codes0 AS (
+      | SELECT vec_id, j, code FROM (
+      |  SELECT s.vec_id, s.j, c.code,
+      |   row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+      |     list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cvec)
+      |       + list_dot_product(c.cvec, c.cvec) ASC, c.code ASC) AS rn
+      |  FROM subv s JOIN cb0 c ON c.j = s.j) z WHERE rn = 1),
+      |csum AS (
+      | SELECT s.j, c0.code, p.p AS p,
+      |  CAST(sum(CAST(s.sv[p.p+1] AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+      |  count(*) AS n
+      | FROM subv s JOIN codes0 c0 ON c0.vec_id = s.vec_id AND c0.j = s.j
+      | CROSS JOIN range(16) p(p)
+      | GROUP BY s.j, c0.code, p.p),
+      |cbr AS (SELECT j, code, list(sx / n ORDER BY p) AS cvec
+      |        FROM csum GROUP BY j, code),
+      |cb AS (
+      | SELECT c0.j, c0.code, coalesce(r.cvec, c0.cvec) AS cvec
+      | FROM cb0 c0 LEFT JOIN cbr r ON r.j = c0.j AND r.code = c0.code),
       |codes AS (
       | SELECT vec_id, j, code, cvec FROM (
       |  SELECT s.vec_id, s.j, c.code, c.cvec,

@@ -18,11 +18,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must leave EVIDENCE, not vanish: write an empty result
+    // dir plus a <name>.ERROR marker so the driver's compare reports an err
+    // row instead of silently dropping the query from the round's artifact
+    // (the r7 failure mode: three analysis errors were swallowed here and
+    // the correctness report showed absence instead of failure).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        new java.io.File(s"$outDir/$name").mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name.ERROR"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,6 +50,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure roll-up alongside the per-query markers.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
+    // Deliberately exit 0 even on partial failure: the green queries' dumps
+    // must still reach the driver's compare; the .ERROR markers and
+    // errors.json carry the failure evidence.
   }
 }

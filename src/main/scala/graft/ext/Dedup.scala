@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default cap on the contracted label-pair frontier a single incremental
+    * fold may pull to the driver (16 B/pair → ~64 MB at the cap). Batches
+    * whose frontier exceeds it fail loudly rather than OOM the driver. */
+  val DefaultMaxLabelPairs: Int = 4 << 20
+
   /** MinHash/LSH tuning profile. The numbers that matter:
     *  - `n`: shingle width in WORDS. Real prose needs n in 5..13 — unigrams
     *    make every document that shares vocabulary a candidate pair and the
@@ -308,8 +313,9 @@ object Dedup {
     * invariant is preserved (union by min root), so folding batches one at
     * a time converges to exactly [[nearDupClusters]] over the union graph
     * — the q65 oracle replays both stages in DuckDB's recursive CTE. */
-  def incrementalClusters(newEdges: DataFrame, labels: DataFrame): DataFrame = {
-    val (remapDf, endpointLabels) = clusterFoldParts(newEdges, labels)
+  def incrementalClusters(newEdges: DataFrame, labels: DataFrame,
+                          maxLabelPairs: Int = DefaultMaxLabelPairs): DataFrame = {
+    val (remapDf, endpointLabels) = clusterFoldParts(newEdges, labels, maxLabelPairs)
     // ONE broadcast relabel pass over the corpus labels; batch endpoints
     // not yet in the table are appended with their (remapped) labels
     val updatedOld = labels
@@ -327,8 +333,9 @@ object Dedup {
     * difference between a 100 TB label table being maintainable per batch
     * or not. Finding the changed rows is still one narrow broadcast-remap
     * scan of `labels` (no shuffle); only the WRITE shrinks to the delta. */
-  def incrementalClustersDelta(newEdges: DataFrame, labels: DataFrame): DataFrame = {
-    val (remapDf, endpointLabels) = clusterFoldParts(newEdges, labels)
+  def incrementalClustersDelta(newEdges: DataFrame, labels: DataFrame,
+                               maxLabelPairs: Int = DefaultMaxLabelPairs): DataFrame = {
+    val (remapDf, endpointLabels) = clusterFoldParts(newEdges, labels, maxLabelPairs)
     val changed = labels
       .join(broadcast(remapDf), labels("cluster_id") === col("__old"))
       .select(labels("doc_id"), col("__new").as("cluster_id"))
@@ -346,8 +353,8 @@ object Dedup {
     * union-find the ≤|edges| label pairs on the driver, and return the
     * (label → merged-min-label) remap plus each endpoint's pre-merge
     * label. */
-  private def clusterFoldParts(newEdges: DataFrame, labels: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private def clusterFoldParts(newEdges: DataFrame, labels: DataFrame,
+                               maxLabelPairs: Int): (DataFrame, DataFrame) = {
     val sess = newEdges.sparkSession
     import sess.implicits._
     // pin the edge set: its derivation (band joins + signature agreement)
@@ -370,7 +377,14 @@ object Dedup {
         Seq("doc_b"))
       .filter(col("la") =!= col("lb"))
       .select(col("la"), col("lb")).distinct()
-      .as[(Long, Long)].collect() // bounded: <= |newEdges| distinct label pairs
+      // Bounded in principle by <= |newEdges| distinct label pairs, but the
+      // batch edge frontier is caller-controlled — so enforce the bound at
+      // runtime: take(max+1) fetches at most one row past the cap, and an
+      // oversized frontier fails LOUDLY instead of OOMing the driver.
+      .as[(Long, Long)].take(maxLabelPairs + 1)
+    require(labelPairs.length <= maxLabelPairs,
+      s"cluster fold frontier exceeds maxLabelPairs=$maxLabelPairs distinct label pairs; " +
+        "split the batch, raise the bound explicitly, or rebuild with nearDupClusters")
 
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
@@ -766,11 +780,19 @@ object Dedup {
           array_sort(collect_list(struct(col("seg_no"), col("seg")))),
           s => s.getField("seg"))).as("clean_text"),
         count(lit(1)).as("segs_kept"))
-    segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    // Anchor the rollup on the ORIGINAL corpus rows, not on `segs`: a
+    // null-text document produces no segment rows (explode over a null
+    // sequence drops it), and the previous segs-anchored rollup silently
+    // removed such documents from the output — violating the "never drops
+    // corpus rows" contract above. Null text now yields ("", 0, 0).
+    docs.select(col(idCol).as("doc_id"))
+      .join(segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs")),
+        Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_segs"),
-        (col("n_segs") - coalesce(col("segs_kept"), lit(0L))).as("segs_removed"))
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        (coalesce(col("n_segs"), lit(0L)) -
+          coalesce(col("segs_kept"), lit(0L))).as("segs_removed"))
   }
 }

@@ -92,7 +92,10 @@ object Sampling {
     val rate = if (e == 0.5) sqrt(ratio) else pow(ratio, lit(e))
     val thr = counts.crossJoin(broadcast(nMin))
       .select(col("__src"), floor(rate * lit(65536.0)).cast("int").as("mix_thr"))
-    df.join(broadcast(thr), source === col("__src"))
+    // Null-safe join: `groupBy` above counts NULL sources as their own
+    // stratum, so NULL-source rows must reach their threshold too — a plain
+    // `===` never matches NULL and silently dropped that whole stratum.
+    df.join(broadcast(thr), source <=> col("__src"))
       .withColumn("mix_bucket", hashBucket(key))
       .filter(col("mix_bucket") < col("mix_thr"))
       .drop("__src")

@@ -469,14 +469,27 @@ object TxTable {
 
   /** [[replacePartitions]] for nested (multi-column) layouts: the swap
     * granularity is the full (col1, col2, …) fragment combination present
-    * in `df`. Stage with the table's FULL partition layout — a commit whose
-    * files carry fewer path segments than the live set's would leave the
-    * union schema inconsistent across batches. */
+    * in `df`. The table's live layout is ENFORCED, not just documented: a
+    * commit staged at a shallower (or different) granularity than the live
+    * files would compute `removed` fragments that match nothing, leaving the
+    * old rows live next to their replacements — silent duplicates. Any
+    * layout mismatch against the current live set fails loudly up front. */
   def replacePartitionsBy(spark: SparkSession, dir: String, df: DataFrame,
                           partCols: Seq[String],
                           scheme: Option[String] = None,
                           expectedHead: Option[Long] = None): Unit = {
     require(partCols.nonEmpty, "replacePartitionsBy needs >= 1 partition column")
+    val live = liveSetsByVersion(hadoopFs(spark, dir), dir)
+      .lastOption.map(_._2).getOrElse(Vector.empty)
+    if (live.nonEmpty) {
+      val layouts = live.map(_.part
+        .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil)).distinct
+      require(layouts == Vector(partCols.toSeq),
+        s"replacePartitionsBy(${partCols.mkString(",")}) does not match the " +
+          s"table's live partition layout ${layouts.map(_.mkString(",")).mkString("[", "; ", "]")}: " +
+          "a mismatched swap granularity would leave stale rows live (duplicates); " +
+          "rewrite the table with replace() to change layouts")
+    }
     val files = stage(spark, dir, df, partCols)
     val removed = files.flatMap(_.part).distinct
     commit(hadoopFs(spark, dir), dir,

@@ -1,8 +1,10 @@
 package graft.model
 
+import java.time.ZoneOffset
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Table loaders over the driver-provided parquet corpus (TESTDATA.md).
   *
@@ -18,43 +20,65 @@ object Tables {
   val stream: Seq[String] = Seq("events")
   val corpus: Seq[String] = Seq("documents", "embeddings")
 
-  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; the loader then restores
-    * TimestampType by integer-dividing to micros — the same truncation DuckDB
-    * applies when it narrows ns → µs, so oracle comparisons line up. */
-  private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+  /** Event-time columns whose parquet physical encoding has varied across
+    * corpus generations. Three encodings are normalized to one logical type:
+    *
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it unless
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`, under which it surfaces
+    *     as a raw LongType of epoch-nanos;
+    *   - TIMESTAMP_MICROS with `isAdjustedToUTC=false`: surfaces as
+    *     `TIMESTAMP_NTZ` (wall-clock, no zone);
+    *   - UTC-adjusted TIMESTAMP: surfaces as TimestampType directly.
+    *
+    * All normalize to session-zoned `TimestampType`, so everything downstream
+    * (`unix_micros`, `withWatermark`, `Row.getTimestamp`) sees one type.
+    * Sessions run with `spark.sql.session.timeZone=UTC`, making the
+    * NTZ wall-clock → instant cast the identity on the stored values. */
+  private val eventTimeColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  /** Normalize one event-time column to TimestampType, keyed on the type the
+    * reader actually produced (not on an assumed corpus encoding). The ns→µs
+    * path uses integer division (`div`): ns values (~1.7e18) overflow double's
+    * exact-integer range, so a float divide would corrupt low micros — and the
+    * truncation matches DuckDB's own ns → µs narrowing, so oracle comparisons
+    * line up. */
+  private def normalize(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast("timestamp"))
+      case _                => df // already TimestampType
+    }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanosColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == LongType)
-        // `div` = integer division: ns values (~1.7e18) overflow double's
-        // exact-integer range, so a float divide would corrupt low micros.
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else d
-    }
+    eventTimeColumns.getOrElse(name, Nil).foldLeft(df)(normalize)
   }
 
   /** Incremental scan with watermark pushdown. A predicate on the CONVERTED
     * timestamp can't reach the parquet scan (the conversion expression hides
     * the column), which would make every incremental cycle a full scan at
-    * 100 TB. Filtering the raw nanos long first is pushed into the scan
-    * (row-group pruning) and is exactly equivalent:
-    * floor_us(ts_ns) >= since  ⟺  ts_ns >= since_us × 1000 for whole-µs
-    * `since`. Falls back to a plain timestamp filter for µs-typed tables. */
+    * 100 TB. So the filter is phrased against the RAW column in its native
+    * encoding — pushed into the scan (row-group pruning) — then normalized:
+    *
+    *   - nanos-long: floor_us(ts_ns) >= since ⟺ ts_ns >= since_us × 1000 for
+    *     whole-µs `since`, so the long comparison is exactly equivalent;
+    *   - NTZ: the literal is `since`'s UTC wall-clock, matching the UTC
+    *     session under which the cast interprets stored values;
+    *   - TimestampType: a plain timestamp filter already pushes down. */
   def loadSince(spark: SparkSession, dir: String, name: String,
                 tsCol: String, since: java.sql.Timestamp): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    val sinceUs = since.toInstant.getEpochSecond * 1000000L + since.getNanos / 1000L
-    if (nanosColumns.getOrElse(name, Nil).contains(tsCol) &&
-        raw.schema(tsCol).dataType == LongType) {
-      val filtered = raw.filter(col(tsCol) >= sinceUs * 1000L)
-      nanosColumns.getOrElse(name, Nil).foldLeft(filtered) { (d, c) =>
-        if (d.schema(c).dataType == LongType)
-          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-        else d
+    if (eventTimeColumns.getOrElse(name, Nil).contains(tsCol)) {
+      val filtered = raw.schema(tsCol).dataType match {
+        case LongType =>
+          val sinceUs = since.toInstant.getEpochSecond * 1000000L + since.getNanos / 1000L
+          raw.filter(col(tsCol) >= sinceUs * 1000L)
+        case TimestampNTZType =>
+          raw.filter(col(tsCol) >= lit(since.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime))
+        case _ =>
+          raw.filter(col(tsCol) >= lit(since))
       }
+      eventTimeColumns(name).foldLeft(filtered)(normalize)
     } else
       load(spark, dir, name).filter(col(tsCol) >= lit(since))
   }

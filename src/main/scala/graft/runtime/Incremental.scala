@@ -101,7 +101,7 @@ class IncrementalRunner(spark: SparkSession, store: WatermarkStore,
         val top = batch
           .agg(max(struct(col(s.watermarkCol).as("w"), col(s.tieBreakCol).as("t"))))
           .collect()(0).getStruct(0)
-        cursor = Some((top.getTimestamp(0), top.get(1)))
+        cursor = Some((WatermarkStore.tsOf(top.get(0)), top.get(1)))
       }
       val wallNow = now()
       drained = n < s.cap

@@ -31,8 +31,8 @@ class WatermarkStore(spark: SparkSession, dir: String) {
     MergeSink.readTarget(spark, dir).map { df =>
       df.collect().map { r =>
         val s = WatermarkState(r.getAs[String]("table_name"),
-          r.getAs[Timestamp]("last_fetched_at"), r.getAs[Long]("rows_last_run"),
-          r.getAs[Timestamp]("last_run_at"), r.getAs[Long]("total_rows_ever"))
+          tsOf(r.getAs[Any]("last_fetched_at")), r.getAs[Long]("rows_last_run"),
+          tsOf(r.getAs[Any]("last_run_at")), r.getAs[Long]("total_rows_ever"))
         s.table -> s
       }.toMap
     }.getOrElse(Map.empty)
@@ -64,6 +64,20 @@ class WatermarkStore(spark: SparkSession, dir: String) {
 }
 
 object WatermarkStore {
+  /** Coerce a row value to `java.sql.Timestamp` regardless of whether the
+    * plan produced a zoned timestamp (`Timestamp`), an NTZ one
+    * (`LocalDateTime` — interpreted as UTC wall-clock, matching the engine's
+    * fixed `spark.sql.session.timeZone=UTC`), or an `Instant` (when
+    * `spark.sql.datetime.java8API.enabled` is on). Keeps the runtime cursor
+    * alive whatever parquet encoding the source tables carry. */
+  def tsOf(v: Any): Timestamp = v match {
+    case t: Timestamp               => t
+    case l: java.time.LocalDateTime => Timestamp.from(l.atOffset(java.time.ZoneOffset.UTC).toInstant)
+    case i: java.time.Instant       => Timestamp.from(i)
+    case other =>
+      throw new IllegalArgumentException(s"not a timestamp value: $other (${other.getClass})")
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("table_name", StringType, nullable = false),
     StructField("last_fetched_at", TimestampType, nullable = false),

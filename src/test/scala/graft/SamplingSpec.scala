@@ -94,4 +94,21 @@ class SamplingSpec extends SparkTestBase {
         col("id"), 0.5).select("id").as[Long].collect().toSet
     assert(re == kept.map(_._1).toSet)
   }
+
+  test("temperatureMixture: NULL source is its own stratum, never silently dropped") {
+    // 800 labeled + 50 null-source rows: the null stratum is the smallest,
+    // so at α=0.5 it must be kept WHOLE — with a non-null-safe join those
+    // 50 rows would vanish from the mixture entirely
+    val df = ((1L to 800L).map(i => (i, Some("big"))) ++
+        (2001L to 2050L).map(i => (i, Option.empty[String])))
+      .toDF("id", "src")
+    val all = Sampling.temperatureMixture(df, col("src"), col("id"), 1.0)
+    assert(all.count() == 850, "α=1 keeps every row, null-source included")
+    val kept = Sampling.temperatureMixture(df, col("src"), col("id"), 0.5)
+      .select("id", "src").as[(Long, Option[String])].collect()
+    assert(kept.count(_._2.isEmpty) == 50, "the null stratum is min — kept whole")
+    // big: rate = sqrt(50/800) = 0.25 → ~200 expected
+    val big = kept.count(_._2.contains("big"))
+    assert(math.abs(big - 200) < 60, s"big kept $big")
+  }
 }

@@ -462,6 +462,15 @@ class TxTableSpec extends SparkTestBase {
     assert(readSet() == before)
     assert(readSet(Some(Set("p1=b"))) == Set((3L, "b", "x"), (4L, "b", "y")))
     assert(TxTable.liveBatchCount(spark, dir) == 1)
+
+    // the shallow-layout duplicate hazard is ENFORCED: swapping at a
+    // one-column grain against this two-column table must fail loudly
+    // (the removed fragments would match nothing and old rows stay live)
+    val shallow = intercept[IllegalArgumentException] {
+      TxTable.replacePartitionsBy(spark, dir, df(Seq((99L, "a", "x"))), Seq("p1"))
+    }
+    assert(shallow.getMessage.contains("live partition layout"), shallow.getMessage)
+    assert(readSet() == before, "the refused swap must not change the table")
   }
 
   test("randomized two-col model: replace/append/scoped-swap with vacuum + compactLog") {
