@@ -832,11 +832,12 @@ object SimSearch {
     * in the q70 oracle. */
   def annRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-      m: Int = 4, nCodes: Int = 16, dim: Int = 64): DataFrame = {
+      m: Int = 4, nCodes: Int = 16, dim: Int = 64,
+      lloydIters: Int = 0): DataFrame = {
     val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = ivfPqTopK(corpus, queries, idCol, vecCol, k,
-        nCells, nProbe, m, nCodes, dim)
+        nCells, nProbe, m, nCodes, dim, lloydIters)
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
