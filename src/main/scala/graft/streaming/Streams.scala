@@ -152,12 +152,26 @@ object Streams {
     }
   }
 
+  /** Cast an NTZ event-time column to session-zoned TimestampType — the
+    * streaming twin of `Tables.load`'s normalization, because
+    * `withWatermark` rejects TIMESTAMP_NTZ outright
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and parquet corpora ship both
+    * encodings. No-op for TimestampType; the cast is the identity on stored
+    * wall-clocks under the engine's fixed UTC session. */
+  def normalizeEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
   /** Windowed aggregation with late-data bound — the standard watermarked
     * tumbling-window shape (T4 is absent in the reference; provided as a
-    * first-class extension). */
+    * first-class extension). Accepts either timestamp encoding via
+    * [[normalizeEventTime]]. */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
                      window: String, lateness: String): DataFrame =
-    events.withWatermark(tsCol, lateness)
+    normalizeEventTime(events, tsCol).withWatermark(tsCol, lateness)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 

@@ -691,4 +691,34 @@ class StreamsSpec extends SparkTestBase {
     assert(!emitted.isNullAt(0) && emitted.getLong(0) > 0)
     assert(emitted.getLong(0) <= events.count())
   }
+
+  test("windowed counts accept a RAW corpus stream whatever its ts encoding") {
+    // the round-7 incident path: stream the corpus events.parquet DIRECTLY
+    // (no Tables.load normalization) — when that file carries TIMESTAMP_NTZ
+    // micros, withWatermark without normalizeEventTime throws
+    // EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE at analysis; the normalized path
+    // must accept either encoding and produce the same totals as the
+    // loader-normalized stream above
+    val rawSchema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    assume(rawSchema("ts").dataType !=
+      org.apache.spark.sql.types.LongType, // nanos-long corpora stream as
+      "raw long ts streams are not event-time streams")  // longs — skip
+    // byte-copy the corpus file into a dir (FileStreamSource needs a dir;
+    // a Spark rewrite would re-encode and defeat the raw-encoding point)
+    val rawDir = tmpDir("wstream-raw")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rawDir))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$rawDir/events-part0.parquet"))
+    val stream = Streams.parquetStream(spark, rawDir, rawSchema)
+    val agg = Streams.windowedCounts(stream, "ts", "event_type",
+      "1 day", "90 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_raw")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.sql("SELECT sum(n) FROM win_raw").collect()(0)
+    assert(!emitted.isNullAt(0) && emitted.getLong(0) > 0)
+    assert(emitted.getLong(0) <= Tables.load(spark, sf(), "events").count())
+  }
 }
