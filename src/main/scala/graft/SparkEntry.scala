@@ -450,6 +450,20 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("asim_r6"))
     }),
 
+    // §7.6 IVF-PQ with refined PQ books — the full billion-scale layout
+    // (coarse cells bound candidates, refined codes bound bytes) with the
+    // q72 refinement spliced in; proves the refinement composes with the
+    // coarse quantizer under the same exact-replay discipline. Only the PQ
+    // books refine — the coarse "seed|" centroids are q68's, unchanged.
+    "q73_ivfpq_refined" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimSearch.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          10, nCells = 16, nProbe = 4, m = 4, nCodes = 16, dim = 64,
+          lloydIters = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"), col("asim_r6"))
+    }),
+
     // §7.6 ANN recall@k harness — the exact arm (q13's ranking) joined
     // against the approximate arm (q68's IVF-PQ pipeline); both arms are
     // individually hash-equal to DuckDB, so the composed per-query recall
@@ -1640,6 +1654,7 @@ object SparkEntry {
     "q28_ivf_ann" -> ivfAnnOracleSql,
     "q67_pq_ann" -> pqAnnOracleSql,
     "q72_pq_refined" -> pqRefinedOracleSql,
+    "q73_ivfpq_refined" -> ivfPqRefinedOracleSql,
     "q68_ivfpq_ann" -> ivfPqAnnOracleSql,
     "q70_ann_recall" -> annRecallOracleSql,
 
@@ -2304,6 +2319,94 @@ object SparkEntry {
       |  list_dot_product(co.cvec, co.cvec) AS d
       | FROM qsub qs JOIN codes co ON co.j = qs.j
       | WHERE co.vec_id <> qs.query_id),
+      |adc AS (SELECT query_id, neighbor_id,
+      |  sum(t ORDER BY j) / sqrt(sum(d ORDER BY j)) AS asim
+      |        FROM terms GROUP BY query_id, neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY asim DESC, neighbor_id ASC) AS BIGINT) AS rnk, asim FROM adc)
+      |SELECT query_id, neighbor_id, rnk, round(asim, 6) AS asim_r6
+      |FROM r WHERE rnk <= 10""".stripMargin
+
+  /** q73's oracle: q68's coarse cell/probe CTEs spliced with q72's
+    * refinement CTEs — codes and ADC run against the REFINED books (cb),
+    * the coarse "seed|" centroids stay q68's. Every constituent is already
+    * individually hash-proven; this pins their composition. */
+  private def ivfPqRefinedOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |en AS (SELECT vec_id,
+      |  list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),
+      |cells AS (
+      | SELECT CAST(row_number() OVER (ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR))) AS BIGINT) - 1
+      |   AS cell_id, v AS centroid
+      | FROM en ORDER BY md5('seed|' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+      |assign AS (
+      | SELECT vec_id, cell_id FROM (
+      |  SELECT en.vec_id, s.cell_id,
+      |   row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |     list_dot_product(en.v, s.centroid)
+      |       / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(s.centroid, s.centroid))) DESC,
+      |     s.cell_id DESC) AS rn
+      |  FROM en CROSS JOIN cells s) z WHERE rn = 1),
+      |seeds AS (
+      | SELECT CAST(row_number() OVER (ORDER BY md5('pqseed|' || CAST(vec_id AS VARCHAR))) AS INTEGER) - 1
+      |   AS code, v
+      | FROM en ORDER BY md5('pqseed|' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+      |cb0 AS (
+      | SELECT j.j AS j, code, v[j.j*16+1 : j.j*16+16] AS cvec
+      | FROM seeds CROSS JOIN range(4) j(j)),
+      |subv AS (
+      | SELECT vec_id, j.j AS j, v[j.j*16+1 : j.j*16+16] AS sv
+      | FROM en CROSS JOIN range(4) j(j)),
+      |codes0 AS (
+      | SELECT vec_id, j, code FROM (
+      |  SELECT s.vec_id, s.j, c.code,
+      |   row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+      |     list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cvec)
+      |       + list_dot_product(c.cvec, c.cvec) ASC, c.code ASC) AS rn
+      |  FROM subv s JOIN cb0 c ON c.j = s.j) z WHERE rn = 1),
+      |csum AS (
+      | SELECT s.j, c0.code, p.p AS p,
+      |  CAST(sum(CAST(s.sv[p.p+1] AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+      |  count(*) AS n
+      | FROM subv s JOIN codes0 c0 ON c0.vec_id = s.vec_id AND c0.j = s.j
+      | CROSS JOIN range(16) p(p)
+      | GROUP BY s.j, c0.code, p.p),
+      |cbr AS (SELECT j, code, list(sx / n ORDER BY p) AS cvec
+      |        FROM csum GROUP BY j, code),
+      |cb AS (
+      | SELECT c0.j, c0.code, coalesce(r.cvec, c0.cvec) AS cvec
+      | FROM cb0 c0 LEFT JOIN cbr r ON r.j = c0.j AND r.code = c0.code),
+      |codes AS (
+      | SELECT vec_id, j, code, cvec FROM (
+      |  SELECT s.vec_id, s.j, c.code, c.cvec,
+      |   row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+      |     list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cvec)
+      |       + list_dot_product(c.cvec, c.cvec) ASC, c.code ASC) AS rn
+      |  FROM subv s JOIN cb c ON c.j = s.j) z WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS q_vec FROM en WHERE vec_id < 5),
+      |probes AS (
+      | SELECT query_id, q_vec, cell_id FROM (
+      |  SELECT q.query_id, q.q_vec, s.cell_id,
+      |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |     list_dot_product(q.q_vec, s.centroid)
+      |       / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(s.centroid, s.centroid))) DESC,
+      |     s.cell_id ASC) AS rn
+      |  FROM q CROSS JOIN cells s) z WHERE rn <= 4),
+      |qsub AS (
+      | SELECT query_id, j.j AS j, q_vec[j.j*16+1 : j.j*16+16] AS qv
+      | FROM q CROSS JOIN range(4) j(j)),
+      |cand AS (
+      | SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      | FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+      | WHERE a.vec_id <> p.query_id),
+      |terms AS (
+      | SELECT qs.query_id, ca.neighbor_id, qs.j,
+      |  list_dot_product(qs.qv, co.cvec) AS t,
+      |  list_dot_product(co.cvec, co.cvec) AS d
+      | FROM cand ca
+      | JOIN qsub qs ON qs.query_id = ca.query_id
+      | JOIN codes co ON co.vec_id = ca.neighbor_id AND co.j = qs.j),
       |adc AS (SELECT query_id, neighbor_id,
       |  sum(t ORDER BY j) / sqrt(sum(d ORDER BY j)) AS asim
       |        FROM terms GROUP BY query_id, neighbor_id),
