@@ -68,18 +68,16 @@ object Tables {
   def loadSince(spark: SparkSession, dir: String, name: String,
                 tsCol: String, since: java.sql.Timestamp): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (eventTimeColumns.getOrElse(name, Nil).contains(tsCol)) {
-      val filtered = raw.schema(tsCol).dataType match {
-        case LongType =>
-          val sinceUs = since.toInstant.getEpochSecond * 1000000L + since.getNanos / 1000L
-          raw.filter(col(tsCol) >= sinceUs * 1000L)
-        case TimestampNTZType =>
-          raw.filter(col(tsCol) >= lit(since.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime))
-        case _ =>
-          raw.filter(col(tsCol) >= lit(since))
-      }
-      eventTimeColumns(name).foldLeft(filtered)(normalize)
-    } else
-      load(spark, dir, name).filter(col(tsCol) >= lit(since))
+    val filtered = raw.schema(tsCol).dataType match {
+      case LongType if eventTimeColumns.getOrElse(name, Nil).contains(tsCol) =>
+        val sinceUs = since.toInstant.getEpochSecond * 1000000L + since.getNanos / 1000L
+        raw.filter(col(tsCol) >= sinceUs * 1000L)
+      case TimestampNTZType => // any NTZ column, event-time or not: an NTZ
+        // literal keeps the comparison same-typed (no cast above the scan)
+        raw.filter(col(tsCol) >= lit(since.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime))
+      case _ =>
+        raw.filter(col(tsCol) >= lit(since))
+    }
+    eventTimeColumns.getOrElse(name, Nil).foldLeft(filtered)(normalize)
   }
 }
