@@ -464,6 +464,15 @@ object SparkEntry {
           col("rank").cast("long").as("rnk"), col("asim_r6"))
     }),
 
+    // §7.6 cross-doc duplicated-SPAN profile (Lee et al. 2022's sliding-
+    // window exact-substring signal): any 8-token span in >= 2 docs is
+    // duplicated text; per doc, the spans hitting the hot set and the
+    // distinct token positions they cover. The oracle replays
+    // tokenize → positional grams → hot set → coverage in DuckDB.
+    "q74_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpanProfile(T(s, dir, "documents"), "doc_id", "text",
+        window = 8, minDocs = 2)),
+
     // §7.6 ANN recall@k harness — the exact arm (q13's ranking) joined
     // against the approximate arm (q68's IVF-PQ pipeline); both arms are
     // individually hash-equal to DuckDB, so the composed per-query recall
@@ -1655,6 +1664,45 @@ object SparkEntry {
     "q67_pq_ann" -> pqAnnOracleSql,
     "q72_pq_refined" -> pqRefinedOracleSql,
     "q73_ivfpq_refined" -> ivfPqRefinedOracleSql,
+
+    // q74: positional 8-gram twin of the q58/q69 tokenization (1-based
+    // DuckDB starts vs 0-based Spark starts — countDistinct over positions
+    // is offset-invariant); hot set grouped on raw gram text where Spark
+    // groups its xxhash64 (the q09/q69 collision-only divergence).
+    "q74_dup_spans" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
+        | FROM documents),
+        |gpos AS (
+        | SELECT doc_id, w, unnest(CASE WHEN len(w) >= 8 THEN
+        |    range(1, CAST(len(w) AS BIGINT) - 6) ELSE [] END) AS s
+        | FROM t),
+        |g AS (
+        | SELECT doc_id, s, array_to_string(w[s : s + 7], ' ') AS gram
+        | FROM gpos),
+        |hot AS (
+        | SELECT gram FROM g GROUP BY gram
+        | HAVING count(DISTINCT doc_id) >= 2),
+        |hs AS (SELECT g.doc_id, g.s FROM g JOIN hot USING (gram)),
+        |spans AS (SELECT doc_id, count(*) AS dup_spans FROM hs GROUP BY doc_id),
+        |cov AS (
+        | SELECT doc_id, count(DISTINCT p) AS dup_tokens
+        | FROM (SELECT doc_id, unnest(range(s, s + 8)) AS p FROM hs) z
+        | GROUP BY doc_id),
+        |nt AS (
+        | SELECT doc_id, CASE WHEN text IS NULL THEN 0
+        |   ELSE CAST(len(w) AS BIGINT) END AS n_toks
+        | FROM t)
+        |SELECT nt.doc_id, nt.n_toks,
+        | CAST(coalesce(spans.dup_spans, 0) AS BIGINT) AS dup_spans,
+        | CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        | round(CASE WHEN nt.n_toks > 0
+        |   THEN CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / nt.n_toks
+        |   ELSE 0.0 END, 6) AS dup_ratio_r6
+        |FROM nt
+        |LEFT JOIN spans USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)""".stripMargin,
     "q68_ivfpq_ann" -> ivfPqAnnOracleSql,
     "q70_ann_recall" -> annRecallOracleSql,
 

@@ -406,6 +406,63 @@ object Dedup {
     (remap.toDF("__old", "__new"), endpointLabels)
   }
 
+  /** Cross-document duplicated-SPAN profile — the sliding-window form of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): any `window`-token span occurring in
+    * >= `minDocs` distinct documents is duplicated text, and each document
+    * reports how much of it is covered by such spans. Complements
+    * [[removeRepeatedSegments]] (fixed non-overlapping segments — misses
+    * duplicates at unaligned offsets) and
+    * [[graft.ext.TextStats.repetitionProfile]] (within-doc only): this is
+    * the cross-doc signal at ARBITRARY offsets, the standard curation
+    * gate input for contaminated/boilerplate-heavy corpora.
+    *
+    * Output: (doc_id, n_toks, dup_spans, dup_tokens, dup_ratio_r6) — spans
+    * hitting the hot set, distinct token positions they cover, and the
+    * covered fraction. Every corpus row is retained (null text → zeros).
+    *
+    * Scale shape: the positional grams carry (doc_id, start, xxhash64) —
+    * the hot-set aggregate and semi-join shuffle the 64-bit hash, never
+    * gram text; coverage explodes each HOT span to `window` positions
+    * (bounded by window × hot spans, not corpus size) and collapses
+    * immediately into a per-doc countDistinct. Determinism: a pure
+    * function of the text — the q74 oracle replays the whole pipeline in
+    * DuckDB grouping on raw gram text (hash vs text grouping diverges only
+    * on a 64-bit collision, the q09/q69 convention). */
+  def duplicatedSpanProfile(docs: DataFrame, idCol: String, textCol: String,
+                            window: Int, minDocs: Long): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(minDocs > 1, s"minDocs must exceed 1 (minDocs=1 marks every span): $minDocs")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextExprs.wordNGrams(col(textCol), window,
+          distinct = false)).as(Seq("s", "gram")))
+      .select(col("doc_id"), col("s"), xxhash64(col("gram")).as("gh"))
+    val hot = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gh"))
+    val hotSpans = grams.join(hot, Seq("gh"), "left_semi")
+      .localCheckpoint() // consumed twice (span count + coverage)
+    val spans = hotSpans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"))
+    val cover = hotSpans
+      .select(col("doc_id"), explode(sequence(col("s"),
+        col("s") + (window - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("dup_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        when(col(textCol).isNull, lit(0L)).otherwise(
+          size(split(trim(lower(col(textCol))), "\\s+")).cast("long")).as("n_toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(when(col("n_toks") > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_toks"))
+          .otherwise(lit(0.0)), 6).as("dup_ratio_r6"))
+  }
+
   /** Exact n-gram Jaccard for a pair table (verification pass after LSH). */
   def ngramJaccard(pairs: DataFrame, left: Column, right: Column, n: Int): Column = {
     val (ls, rs) = (shingles(left, n), shingles(right, n))

@@ -278,6 +278,33 @@ class ExtensionsSpec extends SparkTestBase {
     assert(re.toSeq == out.toSeq)
   }
 
+  test("duplicated spans: cross-doc windows found at UNALIGNED offsets; within-doc repeats and null text excluded") {
+    val shared = "the quick brown fox jumps over the lazy" // 8 tokens
+    val a = s"$shared dog and then some unique tail words here"      // span at 0
+    val b = s"prefix words shift everything $shared dog ending now"  // span at 4
+    val c = "totally unrelated content with no overlap at all okay"  // clean
+    val dups = Seq.fill(2)("again again again again again again again again").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, dups), (5L, null))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanProfile(docs, "doc_id", "text",
+        window = 8, minDocs = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L), "every doc reports")
+    // docs 1 and 2 share the 8-token span at DIFFERENT offsets (0 vs 4) —
+    // the case fixed-segment dedup (removeRepeatedSegments) cannot see;
+    // both must report exactly one hot span covering 8 tokens... plus the
+    // shifted copy extends the shared run to 9 tokens ("... lazy dog"), so
+    // two overlapping hot spans covering 9 positions
+    assert(out(0)._3 == 2 && out(0)._4 == 9, s"doc1: ${out(0)}")
+    assert(out(1)._3 == 2 && out(1)._4 == 9, s"doc2: ${out(1)}")
+    assert(out(2) == ((3L, 9L, 0L, 0L, 0.0)), "clean doc untouched")
+    // doc 4 repeats WITHIN itself only — count(DISTINCT doc) = 1, not hot
+    assert(out(3)._3 == 0 && out(3)._4 == 0, s"within-doc repeats are not cross-doc: ${out(3)}")
+    assert(out(4) == ((5L, 0L, 0L, 0L, 0.0)), "null text reports zeros")
+    // ratio = covered / total tokens
+    assert(math.abs(out(0)._5 - 9.0 / out(0)._2) < 1e-9)
+  }
+
   test("simhash: identical texts agree, Column and table forms agree") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("doc_id", "text")
