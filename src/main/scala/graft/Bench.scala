@@ -62,7 +62,8 @@ object Bench {
     "q42_salted_join", "q45_heavy_hitters", "q51_vocab_encode",
     "q52_sequence_pack", "q53_decontaminate", "q56_label_centroids",
     "q58_repetition", "q60_semantic_dedup_bucketed",
-    "q67_pq_ann", "q68_ivfpq_ann", "q69_segment_dedup", "q72_pq_refined")
+    "q67_pq_ann", "q68_ivfpq_ann", "q69_segment_dedup", "q72_pq_refined",
+    "q74_dup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,7 +143,10 @@ object Bench {
         val r = heavy.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
             run(fn, dirK, 1) // warm plans from the 1× pass; codegen is shared
-            name -> run(fn, dirK, math.min(2, reps))
+            // full rep count at 8× too: slopes divide two small numbers, so
+            // a single contended sample can fabricate a 10× swing (observed
+            // 3.5 vs 27 on identical code) — min-of-N absorbs it
+            name -> run(fn, dirK, reps)
           }
         }
         // the replicated corpus is measurement scaffolding (~10× sf size on
