@@ -473,6 +473,13 @@ object SparkEntry {
       Dedup.duplicatedSpanProfile(T(s, dir, "documents"), "doc_id", "text",
         window = 8, minDocs = 2)),
 
+    // §7.6 the duplicated-span TRANSFORM — rebuild each doc from the token
+    // positions no cross-doc duplicated span covers (q74's cut applied
+    // token-exactly; order preserved, corpus rows retained).
+    "q75_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
+        window = 8, minDocs = 2)),
+
     // §7.6 ANN recall@k harness — the exact arm (q13's ranking) joined
     // against the approximate arm (q68's IVF-PQ pipeline); both arms are
     // individually hash-equal to DuckDB, so the composed per-query recall
@@ -1703,6 +1710,47 @@ object SparkEntry {
         |FROM nt
         |LEFT JOIN spans USING (doc_id)
         |LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    // q75: q74's hot-span machinery + the ordered rebuild from uncovered
+    // positions (string_agg ORDER BY p = Spark's array_sort of (p, tok)).
+    "q75_remove_dup_spans" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
+        | FROM documents),
+        |gpos AS (
+        | SELECT doc_id, w, unnest(CASE WHEN len(w) >= 8 THEN
+        |    range(1, CAST(len(w) AS BIGINT) - 6) ELSE [] END) AS s
+        | FROM t),
+        |g AS (
+        | SELECT doc_id, s, array_to_string(w[s : s + 7], ' ') AS gram
+        | FROM gpos),
+        |hot AS (
+        | SELECT gram FROM g GROUP BY gram
+        | HAVING count(DISTINCT doc_id) >= 2),
+        |hs AS (SELECT g.doc_id, g.s FROM g JOIN hot USING (gram)),
+        |covered AS (
+        | SELECT DISTINCT doc_id, unnest(range(s, s + 8)) AS p FROM hs),
+        |tp AS (
+        | SELECT doc_id, w, unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS p
+        | FROM t WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, p, w[p] AS tok FROM tp),
+        |kept AS (
+        | SELECT k.doc_id, k.p, k.tok FROM toks k
+        | LEFT JOIN covered c ON c.doc_id = k.doc_id AND c.p = k.p
+        | WHERE c.p IS NULL),
+        |rebuilt AS (
+        | SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+        |  count(*) AS toks_kept
+        | FROM kept GROUP BY doc_id),
+        |nt AS (
+        | SELECT doc_id, CASE WHEN text IS NULL THEN 0
+        |   ELSE CAST(len(w) AS BIGINT) END AS n_toks
+        | FROM t)
+        |SELECT nt.doc_id, coalesce(rebuilt.clean_text, '') AS clean_text,
+        | nt.n_toks,
+        | CAST(nt.n_toks - coalesce(rebuilt.toks_kept, 0) AS BIGINT) AS toks_removed
+        |FROM nt LEFT JOIN rebuilt USING (doc_id)""".stripMargin,
     "q68_ivfpq_ann" -> ivfPqAnnOracleSql,
     "q70_ann_recall" -> annRecallOracleSql,
 

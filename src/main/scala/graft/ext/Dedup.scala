@@ -431,18 +431,7 @@ object Dedup {
     * on a 64-bit collision, the q09/q69 convention). */
   def duplicatedSpanProfile(docs: DataFrame, idCol: String, textCol: String,
                             window: Int, minDocs: Long): DataFrame = {
-    require(window > 0, s"window must be positive: $window")
-    require(minDocs > 1, s"minDocs must exceed 1 (minDocs=1 marks every span): $minDocs")
-    val grams = docs.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.TextExprs.wordNGrams(col(textCol), window,
-          distinct = false)).as(Seq("s", "gram")))
-      .select(col("doc_id"), col("s"), xxhash64(col("gram")).as("gh"))
-    val hot = grams.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("gh"))
-    val hotSpans = grams.join(hot, Seq("gh"), "left_semi")
-      .localCheckpoint() // consumed twice (span count + coverage)
+    val hotSpans = hotSpanStarts(docs, idCol, textCol, window, minDocs)
     val spans = hotSpans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dup_spans"))
     val cover = hotSpans
@@ -461,6 +450,58 @@ object Dedup {
         round(when(col("n_toks") > 0,
           coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_toks"))
           .otherwise(lit(0.0)), 6).as("dup_ratio_r6"))
+  }
+
+  /** The TRANSFORM twin of [[duplicatedSpanProfile]]: rebuild each document
+    * from the token positions NOT covered by any cross-doc duplicated span
+    * (the Lee et al. 2022 cut, applied token-exactly). Surviving tokens
+    * keep their original order; every corpus row is retained (null text →
+    * empty). Output: (doc_id, clean_text, n_toks, toks_removed).
+    *
+    * Scale shape: on top of the profile's hot-span machinery, the rebuild
+    * shuffles each doc's surviving (position, token) pairs once — exactly
+    * [[removeRepeatedSegments]]' rebuild cost, O(total tokens). */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            window: Int, minDocs: Long): DataFrame = {
+    val covered = hotSpanStarts(docs, idCol, textCol, window, minDocs)
+      .select(col("doc_id"), explode(sequence(col("s"),
+        col("s") + (window - 1))).as("p"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("p", "tok")))
+    val rebuilt = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("toks_kept"))
+    docs.select(col(idCol).as("doc_id"),
+        when(col(textCol).isNull, lit(0L)).otherwise(
+          size(split(trim(lower(col(textCol))), "\\s+")).cast("long")).as("n_toks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_toks"),
+        (col("n_toks") - coalesce(col("toks_kept"), lit(0L))).as("toks_removed"))
+  }
+
+  /** Shared core of the duplicated-span pair: positional `window`-grams →
+    * hot set (>= `minDocs` distinct docs, keyed on xxhash64 — the shuffle
+    * never carries gram text) → each doc's hot-span start positions,
+    * pinned (consumed multiple times downstream). */
+  private def hotSpanStarts(docs: DataFrame, idCol: String, textCol: String,
+                            window: Int, minDocs: Long): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(minDocs > 1, s"minDocs must exceed 1 (minDocs=1 marks every span): $minDocs")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextExprs.wordNGrams(col(textCol), window,
+          distinct = false)).as(Seq("s", "gram")))
+      .select(col("doc_id"), col("s"), xxhash64(col("gram")).as("gh"))
+    val hot = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gh"))
+    grams.join(hot, Seq("gh"), "left_semi").localCheckpoint()
   }
 
   /** Exact n-gram Jaccard for a pair table (verification pass after LSH). */

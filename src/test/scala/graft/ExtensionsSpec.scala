@@ -303,6 +303,16 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out(4) == ((5L, 0L, 0L, 0L, 0.0)), "null text reports zeros")
     // ratio = covered / total tokens
     assert(math.abs(out(0)._5 - 9.0 / out(0)._2) < 1e-9)
+
+    // the transform twin: exactly the covered tokens are cut, order kept
+    val cut = Dedup.removeDuplicatedSpans(docs, "doc_id", "text",
+        window = 8, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(cut(0) == ((1L, "and then some unique tail words here", 16L, 9L)))
+    assert(cut(1) == ((2L, "prefix words shift everything ending now", 15L, 9L)))
+    assert(cut(2)._2 == c && cut(2)._4 == 0L, "clean doc text survives verbatim")
+    assert(cut(3)._4 == 0L, "within-doc repeats are never cut")
+    assert(cut(4) == ((5L, "", 0L, 0L)), "null text rebuilds to empty")
   }
 
   test("simhash: identical texts agree, Column and table forms agree") {
