@@ -194,6 +194,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q74/q75: span profile and removal stay equi-joins with no forced broadcast") {
+    for (q <- Seq("q74_dup_spans", "q75_remove_dup_spans")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      // no broadcast() hint anywhere in the chain: the planner must stay
+      // free to switch the rollup/anti joins to shuffle joins when the
+      // covered-position set outgrows broadcast at corpus scale
+      val lp = SparkEntry.queries(q)(spark, sf()).queryExecution.analyzed.toString
+      assert(!lp.contains("ResolvedHint"), s"$q carries a forced hint:\n$lp")
+    }
+  }
+
   test("q65: incremental cluster edges stay equi-joins; relabel pass is broadcast") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
