@@ -480,6 +480,13 @@ object SparkEntry {
       Dedup.removeDuplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
         window = 8, minDocs = 2)),
 
+    // §7.6 corpus-trained bigram fluency (the CCNet-style LM quality gate,
+    // log-free so every number is IEEE-exact and the oracle hash-matches):
+    // add-α bigram stats trained ON the corpus, each doc scored by the
+    // decimal-exact mean conditional probability of its tokens.
+    "q76_bigram_fluency" -> ((s, dir) =>
+      graft.ext.TextStats.bigramFluency(T(s, dir, "documents"), "doc_id", "text")),
+
     // §7.6 ANN recall@k harness — the exact arm (q13's ranking) joined
     // against the approximate arm (q68's IVF-PQ pipeline); both arms are
     // individually hash-equal to DuckDB, so the composed per-query recall
@@ -1751,6 +1758,38 @@ object SparkEntry {
         | nt.n_toks,
         | CAST(nt.n_toks - coalesce(rebuilt.toks_kept, 0) AS BIGINT) AS toks_removed
         |FROM nt LEFT JOIN rebuilt USING (doc_id)""".stripMargin,
+
+    // q76: the whole pipeline is +, *, / on integer-derived doubles (IEEE
+    // correctly-rounded, unlike log) plus the decimal-exact mean — so the
+    // cross-engine hash matches bit-for-bit.
+    "q76_bigram_fluency" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
+        | FROM documents),
+        |tp AS (
+        | SELECT doc_id, w, unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS p
+        | FROM t WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, p, w[p] AS tok FROM tp),
+        |lagd AS (
+        | SELECT doc_id, tok,
+        |  lag(tok) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        | FROM toks),
+        |big AS (SELECT doc_id, prev, tok FROM lagd WHERE prev IS NOT NULL),
+        |cb AS (SELECT prev, tok, count(*) AS cb FROM big GROUP BY prev, tok),
+        |cp AS (SELECT prev, count(*) AS cp FROM big GROUP BY prev),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+        |scored AS (
+        | SELECT big.doc_id, (cb.cb + 0.5) / (cp.cp + 0.5 * v.v) AS pr
+        | FROM big JOIN cb USING (prev, tok) JOIN cp USING (prev) CROSS JOIN v),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(pr AS DECIMAL(18,12))) AS DOUBLE) / count(*), 9)
+        |    AS mean_prob_r9
+        | FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | agg.mean_prob_r9
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q68_ivfpq_ann" -> ivfPqAnnOracleSql,
     "q70_ann_recall" -> annRecallOracleSql,
 

@@ -104,6 +104,61 @@ object TextStats {
     * aggregate — the (doc, gram) shuffle carries narrow rows and partial
     * aggregation collapses repeats map-side, so cost is O(tokens) with no
     * pair blowup. */
+  /** Corpus-trained bigram fluency score — the lightweight form of the
+    * CCNet-style LM quality gate: train add-α-smoothed bigram statistics ON
+    * the corpus itself, then score each document by the mean conditional
+    * probability of its tokens given their predecessor. Gibberish, shuffled
+    * text, and vocabulary soup score near the uniform floor α/(C+αV);
+    * text made of common collocations scores orders of magnitude higher.
+    *
+    * Deliberately LOG-FREE: mean log-prob (perplexity) needs libm `log`,
+    * which is not correctly rounded and differs across engines — the same
+    * reason the codebase's sqrt-over-pow rule exists. Every number here is
+    * IEEE-exact instead: counts are integers, α=0.5 terms are exact
+    * doubles, one division per bigram (correctly rounded by IEEE 754), and
+    * the per-doc mean runs through the decimal-exact sum — so the DuckDB
+    * oracle hash-matches bit-for-bit. The ORDERING of documents under
+    * mean-prob differs from mean-log-prob but separates the same tails.
+    *
+    * Output: (doc_id, n_bigrams, mean_prob_r9); documents with fewer than
+    * two tokens (including null text) report (0, null).
+    *
+    * Scale shape: one window pass per doc for (prev, tok) pairs (shuffle on
+    * doc_id), two count aggregates shuffling the token/pair strings once,
+    * the vocabulary size broadcast as a 1-row literal side, and the scoring
+    * join an equi-join on (prev, tok)/(prev). O(total tokens) end to end. */
+  def bigramFluency(docs: DataFrame, idCol: String, textCol: String,
+                    alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("p", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val big = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("prev"), col("tok"))
+      .localCheckpoint() // read 3×: pair counts, context counts, scoring
+    val cb = big.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+    val cp = big.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+    val v = toks.agg(countDistinct(col("tok")).as("v"))
+    val scored = big
+      .join(cb, Seq("prev", "tok"))
+      .join(cp, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        ((col("cb") + lit(alpha)) /
+          (col("cp") + lit(alpha) * col("v"))).as("pr"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(graft.functions.SafeCasts.decimalAvg(col("pr"), 12), 9)
+              .as("mean_prob_r9")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_prob_r9"))
+  }
+
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),

@@ -315,6 +315,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(cut(4) == ((5L, "", 0L, 0L)), "null text rebuilds to empty")
   }
 
+  test("bigram fluency: collocation-heavy text outscores unseen-bigram gibberish; tiny docs null; deterministic") {
+    import graft.ext.TextStats
+    val fluent = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+    val docs = (fluent ++ Seq(
+      (90L, "qzx wvu tsr qpo nml kji"), // every bigram unique to this doc
+      (91L, "solo"),                    // 1 token: no bigrams
+      (92L, null)))                     // null text: no bigrams
+      .toDF("doc_id", "text")
+    val out = TextStats.bigramFluency(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    val byId = out.map(o => o._1 -> o).toMap
+    // ten identical docs share every bigram (cb = 10 per pair): far above
+    // the gibberish doc whose bigrams occur once each
+    assert(byId(1L)._3.get > 2 * byId(90L)._3.get,
+      s"fluent ${byId(1L)} vs gibberish ${byId(90L)}")
+    assert(byId(1L)._2 == 5 && byId(90L)._2 == 5)
+    assert(byId(91L) == ((91L, 0L, None)), "single-token doc has no score")
+    assert(byId(92L) == ((92L, 0L, None)), "null text has no score")
+    // decimal-exact mean: stable under repartitioning
+    val re = TextStats.bigramFluency(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("simhash: identical texts agree, Column and table forms agree") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("doc_id", "text")
