@@ -426,7 +426,8 @@ object SparkEntry {
 
     // §7.6 PQ with ONE Lloyd refinement round — the recall path over q67's
     // raw md5 seeds (whose recall@10 floor sits near 0.2 on this corpus;
-    // the refined books roughly double it, PqRefineSpec pins the ordering).
+    // the refined books lift it measurably; ExtensionsSpec pins the monotone
+    // k-means objective).
     // Still fully oracle-checked: the refinement is a decimal-exact
     // per-(subspace, code) element average of the seed-book assignment, so
     // DuckDB replays encode₀ → refine → encode₁ → ADC bit-for-bit.
@@ -1812,9 +1813,11 @@ object SparkEntry {
         |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS clean_text,
         |        CAST(count(*) AS BIGINT) AS segs_kept FROM kept GROUP BY doc_id),
         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM s GROUP BY doc_id)
-        |SELECT tot.doc_id, coalesce(reb.clean_text, '') AS clean_text,
-        | tot.n_segs, tot.n_segs - coalesce(reb.segs_kept, 0) AS segs_removed
-        |FROM tot LEFT JOIN reb USING (doc_id)""".stripMargin,
+        |SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+        | CAST(coalesce(tot.n_segs, 0) AS BIGINT) AS n_segs,
+        | CAST(coalesce(tot.n_segs, 0) - coalesce(reb.segs_kept, 0) AS BIGINT)
+        |   AS segs_removed
+        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin,
 
     // q71: thresholds derived from lang counts — floor(sqrt(n_min/n)·65536)
     // is engine-exact (double division, IEEE sqrt, power-of-two scale);
@@ -1830,7 +1833,7 @@ object SparkEntry {
         | CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
         |   AS mix_bucket,
         | t.mix_thr
-        |FROM documents d JOIN t USING (lang)
+        |FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
         |      < t.mix_thr""".stripMargin,
 

@@ -647,7 +647,9 @@ object SimSearch {
     * this objective) is the guarantee refinement rests on, so expose it as
     * the tuning observable: ADC *recall* is corpus-dependent and can wobble
     * per config, but this number must be non-increasing in `lloydIters`
-    * (PqRefineSpec pins it). One narrow aggregate per call — no shuffle. */
+    * (ExtensionsSpec pins it). Decimal-exact mean, so the observable is
+    * partition-order independent like every other exposed number. One
+    * narrow aggregate per call — no shuffle. */
   def pqTrainingError(corpus: DataFrame, idCol: String, vecCol: String,
                       m: Int = 4, nCodes: Int = 16, dim: Int = 64,
                       lloydIters: Int = 0): Double = {
@@ -662,7 +664,7 @@ object SimSearch {
       dot(vj, vj) - lit(2.0) * dot(vj, codeVec(j)) + dot(codeVec(j), codeVec(j))
     }.reduce(_ + _)
     c.select(col("v"), pqCodesCol(m, sub, cbs))
-      .agg(avg(err)).head().getDouble(0)
+      .agg(graft.functions.SafeCasts.decimalAvg(err, 12)).head().getDouble(0)
   }
 
   /** Encode `v` as m codes: per subspace, argmin_c ||v_j − cb[j][c]||²

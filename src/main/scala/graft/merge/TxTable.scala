@@ -479,8 +479,9 @@ object TxTable {
                           scheme: Option[String] = None,
                           expectedHead: Option[Long] = None): Unit = {
     require(partCols.nonEmpty, "replacePartitionsBy needs >= 1 partition column")
-    val live = liveSetsByVersion(hadoopFs(spark, dir), dir)
-      .lastOption.map(_._2).getOrElse(Vector.empty)
+    // head live set only — replay() seeds from the newest checkpoint, so the
+    // guard costs O(commits since compactLog), not O(versions × files)
+    val live = replay(hadoopFs(spark, dir), dir)._1
     if (live.nonEmpty) {
       val layouts = live.map(_.part
         .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil)).distinct

@@ -34,7 +34,10 @@ class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("bash", "-c", s"command -v $name").!(ProcessLogger(_ => ())) == 0
   private lazy val envOk: Boolean =
     Seq("initdb", "pg_ctl", "psql").forall(haveBinary) &&
-      Seq("bash", "-c", "id postgres").!(ProcessLogger(_ => ())) == 0
+      Seq("bash", "-c", "id postgres").!(ProcessLogger(_ => ())) == 0 &&
+      // chown + su below need root; on a non-root dev box this must CANCEL
+      // (assume), never abort the suite from beforeAll
+      Seq("bash", "-c", "[ \"$(id -u)\" = 0 ]").!(ProcessLogger(_ => ())) == 0
 
   /** Run a shell command as the postgres user from a directory it can read. */
   private def asPg(cmd: String): Int =
