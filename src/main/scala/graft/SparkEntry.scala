@@ -488,6 +488,24 @@ object SparkEntry {
     "q76_bigram_fluency" -> ((s, dir) =>
       graft.ext.TextStats.bigramFluency(T(s, dir, "documents"), "doc_id", "text")),
 
+    // §7.6 INCREMENTAL segment dedup (the r7 ask: persisted (seg_hash,
+    // n_docs) frequency index, folded batch by batch). Index from the
+    // first corpus half via a fold on the empty index, second half cut
+    // against the CUMULATIVE counts — a segment in one old doc + one new
+    // doc is boilerplate for the new doc even though neither half alone
+    // repeats it. The oracle replays both stages text-keyed in DuckDB
+    // (hash-vs-text grouping: the q09/q69 collision-only divergence).
+    "q77_segment_dedup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (_, delta) = Dedup.incrementalSegmentDedup(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        Dedup.emptySegmentIndex(s), window = 8, minDocs = 2)
+      val idx = Dedup.foldSegmentIndex(Dedup.emptySegmentIndex(s), delta)
+      Dedup.incrementalSegmentDedup(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        idx, window = 8, minDocs = 2)._1
+    }),
+
     // §7.6 ANN recall@k harness — the exact arm (q13's ranking) joined
     // against the approximate arm (q68's IVF-PQ pipeline); both arms are
     // individually hash-equal to DuckDB, so the composed per-query recall
@@ -1818,6 +1836,37 @@ object SparkEntry {
         | CAST(coalesce(tot.n_segs, 0) - coalesce(reb.segs_kept, 0) AS BIGINT)
         |   AS segs_removed
         |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    // q77: q69's segmentation replayed in two stages — the index CTE is
+    // stage A's per-segment distinct-doc counts (doc_id < 250), the batch
+    // cut compares batch + index counts against the threshold, rebuild
+    // anchored on the batch corpus rows. DuckDB groups on segment text
+    // where Spark folds the xxhash64 index (collision-only divergence).
+    "q77_segment_dedup_incremental" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        | FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+        |w AS (SELECT doc_id, toks, unnest(range((n_tok + 7) // 8)) AS seg_no FROM n),
+        |s AS (SELECT doc_id, CAST(seg_no AS BIGINT) AS seg_no,
+        |  array_to_string(toks[seg_no*8+1 : seg_no*8+8], ' ') AS seg FROM w),
+        |idx AS (SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |        FROM s WHERE doc_id < 250 GROUP BY seg),
+        |b AS (SELECT * FROM s WHERE doc_id >= 250),
+        |bc AS (SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM b GROUP BY seg),
+        |hot AS (SELECT bc.seg FROM bc LEFT JOIN idx USING (seg)
+        |        WHERE bc.n_docs + coalesce(idx.n_docs, 0) >= 2),
+        |kept AS (SELECT * FROM b WHERE seg NOT IN (SELECT seg FROM hot)),
+        |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS clean_text,
+        |        CAST(count(*) AS BIGINT) AS segs_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM b GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+        | CAST(coalesce(tot.n_segs, 0) AS BIGINT) AS n_segs,
+        | CAST(coalesce(tot.n_segs, 0) - coalesce(reb.segs_kept, 0) AS BIGINT)
+        |   AS segs_removed
+        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |WHERE d.doc_id >= 250""".stripMargin,
 
     // q71: thresholds derived from lang counts — floor(sqrt(n_min/n)·65536)
     // is engine-exact (double division, IEEE sqrt, power-of-two scale);

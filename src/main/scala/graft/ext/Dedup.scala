@@ -854,7 +854,25 @@ object Dedup {
       window: Int, minDocs: Long): DataFrame = {
     require(window > 0, s"window must be positive: $window")
     require(minDocs > 1, s"minDocs must exceed 1 (minDocs=1 empties every doc): $minDocs")
-    val segs = docs
+    val segs = segmentRows(docs, idCol, textCol, window)
+
+    val hot = segs.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("seg_hash"))
+
+    val kept = segs.join(hot, Seq("seg_hash"), "left_anti")
+    rebuildFromKept(docs, idCol, segs, kept)
+  }
+
+  /** Shared segmentation for the segment-dedup family: one row per
+    * non-overlapping `window`-token piece of each document —
+    * (doc_id, seg_no, seg, seg_hash). A null/empty text yields no rows
+    * (explode over a null sequence drops the document); callers that
+    * promise row preservation must re-anchor on the input corpus. */
+  private def segmentRows(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         split(trim(lower(col(textCol))), "\\s+").as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
@@ -866,12 +884,11 @@ object Dedup {
           (col("seg_no") * window + 1).cast("int"), lit(window)), " ").as("seg"))
       .withColumn("seg_hash", xxhash64(col("seg")))
 
-    val hot = segs.groupBy(col("seg_hash"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("seg_hash"))
-
-    val kept = segs.join(hot, Seq("seg_hash"), "left_anti")
+  /** Shared ordered rebuild: drop cut segments, restitch each document from
+    * the survivors in `seg_no` order, and re-anchor on the ORIGINAL corpus
+    * rows so null-text/fully-cut documents survive as ("", n, n) rows. */
+  private def rebuildFromKept(docs: DataFrame, idCol: String,
+      segs: DataFrame, kept: DataFrame): DataFrame = {
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(
         concat_ws(" ", transform(
@@ -892,5 +909,84 @@ object Dedup {
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         (coalesce(col("n_segs"), lit(0L)) -
           coalesce(col("segs_kept"), lit(0L))).as("segs_removed"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental segment dedup: the batch-by-batch twin of
+  // [[removeRepeatedSegments]] (the r7 ask: persist (seg_hash, n_docs),
+  // fold batches q62-style). The corpus's boilerplate knowledge is ONLY
+  // its segment-frequency table — (seg_hash, n_docs distinct documents
+  // ever seen containing that segment) — which is tiny relative to the
+  // text (two longs per distinct segment). Each new batch probes the
+  // index for ITS OWN segment hashes only (equi-join on a long; with the
+  // index bucketed by seg_hash this is a pruned probe), cuts segments
+  // whose CUMULATIVE document frequency (index + batch) reaches minDocs,
+  // and emits an O(|batch segments|) count DELTA for the caller to fold
+  // into the persisted index — the old corpus text is never rescanned and
+  // the index is never rewritten wholesale.
+  // ---------------------------------------------------------------------
+
+  /** Empty segment-frequency index: (seg_hash LONG, n_docs LONG). */
+  def emptySegmentIndex(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("seg_hash", LongType),
+        StructField("n_docs", LongType))))
+  }
+
+  /** Sum-merge a batch delta into the persisted index. At scale this runs
+    * as a partitioned upsert keyed on seg_hash (MergeSink/TxTable); the
+    * union+re-aggregate form here is the reference semantics both share. */
+  def foldSegmentIndex(index: DataFrame, delta: DataFrame): DataFrame =
+    index.select(col("seg_hash"), col("n_docs"))
+      .unionByName(delta.select(col("seg_hash"), col("n_docs")))
+      .groupBy(col("seg_hash")).agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Dedup one new batch of documents against the corpus's persisted
+    * segment-frequency index. Returns
+    * (cleaned batch — same shape as [[removeRepeatedSegments]]:
+    *  doc_id, clean_text, n_segs, segs_removed;
+    *  index DELTA — this batch's (seg_hash, n_docs) increments, to be
+    *  [[foldSegmentIndex]]-ed into the persisted index).
+    *
+    * Semantics:
+    *  - counts come from the batch's RAW segments (not the cleaned
+    *    output): boilerplate detection wants true document frequency, and
+    *    a segment cut from this batch must still push later batches over
+    *    the threshold;
+    *  - a batch processed against the index of all earlier batches gets
+    *    EXACTLY the cut a full [[removeRepeatedSegments]] over the whole
+    *    corpus-so-far would give its documents (cumulative distinct-doc
+    *    counts are identical) — so `emptySegmentIndex` + one whole-corpus
+    *    batch reproduces the batch operator bit-for-bit;
+    *  - earlier batches are NOT retroactively re-cut when a segment later
+    *    turns hot — the usual one-pass incremental contract (same as the
+    *    q62 MinHash fold);
+    *  - doc_ids are assumed unique across batches (the ingestion
+    *    contract); redelivered documents would double-count frequencies.
+    *
+    * Scale shape: the index probe is a broadcast-or-shuffle equi-join on
+    * a single long restricted to the batch's distinct segment hashes; the
+    * delta is O(|batch's distinct segments|); per-batch cost is O(batch
+    * tokens) regardless of corpus size. */
+  def incrementalSegmentDedup(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, window: Int, minDocs: Long): (DataFrame, DataFrame) = {
+    require(window > 0, s"window must be positive: $window")
+    require(minDocs > 1, s"minDocs must exceed 1 (minDocs=1 empties every doc): $minDocs")
+    val segs = segmentRows(batch, idCol, textCol, window)
+
+    val delta = segs.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // Cumulative frequency for the batch's own segments only: probe the
+    // index on the delta's hashes (left join — an absent segment has seen
+    // 0 prior documents), never scan the index's full extent.
+    val hot = delta
+      .join(index.select(col("seg_hash"), col("n_docs").as("__idx_docs")),
+        Seq("seg_hash"), "left")
+      .filter(col("n_docs") + coalesce(col("__idx_docs"), lit(0L)) >= minDocs)
+      .select(col("seg_hash"))
+
+    val kept = segs.join(hot, Seq("seg_hash"), "left_anti")
+    (rebuildFromKept(batch, idCol, segs, kept), delta)
   }
 }

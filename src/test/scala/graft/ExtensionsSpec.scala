@@ -278,6 +278,58 @@ class ExtensionsSpec extends SparkTestBase {
     assert(re.toSeq == out.toSeq)
   }
 
+  test("incremental segment dedup: cross-batch hotness, batch-local hotness, delta fold ≡ direct counts, null text retained") {
+    val boiler = "subscribe to our newsletter terms of service apply" // 8 toks
+    val uniqA = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqB = "iota kappa lambda mu nu xi omicron pi"
+    val pair  = "rho sigma tau upsilon phi chi psi omega"
+    val batchA = Seq((1L, s"$boiler $uniqA")).toDF("doc_id", "text")
+    val batchB = Seq(
+      (10L, s"$boiler $uniqB"),  // boiler: 1 old doc + this → hot cross-batch
+      (11L, s"$pair one two three four five six seven eight"),
+      (12L, pair),               // pair seen in 2 batch docs → hot batch-local
+      (13L, null))               // null text: corpus row retained
+      .toDF("doc_id", "text")
+
+    val (cleanA, deltaA) = Dedup.incrementalSegmentDedup(batchA, "doc_id",
+      "text", Dedup.emptySegmentIndex(spark), window = 8, minDocs = 2)
+    // single-doc first batch: nothing repeats, everything survives
+    assert(cleanA.filter(col("segs_removed") > 0).count() == 0)
+    val idx = Dedup.foldSegmentIndex(Dedup.emptySegmentIndex(spark), deltaA)
+
+    val (cleanB, deltaB) = Dedup.incrementalSegmentDedup(batchB, "doc_id",
+      "text", idx, window = 8, minDocs = 2)
+    val out = cleanB.as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L), "every batch doc reports")
+    assert(out(0) == ((10L, uniqB, 2L, 1L)), "index count pushes boiler over threshold")
+    assert(out(1) == ((11L, "one two three four five six seven eight", 2L, 1L)),
+      "batch-local repetition is hot with zero index support")
+    assert(out(2) == ((12L, "", 1L, 1L)))
+    assert(out(3) == ((13L, "", 0L, 0L)), "null text must not drop the corpus row")
+
+    // delta fold ≡ direct distinct-doc counts over the union corpus
+    val folded = Dedup.foldSegmentIndex(idx, deltaB)
+      .as[(Long, Long)].collect().toMap
+    val direct = {
+      val all = batchA.unionByName(batchB)
+      Dedup.incrementalSegmentDedup(all, "doc_id", "text",
+        Dedup.emptySegmentIndex(spark), window = 8, minDocs = 2)
+        ._2.as[(Long, Long)].collect().toMap
+    }
+    assert(folded == direct, "two-batch fold must equal one-shot counts")
+
+    // empty index + whole corpus in one batch ≡ the batch operator
+    val union = batchA.unionByName(batchB)
+    val oneShot = Dedup.incrementalSegmentDedup(union, "doc_id", "text",
+        Dedup.emptySegmentIndex(spark), window = 8, minDocs = 2)
+      ._1.as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val batchOp = Dedup.removeRepeatedSegments(union, "doc_id", "text",
+        window = 8, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(oneShot.toSeq == batchOp.toSeq,
+      "empty-index incremental must reproduce removeRepeatedSegments")
+  }
+
   test("duplicated spans: cross-doc windows found at UNALIGNED offsets; within-doc repeats and null text excluded") {
     val shared = "the quick brown fox jumps over the lazy" // 8 tokens
     val a = s"$shared dog and then some unique tail words here"      // span at 0
