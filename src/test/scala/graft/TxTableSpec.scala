@@ -430,6 +430,80 @@ class TxTableSpec extends SparkTestBase {
     else assert(rowsNow.contains((0L, "base")))
   }
 
+  test("multi-PROCESS OCC: three separate JVMs race appends into one table; gapless log, no lost commit") {
+    // The r6/r7 ask: the in-process race above shares one JVM (one
+    // FileSystem cache, one lock table); the commit protocol's claim is
+    // CROSS-PROCESS atomicity via link(2)/rename. Prove it with three real
+    // JVMs, each its own SparkSession, all appending to the same table.
+    val dir = tmpDir("tx-jvmrace")
+    TxTable.replace(spark, dir, Seq((0L, "base")).toDF("k", "s"))
+    val barrier = tmpDir("tx-jvmbarrier")
+    new java.io.File(barrier).mkdirs()
+
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // Test / fork := true, so java.class.path IS the full test classpath;
+    // replicate build.sbt's JDK17 module opens for the child SparkSessions.
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val appendsPerWriter = 3
+    def launch(id: Int): Process = {
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx1g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.TxRaceWorker", dir, id.toString,
+        appendsPerWriter.toString, barrier)
+      new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    }
+    val ids = Seq(1, 2, 3)
+    val procs = ids.map(launch)
+    try {
+      // hold the gate until every JVM is up, then release them together
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (!ids.forall(i =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(barrier, s"ready-$i")))) {
+        assert(System.nanoTime() < deadline, "workers never reached the barrier")
+        Thread.sleep(50)
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(barrier, "go"), "go")
+
+      val results = procs.map { p =>
+        val out = new String(p.getInputStream.readAllBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+          "worker JVM hung")
+        (p.exitValue, out)
+      }
+      results.foreach { case (code, out) =>
+        assert(code == 0, s"worker failed:\n${out.takeRight(2000)}")
+      }
+      val okCounts = results.map { case (_, out) =>
+        "TXRACE_OK=(\\d+)".r.findFirstMatchIn(out)
+          .getOrElse(fail(s"no result line:\n${out.takeRight(2000)}"))
+          .group(1).toInt
+      }
+
+      val versions = TxTable.versions(spark, dir)
+      assert(versions == (versions.min to versions.max),
+        "log must be gapless — a clobbered slot would leave a hole")
+      val rows = TxTable.read(spark, dir).get.as[(Long, String)].collect().toSet
+      assert(rows.contains((0L, "base")))
+      // the no-lost-commit invariant: every append a worker saw ACCEPTED
+      // is live after all three JVMs exit
+      assert(rows.count(_._2.startsWith("w")) == okCounts.sum,
+        s"live worker rows vs accepted commits: $rows vs $okCounts")
+      // and with bounded-retry OCC under only 3 writers, most should land
+      assert(okCounts.sum >= ids.size,
+        s"suspiciously few accepted commits: $okCounts")
+    } finally procs.foreach(_.destroyForcibly())
+  }
+
   test("two-partition-column layout: pruning, scoped swap, and compaction are exact") {
     val dir = tmpDir("tx-multipart")
     def df(rs: Seq[(Long, String, String)]) = rs.toDF("k", "p1", "p2")
