@@ -9,7 +9,7 @@ import graft.functions.{JsonFlatten, SafeCasts}
 import graft.functions.JsonFlatten.{AsLong, KeySpec}
 import graft.functions.SafeCasts._
 import graft.ops.{Denormalize, Timeline}
-import graft.ext.{Dedup, SimSearch, TextStats}
+import graft.ext.{Dedup, Sampling, SimSearch, TextStats}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ §7.6 extensions), each with a DuckDB oracle where the
@@ -240,6 +240,32 @@ object SparkEntry {
         Dedup.portableNearDups(
           T(s, dir, "documents").filter(col("doc_id") < 500),
           "doc_id", "text"))),
+
+    // §7.6 leakage-safe corpus split: the split unit is q64's near-dup
+    // CLUSTER — near-duplicates can't straddle train/eval by construction
+    // (the corpus-split leak decontamination papers warn about). Docs
+    // without near-dups fall back to singleton clusters. 80/10/10 on the
+    // md5 bucket of the cluster id; the oracle replays components
+    // (recursive CTE) + singleton fallback + the literal bucket cuts.
+    "q78_leakage_safe_split" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val labels = Dedup.nearDupClusters(
+        Dedup.portableNearDups(docs, "doc_id", "text"))
+      Sampling.leakageSafeSplit(docs, "doc_id", labels,
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    }),
+
+    // §7.6 epoch mixture — the multi-epoch source-weighting knob (rates
+    // above 1 repeat docs deterministically: src0 ×2.5, src1 ×1, src2
+    // ×0.25, everything else dropped). Fractional epochs use the q46
+    // md5-bucket rule with exact power-of-two thresholds (0.5→32768,
+    // 0.25→16384), so the oracle replays count + expansion bit-for-bit.
+    "q79_epoch_mixture" -> ((s, dir) =>
+      Sampling.epochMixture(T(s, dir, "documents"), col("source"),
+          col("doc_id"),
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+        .select(col("doc_id"), col("source"),
+          col("epoch").cast("long").as("epoch"))),
 
     // §7.6 the INCREMENTAL clustering path: stage A batch-clusters the
     // first corpus half into persisted (doc_id, cluster_id) labels; stage B
@@ -1166,6 +1192,54 @@ object SparkEntry {
         | SELECT e.u, reach.m FROM edges e JOIN reach ON reach.doc_id = e.v)
         |SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
 
+    // q78: q64's component chain + singleton fallback for unclustered
+    // docs, then the literal 80/10/10 bucket cuts (round(0.8·65536)=52429,
+    // round(0.9·65536)=58982) on the q46 md5-bucket rule over cluster_id.
+    "q78_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
+        | FROM documents WHERE doc_id < 500),
+        |mins AS (
+        | SELECT doc_id, r.i,
+        |  min(substr(md5(CAST(r.i AS VARCHAR) || '|' || t), 1, 16)) AS h
+        | FROM toks CROSS JOIN range(32) r(i) GROUP BY doc_id, r.i),
+        |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, b.b AS band_id,
+        |  md5(array_to_string(sig[b.b*8+1 : b.b*8+8], ',')) AS band_hash
+        | FROM sigs CROSS JOIN range(4) b(b)),
+        |pairs AS (
+        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |  AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+        |est AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |   CAST(len(list_filter(generate_series(1, 32),
+        |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/32 AS est_jaccard
+        |  FROM pairs p
+        |  JOIN sigs sa ON sa.doc_id = p.doc_a
+        |  JOIN sigs sb ON sb.doc_id = p.doc_b) z
+        | WHERE est_jaccard >= 0.6),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM est
+        |          UNION ALL SELECT doc_b, doc_a FROM est),
+        |reach(doc_id, m) AS (
+        | SELECT DISTINCT u, u FROM edges
+        | UNION
+        | SELECT e.u, reach.m FROM edges e JOIN reach ON reach.doc_id = e.v),
+        |lab AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id),
+        |units AS (
+        | SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN lab USING (doc_id) WHERE d.doc_id < 500),
+        |b AS (SELECT doc_id, cluster_id,
+        |  CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS INTEGER) AS bk
+        | FROM units)
+        |SELECT doc_id, cluster_id,
+        | CASE WHEN bk < 52429 THEN 'train'
+        |      WHEN bk < 58982 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+
     // q65: the q64 machinery split into the SAME two stages the Spark side
     // runs — stage-A pairs (both ids < 250, the persisted-label build) and
     // stage-B incremental edges (new docs >= 250 vs the indexed corpus plus
@@ -1867,6 +1941,22 @@ object SparkEntry {
         |   AS segs_removed
         |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
         |WHERE d.doc_id >= 250""".stripMargin,
+
+    // q79: per-source copy counts from the literal rate map (whole epochs
+    // + md5-bucket fractional epoch), expanded by unnest(range(n)).
+    "q79_epoch_mixture" ->
+      """WITH b AS (
+        | SELECT doc_id, source,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS bk
+        | FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  CASE WHEN source = 'src0' THEN 2 + (CASE WHEN bk < 32768 THEN 1 ELSE 0 END)
+        |       WHEN source = 'src1' THEN 1
+        |       WHEN source = 'src2' THEN (CASE WHEN bk < 16384 THEN 1 ELSE 0 END)
+        |       ELSE 0 END AS ne
+        | FROM b),
+        |u AS (SELECT doc_id, source, unnest(range(ne)) AS ep FROM n)
+        |SELECT doc_id, source, CAST(ep AS BIGINT) AS epoch FROM u""".stripMargin,
 
     // q71: thresholds derived from lang counts — floor(sqrt(n_min/n)·65536)
     // is engine-exact (double division, IEEE sqrt, power-of-two scale);

@@ -111,4 +111,97 @@ object Sampling {
       .orderBy(md5(key.cast("string")), key)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
   }
+
+  /** Epoch mixture: [[weightedMixture]] with rates ABOVE 1 — the
+    * "books ×2.5, web ×0.3" knob of a pretraining run, where high-value
+    * sources are repeated for multiple epochs while low-value ones are
+    * subsampled. A rate e means each row appears floor(e) times, plus one
+    * more iff its md5 bucket clears the fractional part (so counts are
+    * exact in expectation and repetition is deterministic per row — the
+    * same docs get the extra epoch on every run and every engine).
+    *
+    * Output adds `epoch` (0-based copy number): downstream shuffling can
+    * interleave epochs (e.g. shard on (key, epoch)) rather than emitting
+    * the corpus k times back-to-back. Sources absent from `rates` drop,
+    * matching [[weightedMixture]].
+    *
+    * Scale shape: narrow — a literal when-chain picks the per-source copy
+    * count n = floor(e) + (bucket < frac(e)·65536), and one
+    * explode(sequence(0, n-1)) expands rows in place; no join, no shuffle,
+    * output bytes ∝ the requested epochs. */
+  def epochMixture(df: DataFrame, source: Column, key: Column,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "rates must not be empty")
+    require(rates.values.forall(r => r >= 0 && r <= 100),
+      s"rates out of [0,100]: $rates")
+    val bucket = hashBucket(key)
+    def copies(e: Double): Column = {
+      val whole = math.floor(e).toInt
+      val fracThr = math.round((e - whole) * 65536).toInt
+      lit(whole) + when(bucket < fracThr, 1).otherwise(0)
+    }
+    val n = rates.tail.foldLeft(
+      when(source === rates.head._1, copies(rates.head._2))) {
+      case (acc, (s, e)) => acc.when(source === s, copies(e))
+    }.otherwise(lit(0))
+    df.withColumn("__n_epochs", n)
+      .filter(col("__n_epochs") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("__n_epochs") - 1)))
+      .drop("__n_epochs")
+  }
+
+  /** Leakage-safe train/val/test split: the atomic unit of assignment is
+    * the NEAR-DUP CLUSTER, not the document — a doc-keyed split would put
+    * one copy of a near-duplicated document in train and its twin in the
+    * eval set, leaking training text into evaluation (the classic corpus-
+    * split bug benchmark-decontamination papers warn about). Every member
+    * of a cluster inherits the cluster's md5 bucket, so near-duplicates
+    * can never straddle a split boundary by construction.
+    *
+    * `clusters` is a (doc_id, cluster_id) labeling — [[graft.ext.Dedup
+    * .nearDupClusters]] output or any other grouping worth keeping atomic
+    * (e.g. one cluster per source URL or per repository). Documents absent
+    * from `clusters` are their own singleton cluster (cluster_id =
+    * doc_id), so the operator composes with a labels table that only
+    * records docs that HAVE near-dups.
+    *
+    * `fractions` are (split name, fraction) in declaration order, summing
+    * to 1; cuts are cumulative-fraction thresholds on the 16-bit bucket
+    * (resolution 1/65536, same rule as [[uniform]] — realized sizes are
+    * binomial around the targets, exact only in expectation). The LAST
+    * split takes the remainder so every bucket lands somewhere.
+    *
+    * Output: (doc_id, cluster_id, split). Deterministic and engine-
+    * portable: assignment is a pure function of cluster_id, so the q78
+    * oracle replays it from the recursive-CTE components, and re-running
+    * with a grown corpus moves no existing cluster between splits (bucket
+    * depends on nothing but the cluster id).
+    *
+    * Scale shape: one equi-join docs⋈labels (broadcast when the label
+    * table is small — it only holds docs with near-dups), then a narrow
+    * projection; no aggregate, no extra shuffle. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "fractions must not be empty")
+    require(fractions.forall(_._2 > 0), s"fractions must be positive: $fractions")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate split names: $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 65536).toInt)
+    val withCluster = docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val bucket = hashBucket(col("cluster_id"))
+    // last split takes the remainder: rounding must never orphan bucket 65535
+    val split = fractions.init.zip(cuts.init)
+      .foldLeft(None: Option[Column]) { case (acc, ((name, _), cut)) =>
+        Some(acc.fold(when(bucket < cut, name))(_.when(bucket < cut, name)))
+      }
+      .fold(lit(fractions.last._1))(_.otherwise(fractions.last._1))
+    withCluster.select(col("doc_id"), col("cluster_id"), split.as("split"))
+  }
 }

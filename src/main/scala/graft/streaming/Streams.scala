@@ -150,6 +150,50 @@ object Streams {
         MergeSink.appendDedup(s, bandDir, bandRows, "bk")
       }
     }
+
+    /** Incremental segment dedup ([[graft.ext.Dedup
+      * .incrementalSegmentDedup]]) as a streaming sink: each micro-batch
+      * probes the persisted segment-frequency state, cuts segments whose
+      * cumulative distinct-doc count reaches `minDocs`, appends the
+      * cleaned batch (keyed on doc id), and records its count
+      * contribution.
+      *
+      * Replay safety shapes the state layout: a sum-merged (seg_hash,
+      * n_docs) row is NOT idempotent under at-least-once redelivery
+      * (re-folding doubles the count), so the persisted state keeps one
+      * row per (seg_hash, batch_id) contribution, insert-if-absent keyed
+      * — a redelivered batch's insert is dropped, and the probe EXCLUDES
+      * the batch's own prior contribution so the re-run sees the exact
+      * index the first attempt saw. The probe aggregates the contribution
+      * table by seg_hash per batch; the table is two longs + a batch id
+      * per distinct (segment, batch) — compact it with the M-family
+      * rewrite when history grows. */
+    def segmentFold(countsDir: String, cleanDir: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    window: Int = 8, minDocs: Long = 2,
+                    tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, batchId) => {
+      import graft.ext.Dedup
+      val prior = MergeSink.readAny(s, countsDir)
+        .map(_.filter(col("batch_id") =!= batchId)
+          .groupBy(col("seg_hash")).agg(sum(col("n_docs")).as("n_docs")))
+        .getOrElse(Dedup.emptySegmentIndex(s))
+      val (clean, delta) = Dedup.incrementalSegmentDedup(
+        batch, idCol, textCol, prior, window, minDocs)
+      // materialize both BEFORE the writes mutate the state they read
+      val cleanMat = clean.localCheckpoint()
+      val contrib = delta
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("ck", concat_ws("#", col("seg_hash"), col("batch_id")))
+        .localCheckpoint()
+      if (tx) {
+        MergeSink.appendDedupTx(s, cleanDir, cleanMat, "doc_id")
+        MergeSink.appendDedupTx(s, countsDir, contrib, "ck")
+      } else {
+        MergeSink.appendDedup(s, cleanDir, cleanMat, "doc_id")
+        MergeSink.appendDedup(s, countsDir, contrib, "ck")
+      }
+    }
   }
 
   /** Cast an NTZ event-time column to session-zoned TimestampType — the

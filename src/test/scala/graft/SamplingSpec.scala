@@ -111,4 +111,83 @@ class SamplingSpec extends SparkTestBase {
     val big = kept.count(_._2.contains("big"))
     assert(math.abs(big - 200) < 60, s"big kept $big")
   }
+
+  test("epochMixture: whole epochs exact, fractional epoch ~expected, interleavable epoch ids, deterministic") {
+    val df = ((1L to 1000L).map(i => (i, "books")) ++
+        (2001L to 3000L).map(i => (i, "web")) ++
+        (4001L to 4100L).map(i => (i, "junk")))
+      .toDF("id", "src")
+    val out = Sampling.epochMixture(df, col("src"), col("id"),
+        Map("books" -> 2.5, "web" -> 0.5))
+      .select("id", "src", "epoch").as[(Long, String, Int)].collect()
+
+    assert(!out.exists(_._2 == "junk"), "unlisted sources drop")
+    val books = out.filter(_._2 == "books")
+    // every books doc appears at least twice (whole part), ~half a third time
+    val perDoc = books.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perDoc.size == 1000 && perDoc.values.forall(n => n == 2 || n == 3))
+    val third = perDoc.values.count(_ == 3)
+    assert(math.abs(third - 500) < 80, s"fractional epoch hit $third docs")
+    // epoch ids are 0..n-1 per doc — interleavable downstream
+    books.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length).toSeq,
+        s"doc $id epochs ${rows.map(_._3).toSeq}")
+    }
+    val web = out.filter(_._2 == "web")
+    assert(web.forall(_._3 == 0))
+    assert(math.abs(web.length - 500) < 80, s"web kept ${web.length}")
+    // rate 0.5's keepers are exactly uniform(0.5)'s keepers: one bucket rule
+    val uni = Sampling.uniform(df.filter(col("src") === "web"), col("id"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(web.map(_._1).toSet == uni)
+
+    // deterministic under repartitioning
+    val re = Sampling.epochMixture(df.repartition(11), col("src"), col("id"),
+        Map("books" -> 2.5, "web" -> 0.5))
+      .select("id", "src", "epoch").as[(Long, String, Int)].collect()
+    assert(re.sortBy(t => (t._1, t._3)).toSeq == out.sortBy(t => (t._1, t._3)).toSeq)
+  }
+
+  test("leakageSafeSplit: clusters never straddle splits, singleton fallback, fractions honored, deterministic") {
+    // 2000 docs; docs 0-99 form 50 near-dup pairs (one cluster per pair),
+    // the rest are unlabeled → singleton clusters
+    val docs = (0L until 2000L).toDF("doc_id")
+    val clusters = (0L until 100L).map(i => (i, i / 2 * 2)) // pair (0,1)→0, (2,3)→2…
+      .toDF("doc_id", "cluster_id")
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", clusters, fr)
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 2000, "every doc is assigned")
+    assert(out.map(_._3).toSet == Set("train", "val", "test"))
+
+    // THE invariant: one split per cluster — a near-dup pair can never
+    // land half in train, half in eval
+    val perCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perCluster.forall(_._2.size == 1),
+      s"clusters straddling splits: ${perCluster.filter(_._2.size > 1).keys.take(5)}")
+    // paired docs share their pair's cluster and split
+    val byDoc = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    (0L until 100L by 2).foreach { i =>
+      assert(byDoc(i) == byDoc(i + 1), s"pair ($i,${i + 1}) split apart")
+    }
+    // singleton fallback: unlabeled docs are their own unit
+    assert(byDoc(1500L)._1 == 1500L)
+
+    // realized sizes are binomial around 80/10/10
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(math.abs(sizes("train") - 1600) < 120, s"train ${sizes("train")}")
+    assert(math.abs(sizes("val") - 200) < 80, s"val ${sizes("val")}")
+    assert(math.abs(sizes("test") - 200) < 80, s"test ${sizes("test")}")
+
+    // pure function of cluster_id: stable under repartitioning, and a
+    // GROWN corpus moves no existing cluster between splits
+    val re = Sampling.leakageSafeSplit(docs.repartition(7), "doc_id",
+        clusters.repartition(3), fr).as[(Long, Long, String)].collect()
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    val grown = Sampling.leakageSafeSplit((0L until 3000L).toDF("doc_id"),
+        "doc_id", clusters, fr).as[(Long, Long, String)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(out.forall(t => grown(t._1) == t._3),
+      "growing the corpus must not reassign existing docs")
+  }
 }

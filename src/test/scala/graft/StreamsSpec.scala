@@ -213,6 +213,78 @@ class StreamsSpec extends SparkTestBase {
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("incremental segment dedup folds streamed batches against persisted counts") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val boiler = "subscribe to our newsletter terms of service apply" // 8 toks
+    val uniqA = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqB = "iota kappa lambda mu nu xi omicron pi"
+    val pair  = "rho sigma tau upsilon phi chi psi omega"
+    val batches = Seq(
+      Seq(1L -> s"$boiler $uniqA"),                 // boiler count → 1
+      Seq(3L -> s"$boiler $uniqB",                  // 1 old + this → cut here
+          4L -> s"$pair one two three four five six seven eight",
+          5L -> pair))                              // pair: 2 in-batch → cut both
+
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "rename"
+      // driver-side sequential fold = the expected streaming outcome
+      var idx = Dedup.emptySegmentIndex(spark)
+      val expected = batches.flatMap { b =>
+        val (clean, delta) = Dedup.incrementalSegmentDedup(
+          b.toDF("doc_id", "text"), "doc_id", "text", idx,
+          window = 8, minDocs = 2)
+        idx = Dedup.foldSegmentIndex(idx, delta).localCheckpoint()
+        clean.as[(Long, String, Long, Long)].collect()
+      }.sortBy(_._1)
+      assert(expected.map(t => (t._1, t._2)).toSeq == Seq(
+        (1L, s"$boiler $uniqA"), (3L, uniqB),
+        (4L, "one two three four five six seven eight"), (5L, "")),
+        "fixture sanity: cross-batch + in-batch cuts land where expected")
+
+      val flat = tmpDir(s"segfold-flat-$mode"); new java.io.File(flat).mkdirs()
+      for ((docs, i) <- batches.zipWithIndex) {
+        val one = tmpDir(s"segfold-b$i-$mode")
+        docs.toDF("doc_id", "text").coalesce(1).write.parquet(one)
+        val part = new java.io.File(one).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val countsDir = tmpDir(s"segfold-counts-$mode")
+      val cleanDir = tmpDir(s"segfold-clean-$mode")
+      def run(ck: String) = {
+        val q = Streams.toMergeSink(
+          Streams.parquetStream(spark, flat, spark.read.parquet(flat).schema,
+            maxFilesPerTrigger = 1),
+          tmpDir(ck), Trigger.AvailableNow())(
+          Streams.Sinks.segmentFold(countsDir, cleanDir,
+            window = 8, minDocs = 2, tx = tx))
+        q.awaitTermination(120000)
+      }
+      run(s"segfold-ck-$mode")
+      val got = MergeSink.readAny(spark, cleanDir).get
+        .select("doc_id", "clean_text", "n_segs", "segs_removed")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == expected.toSeq, s"mode=$mode")
+
+      // at-least-once redelivery: fresh checkpoint re-sends every batch;
+      // contribution inserts dedupe on (seg_hash, batch_id), the probe
+      // excludes own prior contribution — output must be byte-stable
+      run(s"segfold-ck2-$mode")
+      val refolded = MergeSink.readAny(spark, cleanDir).get
+        .select("doc_id", "clean_text", "n_segs", "segs_removed")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(refolded.toSeq == expected.toSeq, s"redelivery drifted, mode=$mode")
+      // counts hold ONE contribution row per (segment, batch)
+      val ck = MergeSink.readAny(spark, countsDir).get
+      assert(ck.groupBy("seg_hash", "batch_id").count()
+        .filter(col("count") > 1).count() == 0, s"mode=$mode")
+    }
+  }
+
   test("incremental clustering folds streamed batch edges into persisted labels") {
     import spark.implicits._
     import graft.ext.Dedup
