@@ -255,6 +255,16 @@ object SparkEntry {
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
     }),
 
+    // §7.6 cross-source duplication matrix — corpus forensics BEFORE
+    // mixture design: distinct shared verbatim 8-token segments per
+    // source pair + each source's segment universe + set Jaccard. DuckDB
+    // replays it text-grouped (the q09/q69 hash-vs-text divergence);
+    // 20 sources ≪ the maxSources fence, so the quadratic guard is
+    // inactive here (its semantics are unit-tested).
+    "q80_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(T(s, dir, "documents"), "doc_id", "text",
+        "source", window = 8)),
+
     // §7.6 epoch mixture — the multi-epoch source-weighting knob (rates
     // above 1 repeat docs deterministically: src0 ×2.5, src1 ×1, src2
     // ×0.25, everything else dropped). Fractional epochs use the q46
@@ -1941,6 +1951,31 @@ object SparkEntry {
         |   AS segs_removed
         |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
         |WHERE d.doc_id >= 250""".stripMargin,
+
+    // q80: q69's segmentation carrying source, distinct (source, seg)
+    // presence, text-keyed pair join where Spark pair-expands per-segment
+    // source sets; Jaccard is the same IEEE-exact division as q21.
+    "q80_source_overlap" ->
+      """WITH t AS (
+        | SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        | FROM documents),
+        |n AS (SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+        |w AS (SELECT doc_id, source, toks, unnest(range((n_tok + 7) // 8)) AS seg_no FROM n),
+        |s AS (SELECT doc_id, source,
+        |  array_to_string(toks[seg_no*8+1 : seg_no*8+8], ' ') AS seg FROM w),
+        |pres AS (SELECT DISTINCT source AS src, seg FROM s),
+        |per AS (SELECT src, CAST(count(*) AS BIGINT) AS n_segs FROM pres GROUP BY src),
+        |pairs AS (
+        | SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS shared_segments
+        | FROM pres a JOIN pres b ON a.seg = b.seg AND a.src < b.src
+        | GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.shared_segments,
+        | pa.n_segs AS n_segs_a, pb.n_segs AS n_segs_b,
+        | CAST(p.shared_segments AS DOUBLE) /
+        |   (pa.n_segs + pb.n_segs - p.shared_segments) AS jaccard
+        |FROM pairs p
+        |JOIN per pa ON pa.src = p.src_a
+        |JOIN per pb ON pb.src = p.src_b""".stripMargin,
 
     // q79: per-source copy counts from the literal rate map (whole epochs
     // + md5-bucket fractional epoch), expanded by unnest(range(n)).

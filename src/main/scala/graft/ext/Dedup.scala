@@ -989,4 +989,69 @@ object Dedup {
     val kept = segs.join(hot, Seq("seg_hash"), "left_anti")
     (rebuildFromKept(batch, idCol, segs, kept), delta)
   }
+
+  /** Cross-source duplication matrix — corpus forensics for mixture
+    * design: for every pair of sources, how many DISTINCT `window`-token
+    * segments they share verbatim, plus each source's distinct-segment
+    * universe and the pair's segment-set Jaccard. The C4/Dolma-style
+    * overlap analysis ("how much of src_a is already in src_b") that
+    * decides whether two feeds are worth ingesting separately, run
+    * BEFORE committing to a mixture — a high-Jaccard pair means the
+    * [[temperatureMixture]]/[[graft.ext.Sampling.epochMixture]] weights
+    * double-count the same text.
+    *
+    * Scale shape: one distinct over (source, seg_hash) — the only
+    * corpus-sized shuffle, and it moves a 64-bit hash + source key, never
+    * text; per-segment source sets are bounded by the source count, and
+    * the pair expansion is |sources-sharing-segment|² per segment.
+    * `maxSources` fences the quadratic corner: a segment present in more
+    * sources (universal chrome — "click here to subscribe" in every
+    * feed) is EXCLUDED from pair counting, because such segments carry no
+    * pairwise signal and would alone dominate the expansion. The
+    * exclusion is part of the operator's contract (unit-tested), not a
+    * silent cap; set it ≥ your source count to disable.
+    *
+    * Output: (src_a, src_b, shared_segments, n_segs_a, n_segs_b,
+    * jaccard), one row per source pair that shares ≥1 segment, src_a <
+    * src_b. Deterministic; the q80 oracle replays it text-grouped. */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, window: Int = 8, maxSources: Int = 64): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(maxSources >= 2, s"maxSources must be at least 2: $maxSources")
+    val segs = docs
+      .select(col(sourceCol).as("src"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("seg_no",
+        explode(sequence(lit(0L),
+          expr(s"(n_tok + ${window - 1}) DIV $window - 1"))))
+      .select(col("src"),
+        xxhash64(array_join(slice(col("toks"),
+          (col("seg_no") * window + 1).cast("int"), lit(window)), " "))
+          .as("seg_hash"))
+    val present = segs.distinct()
+    val perSrc = present.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_segs"))
+    val sorted = array_sort(collect_set(col("src")))
+    val pairArr = flatten(transform(col("srcs"), a =>
+      transform(filter(col("srcs"), b => b > a),
+        b => struct(a.as("src_a"), b.as("src_b")))))
+    val shared = present.groupBy(col("seg_hash"))
+      .agg(sorted.as("srcs"))
+      .filter(size(col("srcs")).between(2, maxSources))
+      .select(explode(pairArr).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_segments"))
+    shared
+      .join(perSrc.select(col("src").as("src_a"), col("n_segs").as("n_segs_a")),
+        Seq("src_a"))
+      .join(perSrc.select(col("src").as("src_b"), col("n_segs").as("n_segs_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_segments"),
+        col("n_segs_a"), col("n_segs_b"),
+        (col("shared_segments").cast("double") /
+          (col("n_segs_a") + col("n_segs_b") - col("shared_segments")))
+          .as("jaccard"))
+  }
 }

@@ -278,6 +278,46 @@ class ExtensionsSpec extends SparkTestBase {
     assert(re.toSeq == out.toSeq)
   }
 
+  test("sourceOverlap: pair counts and Jaccard exact; maxSources fences universal chrome; repartition-stable") {
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta"     // A+B
+    val s2 = "one two three four five six seven eight"           // A+B
+    val s3 = "iota kappa lambda mu nu xi omicron pi"             // A+C
+    val chrome = "subscribe to our newsletter terms of service apply" // A+B+C
+    val uA = "unique alpha content in source a only here"
+    val uB = "unique bravo content in source b only here"
+    val docs = Seq(
+      (1L, "A", s"$s1 $s2 $s3 $chrome $uA"),
+      (2L, "B", s"$s1 $s2 $chrome $uB"),
+      (3L, "C", s"$s3 $chrome"))
+      .toDF("doc_id", "src", "text")
+
+    val out = Dedup.sourceOverlap(docs, "doc_id", "text", "src", window = 8)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    // universes: A = {s1,s2,s3,chrome,uA} = 5; B = {s1,s2,chrome,uB} = 4;
+    // C = {s3,chrome} = 2. chrome is in all three (within maxSources=64).
+    assert(out(("A", "B")) == ((3L, 5L, 4L, 3.0 / 6)))
+    assert(out(("A", "C")) == ((2L, 5L, 2L, 2.0 / 5)))
+    assert(out(("B", "C")) == ((1L, 4L, 2L, 1.0 / 5)))
+
+    // the quadratic fence: chrome lives in 3 sources; maxSources=2 drops
+    // it from PAIR counting (universes are untouched) — B/C now share
+    // nothing and the pair row disappears rather than reading 0
+    val fenced = Dedup.sourceOverlap(docs, "doc_id", "text", "src",
+        window = 8, maxSources = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    assert(fenced(("A", "B")) == ((2L, 5L, 4L, 2.0 / 7)))
+    assert(fenced(("A", "C")) == ((1L, 5L, 2L, 1.0 / 6)))
+    assert(!fenced.contains(("B", "C")))
+
+    val re = Dedup.sourceOverlap(docs.repartition(5), "doc_id", "text",
+        "src", window = 8)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    assert(re == out)
+  }
+
   test("incremental segment dedup: cross-batch hotness, batch-local hotness, delta fold ≡ direct counts, null text retained") {
     val boiler = "subscribe to our newsletter terms of service apply" // 8 toks
     val uniqA = "alpha beta gamma delta epsilon zeta eta theta"
