@@ -255,6 +255,17 @@ object SparkEntry {
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
     }),
 
+    // §7.6 BPE subword vocabulary (Sennrich 2016): train 20 merges on the
+    // corpus slice, segment it under them. The iterative argmax makes the
+    // trainer non-SQL-expressible — no oracle row (driver records the
+    // rows-only check); the real proof is CorpusSpec's model-based
+    // equivalence against an independent reference implementation.
+    "q81_bpe_segment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 100)
+      val merges = graft.ext.Corpus.bpeTrain(docs, col("text"), nMerges = 20)
+      graft.ext.Corpus.bpeSegment(docs, col("doc_id"), col("text"), merges)
+    }),
+
     // §7.6 cross-source duplication matrix — corpus forensics BEFORE
     // mixture design: distinct shared verbatim 8-token segments per
     // source pair + each source's segment universe + set Jaccard. DuckDB

@@ -136,4 +136,126 @@ object Corpus {
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
   }
+
+  // ---------------------------------------------------------------------
+  // BPE subword vocabulary (Sennrich, Haddow & Birch 2016, "Neural
+  // Machine Translation of Rare Words with Subword Units"): iteratively
+  // merge the most frequent adjacent symbol pair. The classic trainer is
+  // a single-machine loop over the corpus; the scale insight here is that
+  // BPE statistics are a pure function of the WORD FREQUENCY table — the
+  // corpus is scanned exactly once (the word count aggregate), and every
+  // merge iteration runs over the distinct-word table (a few million rows
+  // for a web corpus), with a single 1-row collect (the argmax pair) per
+  // iteration. Applying trained merges likewise segments the distinct
+  // words, never the corpus — documents get their subwords by an
+  // equi-join on word.
+  // ---------------------------------------------------------------------
+
+  /** The end-of-word marker appended to each word's symbol sequence so
+    * merges can learn word-final subwords (standard BPE practice). */
+  val BpeEow = "</w>"
+
+  private def wordFreqs(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(toks(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+
+  /** Initial symbol sequence of a word: its characters plus [[BpeEow]].
+    * Spark's `split(w, "")` keeps the trailing zero-width match as an
+    * empty string (Java split with limit -1) — filter it out, or every
+    * word ends in a phantom "" symbol that poisons pair counts. */
+  private def initialSyms(word: Column): Column =
+    concat(filter(split(word, ""), s => length(s) > 0), array(lit(BpeEow)))
+
+  /** One greedy left-to-right non-overlapping merge pass of (left, right)
+    * over a symbol array, as a pure Catalyst fold: "a a a" under (a,a)
+    * becomes ["aa", "a"], because the merged symbol is the concatenated
+    * STRING and no longer matches `left` on the next step. */
+  private def mergePass(syms: Column, left: String, right: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === left && x === right,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(lit(left + right))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `nMerges` BPE merges on the corpus. Returns the ordered merge
+    * table (rank 1-based, left, right, pair_count) — possibly shorter
+    * than `nMerges` if no remaining pair reaches `minPairCount`.
+    * Deterministic: the argmax pair tie-breaks on (count desc, left,
+    * right), so the same corpus trains the same merges on any layout.
+    *
+    * Scale shape: ONE corpus scan (word counts); each iteration is a
+    * pair-count aggregate + argmax over the distinct-word table (pairs
+    * shuffle as (symbol, symbol, count) — no text) and a 1-row collect;
+    * the evolving word segmentation is checkpointed per iteration so the
+    * plan stays flat across tens of merges. */
+  def bpeTrain(docs: DataFrame, text: Column, nMerges: Int,
+      minPairCount: Long = 2): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    require(minPairCount >= 1, s"minPairCount must be at least 1: $minPairCount")
+    val spark = docs.sparkSession
+    var state = wordFreqs(docs, text)
+      .select(col("wcount"), initialSyms(col("word")).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val best = state
+        .select(col("wcount"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("left"), b.as("right")))).as("p"))
+        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+        .agg(sum(col("wcount")).as("pair_count"))
+        .orderBy(desc("pair_count"), asc("left"), asc("right"))
+        .limit(1).collect() // bounded: exactly one argmax row
+      best.headOption match {
+        case Some(r) if r.getLong(2) >= minPairCount =>
+          val (l, rt, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((rank, l, rt, c))
+          state = state
+            .select(col("wcount"), mergePass(col("syms"), l, rt).as("syms"))
+            .localCheckpoint()
+          rank += 1
+        case _ => exhausted = true
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .select(col("rank"), col("left"), col("right"), col("pair_count"))
+  }
+
+  /** Segment documents into BPE subwords under a trained merge table:
+    * one row per (doc_id, pos, word, sub_pos, subword), `pos` the word
+    * position, `sub_pos` the 0-based subword position. [[BpeEow]] appears
+    * as trained: merged into a word-final subword where the merges
+    * learned it, else as the word's own trailing symbol.
+    *
+    * The merge table is driver-collected (bounded by the trained merge
+    * count — tens of thousands at most, the caller chose it) and applied
+    * in rank order to the DISTINCT words of the corpus, checkpointing
+    * every few passes; the corpus itself is touched only by the final
+    * equi-join on word. */
+  def bpeSegment(docs: DataFrame, id: Column, text: Column,
+      merges: DataFrame, checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery > 0, s"checkpointEvery must be positive: $checkpointEvery")
+    val ranked = merges.select(col("rank"), col("left"), col("right"))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var words = docs.select(explode(toks(text)).as("word")).distinct()
+      .select(col("word"), initialSyms(col("word")).as("syms"))
+    for ((group, gi) <- ranked.grouped(checkpointEvery).zipWithIndex) {
+      words = group.foldLeft(words) { case (df, (l, r)) =>
+        df.select(col("word"), mergePass(col("syms"), l, r).as("syms"))
+      }.localCheckpoint()
+      val _ = gi // checkpoint cadence only
+    }
+    docs.select(id.as("doc_id"), posexplode(toks(text)).as(Seq("pos", "word")))
+      .join(words, Seq("word"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"),
+        posexplode(col("syms")).as(Seq("sub_pos", "subword")))
+      .select(col("doc_id"), col("pos"), col("word"),
+        col("sub_pos").cast("long").as("sub_pos"), col("subword"))
+  }
 }

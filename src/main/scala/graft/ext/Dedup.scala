@@ -1029,7 +1029,10 @@ object Dedup {
         xxhash64(array_join(slice(col("toks"),
           (col("seg_no") * window + 1).cast("int"), lit(window)), " "))
           .as("seg_hash"))
-    val present = segs.distinct()
+    // Pin the (src, seg_hash) presence set: three consumers read it (the
+    // pair matrix and both universe-count joins), and without the pin each
+    // re-runs the corpus segmentation scan — 3 corpus scans instead of 1.
+    val present = segs.distinct().localCheckpoint()
     val perSrc = present.groupBy(col("src"))
       .agg(count(lit(1)).as("n_segs"))
     val sorted = array_sort(collect_set(col("src")))

@@ -108,4 +108,104 @@ class CorpusSpec extends SparkTestBase {
     // nothing lost in the layout
     assert(spark.read.parquet(out).count() == 800L)
   }
+
+  // ------------------------------------------------------------------
+  // BPE: model-based tests against an independent driver-side reference
+  // implementation of the same greedy rules (chars + </w>, argmax pair by
+  // (count desc, left, right), left-to-right non-overlapping merge).
+  // ------------------------------------------------------------------
+
+  private def refBpe(words: Map[String, Long], nMerges: Int,
+      minPairCount: Long): (Seq[(String, String, Long)], Map[String, Seq[String]]) = {
+    var segs: Map[Seq[String], Long] =
+      words.groupMapReduce(w => w._1.split("").toSeq :+ "</w>")(_._2)(_ + _)
+    var wordSegs: Map[String, Seq[String]] =
+      words.keys.map(w => w -> (w.split("").toSeq :+ "</w>")).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def mergeSeq(s: Seq[String], l: String, r: String): Seq[String] =
+      s.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc.init :+ (l + r)
+        else acc :+ x
+      }
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, c) <- segs; Seq(a, b) <- s.sliding(2))
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+      val best = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minPairCount =>
+          out += ((l, r, c))
+          segs = segs.groupMapReduce(e => mergeSeq(e._1, l, r))(_._2)(_ + _)
+          wordSegs = wordSegs.view.mapValues(mergeSeq(_, l, r)).toMap
+        case _ => done = true
+      }
+    }
+    (out.toSeq, wordSegs)
+  }
+
+  test("bpeTrain matches an independent reference on a classic corpus; deterministic under repartition") {
+    val corpus = Seq.fill(5)("low").mkString(" ") + " " +
+      Seq.fill(2)("lower").mkString(" ") + " " +
+      Seq.fill(6)("newest").mkString(" ") + " " +
+      Seq.fill(3)("widest").mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val wordCounts = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+    val got = Corpus.bpeTrain(docs, col("text"), nMerges = 10)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    val (expected, _) = refBpe(wordCounts, 10, 2)
+    assert(got.map(t => (t._2, t._3, t._4)).toSeq == expected,
+      s"got=${got.toSeq}\nexp=$expected")
+    // the first merges are the famous ones: (e,s) over newest+widest (9),
+    // then (es,t), then (est,</w>)
+    assert(got.take(3).map(t => (t._2, t._3)).toSeq ==
+      Seq(("e", "s"), ("es", "t"), ("est", "</w>")))
+
+    // word-frequency sufficiency: doc layout can't matter
+    val resharded = Seq.tabulate(16)(i =>
+      (i.toLong, corpus.split(" ").zipWithIndex
+        .filter(_._2 % 16 == i).map(_._1).mkString(" ")))
+      .toDF("doc_id", "text").repartition(7)
+    val re = Corpus.bpeTrain(resharded, col("text"), nMerges = 10)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("bpeTrain stops below minPairCount instead of emitting singleton merges") {
+    val docs = Seq((1L, "ab ab xy")).toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(docs, col("text"), nMerges = 50, minPairCount = 2)
+      .as[(Int, String, String, Long)].collect()
+    // only the "ab"-family pairs reach count 2; the xy word never merges
+    assert(merges.forall(_._4 >= 2), merges.toSeq.toString)
+    assert(merges.nonEmpty)
+    assert(!merges.exists(m => m._2.contains("x") || m._3.contains("y")))
+  }
+
+  test("bpeSegment reconstructs every word and matches the reference segmentation") {
+    val corpus = Seq.fill(5)("low").mkString(" ") + " " +
+      Seq.fill(2)("lower").mkString(" ") + " " +
+      Seq.fill(6)("newest").mkString(" ") + " " +
+      Seq.fill(3)("widest").mkString(" ")
+    val train = Seq((1L, corpus)).toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(train, col("text"), nMerges = 6)
+    val (_, refSegs) = refBpe(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 6, 2)
+
+    val apply = Seq((9L, "newest lower low unseen")).toDF("doc_id", "text")
+    val segd = Corpus.bpeSegment(apply, col("doc_id"), col("text"), merges,
+        checkpointEvery = 2)
+      .as[(Long, Long, String, Long, String)].collect()
+    val byWordPos = segd.groupBy(t => (t._2, t._3)).view
+      .mapValues(_.sortBy(_._4).map(_._5).toSeq).toMap
+    assert(byWordPos((0L, "newest")) == refSegs("newest"))
+    assert(byWordPos((1L, "lower")) == refSegs("lower"))
+    assert(byWordPos((2L, "low")) == refSegs("low"))
+    // unseen word: segmented by whatever trained merges apply, and the
+    // subwords always reconstruct the word + the eow marker
+    for (((_, w), subs) <- byWordPos)
+      assert(subs.mkString("") == w + Corpus.BpeEow, s"$w -> $subs")
+  }
 }

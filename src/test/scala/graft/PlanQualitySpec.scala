@@ -207,6 +207,28 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q79: epoch mixture is a zero-shuffle narrow chain (when-chain + in-place explode)") {
+    val p = plan("q79_epoch_mixture")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    // the expansion is one Generate over the computed copy count
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q77/q78/q80: segment-index probe, split assignment, and overlap matrix stay equi-joins") {
+    for (q <- Seq("q77_segment_dedup_incremental", "q78_leakage_safe_split",
+        "q80_source_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // q80's pair expansion must sit ABOVE the per-segment aggregate (a
+    // Generate over collected source sets), never a segs×segs self-join:
+    // the quadratic work is bounded by sources-per-segment, not corpus size
+    val p80 = plan("q80_source_overlap")
+    assert(p80.contains("Generate"), p80)
+  }
+
   test("q65: incremental cluster edges stay equi-joins; relabel pass is broadcast") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
