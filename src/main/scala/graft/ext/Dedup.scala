@@ -264,11 +264,31 @@ object Dedup {
         .agg(min(col("v_label")).as("nbr_label"))
       // the changed flag rides the checkpointed frame, so convergence
       // detection is a filter over stored rows, not a second labels join
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      val afterNbr = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
             .as("cluster_id"),
           (coalesce(col("nbr_label"), col("cluster_id")) < col("cluster_id"))
+            .as("__changed"))
+      // Pointer-jumping (path compression): label := label(label). The
+      // neighbor-min pass alone moves the component min ONE hop per round
+      // (O(diameter) rounds — a 1000-link chain of near-dup shingles needs
+      // 1000 rounds); composing it with one jump per round doubles the
+      // reach each time, so convergence is O(log diameter). Invariants
+      // preserved: every label is a doc_id of the SAME component (a
+      // label's label is just another member's label), labels only
+      // decrease, and the fixpoint — label(u) = min(component) for all u,
+      // where both passes are identities — is unchanged, so q64/q65's
+      // recursive-CTE oracles and every caller see identical output.
+      val updated = afterNbr.as("l")
+        .join(afterNbr.select(col("doc_id").as("__p_id"),
+          col("cluster_id").as("__p_label")),
+          col("cluster_id") === col("__p_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("__p_label"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("__changed") ||
+            coalesce(col("__p_label"), col("cluster_id")) < col("cluster_id"))
             .as("__changed"))
         .localCheckpoint()
       changed = updated.filter(col("__changed")).limit(1).count() > 0
@@ -278,9 +298,9 @@ object Dedup {
     if (changed) throw new IllegalStateException(
       s"nearDupClusters did not converge within maxIter=$maxIter rounds: " +
         "labels were still changing in the last iteration, so a component " +
-        "with diameter > maxIter would be silently under-merged. Re-run " +
-        "with a larger maxIter (rounds needed ~ longest chain in the pair " +
-        "graph)")
+        "with diameter > 2^maxIter would be silently under-merged. Re-run " +
+        "with a larger maxIter (rounds needed ~ log2 of the longest chain " +
+        "in the pair graph)")
     labels
   }
 

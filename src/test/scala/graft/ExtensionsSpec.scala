@@ -56,18 +56,22 @@ class ExtensionsSpec extends SparkTestBase {
   }
 
   test("near-dup clusters THROW at the iteration cap instead of under-merging") {
-    // a planted chain 1-2-3-...-12: min-label propagation moves the label
-    // one hop per round, so diameter 11 cannot converge in 4 rounds — the
-    // old behavior returned plausible-looking but WRONG cluster ids here
-    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // a planted chain 1-2-...-2000: with pointer-jumping the min label's
+    // reach roughly doubles per round (~2^(k+1) hops after k rounds), so
+    // 3 rounds cover ≲14 hops — diameter 1999 cannot converge and the
+    // loop must THROW rather than return plausible-looking wrong labels
+    val chain = (1L until 2000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.nearDupClusters(chain, maxIter = 4)
+      Dedup.nearDupClusters(chain, maxIter = 3)
     }
     assert(e.getMessage.contains("did not converge"))
-    // with headroom the same chain collapses to one component
+    // O(log diameter): the same 2000-link chain converges comfortably
+    // inside 15 rounds (one-hop propagation would need ~2000) — THE
+    // pointer-jumping payoff: pathological chain-shaped components at
+    // corpus scale cost log rounds, not diameter rounds
     val ok = Dedup.nearDupClusters(chain, maxIter = 15)
       .as[(Long, Long)].collect().toMap
-    assert(ok.values.toSet == Set(1L) && ok.size == 12)
+    assert(ok.values.toSet == Set(1L) && ok.size == 2000)
   }
 
   test("incremental clusters: new edges bridge persisted components, min-label kept") {
