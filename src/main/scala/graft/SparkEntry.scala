@@ -553,6 +553,18 @@ object SparkEntry {
         idx, window = 8, minDocs = 2)._1
     }),
 
+    // §7.6 cross-corpus fluency (CCNet's actual setup): bigram stats
+    // trained on the first corpus half (the trusted reference), second
+    // half scored against them — out-of-reference bigrams degrade to the
+    // smoothed 1/V floor instead of poisoning the mean. Same bit-exact
+    // discipline as q76; the oracle replays both corpora's roles.
+    "q82_fluency_cross" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.TextStats.bigramFluencyAgainst(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text")
+    }),
+
     // §7.6 ANN recall@k harness — the exact arm (q13's ranking) joined
     // against the approximate arm (q68's IVF-PQ pipeline); both arms are
     // individually hash-equal to DuckDB, so the composed per-query recall
@@ -1904,6 +1916,45 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         | agg.mean_prob_r9
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // q82: q76's machinery with the two corpus roles split — counts and
+    // vocabulary from doc_id < 250, scoring over doc_id >= 250 with LEFT
+    // joins + coalesce(0) for out-of-reference bigrams.
+    "q82_fluency_cross" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
+        | FROM documents),
+        |tp AS (
+        | SELECT doc_id, w, unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS p
+        | FROM t WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, p, w[p] AS tok FROM tp),
+        |lagd AS (
+        | SELECT doc_id, tok,
+        |  lag(tok) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        | FROM toks),
+        |big AS (SELECT doc_id, prev, tok FROM lagd WHERE prev IS NOT NULL),
+        |refbig AS (SELECT * FROM big WHERE doc_id < 250),
+        |tgtbig AS (SELECT * FROM big WHERE doc_id >= 250),
+        |cb AS (SELECT prev, tok, count(*) AS cb FROM refbig GROUP BY prev, tok),
+        |cp AS (SELECT prev, count(*) AS cp FROM refbig GROUP BY prev),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM toks WHERE doc_id < 250),
+        |scored AS (
+        | SELECT tgtbig.doc_id,
+        |  (coalesce(cb.cb, 0) + 0.5) / (coalesce(cp.cp, 0) + 0.5 * v.v) AS pr
+        | FROM tgtbig
+        | LEFT JOIN cb USING (prev, tok)
+        | LEFT JOIN cp USING (prev)
+        | CROSS JOIN v),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(pr AS DECIMAL(18,12))) AS DOUBLE) / count(*), 9)
+        |    AS mean_prob_r9
+        | FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | agg.mean_prob_r9
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |WHERE d.doc_id >= 250""".stripMargin,
+
     "q68_ivfpq_ann" -> ivfPqAnnOracleSql,
     "q70_ann_recall" -> annRecallOracleSql,
 

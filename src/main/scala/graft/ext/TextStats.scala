@@ -128,27 +128,53 @@ object TextStats {
     * the vocabulary size broadcast as a 1-row literal side, and the scoring
     * join an equi-join on (prev, tok)/(prev). O(total tokens) end to end. */
   def bigramFluency(docs: DataFrame, idCol: String, textCol: String,
-                    alpha: Double = 0.5): DataFrame = {
+                    alpha: Double = 0.5): DataFrame =
+    bigramFluencyAgainst(docs, docs, idCol, textCol, alpha)
+
+  /** Cross-corpus fluency gate — CCNet's ACTUAL setup: the LM statistics
+    * come from a trusted REFERENCE corpus (Wikipedia in the paper) and the
+    * TARGET corpus is scored against them, so fluent-but-alien target text
+    * scores low even when it is self-consistent. [[bigramFluency]] is the
+    * `ref = target` special case (and delegates here — the self-trained
+    * path stays bit-identical, q76's oracle unchanged).
+    *
+    * Smoothing covers out-of-reference events: an unseen (prev, tok) pair
+    * contributes cb = 0, an unseen context cp = 0, so the add-α estimate
+    * degrades smoothly to α/(α·V) = 1/V for fully-novel bigrams rather
+    * than poisoning the mean with zeros or nulls; V is the REFERENCE
+    * vocabulary. Same exactness discipline as [[bigramFluency]] (integer
+    * counts, one IEEE division per bigram, decimal-exact mean), so the
+    * q82 oracle hash-matches bit-for-bit.
+    *
+    * Scale shape: reference pays two count aggregates once; the target
+    * pays its own window pass and two LEFT equi-joins on (prev, tok)/
+    * (prev). O(ref tokens + target tokens). */
+  def bigramFluencyAgainst(ref: DataFrame, target: DataFrame,
+                           idCol: String, textCol: String,
+                           alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive: $alpha")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"),
+    def toksOf(d: DataFrame) = d.select(col(idCol).as("doc_id"),
       posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("p", "tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val big = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+    def bigramsOf(d: DataFrame) = toksOf(d)
+      .withColumn("prev", lag(col("tok"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("doc_id"), col("prev"), col("tok"))
-      .localCheckpoint() // read 3×: pair counts, context counts, scoring
-    val cb = big.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
-    val cp = big.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
-    val v = toks.agg(countDistinct(col("tok")).as("v"))
-    val scored = big
-      .join(cb, Seq("prev", "tok"))
-      .join(cp, Seq("prev"))
+    val refBig = bigramsOf(ref)
+      .localCheckpoint() // read 2-3×: pair counts, context counts, self-scoring
+    val tgtBig = if (target eq ref) refBig else bigramsOf(target)
+    val cb = refBig.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+    val cp = refBig.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+    val v = toksOf(ref).agg(countDistinct(col("tok")).as("v"))
+    val scored = tgtBig
+      .join(cb, Seq("prev", "tok"), "left")
+      .join(cp, Seq("prev"), "left")
       .crossJoin(broadcast(v))
       .select(col("doc_id"),
-        ((col("cb") + lit(alpha)) /
-          (col("cp") + lit(alpha) * col("v"))).as("pr"))
-    docs.select(col(idCol).as("doc_id"))
+        ((coalesce(col("cb"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("cp"), lit(0L)) + lit(alpha) * col("v"))).as("pr"))
+    target.select(col(idCol).as("doc_id"))
       .join(scored.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             round(graft.functions.SafeCasts.decimalAvg(col("pr"), 12), 9)

@@ -435,6 +435,42 @@ class ExtensionsSpec extends SparkTestBase {
     assert(re.toSeq == out.toSeq)
   }
 
+  test("cross-corpus fluency: reference-like targets outscore alien ones; self-trained form unchanged") {
+    import graft.ext.TextStats
+    val ref = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "the cat sat on the mat"),  // pure reference phrasing
+      (101L, "mat the on sat cat the"),  // reference VOCAB, alien order
+      (102L, "qzx wvu tsr qpo nml kji"), // fully out-of-reference
+      (103L, "solo"), (104L, null))
+      .toDF("doc_id", "text")
+    val out = TextStats.bigramFluencyAgainst(ref, target, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect().map(o => o._1 -> o).toMap
+    assert(out(100L)._3.get > 2 * out(101L)._3.get,
+      s"phrasing must beat bag-of-words: ${out(100L)} vs ${out(101L)}")
+    // add-α semantics: an unseen continuation of a FREQUENT known context
+    // (doc 101: cb=0, cp("the")=20 → 0.5/22.5) is rated MORE surprising
+    // than a wholly novel context (doc 102: 0.5/(0.5·V) = 1/V = 0.2) —
+    // the model has strong evidence against the former, none about the
+    // latter. Both sit far below the reference-phrased doc.
+    assert(out(100L)._3.get > 2 * out(102L)._3.get, out(100L).toString)
+    assert(out(101L)._3.get > 0, "unseen pairs score positive, never 0/null")
+    // the fully-novel doc sits exactly on the smoothed floor 1/V (V = 5
+    // reference types), not at 0/null — smoothing, not poisoning
+    assert(math.abs(out(102L)._3.get - 1.0 / 5) < 1e-9, out(102L).toString)
+    assert(out(103L) == ((103L, 0L, None)) && out(104L) == ((104L, 0L, None)))
+
+    // ref = target delegates to the same core: bit-identical to the
+    // self-trained operator (q76's oracle depends on this)
+    val docs = ref.unionByName(target)
+    val self = TextStats.bigramFluency(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    val viaAgainst = TextStats.bigramFluencyAgainst(docs, docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(self.toSeq == viaAgainst.toSeq)
+  }
+
   test("simhash: identical texts agree, Column and table forms agree") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("doc_id", "text")
