@@ -616,6 +616,30 @@ object SparkEntry {
     // DuckDB oracle hash-matches while still failing if a sketch drifts
     // outside its guarantee. The error bands are deterministic: both
     // sketches are order/partitioning-independent on fixed input.
+    // §7.6 incremental cardinality fold: per-event-type HLL sketches
+    // built on two event halves, unioned, estimated — the persisted-state
+    // form of q32's approx distinct (union is register-idempotent, so a
+    // redelivered batch state is harmless by construction). Oracle = the
+    // q32 treatment: exact distinct value-checked, estimate as a bounded-
+    // error boolean (fold ≡ one-shot is exact and ScalaTest-pinned).
+    "q83_distinct_fold" -> ((s, dir) => {
+      import graft.functions.SketchAggs
+      val ev = T(s, dir, "events")
+      val a = SketchAggs.distinctState(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        col("event_type"), col("user_id"))
+      val b = SketchAggs.distinctState(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        col("event_type"), col("user_id"))
+      val est = SketchAggs.distinctEstimate(SketchAggs.foldDistinctState(a, b))
+      ev.groupBy(col("event_type").as("key"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+        .join(est, Seq("key"))
+        .select(col("key").as("event_type"), col("exact_users"),
+          (abs(col("estimate") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("users_within_5pct"))
+    }),
+
     "q32_sketches" -> ((s, dir) =>
       T(s, dir, "events").groupBy(col("event_type"))
         .agg(count_distinct(col("user_id")).as("exact_users"),
@@ -1783,6 +1807,15 @@ object SparkEntry {
         | TRUE AS users_within_5pct,
         | round(quantile_cont(value, 0.5), 6) AS p50_r6,
         | TRUE AS p50_within_band
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // q83: the q32 oracle treatment for the folded estimate — exact
+    // distinct value-checked, the estimate's 5% band as a literal-TRUE
+    // boolean the Spark side must reproduce.
+    "q83_distinct_fold" ->
+      """SELECT event_type,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS users_within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q30_asof_join" ->

@@ -186,4 +186,44 @@ object SketchAggs {
     ColumnBridge.column(
       SpaceSavingTopK(ColumnBridge.expression(col), capacity)
         .toAggregateExpression())
+
+  // ---------------------------------------------------------------------
+  // Incremental distinct-count state: one DataSketches HLL sketch per key
+  // (Spark's hll_sketch_agg/hll_union_agg/hll_sketch_estimate surface —
+  // the Datasketches jars ship with the engine). The sketch IS the
+  // persisted state of a batch-by-batch cardinality fold: per-batch
+  // sketches union into the running state, and union is idempotent at the
+  // register level (re-folding an already-merged batch state is a no-op),
+  // so at-least-once redelivery is harmless BY CONSTRUCTION — no
+  // contribution-keying needed, unlike the count-based q77 fold. Note the
+  // fold is idempotent but not bit-equal to a one-shot sketch: the union
+  // operator's coupon/dense promotion history can differ slightly from a
+  // directly-built sketch's (the spec pins a 2% band). Bytes per key are bounded by
+  // lgK (2^lgK registers), independent of stream length.
+  // ---------------------------------------------------------------------
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, expr}
+
+  /** Per-key HLL sketch of the values seen in `df` — one batch's distinct
+    * state: (key, sketch binary). lgK=12 ⇒ ~2.5 KB/key, rel. err ~1.6%. */
+  def distinctState(df: DataFrame, key: Column, value: Column,
+      lgK: Int = 12): DataFrame =
+    df.select(key.as("key"), value.as("__v"))
+      .groupBy(col("key"))
+      .agg(expr(s"hll_sketch_agg(__v, $lgK)").as("sketch"))
+
+  /** Union per-key sketch states (the fold step; also the compaction of
+    * many persisted batch states into one). Mixed-lgK states are rejected
+    * loudly rather than silently degraded. */
+  def foldDistinctState(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "foldDistinctState needs at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(col("key"))
+      .agg(expr("hll_union_agg(sketch, false)").as("sketch"))
+  }
+
+  /** Read the current cardinality estimates out of a state. */
+  def distinctEstimate(state: DataFrame): DataFrame =
+    state.select(col("key"),
+      expr("hll_sketch_estimate(sketch)").as("estimate"))
 }

@@ -78,4 +78,41 @@ class SketchAggsSpec extends SparkTestBase {
     val back = agg.deserialize(agg.serialize(buf))
     assert(back.get(big)(0) == 7L && back.get("small")(0) == 1L)
   }
+
+  test("HLL distinct fold: batch union tracks one-shot within a tight band; redelivery idempotent; estimate accurate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two keys: k1 sees 1..1000 split across batches with overlap, k2 a
+    // small exact-regime set
+    val b1 = ((1 to 600).map(v => ("k1", v.toLong)) ++
+      (1 to 5).map(v => ("k2", v.toLong))).toDF("k", "v")
+    val b2 = ((400 to 1000).map(v => ("k1", v.toLong)) ++
+      (3 to 8).map(v => ("k2", v.toLong))).toDF("k", "v")
+    val all = b1.unionByName(b2)
+
+    def est(state: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      SketchAggs.distinctEstimate(state)
+        .as[(String, Long)].collect().toMap
+
+    val sA = SketchAggs.distinctState(b1, col("k"), col("v"))
+    val sB = SketchAggs.distinctState(b2, col("k"), col("v"))
+    val folded = SketchAggs.foldDistinctState(sA, sB)
+    val oneShot = SketchAggs.distinctState(all, col("k"), col("v"))
+    // the fold tracks the one-shot sketch closely — NOT bit-identically:
+    // DataSketches' union promotes through coupon/dense mode transitions
+    // that can differ from a directly-built sketch's history (measured
+    // 988 vs 992 on this fixture), so the contract is a tight band
+    val (f1, o1) = (est(folded)("k1").toDouble, est(oneShot)("k1").toDouble)
+    assert(math.abs(f1 - o1) <= o1 * 0.02, s"fold $f1 vs one-shot $o1")
+    assert(est(folded)("k2") == est(oneShot)("k2"))
+
+    // register-level idempotence: re-folding an already-folded batch state
+    // (at-least-once redelivery) changes nothing
+    assert(est(SketchAggs.foldDistinctState(folded, sB)) == est(folded))
+
+    // accuracy: small sets exact, the 1000-cardinality key within 5%
+    val e = est(folded)
+    assert(e("k2") == 8L, s"small-set estimate must be exact: $e")
+    assert(math.abs(e("k1") - 1000L) <= 50, s"k1 ${e("k1")}")
+  }
 }
