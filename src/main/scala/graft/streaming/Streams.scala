@@ -194,6 +194,30 @@ object Streams {
         MergeSink.appendDedup(s, countsDir, contrib, "ck")
       }
     }
+
+    /** Incremental cardinality tracking as a streaming sink: each
+      * micro-batch's per-key HLL sketch ([[graft.functions.SketchAggs
+      * .distinctState]]) unions into the persisted state table (key,
+      * sketch). Redelivery safety comes FREE from the sketch algebra —
+      * union is idempotent at the register level, so re-folding a
+      * redelivered batch cannot inflate any estimate (contrast
+      * [[segmentFold]]'s contribution-keying, which count-based state
+      * needs). State bytes: O(keys × 2^lgK), independent of stream
+      * length; the whole table is rewritten per batch, fine for the
+      * key-cardinality regimes a per-key distinct tracker targets. */
+    def distinctFold(stateDir: String, key: String, value: String,
+                     lgK: Int = 12, tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, _) => {
+      import graft.functions.SketchAggs
+      val delta = SketchAggs.distinctState(batch, col(key), col(value), lgK)
+      val folded = (MergeSink.readAny(s, stateDir) match {
+        case Some(prev) => SketchAggs.foldDistinctState(
+          prev.select(col("key"), col("sketch")), delta)
+        case None => delta
+      }).localCheckpoint() // materialize BEFORE replacing the state it read
+      if (tx) graft.merge.TxTable.replace(s, stateDir, folded)
+      else MergeSink.writeReplace(s, stateDir, folded)
+    }
   }
 
   /** Cast an NTZ event-time column to session-zoned TimestampType — the

@@ -215,9 +215,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("Generate"), p)
   }
 
-  test("q77/q78/q80: segment-index probe, split assignment, and overlap matrix stay equi-joins") {
+  test("q77/q78/q80/q83: index probes, split assignment, overlap matrix, and folds stay equi-joins") {
+    // q82 is excluded on purpose: its vocabulary side is the documented
+    // 1-row broadcast crossJoin (PLANS.md's BNLJ-over-broadcast pattern,
+    // same as q76/q67) — a no-BNLJ assertion would flag the intended plan.
     for (q <- Seq("q77_segment_dedup_incremental", "q78_leakage_safe_split",
-        "q80_source_overlap")) {
+        "q80_source_overlap", "q83_distinct_fold")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")

@@ -213,6 +213,52 @@ class StreamsSpec extends SparkTestBase {
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("streaming HLL distinct fold converges and is redelivery-stable in both protocols") {
+    import spark.implicits._
+    import graft.functions.SketchAggs
+    // 3 batches, overlapping values per key — the running estimate must
+    // count each distinct value once however the batches slice it
+    val batches = Seq(
+      (1 to 40).map(v => ("a", v.toLong)) ++ (1 to 3).map(v => ("b", v.toLong)),
+      (30 to 70).map(v => ("a", v.toLong)) ++ (2 to 5).map(v => ("b", v.toLong)),
+      (60 to 100).map(v => ("a", v.toLong)))
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "rename"
+      val flat = tmpDir(s"hll-flat-$mode"); new java.io.File(flat).mkdirs()
+      for ((rows, i) <- batches.zipWithIndex) {
+        val one = tmpDir(s"hll-b$i-$mode")
+        rows.toDF("k", "v").coalesce(1).write.parquet(one)
+        val part = new java.io.File(one).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stateDir = tmpDir(s"hll-state-$mode")
+      def run(ck: String) = {
+        val q = Streams.toMergeSink(
+          Streams.parquetStream(spark, flat, spark.read.parquet(flat).schema,
+            maxFilesPerTrigger = 1),
+          tmpDir(ck), Trigger.AvailableNow())(
+          Streams.Sinks.distinctFold(stateDir, "k", "v", tx = tx))
+        q.awaitTermination(120000)
+      }
+      run(s"hll-ck-$mode")
+      def estimates(): Map[String, Long] =
+        SketchAggs.distinctEstimate(MergeSink.readAny(spark, stateDir).get)
+          .as[(String, Long)].collect().toMap
+      val e = estimates()
+      // small cardinalities sit in the sketch's exact regime
+      assert(e == Map("a" -> 100L, "b" -> 5L), s"mode=$mode got $e")
+
+      // redelivery: a fresh checkpoint re-sends every batch; register-
+      // idempotent union means estimates cannot inflate
+      run(s"hll-ck2-$mode")
+      assert(estimates() == e, s"redelivery drifted, mode=$mode")
+    }
+  }
+
   test("incremental segment dedup folds streamed batches against persisted counts") {
     import spark.implicits._
     import graft.ext.Dedup
