@@ -748,6 +748,25 @@ object SparkEntry {
       SimSearch.truncationProfile(T(s, dir, "embeddings"),
         "vec_id", "embedding", 0.4, Seq(32, 16))),
 
+    // §7.6 semantic domain discovery: spherical k-means over the embedding
+    // corpus (md5-seeded, one decimal-exact Lloyd round — the q72
+    // refinement technique applied full-vector, so seeds, the refined
+    // centroids, and every assignment replay bit-for-bit in DuckDB).
+    "q84_kmeans_clusters" -> ((s, dir) =>
+      SimSearch.kmeansClusters(T(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, lloydIters = 1)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          round(col("sim"), 6).as("sim_r6"))),
+
+    // Cluster-balanced diversity sample: cap every q84 cluster at a fixed
+    // quota under a deterministic md5 pick order — head semantic domains
+    // shrink to the cap, tail domains survive whole (the selection step of
+    // cluster-then-balance corpus curation).
+    "q85_cluster_balanced_sample" -> ((s, dir) =>
+      SimSearch.clusterBalancedSample(T(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8, perCluster = 40, lloydIters = 1)
+        .select(col("id").as("vec_id"), col("cluster_id"), col("pick"))),
+
     // Range (point-in-interval) join via time-bin bucketing — clicks
     // attributed to the purchase windows [ts, ts+2h) of the same user.
     // The naive inequality join is a nested-loop at scale; RangeJoin turns
@@ -1837,6 +1856,8 @@ object SparkEntry {
     "q67_pq_ann" -> pqAnnOracleSql,
     "q72_pq_refined" -> pqRefinedOracleSql,
     "q73_ivfpq_refined" -> ivfPqRefinedOracleSql,
+    "q84_kmeans_clusters" -> kmeansOracleSql,
+    "q85_cluster_balanced_sample" -> kmeansSampleOracleSql,
 
     // q74: positional 8-gram twin of the q58/q69 tokenization (1-based
     // DuckDB starts vs 0-based Spark starts — countDistinct over positions
@@ -2822,6 +2843,66 @@ object SparkEntry {
       |    ORDER BY asim DESC, neighbor_id ASC) AS BIGINT) AS rnk, asim FROM adc)
       |SELECT query_id, neighbor_id, rnk, round(asim, 6) AS asim_r6
       |FROM r WHERE rnk <= 10""".stripMargin
+
+  /** q84's oracle: full-vector spherical k-means replayed exactly —
+    * md5("kmseed|")-ranked seeds, cosine argmax assignment (ties to the
+    * LARGER cluster id, the greatest-struct convention), then ONE Lloyd
+    * round as decimal-exact element sums divided in double (the q72
+    * refinement technique applied to whole vectors; empty clusters keep
+    * their seed via the LEFT JOIN coalesce), and the final assignment
+    * against the refined centroids. */
+  private def kmeansOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |en AS (SELECT vec_id,
+      |  list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),
+      |seeds AS (
+      | SELECT CAST(row_number() OVER (ORDER BY md5('kmseed|' || CAST(vec_id AS VARCHAR))) AS BIGINT) - 1
+      |   AS cluster_id, v AS cv
+      | FROM en ORDER BY md5('kmseed|' || CAST(vec_id AS VARCHAR)) LIMIT 8),
+      |a0 AS (
+      | SELECT vec_id, cluster_id FROM (
+      |  SELECT en.vec_id, s.cluster_id,
+      |   row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |     list_dot_product(en.v, s.cv)
+      |       / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+      |     s.cluster_id DESC) AS rn
+      |  FROM en CROSS JOIN seeds s) z WHERE rn = 1),
+      |csum AS (
+      | SELECT a0.cluster_id, p.p AS p,
+      |  CAST(sum(CAST(en.v[p.p+1] AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+      |  count(*) AS n
+      | FROM en JOIN a0 USING (vec_id) CROSS JOIN range(64) p(p)
+      | GROUP BY a0.cluster_id, p.p),
+      |c1 AS (SELECT cluster_id, list(sx / n ORDER BY p) AS cv FROM csum
+      |       GROUP BY cluster_id),
+      |cent AS (
+      | SELECT s.cluster_id, coalesce(c1.cv, s.cv) AS cv
+      | FROM seeds s LEFT JOIN c1 USING (cluster_id)),
+      |a1 AS (
+      | SELECT vec_id, cluster_id, sim FROM (
+      |  SELECT en.vec_id, c.cluster_id,
+      |   list_dot_product(en.v, c.cv)
+      |     / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim,
+      |   row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |     list_dot_product(en.v, c.cv)
+      |       / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |     c.cluster_id DESC) AS rn
+      |  FROM en CROSS JOIN cent c) z WHERE rn = 1)
+      |SELECT vec_id, cluster_id, round(sim, 6) AS sim_r6 FROM a1""".stripMargin
+
+  /** q85's oracle: q84's assignment CTEs + the per-cluster
+    * md5("cbsample|") pick window, capped at the quota. */
+  private def kmeansSampleOracleSql: String = {
+    val base = kmeansOracleSql
+    base.substring(0, base.lastIndexOf("SELECT vec_id")).stripTrailing + ",\n" +
+      """picks AS (
+        | SELECT vec_id, cluster_id,
+        |  CAST(row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY md5('cbsample|' || CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+        |    AS pick
+        | FROM a1)
+        |SELECT vec_id, cluster_id, pick FROM picks WHERE pick <= 40""".stripMargin
+  }
 
   /** q68's oracle: q28's cell assignment + probe CTEs (over the NORMALIZED
     * corpus, "seed|" ranking) spliced with q67's codebook + encode + ADC

@@ -769,6 +769,91 @@ object SimSearch {
         round(decimalSum(col("cos"), 12) / count(lit(1)), 6).as("mean_cos_r6"))
   }
 
+  /** Spherical k-means clustering over an embedding column — the semantic
+    * domain-discovery primitive a mixture designer runs before weighting
+    * sources: cluster the corpus, inspect/balance per-cluster volumes
+    * (cluster-then-balance, the prelude step of SemDeDup, Abbas et al.
+    * 2023, and of cluster-based data selection generally). Vectors are
+    * unit-normalized; each is assigned to its highest-cosine centroid;
+    * `lloydIters` assign+average rounds refine the seed centroids
+    * (md5-ranked corpus sample — the q28 determinism technique).
+    *
+    * Every stage replays in a SQL oracle: seeds are hash-ranked,
+    * assignment ties break toward the larger cluster id (greatest-struct
+    * semantics = ORDER BY sim DESC, cluster_id DESC), refinement averages
+    * are decimal-exact element sums divided in double — no partition-order
+    * dependence anywhere, including across Lloyd rounds (unlike
+    * [[ivfTopK]]'s float-cast refine, centroids here stay double).
+    *
+    * Scale shape: assignment is a narrow map over broadcast centroid
+    * literals (k·dim doubles); each refinement round is ONE linear corpus
+    * pass whose map-side partial aggregation collapses to k rows before
+    * the shuffle; the driver only ever holds k centroids. Output:
+    * (id, cluster_id, sim) — one row per corpus vector. */
+  def kmeansClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, lloydIters: Int = 2): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val cn = pqNormalized(corpus, idCol, vecCol, "id", "v").localCheckpoint()
+    var centroids: Array[(Long, Seq[Double])] = cn
+      .withColumn("__r", md5(concat(lit("kmseed|"), col("id").cast("string"))))
+      .orderBy(col("__r")).limit(k)
+      .select(col("__r"), col("v")).collect()
+      .sortBy(_.getString(0)).zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+
+    // argmax over broadcast centroid literals, unrolled at plan build; the
+    // struct max picks (sim, id)-lexicographic max, so ties go to the
+    // LARGER cluster id — the convention every oracle replays
+    def nearest(v: Column): Column =
+      greatest(centroids.map { case (id, ctr) =>
+        struct(cosine(v, typedlit(ctr)).as("s"), lit(id).as("id"))
+      }: _*)
+
+    val dim = centroids.head._2.length
+    var iter = 0
+    while (iter < lloydIters) {
+      // decimal-exact element sums: double accumulation is partition-order
+      // dependent, which would make refined centroids vary run to run
+      val sums = cn
+        .withColumn("cluster_id", nearest(col("v")).getField("id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1).cast("decimal(27,10)"))
+              .cast("double")): _*).as("vsum"))
+        .collect()
+      // clusters that attracted no vectors keep their previous centroid
+      val next = centroids.toMap ++ sums.map { r =>
+        val n = r.getLong(1).toDouble
+        r.getLong(0) -> r.getSeq[Double](2).map(_ / n)
+      }
+      centroids = next.toArray.sortBy(_._1)
+      iter += 1
+    }
+    cn.withColumn("__nc", nearest(col("v")))
+      .select(col("id"), col("__nc").getField("id").as("cluster_id"),
+        col("__nc").getField("s").as("sim"))
+  }
+
+  /** Cluster-balanced diversity sample: assign every vector to its
+    * [[kmeansClusters]] cluster, then keep the `perCluster` first rows of
+    * each cluster under a deterministic md5 order — the corpus-subset
+    * selector that flattens semantic domain frequency (head domains are
+    * capped at the quota, tail domains are kept whole), the cheap exact
+    * form of cluster-balanced selection. One window per cluster on top of
+    * the assignment — no extra corpus pass. Output: (id, cluster_id,
+    * pick) with pick in [1, perCluster]. */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+                            k: Int, perCluster: Int,
+                            lloydIters: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(md5(concat(lit("cbsample|"), col("id").cast("string"))), col("id"))
+    kmeansClusters(corpus, idCol, vecCol, k, lloydIters)
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= perCluster)
+      .select(col("id"), col("cluster_id"), col("pick"))
+  }
+
   /** Per-query recall@k of an ANN result against the exact top-k — the
     * checked property behind q18/q28's oracle rows. The ANN neighbor set
     * itself is hash-derived (not reproducible in another engine), but its

@@ -894,6 +894,61 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows((2L, 3L)) == ((0.0, 1.0)))
   }
 
+  test("kmeansClusters: planted blobs separate, objective monotone in Lloyd rounds, repartition-stable") {
+    // two tight blobs around orthogonal axes (unit-normalized internally)
+    val rows =
+      (0 until 10).map(i => (i.toLong,
+        Array(1.0f, 0.02f * (i % 3), 0.0f, 0.01f * (i % 2)))) ++
+      (10 until 20).map(i => (i.toLong,
+        Array(0.01f * (i % 2), 0.0f, 1.0f, 0.02f * (i % 3))))
+    val df = rows.toDF("vec_id", "embedding")
+    val a = SimSearch.kmeansClusters(df, "vec_id", "embedding", k = 2,
+      lloydIters = 2)
+    val m = a.select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(m.size == 20)
+    val g1 = (0L until 10L).map(m).toSet
+    val g2 = (10L until 20L).map(m).toSet
+    assert(g1.size == 1 && g2.size == 1 && g1 != g2,
+      s"blobs must land in distinct clusters whole: $m")
+    // the spherical k-means objective (mean cosine to the assigned
+    // centroid) never decreases under assign+average rounds
+    def obj(iters: Int): Double =
+      SimSearch.kmeansClusters(df, "vec_id", "embedding", 2, iters)
+        .agg(avg(col("sim"))).head().getDouble(0)
+    val o = (0 to 2).map(obj)
+    assert(o(1) >= o(0) - 1e-12 && o(2) >= o(1) - 1e-12, s"objective fell: $o")
+    // physical layout must not change a single assignment or sim
+    val b = SimSearch.kmeansClusters(df.repartition(7), "vec_id", "embedding",
+      2, 2)
+    assert(b.collect().toSet == a.collect().toSet)
+  }
+
+  test("clusterBalancedSample: quota caps head clusters, tail kept whole, picks dense") {
+    // blob A: 12 vectors, blob B: 3 vectors; quota 5 caps A, keeps B whole
+    val rows =
+      (0 until 12).map(i => (i.toLong,
+        Array(1.0f, 0.02f * (i % 3), 0.0f, 0.0f))) ++
+      (12 until 15).map(i => (i.toLong,
+        Array(0.0f, 0.0f, 1.0f, 0.02f * (i % 2))))
+    val df = rows.toDF("vec_id", "embedding")
+    val picked = SimSearch.clusterBalancedSample(df, "vec_id", "embedding",
+        k = 2, perCluster = 5, lloydIters = 2)
+      .select("id", "cluster_id", "pick").as[(Long, Long, Long)].collect()
+    val byCluster = picked.groupBy(_._2)
+    assert(byCluster.size == 2)
+    for ((_, rs) <- byCluster) {
+      assert(rs.length <= 5)
+      // picks are dense from 1 — a downstream consumer can cut at any m
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // the 3-vector tail cluster survives whole
+    assert(byCluster.values.map(_.length).toSet == Set(5, 3))
+    // sample rows are a subset of the full assignment
+    val full = SimSearch.kmeansClusters(df, "vec_id", "embedding", 2, 2)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(picked.map(t => (t._1, t._2)).toSet.subsetOf(full))
+  }
+
   test("semDedupParamsFor: reproduces the tuned profile shape and scales planes with log n") {
     // n=500 @ θ=0.4: r = ceil(log2(500/64)) = 3 planes; recall bound at
     // p = 1 - acos(0.4)/π ≈ 0.631 → p³ ≈ 0.251 → 11 tables for 0.95

@@ -232,6 +232,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p80.contains("Generate"), p80)
   }
 
+  test("q84/q85: k-means assignment is an exchange-free narrow map over broadcast centroid literals") {
+    // centroids ride the plan as k·dim literals — the assignment that runs
+    // against a 100 TB corpus must be a single narrow pass: no Exchange,
+    // no join of any kind in the RETURNED plan (Lloyd rounds aggregate
+    // separately and collapse to k rows before their collect)
+    val p = plan("q84_kmeans_clusters")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    // the balanced sample adds exactly one shuffle: the per-cluster window
+    val ps = plan("q85_cluster_balanced_sample")
+    assert("Exchange".r.findAllIn(ps).size == 1, ps)
+  }
+
   test("q65: incremental cluster edges stay equi-joins; relabel pass is broadcast") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
