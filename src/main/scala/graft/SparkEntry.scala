@@ -349,6 +349,15 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), "doc_id", "text", idx)._1
     }),
 
+    // Entity resolution: edit-distance near-dup pairs over the documents'
+    // leading 40 chars under prefix+length blocking — the character-level
+    // complement to MinHash (q16) that catches typo'd/lightly-edited keys.
+    "q86_fuzzy_blocked_dedup" -> ((s, dir) =>
+      Dedup.fuzzyNearDups(
+        T(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("head")),
+        "doc_id", "head", maxDist = 5, prefixLen = 4, lenBand = 8)),
+
     // §7.6 exact n-gram Jaccard (the verification metric behind MinHash).
     // Shingle arrays are computed ONCE per row in a projection below the
     // join — referencing them through join-output attributes, so
@@ -1502,6 +1511,19 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(kB.cand, d.doc_id) AS keeper_id, kB.max_est_jaccard
         |FROM documents d LEFT JOIN kB USING (doc_id)
         |WHERE d.doc_id >= 250 AND d.doc_id < 500""".stripMargin,
+
+    // q86: the blocked pair space equals the declarative triple condition
+    // (shared lowercased prefix + length within maxDist + levenshtein cut),
+    // so the oracle states the contract directly as one self-join.
+    "q86_fuzzy_blocked_dedup" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 40) AS head
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        | AND substr(lower(a.head), 1, 4) = substr(lower(b.head), 1, 4)
+        | AND abs(length(a.head) - length(b.head)) <= 5
+        |WHERE levenshtein(a.head, b.head) <= 5""".stripMargin,
 
     "q21_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

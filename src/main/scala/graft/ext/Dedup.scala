@@ -59,6 +59,51 @@ object Dedup {
       .groupBy(col("content_sha"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Edit-distance (Levenshtein) near-duplicate pairs under prefix+length
+    * blocking — the entity-resolution primitive for SHORT keys (titles,
+    * names, normalized URLs, leading lines) where set-based methods
+    * (MinHash shingles) are blind to character-level variants: a typo'd
+    * title shares almost no word n-grams with its original but sits at
+    * edit distance 1-3.
+    *
+    * Blocking contract (part of the semantics, not an approximation knob):
+    * a pair is reported iff it (a) shares the lowercased `prefixLen`-char
+    * prefix, (b) differs in length by at most `maxDist`, and (c) has
+    * levenshtein(a,b) <= maxDist. Pairs that differ inside the first
+    * `prefixLen` chars are NOT candidates — the standard blocking
+    * tradeoff; run twice with a reversed key to catch head-edits.
+    *
+    * Scale shape: rows shuffle on (prefix, length band) — never all-pairs.
+    * Each row probes its own `lenBand`-char length band plus both
+    * neighbors (complete for maxDist <= lenBand since |len(a)-len(b)| <=
+    * dist(a,b)), so every qualifying pair surfaces EXACTLY once, from
+    * exactly one band slot. The O(len²) levenshtein only runs on pairs
+    * that already passed the cheap prefix+length filters. Output:
+    * (id_a, id_b, dist) with id_a < id_b. */
+  def fuzzyNearDups(docs: DataFrame, idCol: String, strCol: String,
+                    maxDist: Int, prefixLen: Int = 4,
+                    lenBand: Int = 16): DataFrame = {
+    require(maxDist >= 0 && maxDist <= lenBand,
+      s"maxDist=$maxDist must sit in [0, lenBand=$lenBand] or band probing misses pairs")
+    require(prefixLen >= 1, s"prefixLen=$prefixLen must be positive")
+    val base = docs.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"),
+        lower(substring(col(strCol), 1, prefixLen)).as("__blk"),
+        floor(length(col(strCol)) / lenBand).as("__band"))
+    val left = base.select(col("__id").as("id_a"), col("__s").as("s_a"),
+      col("__blk"),
+      explode(array(col("__band") - 1, col("__band"), col("__band") + 1))
+        .as("__jband"))
+    val right = base.select(col("__id").as("id_b"), col("__s").as("s_b"),
+      col("__blk"), col("__band").as("__jband"))
+    left.join(right, Seq("__blk", "__jband"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Word n-gram shingles of the lowercased text (distinct set). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(lower(text)), "\\s+")

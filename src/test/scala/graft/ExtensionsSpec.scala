@@ -894,6 +894,44 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows((2L, 3L)) == ((0.0, 1.0)))
   }
 
+  test("fuzzyNearDups: typo pairs found with exact distances, blocking contract enforced, pairs unique") {
+    val docs = Seq(
+      (1L, "spark streaming guide"),        // base
+      (2L, "spark streamin guide"),         // 1 deletion → dist 1
+      (3L, "spark streaming guid"),         // 1 deletion → dist 1
+      (4L, "spark structured streaming"),   // same prefix, far → cut by dist
+      (5L, "Spark streaming guide"),        // case diff in prefix: blocks
+                                            // together (lowered), dist 1 (S/s)
+      (6L, "flink streaming guide"),        // different prefix: NEVER a pair
+      (7L, "zpark streaming guide"))        // edit INSIDE prefix: not a candidate
+      .toDF("id", "s")
+    val got = Dedup.fuzzyNearDups(docs, "id", "s", maxDist = 3,
+        prefixLen = 4, lenBand = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate pair rows")
+    val m = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((1L, 2L)) == 1L && m((1L, 3L)) == 1L && m((1L, 5L)) == 1L)
+    assert(m((2L, 3L)) == 2L)
+    assert(!m.contains((1L, 4L)), "distance cut must hold")
+    assert(!got.exists(t => t._1 == 6L || t._2 == 6L), "cross-prefix pair leaked")
+    // id 7 is dist 1 from id 1 but its prefix "zpar" ≠ "spar": the blocking
+    // contract excludes head-edited pairs by design
+    assert(!m.contains((1L, 7L)), "prefix-edit pair must not be a candidate")
+    // repartition stability
+    val again = Dedup.fuzzyNearDups(docs.repartition(5), "id", "s", 3, 4, 8)
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
+  test("fuzzyNearDups: pairs straddling a length-band edge still surface (neighbor probe)") {
+    // lenBand=4: "abcdefg" (len 7, band 1) vs "abcdefgh" (len 8, band 2)
+    val docs = Seq((1L, "abcdefg"), (2L, "abcdefgh")).toDF("id", "s")
+    val got = Dedup.fuzzyNearDups(docs, "id", "s", maxDist = 2,
+        prefixLen = 3, lenBand = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("kmeansClusters: planted blobs separate, objective monotone in Lloyd rounds, repartition-stable") {
     // two tight blobs around orthogonal axes (unit-normalized internally)
     val rows =

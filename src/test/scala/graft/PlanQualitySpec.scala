@@ -245,6 +245,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(ps).size == 1, ps)
   }
 
+  test("q86: fuzzy dedup candidates come through an equi-join on (prefix, band), never a cross product") {
+    val p = plan("q86_fuzzy_blocked_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q65: incremental cluster edges stay equi-joins; relabel pass is broadcast") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
