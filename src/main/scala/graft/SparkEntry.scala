@@ -744,6 +744,17 @@ object SparkEntry {
           decimalSum(col("l_extendedprice")).as("volume"))
     }),
 
+    // Scale posture: Z-order (Morton) layout key over (customer, price) —
+    // the two-dimensional sort key a lakehouse write uses so parquet
+    // min/max skipping serves predicates on EITHER column. The z-values
+    // are pure IEEE-double bucketing + integer bit interleave, replayed
+    // exactly by the oracle; the layout write itself (range partition +
+    // sort + file-envelope tightness) is LayoutSpec's job.
+    "q87_zorder_layout" -> ((s, dir) =>
+      graft.ops.Layout.withZValue(T(s, dir, "orders"),
+          "o_custkey", "o_totalprice", bits = 8)
+        .select(col("o_orderkey"), col("zval"))),
+
     // §7.6 embedding storage: int8 scalar-quantization error profile
     // (floor-based rounding + decimal-exact mean ⇒ value-checked oracle).
     "q43_quantize_int8" -> ((s, dir) =>
@@ -1880,6 +1891,7 @@ object SparkEntry {
     "q73_ivfpq_refined" -> ivfPqRefinedOracleSql,
     "q84_kmeans_clusters" -> kmeansOracleSql,
     "q85_cluster_balanced_sample" -> kmeansSampleOracleSql,
+    "q87_zorder_layout" -> zorderOracleSql,
 
     // q74: positional 8-gram twin of the q58/q69 tokenization (1-based
     // DuckDB starts vs 0-based Spark starts — countDistinct over positions
@@ -2911,6 +2923,26 @@ object SparkEntry {
       |     c.cluster_id DESC) AS rn
       |  FROM en CROSS JOIN cent c) z WHERE rn = 1)
       |SELECT vec_id, cluster_id, round(sim, 6) AS sim_r6 FROM a1""".stripMargin
+
+  /** q87's oracle: min/max from the table itself (cast to double exactly
+    * as the Spark side does), the same ((x−min)·256)/span floor-clamp
+    * bucketing, and the 8-bit Morton interleave spelled out as shift/mask
+    * terms — every operation IEEE-double or integer-exact, so zval hashes
+    * bit-for-bit. */
+  private def zorderOracleSql: String = {
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"(((v1 >> $i) & 1) << ${2 * i})",
+      s"(((v2 >> $i) & 1) << ${2 * i + 1})"))
+    s"""WITH mm AS (SELECT
+       |  CAST(min(o_custkey) AS DOUBLE) a1, CAST(max(o_custkey) AS DOUBLE) b1,
+       |  CAST(min(o_totalprice) AS DOUBLE) a2, CAST(max(o_totalprice) AS DOUBLE) b2
+       | FROM orders),
+       |b AS (SELECT o_orderkey,
+       |  CAST(least(255, floor((CAST(o_custkey AS DOUBLE) - a1) * 256.0 / (b1 - a1))) AS BIGINT) AS v1,
+       |  CAST(least(255, floor((CAST(o_totalprice AS DOUBLE) - a2) * 256.0 / (b2 - a2))) AS BIGINT) AS v2
+       | FROM orders, mm)
+       |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval FROM b""".stripMargin
+  }
 
   /** q85's oracle: q84's assignment CTEs + the per-cluster
     * md5("cbsample|") pick window, capped at the quota. */

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional storage layout: Z-order (Morton-curve) clustering.
+  *
+  * A table range-partitioned and sorted on ONE column prunes scans on that
+  * column only; predicates on a second column read everything. Interleaving
+  * the bits of two bucketed dimensions into one sort key gives every file a
+  * tight min/max envelope in BOTH dimensions, so parquet row-group and
+  * file skipping (which Spark applies automatically from pushed filters)
+  * works for either predicate — the standard lakehouse layout technique
+  * for multi-dimensional workloads.
+  *
+  * Scale shape: bucketing is a narrow map over two broadcast min/max
+  * literals (one O(1) agg to fetch them); the layout write is one range
+  * shuffle — exactly what a plain sorted write costs, with strictly more
+  * skipping surface. All arithmetic is IEEE double + integer bit ops, so
+  * the z-values replay bit-for-bit in any engine (q87's oracle).
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of two bucket ids (Morton/Z curve):
+    * bit i of `b1` lands at position 2i, bit i of `b2` at 2i+1. */
+  def zValue(b1: Column, b2: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Min/max-scaled linear bucket of `c` into 2^bits cells. Replayable:
+    * all-double IEEE arithmetic ((x−min)·2^bits, then one divide), floor,
+    * and the max row clamps into the top cell; a degenerate span (min ==
+    * max) collapses to cell 0. Linear bucketing is deliberate — quantile
+    * bucketing spreads skew better but needs a global sort or a sampled
+    * (nondeterministic) boundary set; min/max costs one O(1) agg and keeps
+    * the layout reproducible. */
+  def linearBucket(c: Column, cmin: Double, cmax: Double, bits: Int): Column = {
+    val m = 1L << bits
+    if (!(cmax > cmin)) lit(0L)
+    else least(lit(m - 1),
+      floor((c.cast("double") - lit(cmin)) * lit(m.toDouble) / lit(cmax - cmin)))
+  }
+
+  /** `df` plus a z-value column derived from the ACTUAL min/max of the two
+    * dimensions (one tiny agg, collected to four literals — the returned
+    * plan is an exchange-free narrow map). */
+  def withZValue(df: DataFrame, c1: String, c2: String, bits: Int = 8,
+                 as: String = "zval"): DataFrame = {
+    val r = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"cannot z-order on all-null column ($c1, $c2)")
+    val z = zValue(
+      linearBucket(col(c1), r.getDouble(0), r.getDouble(1), bits),
+      linearBucket(col(c2), r.getDouble(2), r.getDouble(3), bits), bits)
+    df.withColumn(as, z)
+  }
+
+  /** Range-partition + sort `df` along the Z curve of (`c1`, `c2`). Every
+    * output partition (→ file on write) covers a compact curve segment, so
+    * its min/max envelope is tight in both dimensions. */
+  def zOrdered(df: DataFrame, c1: String, c2: String, nParts: Int,
+               bits: Int = 8): DataFrame =
+    withZValue(df, c1, c2, bits)
+      .repartitionByRange(nParts, col("zval"))
+      .sortWithinPartitions(col("zval"))
+
+  /** Write `df` as `nParts` z-ordered parquet files (the `zval` key is
+    * dropped — it is a layout device, not data). */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+                    nParts: Int, bits: Int = 8): Unit =
+    zOrdered(df, c1, c2, nParts, bits).drop("zval")
+      .write.mode("overwrite").parquet(path)
+}

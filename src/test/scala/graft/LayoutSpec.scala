@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Z-order layout: correctness of the Morton key and the property the
+  * layout exists for — per-FILE min/max envelopes tight enough that a
+  * predicate on EITHER dimension prunes files (what parquet footer
+  * skipping does with pushed filters at scan time). */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly (known values)") {
+    // b1=0b101 (bits at 0,2 → z positions 0,4), b2=0b011 (bits at 0,1 →
+    // z positions 1,3): z = 1 + 2 + 8 + 16 = 27
+    val r = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .head().getLong(0)
+    assert(r == 27L)
+    // identity grid corners at bits=2
+    val grid = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L))
+      .toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(grid == Seq(0L, 5L, 10L, 15L))
+  }
+
+  test("linearBucket: full range covered, max clamps into top cell, degenerate span → 0") {
+    val df = Seq(0.0, 2.5, 4.999, 5.0, 10.0).toDF("x")
+    val got = df.select(Layout.linearBucket(col("x"), 0.0, 10.0, 2).as("b"))
+      .as[Long].collect().toSeq
+    // 4 cells over [0,10]: 0→0, 2.5→1, 4.999→1, 5.0→2, 10.0→clamped 3
+    assert(got == Seq(0L, 1L, 1L, 2L, 3L))
+    val degen = df.select(Layout.linearBucket(col("x"), 7.0, 7.0, 2).as("b"))
+      .as[Long].collect().toSet
+    assert(degen == Set(0L))
+  }
+
+  /** Per-file [min,max] of a column across the files written at `path` —
+    * exactly the envelope parquet footer stats expose to the scan. */
+  private def envelopes(path: String, c: String): Seq[(Double, Double)] = {
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString).toSeq
+    files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+  }
+
+  private def overlapping(env: Seq[(Double, Double)], lo: Double,
+                          hi: Double): Int =
+    env.count { case (mn, mx) => mx >= lo && mn <= hi }
+
+  test("z-ordered files prune on BOTH dimensions; a single-column sort prunes on one") {
+    val orders = graft.model.Tables.load(spark, sf(), "orders")
+    val nFiles = 8
+    val zPath = tmpDir("layout-z")
+    Layout.writeZOrdered(orders, zPath, "o_custkey", "o_totalprice", nFiles)
+
+    // the comparison layout every warehouse has: sort by custkey alone
+    val sPath = tmpDir("layout-s")
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.parquet(sPath)
+
+    // nothing lost or duplicated by the rewrite
+    assert(spark.read.parquet(zPath).count() == orders.count())
+
+    val Seq(ckLo, ckHi, tpLo, tpHi) = {
+      val r = orders.agg(
+        min(col("o_custkey")).cast("double"), max(col("o_custkey")).cast("double"),
+        min(col("o_totalprice")), max(col("o_totalprice"))).head()
+      Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    // a selective band (~12% of the value range) on each dimension — away
+    // from the range midpoint, which every top-bit half-envelope straddles
+    def band(lo: Double, hi: Double): (Double, Double) = {
+      val w = hi - lo
+      (lo + 0.10 * w, lo + 0.22 * w)
+    }
+    val (cb1, cb2) = band(ckLo, ckHi)
+    val (tb1, tb2) = band(tpLo, tpHi)
+
+    val zCust = envelopes(zPath, "o_custkey")
+    val zPrice = envelopes(zPath, "o_totalprice")
+    val sCust = envelopes(sPath, "o_custkey")
+    val sPrice = envelopes(sPath, "o_totalprice")
+    assert(zCust.size == nFiles && sCust.size == nFiles)
+
+    // single-column layout: perfect on its own column, blind on the other
+    assert(overlapping(sCust, cb1, cb2) <= 2)
+    assert(overlapping(sPrice, tb1, tb2) == nFiles,
+      "custkey-sorted files should all overlap a price band")
+
+    // z-order: prunes meaningfully on BOTH dimensions — each file covers a
+    // compact curve segment, so its envelope is a sub-box of the grid
+    val zc = overlapping(zCust, cb1, cb2)
+    val zp = overlapping(zPrice, tb1, tb2)
+    assert(zc < nFiles, s"z layout pruned nothing on custkey: $zCust")
+    assert(zp < nFiles, s"z layout pruned nothing on price: $zPrice")
+    assert(zc + zp < 2 * nFiles - 2,
+      s"expected real two-dimensional pruning, got custkey=$zc price=$zp of $nFiles")
+  }
+
+  test("z-ordered rewrite preserves rows exactly (layout is a permutation)") {
+    val orders = graft.model.Tables.load(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val zPath = tmpDir("layout-perm")
+    Layout.writeZOrdered(orders, zPath, "o_custkey", "o_totalprice", 4)
+    val back = spark.read.parquet(zPath)
+    assert(back.columns.toSet == orders.columns.toSet)
+    assert(back.exceptAll(orders).count() == 0 &&
+      orders.exceptAll(back).count() == 0)
+  }
+}

@@ -245,6 +245,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(ps).size == 1, ps)
   }
 
+  test("q87: z-value derivation is an exchange-free narrow map (min/max ride as literals)") {
+    val p = plan("q87_zorder_layout")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q86: fuzzy dedup candidates come through an equi-join on (prefix, band), never a cross product") {
     val p = plan("q86_fuzzy_blocked_dedup")
     assert(!p.contains("CartesianProduct"), p)
