@@ -778,6 +778,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster_id"),
           round(col("sim"), 6).as("sim_r6"))),
 
+    // Embedding-space outlier gate: bottom decile of every q84 cluster by
+    // cosine-to-centroid, rank-cut so the flag is integer-exact across
+    // engines — the off-manifold document filter of an embedding curation
+    // pass.
+    "q88_embedding_outliers" -> ((s, dir) =>
+      SimSearch.embeddingOutliers(T(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8, frac = 0.1, lloydIters = 1)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          round(col("sim"), 6).as("sim_r6"), col("is_outlier"))),
+
     // Cluster-balanced diversity sample: cap every q84 cluster at a fixed
     // quota under a deterministic md5 pick order — head semantic domains
     // shrink to the cap, tail domains survive whole (the selection step of
@@ -1892,6 +1902,7 @@ object SparkEntry {
     "q84_kmeans_clusters" -> kmeansOracleSql,
     "q85_cluster_balanced_sample" -> kmeansSampleOracleSql,
     "q87_zorder_layout" -> zorderOracleSql,
+    "q88_embedding_outliers" -> kmeansOutlierOracleSql,
 
     // q74: positional 8-gram twin of the q58/q69 tokenization (1-based
     // DuckDB starts vs 0-based Spark starts — countDistinct over positions
@@ -2942,6 +2953,21 @@ object SparkEntry {
        |  CAST(least(255, floor((CAST(o_totalprice AS DOUBLE) - a2) * 256.0 / (b2 - a2))) AS BIGINT) AS v2
        | FROM orders, mm)
        |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval FROM b""".stripMargin
+  }
+
+  /** q88's oracle: q84's assignment CTEs + the rank-based bottom-decile
+    * flag (row_number over (sim ASC, vec_id ASC) vs floor(n·0.1) — all
+    * integer arithmetic, so the boolean replays exactly). */
+  private def kmeansOutlierOracleSql: String = {
+    val base = kmeansOracleSql
+    base.substring(0, base.lastIndexOf("SELECT vec_id")).stripTrailing + ",\n" +
+      """flagged AS (
+        | SELECT vec_id, cluster_id, sim,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY sim ASC, vec_id ASC)
+        |    <= floor(count(*) OVER (PARTITION BY cluster_id) * 0.1) AS is_outlier
+        | FROM a1)
+        |SELECT vec_id, cluster_id, round(sim, 6) AS sim_r6, is_outlier
+        |FROM flagged""".stripMargin
   }
 
   /** q85's oracle: q84's assignment CTEs + the per-cluster

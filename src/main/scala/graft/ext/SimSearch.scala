@@ -854,6 +854,32 @@ object SimSearch {
       .select(col("id"), col("cluster_id"), col("pick"))
   }
 
+  /** Embedding-space outlier gate: flag the bottom `frac` of every
+    * [[kmeansClusters]] cluster by cosine-to-centroid — the curation
+    * filter that drops off-manifold documents (OCR noise, wrong-language
+    * fragments, encoding garbage) whose embeddings sit far from every
+    * semantic domain. The cut is RANK-based (row_number over (sim ASC, id
+    * ASC), flag rn <= floor(n·frac)) rather than a value threshold: a
+    * value cut needs an interpolated percentile whose float ulps differ
+    * across engines, while the rank cut is integer-exact and replayable,
+    * and it is the same set when sims are distinct. One window + one
+    * count over the assignment — no extra corpus pass. Output: (id,
+    * cluster_id, sim, is_outlier). */
+  def embeddingOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, frac: Double,
+                        lloydIters: Int = 2): DataFrame = {
+    require(frac >= 0 && frac < 1, s"frac=$frac must sit in [0, 1)")
+    val byWorst = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("sim").asc, col("id").asc)
+    val all = Window.partitionBy(col("cluster_id"))
+    kmeansClusters(corpus, idCol, vecCol, k, lloydIters)
+      .withColumn("__rn", row_number().over(byWorst))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("is_outlier",
+        col("__rn") <= floor(col("__n") * lit(frac)))
+      .drop("__rn", "__n")
+  }
+
   /** Per-query recall@k of an ANN result against the exact top-k — the
     * checked property behind q18/q28's oracle rows. The ANN neighbor set
     * itself is hash-derived (not reproducible in another engine), but its

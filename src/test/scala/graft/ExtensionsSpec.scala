@@ -961,6 +961,33 @@ class ExtensionsSpec extends SparkTestBase {
     assert(b.collect().toSet == a.collect().toSet)
   }
 
+  test("embeddingOutliers: exactly floor(n·frac) worst-sim rows flagged per cluster") {
+    // blob + one noticeably off-axis vector per blob (still nearest to it)
+    val rows =
+      (0 until 9).map(i => (i.toLong, Array(1.0f, 0.02f * (i % 3), 0.0f, 0.0f))) ++
+      Seq((9L, Array(1.0f, 0.6f, 0.0f, 0.3f))) ++
+      (10 until 19).map(i => (i.toLong, Array(0.0f, 0.0f, 1.0f, 0.02f * (i % 2)))) ++
+      Seq((19L, Array(0.3f, 0.0f, 1.0f, 0.6f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = SimSearch.embeddingOutliers(df, "vec_id", "embedding", k = 2,
+        frac = 0.2, lloydIters = 2)
+      .select("id", "cluster_id", "sim", "is_outlier")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got.length == 20)
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.size == 2)
+    for ((_, rs) <- byCluster) {
+      val flagged = rs.filter(_._4)
+      assert(flagged.length == math.floor(rs.length * 0.2).toInt)
+      // every flagged sim is <= every kept sim
+      val keptMin = rs.filterNot(_._4).map(_._3).min
+      assert(flagged.forall(_._3 <= keptMin))
+    }
+    // the planted off-axis vectors are among the flagged
+    val outIds = got.filter(_._4).map(_._1).toSet
+    assert(outIds.contains(9L) && outIds.contains(19L), s"got $outIds")
+  }
+
   test("clusterBalancedSample: quota caps head clusters, tail kept whole, picks dense") {
     // blob A: 12 vectors, blob B: 3 vectors; quota 5 caps A, keeps B whole
     val rows =
