@@ -728,6 +728,13 @@ object SparkEntry {
     "q58_repetition" -> ((s, dir) =>
       TextStats.repetitionProfile(T(s, dir, "documents"), "doc_id", "text", 2)),
 
+    // Scale posture: key-skew profile + salt advisory — the measurement
+    // that decides q41/q42's salt factors (exact hot-key counts, shares,
+    // ceil(n/target) suggested salt).
+    "q89_skew_profile" -> ((s, dir) =>
+      graft.ops.Skew.keyProfile(T(s, dir, "events"), col("event_type"),
+        topK = 10, targetRowsPerTask = 500L)),
+
     // Scale posture: explicit salted two-phase aggregation (the hot-key
     // path AQE can't rewrite) — must equal the plain GROUP BY exactly.
     "q41_salted_agg" -> ((s, dir) =>
@@ -2208,6 +2215,14 @@ object SparkEntry {
         | round(tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df), 6)
         |   AS tfidf_r6
         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q89_skew_profile" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key_value,
+        |            count(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS tot FROM events)
+        |SELECT key_value, n_rows, round(n_rows / tot, 6) AS share_r6,
+        | CAST(ceil(n_rows / 500.0) AS BIGINT) AS suggested_salt
+        |FROM c, t ORDER BY n_rows DESC, key_value LIMIT 10""".stripMargin,
 
     "q41_salted_agg" ->
       """SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n

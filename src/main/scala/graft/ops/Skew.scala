@@ -26,6 +26,33 @@ object Skew {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Key-skew profile + salting advisory for a prospective shuffle on
+    * `key`: the `topK` hottest keys with exact counts, each key's share of
+    * the table, and the salt factor that slices the key's rows into
+    * `targetRowsPerTask`-sized tasks (ceil(n/target) — 1 means no salting
+    * needed). Run this BEFORE committing to [[saltedJoin]]/[[saltedCount]]
+    * factors: salting costs a replicated build side, so the factor should
+    * come from measurement, not guesswork.
+    *
+    * Scale shape: one map-side-combined count per key, a broadcast 1-row
+    * total, and a TakeOrdered top-k — no unpartitioned window over the
+    * counts table (whose row count is the key cardinality, potentially
+    * billions). Keys are stringified first so tie order and output schema
+    * are type-independent. */
+  def keyProfile(df: DataFrame, key: Column, topK: Int = 10,
+                 targetRowsPerTask: Long = 4000000L): DataFrame = {
+    val counts = df.groupBy(key.cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = broadcast(df.agg(count(lit(1)).as("__total")))
+    counts.crossJoin(total)
+      .orderBy(col("n_rows").desc, col("key_value"))
+      .limit(topK)
+      .select(col("key_value"), col("n_rows"),
+        round(col("n_rows") / col("__total"), 6).as("share_r6"),
+        ceil(col("n_rows") / lit(targetRowsPerTask.toDouble)).cast("long")
+          .as("suggested_salt"))
+  }
+
   /** Two-phase (partial → final) aggregation with salting: counts/sums for
     * a heavily skewed group key. Phase 1 aggregates (key, salt) partitions;
     * phase 2 combines the saltFactor partials per key. Catalyst already

@@ -78,6 +78,20 @@ class ApiSurfaceSpec extends SparkTestBase {
     assert(counts("hot") == 900L)
   }
 
+  test("keyProfile: hot keys ranked with exact shares and ceil(n/target) salt advice") {
+    val df = ((1 to 900).map(_ => "hot") ++ (1 to 60).map(_ => "warm") ++
+      (1 to 5).map(i => s"cold$i")).toDF("k")
+    val got = Skew.keyProfile(df, col("k"), topK = 3, targetRowsPerTask = 100L)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._4)) ==
+      Seq(("hot", 900L, 9L), ("warm", 60L, 1L), ("cold1", 1L, 1L)))
+    assert(math.abs(got.head._3 - 900.0 / 965.0) < 1e-6)
+    // advisory is layout-independent
+    val again = Skew.keyProfile(df.repartition(7), col("k"), 3, 100L)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(again == got)
+  }
+
   test("partitioned append: new files land under partition dirs, pruning works") {
     val dir = tmpDir("part")
     val b1 = Seq(("e1", "2024-03-01", 1.0), ("e2", "2024-03-02", 2.0))
