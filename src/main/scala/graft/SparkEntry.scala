@@ -795,6 +795,24 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster_id"),
           round(col("sim"), 6).as("sim_r6"), col("is_outlier"))),
 
+    // §7.6 INCREMENTAL k-means vs a persisted per-cluster state (the
+    // q62/q77 pattern applied to clustering): state built from the even
+    // half's batch k-means (its contribution rows = member sums of the
+    // final assignment), the odd half assigned against the DERIVED
+    // centroids — corpus never rescanned, per-batch cost is one narrow
+    // pass + a k-row aggregate.
+    "q90_kmeans_incremental" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val idx = SimSearch.buildKmIndex(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", k = 8, lloydIters = 1)
+      val (out, _) = SimSearch.incrementalKmeansAssign(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", idx, "b1")
+      out.select(col("id").as("vec_id"), col("cluster_id"),
+        round(col("sim"), 6).as("sim_r6"))
+    }),
+
     // Cluster-balanced diversity sample: cap every q84 cluster at a fixed
     // quota under a deterministic md5 pick order — head semantic domains
     // shrink to the cap, tail domains survive whole (the selection step of
@@ -1910,6 +1928,7 @@ object SparkEntry {
     "q85_cluster_balanced_sample" -> kmeansSampleOracleSql,
     "q87_zorder_layout" -> zorderOracleSql,
     "q88_embedding_outliers" -> kmeansOutlierOracleSql,
+    "q90_kmeans_incremental" -> kmeansIncrementalOracleSql,
 
     // q74: positional 8-gram twin of the q58/q69 tokenization (1-based
     // DuckDB starts vs 0-based Spark starts — countDistinct over positions
@@ -2969,6 +2988,69 @@ object SparkEntry {
        | FROM orders, mm)
        |SELECT o_orderkey, ${terms.mkString(" | ")} AS zval FROM b""".stripMargin
   }
+
+  /** q90's oracle: the whole incremental path replayed — q84's CTE chain
+    * restricted to the EVEN half (seeds, one Lloyd round, final training
+    * assignment a1), then the persisted state's derived centroids (member
+    * means of a1: decimal-exact sums, ONE double cast, divide in double —
+    * no seed coalesce, so member-less clusters retire), then the odd
+    * half's assignment against those with the standard tie-break. */
+  private def kmeansIncrementalOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |en AS (SELECT vec_id,
+      |  list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),
+      |en0 AS (SELECT * FROM en WHERE vec_id % 2 = 0),
+      |en1 AS (SELECT * FROM en WHERE vec_id % 2 = 1),
+      |seeds AS (
+      | SELECT CAST(row_number() OVER (ORDER BY md5('kmseed|' || CAST(vec_id AS VARCHAR))) AS BIGINT) - 1
+      |   AS cluster_id, v AS cv
+      | FROM en0 ORDER BY md5('kmseed|' || CAST(vec_id AS VARCHAR)) LIMIT 8),
+      |a0 AS (
+      | SELECT vec_id, cluster_id FROM (
+      |  SELECT en0.vec_id, s.cluster_id,
+      |   row_number() OVER (PARTITION BY en0.vec_id ORDER BY
+      |     list_dot_product(en0.v, s.cv)
+      |       / (sqrt(list_dot_product(en0.v, en0.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+      |     s.cluster_id DESC) AS rn
+      |  FROM en0 CROSS JOIN seeds s) z WHERE rn = 1),
+      |csum AS (
+      | SELECT a0.cluster_id, p.p AS p,
+      |  CAST(sum(CAST(en0.v[p.p+1] AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+      |  count(*) AS n
+      | FROM en0 JOIN a0 USING (vec_id) CROSS JOIN range(64) p(p)
+      | GROUP BY a0.cluster_id, p.p),
+      |c1 AS (SELECT cluster_id, list(sx / n ORDER BY p) AS cv FROM csum
+      |       GROUP BY cluster_id),
+      |cent AS (
+      | SELECT s.cluster_id, coalesce(c1.cv, s.cv) AS cv
+      | FROM seeds s LEFT JOIN c1 USING (cluster_id)),
+      |a1 AS (
+      | SELECT vec_id, cluster_id FROM (
+      |  SELECT en0.vec_id, c.cluster_id,
+      |   row_number() OVER (PARTITION BY en0.vec_id ORDER BY
+      |     list_dot_product(en0.v, c.cv)
+      |       / (sqrt(list_dot_product(en0.v, en0.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |     c.cluster_id DESC) AS rn
+      |  FROM en0 CROSS JOIN cent c) z WHERE rn = 1),
+      |csum2 AS (
+      | SELECT a1.cluster_id, p.p AS p,
+      |  CAST(sum(CAST(en0.v[p.p+1] AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+      |  count(*) AS n
+      | FROM en0 JOIN a1 USING (vec_id) CROSS JOIN range(64) p(p)
+      | GROUP BY a1.cluster_id, p.p),
+      |cent2 AS (SELECT cluster_id, list(sx / n ORDER BY p) AS cv FROM csum2
+      |          GROUP BY cluster_id),
+      |a2 AS (
+      | SELECT vec_id, cluster_id, sim FROM (
+      |  SELECT en1.vec_id, c.cluster_id,
+      |   list_dot_product(en1.v, c.cv)
+      |     / (sqrt(list_dot_product(en1.v, en1.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim,
+      |   row_number() OVER (PARTITION BY en1.vec_id ORDER BY
+      |     list_dot_product(en1.v, c.cv)
+      |       / (sqrt(list_dot_product(en1.v, en1.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |     c.cluster_id DESC) AS rn
+      |  FROM en1 CROSS JOIN cent2 c) z WHERE rn = 1)
+      |SELECT vec_id, cluster_id, round(sim, 6) AS sim_r6 FROM a2""".stripMargin
 
   /** q88's oracle: q84's assignment CTEs + the rank-based bottom-decile
     * flag (row_number over (sim ASC, vec_id ASC) vs floor(n·0.1) — all

@@ -804,10 +804,7 @@ object SimSearch {
     // argmax over broadcast centroid literals, unrolled at plan build; the
     // struct max picks (sim, id)-lexicographic max, so ties go to the
     // LARGER cluster id — the convention every oracle replays
-    def nearest(v: Column): Column =
-      greatest(centroids.map { case (id, ctr) =>
-        struct(cosine(v, typedlit(ctr)).as("s"), lit(id).as("id"))
-      }: _*)
+    def nearest(v: Column): Column = kmNearest(centroids)(v)
 
     val dim = centroids.head._2.length
     var iter = 0
@@ -852,6 +849,99 @@ object SimSearch {
       .withColumn("pick", row_number().over(w).cast("long"))
       .filter(col("pick") <= perCluster)
       .select(col("id"), col("cluster_id"), col("pick"))
+  }
+
+  /** Persisted clustering state for [[incrementalKmeansAssign]]: one
+    * contribution row per (cluster, batch) — (cluster_id, batch_id, n,
+    * vsum: array<decimal(38,10)>). Centroids are DERIVED (exact decimal
+    * sums across batches, one final double cast), never stored — so the
+    * state is append-only, the fold is associative (batch order cannot
+    * change a centroid), and redelivery is detectable by batch_id. */
+  final case class KmIndex(contrib: DataFrame, k: Int, dim: Int)
+
+  /** Per-cluster (n, decimal element sums) of an assigned+normalized
+    * batch, stamped with `batchId`. */
+  private def kmContribRows(assigned: DataFrame, dim: Int,
+                            batchId: String): DataFrame =
+    assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(i =>
+          sum(element_at(col("v"), i + 1).cast("decimal(27,10)"))
+            .cast("decimal(38,10)")): _*).as("vsum"))
+      .withColumn("batch_id", lit(batchId))
+
+  /** Argmax-assignment column over driver-held centroids (shared by
+    * [[kmeansClusters]] and the incremental path): (sim, id)-struct max,
+    * ties to the larger cluster id. */
+  private def kmNearest(centroids: Array[(Long, Seq[Double])])
+                       (v: Column): Column =
+    greatest(centroids.map { case (id, ctr) =>
+      struct(cosine(v, typedlit(ctr)).as("s"), lit(id).as("id"))
+    }: _*)
+
+  /** Build the initial clustering state: batch [[kmeansClusters]] over the
+    * corpus, then fold its final assignment into per-cluster contribution
+    * rows. Note the online-k-means semantic this fixes: the DERIVED
+    * centroid of the state is the member-mean of the FINAL assignment —
+    * i.e. one more averaging step than the assignment itself used (the
+    * MacQueen/sequential form: assign against current means, then the
+    * means absorb the members). Clusters that attracted no members retire
+    * (no contribution row → no centroid). */
+  def buildKmIndex(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                   lloydIters: Int = 1, batchId: String = "init"): KmIndex = {
+    val cn = pqNormalized(corpus, idCol, vecCol, "id", "v").localCheckpoint()
+    val dim = cn.select(size(col("v"))).head().getInt(0)
+    val assigned = kmeansClusters(corpus, idCol, vecCol, k, lloydIters)
+      .select(col("id"), col("cluster_id"))
+      .join(cn, Seq("id"))
+    KmIndex(kmContribRows(assigned, dim, batchId).localCheckpoint(), k, dim)
+  }
+
+  /** Derived centroids of a clustering state: exact decimal sums across
+    * all contribution rows per cluster, ONE double cast, then the
+    * element-wise divide by n in double — so the centroid is independent
+    * of both partition order and batch arrival order, and replays exactly
+    * in a SQL oracle. O(k·batches) rows aggregated, O(k) collected. */
+  def kmCentroids(index: KmIndex): Array[(Long, Seq[Double])] =
+    index.contrib.groupBy(col("cluster_id"))
+      .agg(sum(col("n")).as("n"),
+        array((0 until index.dim).map(i =>
+          sum(element_at(col("vsum"), i + 1)).cast("double")): _*).as("s"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getLong(0), r.getSeq[Double](2).map(_ / n))
+      }
+      .sortBy(_._1)
+
+  /** Assign a NEW batch against the persisted clustering state and fold
+    * the batch's members into it — the incremental twin of
+    * [[kmeansClusters]] (the q62/q77 pattern applied to clustering): the
+    * corpus is never rescanned, per-batch cost is one narrow assignment
+    * pass plus a k-row contribution aggregate, and centroids drift as
+    * batches accumulate. A batch whose `batchId` is already present
+    * assigns but does NOT fold again, so redelivery leaves the state
+    * byte-identical; the redelivered assignment is recomputed against the
+    * CURRENT (post-first-fold) centroids — an id-keyed sink overwrites to
+    * the newer rows, exactly the segment/HLL-fold redelivery contract.
+    * Returns (assignments (id, cluster_id, sim), new state). */
+  def incrementalKmeansAssign(batch: DataFrame, idCol: String, vecCol: String,
+                              index: KmIndex,
+                              batchId: String): (DataFrame, KmIndex) = {
+    val cents = kmCentroids(index)
+    val cn = pqNormalized(batch, idCol, vecCol, "id", "v").localCheckpoint()
+    val assigned = cn.withColumn("__nc", kmNearest(cents)(col("v")))
+      .select(col("id"), col("__nc").getField("id").as("cluster_id"),
+        col("__nc").getField("s").as("sim"), col("v"))
+    val out = assigned.select(col("id"), col("cluster_id"), col("sim"))
+    val alreadyFolded =
+      !index.contrib.filter(col("batch_id") === batchId).isEmpty
+    val contrib =
+      if (alreadyFolded) index.contrib
+      else index.contrib
+        .unionByName(kmContribRows(assigned, index.dim, batchId))
+        .localCheckpoint()
+    (out, KmIndex(contrib, index.k, index.dim))
   }
 
   /** Embedding-space outlier gate: flag the bottom `frac` of every

@@ -961,6 +961,50 @@ class ExtensionsSpec extends SparkTestBase {
     assert(b.collect().toSet == a.collect().toSet)
   }
 
+  test("incrementalKmeansAssign: batch routes to the right cluster, state folds, redelivery byte-stable") {
+    val blob1 = (0 until 10).map(i => (i.toLong,
+      Array(1.0f, 0.02f * (i % 3), 0.0f, 0.0f)))
+    val blob2 = (10 until 20).map(i => (i.toLong,
+      Array(0.0f, 0.0f, 1.0f, 0.02f * (i % 2))))
+    val init = (blob1 ++ blob2.take(5)).toDF("vec_id", "embedding")
+    val batch = blob2.drop(5).toDF("vec_id", "embedding")
+
+    val idx0 = SimSearch.buildKmIndex(init, "vec_id", "embedding", k = 2,
+      lloydIters = 2)
+    val c0 = SimSearch.kmCentroids(idx0)
+    assert(c0.length == 2)
+    // contribution counts equal the training memberships (10 + 5)
+    assert(idx0.contrib.select(col("n")).as[Long].collect().sorted.toSeq ==
+      Seq(5L, 10L))
+
+    val (a1, idx1) = SimSearch.incrementalKmeansAssign(batch, "vec_id",
+      "embedding", idx0, "b1")
+    val m = a1.select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(m.keySet == (15L until 20L).toSet)
+    // all batch vectors (blob2) join blob2's training cluster
+    val blob2Cluster = SimSearch.kmeansClusters(init, "vec_id", "embedding",
+        2, 2).filter(col("id") === 10L)
+      .select("cluster_id").head().getLong(0)
+    assert(m.values.toSet == Set(blob2Cluster))
+    // the fold moved blob2's centroid (absorbed 5 members), not blob1's
+    val c1 = SimSearch.kmCentroids(idx1).toMap
+    assert(c1(blob2Cluster) != c0.toMap.apply(blob2Cluster))
+    assert(c1.keySet == c0.toMap.keySet)
+    val other = (c0.toMap.keySet - blob2Cluster).head
+    assert(c1(other) == c0.toMap.apply(other))
+
+    // redelivery of the same batch_id: folds nothing (state byte-stable);
+    // the assignment recomputes against the post-fold centroids, so sims
+    // may shift but the routing stays put (an id-keyed sink converges)
+    val (a1b, idx2) = SimSearch.incrementalKmeansAssign(batch, "vec_id",
+      "embedding", idx1, "b1")
+    assert(a1b.select("id", "cluster_id").as[(Long, Long)].collect().toMap == m)
+    assert(SimSearch.kmCentroids(idx2).toSeq == SimSearch.kmCentroids(idx1).toSeq)
+    // a FRESH batch_id with the same rows would double-count — the guard
+    // is the id, which is the same contract the segment/HLL folds use
+    assert(idx2.contrib.count() == idx1.contrib.count())
+  }
+
   test("embeddingOutliers: exactly floor(n·frac) worst-sim rows flagged per cluster") {
     // blob + one noticeably off-axis vector per blob (still nearest to it)
     val rows =
