@@ -218,6 +218,48 @@ object Streams {
       if (tx) graft.merge.TxTable.replace(s, stateDir, folded)
       else MergeSink.writeReplace(s, stateDir, folded)
     }
+
+    /** Streaming k-means fold — the micro-batch form of
+      * [[graft.ext.SimSearch.incrementalKmeansAssign]]: the first batch
+      * bootstraps the state with batch k-means; every later batch assigns
+      * against the DERIVED centroids (exact decimal member sums across
+      * all prior batches) and appends its own (cluster, batch)
+      * contribution rows. Assignments land append-dedup by id (first
+      * delivery wins), contributions are batch_id-guarded inside the
+      * incremental operator — so a fresh-checkpoint redelivery leaves
+      * BOTH tables byte-stable. Per batch: one narrow assignment pass, a
+      * k-row contribution aggregate, an O(batch) assignment append, and
+      * an O(k·batches) state rewrite. */
+    def kmeansFold(stateDir: String, assignDir: String, idCol: String,
+                   vecCol: String, k: Int, lloydIters: Int = 1,
+                   tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, epoch) => {
+      import graft.ext.SimSearch
+      val bid = s"b$epoch"
+      val (out, newContrib) = MergeSink.readAny(s, stateDir) match {
+        case Some(c) =>
+          val dim = c.select(size(col("vsum"))).head().getInt(0)
+          val idx = SimSearch.KmIndex(c, k, dim)
+          val (o, idx2) =
+            SimSearch.incrementalKmeansAssign(batch, idCol, vecCol, idx, bid)
+          // reference equality IS the redelivery signal: the operator
+          // hands back the same contrib when the batch_id was present
+          (o, if (idx2.contrib eq idx.contrib) None else Some(idx2.contrib))
+        case None =>
+          val idx = SimSearch.buildKmIndex(batch, idCol, vecCol, k,
+            lloydIters, bid)
+          val o = SimSearch.kmeansClusters(batch, idCol, vecCol, k, lloydIters)
+          (o.localCheckpoint(), Some(idx.contrib))
+      }
+      val assignRows = out.select(col("id"), col("cluster_id"), col("sim"))
+        .localCheckpoint()
+      if (tx) MergeSink.appendDedupTx(s, assignDir, assignRows, "id")
+      else MergeSink.appendDedup(s, assignDir, assignRows, "id")
+      newContrib.foreach { c2 =>
+        if (tx) graft.merge.TxTable.replace(s, stateDir, c2)
+        else MergeSink.writeReplace(s, stateDir, c2)
+      }
+    }
   }
 
   /** Cast an NTZ event-time column to session-zoned TimestampType — the

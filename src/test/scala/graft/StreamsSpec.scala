@@ -259,6 +259,70 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming k-means fold routes batches to stable clusters and survives redelivery in both protocols") {
+    import spark.implicits._
+    import graft.ext.SimSearch
+    def b1(i: Int) = Array(1.0f, 0.02f * (i % 3), 0.0f, 0.0f)
+    def b2(i: Int) = Array(0.0f, 0.0f, 1.0f, 0.02f * (i % 2))
+    // batch 0 shows both blobs (bootstrap k-means sees the full geometry);
+    // later batches extend each blob with fresh ids
+    val batches = Seq(
+      (0 until 8).map(i => (i.toLong, b1(i))) ++
+        (8 until 12).map(i => (i.toLong, b2(i))),
+      (12 until 16).map(i => (i.toLong, b2(i))),
+      (16 until 20).map(i => (i.toLong, b1(i))))
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "rename"
+      val flat = tmpDir(s"km-flat-$mode"); new java.io.File(flat).mkdirs()
+      for ((rows, i) <- batches.zipWithIndex) {
+        val one = tmpDir(s"km-b$i-$mode")
+        rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(one)
+        val part = new java.io.File(one).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stateDir = tmpDir(s"km-state-$mode")
+      val assignDir = tmpDir(s"km-assign-$mode")
+      def run(ck: String) = {
+        val q = Streams.toMergeSink(
+          Streams.parquetStream(spark, flat, spark.read.parquet(flat).schema,
+            maxFilesPerTrigger = 1),
+          tmpDir(ck), Trigger.AvailableNow())(
+          Streams.Sinks.kmeansFold(stateDir, assignDir, "vec_id", "embedding",
+            k = 2, lloydIters = 2, tx = tx))
+        q.awaitTermination(120000)
+      }
+      run(s"km-ck-$mode")
+      def assignments(): Map[Long, Long] =
+        MergeSink.readAny(spark, assignDir).get
+          .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+      val m = assignments()
+      assert(m.keySet == (0L until 20L).toSet, s"mode=$mode got ${m.keySet}")
+      // every blob-1 id (incl. batch-2 arrivals) shares one cluster,
+      // every blob-2 id the other
+      val g1 = ((0L until 8L) ++ (16L until 20L)).map(m).toSet
+      val g2 = ((8L until 16L)).map(m).toSet
+      assert(g1.size == 1 && g2.size == 1 && g1 != g2, s"mode=$mode m=$m")
+      // state: one contribution row per (cluster, batch) that had members
+      val contrib = MergeSink.readAny(spark, stateDir).get
+      assert(contrib.select(sum(col("n"))).head().getLong(0) == 20L)
+      val cents = SimSearch.kmCentroids(
+        SimSearch.KmIndex(contrib, 2, 4))
+      assert(cents.length == 2)
+
+      // fresh-checkpoint redelivery: same epochs, same batch ids → the
+      // fold no-ops and both tables hold exactly the same values
+      run(s"km-ck2-$mode")
+      assert(assignments() == m, s"redelivery moved assignments, mode=$mode")
+      val contrib2 = MergeSink.readAny(spark, stateDir).get
+      assert(contrib2.collect().toSet == contrib.collect().toSet,
+        s"redelivery drifted state, mode=$mode")
+    }
+  }
+
   test("incremental segment dedup folds streamed batches against persisted counts") {
     import spark.implicits._
     import graft.ext.Dedup
