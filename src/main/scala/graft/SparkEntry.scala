@@ -574,6 +574,18 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // §7.6 trigram fluency with stupid backoff (Brants 2007) — the
+    // longer-context LM gate on the q82 split: seen trigrams score their
+    // MLE ratio, unseen ones back off λ → λ² → λ²/V. Log-free, so every
+    // score is one integer division + at most two λ multiplies and the
+    // oracle hash-matches bit-for-bit.
+    "q91_trigram_fluency" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.TextStats.trigramFluencyAgainst(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text")
+    }),
+
     // §7.6 ANN recall@k harness — the exact arm (q13's ranking) joined
     // against the approximate arm (q68's IVF-PQ pipeline); both arms are
     // individually hash-equal to DuckDB, so the composed per-query recall
@@ -2077,6 +2089,59 @@ object SparkEntry {
         | FROM scored GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         | agg.mean_prob_r9
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |WHERE d.doc_id >= 250""".stripMargin,
+
+    // q91: q82's tokenize/lag CTEs extended one more lag; the stupid-
+    // backoff CASE mirrors the Spark when-chain exactly (same nesting,
+    // same 0.4 multiplier association), counts integer, divisions IEEE,
+    // mean decimal-exact.
+    "q91_trigram_fluency" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
+        | FROM documents),
+        |tp AS (
+        | SELECT doc_id, w, unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS p
+        | FROM t WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, p, w[p] AS tok FROM tp),
+        |lagd AS (
+        | SELECT doc_id, tok,
+        |  lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS p1,
+        |  lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY p) AS p2
+        | FROM toks),
+        |tri AS (SELECT doc_id, p2, p1, tok FROM lagd WHERE p2 IS NOT NULL),
+        |reftri AS (SELECT * FROM tri WHERE doc_id < 250),
+        |tgttri AS (SELECT * FROM tri WHERE doc_id >= 250),
+        |refbig AS (SELECT p1, tok FROM lagd
+        |           WHERE p1 IS NOT NULL AND doc_id < 250),
+        |c3 AS (SELECT p2, p1, tok, count(*) AS c3 FROM reftri GROUP BY 1,2,3),
+        |c3ctx AS (SELECT p2, p1, count(*) AS c3ctx FROM reftri GROUP BY 1,2),
+        |c2 AS (SELECT p1, tok, count(*) AS c2 FROM refbig GROUP BY 1,2),
+        |c2ctx AS (SELECT p1, count(*) AS c2ctx FROM refbig GROUP BY 1),
+        |c1 AS (SELECT tok, count(*) AS c1 FROM toks WHERE doc_id < 250 GROUP BY 1),
+        |nv AS (SELECT count(*) AS n_tok, count(DISTINCT tok) AS v
+        |       FROM toks WHERE doc_id < 250),
+        |scored AS (
+        | SELECT g.doc_id,
+        |  CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 / c3ctx.c3ctx
+        |  ELSE 0.4 * (CASE WHEN c2.c2 IS NOT NULL THEN c2.c2 / c2ctx.c2ctx
+        |   ELSE 0.4 * (CASE WHEN c1.c1 IS NOT NULL THEN c1.c1 / nv.n_tok
+        |    ELSE CAST(1.0 AS DOUBLE) / nv.v END) END) END AS s
+        | FROM tgttri g
+        | LEFT JOIN c3 USING (p2, p1, tok)
+        | LEFT JOIN c3ctx USING (p2, p1)
+        | LEFT JOIN c2 USING (p1, tok)
+        | LEFT JOIN c2ctx USING (p1)
+        | LEFT JOIN c1 USING (tok)
+        | CROSS JOIN nv),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  round(CAST(sum(CAST(s AS DECIMAL(18,12))) AS DOUBLE) / count(*), 9)
+        |    AS mean_score_r9
+        | FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        | agg.mean_score_r9
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |WHERE d.doc_id >= 250""".stripMargin,
 

@@ -185,6 +185,80 @@ object TextStats {
         col("mean_prob_r9"))
   }
 
+  /** Trigram fluency with STUPID BACKOFF (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") against a reference-corpus
+    * LM — the longer-context upgrade of [[bigramFluencyAgainst]]: a seen
+    * trigram scores its MLE ratio c3/c2ctx; an unseen one backs off to
+    * λ·(bigram ratio), then λ²·(unigram frequency), with λ²/V as the
+    * fully-novel floor. Backoff (vs interpolation) keeps every score ONE
+    * integer-count division plus at most two λ multiplies — no log, no
+    * libm — so with the decimal-exact mean the result hash-matches a SQL
+    * oracle bit-for-bit, the q76/q82 discipline.
+    *
+    * Scale shape: the reference pays four count aggregates once (trigram,
+    * trigram-context, bigram, unigram); the target pays one window pass
+    * and five LEFT equi-joins plus a broadcast 1-row (N, V). O(ref tokens
+    * + target tokens). Output: (doc_id, n_trigrams, mean_score_r9) — one
+    * row per target doc, <3-token docs null-scored. */
+  def trigramFluencyAgainst(ref: DataFrame, target: DataFrame,
+                            idCol: String, textCol: String,
+                            lambda: Double = 0.4): DataFrame = {
+    require(lambda > 0 && lambda <= 1, s"lambda must sit in (0, 1]: $lambda")
+    import org.apache.spark.sql.expressions.Window
+    def toksOf(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("p", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    def trisOf(d: DataFrame) = toksOf(d)
+      .withColumn("p1", lag(col("tok"), 1).over(w))
+      .withColumn("p2", lag(col("tok"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .select(col("doc_id"), col("p2"), col("p1"), col("tok"))
+    val refToks = toksOf(ref).localCheckpoint()
+    val refTris = trisOf(ref).localCheckpoint()
+    val tgtTris = if (target eq ref) refTris else trisOf(target)
+    val c3 = refTris.groupBy(col("p2"), col("p1"), col("tok"))
+      .agg(count(lit(1)).as("c3"))
+    val c3ctx = refTris.groupBy(col("p2"), col("p1"))
+      .agg(count(lit(1)).as("c3ctx"))
+    val refBig = refToks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("p1"), col("tok"))
+      .localCheckpoint()
+    val c2 = refBig.groupBy(col("p1"), col("tok")).agg(count(lit(1)).as("c2"))
+    val c2ctx = refBig.groupBy(col("p1")).agg(count(lit(1)).as("c2ctx"))
+    val c1 = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val nv = refToks.agg(count(lit(1)).as("n_tok"),
+      countDistinct(col("tok")).as("v"))
+    val lam = lit(lambda)
+    val scored = tgtTris
+      .join(c3, Seq("p2", "p1", "tok"), "left")
+      .join(c3ctx, Seq("p2", "p1"), "left")
+      .join(c2, Seq("p1", "tok"), "left")
+      .join(c2ctx, Seq("p1"), "left")
+      .join(c1, Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, col("c3") / col("c3ctx"))
+          .otherwise(lam * when(col("c2").isNotNull, col("c2") / col("c2ctx"))
+            .otherwise(lam * when(col("c1").isNotNull, col("c1") / col("n_tok"))
+              .otherwise(lit(1.0) / col("v")))).as("s"))
+    target.select(col(idCol).as("doc_id"))
+      .join(scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_trigrams"),
+            round(graft.functions.SafeCasts.decimalAvg(col("s"), 12), 9)
+              .as("mean_score_r9")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("mean_score_r9"))
+  }
+
+  /** Self-trained special case of [[trigramFluencyAgainst]]. */
+  def trigramFluency(docs: DataFrame, idCol: String, textCol: String,
+                     lambda: Double = 0.4): DataFrame =
+    trigramFluencyAgainst(docs, docs, idCol, textCol, lambda)
+
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),

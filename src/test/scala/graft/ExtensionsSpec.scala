@@ -894,6 +894,41 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows((2L, 3L)) == ((0.0, 1.0)))
   }
 
+  test("trigramFluencyAgainst: backoff tiers score exactly, novel text hits the λ²/V floor") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox runs through the green field"))
+      .toDF("doc_id", "text")
+    // ref: N=18 tokens, V=12 distinct
+    val tgt = Seq(
+      (10L, "the quick brown fox jumps"), // all 3 trigrams seen
+      (11L, "zz yy xx ww vv"),            // fully novel → every s = λ²/V
+      (12L, "ok"),                        // <3 tokens → no trigrams
+      (14L, "lazy dog runs through"))     // tiers: λ²·(c1/N) then λ·(c2/c2ctx)
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextStats
+      .trigramFluencyAgainst(ref, tgt, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.toString.toDouble)))).toMap
+    assert(got(10L)._1 == 3 && got(11L)._1 == 3 && got(14L)._1 == 2)
+    assert(got(12L) == ((0L, None)))
+    // doc 10: (2/2 + 2/2 + 1/2)/3
+    assert(math.abs(got(10L)._2.get - 2.5 / 3) < 1e-9)
+    // doc 11: every trigram fully novel
+    assert(math.abs(got(11L)._2.get - 0.4 * (0.4 * (1.0 / 12))) < 1e-9)
+    // doc 14: "lazy dog runs" → λ²·(c1(runs)/N)=0.16/18;
+    //         "dog runs through" → λ·(c2/c2ctx)=0.4
+    assert(math.abs(got(14L)._2.get - (0.4 * (0.4 * (1.0 / 18)) + 0.4) / 2) < 1e-9)
+    // seen phrasing ≫ novel
+    assert(got(10L)._2.get > 10 * got(11L)._2.get)
+    // self-trained convenience form is the ref=target special case
+    val a = graft.ext.TextStats.trigramFluency(ref, "doc_id", "text").collect().toSeq
+    val b = graft.ext.TextStats.trigramFluencyAgainst(ref, ref, "doc_id", "text")
+      .collect().toSeq
+    assert(a.toSet == b.toSet)
+  }
+
   test("fuzzyNearDups: typo pairs found with exact distances, blocking contract enforced, pairs unique") {
     val docs = Seq(
       (1L, "spark streaming guide"),        // base
