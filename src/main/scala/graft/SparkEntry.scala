@@ -740,6 +740,22 @@ object SparkEntry {
     "q58_repetition" -> ((s, dir) =>
       TextStats.repetitionProfile(T(s, dir, "documents"), "doc_id", "text", 2)),
 
+    // ANALYZE-style column profile over documents (null/distinct/min-max
+    // survey; the q32 sketch treatment for the HLL estimate — exact count
+    // value-checked, the estimate as a 5%-band boolean).
+    "q92_column_profile" -> ((s, dir) =>
+      graft.ops.Stats.columnProfile(T(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .select(col("column"), col("n_rows"), col("n_nulls"),
+          col("null_frac_r6"), col("n_distinct"), col("distinct_within_5pct"),
+          col("min_str"), col("max_str"))),
+
+    // Equi-width value histogram (optimizer-stats building block): exact
+    // IEEE bucketing against collected min/max literals, per-cell counts
+    // and real value bounds.
+    "q93_histogram" -> ((s, dir) =>
+      graft.ops.Stats.histogram(T(s, dir, "orders"), "o_totalprice", 10)),
+
     // Scale posture: key-skew profile + salt advisory — the measurement
     // that decides q41/q42's salt factors (exact hot-key counts, shares,
     // ceil(n/target) suggested salt).
@@ -2299,6 +2315,35 @@ object SparkEntry {
         | round(tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df), 6)
         |   AS tfidf_r6
         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // q92: one UNION ALL branch per profiled column; count(DISTINCT)
+    // matches count_distinct's null exclusion, min/max stringify under
+    // binary collation on both engines, the HLL band is the q32 TRUE
+    // literal.
+    "q92_column_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | round((count(*) - count($c)) / count(*), 6) AS null_frac_r6,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | TRUE AS distinct_within_5pct,
+           | CAST(min($c) AS VARCHAR) AS min_str,
+           | CAST(max($c) AS VARCHAR) AS max_str
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(branch).mkString("\nUNION ALL\n")
+    },
+
+    "q93_histogram" ->
+      """WITH mm AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        |                   CAST(max(o_totalprice) AS DOUBLE) AS hi
+        |            FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        |  CAST(least(9, floor((CAST(o_totalprice AS DOUBLE) - mm.lo) * 10.0
+        |    / (mm.hi - mm.lo))) AS BIGINT) AS bin
+        | FROM orders, mm WHERE o_totalprice IS NOT NULL)
+        |SELECT bin, min(x) AS lo, max(x) AS hi, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY bin""".stripMargin,
 
     "q89_skew_profile" ->
       """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key_value,

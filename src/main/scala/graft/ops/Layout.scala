@@ -36,12 +36,14 @@ object Layout {
     * bucketing spreads skew better but needs a global sort or a sampled
     * (nondeterministic) boundary set; min/max costs one O(1) agg and keeps
     * the layout reproducible. */
-  def linearBucket(c: Column, cmin: Double, cmax: Double, bits: Int): Column = {
-    val m = 1L << bits
+  def linearBucket(c: Column, cmin: Double, cmax: Double, bits: Int): Column =
+    linearBucketN(c, cmin, cmax, 1L << bits)
+
+  /** [[linearBucket]] for an arbitrary (non-power-of-two) cell count. */
+  def linearBucketN(c: Column, cmin: Double, cmax: Double, cells: Long): Column =
     if (!(cmax > cmin)) lit(0L)
-    else least(lit(m - 1),
-      floor((c.cast("double") - lit(cmin)) * lit(m.toDouble) / lit(cmax - cmin)))
-  }
+    else least(lit(cells - 1),
+      floor((c.cast("double") - lit(cmin)) * lit(cells.toDouble) / lit(cmax - cmin)))
 
   /** `df` plus a z-value column derived from the ACTUAL min/max of the two
     * dimensions (one tiny agg, collected to four literals — the returned

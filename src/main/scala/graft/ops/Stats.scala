@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table statistics — the numbers an optimizer (or a human
+  * sizing a 100 TB job) reads before planning: per-column null fractions,
+  * distinct counts, min/max, and an equi-width value histogram. The
+  * reference has no stats surface (PostgreSQL ANALYZE plays this role for
+  * it, `setup_target.py` relies on PG defaults); re-expressed here as
+  * first-class DataFrame operators because a standalone engine must
+  * answer "how skewed / how wide / how null is this column" itself —
+  * [[Skew.keyProfile]] is the per-key deep dive, these are the survey.
+  */
+object Stats {
+
+  /** One profile row per requested column:
+    * (column, n_rows, n_nulls, null_frac_r6, n_distinct, approx_distinct,
+    * distinct_within_5pct, min_str, max_str).
+    *
+    * Exact AND sketched distinct counts ship together, q32-style: the
+    * exact count anchors correctness (and the oracle hash), the HLL++
+    * estimate runs for real with a bounded-error boolean so a sketch
+    * regression fails the row. min/max stringify so one schema fits every
+    * column type (the caller has the typed table for typed reads).
+    *
+    * Scale shape: ONE pass per column (count + conditional count + min +
+    * max + both distincts in a single aggregate); columns union after
+    * aggregation, so the output is |cols| rows however wide the table.
+    * At 100 TB drop the exact distinct (the only shuffle-heavy term) and
+    * keep the sketch — the knob is `exactDistinct = false`. */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    exactDistinct: Boolean = true): DataFrame =
+    cols.map { c =>
+      val base = df.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, lit(1))).as("n_nulls"),
+        (if (exactDistinct) count_distinct(col(c))
+         else lit(null).cast("long")).as("n_distinct"),
+        approx_count_distinct(col(c)).as("approx_distinct"),
+        min(col(c)).cast("string").as("min_str"),
+        max(col(c)).cast("string").as("max_str"))
+      base.select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+        round(col("n_nulls") / col("n_rows"), 6).as("null_frac_r6"),
+        col("n_distinct"), col("approx_distinct"),
+        (if (exactDistinct)
+           abs(col("approx_distinct") - col("n_distinct")) <=
+             col("n_distinct") * 0.05
+         else lit(null).cast("boolean")).as("distinct_within_5pct"),
+        col("min_str"), col("max_str"))
+    }.reduce(_ unionByName _)
+
+  /** Equi-width histogram of a numeric column: `bins` cells spanning
+    * [min, max] via [[Layout.linearBucket]]'s exact IEEE bucketing (the
+    * max row clamps into the top cell), plus each cell's row count and
+    * real value bounds. Null rows are excluded and reported by
+    * [[columnProfile]]. Empty cells are absent (a 100 TB histogram join
+    * fills gaps cheaper than a dense output invents zeros). One agg for
+    * min/max, one linear pass to bucket-count — no sort, no window. */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    val nn = df.filter(col(c).isNotNull)
+    val r = nn.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+    if (r.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("bin"), lit(0.0).as("lo"), lit(0.0).as("hi"),
+          lit(0L).as("n")).limit(0)
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val bucket = Layout.linearBucketN(col(c), lo, hi, bins.toLong)
+    nn.select(col(c).cast("double").as("x"), bucket.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .select(col("bin"), col("lo"), col("hi"), col("n"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Stats
+
+/** ANALYZE-style stats: column profile + equi-width histogram. */
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("columnProfile: nulls, distincts, min/max per column; sketch stays in band") {
+    val df = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, None, 20.0),
+      (4L, Some("a"), 30.0), (5L, None, 40.0))
+      .toDF("id", "s", "v")
+    val got = Stats.columnProfile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = got("s")
+    assert(s.getLong(1) == 5L && s.getLong(2) == 2L)
+    assert(s.getDouble(3) == 0.4)
+    assert(s.getLong(4) == 2L)             // distinct excludes nulls
+    assert(s.getBoolean(6))                // HLL within 5% at tiny n
+    assert(s.getString(7) == "a" && s.getString(8) == "b")
+    val v = got("v")
+    assert(v.getLong(2) == 0L && v.getLong(4) == 4L)
+    assert(v.getString(7) == "10.0" && v.getString(8) == "40.0")
+    // the 100 TB knob: no exact distinct, sketch only
+    val cheap = Stats.columnProfile(df, Seq("s"), exactDistinct = false)
+      .head()
+    assert(cheap.isNullAt(4) && cheap.isNullAt(6))
+    assert(cheap.getLong(5) > 0)
+  }
+
+  test("histogram: exact bucket edges, max clamps to top cell, nulls excluded, empty cells absent") {
+    val withNulls = Seq[Option[Double]](Some(0.0), Some(0.0), Some(4.999),
+      Some(5.0), Some(10.0), None, None).toDF("x")
+    val h = Stats.histogram(withNulls, "x", 2)
+      .orderBy("bin").as[(Long, Double, Double, Long)].collect().toSeq
+    // 2 cells over [0,10]: [0,5) and [5,10]; max clamps into cell 1
+    assert(h == Seq((0L, 0.0, 4.999, 3L), (1L, 5.0, 10.0, 2L)))
+    // empty cells are absent, not zero rows
+    val sparse = Seq(0.0, 100.0).toDF("x")
+    val hs = Stats.histogram(sparse, "x", 10)
+      .orderBy("bin").as[(Long, Double, Double, Long)].collect().toSeq
+    assert(hs == Seq((0L, 0.0, 0.0, 1L), (9L, 100.0, 100.0, 1L)))
+    // all-null column → empty result, not a crash
+    val empty = Seq[Option[Double]](None, None).toDF("x")
+    assert(Stats.histogram(empty, "x", 4).count() == 0)
+  }
+}
