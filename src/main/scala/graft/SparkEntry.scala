@@ -453,6 +453,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           decimalSum(col("l_quantity")).as("sum_qty"))),
 
+    // Full CUBE grouping sets (all four subtotal combinations).
+    "q96_cube" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          decimalSum(col("l_quantity")).as("sum_qty"))),
+
+    // TPC-H Q5 shape: six-table star join (region-gated nations, the
+    // local-supplier c_nationkey = s_nationkey twist) + revenue rollup —
+    // the canonical join-order workout. Dimensions broadcast; the
+    // fact-fact join shuffles on orderkey only.
+    "q94_local_supplier_volume" -> ((s, dir) => {
+      val cust = T(s, dir, "customer"); val ord = T(s, dir, "orders")
+      val li = T(s, dir, "lineitem"); val sup = T(s, dir, "supplier")
+      val nat = T(s, dir, "nation"); val reg = T(s, dir, "region")
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(decimalSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q18 shape: large-order customers — a HAVING-gated aggregate
+    // feeding a semi join back onto the fact chain.
+    "q95_large_orders" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(decimalSum(col("l_quantity")).as("__q"))
+        .filter(col("__q") > 250.0)
+        .select(col("l_orderkey"))
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big.select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_semi")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .agg(decimalSum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // §7.6 IVF ANN (coarse-quantizer scale path), fully value-checked:
     // lloydIters=0 keeps the quantizer at the md5-ranked sample centroids,
     // which the oracle recomputes exactly; assignment, probing, and ranking
@@ -1669,6 +1715,36 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q96_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q94_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+
+    "q95_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+        |SELECT c_name, o_orderkey, o_totalprice,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        | AND o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY c_name, o_orderkey, o_totalprice""".stripMargin,
 
     "q31_quantiles" ->
       """SELECT event_type,

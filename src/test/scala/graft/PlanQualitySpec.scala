@@ -245,6 +245,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(ps).size == 1, ps)
   }
 
+  test("q94/q95: star joins broadcast their dimensions, no cartesian, semi join stays semi") {
+    val p = plan("q94_local_supplier_volume")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val p2 = plan("q95_large_orders")
+    assert(p2.contains("LeftSemi"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("q87: z-value derivation is an exchange-free narrow map (min/max ride as literals)") {
     val p = plan("q87_zorder_layout")
     assert(!p.contains("Exchange"), p)
