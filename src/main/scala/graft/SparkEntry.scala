@@ -707,6 +707,31 @@ object SparkEntry {
             col("exact_users") * 0.05).as("users_within_5pct"))
     }),
 
+    // §7.6 incremental quantile fold: per-event-type KLL sketches built
+    // on two event halves, merged, queried at p50 — the persisted-state
+    // form of q31's exact percentiles (contribution-keyed in streaming;
+    // q32 oracle treatment: exact value + rank-band boolean).
+    "q97_quantile_fold" -> ((s, dir) => {
+      import graft.functions.SketchAggs
+      val ev = T(s, dir, "events")
+      val a = SketchAggs.quantileState(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        col("event_type"), col("value"))
+      val b = SketchAggs.quantileState(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        col("event_type"), col("value"))
+      val est = SketchAggs.quantileEstimate(
+        SketchAggs.foldQuantileState(200, a, b), Seq(0.5))
+      ev.groupBy(col("event_type").as("key"))
+        .agg(expr("round(percentile(value, 0.5D), 6)").as("p50_exact_r6"),
+          expr("percentile(value, 0.45D)").as("__lo"),
+          expr("percentile(value, 0.55D)").as("__hi"))
+        .join(est, Seq("key"))
+        .select(col("key").as("event_type"), col("p50_exact_r6"),
+          (col("p50") >= col("__lo") && col("p50") <= col("__hi"))
+            .as("p50_within_band"))
+    }),
+
     "q32_sketches" -> ((s, dir) =>
       T(s, dir, "events").groupBy(col("event_type"))
         .agg(count_distinct(col("user_id")).as("exact_users"),
@@ -1991,6 +2016,12 @@ object SparkEntry {
         | CAST(16 AS INTEGER) AS feature_dim,
         | TRUE AS feature_nonzero
         |FROM documents""".stripMargin,
+
+    "q97_quantile_fold" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50_exact_r6,
+        | TRUE AS p50_within_band
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q32_sketches" ->
       """SELECT event_type,

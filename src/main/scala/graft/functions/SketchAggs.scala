@@ -226,4 +226,149 @@ object SketchAggs {
   def distinctEstimate(state: DataFrame): DataFrame =
     state.select(col("key"),
       expr("hll_sketch_estimate(sketch)").as("estimate"))
+
+  // ---------------------------------------------------------------------
+  // Incremental QUANTILE state: one DataSketches KLL doubles sketch per
+  // key (Karnin/Lang/Liberty, FOCS 2016 — the mergeable quantile summary;
+  // Spark ships the jar but no SQL surface, so the aggregates are custom
+  // TypedImperativeAggregates like SpaceSavingTopK). The sketch IS the
+  // persisted state of a batch-by-batch percentile fold. Guarantees:
+  //  - n <= k ⇒ NO compaction: every value retained, quantiles EXACT and
+  //    deterministic (the regime the oracle value-checks).
+  //  - n > k ⇒ rank error ~1.65%/sqrt-ish at k=200 (≤1% at the default);
+  //    compaction draws a random offset, so the state BYTES are not
+  //    partition-deterministic — only rank-banded properties are stable,
+  //    the q32 treatment (exact value + band boolean) applies.
+  //  - merge is NOT idempotent (re-merging a batch re-weights its ranks),
+  //    so the streaming fold keys contributions by batch_id — the q77
+  //    discipline, NOT the HLL free ride.
+  // ---------------------------------------------------------------------
+  import org.apache.datasketches.kll.KllDoublesSketch
+  import org.apache.datasketches.memory.Memory
+
+  /** KLL doubles sketch aggregate → serialized sketch bytes (the STATE
+    * form; query with [[kllQuantile]]). Nulls skipped; empty input ⇒ an
+    * empty sketch (not null), so folds never see null state. */
+  case class KllSketchAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[KllDoublesSketch] {
+    require(k >= 8 && k <= 65535, s"KLL k out of range: $k")
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def createAggregationBuffer(): KllDoublesSketch =
+      KllDoublesSketch.newHeapInstance(k)
+    override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+      val v = child.eval(input)
+      if (v != null) buf.update(v.asInstanceOf[Double])
+      buf
+    }
+    override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+      buf.merge(other); buf
+    }
+    override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+    override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+    override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
+      val s = KllDoublesSketch.newHeapInstance(k)
+      s.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
+      s
+    }
+    override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): KllSketchAgg = copy(child = c.head)
+    override def prettyName: String = "kll_sketch"
+  }
+
+  /** Union aggregate over serialized KLL sketches (the fold step). */
+  case class KllMergeAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[KllDoublesSketch] {
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def createAggregationBuffer(): KllDoublesSketch =
+      KllDoublesSketch.newHeapInstance(k)
+    override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+      val v = child.eval(input)
+      if (v != null)
+        buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      buf
+    }
+    override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+      buf.merge(other); buf
+    }
+    override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+    override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+    override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
+      val s = KllDoublesSketch.newHeapInstance(k)
+      s.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
+      s
+    }
+    override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): KllMergeAgg = copy(child = c.head)
+    override def prettyName: String = "kll_merge"
+  }
+
+  /** Scalar quantile query over a serialized KLL sketch column. Runs on
+    * O(keys) state rows, never the corpus — interpreted eval is fine. */
+  case class KllQuantileExpr(sketch: Expression, prob: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def left: Expression = sketch
+    override def right: Expression = prob
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(s: Any, p: Any): Any = {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(s.asInstanceOf[Array[Byte]]))
+      if (sk.isEmpty) null else sk.getQuantile(p.asInstanceOf[Double])
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): KllQuantileExpr = copy(sketch = l, prob = r)
+    override def prettyName: String = "kll_quantile"
+  }
+
+  /** Per-key KLL quantile sketch of `value` — one batch's quantile state:
+    * (key, qsketch binary). k=200 ⇒ ~5 KB/key ceiling, ~1% rank error. */
+  def quantileState(df: DataFrame, key: Column, value: Column,
+                    k: Int = 200): DataFrame =
+    df.select(key.as("key"), value.cast("double").as("__v"))
+      .groupBy(col("key"))
+      .agg(ColumnBridge.column(
+        KllSketchAgg(ColumnBridge.expression(col("__v")), k)
+          .toAggregateExpression()).as("qsketch"))
+
+  /** Union per-key quantile states (the fold / compaction step). NOT
+    * redelivery-idempotent — key contributions by batch_id upstream (see
+    * [[graft.streaming.Streams.Sinks.quantileFold]]). */
+  def foldQuantileState(k: Int, states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "foldQuantileState needs at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(col("key"))
+      .agg(ColumnBridge.column(
+        KllMergeAgg(ColumnBridge.expression(col("qsketch")), k)
+          .toAggregateExpression()).as("qsketch"))
+  }
+
+  /** Read quantile estimates out of a state: one `p<prob>` column per
+    * requested rank. */
+  def quantileEstimate(state: DataFrame, probs: Seq[Double]): DataFrame =
+    state.select(col("key") +: probs.map { p =>
+      ColumnBridge.column(KllQuantileExpr(
+        ColumnBridge.expression(col("qsketch")),
+        ColumnBridge.expression(org.apache.spark.sql.functions.lit(p))))
+        .as(s"p${(p * 100).round}")
+    }: _*)
 }

@@ -219,6 +219,26 @@ object Streams {
       else MergeSink.writeReplace(s, stateDir, folded)
     }
 
+    /** Streaming quantile fold: per-batch KLL sketches land as
+      * (key, batch_id, sketch) contribution rows, appendDedup-keyed on
+      * (key, batch) — KLL merge is NOT idempotent (re-merging a batch
+      * re-weights its ranks), so redelivery safety comes from the q77
+      * contribution-keying discipline, not sketch algebra. Read the
+      * current estimate with [[graft.functions.SketchAggs
+      * .foldQuantileState]] over the state table. O(keys) rows appended
+      * per batch; compact with the M-family rewrite when history grows. */
+    def quantileFold(stateDir: String, key: String, value: String,
+                     k: Int = 200, tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, batchId) => {
+      import graft.functions.SketchAggs
+      val contrib = SketchAggs.quantileState(batch, col(key), col(value), k)
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("ck", concat_ws("#", col("key"), col("batch_id")))
+        .localCheckpoint()
+      if (tx) MergeSink.appendDedupTx(s, stateDir, contrib, "ck")
+      else MergeSink.appendDedup(s, stateDir, contrib, "ck")
+    }
+
     /** Streaming k-means fold — the micro-batch form of
       * [[graft.ext.SimSearch.incrementalKmeansAssign]]: the first batch
       * bootstraps the state with batch k-means; every later batch assigns

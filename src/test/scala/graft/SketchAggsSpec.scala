@@ -79,6 +79,44 @@ class SketchAggsSpec extends SparkTestBase {
     assert(back.get(big)(0) == 7L && back.get("small")(0) == 1L)
   }
 
+  test("KLL quantile state: exact and deterministic while uncompacted; fold ≡ one-shot in that regime") {
+    val df = (1 to 100).map(i => ("k", i.toDouble)).toDF("key", "v")
+      .repartition(7)
+    val st = SketchAggs.quantileState(df, col("key"), col("v"), k = 200)
+    val est = SketchAggs.quantileEstimate(st, Seq(0.5, 0.9, 1.0))
+      .as[(String, Double, Double, Double)].head()
+    // n=100 ≤ k=200: no compaction — inclusive-rank quantiles are exact
+    assert(est == (("k", 50.0, 90.0, 100.0)))
+    // fold of two halves equals the one-shot state's answers exactly
+    val a = SketchAggs.quantileState(
+      (1 to 50).map(i => ("k", i.toDouble)).toDF("key", "v"), col("key"), col("v"))
+    val b = SketchAggs.quantileState(
+      (51 to 100).map(i => ("k", i.toDouble)).toDF("key", "v"), col("key"), col("v"))
+    val folded = SketchAggs.quantileEstimate(
+      SketchAggs.foldQuantileState(200, a, b), Seq(0.5, 0.9, 1.0))
+      .as[(String, Double, Double, Double)].head()
+    assert(folded == (("k", 50.0, 90.0, 100.0)))
+  }
+
+  test("KLL quantile fold: compacted regime stays inside the exact rank band per key") {
+    val rows = (1 to 10000).map(i => (s"k${i % 3}", (i * 37 % 10007).toDouble))
+    val df = rows.toDF("key", "v").repartition(5)
+    val a = SketchAggs.quantileState(
+      df.filter(pmod(col("v"), lit(2.0)) === 0.0), col("key"), col("v"))
+    val b = SketchAggs.quantileState(
+      df.filter(pmod(col("v"), lit(2.0)) === 1.0), col("key"), col("v"))
+    val est = SketchAggs.quantileEstimate(
+        SketchAggs.foldQuantileState(200, a, b), Seq(0.5))
+      .as[(String, Double)].collect().toMap
+    val exact = rows.groupBy(_._1).map { case (k, xs) =>
+      val s = xs.map(_._2).sorted
+      // exact rank band [0.45, 0.55]
+      k -> ((s((s.length * 0.45).toInt), s((s.length * 0.55).toInt)))
+    }
+    for ((k, (lo, hi)) <- exact)
+      assert(est(k) >= lo && est(k) <= hi, s"$k: ${est(k)} outside [$lo, $hi]")
+  }
+
   test("HLL distinct fold: batch union tracks one-shot within a tight band; redelivery idempotent; estimate accurate") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

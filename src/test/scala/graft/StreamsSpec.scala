@@ -259,6 +259,61 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming quantile fold: contribution-keyed KLL state converges and survives redelivery in both protocols") {
+    import spark.implicits._
+    import graft.functions.SketchAggs
+    // per-key totals stay ≤ k=200, so every quantile is EXACT and the
+    // assertions are deterministic despite KLL's randomized compaction
+    val batches = Seq(
+      (1 to 60).map(v => ("a", v.toDouble)) ++ (1 to 30).map(v => ("b", v.toDouble)),
+      (61 to 120).map(v => ("a", v.toDouble)),
+      (121 to 180).map(v => ("a", v.toDouble)))
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "rename"
+      val flat = tmpDir(s"kll-flat-$mode"); new java.io.File(flat).mkdirs()
+      for ((rows, i) <- batches.zipWithIndex) {
+        val one = tmpDir(s"kll-b$i-$mode")
+        rows.toDF("k", "v").coalesce(1).write.parquet(one)
+        val part = new java.io.File(one).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stateDir = tmpDir(s"kll-state-$mode")
+      def run(ck: String) = {
+        val q = Streams.toMergeSink(
+          Streams.parquetStream(spark, flat, spark.read.parquet(flat).schema,
+            maxFilesPerTrigger = 1),
+          tmpDir(ck), Trigger.AvailableNow())(
+          Streams.Sinks.quantileFold(stateDir, "k", "v", tx = tx))
+        q.awaitTermination(120000)
+      }
+      run(s"kll-ck-$mode")
+      def estimates(): Map[String, (Double, Double)] = {
+        val st = MergeSink.readAny(spark, stateDir).get
+          .select(col("key"), col("qsketch"))
+        SketchAggs.quantileEstimate(
+            SketchAggs.foldQuantileState(200, st), Seq(0.5, 1.0))
+          .as[(String, Double, Double)].collect()
+          .map(t => t._1 -> ((t._2, t._3))).toMap
+      }
+      val e = estimates()
+      assert(e == Map("a" -> ((90.0, 180.0)), "b" -> ((15.0, 30.0))),
+        s"mode=$mode got $e")
+      // one contribution row per (key, batch) that saw the key
+      val st = MergeSink.readAny(spark, stateDir).get
+      assert(st.count() == 4, s"mode=$mode")
+
+      // fresh-checkpoint redelivery: (key, batch) contribution keying
+      // drops every duplicate — estimates cannot re-weight
+      run(s"kll-ck2-$mode")
+      assert(estimates() == e, s"redelivery drifted, mode=$mode")
+      assert(MergeSink.readAny(spark, stateDir).get.count() == 4)
+    }
+  }
+
   test("streaming k-means fold routes batches to stable clusters and survives redelivery in both protocols") {
     import spark.implicits._
     import graft.ext.SimSearch
