@@ -356,7 +356,7 @@ object SparkEntry {
       Dedup.fuzzyNearDups(
         T(s, dir, "documents").filter(col("text").isNotNull)
           .select(col("doc_id"), substring(col("text"), 1, 40).as("head")),
-        "doc_id", "head", maxDist = 5, prefixLen = 4, lenBand = 8)),
+        "doc_id", "head", maxDist = 5, prefixLen = 10, lenBand = 8)),
 
     // §7.6 exact n-gram Jaccard (the verification metric behind MinHash).
     // Shingle arrays are computed ONCE per row in a projection below the
@@ -826,6 +826,37 @@ object SparkEntry {
     // and real value bounds.
     "q93_histogram" -> ((s, dir) =>
       graft.ops.Stats.histogram(T(s, dir, "orders"), "o_totalprice", 10)),
+
+    // Distribution drift between two corpus snapshots: shared-edge
+    // histogram alignment with per-bin mass fractions (the total-
+    // variation scalar is ScalaTest-pinned; TV over KL because it needs
+    // no log, so every number replays exactly).
+    "q98_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Stats.drift(docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250), "n_chars", 8)
+    }),
+
+    // Theta-sketch audience overlap: per-event-type distinct-user
+    // sketches intersected pairwise — set algebra HLL cannot do, exact
+    // below 2^lgK retained hashes (this regime), q32 band treatment.
+    "q99_theta_overlap" -> ((s, dir) => {
+      import graft.functions.SketchAggs
+      val ev = T(s, dir, "events")
+      val est = SketchAggs.thetaOverlap(
+        SketchAggs.thetaState(ev, col("event_type"), col("user_id")))
+      val du = ev.select(col("event_type").as("et"), col("user_id").as("u"))
+        .distinct()
+      val exact = du.as("a").join(du.as("b"),
+          col("a.u") === col("b.u") && col("a.et") < col("b.et"))
+        .groupBy(col("a.et").as("key_a"), col("b.et").as("key_b"))
+        .agg(count(lit(1)).as("exact_shared"))
+      exact.join(est, Seq("key_a", "key_b"))
+        .select(col("key_a"), col("key_b"), col("exact_shared"),
+          (abs(col("est_shared") - col("exact_shared")) <=
+            greatest(col("exact_shared") * 0.05, lit(2.0)))
+            .as("shared_within_band"))
+    }),
 
     // Scale posture: key-skew profile + salt advisory — the measurement
     // that decides q41/q42's salt factors (exact hot-key counts, shares,
@@ -1666,7 +1697,7 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
-        | AND substr(lower(a.head), 1, 4) = substr(lower(b.head), 1, 4)
+        | AND substr(lower(a.head), 1, 10) = substr(lower(b.head), 1, 10)
         | AND abs(length(a.head) - length(b.head)) <= 5
         |WHERE levenshtein(a.head, b.head) <= 5""".stripMargin,
 
@@ -2440,6 +2471,33 @@ object SparkEntry {
       Seq("doc_id", "text", "lang", "source", "n_chars")
         .map(branch).mkString("\nUNION ALL\n")
     },
+
+    "q98_drift" ->
+      """WITH an AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        |            WHERE doc_id < 250 AND n_chars IS NOT NULL),
+        |bn AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        |       WHERE doc_id >= 250 AND n_chars IS NOT NULL),
+        |mm AS (SELECT min(x) AS lo, max(x) AS hi
+        |       FROM (SELECT x FROM an UNION ALL SELECT x FROM bn)),
+        |ga AS (SELECT CAST(least(7, floor((x - mm.lo) * 8.0 / (mm.hi - mm.lo))) AS BIGINT) AS bin,
+        |        count(*) AS n_a FROM an, mm GROUP BY 1),
+        |gb AS (SELECT CAST(least(7, floor((x - mm.lo) * 8.0 / (mm.hi - mm.lo))) AS BIGINT) AS bin,
+        |        count(*) AS n_b FROM bn, mm GROUP BY 1),
+        |ta AS (SELECT count(*) AS c FROM an),
+        |tb AS (SELECT count(*) AS c FROM bn)
+        |SELECT bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        | round(coalesce(n_a, 0) / ta.c, 6) AS frac_a_r6,
+        | round(coalesce(n_b, 0) / tb.c, 6) AS frac_b_r6
+        |FROM ga FULL OUTER JOIN gb USING (bin), ta, tb""".stripMargin,
+
+    "q99_theta_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS key_a, b.event_type AS key_b,
+        | CAST(count(*) AS BIGINT) AS exact_shared,
+        | TRUE AS shared_within_band
+        |FROM du a JOIN du b
+        | ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     "q93_histogram" ->
       """WITH mm AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,

@@ -77,12 +77,22 @@ object Dedup {
     * Each row probes its own `lenBand`-char length band plus both
     * neighbors (complete for maxDist <= lenBand since |len(a)-len(b)| <=
     * dist(a,b)), so every qualifying pair surfaces EXACTLY once, from
-    * exactly one band slot. The O(len²) levenshtein only runs on pairs
-    * that already passed the cheap prefix+length filters. Output:
-    * (id_a, id_b, dist) with id_a < id_b. */
+    * exactly one band slot. The edit distance is threshold-bounded
+    * (O(maxDist·len), early-exit, instead of O(len²)) and only runs on
+    * pairs that already passed the cheap prefix+length filters.
+    *
+    * The quadratic corner: pair volume is Σ per-block n², so a blocking
+    * key the corpus concentrates on (short prefixes over a small
+    * vocabulary) degenerates toward all-pairs — the bench measured a 14×
+    * 8×-slope at prefixLen=4 on word-salad text. `maxBlock` is the loud
+    * fence: the operator REFUSES (rather than silently burning a
+    * quadratic shuffle) when any (prefix, band) block exceeds it — pick
+    * a longer/more selective prefix instead (the [[graft.ext
+    * .SimSearch.semDedupParamsFor]] philosophy: measure, then size).
+    * Output: (id_a, id_b, dist) with id_a < id_b. */
   def fuzzyNearDups(docs: DataFrame, idCol: String, strCol: String,
-                    maxDist: Int, prefixLen: Int = 4,
-                    lenBand: Int = 16): DataFrame = {
+                    maxDist: Int, prefixLen: Int = 10,
+                    lenBand: Int = 16, maxBlock: Int = 5000): DataFrame = {
     require(maxDist >= 0 && maxDist <= lenBand,
       s"maxDist=$maxDist must sit in [0, lenBand=$lenBand] or band probing misses pairs")
     require(prefixLen >= 1, s"prefixLen=$prefixLen must be positive")
@@ -90,6 +100,13 @@ object Dedup {
       .select(col(idCol).as("__id"), col(strCol).as("__s"),
         lower(substring(col(strCol), 1, prefixLen)).as("__blk"),
         floor(length(col(strCol)) / lenBand).as("__band"))
+    val hottest = base.groupBy(col("__blk"), col("__band"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head().getLong(0)
+    require(hottest <= maxBlock,
+      s"fuzzyNearDups: hottest (prefix, band) block has $hottest rows " +
+        s"(> maxBlock=$maxBlock) — the pair sweep would be ~quadratic; " +
+        s"use a longer prefixLen or raise maxBlock deliberately")
     val left = base.select(col("__id").as("id_a"), col("__s").as("s_a"),
       col("__blk"),
       explode(array(col("__band") - 1, col("__band"), col("__band") + 1))
@@ -100,8 +117,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b") &&
         abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Word n-gram shingles of the lowercased text (distinct set). */

@@ -340,6 +340,94 @@ object SketchAggs {
     override def prettyName: String = "kll_quantile"
   }
 
+  // ---------------------------------------------------------------------
+  // Theta sketches: distinct-count state that also supports SET ALGEBRA
+  // (intersection/difference) — what HLL cannot do. The use: audience /
+  // membership overlap across segments ("how many users does every pair
+  // of event types share?") without a quadratic exact join per pair.
+  // Theta is a KMV-style min-hash set with a fixed seed: deterministic
+  // and order/partition-independent, and EXACT below 2^lgK retained
+  // hashes (the regime the oracle value-checks).
+  // ---------------------------------------------------------------------
+  import org.apache.datasketches.theta.{SetOperation, Sketches, Union => ThetaUnion}
+
+  /** Theta sketch aggregate → compact sketch bytes (keyed by the value's
+    * string form, like [[SpaceSavingTopK]]). */
+  case class ThetaSketchAgg(
+      child: Expression,
+      lgK: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[ThetaUnion] {
+    require(lgK >= 4 && lgK <= 26, s"theta lgK out of range: $lgK")
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    private def newUnion(): ThetaUnion =
+      SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    override def createAggregationBuffer(): ThetaUnion = newUnion()
+    override def update(buf: ThetaUnion, input: InternalRow): ThetaUnion = {
+      val v = child.eval(input)
+      if (v != null) buf.update(v.toString)
+      buf
+    }
+    override def merge(buf: ThetaUnion, other: ThetaUnion): ThetaUnion = {
+      buf.union(other.getResult); buf
+    }
+    override def eval(buf: ThetaUnion): Any = buf.getResult.toByteArray
+    override def serialize(buf: ThetaUnion): Array[Byte] =
+      buf.getResult.toByteArray
+    override def deserialize(bytes: Array[Byte]): ThetaUnion = {
+      val u = newUnion()
+      u.union(Sketches.wrapSketch(
+        org.apache.datasketches.memory.Memory.wrap(bytes)))
+      u
+    }
+    override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): ThetaSketchAgg = copy(child = c.head)
+    override def prettyName: String = "theta_sketch"
+  }
+
+  /** Per-key theta sketch of the values in `df`: (key, tsketch). */
+  def thetaState(df: DataFrame, key: Column, value: Column,
+                 lgK: Int = 12): DataFrame =
+    df.select(key.as("key"), value.as("__v"))
+      .groupBy(col("key"))
+      .agg(ColumnBridge.column(
+        ThetaSketchAgg(ColumnBridge.expression(col("__v")), lgK)
+          .toAggregateExpression()).as("tsketch"))
+
+  /** Pairwise distinct-overlap matrix from a theta state: every key pair
+    * (key_a < key_b by string order) with per-key and intersection
+    * estimates. The collect is O(keys) sketches — the whole point is
+    * that the corpus-sized work happened once in [[thetaState]] and k²
+    * set intersections run on compact summaries; bound `maxKeys` fails
+    * loudly rather than collecting an unbounded key space. */
+  def thetaOverlap(state: DataFrame, maxKeys: Int = 1000): DataFrame = {
+    val rows = state.select(col("key").cast("string"), col("tsketch"))
+      .limit(maxKeys + 1).collect()
+    require(rows.length <= maxKeys,
+      s"thetaOverlap: more than $maxKeys keys — aggregate coarser first")
+    val sk = rows.map(r => (r.getString(0),
+      Sketches.wrapSketch(org.apache.datasketches.memory.Memory.wrap(
+        r.getAs[Array[Byte]](1))))).sortBy(_._1)
+    val pairs = for {
+      i <- sk.indices; j <- (i + 1) until sk.length
+    } yield {
+      val inter = SetOperation.builder().buildIntersection()
+      inter.intersect(sk(i)._2); inter.intersect(sk(j)._2)
+      (sk(i)._1, sk(j)._1, sk(i)._2.getEstimate, sk(j)._2.getEstimate,
+        inter.getResult.getEstimate)
+    }
+    val sp = state.sparkSession
+    import sp.implicits._
+    pairs.toSeq.toDF("key_a", "key_b", "est_a", "est_b", "est_shared")
+  }
+
   /** Per-key KLL quantile sketch of `value` — one batch's quantile state:
     * (key, qsketch binary). k=200 ⇒ ~5 KB/key ceiling, ~1% rank error. */
   def quantileState(df: DataFrame, key: Column, value: Column,

@@ -50,6 +50,49 @@ object Stats {
         col("min_str"), col("max_str"))
     }.reduce(_ unionByName _)
 
+  /** Distribution drift between two snapshots of a numeric column — the
+    * check a corpus pipeline runs when a new crawl/version lands: did the
+    * value distribution move? Both sides bucket against SHARED edges
+    * (combined min/max, the exact IEEE bucketing), then per-bin counts
+    * and mass fractions align in one full-outer join. Output: (bin, n_a,
+    * n_b, frac_a_r6, frac_b_r6) — bins empty on BOTH sides absent.
+    * [[totalVariation]] collapses this to the scalar 0.5·Σ|p_a − p_b|
+    * (total-variation distance: 0 = identical, 1 = disjoint) — chosen
+    * over KL/PSI because it needs no log, so it replays exactly. */
+  def drift(a: DataFrame, b: DataFrame, c: String, bins: Int): DataFrame = {
+    val an = a.filter(col(c).isNotNull).select(col(c).cast("double").as("x"))
+    val bn = b.filter(col(c).isNotNull).select(col(c).cast("double").as("x"))
+    val r = an.unionByName(bn).agg(min(col("x")), max(col("x"))).head()
+    require(!r.isNullAt(0), s"drift($c): both sides empty")
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    def binned(df: DataFrame, n: String) = df
+      .select(Layout.linearBucketN(col("x"), lo, hi, bins.toLong).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val ja = binned(an, "n_a"); val jb = binned(bn, "n_b")
+    val ta = an.count().toDouble; val tb = bn.count().toDouble
+    ja.join(jb, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("frac_a_r6", round(col("n_a") / lit(ta), 6))
+      .withColumn("frac_b_r6", round(col("n_b") / lit(tb), 6))
+  }
+
+  /** Total-variation distance between the two sides of [[drift]]:
+    * 0.5 · Σ_bins |n_a/N_a − n_b/N_b|, the per-bin |Δ| summed
+    * decimal-exact so the scalar is partition-order independent. */
+  def totalVariation(a: DataFrame, b: DataFrame, c: String,
+                     bins: Int): Double = {
+    val d = drift(a, b, c, bins)
+    val ta = col("n_a").cast("double"); val tb = col("n_b").cast("double")
+    val sums = d.agg(sum(col("n_a")).as("sa"), sum(col("n_b")).as("sb")).head()
+    val (sa, sb) = (sums.getLong(0).toDouble, sums.getLong(1).toDouble)
+    d.select(abs(ta / lit(sa) - tb / lit(sb)).as("ad"))
+      .agg((graft.functions.SafeCasts.decimalSum(col("ad"), 12) / 2.0)
+        .as("tv"))
+      .head().getDouble(0)
+  }
+
   /** Equi-width histogram of a numeric column: `bins` cells spanning
     * [min, max] via [[Layout.linearBucket]]'s exact IEEE bucketing (the
     * max row clamps into the top cell), plus each cell's row count and

@@ -958,6 +958,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(again.toSet == got.toSet)
   }
 
+  test("fuzzyNearDups: hot-block fence refuses a degenerate blocking key loudly") {
+    // every row shares the 2-char prefix and the length band — the pair
+    // sweep would be all-pairs; the fence must refuse, not burn
+    val docs = (1 to 20).map(i => (i.toLong, f"ab$i%02d")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.fuzzyNearDups(docs, "id", "s", maxDist = 2, prefixLen = 2,
+        lenBand = 8, maxBlock = 10)
+    }
+    assert(e.getMessage.contains("maxBlock"))
+    // the same corpus under a selective prefix passes the fence
+    val ok = Dedup.fuzzyNearDups(docs, "id", "s", maxDist = 2, prefixLen = 4,
+      lenBand = 8, maxBlock = 10)
+    assert(ok.count() >= 0)
+  }
+
   test("fuzzyNearDups: pairs straddling a length-band edge still surface (neighbor probe)") {
     // lenBand=4: "abcdefg" (len 7, band 1) vs "abcdefgh" (len 8, band 2)
     val docs = Seq((1L, "abcdefg"), (2L, "abcdefgh")).toDF("id", "s")

@@ -79,6 +79,32 @@ class SketchAggsSpec extends SparkTestBase {
     assert(back.get(big)(0) == 7L && back.get("small")(0) == 1L)
   }
 
+  test("theta overlap: exact intersections below 2^lgK, partitioning-independent, keys bounded") {
+    // users 1-100 do A and B; 101-150 only A; 151-160 only C
+    val rows = (1 to 100).flatMap(u => Seq(("A", u.toLong), ("B", u.toLong))) ++
+      (101 to 150).map(u => ("A", u.toLong)) ++
+      (151 to 160).map(u => ("C", u.toLong))
+    val df = rows.toDF("seg", "user").repartition(7)
+    val est = SketchAggs.thetaOverlap(
+        SketchAggs.thetaState(df, col("seg"), col("user")))
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    // exact regime: estimates are exact counts
+    assert(est(("A", "B")) == (("A", "B", 150.0, 100.0, 100.0)))
+    assert(est(("A", "C"))._5 == 0.0 && est(("B", "C"))._5 == 0.0)
+    // partitioning cannot move an estimate (fixed-seed KMV)
+    val est2 = SketchAggs.thetaOverlap(
+        SketchAggs.thetaState(df.repartition(3), col("seg"), col("user")))
+      .as[(String, String, Double, Double, Double)].collect().toSet
+    assert(est2 == est.values.toSet)
+    // key bound fails loudly
+    val wide = (1 to 50).map(i => (s"k$i", i.toLong)).toDF("seg", "user")
+    intercept[IllegalArgumentException] {
+      SketchAggs.thetaOverlap(
+        SketchAggs.thetaState(wide, col("seg"), col("user")), maxKeys = 10)
+    }
+  }
+
   test("KLL quantile state: exact and deterministic while uncompacted; fold ≡ one-shot in that regime") {
     val df = (1 to 100).map(i => ("k", i.toDouble)).toDF("key", "v")
       .repartition(7)

@@ -30,6 +30,26 @@ class StatsSpec extends SparkTestBase {
     assert(cheap.getLong(5) > 0)
   }
 
+  test("drift: shared edges align both sides; TV distance 0 for identical, 1 for disjoint, exact for half-shift") {
+    val a = (1 to 100).map(_.toDouble).toDF("x")
+    val b = (1 to 100).map(_.toDouble).toDF("x")
+    assert(Stats.totalVariation(a, a, "x", 10) == 0.0)
+    // disjoint supports → TV = 1
+    val lo = (1 to 50).map(_.toDouble).toDF("x")
+    val hi = (1000 to 1049).map(_.toDouble).toDF("x")
+    assert(Stats.totalVariation(lo, hi, "x", 2) == 1.0)
+    // adjacent but non-overlapping supports: with 2 bins over the combined
+    // range [1,200] the edge falls between them — a fills bin 0, b bin 1
+    val b2 = (101 to 200).map(_.toDouble).toDF("x")
+    val d = Stats.drift(a, b2, "x", 2)
+      .orderBy("bin").as[(Long, Long, Long, Double, Double)].collect()
+    assert(d.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 100L, 0L), (1L, 0L, 100L)))
+    assert(Stats.totalVariation(a, b2, "x", 2) == 1.0)
+    // drift rows carry exact fractions
+    assert(d.head._4 == 1.0 && d.head._5 == 0.0)
+  }
+
   test("histogram: exact bucket edges, max clamps to top cell, nulls excluded, empty cells absent") {
     val withNulls = Seq[Option[Double]](Some(0.0), Some(0.0), Some(4.999),
       Some(5.0), Some(10.0), None, None).toDF("x")
