@@ -65,7 +65,8 @@ object Bench {
     "q67_pq_ann", "q68_ivfpq_ann", "q69_segment_dedup", "q72_pq_refined",
     "q74_dup_spans", "q75_remove_dup_spans", "q76_bigram_fluency",
     "q77_segment_dedup_incremental", "q80_source_overlap",
-    "q84_kmeans_clusters", "q86_fuzzy_blocked_dedup", "q87_zorder_layout")
+    "q84_kmeans_clusters", "q86_fuzzy_blocked_dedup", "q87_zorder_layout",
+    "q90_kmeans_incremental", "q91_trigram_fluency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

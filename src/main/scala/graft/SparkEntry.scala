@@ -707,6 +707,28 @@ object SparkEntry {
             col("exact_users") * 0.05).as("users_within_5pct"))
     }),
 
+    // Robust outlier profile: median/MAD (median absolute deviation)
+    // per event type and the count beyond 3 MADs — the quality gate that
+    // survives heavy tails where mean/stddev break. Exact interpolated
+    // medians (proven percentile ↔ quantile_cont parity), so the counts
+    // replay exactly.
+    "q100_robust_outliers" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val mad = ev.join(med, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"),
+          first(col("med")).as("med"))
+      ev.join(mad, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med")), 6).as("med_r6"),
+          round(first(col("mad")), 6).as("mad_r6"),
+          count(when(abs(col("value") - col("med")) > col("mad") * 3.0,
+            lit(1))).as("n_outliers"))
+    }),
+
     // §7.6 incremental quantile fold: per-event-type KLL sketches built
     // on two event halves, merged, queried at p50 — the persisted-state
     // form of q31's exact percentiles (contribution-keyed in streaming;
@@ -2047,6 +2069,22 @@ object SparkEntry {
         | CAST(16 AS INTEGER) AS feature_dim,
         | TRUE AS feature_nonzero
         |FROM documents""".stripMargin,
+
+    "q100_robust_outliers" ->
+      """WITH med AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events GROUP BY event_type),
+        |mad AS (
+        | SELECT e.event_type, quantile_cont(abs(e.value - med.med), 0.5) AS mad,
+        |  any_value(med.med) AS med
+        | FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(any_value(mad.med), 6) AS med_r6,
+        | round(any_value(mad.mad), 6) AS mad_r6,
+        | CAST(count(CASE WHEN abs(e.value - mad.med) > mad.mad * 3.0
+        |   THEN 1 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
 
     "q97_quantile_fold" ->
       """SELECT event_type,

@@ -78,6 +78,22 @@ object Stats {
       .withColumn("frac_b_r6", round(col("n_b") / lit(tb), 6))
   }
 
+  /** Frozen drift reference for [[graft.streaming.Streams.Sinks
+    * .driftMonitor]]: the column's histogram as (bin, frac) rows plus the
+    * shared edges (lo, hi) every later batch must bucket against —
+    * freezing edges is what makes batch scores comparable over time. */
+  def driftReference(df: DataFrame, c: String, bins: Int): DataFrame = {
+    val nn = df.filter(col(c).isNotNull).select(col(c).cast("double").as("x"))
+    val r = nn.agg(min(col("x")), max(col("x"))).head()
+    require(!r.isNullAt(0), s"driftReference($c): empty input")
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val total = nn.count().toDouble
+    nn.select(Layout.linearBucketN(col("x"), lo, hi, bins.toLong).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("n") / lit(total)).as("frac"),
+        lit(lo).as("lo"), lit(hi).as("hi"), lit(bins).as("bins"))
+  }
+
   /** Total-variation distance between the two sides of [[drift]]:
     * 0.5 · Σ_bins |n_a/N_a − n_b/N_b|, the per-bin |Δ| summed
     * decimal-exact so the scalar is partition-order independent. */

@@ -219,6 +219,45 @@ object Streams {
       else MergeSink.writeReplace(s, stateDir, folded)
     }
 
+    /** Streaming drift monitor: score every micro-batch's value
+      * distribution against a FROZEN reference histogram
+      * ([[graft.ops.Stats.driftReference]] at `refDir`) and append one
+      * (batch_id, n_rows, tv) row — the alarm wire a corpus intake
+      * pipeline watches (a new crawl whose length/score distribution
+      * jumps shows up as a TV spike before any model does). Values
+      * outside the reference edges clamp into the boundary cells, so
+      * out-of-range mass still registers as drift. O(bins) state read +
+      * one narrow batch pass; rows append-dedup by batch_id. */
+    def driftMonitor(refDir: String, outDir: String, valueCol: String,
+                     tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, batchId) => {
+      val ref = MergeSink.readAny(s, refDir).getOrElse(
+        throw new IllegalStateException(s"driftMonitor: no reference at $refDir"))
+      val meta = ref.select(col("lo"), col("hi"), col("bins")).head()
+      val (lo, hi, bins) = (meta.getDouble(0), meta.getDouble(1), meta.getInt(2))
+      val refFrac = ref.select(col("bin"), col("frac")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val nn = batch.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("double").as("x"))
+      val counts = nn
+        .select(graft.ops.Layout.linearBucketN(col("x"), lo, hi, bins.toLong)
+          .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = counts.values.sum
+      val tv =
+        if (n == 0L) Double.NaN
+        else (refFrac.keySet ++ counts.keySet).toSeq.sorted.map { b =>
+          math.abs(refFrac.getOrElse(b, 0.0) -
+            counts.getOrElse(b, 0L).toDouble / n)
+        }.sum / 2.0
+      val sp = s
+      import sp.implicits._
+      val row = Seq((batchId, n, tv)).toDF("batch_id", "n_rows", "tv")
+      if (tx) MergeSink.appendDedupTx(s, outDir, row, "batch_id")
+      else MergeSink.appendDedup(s, outDir, row, "batch_id")
+    }
+
     /** Streaming quantile fold: per-batch KLL sketches land as
       * (key, batch_id, sketch) contribution rows, appendDedup-keyed on
       * (key, batch) — KLL merge is NOT idempotent (re-merging a batch

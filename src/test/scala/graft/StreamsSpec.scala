@@ -259,6 +259,54 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming drift monitor: frozen-reference TV per batch, out-of-range mass clamps in, redelivery-stable") {
+    import spark.implicits._
+    // reference: uniform 1..100 over 4 bins (frac 0.25 each)
+    val refDf = (1 to 100).map(_.toDouble).toDF("v")
+    val batches = Seq(
+      (1 to 100).map(_.toDouble),        // identical distribution → tv 0
+      Seq.fill(50)(1.0),                 // all mass in bin 0 → tv 0.75
+      (201 to 300).map(_.toDouble))      // fully out of range → clamps to top bin
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "rename"
+      val refDir = tmpDir(s"dm-ref-$mode")
+      MergeSink.writeReplace(spark,
+        refDir, graft.ops.Stats.driftReference(refDf, "v", 4))
+      val flat = tmpDir(s"dm-flat-$mode"); new java.io.File(flat).mkdirs()
+      for ((rows, i) <- batches.zipWithIndex) {
+        val one = tmpDir(s"dm-b$i-$mode")
+        rows.toDF("v").coalesce(1).write.parquet(one)
+        val part = new java.io.File(one).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val outDir = tmpDir(s"dm-out-$mode")
+      def run(ck: String) = {
+        val q = Streams.toMergeSink(
+          Streams.parquetStream(spark, flat, spark.read.parquet(flat).schema,
+            maxFilesPerTrigger = 1),
+          tmpDir(ck), Trigger.AvailableNow())(
+          Streams.Sinks.driftMonitor(refDir, outDir, "v", tx = tx))
+        q.awaitTermination(120000)
+      }
+      run(s"dm-ck-$mode")
+      def scores(): Map[Long, (Long, Double)] =
+        MergeSink.readAny(spark, outDir).get
+          .as[(Long, Long, Double)].collect()
+          .map(t => t._1 -> ((t._2, t._3))).toMap
+      val m = scores()
+      assert(m(0L) == ((100L, 0.0)), s"mode=$mode got $m")
+      assert(m(1L) == ((50L, 0.75)))
+      // every out-of-range value clamps into the top cell: drift, not loss
+      assert(m(2L) == ((100L, 0.75)))
+      run(s"dm-ck2-$mode")
+      assert(scores() == m, s"redelivery drifted, mode=$mode")
+    }
+  }
+
   test("streaming quantile fold: contribution-keyed KLL state converges and survives redelivery in both protocols") {
     import spark.implicits._
     import graft.functions.SketchAggs
