@@ -446,6 +446,31 @@ object SparkEntry {
           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
     }),
 
+    // Native session_window twin of q26 (the built-in gap-session
+    // operator; split semantics are >= gap where q26's manual form is
+    // > gap — the oracle states session_window's own contract).
+    "q101_session_window" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end_gap"), col("n_events"))),
+
+    // PageRank over the embedding near-dup graph (q20's pair set made
+    // symmetric): centrality inside duplicate neighborhoods — hub
+    // boilerplate ranks high, leaf one-off dups low. Two decimal-exact
+    // iterations, replayed term-for-term by the oracle.
+    "q102_pagerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val pairs = SimSearch.cosineNearDups(emb, "vec_id", "embedding", 0.4)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.ops.Graph.pageRank(emb.select(col("vec_id").as("id")), edges,
+          iters = 2, damping = 0.85)
+        .select(col("id").as("vec_id"), round(col("rank"), 9).as("rank_r9"))
+    }),
+
     // Rollup subtotals (grouping-set aggregation beyond the reference).
     "q27_rollup" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -1787,6 +1812,56 @@ object SparkEntry {
         |SELECT user_id, session_no, COUNT(*) AS n_events,
         | MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM numbered GROUP BY user_id, session_no""".stripMargin,
+
+    "q101_session_window" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |       WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        | SELECT user_id, ts,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        | FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        | MAX(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM numbered GROUP BY user_id, session_no""".stripMargin,
+
+    "q102_pagerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |nodes AS (SELECT vec_id AS id FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+        |c1 AS (SELECT ed.dst AS id, r0.rank / deg.deg AS c
+        |       FROM edges ed JOIN r0 ON r0.id = ed.src
+        |       JOIN deg ON deg.src = ed.src),
+        |s1 AS (SELECT id, CAST(sum(CAST(c AS DECIMAL(18,12))) AS DOUBLE) AS cs
+        |       FROM c1 GROUP BY id),
+        |r1 AS (SELECT nodes.id,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |    + CAST(0.85 AS DOUBLE) * coalesce(s1.cs, CAST(0 AS DOUBLE)) AS rank
+        | FROM nodes LEFT JOIN s1 USING (id), nn),
+        |c2 AS (SELECT ed.dst AS id, r1.rank / deg.deg AS c
+        |       FROM edges ed JOIN r1 ON r1.id = ed.src
+        |       JOIN deg ON deg.src = ed.src),
+        |s2 AS (SELECT id, CAST(sum(CAST(c AS DECIMAL(18,12))) AS DOUBLE) AS cs
+        |       FROM c2 GROUP BY id),
+        |r2 AS (SELECT nodes.id,
+        |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |    + CAST(0.85 AS DOUBLE) * coalesce(s2.cs, CAST(0 AS DOUBLE)) AS rank
+        | FROM nodes LEFT JOIN s2 USING (id), nn)
+        |SELECT id AS vec_id, round(rank, 9) AS rank_r9 FROM r2""".stripMargin,
 
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
