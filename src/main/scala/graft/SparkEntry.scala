@@ -446,6 +446,42 @@ object SparkEntry {
           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
     }),
 
+    // Event throttle/debounce summary: per (user, type), bursts are
+    // q26-style gap sessions (10 min) and only each burst's first event
+    // survives — the dedup a notification/alert pipeline applies. Output
+    // is the suppression ledger per key.
+    "q103_event_throttle" -> ((s, dir) => {
+      val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+          when(unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(byKey)) > 10L * 60 * 1000000, 1)
+            .otherwise(when(lag(col("ts"), 1).over(byKey).isNull, 1)
+              .otherwise(0)).as("new_burst"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("new_burst")).cast("long").as("n_kept"),
+          (count(lit(1)) - sum(col("new_burst"))).cast("long")
+            .as("n_suppressed"))
+    }),
+
+    // CDC snapshot diff: a simulated next-version snapshot (deterministic
+    // deletes/updates/inserts derived from orders itself) classified by
+    // one null-safe full-outer join — the change-feed primitive for
+    // snapshot-only sources and the TxTable time-travel audit.
+    "q104_snapshot_diff" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val k = col("o_orderkey")
+      val next = o.filter(pmod(k, lit(13)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(k, lit(5)) === 0, col("o_totalprice") * 2.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(pmod(k, lit(17)) === 0)
+          .withColumn("o_orderkey", k + 10000000L))
+      graft.ops.Diff.snapshotDiff(o, next, Seq("o_orderkey"))
+    }),
+
     // Native session_window twin of q26 (the built-in gap-session
     // operator; split semantics are >= gap where q26's manual form is
     // > gap — the oracle states session_window's own contract).
@@ -1812,6 +1848,43 @@ object SparkEntry {
         |SELECT user_id, session_no, COUNT(*) AS n_events,
         | MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM numbered GROUP BY user_id, session_no""".stripMargin,
+
+    "q103_event_throttle" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |       WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 10*60*1000000 THEN 1
+        |       ELSE 0 END AS new_burst
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+        | CAST(SUM(new_burst) AS BIGINT) AS n_kept,
+        | CAST(COUNT(*) - SUM(new_burst) AS BIGINT) AS n_suppressed
+        |FROM flagged GROUP BY user_id, event_type""".stripMargin,
+
+    "q104_snapshot_diff" ->
+      """WITH nxt AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey % 13 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey % 17 = 0),
+        |j AS (
+        | SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN p.o_orderkey IS NULL THEN 'inserted'
+        |       WHEN n.o_orderkey IS NULL THEN 'deleted'
+        |       WHEN (p.o_custkey IS DISTINCT FROM n.o_custkey)
+        |         OR (p.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        |         OR (p.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |         OR (p.o_orderdate IS DISTINCT FROM n.o_orderdate)
+        |         OR (p.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+        |        THEN 'updated' END AS change_type
+        | FROM orders p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL""".stripMargin,
 
     "q101_session_window" ->
       """WITH flagged AS (

@@ -24,10 +24,18 @@ object Layout {
   /** Interleave the low `bits` bits of two bucket ids (Morton/Z curve):
     * bit i of `b1` lands at position 2i, bit i of `b2` at 2i+1. */
   def zValue(b1: Column, b2: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    zValueN(Seq(b1, b2), bits)
+
+  /** N-dimensional Morton interleave: bit i of dimension d lands at
+    * position i·|dims| + d. |dims|·bits must fit a long (≤ 63). */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty && dims.size * bits <= 63,
+      s"zValueN: ${dims.size} dims × $bits bits exceeds a long")
+    val k = dims.size
+    (for (i <- 0 until bits; (d, j) <- dims.zipWithIndex) yield
+      shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), i * k + j)
+    ).reduce(_ bitwiseOR _)
+  }
 
   /** Min/max-scaled linear bucket of `c` into 2^bits cells. Replayable:
     * all-double IEEE arithmetic ((x−min)·2^bits, then one divide), floor,
