@@ -22,13 +22,21 @@ object Curation {
       minChars: Int = 50,
       minAlphaRatio: Double = 0.35,
       nearDupThreshold: Double = 0.6,
-      langAllow: Seq[String] = Nil) // empty = all languages pass
+      langAllow: Seq[String] = Nil, // empty = all languages pass
+      // optional model-quality gates (r8 operators). Judge-only-what-you-
+      // can-measure rule: a doc the gate CANNOT score (too short for a
+      // bigram LM; no embedding row) passes that gate rather than dying
+      // to missing metadata.
+      minFluency: Option[Double] = None,  // self-LM mean bigram prob floor
+      outlierFrac: Option[Double] = None, // bottom-frac embedding cut
+      outlierK: Int = 8)
 
   /** Per-stage survivor sets, as (stage name → doc_id set). Every gate is
     * computed against the ORIGINAL corpus: a doc failing several gates is
     * counted by each of them (independent per-gate signals — see
     * [[report]]); the curated output intersects all of them. */
-  private def gateSets(docs: DataFrame, gates: Gates): Seq[(String, DataFrame)] = {
+  private def gateSets(docs: DataFrame, gates: Gates,
+                       embeddings: Option[DataFrame]): Seq[(String, DataFrame)] = {
     val exactKeepers = Dedup.exact(docs, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
     val nearKeepers = Dedup.minhashDedupAssignments(docs, "doc_id", "text",
@@ -43,8 +51,22 @@ object Curation {
       if (gates.langAllow.isEmpty) docs.select(col("doc_id"))
       else docs.filter(col("lang").isInCollection(gates.langAllow))
         .select(col("doc_id"))
+    val fluency = gates.minFluency.map { floor =>
+      "fluency" -> TextStats.bigramFluency(docs, "doc_id", "text")
+        .filter(col("mean_prob_r9").isNull ||
+          col("mean_prob_r9") >= floor)
+        .select(col("doc_id"))
+    }
+    val outliers = for {
+      frac <- gates.outlierFrac; emb <- embeddings
+    } yield "embedding_outlier" ->
+      docs.select(col("doc_id")).join(
+        SimSearch.embeddingOutliers(emb, "vec_id", "embedding",
+            gates.outlierK, frac)
+          .filter(col("is_outlier")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
     Seq("exact_dedup" -> exactKeepers, "near_dedup" -> nearKeepers,
-      "quality" -> quality, "language" -> lang)
+      "quality" -> quality, "language" -> lang) ++ fluency ++ outliers
   }
 
   private def survivors(docs: DataFrame,
@@ -58,7 +80,7 @@ object Curation {
     * is supplied — left join; docs without a vector keep null). */
   def curate(docs: DataFrame, gates: Gates = Gates(),
              embeddings: Option[DataFrame] = None): DataFrame = {
-    val kept = survivors(docs, gateSets(docs, gates))
+    val kept = survivors(docs, gateSets(docs, gates, embeddings))
     val enriched = TextStats.fingerprints(kept, "text")
       .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long"))
     embeddings.fold(enriched)(emb =>
@@ -72,11 +94,13 @@ object Curation {
     * per-gate signal for tuning thresholds. The gate sets are built ONCE
     * and reused for the survivor count: the near-dup gate is a full-corpus
     * MinHash pass, far too expensive to run twice per accounting call. */
-  def report(docs: DataFrame, gates: Gates = Gates()): DataFrame = {
+  def report(docs: DataFrame, gates: Gates = Gates(),
+             embeddings: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val total = docs.count()
-    val sets = gateSets(docs, gates).map { case (n, df) => (n, df.localCheckpoint()) }
+    val sets = gateSets(docs, gates, embeddings)
+      .map { case (n, df) => (n, df.localCheckpoint()) }
     val rows = sets.map { case (name, pass) =>
       (name, total - docs.join(pass, Seq("doc_id"), "left_semi").count())
     } :+ ("curated" -> survivors(docs, sets).count())

@@ -42,6 +42,32 @@ class CurationSpec extends SparkTestBase {
     assert(rep.values.forall(v => v >= 0 && v <= total))
   }
 
+  test("fluency and embedding-outlier gates compose; unscorable docs pass them") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val gates = Curation.Gates(minFluency = Some(1e-9),
+      outlierFrac = Some(0.1))
+    val rep = Curation.report(docs, gates, Some(emb))
+      .as[(String, Long)].collect().toMap
+    assert(rep.keySet == Set("exact_dedup", "near_dedup", "quality",
+      "language", "fluency", "embedding_outlier", "curated"))
+    // the outlier gate drops exactly the flagged bottom decile of docs
+    // that HAVE embeddings
+    val flagged = graft.ext.SimSearch.embeddingOutliers(emb, "vec_id",
+        "embedding", 8, 0.1)
+      .filter(col("is_outlier")).count()
+    assert(rep("embedding_outlier") == flagged)
+    // with a floor of ~0 every scorable doc passes fluency
+    assert(rep("fluency") == 0)
+    assert(rep("curated") == Curation.curate(docs, gates, Some(emb)).count())
+    // an impossible fluency floor drops every scorable doc
+    val hard = Curation.report(docs,
+        Curation.Gates(minFluency = Some(2.0)), Some(emb))
+      .as[(String, Long)].collect().toMap
+    val scorable = graft.ext.TextStats.bigramFluency(docs, "doc_id", "text")
+      .filter(col("mean_prob_r9").isNotNull).count()
+    assert(hard("fluency") == scorable)
+  }
+
   test("full publish flow: curate -> scrub -> sample -> chunk -> pack -> write") {
     import graft.ext.{Corpus, Sampling, TextPrep}
     val out = tmpDir("publish")
