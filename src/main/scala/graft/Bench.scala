@@ -66,7 +66,8 @@ object Bench {
     "q74_dup_spans", "q75_remove_dup_spans", "q76_bigram_fluency",
     "q77_segment_dedup_incremental", "q80_source_overlap",
     "q84_kmeans_clusters", "q86_fuzzy_blocked_dedup", "q87_zorder_layout",
-    "q90_kmeans_incremental", "q91_trigram_fluency")
+    "q90_kmeans_incremental", "q91_trigram_fluency",
+    "q94_local_supplier_volume", "q95_large_orders")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
