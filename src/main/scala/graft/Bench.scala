@@ -67,7 +67,8 @@ object Bench {
     "q77_segment_dedup_incremental", "q80_source_overlap",
     "q84_kmeans_clusters", "q86_fuzzy_blocked_dedup", "q87_zorder_layout",
     "q90_kmeans_incremental", "q91_trigram_fluency",
-    "q94_local_supplier_volume", "q95_large_orders")
+    "q94_local_supplier_volume", "q95_large_orders",
+    "q105_priority_sample", "q108_phrase_search", "q109_interval_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1205,6 +1205,85 @@ object SparkEntry {
               " x -> cast(x.token_id as string))"), " ").as("seq"))
     }),
 
+    // Priority sampling (Duffield 2007): weighted k-sample without
+    // replacement whose kept rows carry an unbiased subset-sum estimator
+    // (est_weight = max(w, τ)). Priorities are (w·65536)/(bucket+1) — a
+    // power-of-two multiply + one correctly-rounded divide, so the kept
+    // set, τ, and every estimate replay bit-for-bit in DuckDB.
+    "q105_priority_sample" -> ((s, dir) =>
+      Sampling.prioritySample(T(s, dir, "documents"), col("doc_id"),
+          col("n_chars"), k = 50)
+        .select(col("doc_id"), col("n_chars"), col("sample_pri"),
+          col("est_weight"))),
+
+    // Equi-depth histogram: cells cut by RANK, not by interpolated value
+    // thresholds — integer-exact across engines (the q88 discipline);
+    // per-cell counts and real value bounds.
+    "q106_equidepth_histogram" -> ((s, dir) =>
+      graft.ops.Stats.histogramEquiDepth(T(s, dir, "orders"),
+        "o_totalprice", bins = 8, tieBreak = col("o_orderkey"))),
+
+    // Corpus manifest: per-source integrity fingerprint (row counts, id
+    // range, order-independent md5 content signature) — the audit artifact
+    // a 100 TB corpus drop publishes so consumers verify "same rows, same
+    // bytes" without re-reading the corpus.
+    "q107_corpus_manifest" -> ((s, dir) =>
+      graft.ops.Stats.manifest(T(s, dir, "documents"), col("source"),
+        col("doc_id"), col("text"))),
+
+    // Positional inverted index + exact phrase search: posting lists of
+    // the phrase words only (pushed tok= predicates), chained on
+    // (doc_id, pos+i) — cost bound by the rarest word's document
+    // frequency, never a corpus LIKE-scan.
+    "q108_phrase_search" -> ((s, dir) =>
+      graft.ext.InvertedIndex.phraseCounts(
+        graft.ext.InvertedIndex.postings(T(s, dir, "documents"),
+          "doc_id", "text"),
+        Seq("key", "scan"))),
+
+    // Interval-OVERLAP join (both sides are intervals): per-user view-span
+    // × click-span overlap via the binned equi-join with the exactly-once
+    // intersection-start-bin device — semantics identical to the
+    // inequality join the oracle states.
+    "q109_interval_overlap" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      def span(et: String, pre: String) = ev
+        .filter(col("event_type") === et)
+        .groupBy(col("user_id").as(s"${pre}_user"))
+        .agg(min(col("ts")).as(s"${pre}_start"),
+          (max(col("ts")) + expr("INTERVAL 1 SECOND")).as(s"${pre}_end"))
+      graft.ops.RangeJoin.intervalOverlap(
+          span("view", "v"), span("click", "c"),
+          "v_user", "c_user", "v_start", "v_end", "c_start", "c_end",
+          binSeconds = 86400L)
+        .select(col("v_user").as("user_id"),
+          col("v_start"), col("v_end"), col("c_start"), col("c_end"),
+          (least(unix_micros(col("v_end")), unix_micros(col("c_end"))) -
+            greatest(unix_micros(col("v_start")), unix_micros(col("c_start"))))
+            .as("overlap_micros"))
+    }),
+
+    // Count-Min point-frequency sketch (Cormode 2005): never undercounts,
+    // overcount bounded by the row-collision mass — q32 treatment (exact
+    // counts value-checked, sketch properties as booleans; the hashes are
+    // JVM-side MurmurHash3, which no SQL oracle can replay).
+    "q110_cm_counts" -> ((s, dir) => {
+      import graft.functions.SketchAggs
+      val ev = T(s, dir, "events")
+      val (depth, width) = (4, 64)
+      val est = SketchAggs.cmEstimates(
+        SketchAggs.cmState(ev, col("event_type"), depth, width),
+        Seq("click", "view", "purchase", "signup", "error"), depth, width)
+      val total = ev.count()
+      ev.groupBy(col("event_type").as("item"))
+        .agg(count(lit(1)).as("exact_n"))
+        .join(est, Seq("item"))
+        .select(col("item"), col("exact_n"),
+          (col("est") >= col("exact_n")).as("cm_never_under"),
+          (col("est") <= col("exact_n") + lit(2.0 * total / width))
+            .as("cm_within_band"))
+    }),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -2180,6 +2259,87 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
         |      < 8192""".stripMargin,
+
+    // q105: the whole sampling pipeline — priorities, top-k cut, τ, and
+    // estimates — is IEEE-exact (power-of-two multiply + one correctly-
+    // rounded divide), so every column value-checks bit-for-bit.
+    "q105_priority_sample" ->
+      """WITH p AS (
+        | SELECT doc_id, n_chars,
+        |  (CAST(n_chars AS DOUBLE) * 65536.0) /
+        |   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |     AS INTEGER) + 1 AS DOUBLE) AS sample_pri,
+        |  md5(CAST(doc_id AS VARCHAR)) AS tb
+        | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT *, row_number()
+        |  OVER (ORDER BY sample_pri DESC, tb, doc_id) AS rn FROM p),
+        |tau AS (SELECT coalesce(max(CASE WHEN rn = 51 THEN sample_pri END),
+        |  0.0) AS tau FROM r)
+        |SELECT doc_id, n_chars, sample_pri,
+        | greatest(CAST(n_chars AS DOUBLE), tau.tau) AS est_weight
+        |FROM r, tau WHERE rn <= 50""".stripMargin,
+
+    // q106: rank-cut equi-depth cells — integer division on the row_number
+    // replays exactly; value bounds are raw doubles.
+    "q106_equidepth_histogram" ->
+      """WITH nn AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, o_orderkey AS t
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT count(*) AS total FROM nn),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, t) AS rn FROM nn)
+        |SELECT CAST(((rn - 1) * 8) // c.total AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n, min(x) AS lo, max(x) AS hi
+        |FROM r, c GROUP BY 1""".stripMargin,
+
+    // q107: md5 is md5 in both engines, and addition commutes — the
+    // signature replays exactly whatever the row order.
+    "q107_corpus_manifest" ->
+      """SELECT source AS group_key, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) - count(text) AS BIGINT) AS n_null_content,
+        | CAST(min(doc_id) AS VARCHAR) AS min_id,
+        | CAST(max(doc_id) AS VARCHAR) AS max_id,
+        | CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |   coalesce(text, '')), 1, 8)) AS BIGINT)) AS BIGINT) AS content_sig
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // q108: the q76 tokenization replayed into posting lists, then the
+    // positional intersection stated directly.
+    "q108_phrase_search" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
+        | FROM documents WHERE text IS NOT NULL),
+        |tp AS (SELECT doc_id, w,
+        |  unnest(range(1, CAST(len(w) AS BIGINT) + 1)) AS p FROM t),
+        |toks AS (SELECT doc_id, p - 1 AS pos, w[p] AS tok FROM tp
+        |  WHERE w[p] <> ''),
+        |a AS (SELECT doc_id, pos FROM toks WHERE tok = 'key'),
+        |b AS (SELECT doc_id, pos FROM toks WHERE tok = 'scan')
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+        |GROUP BY a.doc_id""".stripMargin,
+
+    // q109: the binned exactly-once equi-join must equal this plain
+    // inequality overlap join — the oracle IS the semantics contract.
+    "q109_interval_overlap" ->
+      """WITH a AS (SELECT user_id, min(ts) AS v_start,
+        |  max(ts) + INTERVAL 1 SECOND AS v_end
+        | FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |b AS (SELECT user_id, min(ts) AS c_start,
+        |  max(ts) + INTERVAL 1 SECOND AS c_end
+        | FROM events WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT a.user_id, v_start, v_end, c_start, c_end,
+        | least(epoch_us(v_end), epoch_us(c_end)) -
+        |  greatest(epoch_us(v_start), epoch_us(c_start)) AS overlap_micros
+        |FROM a JOIN b ON a.user_id = b.user_id
+        | AND v_start < c_end AND c_start < v_end""".stripMargin,
+
+    // q110: q32 treatment — exact counts value-checked; the sketch's
+    // never-undercount guarantee and the 2N/width band are deterministic
+    // booleans (fixed MurmurHash3 seeds), pinned TRUE.
+    "q110_cm_counts" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS exact_n,
+        | TRUE AS cm_never_under, TRUE AS cm_within_band
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q47_stratified_sample" ->
       """SELECT lang, source, doc_id, strat_rank FROM (

@@ -151,6 +151,54 @@ object Sampling {
       .drop("__n_epochs")
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007): a WEIGHTED sample of
+    * exactly k rows without replacement whose kept rows carry an unbiased
+    * subset-sum estimator — the right way to downsample a corpus when rows
+    * have very different sizes/importances and downstream consumers still
+    * need `sum(weight)`-style totals from the sample alone.
+    *
+    * Each row gets priority q = w / u with u uniform in (0, 1]; the k
+    * largest priorities are kept; τ is the (k+1)-th priority (0 when the
+    * input has ≤ k rows) and each kept row's estimated weight is
+    * max(w, τ). Σ est_weight over the sample is an unbiased estimator of
+    * Σ w over the population, and heavy rows (w ≥ τ) are kept with
+    * certainty at their true weight — the property plain md5-rate sampling
+    * ([[uniform]]) cannot give.
+    *
+    * Determinism (house rule — no `rand()`): u = (md5 bucket + 1)/65536,
+    * so q = (w · 65536) / (bucket + 1). The multiply is by a power of two
+    * (IEEE-exact) and the divide is correctly rounded, so every priority —
+    * and therefore the kept set, τ, and every estimate — replays
+    * bit-for-bit in the DuckDB oracle. Ties break by (md5(key), key).
+    *
+    * Scale shape: priorities are a narrow map; the top-(k+1) runs as
+    * TakeOrdered (per-partition heads, no global sort shuffle); τ and the
+    * rank cut are a window over those ≤ k+1 rows only (bounded, single
+    * task — NOT an unpartitioned window over the corpus). Output bytes are
+    * O(k) however large the input. */
+  def prioritySample(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val pri = (weight.cast("double") * lit(65536.0)) /
+      (hashBucket(key) + lit(1)).cast("double")
+    val topK1 = df
+      .filter(weight.isNotNull && weight > 0)
+      .withColumn("sample_pri", pri)
+      .withColumn("__tb", md5(key.cast("string")))
+      .orderBy(col("sample_pri").desc, col("__tb"), key)
+      .limit(k + 1)
+    // window over at most k+1 rows (post-limit), not over the corpus
+    val w = Window.orderBy(col("sample_pri").desc, col("__tb"), key)
+    val ranked = topK1.withColumn("__rn", row_number().over(w))
+    val tau = ranked.agg(coalesce(
+      max(when(col("__rn") === k + 1, col("sample_pri"))), lit(0.0)).as("__tau"))
+    ranked.filter(col("__rn") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("est_weight", greatest(weight.cast("double"), col("__tau")))
+      .drop("__tb", "__rn", "__tau")
+  }
+
   /** Leakage-safe train/val/test split: the atomic unit of assignment is
     * the NEAR-DUP CLUSTER, not the document — a doc-keyed split would put
     * one copy of a near-duplicated document in train and its twin in the

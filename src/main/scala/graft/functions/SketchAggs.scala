@@ -459,4 +459,129 @@ object SketchAggs {
         ColumnBridge.expression(org.apache.spark.sql.functions.lit(p))))
         .as(s"p${(p * 100).round}")
     }: _*)
+
+  // ---------------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005): the
+  // point-FREQUENCY summary completing the sketch family — HLL answers
+  // "how many distinct", KLL "what value at rank p", theta "how much
+  // overlap", SpaceSaving "which items are hot"; Count-Min answers "how
+  // often did THIS item occur" for arbitrary (including cold) items in
+  // O(depth·width) memory. Estimates NEVER undercount (each counter only
+  // ever adds), and overcount by at most 2N/width with probability
+  // ≥ 1 − 2^−depth. Counters add elementwise, so partials merge
+  // associatively — the same mergeable-summaries shape as the rest of the
+  // family, and the state of an incremental frequency fold.
+  // Hashing is scala.util.hashing.MurmurHash3.stringHash with the row
+  // index as seed — a pure-Scala, JVM-stable function, so sketches are
+  // bit-deterministic across partitionings and runs (no query-side oracle
+  // can recompute md5-free hashes, so correctness rows use the q32
+  // treatment: exact counts value-checked, sketch properties as booleans).
+  // ---------------------------------------------------------------------
+
+  /** Counter index of `item` in hash row `row`: stable across JVMs. */
+  def cmIndex(item: String, row: Int, width: Int): Int =
+    java.lang.Math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(item, row), width)
+
+  /** Count-Min aggregate → flat counter array (row-major depth×width).
+    * Nulls are skipped; items are keyed by their string form, matching
+    * [[SpaceSavingTopK]]. */
+  case class CountMinAgg(
+      child: Expression,
+      depth: Int,
+      width: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] {
+    require(depth > 0 && depth <= 16, s"depth out of (0,16]: $depth")
+    require(width > 0, s"width must be positive: $width")
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType)
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](depth * width)
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val s = v.toString
+        var r = 0
+        while (r < depth) {
+          buf(r * width + cmIndex(s, r, width)) += 1L
+          r += 1
+        }
+      }
+      buf
+    }
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+    override def eval(buf: Array[Long]): Any =
+      new GenericArrayData(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      bb.asLongBuffer().put(buf)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](bytes.length / 8)
+      java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+      out
+    }
+    override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): CountMinAgg = copy(child = c.head)
+    override def prettyName: String = "count_min"
+  }
+
+  /** One-row Count-Min state of `item`'s frequencies: (cm array<long>).
+    * Groupable upstream (`df.groupBy(...).agg(cmAgg(...))`) for per-key
+    * states; this is the whole-table form. */
+  def cmState(df: DataFrame, item: Column, depth: Int, width: Int): DataFrame =
+    df.agg(ColumnBridge.column(
+      CountMinAgg(ColumnBridge.expression(item), depth, width)
+        .toAggregateExpression()).as("cm"))
+
+  /** Fold Count-Min states built with the SAME (depth, width): counters
+    * add elementwise via `zip_with` — redelivery is NOT idempotent (counts
+    * re-add), so an incremental fold keys contributions by batch_id, the
+    * q77/KLL discipline. */
+  def foldCmState(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "foldCmState needs at least one state")
+    states.reduce(_ unionByName _)
+      .agg(org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.collect_list(col("cm")),
+        org.apache.spark.sql.functions.lit(null).cast("array<bigint>"),
+        (acc, x) => org.apache.spark.sql.functions.when(acc.isNull, x)
+          .otherwise(org.apache.spark.sql.functions.zip_with(
+            acc, x, (a, b) => a + b))).as("cm"))
+  }
+
+  /** Point-query `items` against a Count-Min state: (item, est). The
+    * sketch is depth·width longs — a bounded driver collect (the whole
+    * point of the sketch: the 100 TB pass built it, the query is O(1)). */
+  def cmEstimates(state: DataFrame, items: Seq[String],
+      depth: Int, width: Int): DataFrame = {
+    require(items.nonEmpty, "cmEstimates needs at least one item")
+    val sketch = state.select(col("cm")).head().getSeq[Long](0)
+    require(sketch.length == depth * width,
+      s"state size ${sketch.length} != depth*width ${depth * width}")
+    val ests = items.map { it =>
+      var m = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = sketch(r * width + cmIndex(it, r, width))
+        if (c < m) m = c
+        r += 1
+      }
+      (it, m)
+    }
+    val sp = state.sparkSession
+    import sp.implicits._
+    ests.toDF("item", "est")
+  }
 }

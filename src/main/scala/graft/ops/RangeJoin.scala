@@ -47,4 +47,42 @@ object RangeJoin {
           col(ts) >= col(start) && col(ts) < col(end))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join — both sides carry `[start, end)` intervals and
+    * a pair matches when they intersect (`aStart < bEnd AND bStart < aEnd`)
+    * under an equi-key. The temporal-algebra workhorse behind "which
+    * sessions touched which incident windows".
+    *
+    * Same discretization as [[pointInInterval]], plus an exactly-once
+    * device replacing post-join dedup: a pair that overlaps meets in every
+    * shared bin, but is EMITTED only in the bin of its intersection start —
+    * `max(bin(aStart), bin(bStart))`. That bin is always covered by both
+    * sides when they overlap (floor is monotone, and a non-empty half-open
+    * intersection reaches it), so each overlapping pair appears exactly
+    * once and the result needs no distinct(). The extra conjunct is a cheap
+    * post-join filter; the join itself stays a shuffled equi-join on
+    * `(key, bin)`.
+    *
+    * Column sets must be disjoint. Empty intervals (`end <= start`) on
+    * either side drop, matching the strict-inequality overlap predicate. */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      aKey: String, bKey: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val w = lit(binSeconds * 1000000L) // bin width in microseconds
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__bin",
+        explode(sequence(floor(unix_micros(col(s)) / w),
+          floor((unix_micros(col(e)) - 1) / w))))
+    val ab = binned(a, aStart, aEnd)
+    val bb = binned(b, bStart, bEnd).withColumnRenamed("__bin", "__bbin")
+    ab.join(bb,
+        ab(aKey) === bb(bKey) && ab("__bin") === bb("__bbin") &&
+          col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+          ab("__bin") === greatest(floor(unix_micros(col(aStart)) / w),
+            floor(unix_micros(col(bStart)) / w)))
+      .drop("__bin", "__bbin")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ANALYZE-style table statistics — the numbers an optimizer (or a human
@@ -107,6 +108,69 @@ object Stats {
       .agg((graft.functions.SafeCasts.decimalSum(col("ad"), 12) / 2.0)
         .as("tv"))
       .head().getDouble(0)
+  }
+
+  /** Equi-DEPTH histogram (the optimizer-stats form PostgreSQL ANALYZE
+    * actually keeps): `bins` cells holding equal ROW counts, so cell
+    * boundaries track the distribution — a skewed column gets narrow cells
+    * where the mass is, where [[histogram]]'s equal-width cells would dump
+    * everything into one.
+    *
+    * Cells are RANK cuts, not value cuts: row r (1-based rank under
+    * (value, tieBreak) order) lands in cell ⌊(r−1)·bins / n⌋ — integer
+    * division, so cell membership is integer-exact across engines where an
+    * interpolated-quantile value threshold would ulp-flip (the q88
+    * discipline). Ties on the value can straddle a cell edge by design:
+    * the cut is by rank, and `tieBreak` makes the rank total.
+    *
+    * Output: (bin, n, lo, hi) — per-cell count and REAL value bounds;
+    * consecutive cells may share a boundary value when ties straddle.
+    *
+    * Scale note: exact global rank is a total sort (one unpartitioned
+    * window here — fine at test SF; a 100 TB profile swaps the edges to
+    * approx_percentile/KLL and keeps this exact form for validation, the
+    * `exactDistinct=false` convention of [[columnProfile]]). */
+  def histogramEquiDepth(df: DataFrame, c: String, bins: Int,
+      tieBreak: Column): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val nn = df.filter(col(c).isNotNull)
+      .select(col(c).cast("double").as("x"), tieBreak.as("__t"))
+    val n = nn.count()
+    require(n > 0, s"histogramEquiDepth($c): empty input")
+    val w = Window.orderBy(col("x"), col("__t"))
+    nn.withColumn("__rn", row_number().over(w))
+      .withColumn("bin", expr(s"((__rn - 1) * $bins) DIV ${n}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .select(col("bin"), col("n"), col("lo"), col("hi"))
+  }
+
+  /** Corpus manifest: per-group integrity fingerprint for a 100 TB table —
+    * the audit artifact a data pipeline publishes next to each corpus drop
+    * so a consumer (or a later re-run) can verify "same rows, same bytes"
+    * WITHOUT re-reading the corpus side-by-side. Per group: row count,
+    * null-content count, id range, and an order-independent content
+    * signature = Σ over rows of the first 8 md5 hex digits of
+    * `id|content` read as an integer. Addition commutes, so the signature
+    * is independent of partitioning and row order (the same property
+    * [[graft.functions.SafeCasts.decimalSum]] gives numeric sums), and any
+    * single-row change moves it with probability ≈ 1 − 2⁻³².
+    *
+    * Engine-portable by the [[graft.ext.Sampling.hashBucket]] rule (md5 is
+    * md5 everywhere), so the oracle recomputes the identical signature.
+    * Scale shape: one narrow map + one groupBy on the group column —
+    * |groups| output rows, no second pass. */
+  def manifest(df: DataFrame, group: Column, id: Column,
+      content: Column): DataFrame = {
+    val sig = conv(substring(md5(concat_ws("|",
+      id.cast("string"), coalesce(content.cast("string"), lit("")))), 1, 8),
+      16, 10).cast("long")
+    df.groupBy(group.as("group_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(content.isNull, lit(1))).as("n_null_content"),
+        min(id).cast("string").as("min_id"),
+        max(id).cast("string").as("max_id"),
+        sum(sig).as("content_sig"))
   }
 
   /** Equi-width histogram of a numeric column: `bins` cells spanning

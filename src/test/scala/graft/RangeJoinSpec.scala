@@ -73,4 +73,42 @@ class RangeJoinSpec extends SparkTestBase {
     assert(binned == naive)
     assert(naive.nonEmpty) // the comparison must actually exercise matches
   }
+
+  test("intervalOverlap: equals the naive inequality join, exactly once, across bin widths") {
+    val rnd = new scala.util.Random(7)
+    val base = t("2024-01-01 00:00:00").getTime
+    def ivs(n: Int, pre: String) = (1 to n).map { i =>
+      val s = base + rnd.nextInt(72 * 3600) * 1000L
+      (s"k${rnd.nextInt(4)}", i.toLong, new Timestamp(s),
+        new Timestamp(s + (1 + rnd.nextInt(8 * 3600)) * 1000L))
+    }.toDF(s"${pre}k", s"${pre}id", s"${pre}s", s"${pre}e")
+    val a = ivs(60, "a"); val b = ivs(60, "b")
+    val naive = a.join(b,
+        col("ak") === col("bk") && col("as") < col("be") && col("bs") < col("ae"))
+      .select("aid", "bid").as[(Long, Long)].collect()
+    assert(naive.nonEmpty && naive.length == naive.toSet.size)
+    for (bin <- Seq(600L, 3600L, 86400L)) {
+      val got = RangeJoin.intervalOverlap(a, b, "ak", "bk",
+          "as", "ae", "bs", "be", binSeconds = bin)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      // exactly once: multiset equality, not just set equality — the
+      // intersection-start-bin device must suppress duplicate bin meetings
+      assert(got.sorted.toSeq == naive.sorted.toSeq, s"binSeconds=$bin")
+    }
+  }
+
+  test("intervalOverlap: touching endpoints don't overlap (half-open); empty intervals drop") {
+    val a = Seq(("A", 1L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00")))
+      .toDF("ak", "aid", "as", "ae")
+    val b = Seq(
+      ("A", 1L, t("2024-01-01 11:00:00"), t("2024-01-01 12:00:00")), // abuts
+      ("A", 2L, t("2024-01-01 10:59:59"), t("2024-01-01 12:00:00")), // overlaps 1s
+      ("A", 3L, t("2024-01-01 10:30:00"), t("2024-01-01 10:30:00")), // empty
+      ("B", 4L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"))) // other key
+      .toDF("bk", "bid", "bs", "be")
+    val got = RangeJoin.intervalOverlap(a, b, "ak", "bk",
+        "as", "ae", "bs", "be", binSeconds = 60L)
+      .select("bid").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
 }

@@ -190,4 +190,53 @@ class SamplingSpec extends SparkTestBase {
     assert(out.forall(t => grown(t._1) == t._3),
       "growing the corpus must not reassign existing docs")
   }
+
+  test("prioritySample: exact top-k by priority, τ-capped estimates, heavy-row certainty, layout independence") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(s: String): Int = Integer.parseInt(md5hex(s).take(4), 16)
+
+    val rows = (1 to 40).map(i =>
+      (i.toLong, if (i == 7) 1e9 else i.toDouble))
+    val df = rows.toDF("id", "w")
+    val k = 5
+    val got = Sampling.prioritySample(df, col("id"), col("w"), k)
+      .select("id", "sample_pri", "est_weight")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+
+    // replicate the whole pipeline independently: priorities, tie order, τ
+    val pris = rows.map { case (id, w) =>
+      (id, w, (w * 65536.0) / (bucket(id.toString) + 1)) }
+    val ranked = pris.sortBy { case (id, _, p) => (-p, md5hex(id.toString), id) }
+    val tau = ranked(k)._3
+    val expect = ranked.take(k)
+      .map { case (id, w, p) => (id, p, math.max(w, tau)) }.sortBy(_._1)
+    assert(got == expect)
+    assert(got.size == k)
+
+    // heavy-row certainty: w=1e9 dominates every possible priority
+    // (min pri = w·65536/65536 = w > any small row's max), kept at TRUE
+    // weight since w ≥ τ
+    assert(got.exists(t => t._1 == 7L && t._3 == 1e9))
+
+    // ≤ k input rows: all kept, τ=0, est = own weight
+    val small = Seq((1L, 5.0), (2L, 7.0)).toDF("id", "w")
+    val s = Sampling.prioritySample(small, col("id"), col("w"), 5)
+      .select("id", "est_weight").as[(Long, Double)].collect().toMap
+    assert(s == Map(1L -> 5.0, 2L -> 7.0))
+
+    // nulls and non-positive weights never enter the sample
+    val dirty = Seq((1L, Some(3.0)), (2L, None), (3L, Some(0.0)),
+      (4L, Some(-2.0))).toDF("id", "w")
+    val d = Sampling.prioritySample(dirty, col("id"), col("w"), 10)
+      .select("id").as[Long].collect().toSeq
+    assert(d == Seq(1L))
+
+    // pure function of (key, weight): stable under repartitioning
+    val rep = Sampling.prioritySample(df.repartition(7), col("id"), col("w"), k)
+      .select("id", "sample_pri", "est_weight")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(rep == got)
+  }
 }

@@ -179,4 +179,36 @@ class SketchAggsSpec extends SparkTestBase {
     assert(e("k2") == 8L, s"small-set estimate must be exact: $e")
     assert(math.abs(e("k1") - 1000L) <= 50, s"k1 ${e("k1")}")
   }
+
+  test("count-min: exact without collisions, never undercounts with them, partition-independent, fold ≡ one-shot") {
+    val items = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(2)("c"))
+      .map(Tuple1(_))
+    val df = items.toDF("item")
+    val (d, w) = (4, 64)
+
+    val st = SketchAggs.cmState(df, col("item"), d, w)
+    val est = SketchAggs.cmEstimates(st, Seq("a", "b", "c", "zzz"), d, w)
+      .as[(String, Long)].collect().toMap
+    // 3 items in 4×64 counters: no full-row collision chain → exact
+    assert(est("a") == 10L && est("b") == 5L && est("c") == 2L)
+    // an absent item reports only collision mass — and never a negative
+    assert(est("zzz") >= 0L)
+
+    // forced total collision (width 1): every estimate = N — the
+    // never-undercount guarantee in its most extreme form
+    val est1 = SketchAggs.cmEstimates(
+      SketchAggs.cmState(df, col("item"), 2, 1), Seq("a", "b", "c"), 2, 1)
+      .as[(String, Long)].collect().toMap
+    assert(est1.values.toSet == Set(17L))
+
+    // counters add elementwise: state is partition-independent and the
+    // two-batch fold is bit-identical to the one-shot sketch
+    val one = st.head().getSeq[Long](0)
+    assert(SketchAggs.cmState(df.repartition(5), col("item"), d, w)
+      .head().getSeq[Long](0) == one)
+    val folded = SketchAggs.foldCmState(
+      SketchAggs.cmState(items.take(8).toDF("item"), col("item"), d, w),
+      SketchAggs.cmState(items.drop(8).toDF("item"), col("item"), d, w))
+    assert(folded.head().getSeq[Long](0) == one)
+  }
 }

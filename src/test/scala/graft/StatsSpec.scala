@@ -66,4 +66,53 @@ class StatsSpec extends SparkTestBase {
     val empty = Seq[Option[Double]](None, None).toDF("x")
     assert(Stats.histogram(empty, "x", 4).count() == 0)
   }
+
+  test("histogramEquiDepth: rank cuts give equal counts; ties straddle edges; non-divisible n front-loads") {
+    // 12 rows / 4 cells → exactly 3 per cell; the four 1.0s straddle the
+    // first edge by tieBreak order (rank cut, not value cut)
+    val df = Seq((1.0, 1), (1.0, 2), (1.0, 3), (1.0, 4), (2.0, 5), (2.0, 6),
+      (3.0, 7), (3.0, 8), (4.0, 9), (5.0, 10), (6.0, 11), (7.0, 12))
+      .toDF("x", "id")
+    val h = Stats.histogramEquiDepth(df, "x", 4, col("id"))
+      .orderBy("bin").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(h == Seq((0L, 3L, 1.0, 1.0), (1L, 3L, 1.0, 2.0),
+      (2L, 3L, 3.0, 4.0), (3L, 3L, 5.0, 7.0)))
+    // n=10, 3 cells: ⌊(r−1)·3/10⌋ gives sizes 4,3,3
+    val df10 = (1 to 10).map(i => (i.toDouble, i)).toDF("x", "id")
+    val h10 = Stats.histogramEquiDepth(df10, "x", 3, col("id"))
+      .orderBy("bin").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(h10.map(_._2) == Seq(4L, 3L, 3L))
+    assert(h10 == Seq((0L, 4L, 1.0, 4.0), (1L, 3L, 5.0, 7.0),
+      (2L, 3L, 8.0, 10.0)))
+    // layout-independent: same cells from a different partitioning
+    val hr = Stats.histogramEquiDepth(df.repartition(7), "x", 4, col("id"))
+      .orderBy("bin").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(hr == h)
+  }
+
+  test("manifest: signature is order/partition-independent, moves on any row change, counts nulls") {
+    val df = Seq((1L, Some("aa"), "s1"), (2L, Some("bb"), "s1"),
+      (3L, None, "s1"), (4L, Some("cc"), "s2")).toDF("id", "text", "src")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      Stats.manifest(d, col("src"), col("id"), col("text"))
+        .orderBy("group_key")
+        .as[(String, Long, Long, String, String, Long)].collect().toSeq
+    val base = m(df)
+    assert(base.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      Seq(("s1", 3L, 1L, "1", "3"), ("s2", 1L, 0L, "4", "4")))
+    // partitioning and row order don't move the signature
+    assert(m(df.repartition(5)) == base)
+    assert(m(df.orderBy(col("id").desc)) == base)
+    // any single-row content change moves its group's signature only
+    val mutated = Seq((1L, Some("aa"), "s1"), (2L, Some("bX"), "s1"),
+      (3L, None, "s1"), (4L, Some("cc"), "s2")).toDF("id", "text", "src")
+    val after = m(mutated)
+    assert(after.head._6 != base.head._6 && after(1)._6 == base(1)._6)
+    // null vs empty content are distinguished by n_null_content, and the
+    // signature treats them identically (count carries the difference)
+    val emptied = Seq((3L, Some(""), "s1")).toDF("id", "text", "src")
+    val nulled = Seq((3L, Option.empty[String], "s1")).toDF("id", "text", "src")
+    assert(m(emptied).head._6 == m(nulled).head._6)
+    assert(m(emptied).head._3 == 0L && m(nulled).head._3 == 1L)
+  }
 }
