@@ -1284,6 +1284,40 @@ object SparkEntry {
             .as("cm_within_band"))
     }),
 
+    // Bounded-heap top-k per group: the AGGREGATE form of the rank window
+    // — shuffle carries ≤ k rows per (group, partition) instead of every
+    // row of the group; must equal the window form exactly (the oracle).
+    "q111_topk_per_group" -> ((s, dir) =>
+      graft.functions.SketchAggs.topkRows(T(s, dir, "orders"),
+        Seq(col("o_custkey")), col("o_totalprice"), col("o_orderkey"), k = 3)),
+
+    // Sparse shingle-cosine pairs: lexical near-dup similarity on
+    // 3-gram posting lists (one term-keyed self-join, maxDf fence on the
+    // quadratic stopword corner — never an all-pairs doc join). The
+    // shingle width n IS the scale lever: unigram dfs on this corpus
+    // approach |docs| and degenerate to all-pairs; 3-gram dfs track real
+    // shared phrasing. Integer dots + IEEE sqrt/divide → bit-exact replay.
+    "q112_sparse_cosine" -> ((s, dir) =>
+      graft.ext.InvertedIndex.sparseCosinePairs(T(s, dir, "documents"),
+        "doc_id", "text", n = 3, maxDf = 1000L, minSim = 0.5)),
+
+    // Ordered conversion funnel: earliest view → first click strictly
+    // after it → first purchase strictly after that, per user; chained
+    // per-step min-aggregates, no stream-wide window sort.
+    "q113_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.conversionFunnel(T(s, dir, "events"),
+        col("user_id"), col("ts"),
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))),
+
+    // Cohort retention matrix: users cohorted by ISO week of first event;
+    // (cohort_week, week_offset, n_users) via calendar truncation +
+    // lossless integer day division.
+    "q114_cohort_retention" -> ((s, dir) =>
+      graft.ops.Funnel.cohortRetention(T(s, dir, "events"),
+        col("user_id"), col("ts"))),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -2340,6 +2374,82 @@ object SparkEntry {
       """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS exact_n,
         | TRUE AS cm_never_under, TRUE AS cm_within_band
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q111: the window form IS the contract — the bounded-heap aggregate
+    // must reproduce it row-for-row (tie order on the STRING form of the
+    // id, matching the aggregate's keying).
+    "q111_topk_per_group" ->
+      """SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, tie, val FROM (
+        | SELECT o_custkey, CAST(o_orderkey AS VARCHAR) AS tie,
+        |  CAST(o_totalprice AS DOUBLE) AS val,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY CAST(o_totalprice AS DOUBLE) DESC,
+        |            CAST(o_orderkey AS VARCHAR)) AS rnk
+        | FROM orders) r WHERE rnk <= 3""".stripMargin,
+
+    // q112: the q58 3-gram replay → tf vectors → term-keyed pair join;
+    // integer dots, IEEE sqrt/multiply/divide — bit-exact.
+    "q112_sparse_cosine" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
+        | FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+        |   list_transform(range(1, CAST(len(w) AS BIGINT) - 1),
+        |     i -> array_to_string(w[i : i + 2], ' '))
+        |  ELSE [] END) AS tok FROM t),
+        |tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM g GROUP BY 1, 2),
+        |kept AS (SELECT tf.* FROM tf JOIN (
+        |  SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 1000) d
+        |  USING (tok)),
+        |norms AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS norm
+        |  FROM kept GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        | FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dot,
+        | CAST(dot AS DOUBLE) / (na.norm * nb.norm) AS cosine
+        |FROM dots JOIN norms na ON na.doc_id = doc_a
+        | JOIN norms nb ON nb.doc_id = doc_b
+        |WHERE CAST(dot AS DOUBLE) / (na.norm * nb.norm) >= 0.5""".stripMargin,
+
+    // q113: the chained strictly-after min-aggregates stated as CTEs; the
+    // monotone-null funnel depth as a CASE sum.
+    "q113_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+        |SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+        | CAST(CASE WHEN s1.t_view IS NULL THEN 0 ELSE 1 END +
+        |      CASE WHEN s2.t_click IS NULL THEN 0 ELSE 1 END +
+        |      CASE WHEN s3.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |   AS converted_steps
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        | LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // q114: both engines truncate weeks to ISO Monday, so the day
+    // difference is divisible by 7 and the offset is lossless integer
+    // division.
+    "q114_cohort_retention" ->
+      """WITH cohort AS (SELECT user_id,
+        |  CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        | FROM events GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week FROM events)
+        |SELECT cohort_week,
+        | CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+        |   AS week_offset,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q47_stratified_sample" ->
       """SELECT lang, source, doc_id, strat_rank FROM (

@@ -561,6 +561,119 @@ object SketchAggs {
             acc, x, (a, b) => a + b))).as("cm"))
   }
 
+  // ---------------------------------------------------------------------
+  // Bounded-heap top-k rows per group: the aggregate form of
+  // `row_number() OVER (PARTITION BY g ORDER BY v DESC) <= k`. The window
+  // form shuffles EVERY row of a group to one task and sorts it; the
+  // aggregate form keeps a k-element heap per group per partition, so the
+  // shuffle carries at most k rows per (group, partition) and no sort ever
+  // sees more than k+1 elements — the difference between "top 3 orders per
+  // customer" costing O(orders) shuffle bytes and O(3·customers). Exact
+  // (not a sketch): a group's true top-k survives any partitioning because
+  // per-partition top-k's union contains the global top-k. Determinism:
+  // total order is (value DESC, tie ASC) with a caller-supplied unique tie.
+  // ---------------------------------------------------------------------
+
+  /** (value, tie) pairs, kept to the k largest under (value DESC, tie ASC). */
+  type TopKBuf = java.util.TreeSet[(Double, String)]
+
+  private def topkOrdering: Ordering[(Double, String)] =
+    Ordering.by[(Double, String), (Double, String)] {
+      case (v, t) => (-v, t)
+    }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
+
+  /** Top-k (value, tie) aggregate → array<struct<tie,val>> sorted by
+    * (val DESC, tie ASC). Null values or ties are skipped. */
+  case class TopKRowsAgg(
+      value: Expression,
+      tie: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[TopKBuf] {
+    require(k > 0, s"k must be positive: $k")
+    override def children: Seq[Expression] = Seq(value, tie)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("tie", StringType),
+      StructField("val", DoubleType))))
+    override def createAggregationBuffer(): TopKBuf =
+      new java.util.TreeSet(topkOrdering)
+    private def push(buf: TopKBuf, v: Double, t: String): Unit = {
+      buf.add((v, t))
+      if (buf.size > k) buf.pollLast() // drop the current worst
+    }
+    override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
+      val v = value.eval(input)
+      val t = tie.eval(input)
+      if (v != null && t != null)
+        push(buf, v.asInstanceOf[Double], t.toString)
+      buf
+    }
+    override def merge(buf: TopKBuf, other: TopKBuf): TopKBuf = {
+      val it = other.iterator()
+      while (it.hasNext) { val (v, t) = it.next(); push(buf, v, t) }
+      buf
+    }
+    override def eval(buf: TopKBuf): Any = {
+      val rows = new Array[Any](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) {
+        val (v, t) = it.next()
+        rows(i) = InternalRow(UTF8String.fromString(t), v)
+        i += 1
+      }
+      new GenericArrayData(rows)
+    }
+    override def serialize(buf: TopKBuf): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) {
+        val (v, t) = it.next()
+        out.writeDouble(v); out.writeUTF(t)
+      }
+      out.flush(); bos.toByteArray
+    }
+    override def deserialize(bytes: Array[Byte]): TopKBuf = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val buf = createAggregationBuffer()
+      val n = in.readInt()
+      var i = 0
+      while (i < n) { buf.add((in.readDouble(), in.readUTF())); i += 1 }
+      buf
+    }
+    override def withNewMutableAggBufferOffset(o: Int): TopKRowsAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TopKRowsAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): TopKRowsAgg =
+      copy(value = c(0), tie = c(1))
+    override def prettyName: String = "topk_rows"
+  }
+
+  /** Top-k rows per group: (groupCols..., rnk, tie, val), rnk 1-based in
+    * (val DESC, tie ASC) order. `tie` must be unique within a group for a
+    * deterministic result (use the row's id). */
+  def topkRows(df: DataFrame, groupCols: Seq[Column], value: Column,
+      tie: Column, k: Int): DataFrame = {
+    val agg = ColumnBridge.column(TopKRowsAgg(
+      ColumnBridge.expression(value.cast("double")),
+      ColumnBridge.expression(tie.cast("string")), k)
+      .toAggregateExpression())
+    df.groupBy(groupCols: _*)
+      .agg(agg.as("__top"))
+      .select(col("*"), org.apache.spark.sql.functions.posexplode(col("__top"))
+        .as(Seq("__p", "__r")))
+      .withColumn("rnk", (col("__p") + 1).cast("long"))
+      .withColumn("tie", col("__r.tie"))
+      .withColumn("val", col("__r.val"))
+      .drop("__top", "__p", "__r")
+  }
+
   /** Point-query `items` against a Count-Min state: (item, est). The
     * sketch is depth·width longs — a bounded driver collect (the whole
     * point of the sketch: the 100 TB pass built it, the query is O(1)). */

@@ -211,4 +211,31 @@ class SketchAggsSpec extends SparkTestBase {
       SketchAggs.cmState(items.drop(8).toDF("item"), col("item"), d, w))
     assert(folded.head().getSeq[Long](0) == one)
   }
+
+  test("topkRows: equals the rank window exactly, survives any partitioning, deterministic under value ties") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i =>
+      (s"g${rnd.nextInt(20)}", i.toLong, rnd.nextInt(40).toDouble))
+    val df = rows.toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SketchAggs.topkRows(d, Seq(col("g")), col("v"), col("id"), 3)
+        .as[(String, Long, String, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val got = run(df)
+    // the window form is the contract (ties broken by the STRING id, the
+    // aggregate's keying)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("v").desc, col("id").cast("string"))
+    val expect = df.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("g"), col("rnk"), col("id").cast("string").as("tie"),
+        col("v"))
+      .as[(String, Long, String, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty && got.groupBy(_._1).values.forall(_.size <= 3))
+    // per-partition heaps union to the same global top-k
+    assert(run(df.repartition(13)) == got)
+    // groups smaller than k emit all their rows
+    val tiny = Seq(("a", 1L, 5.0)).toDF("g", "id", "v")
+    assert(run(tiny) == Seq(("a", 1L, "1", 5.0)))
+  }
 }
