@@ -317,4 +317,35 @@ class PlanQualitySpec extends SparkTestBase {
       .selectedPartitions.partitionCount
     assert(parts == 1, s"expected 1 selected partition, got $parts")
   }
+
+  test("q105: the weighted top-(k+1) cut plans TakeOrdered, never a global sort") {
+    val p = plan("q105_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only Sort allowed is inside the bounded post-limit window
+    assert(!p.split("Window").head.contains("Sort "), p)
+  }
+
+  test("q109/q112/q113: overlap join, shingle pairs, and funnel stages stay equi-joins") {
+    for (q <- Seq("q109_interval_overlap", "q112_sparse_cosine", "q113_funnel")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q111: top-k per group is a partial-then-final aggregate — no Window, no group-wide Sort") {
+    val p = plan("q111_topk_per_group")
+    assert(!p.contains("Window"), p)
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
+    // stage before the exchange — the property that caps shuffle bytes at
+    // k rows per (group, partition)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q114: cohort retention is aggregates + one equi-join — no Window") {
+    val p = plan("q114_cohort_retention")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
