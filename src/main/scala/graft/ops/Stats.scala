@@ -161,17 +161,43 @@ object Stats {
     * Scale shape: one narrow map + one groupBy on the group column —
     * |groups| output rows, no second pass. */
   def manifest(df: DataFrame, group: Column, id: Column,
-      content: Column): DataFrame = {
-    val sig = conv(substring(md5(concat_ws("|",
-      id.cast("string"), coalesce(content.cast("string"), lit("")))), 1, 8),
-      16, 10).cast("long")
+      content: Column): DataFrame =
     df.groupBy(group.as("group_key"))
       .agg(count(lit(1)).as("n_rows"),
         count(when(content.isNull, lit(1))).as("n_null_content"),
         min(id).cast("string").as("min_id"),
         max(id).cast("string").as("max_id"),
-        sum(sig).as("content_sig"))
-  }
+        sum(manifestSig(id, content)).as("content_sig"))
+
+  private def manifestSig(id: Column, content: Column): Column =
+    conv(substring(md5(concat_ws("|",
+      id.cast("string"), coalesce(content.cast("string"), lit("")))), 1, 8),
+      16, 10).cast("long")
+
+  /** The ADDITIVE core of [[manifest]] — (group_key, n_rows,
+    * n_null_content, content_sig), every column a sum — which makes the
+    * manifest a mergeable state: per-batch contributions fold by plain
+    * addition ([[manifestFromContributions]]), so an incremental corpus
+    * keeps a live integrity fingerprint without ever rescanning earlier
+    * batches (the q77 index discipline applied to auditing). The id range
+    * stays in the full [[manifest]] only: min/max don't decompose over
+    * the string cast. */
+  def manifestContribution(df: DataFrame, group: Column, id: Column,
+      content: Column): DataFrame =
+    df.groupBy(group.as("group_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(content.isNull, lit(1))).as("n_null_content"),
+        sum(manifestSig(id, content)).as("content_sig"))
+
+  /** Current manifest from a contribution table (any number of batches):
+    * all three columns add. Folding a batch twice DOES double-count —
+    * redelivery safety must come from contribution keying upstream
+    * ([[graft.streaming.Streams.Sinks.manifestFold]]). */
+  def manifestFromContributions(state: DataFrame): DataFrame =
+    state.groupBy(col("group_key"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_null_content")).as("n_null_content"),
+        sum(col("content_sig")).as("content_sig"))
 
   /** Equi-width histogram of a numeric column: `bins` cells spanning
     * [min, max] via [[Layout.linearBucket]]'s exact IEEE bucketing (the

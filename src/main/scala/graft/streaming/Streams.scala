@@ -278,6 +278,45 @@ object Streams {
       else MergeSink.appendDedup(s, stateDir, contrib, "ck")
     }
 
+    /** Streaming Count-Min fold: each micro-batch's counter matrix lands
+      * as one (batch_id, cm) contribution row, append-dedup by batch_id —
+      * counter addition is NOT idempotent (a re-added batch double-
+      * counts), so redelivery safety is contribution-keyed, the q77/KLL
+      * discipline, not sketch algebra. Read the current sketch with
+      * [[graft.functions.SketchAggs.foldCmState]] over the state table
+      * and point-query it with `cmEstimates`. One depth·width row
+      * appended per batch, however large the batch. */
+    def cmFold(stateDir: String, item: String, depth: Int, width: Int,
+               tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, batchId) => {
+      import graft.functions.SketchAggs
+      val contrib = SketchAggs.cmState(batch, col(item), depth, width)
+        .withColumn("batch_id", lit(batchId))
+        .localCheckpoint()
+      if (tx) MergeSink.appendDedupTx(s, stateDir, contrib, "batch_id")
+      else MergeSink.appendDedup(s, stateDir, contrib, "batch_id")
+    }
+
+    /** Streaming manifest fold: each micro-batch appends its ADDITIVE
+      * integrity fingerprint ([[graft.ops.Stats.manifestContribution]])
+      * as (group_key, batch_id, n_rows, n_null_content, content_sig)
+      * rows, append-dedup on (group, batch) — the live "same rows, same
+      * bytes" audit of an incremental corpus, maintained without ever
+      * rescanning earlier batches. Read the current manifest with
+      * [[graft.ops.Stats.manifestFromContributions]]. O(groups) rows per
+      * batch. */
+    def manifestFold(stateDir: String, group: String, id: String,
+                     content: String, tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, batchId) => {
+      val contrib = graft.ops.Stats.manifestContribution(batch,
+          col(group), col(id), col(content))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("ck", concat_ws("#", col("group_key"), col("batch_id")))
+        .localCheckpoint()
+      if (tx) MergeSink.appendDedupTx(s, stateDir, contrib, "ck")
+      else MergeSink.appendDedup(s, stateDir, contrib, "ck")
+    }
+
     /** Streaming k-means fold — the micro-batch form of
       * [[graft.ext.SimSearch.incrementalKmeansAssign]]: the first batch
       * bootstraps the state with batch k-means; every later batch assigns

@@ -307,6 +307,103 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming count-min fold: batch-keyed contributions converge to one-shot counts and survive redelivery") {
+    import spark.implicits._
+    import graft.functions.SketchAggs
+    val (d, w) = (4, 64)
+    val batches = Seq(
+      Seq.fill(10)("a") ++ Seq.fill(3)("b"),
+      Seq.fill(5)("a") ++ Seq.fill(4)("c"),
+      Seq.fill(1)("b"))
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "rename"
+      val flat = tmpDir(s"cm-flat-$mode"); new java.io.File(flat).mkdirs()
+      for ((rows, i) <- batches.zipWithIndex) {
+        val one = tmpDir(s"cm-b$i-$mode")
+        rows.map(Tuple1(_)).toDF("item").coalesce(1).write.parquet(one)
+        val part = new java.io.File(one).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stateDir = tmpDir(s"cm-state-$mode")
+      def run(ck: String) = {
+        val q = Streams.toMergeSink(
+          Streams.parquetStream(spark, flat, spark.read.parquet(flat).schema,
+            maxFilesPerTrigger = 1),
+          tmpDir(ck), Trigger.AvailableNow())(
+          Streams.Sinks.cmFold(stateDir, "item", d, w, tx = tx))
+        q.awaitTermination(120000)
+      }
+      run(s"cm-ck-$mode")
+      def estimates(): Map[String, Long] = {
+        val st = MergeSink.readAny(spark, stateDir).get.select(col("cm"))
+        SketchAggs.cmEstimates(SketchAggs.foldCmState(st),
+            Seq("a", "b", "c"), d, w)
+          .as[(String, Long)].collect().toMap
+      }
+      val e = estimates()
+      assert(e == Map("a" -> 15L, "b" -> 4L, "c" -> 4L), s"mode=$mode got $e")
+      assert(MergeSink.readAny(spark, stateDir).get.count() == 3)
+      // fresh-checkpoint redelivery: batch_id keying drops duplicates —
+      // counter addition would otherwise double-count
+      run(s"cm-ck2-$mode")
+      assert(estimates() == e, s"redelivery drifted, mode=$mode")
+      assert(MergeSink.readAny(spark, stateDir).get.count() == 3)
+    }
+  }
+
+  test("streaming manifest fold: additive fingerprint equals the one-shot manifest and survives redelivery") {
+    import spark.implicits._
+    import graft.ops.Stats
+    val batches = Seq(
+      Seq((1L, Some("aa"), "s1"), (2L, Some("bb"), "s1")),
+      Seq((3L, Option.empty[String], "s1"), (4L, Some("cc"), "s2")),
+      Seq((5L, Some("dd"), "s2")))
+    val all = batches.flatten
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "rename"
+      val flat = tmpDir(s"mf-flat-$mode"); new java.io.File(flat).mkdirs()
+      for ((rows, i) <- batches.zipWithIndex) {
+        val one = tmpDir(s"mf-b$i-$mode")
+        rows.toDF("id", "text", "src").coalesce(1).write.parquet(one)
+        val part = new java.io.File(one).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stateDir = tmpDir(s"mf-state-$mode")
+      def run(ck: String) = {
+        val q = Streams.toMergeSink(
+          Streams.parquetStream(spark, flat, spark.read.parquet(flat).schema,
+            maxFilesPerTrigger = 1),
+          tmpDir(ck), Trigger.AvailableNow())(
+          Streams.Sinks.manifestFold(stateDir, "src", "id", "text", tx = tx))
+        q.awaitTermination(120000)
+      }
+      run(s"mf-ck-$mode")
+      def current() = Stats.manifestFromContributions(
+          MergeSink.readAny(spark, stateDir).get)
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val got = current()
+      // the fold must equal the one-shot manifest's additive columns
+      val oneShot = Stats.manifest(all.toDF("id", "text", "src"),
+          col("src"), col("id"), col("text"))
+        .select("group_key", "n_rows", "n_null_content", "content_sig")
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == oneShot, s"mode=$mode")
+      // one contribution row per (group, batch) that saw the group
+      assert(MergeSink.readAny(spark, stateDir).get.count() == 4)
+      run(s"mf-ck2-$mode")
+      assert(current() == got, s"redelivery drifted, mode=$mode")
+      assert(MergeSink.readAny(spark, stateDir).get.count() == 4)
+    }
+  }
+
   test("streaming quantile fold: contribution-keyed KLL state converges and survives redelivery in both protocols") {
     import spark.implicits._
     import graft.functions.SketchAggs
