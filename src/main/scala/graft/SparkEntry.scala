@@ -1318,6 +1318,27 @@ object SparkEntry {
       graft.ops.Funnel.cohortRetention(T(s, dir, "events"),
         col("user_id"), col("ts"))),
 
+    // Perceptual-hash image near-dup (the MULTIMODAL dedup twin of
+    // MinHash): embeddings render as real PNGs — every 10th vector also
+    // re-rendered with one dim nudged (the deterministic stand-in for a
+    // re-encoded/retouched copy, since the synthetic corpus has no native
+    // image dups) — then dHash box-averages the REAL ImageIO decode,
+    // candidates come from 8-bit band equality (pigeonhole-complete ≤ 7
+    // bits), popcount verifies. Rows-only check: the decode is not
+    // SQL-expressible.
+    "q115_image_neardup" -> ((s, dir) => {
+      import graft.ext.Multimodal
+      val emb = T(s, dir, "embeddings")
+      val retouched = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "IF(i = 0, CAST(x + 0.02 AS FLOAT), x))").as("embedding"))
+      Multimodal.imageNearDups(
+        Multimodal.imageHashes(Multimodal.imagesFromEmbeddings(
+          emb.select("vec_id", "embedding").unionByName(retouched))),
+        maxDist = 4)
+    }),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide

@@ -355,4 +355,144 @@ object Multimodal {
       }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Deterministic image corpus from the embeddings table: each vector
+    * renders as a REAL 32×16 grayscale PNG (each of up to 64 dims → one
+    * 4×4 pixel block, value linearly mapped to luma). The container ships
+    * no image dataset, so this is the in-repo stand-in that still
+    * exercises the FULL real path — ImageIO encode here, ImageIO decode +
+    * box-average inside [[dHash]] — and it preserves geometry: vectors
+    * close in ℓ∞ render to visually close images, so the perceptual
+    * near-dup operator finds exactly the corpus's semantic-dup structure.
+    * Narrow partition-wise map, ~600 B/asset. */
+  def imagesFromEmbeddings(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType)))
+    val rdd = emb.select("vec_id", "embedding").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Long]("vec_id")
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        val img = new java.awt.image.BufferedImage(
+          32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var k = 0
+        while (k < 64) {
+          val x0 = (k % 8) * 4; val y0 = (k / 8) * 2
+          val lum = if (k < v.length)
+            math.max(0, math.min(255, ((v(k) + 1.0f) * 127.5f).toInt))
+          else 0
+          val rgb = (lum << 16) | (lum << 8) | lum
+          var y = y0
+          while (y < y0 + 2) {
+            var x = x0
+            while (x < x0 + 4) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          k += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row(id, "image", baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint): box-average the decoded image to a 9×8 integer luma
+    * grid, emit one bit per horizontal gradient (left cell brighter than
+    * its right neighbor). Re-encodes, mild noise, and small edits move a
+    * few bits; unrelated images differ in ~32. All arithmetic is integer
+    * (Rec.601 luma, exact pixel-rectangle sums, integer division), so the
+    * hash is deterministic across JVMs and partitionings. None for
+    * undecodable payloads or images smaller than the grid. */
+  def dHash(content: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val cell = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          cell(gy)(gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (cell(i / 8)(i % 8) > cell(i / 8)(i % 8 + 1)) bits |= 1L << i
+        i += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Per-asset perceptual hashes: (asset_id, phash) for image payloads
+    * [[dHash]] can decode. Narrow partition-wise map — the 100 TB shape:
+    * decode once, ship 8 bytes per image downstream. */
+  def imageHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val rdd = assets.filter(col("modality") === "image")
+      .select("asset_id", "content").rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val content = Option(r.getAs[Array[Byte]]("content"))
+            .getOrElse(Array.emptyByteArray)
+          dHash(content).map(hsh => Row(r.getAs[Long]("asset_id"), hsh))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Perceptual-hash image near-dup pairs — the MULTIMODAL twin of MinHash
+    * text dedup: candidate pairs come from exact-match on one of the
+    * hash's eight 8-bit bands (pigeonhole: two hashes within Hamming
+    * distance ≤ 7 agree on at least one band, so recall is TOTAL for
+    * maxDist ≤ 7 — the same completeness argument as the LSH band join),
+    * then verify by exact popcount. Never an all-pairs image join: the
+    * shuffle key is (band, value) and the popcount runs on candidates
+    * only. Output: (asset_a, asset_b, hamming ≤ maxDist). */
+  def imageNearDups(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist out of [0,7] (8-band pigeonhole bound): $maxDist")
+    val banded = hashes.select(col("asset_id"), col("phash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("band_val", expr("(phash >> (band * 8)) & 255"))
+    val a = banded.select(col("band"), col("band_val"),
+      col("asset_id").as("asset_a"), col("phash").as("__pa"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("asset_id").as("asset_b"), col("phash").as("__pb"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        bit_count(col("__pa").bitwiseXOR(col("__pb"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -1196,4 +1196,41 @@ class ExtensionsSpec extends SparkTestBase {
       threshold = 0.95, tables = 12, planesPerTable = 3, dim = 64)
     assert(a2b.select("vec_id", "keeper_id").as[(Long, Long)].collect().toMap == m)
   }
+
+  test("image perceptual hash: near-identical images pair within maxDist, unrelated don't, undecodable skip") {
+    import graft.ext.Multimodal
+    def png(f: (Int, Int) => Int, w: Int = 36, h: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
+    val base = png((x, _) => x * 7)                                  // smooth gradient
+    val tweaked = png((x, y) => if (x < 2 && y < 2) 255 else x * 7)  // small bright patch
+    val reversed = png((x, _) => 255 - x * 7)                        // opposite gradients
+    val assets = Seq(
+      (1L, "image", base), (2L, "image", tweaked), (3L, "image", reversed),
+      (4L, "image", Array[Byte](1, 2, 3)),  // undecodable → skipped
+      (5L, "audio", base))                  // wrong modality → filtered
+      .toDF("asset_id", "modality", "content")
+    val hashes = Multimodal.imageHashes(assets)
+    val hs = hashes.as[(Long, Long)].collect().toMap
+    assert(hs.keySet == Set(1L, 2L, 3L))
+    // hashes are a pure function of pixels: partitioning-independent
+    assert(Multimodal.imageHashes(assets.repartition(4))
+      .as[(Long, Long)].collect().toMap == hs)
+    val pairs = Multimodal.imageNearDups(hashes, maxDist = 6)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // the patch moves exactly one 9×8 cell comparison → tiny Hamming
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 6,
+      s"hashes ${hs.view.mapValues(_.toBinaryString).toMap}, pairs $pairs")
+    // the reversed gradient flips every gradient bit — no pair survives
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }
