@@ -562,6 +562,68 @@ object SketchAggs {
   }
 
   // ---------------------------------------------------------------------
+  // Bloom-filter aggregate (org.apache.spark.util.sketch.BloomFilter —
+  // ships with Spark; the engine adds the missing GROUPED aggregate form:
+  // Spark's stat.bloomFilter covers one whole DataFrame only). Items key
+  // by their string form; merge is bitwise OR, so partials combine
+  // associatively like the rest of the sketch family. Primary consumer:
+  // the per-FILE sidecar index of [[graft.ops.Layout.buildBloomIndex]].
+  // ---------------------------------------------------------------------
+  import org.apache.spark.util.sketch.BloomFilter
+
+  /** Bloom aggregate → serialized filter bytes. `expectedItems`/`fpp`
+    * size the filter (bits ≈ −n·ln(fpp)/ln²2). */
+  case class BloomAgg(
+      child: Expression,
+      expectedItems: Long,
+      fpp: Double,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[BloomFilter] {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def createAggregationBuffer(): BloomFilter =
+      BloomFilter.create(expectedItems, fpp)
+    override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
+      val v = child.eval(input)
+      if (v != null) buf.putString(v.toString)
+      buf
+    }
+    override def merge(buf: BloomFilter, other: BloomFilter): BloomFilter = {
+      buf.mergeInPlace(other); buf
+    }
+    override def eval(buf: BloomFilter): Any = serialize(buf)
+    override def serialize(buf: BloomFilter): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      buf.writeTo(bos)
+      bos.toByteArray
+    }
+    override def deserialize(bytes: Array[Byte]): BloomFilter =
+      BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+    override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BloomAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): BloomAgg = copy(child = c.head)
+    override def prettyName: String = "bloom_agg"
+  }
+
+  /** Column API: `bloomAgg($"uid", 10000, 0.01)` → binary filter bytes.
+    * Query driver-side with [[bloomMightContain]]. */
+  def bloomAgg(col: Column, expectedItems: Long, fpp: Double): Column =
+    ColumnBridge.column(
+      BloomAgg(ColumnBridge.expression(col), expectedItems, fpp)
+        .toAggregateExpression())
+
+  /** Membership probe against serialized [[BloomAgg]] bytes. */
+  def bloomMightContain(bytes: Array[Byte], item: String): Boolean =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes)).mightContainString(item)
+
+  // ---------------------------------------------------------------------
   // Bounded-heap top-k rows per group: the aggregate form of
   // `row_number() OVER (PARTITION BY g ORDER BY v DESC) <= k`. The window
   // form shuffles EVERY row of a group to one task and sorts it; the

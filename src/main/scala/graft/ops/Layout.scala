@@ -84,4 +84,64 @@ object Layout {
                     nParts: Int, bits: Int = 8): Unit =
     zOrdered(df, c1, c2, nParts, bits).drop("zval")
       .write.mode("overwrite").parquet(path)
+
+  // ---------------------------------------------------------------------
+  // Per-file Bloom sidecar index: file skipping BEYOND min/max. Parquet
+  // envelopes (and the z-order layout above) prune RANGE predicates; a
+  // point lookup on a high-cardinality column that is NOT the sort key
+  // (every file spans the whole id space) prunes nothing and reads the
+  // table. The sidecar stores one Bloom filter per data file; a point
+  // query probes |files| filters driver-side (tiny — KBs per file) and
+  // reads only the files that might contain the value. This is the
+  // Delta/Iceberg bloom-index technique as a plain parquet sidecar.
+  // ---------------------------------------------------------------------
+
+  /** Build (file, bloom) rows for `dataDir`'s parquet files over column
+    * `c`: one distributed pass, grouped by `_metadata.file_path` — the
+    * shuffle carries one filter per (file, partition). Size with
+    * `expectedItemsPerFile` ≥ the max rows per file (overestimating only
+    * wastes bits). */
+  def buildBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, c: String, expectedItemsPerFile: Long,
+      fpp: Double = 0.01): DataFrame =
+    spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("file"), col(c).cast("string").as("__v"))
+      .groupBy(col("file"))
+      .agg(graft.functions.SketchAggs.bloomAgg(col("__v"),
+        expectedItemsPerFile, fpp).as("bloom"))
+
+  /** Write the sidecar next to the data (`<dataDir>/_bloom_<c>`). */
+  def writeBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, c: String, expectedItemsPerFile: Long,
+      fpp: Double = 0.01): String = {
+    val out = s"$dataDir/_bloom_$c"
+    buildBloomIndex(spark, dataDir, c, expectedItemsPerFile, fpp)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Files that MIGHT contain `value` (no false negatives): probe every
+    * sidecar filter driver-side — a bounded collect of |files| rows, the
+    * whole point of the index (the 100 TB pass built it; the probe is
+    * O(files), not O(rows)). */
+  def bloomPrunedFiles(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, value: String): Seq[String] =
+    spark.read.parquet(indexDir).collect().toSeq
+      .filter(r => graft.functions.SketchAggs.bloomMightContain(
+        r.getAs[Array[Byte]]("bloom"), value))
+      .map(_.getAs[String]("file"))
+
+  /** Point-lookup read through the sidecar: scan only the surviving
+    * files, then apply the exact predicate (Bloom false positives never
+    * reach the result — the filter re-checks). Falls back to an
+    * empty frame when no file can match. */
+  def readBloomPruned(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, indexDir: String, c: String,
+      value: String): DataFrame = {
+    val files = bloomPrunedFiles(spark, indexDir, value)
+    val base = spark.read.parquet(dataDir)
+    if (files.isEmpty) base.limit(0)
+    else spark.read.schema(base.schema).parquet(files: _*)
+      .filter(col(c).cast("string") === value)
+  }
 }

@@ -114,4 +114,37 @@ class LayoutSpec extends SparkTestBase {
     assert(back.exceptAll(orders).count() == 0 &&
       orders.exceptAll(back).count() == 0)
   }
+
+  test("bloom sidecar index: point lookups read a fraction of the files, never miss a row") {
+    // 10k rows in 8 files; uid is high-cardinality and UNCORRELATED with
+    // the write layout (hash-spread), so min/max envelopes are useless —
+    // the regime the sidecar exists for
+    val n = 10000
+    val df = (0 until n).map(i => (i.toLong, s"uid-${(i * 2654435761L) % n}"))
+      .toDF("id", "uid")
+    val dataDir = tmpDir("bloom-data")
+    // repartition on id RANGE: every file spans the whole uid space
+    df.repartitionByRange(8, col("id")).write.parquet(dataDir)
+    val files = new java.io.File(dataDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 8)
+    val idxDir = Layout.writeBloomIndex(spark, dataDir, "uid",
+      expectedItemsPerFile = 2000L, fpp = 0.01)
+    // every present value is found, with far fewer files scanned
+    for (probe <- Seq(0, 137, 9999)) {
+      val v = s"uid-${(probe * 2654435761L) % n}"
+      val pruned = Layout.bloomPrunedFiles(spark, idxDir, v)
+      assert(pruned.nonEmpty && pruned.size <= 2,
+        s"$v hit ${pruned.size} of $files files") // ~1 + fpp stragglers
+      val got = Layout.readBloomPruned(spark, dataDir, idxDir, "uid", v)
+        .select("id").as[Long].collect().toSet
+      val expect = df.filter(col("uid") === v)
+        .select("id").as[Long].collect().toSet
+      assert(got == expect && got.nonEmpty)
+    }
+    // absent value: no false negatives by construction; usually 0 files
+    val absent = Layout.readBloomPruned(spark, dataDir, idxDir, "uid",
+      "uid-definitely-not-here")
+    assert(absent.count() == 0)
+  }
 }
