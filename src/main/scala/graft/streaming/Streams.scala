@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -366,6 +366,25 @@ object Streams {
     * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and parquet corpora ship both
     * encodings. No-op for TimestampType; the cast is the identity on stored
     * wall-clocks under the engine's fixed UTC session. */
+  /** Watermarked stream-stream interval join (Spark's stateful two-stream
+    * join, the last streaming join shape the engine lacked): every left
+    * event matches right events under `keyCond` whose timestamp falls in
+    * `[lTs, lTs + withinSec)`. BOTH sides carry watermarks and the join
+    * carries the time-bound condition — that is what lets Spark bound the
+    * buffered state and evict rows older than the watermark; without
+    * either, state grows with the stream. Inner join, so matches emit as
+    * soon as both sides arrive (the watermark only governs eviction).
+    * State per key is O(events inside the watermark horizon). */
+  def intervalJoinStreams(left: DataFrame, lTs: String,
+      right: DataFrame, rTs: String, keyCond: Column,
+      withinSec: Long, watermark: String = "10 minutes"): DataFrame = {
+    require(withinSec > 0, s"withinSec must be positive: $withinSec")
+    left.withWatermark(lTs, watermark)
+      .join(right.withWatermark(rTs, watermark),
+        keyCond && col(rTs) >= col(lTs) &&
+          col(rTs) < col(lTs) + expr(s"INTERVAL $withinSec SECOND"))
+  }
+
   def normalizeEventTime(df: DataFrame, tsCol: String): DataFrame =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>

@@ -307,6 +307,46 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join equals the batch inequality join") {
+    val srcDir = tmpDir("ssj-src")
+    val events = Tables.load(spark, sf(), "events")
+    events.repartition(4).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def stream() = Streams.normalizeEventTime(
+      Streams.parquetStream(spark, srcDir, schema, maxFilesPerTrigger = 2), "ts")
+    val views = stream().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val joined = Streams.intervalJoinStreams(views, "v_ts", clicks, "c_ts",
+        col("v_user") === col("c_user"), withinSec = 600)
+      .withColumn("pk", concat_ws("#", col("view_id"), col("click_id")))
+    val sinkDir = tmpDir("ssj-sink")
+    val q = Streams.toMergeSink(joined, tmpDir("ssj-ck"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      Streams.Sinks.appendDedup(sinkDir, "pk"))
+    q.awaitTermination(180000)
+
+    val bv = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val bc = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val expect = bv.join(bc, col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") < col("v_ts") + expr("INTERVAL 600 SECOND"))
+      .select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = MergeSink.readAny(spark, sinkDir).get
+      .select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.nonEmpty, "the comparison must exercise matches")
+    assert(got == expect)
+  }
+
   test("streaming count-min fold: batch-keyed contributions converge to one-shot counts and survive redelivery") {
     import spark.implicits._
     import graft.functions.SketchAggs
