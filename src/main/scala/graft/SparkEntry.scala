@@ -1339,6 +1339,21 @@ object SparkEntry {
         maxDist = 4)
     }),
 
+    // Trending entities: top-3 users per calendar day by event count —
+    // the workload shape composing the bounded-heap aggregate with a
+    // calendar bucket (shuffle ≤ k rows per (day, partition), no rank
+    // window over the day's full traffic).
+    "q116_trending" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.functions.SketchAggs.topkRows(daily, Seq(col("day")),
+          col("n_events"), col("user_id"), k = 3)
+        .select(col("day"), col("rnk"), col("tie").as("user_id"),
+          col("val").cast("long").as("n_events"))
+    }),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -2471,6 +2486,20 @@ object SparkEntry {
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM active JOIN cohort USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // q116: the rank-window form is the contract (STRING tie order on the
+    // user id, matching the aggregate's keying; val cast back to BIGINT).
+    "q116_trending" ->
+      """WITH daily AS (
+        | SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        | FROM events GROUP BY 1, 2)
+        |SELECT day, CAST(rnk AS BIGINT) AS rnk, user_id,
+        | CAST(n_events AS BIGINT) AS n_events FROM (
+        | SELECT day, CAST(user_id AS VARCHAR) AS user_id, n_events,
+        |  row_number() OVER (PARTITION BY day
+        |   ORDER BY n_events DESC, CAST(user_id AS VARCHAR)) AS rnk
+        | FROM daily) r WHERE rnk <= 3""".stripMargin,
 
     "q47_stratified_sample" ->
       """SELECT lang, source, doc_id, strat_rank FROM (

@@ -419,14 +419,31 @@ object TxTable {
     else {
       // one read per staging batch (each needs its own basePath so the
       // hive fragments re-materialize the partition column), unioned by
-      // name; vacuum/compaction keep the batch count bounded
+      // name; vacuum/compaction keep the batch count bounded.
+      // allowMissingColumns = ADDITIVE schema evolution: a batch committed
+      // with extra columns widens the table and earlier batches read those
+      // columns as null — the lakehouse "add column" path, with no table
+      // rewrite.
       val byBatch = live.groupBy(_.path.split('/').take(2).mkString("/"))
       val frames = byBatch.toSeq.sortBy(_._1).map { case (batch, entries) =>
         spark.read
           .option("basePath", new Path(dir, batch).toString)
           .parquet(entries.map(e => new Path(dir, e.path).toString): _*)
       }
-      Some(frames.reduce(_.unionByName(_)))
+      // Type conflicts must fail AT PLANNING with a clear message: left to
+      // Spark, the union would coerce (string ∪ double → double) and only
+      // blow up mid-scan on the first malformed cast — a silent-corruption
+      // hazard for rows that DO happen to parse.
+      val seen = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.DataType]
+      for (sch <- frames.map(_.schema); f <- sch.fields)
+        seen.get(f.name) match {
+          case Some(t) => require(t == f.dataType,
+            s"TxTable $dir: column '${f.name}' has conflicting types across " +
+              s"batches ($t vs ${f.dataType}) — only ADDITIVE schema " +
+              "evolution (new columns) is supported")
+          case None => seen(f.name) = f.dataType
+        }
+      Some(frames.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
   }
 

@@ -701,4 +701,31 @@ class TxTableSpec extends SparkTestBase {
     MergeSink.upsertPartialScopedTx(spark, dir, b, Seq("k"), Seq("status"), scheme)
     assert(snapshot(dir) == Map("k1" -> (("open", "n1"))))
   }
+
+  test("additive schema evolution: a widened batch adds a column, earlier batches read it as null, time travel keeps the old schema") {
+    import spark.implicits._
+    val dir = tmpDir("tx-evolve")
+    TxTable.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = TxTable.headVersion(spark, dir).get
+    TxTable.append(spark, dir,
+      Seq((3L, "c", "x3"), (4L, "d", "x4")).toDF("id", "v", "extra"))
+    val now = TxTable.read(spark, dir).get
+    assert(now.columns.toSet == Set("id", "v", "extra"))
+    val rows = now.select("id", "v", "extra")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        Option(r.getString(2))))).toMap
+    assert(rows == Map(1L -> (("a", None)), 2L -> (("b", None)),
+      3L -> (("c", Some("x3"))), 4L -> (("d", Some("x4")))))
+    // time travel to before the widening: the old schema, untouched
+    val old = TxTable.read(spark, dir, asOf = Some(v1)).get
+    assert(old.columns.toSet == Set("id", "v") && old.count() == 2)
+    // conflicting TYPE on a shared name fails AT PLANNING with a clear
+    // message — never a mid-scan cast error (or worse, a silent coercion
+    // for rows that happen to parse)
+    TxTable.append(spark, dir, Seq((5L, 9.5)).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.read(spark, dir)
+    }
+    assert(e.getMessage.contains("conflicting types"), e.getMessage)
+  }
 }
