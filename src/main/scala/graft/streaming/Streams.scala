@@ -317,6 +317,60 @@ object Streams {
       else MergeSink.appendDedup(s, stateDir, contrib, "ck")
     }
 
+    /** Streaming funnel fold — the micro-batch form of [[graft.ops.Funnel
+      * .conversionFunnel]]: state is one row per user (user_id,
+      * t_<step>...), and each batch advances it with per-step
+      * min-aggregates computed IN FUNNEL ORDER, so a step-2 candidate is
+      * admitted against the user's t_1 AS ADVANCED BY THIS BATCH (intra-
+      * batch chains resolve exactly — the funnel orders by EVENT time, not
+      * arrival). Every update is `least(old, new)` — idempotent — so
+      * redelivery is harmless by algebra (the HLL free ride, no
+      * contribution keying needed).
+      *
+      * Contract: equals the batch funnel whenever batches arrive in event-
+      * time order per user (the replay/backfill shape, asserted in
+      * StreamsSpec). A step-1 event arriving AFTER later batches were
+      * consumed cannot resurrect step-2 candidates those batches carried —
+      * the inherent bounded-state streaming-funnel limitation, stated
+      * rather than hidden (exact repair = rerun the batch operator). */
+    def funnelFold(stateDir: String, user: String, ts: String,
+        steps: Seq[(String, Column)], tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, _) => {
+      require(steps.nonEmpty, "steps must not be empty")
+      val stepCols = steps.map { case (n, _) => s"t_$n" }
+      val prevOpt = MergeSink.readAny(s, stateDir)
+      val allUsers = batch.select(col(user).as("user_id")).distinct()
+        .unionByName(prevOpt.map(_.select(col("user_id")))
+          .getOrElse(batch.sparkSession.emptyDataFrame
+            .select(lit(null).cast(batch.schema(user).dataType).as("user_id"))
+            .limit(0)))
+        .distinct()
+      var st = prevOpt match {
+        case Some(p) => allUsers.join(p, Seq("user_id"), "left")
+        case None => stepCols.foldLeft(allUsers)((d, c) =>
+          d.withColumn(c, lit(null).cast("timestamp")))
+      }
+      steps.zipWithIndex.foreach { case ((name, cond), i) =>
+        val tcol = s"t_$name"
+        val rows = batch.filter(cond)
+          .select(col(user).as("user_id"), col(ts).as("__ts"))
+        val cand =
+          if (i == 0) rows.groupBy(col("user_id")).agg(min(col("__ts")).as("__new"))
+          else {
+            val prevT = s"t_${steps(i - 1)._1}"
+            rows.join(st.select(col("user_id"), col(prevT)), Seq("user_id"))
+              .filter(col("__ts") > col(prevT))
+              .groupBy(col("user_id")).agg(min(col("__ts")).as("__new"))
+          }
+        st = st.join(cand, Seq("user_id"), "left")
+          .withColumn(tcol, least(col(tcol), col("__new")))
+          .drop("__new")
+      }
+      val out = st.localCheckpoint() // materialize BEFORE replacing what it read
+      if (tx) graft.merge.TxTable.replace(s, stateDir, out)
+      else MergeSink.writeReplace(s, stateDir, out)
+    }
+
     /** Streaming k-means fold — the micro-batch form of
       * [[graft.ext.SimSearch.incrementalKmeansAssign]]: the first batch
       * bootstraps the state with batch k-means; every later batch assigns

@@ -347,6 +347,62 @@ class StreamsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("streaming funnel fold equals the batch funnel on time-ordered batches and survives redelivery") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf(), "events")
+      .select("user_id", "event_type", "ts")
+    val steps = Seq("view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase"))
+    // split the stream at event-time terciles: batches arrive in event-time
+    // order per user — the contract under which fold ≡ batch exactly
+    val b = events.select(unix_micros(col("ts")).as("u"))
+      .agg(expr("percentile(u, array(0.33, 0.66))")).head().getSeq[Double](0)
+    val batches = Seq(
+      events.filter(unix_micros(col("ts")) <= b(0)),
+      events.filter(unix_micros(col("ts")) > b(0) &&
+        unix_micros(col("ts")) <= b(1)),
+      events.filter(unix_micros(col("ts")) > b(1)))
+    val expect = graft.ops.Funnel.conversionFunnel(events,
+        col("user_id"), col("ts"), steps)
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3)))).toMap
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "rename"
+      val flat = tmpDir(s"ff-flat-$mode"); new java.io.File(flat).mkdirs()
+      for ((rows, i) <- batches.zipWithIndex) {
+        val one = tmpDir(s"ff-b$i-$mode")
+        rows.coalesce(1).write.parquet(one)
+        val part = new java.io.File(one).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stateDir = tmpDir(s"ff-state-$mode")
+      def run(ck: String) = {
+        val q = Streams.toMergeSink(
+          Streams.normalizeEventTime(Streams.parquetStream(spark, flat,
+            spark.read.parquet(flat).schema, maxFilesPerTrigger = 1), "ts"),
+          tmpDir(ck), Trigger.AvailableNow())(
+          Streams.Sinks.funnelFold(stateDir, "user_id", "ts", steps, tx = tx))
+        q.awaitTermination(180000)
+      }
+      run(s"ff-ck-$mode")
+      def state() = MergeSink.readAny(spark, stateDir).get
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3)))).toMap
+      val got = state()
+      assert(got == expect, s"mode=$mode")
+      // min is idempotent: a fresh-checkpoint redelivery changes nothing
+      run(s"ff-ck2-$mode")
+      assert(state() == got, s"redelivery drifted, mode=$mode")
+    }
+  }
+
   test("streaming count-min fold: batch-keyed contributions converge to one-shot counts and survive redelivery") {
     import spark.implicits._
     import graft.functions.SketchAggs
