@@ -1354,6 +1354,14 @@ object SparkEntry {
           col("val").cast("long").as("n_events"))
     }),
 
+    // Per-group priority sampling: one independent weighted k-sample +
+    // unbiased estimator per source, through the bounded-heap aggregate —
+    // ≤ k+1 rows per (group, partition) shuffle, no per-group rank window,
+    // no driver τ collect at any group count.
+    "q117_priority_sample_grouped" -> ((s, dir) =>
+      Sampling.prioritySampleByGroup(T(s, dir, "documents"),
+        col("source"), col("doc_id"), col("n_chars"), k = 5)),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -2500,6 +2508,25 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY day
         |   ORDER BY n_events DESC, CAST(user_id AS VARCHAR)) AS rnk
         | FROM daily) r WHERE rnk <= 3""".stripMargin,
+
+    // q117: q105's arithmetic with a per-group window + per-group τ; the
+    // tie rule is the key's STRING form (the aggregate's keying).
+    "q117_priority_sample_grouped" ->
+      """WITH p AS (
+        | SELECT source AS group_key, CAST(doc_id AS VARCHAR) AS key,
+        |  CAST(n_chars AS DOUBLE) AS w,
+        |  (CAST(n_chars AS DOUBLE) * 65536.0) /
+        |   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |     AS INTEGER) + 1 AS DOUBLE) AS pri
+        | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY group_key
+        |  ORDER BY pri DESC, key) AS rn FROM p),
+        |tau AS (SELECT group_key,
+        |  coalesce(max(CASE WHEN rn = 6 THEN pri END), 0.0) AS tau
+        | FROM r GROUP BY 1)
+        |SELECT r.group_key, r.key, CAST(rn AS BIGINT) AS rnk,
+        | pri AS sample_pri, greatest(w, tau.tau) AS est_weight
+        |FROM r JOIN tau USING (group_key) WHERE rn <= 5""".stripMargin,
 
     "q47_stratified_sample" ->
       """SELECT lang, source, doc_id, strat_rank FROM (

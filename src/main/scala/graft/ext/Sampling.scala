@@ -199,6 +199,42 @@ object Sampling {
       .drop("__tb", "__rn", "__tau")
   }
 
+  /** Per-GROUP priority sampling: [[prioritySample]]'s weighted k-sample
+    * and unbiased estimator, one independent sample per group — the
+    * "representative weighted sample per source/language/domain" knob of
+    * a mixture pipeline. Composes the [[graft.functions.SketchAggs
+    * .topkRows]] bounded-heap aggregate, so the per-group top-(k+1) cut
+    * shuffles ≤ k+1 rows per (group, partition) — no rank window over
+    * each group's full population, and no driver involvement at any
+    * group count (unlike the single-sample form's bounded τ collect).
+    *
+    * Same IEEE-exact arithmetic as [[prioritySample]]; the tie rule here
+    * is the key's string form (the aggregate's keying), pinned by the
+    * oracle. Output: (group_key, key, rnk, sample_pri, est_weight) —
+    * est_weight = max(w, τ_group), τ_group = the group's (k+1)-th
+    * priority (0 when the group has ≤ k rows). */
+  def prioritySampleByGroup(df: DataFrame, group: Column, key: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val pri = (weight.cast("double") * lit(65536.0)) /
+      (hashBucket(key) + lit(1)).cast("double")
+    val base = df.filter(weight.isNotNull && weight > 0)
+      .select(group.as("group_key"), key.cast("string").as("__key"),
+        weight.cast("double").as("__w"), pri.as("__pri"))
+    val top = graft.functions.SketchAggs.topkRows(base,
+      Seq(col("group_key")), col("__pri"), col("__key"), k + 1)
+    val tau = top.groupBy(col("group_key"))
+      .agg(coalesce(max(when(col("rnk") === k + 1, col("val"))), lit(0.0))
+        .as("__tau"))
+    top.filter(col("rnk") <= k)
+      .join(tau, Seq("group_key"))
+      .join(base.select(col("group_key"), col("__key").as("tie"), col("__w")),
+        Seq("group_key", "tie"))
+      .select(col("group_key"), col("tie").as("key"), col("rnk"),
+        col("val").as("sample_pri"),
+        greatest(col("__w"), col("__tau")).as("est_weight"))
+  }
+
   /** Leakage-safe train/val/test split: the atomic unit of assignment is
     * the NEAR-DUP CLUSTER, not the document — a doc-keyed split would put
     * one copy of a near-duplicated document in train and its twin in the

@@ -83,9 +83,24 @@ object Funnel {
     val active = events
       .select(user.as("user_id"), to_date(date_trunc("week", ts)).as("week"))
       .distinct()
+    retentionMatrix(cohort, active)
+  }
+
+  /** Retention matrix from the INCREMENTAL state tables ([[graft.streaming
+    * .Streams.Sinks.cohortFold]]): `first` = (user_id, first_ts), `activity`
+    * = (user_id, week). Because the state folds by min (cohorts) and set
+    * union (activity) — both order-independent and idempotent — the matrix
+    * read here equals [[cohortRetention]] over the full event history for
+    * ANY batch split, in any arrival order. */
+  def cohortRetentionFromState(first: DataFrame, activity: DataFrame): DataFrame =
+    retentionMatrix(
+      first.select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week")),
+      activity.select(col("user_id"), col("week")))
+
+  private def retentionMatrix(cohort: DataFrame, active: DataFrame): DataFrame =
     active.join(cohort, Seq("user_id"))
       .groupBy(col("cohort_week"),
         expr("datediff(week, cohort_week) DIV 7").as("week_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
-  }
 }

@@ -371,6 +371,34 @@ object Streams {
       else MergeSink.writeReplace(s, stateDir, out)
     }
 
+    /** Streaming cohort fold — the micro-batch form of [[graft.ops.Funnel
+      * .cohortRetention]], and unlike [[funnelFold]] it is ORDER-FREE:
+      * the state is a per-user min(first event ts) (idempotent,
+      * commutative) plus the distinct (user, week) activity set
+      * (insert-if-absent — set union), so the fold equals the batch
+      * operator for ANY batch split in ANY arrival order, and redelivery
+      * is safe by algebra on both tables. Read the matrix with
+      * [[graft.ops.Funnel.cohortRetentionFromState]]. State bytes:
+      * O(users) + O(user-weeks). */
+    def cohortFold(firstDir: String, activityDir: String, user: String,
+        ts: String, tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, _) => {
+      val bFirst = batch.groupBy(col(user).as("user_id"))
+        .agg(min(col(ts)).as("first_ts"))
+      val merged = (MergeSink.readAny(s, firstDir) match {
+        case Some(p) => p.unionByName(bFirst)
+          .groupBy(col("user_id")).agg(min(col("first_ts")).as("first_ts"))
+        case None => bFirst
+      }).localCheckpoint() // materialize BEFORE replacing what it read
+      if (tx) graft.merge.TxTable.replace(s, firstDir, merged)
+      else MergeSink.writeReplace(s, firstDir, merged)
+      val act = batch.select(col(user).as("user_id"),
+          to_date(date_trunc("week", col(ts))).as("week")).distinct()
+        .withColumn("ak", concat_ws("#", col("user_id"), col("week")))
+      if (tx) MergeSink.appendDedupTx(s, activityDir, act, "ak")
+      else MergeSink.appendDedup(s, activityDir, act, "ak")
+    }
+
     /** Streaming k-means fold — the micro-batch form of
       * [[graft.ext.SimSearch.incrementalKmeansAssign]]: the first batch
       * bootstraps the state with batch k-means; every later batch assigns

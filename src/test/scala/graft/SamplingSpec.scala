@@ -239,4 +239,31 @@ class SamplingSpec extends SparkTestBase {
       .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
     assert(rep == got)
   }
+
+  test("prioritySampleByGroup: independent per-group samples with per-group τ; small groups kept whole") {
+    def bucket(s: String): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    val rows = (1 to 30).map(i => ("big", i.toLong, i.toDouble)) ++
+      Seq(("tiny", 100L, 4.0), ("tiny", 101L, 9.0))
+    val df = rows.toDF("g", "id", "w")
+    val got = Sampling.prioritySampleByGroup(df, col("g"), col("id"),
+        col("w"), k = 3)
+      .as[(String, String, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).toSeq).toMap
+
+    // independent replication of the big group's sample
+    val pris = rows.filter(_._1 == "big").map { case (_, id, w) =>
+      (id.toString, w, (w * 65536.0) / (bucket(id.toString) + 1)) }
+    val ranked = pris.sortBy { case (id, _, p) => (-p, id) }
+    val tau = ranked(3)._3
+    val expect = ranked.take(3).zipWithIndex.map { case ((id, w, p), i) =>
+      ("big", id, (i + 1).toLong, p, math.max(w, tau)) }
+    assert(got("big") == expect)
+    // the tiny group (≤ k rows): all kept, τ=0, est = own weight
+    assert(got("tiny").map(t => t._2 -> t._5).toMap ==
+      Map("100" -> 4.0, "101" -> 9.0))
+    // groups don't leak into each other's τ
+    assert(got("tiny").forall(_._5 < 10.0))
+  }
 }

@@ -403,6 +403,52 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming cohort fold is order-free: an arbitrary batch split equals the batch retention matrix") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf(), "events")
+      .select("event_id", "user_id", "ts")
+    // split by event_id % 3 — batches interleave arbitrarily across time,
+    // the order-freedom the min/set-union state algebra guarantees
+    val batches = (0 until 3).map(i => events.filter(col("event_id") % 3 === i))
+    val expect = graft.ops.Funnel.cohortRetention(events,
+        col("user_id"), col("ts"))
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "rename"
+      val flat = tmpDir(s"cf-flat-$mode"); new java.io.File(flat).mkdirs()
+      for ((rows, i) <- batches.zipWithIndex) {
+        val one = tmpDir(s"cf-b$i-$mode")
+        rows.coalesce(1).write.parquet(one)
+        val part = new java.io.File(one).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val firstDir = tmpDir(s"cf-first-$mode")
+      val actDir = tmpDir(s"cf-act-$mode")
+      def run(ck: String) = {
+        val q = Streams.toMergeSink(
+          Streams.normalizeEventTime(Streams.parquetStream(spark, flat,
+            spark.read.parquet(flat).schema, maxFilesPerTrigger = 1), "ts"),
+          tmpDir(ck), Trigger.AvailableNow())(
+          Streams.Sinks.cohortFold(firstDir, actDir, "user_id", "ts", tx = tx))
+        q.awaitTermination(180000)
+      }
+      run(s"cf-ck-$mode")
+      def matrix() = graft.ops.Funnel.cohortRetentionFromState(
+          MergeSink.readAny(spark, firstDir).get,
+          MergeSink.readAny(spark, actDir).get)
+        .as[(java.sql.Date, Long, Long)].collect().toSet
+      val got = matrix()
+      assert(got == expect, s"mode=$mode")
+      // min + set-union: fresh-checkpoint redelivery changes nothing
+      run(s"cf-ck2-$mode")
+      assert(matrix() == got, s"redelivery drifted, mode=$mode")
+    }
+  }
+
   test("streaming count-min fold: batch-keyed contributions converge to one-shot counts and survive redelivery") {
     import spark.implicits._
     import graft.functions.SketchAggs
