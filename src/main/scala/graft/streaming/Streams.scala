@@ -371,6 +371,32 @@ object Streams {
       else MergeSink.writeReplace(s, stateDir, out)
     }
 
+    /** Streaming top-k-rows fold: the per-group leaderboard as persisted
+      * state. Each batch cuts its own per-group top-k with the bounded-
+      * heap aggregate ([[graft.functions.SketchAggs.topkRows]]), unions
+      * the prior state, and re-cuts — correct because a union of
+      * per-subset top-k's contains the global top-k, and idempotent under
+      * redelivery because the heap deduplicates identical (val, tie)
+      * pairs (ties are unique row ids carrying one value each). State
+      * bytes O(groups·k) forever, however long the stream. */
+    def topkRowsFold(stateDir: String, group: String, value: String,
+        tie: String, k: Int, tx: Boolean = txEnabled())
+        : (SparkSession, DataFrame, Long) => Unit = (s, batch, _) => {
+      import graft.functions.SketchAggs
+      val bTop = SketchAggs.topkRows(batch, Seq(col(group).as("group_key")),
+          col(value), col(tie), k)
+        .select(col("group_key"), col("tie"), col("val"))
+      val folded = (MergeSink.readAny(s, stateDir) match {
+        case Some(p) => SketchAggs.topkRows(
+          p.select(col("group_key"), col("tie"), col("val")).unionByName(bTop),
+          Seq(col("group_key")), col("val"), col("tie"), k)
+          .select(col("group_key"), col("tie"), col("val"))
+        case None => bTop
+      }).localCheckpoint() // materialize BEFORE replacing what it read
+      if (tx) graft.merge.TxTable.replace(s, stateDir, folded)
+      else MergeSink.writeReplace(s, stateDir, folded)
+    }
+
     /** Streaming cohort fold — the micro-batch form of [[graft.ops.Funnel
       * .cohortRetention]], and unlike [[funnelFold]] it is ORDER-FREE:
       * the state is a per-user min(first event ts) (idempotent,

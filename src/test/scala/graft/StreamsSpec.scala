@@ -403,6 +403,51 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming top-k-rows fold: per-group leaderboard equals the one-shot cut and survives redelivery") {
+    import spark.implicits._
+    import graft.functions.SketchAggs
+    val rnd = new scala.util.Random(5)
+    val all = (1 to 300).map(i =>
+      (s"g${rnd.nextInt(6)}", i.toLong, rnd.nextInt(1000).toDouble))
+    val batches = Seq(all.take(100), all.slice(100, 200), all.drop(200))
+    val expect = SketchAggs.topkRows(all.toDF("g", "id", "v"),
+        Seq(col("g").as("group_key")), col("v"), col("id"), 3)
+      .select("group_key", "tie", "val")
+      .as[(String, String, Double)].collect().toSet
+    for (tx <- Seq(false, true)) {
+      val mode = if (tx) "tx" else "rename"
+      val flat = tmpDir(s"tk-flat-$mode"); new java.io.File(flat).mkdirs()
+      for ((rows, i) <- batches.zipWithIndex) {
+        val one = tmpDir(s"tk-b$i-$mode")
+        rows.toDF("g", "id", "v").coalesce(1).write.parquet(one)
+        val part = new java.io.File(one).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stateDir = tmpDir(s"tk-state-$mode")
+      def run(ck: String) = {
+        val q = Streams.toMergeSink(
+          Streams.parquetStream(spark, flat, spark.read.parquet(flat).schema,
+            maxFilesPerTrigger = 1),
+          tmpDir(ck), Trigger.AvailableNow())(
+          Streams.Sinks.topkRowsFold(stateDir, "g", "v", "id", 3, tx = tx))
+        q.awaitTermination(120000)
+      }
+      run(s"tk-ck-$mode")
+      def state() = MergeSink.readAny(spark, stateDir).get
+        .select("group_key", "tie", "val")
+        .as[(String, String, Double)].collect().toSet
+      val got = state()
+      assert(got == expect, s"mode=$mode")
+      // (val, tie) set semantics: fresh-checkpoint redelivery is a no-op
+      run(s"tk-ck2-$mode")
+      assert(state() == got, s"redelivery drifted, mode=$mode")
+    }
+  }
+
   test("streaming cohort fold is order-free: an arbitrary batch split equals the batch retention matrix") {
     import spark.implicits._
     val events = Tables.load(spark, sf(), "events")
