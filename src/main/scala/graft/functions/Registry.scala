@@ -41,10 +41,46 @@ object Registry {
       UnixSeconds(Cast(a, TimestampType))), DoubleType), Literal(60.0)),
       Literal(2))
 
+  /** Foldable integer literal or a loud error — sketch/heap parameters
+    * size buffers at PLANNING time, so they cannot be data-dependent. */
+  private def foldInt(e: Expression, what: String): Int =
+    (if (e.foldable) e.eval() else null) match {
+      case i: Number => i.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a foldable integer literal")
+    }
+
+  private def foldDouble(e: Expression, what: String): Double =
+    (if (e.foldable) e.eval() else null) match {
+      case n: Number => n.doubleValue()
+      // SQL `0.01` parses as a DECIMAL literal → Spark Decimal, not Number
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a foldable numeric literal")
+    }
+
   /** The engine's SQL function surface, shared by the per-session
     * registration below and the SparkSessionExtensions path
-    * ([[graft.GraftExtensions]]). */
+    * ([[graft.GraftExtensions]]). Aggregates register as their raw
+    * AggregateFunction — the analyzer wraps them exactly as it does the
+    * built-in ones, so `SELECT topk_rows(v, id, 3) ... GROUP BY g` works
+    * from SQL text. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "topk_rows" -> (es => SketchAggs.TopKRowsAgg(
+      Cast(es.head, DoubleType), Cast(es(1), StringType),
+      foldInt(es(2), "topk_rows k"))),
+    "topk_freq" -> (es => SketchAggs.SpaceSavingTopK(es.head,
+      foldInt(es(1), "topk_freq capacity"))),
+    "cm_sketch" -> (es => SketchAggs.CountMinAgg(es.head,
+      foldInt(es(1), "cm_sketch depth"), foldInt(es(2), "cm_sketch width"))),
+    "bloom_agg" -> (es => SketchAggs.BloomAgg(es.head,
+      foldInt(es(1), "bloom_agg expectedItems").toLong,
+      foldDouble(es(2), "bloom_agg fpp"))),
+    "kll_sketch" -> (es => SketchAggs.KllSketchAgg(
+      Cast(es.head, DoubleType), foldInt(es(1), "kll_sketch k"))),
+    "kll_quantile" -> (es => SketchAggs.KllQuantileExpr(es.head, es(1))),
+    "theta_sketch" -> (es => SketchAggs.ThetaSketchAgg(es.head,
+      foldInt(es(1), "theta_sketch lgK"))),
     "safe_bool" -> (es => safeBool(es.head)),
     "safe_numeric" -> (es => tryCast(es.head, DoubleType)),
     "safe_long" -> (es => tryCast(es.head, LongType)),

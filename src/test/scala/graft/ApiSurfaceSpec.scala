@@ -34,6 +34,36 @@ class ApiSurfaceSpec extends SparkTestBase {
       Seq("the quick", "quick quick", "quick fox"))
   }
 
+  test("SQL registry: the sketch/heap aggregate family callable from spark.sql text") {
+    Registry.registerAll(spark)
+    Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 5.0),
+      ("b", 5L, 7.0))
+      .toDF("g", "id", "v").createOrReplaceTempView("t_agg_sql")
+    // topk_rows: per-group leaderboard straight from SQL
+    val top = spark.sql(
+      """SELECT g, topk_rows(v, id, 2) AS top FROM t_agg_sql GROUP BY g""")
+      .as[(String, Seq[(String, Double)])].collect().toMap
+    assert(top("a") == Seq(("2", 30.0), ("3", 20.0)))
+    assert(top("b") == Seq(("5", 7.0)))
+    // topk_freq / cm_sketch / bloom_agg / kll: run + sanity-check shapes
+    val r = spark.sql(
+      """SELECT topk_freq(g, 4) AS tf, cm_sketch(g, 2, 16) AS cm,
+        | bloom_agg(id, 100, 0.01) AS bf,
+        | kll_quantile(kll_sketch(v, 200), 1.0d) AS vmax,
+        | theta_sketch(id, 12) AS th
+        |FROM t_agg_sql""".stripMargin).collect()(0)
+    val tf = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("tf")
+    assert(tf.map(x => x.getString(0) -> x.getLong(1)).toMap ==
+      Map("a" -> 4L, "b" -> 1L))
+    assert(r.getAs[scala.collection.Seq[Long]]("cm").sum == 2 * 5) // depth × rows
+    assert(graft.functions.SketchAggs.bloomMightContain(
+      r.getAs[Array[Byte]]("bf"), "3"))
+    assert(!graft.functions.SketchAggs.bloomMightContain(
+      r.getAs[Array[Byte]]("bf"), "nope-99"))
+    assert(r.getAs[Double]("vmax") == 30.0)
+    assert(r.getAs[Array[Byte]]("th").nonEmpty)
+  }
+
   test("typed Dataset edge round-trips the watermark table") {
     val wmDir = tmpDir("wmt")
     val store = new graft.runtime.WatermarkStore(spark, wmDir)
