@@ -145,6 +145,33 @@ object Stats {
       .select(col("bin"), col("n"), col("lo"), col("hi"))
   }
 
+  /** The 100 TB form of [[histogramEquiDepth]]: cell edges from
+    * `approx_percentile` (one sketch aggregate — no global sort, no
+    * window), rows assigned by a broadcast when-chain over the edge
+    * literals. Cells hold ~n/bins rows within the sketch's rank error
+    * (`accuracy` ≈ 1/rank-error); the exact rank-cut form stays the
+    * validation twin at test scale. Output schema matches: (bin, n, lo,
+    * hi). Edge values are sketch-derived — partition-order sensitive in
+    * the tail — so this form is band-checked, never hash-pinned (the q32
+    * convention). */
+  def histogramEquiDepthSketch(df: DataFrame, c: String, bins: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val nn = df.filter(col(c).isNotNull).select(col(c).cast("double").as("x"))
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val edges = nn.agg(expr(
+      s"approx_percentile(x, array(${probs.mkString(",")}), $accuracy)"))
+      .head().getSeq[Double](0)
+    val bin = edges.zipWithIndex.foldLeft(None: Option[Column]) {
+      case (acc, (e, i)) =>
+        Some(acc.fold(when(col("x") < e, i))(_.when(col("x") < e, i)))
+    }.fold(lit(0))(_.otherwise(edges.length)).cast("long")
+    nn.withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .select(col("bin"), col("n"), col("lo"), col("hi"))
+  }
+
   /** Corpus manifest: per-group integrity fingerprint for a 100 TB table —
     * the audit artifact a data pipeline publishes next to each corpus drop
     * so a consumer (or a later re-run) can verify "same rows, same bytes"

@@ -90,6 +90,19 @@ class StatsSpec extends SparkTestBase {
     assert(hr == h)
   }
 
+  test("histogramEquiDepthSketch: sketch edges land cells within the rank band of exact") {
+    val df = (1 to 10000).map(i => (i.toDouble, i)).toDF("x", "id")
+    val cells = Stats.histogramEquiDepthSketch(df, "x", 4)
+      .orderBy("bin").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(cells.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    // ~2500 per cell; approx_percentile at default accuracy is near-exact
+    // on 10k uniform rows — allow a 2% band
+    assert(cells.forall(c => math.abs(c._2 - 2500L) <= 200), cells.toString)
+    assert(cells.map(_._2).sum == 10000L)
+    // cells tile the value range in order
+    assert(cells.sliding(2).forall { case Seq(a, b) => a._4 <= b._3 })
+  }
+
   test("manifest: signature is order/partition-independent, moves on any row change, counts nulls") {
     val df = Seq((1L, Some("aa"), "s1"), (2L, Some("bb"), "s1"),
       (3L, None, "s1"), (4L, Some("cc"), "s2")).toDF("id", "text", "src")
