@@ -348,4 +348,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q116/q117: the heap-aggregate compositions keep the partial-aggregate shape, no Window") {
+    for (q <- Seq("q116_trending", "q117_priority_sample_grouped")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q:\n$p")
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }

@@ -403,6 +403,39 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("dropDuplicatesWithinWatermark dedups replayed events inside the horizon") {
+    import spark.implicits._
+    // the same events staged TWICE (an at-least-once redelivery) — the
+    // watermarked dedup must emit each event_id once, with bounded state
+    // (plain dropDuplicates would key state forever)
+    val events = Tables.load(spark, sf(), "events")
+      .select("event_id", "user_id", "ts").limit(200)
+    val flat = tmpDir("wmd-flat"); new java.io.File(flat).mkdirs()
+    for (i <- 0 until 2) {
+      val one = tmpDir(s"wmd-b$i")
+      events.coalesce(1).write.parquet(one)
+      val part = new java.io.File(one).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(flat, s"b$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val deduped = Streams.normalizeEventTime(
+        Streams.parquetStream(spark, flat, spark.read.parquet(flat).schema,
+          maxFilesPerTrigger = 1), "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val sinkDir = tmpDir("wmd-sink")
+    val q = Streams.toMergeSink(deduped, tmpDir("wmd-ck"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      Streams.Sinks.appendDedup(sinkDir, "event_id"))
+    q.awaitTermination(120000)
+    val got = MergeSink.readAny(spark, sinkDir).get
+    assert(got.count() == 200)
+    assert(got.select("event_id").distinct().count() == 200)
+  }
+
   test("streaming top-k-rows fold: per-group leaderboard equals the one-shot cut and survives redelivery") {
     import spark.implicits._
     import graft.functions.SketchAggs
