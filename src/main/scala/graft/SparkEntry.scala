@@ -1362,6 +1362,29 @@ object SparkEntry {
       Sampling.prioritySampleByGroup(T(s, dir, "documents"),
         col("source"), col("doc_id"), col("n_chars"), k = 5)),
 
+    // Sketch-based join-size estimation (AMS/CM inner product): the
+    // number a planner wants BEFORE committing to a join strategy —
+    // never undercounts, tightens with width. q32 treatment: exact size
+    // value-checked, the sketch bound as determinism-pinned booleans.
+    "q118_join_size_estimate" -> ((s, dir) => {
+      import graft.functions.SketchAggs
+      val (depth, width) = (4, 1024)
+      val ev = T(s, dir, "events")
+      val ord = T(s, dir, "orders")
+      val est = SketchAggs.cmJoinSizeEstimate(
+        SketchAggs.cmState(ev, col("user_id"), depth, width),
+        SketchAggs.cmState(ord, col("o_custkey"), depth, width),
+        depth, width)
+      val exact = ev.select(col("user_id").as("k"))
+        .join(ord.select(col("o_custkey").as("k")), Seq("k"))
+        .count()
+      val sp = s
+      import sp.implicits._
+      Seq((exact, est >= exact,
+        est <= exact + 2L * ev.count() * ord.count() / width))
+        .toDF("exact_join_size", "est_never_under", "est_within_band")
+    }),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -2527,6 +2550,13 @@ object SparkEntry {
         |SELECT r.group_key, r.key, CAST(rn AS BIGINT) AS rnk,
         | pri AS sample_pri, greatest(w, tau.tau) AS est_weight
         |FROM r JOIN tau USING (group_key) WHERE rn <= 5""".stripMargin,
+
+    // q118: exact join cardinality value-checked; the CM inner-product
+    // bound's booleans are deterministic (fixed hashes) and pinned TRUE.
+    "q118_join_size_estimate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS exact_join_size,
+        | TRUE AS est_never_under, TRUE AS est_within_band
+        |FROM events e JOIN orders o ON e.user_id = o.o_custkey""".stripMargin,
 
     "q47_stratified_sample" ->
       """SELECT lang, source, doc_id, strat_rank FROM (

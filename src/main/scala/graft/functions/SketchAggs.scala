@@ -736,6 +736,32 @@ object SketchAggs {
       .drop("__top", "__p", "__r")
   }
 
+  /** Join-size estimate from two Count-Min states over the SAME
+    * (depth, width, hash family): |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k), and
+    * the per-row inner product Σ_j cmA[r][j]·cmB[r][j] never undercounts
+    * it (every true pair lands in matching counters; collisions only
+    * add), so the min over rows is an upper bound that tightens with
+    * width — the classic AMS/CM inner-product result, and the number a
+    * join planner wants BEFORE committing to a shuffle strategy. Both
+    * sketches are depth·width longs: a bounded driver computation. */
+  def cmJoinSizeEstimate(stateA: DataFrame, stateB: DataFrame,
+      depth: Int, width: Int): Long = {
+    val a = stateA.select(col("cm")).head().getSeq[Long](0)
+    val b = stateB.select(col("cm")).head().getSeq[Long](0)
+    require(a.length == depth * width && b.length == depth * width,
+      s"state sizes ${a.length}/${b.length} != depth*width ${depth * width}")
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var dot = 0L
+      var j = 0
+      while (j < width) { dot += a(r * width + j) * b(r * width + j); j += 1 }
+      if (dot < best) best = dot
+      r += 1
+    }
+    best
+  }
+
   /** Point-query `items` against a Count-Min state: (item, est). The
     * sketch is depth·width longs — a bounded driver collect (the whole
     * point of the sketch: the 100 TB pass built it, the query is O(1)). */

@@ -212,6 +212,24 @@ class SketchAggsSpec extends SparkTestBase {
     assert(folded.head().getSeq[Long](0) == one)
   }
 
+  test("cmJoinSizeEstimate: exact without collisions, never undercounts, width-1 degenerates to |A|·|B|") {
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")).map(Tuple1(_)).toDF("k")
+    val b = (Seq.fill(4)("x") ++ Seq.fill(5)("w")).map(Tuple1(_)).toDF("k")
+    val (d, w) = (4, 128)
+    val est = SketchAggs.cmJoinSizeEstimate(
+      SketchAggs.cmState(a, col("k"), d, w),
+      SketchAggs.cmState(b, col("k"), d, w), d, w)
+    // true join size: only 'x' matches → 3·4 = 12; collision-free at
+    // width 128 with 4 distinct items
+    assert(est == 12L)
+    // width 1: every counter collides → the estimate is the full cross
+    // size — the never-undercount bound at its loosest
+    val est1 = SketchAggs.cmJoinSizeEstimate(
+      SketchAggs.cmState(a, col("k"), 2, 1),
+      SketchAggs.cmState(b, col("k"), 2, 1), 2, 1)
+    assert(est1 == 6L * 9L)
+  }
+
   test("topkRows: equals the rank window exactly, survives any partitioning, deterministic under value ties") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 500).map(i =>
