@@ -1385,6 +1385,34 @@ object SparkEntry {
         .toDF("exact_join_size", "est_never_under", "est_within_band")
     }),
 
+    // Analytic-function breadth: percent_rank / cume_dist / ntile over a
+    // per-status price ordering — the ranked-analytics family beyond
+    // row_number (identical SQL semantics in both engines, so every
+    // fraction replays bit-for-bit).
+    "q119_ranked_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // Explicit GROUPING SETS — the arbitrary-subset form between q27's
+    // ROLLUP and q96's CUBE: (status, priority), (status), and the grand
+    // total, one shuffle. Both grouping columns are non-null in the data,
+    // so output nulls unambiguously mark aggregation levels.
+    "q120_grouping_sets" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          decimalSum(col("o_totalprice")).as("total"))),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -2557,6 +2585,24 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS exact_join_size,
         | TRUE AS est_never_under, TRUE AS est_within_band
         |FROM events e JOIN orders o ON e.user_id = o.o_custkey""".stripMargin,
+
+    // q119: identical SQL window semantics in both engines — fractions
+    // replay bit-for-bit; ntile's uneven-bucket rule matches too.
+    "q119_ranked_analytics" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_orderkey % 17 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "q120_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())""".stripMargin,
 
     "q47_stratified_sample" ->
       """SELECT lang, source, doc_id, strat_rank FROM (
