@@ -469,15 +469,57 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Perceptual-hash image near-dup pairs — the MULTIMODAL twin of MinHash
-    * text dedup: candidate pairs come from exact-match on one of the
-    * hash's eight 8-bit bands (pigeonhole: two hashes within Hamming
-    * distance ≤ 7 agree on at least one band, so recall is TOTAL for
-    * maxDist ≤ 7 — the same completeness argument as the LSH band join),
-    * then verify by exact popcount. Never an all-pairs image join: the
-    * shuffle key is (band, value) and the popcount runs on candidates
-    * only. Output: (asset_a, asset_b, hamming ≤ maxDist). */
-  def imageNearDups(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+  /** 64-bit audio loudness fingerprint: the WAV amplitude histogram at 64
+    * bins, one bit per bin holding more than its uniform share (1/64 of
+    * the mass). Re-encodes and sparse sample jitter leave the mass
+    * profile — and the bits — intact; a different loudness shape moves
+    * mass across bins. None for undecodable payloads. */
+  def audioHash(content: Array[Byte]): Option[Long] =
+    WavDecoder.decode(content, 64).map { f =>
+      var bits = 0L
+      val thr = 1.0f / 64
+      var i = 0
+      while (i < 64) { if (f.feature(i) > thr) bits |= 1L << i; i += 1 }
+      bits
+    }
+
+  /** Per-asset audio fingerprints: (asset_id, phash) for WAV payloads.
+    * Narrow partition-wise map, 8 bytes per asset downstream. */
+  def audioHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val rdd = assets.filter(col("modality") === "audio")
+      .select("asset_id", "content").rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val content = Option(r.getAs[Array[Byte]]("content"))
+            .getOrElse(Array.emptyByteArray)
+          audioHash(content).map(hsh => Row(r.getAs[Long]("asset_id"), hsh))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Banded-Hamming near-dup pairs over ANY 64-bit perceptual hash table
+    * (asset_id, phash) — [[imageHashes]] and [[audioHashes]] both feed
+    * this: candidate pairs come from exact-match on one of the hash's
+    * eight 8-bit bands (pigeonhole: two hashes within Hamming distance
+    * ≤ 7 agree on at least one band, so recall is TOTAL for maxDist ≤ 7
+    * — the same completeness argument as the LSH band join), then verify
+    * by exact popcount. Never an all-pairs asset join: the shuffle key is
+    * (band, value) and the popcount runs on candidates only.
+    * Output: (asset_a, asset_b, hamming ≤ maxDist). */
+  def hashNearDups(hashes: DataFrame, maxDist: Int = 6): DataFrame =
+    bandedHamming(hashes, maxDist)
+
+  /** The image-named entry point (kept for the q115 surface); identical
+    * to [[hashNearDups]]. */
+  def imageNearDups(hashes: DataFrame, maxDist: Int = 6): DataFrame =
+    bandedHamming(hashes, maxDist)
+
+  private def bandedHamming(hashes: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist out of [0,7] (8-band pigeonhole bound): $maxDist")
     val banded = hashes.select(col("asset_id"), col("phash"),

@@ -1233,4 +1233,45 @@ class ExtensionsSpec extends SparkTestBase {
     // the reversed gradient flips every gradient bit — no pair survives
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("audio fingerprints: same loudness profile pairs, different profile doesn't, undecodable skips") {
+    import javax.sound.sampled._
+    import graft.ext.Multimodal
+    // REAL WAVs: 8 kHz mono 16-bit, frames alternating between two
+    // amplitude levels — mass lands in exactly two histogram bins
+    def wav(loA: Double, loB: Double, jitterEvery: Int = 0): Array[Byte] = {
+      val frames = 800
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val base = if (i % 2 == 0) loA else loB
+        val amp = if (jitterEvery > 0 && i % jitterEvery == 0) base + 0.004
+                  else base
+        val v = (amp * 32767 * (if (i % 4 < 2) 1 else -1)).toInt
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val assets = Seq(
+      (1L, "audio", wav(0.25, 0.75)),                   // bins ~16 and ~48
+      (2L, "audio", wav(0.25, 0.75, jitterEvery = 100)), // same profile + jitter
+      (3L, "audio", wav(0.10, 0.90)),                   // bins ~6 and ~57
+      (4L, "audio", "not audio".getBytes),              // undecodable → skipped
+      (5L, "image", wav(0.25, 0.75)))                   // wrong modality
+      .toDF("asset_id", "modality", "content")
+    val hashes = Multimodal.audioHashes(assets)
+    val hs = hashes.as[(Long, Long)].collect().toMap
+    assert(hs.keySet == Set(1L, 2L, 3L))
+    val pairs = Multimodal.hashNearDups(hashes, maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 3,
+      s"hashes ${hs.view.mapValues(_.toBinaryString).toMap}")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }
