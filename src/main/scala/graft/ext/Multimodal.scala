@@ -469,6 +469,68 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Per-frame perceptual hashes for MJPEG-AVI payloads: every `stride`-th
+    * REAL frame decodes through ImageIO and fingerprints with [[dHash]] —
+    * (asset_id, frame_no, phash), 8 bytes per sampled frame downstream.
+    * Non-parseable payloads and undecodable frames contribute nothing. */
+  def videoFrameHashes(assets: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val rdd = assets.filter(col("modality") === "video")
+      .select("asset_id", "content").rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("asset_id")
+          val content = Option(r.getAs[Array[Byte]]("content"))
+            .getOrElse(Array.emptyByteArray)
+          val frames = AviMjpegDecoder.framePayloads(content)
+          frames.indices.by(stride).flatMap(i =>
+            dHash(frames(i)).map(hsh => Row(id, i, hsh)))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Video near-dup pairs by FRAME-HASH overlap — the shot-level dedup of
+    * a video corpus (re-uploads, trims, re-containered copies share most
+    * frame fingerprints; unrelated footage shares none): distinct
+    * (asset, phash) sets join on the hash, pairs score by shared-hash
+    * count and set Jaccard — the [[Dedup.sourceOverlap]] shape at frame
+    * granularity, including its hot-key fence (`maxAssetsPerHash` caps
+    * the C(n,2) fanout of a ubiquitous frame — test bars, black frames —
+    * by excluding it from evidence, loudly bounded rather than silently
+    * quadratic). Output: (asset_a, asset_b, shared_hashes, jaccard). */
+  def videoNearDups(frameHashes: DataFrame, minShared: Long = 1L,
+      maxAssetsPerHash: Long = 64L): DataFrame = {
+    require(minShared > 0, s"minShared must be positive: $minShared")
+    val d = frameHashes.select(col("asset_id"), col("phash")).distinct()
+    val keepable = d.groupBy(col("phash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxAssetsPerHash)
+      .select(col("phash"))
+    val kept = d.join(keepable, Seq("phash"))
+    val sizes = d.groupBy(col("asset_id")).agg(count(lit(1)).as("__sz"))
+    kept.select(col("phash"), col("asset_id").as("asset_a"))
+      .join(kept.select(col("phash"), col("asset_id").as("asset_b")),
+        Seq("phash"))
+      .filter(col("asset_a") < col("asset_b"))
+      .groupBy(col("asset_a"), col("asset_b"))
+      .agg(count(lit(1)).as("shared_hashes"))
+      .filter(col("shared_hashes") >= minShared)
+      .join(sizes.select(col("asset_id").as("asset_a"), col("__sz").as("__sa")),
+        Seq("asset_a"))
+      .join(sizes.select(col("asset_id").as("asset_b"), col("__sz").as("__sb")),
+        Seq("asset_b"))
+      .withColumn("jaccard", col("shared_hashes") /
+        (col("__sa") + col("__sb") - col("shared_hashes")))
+      .select(col("asset_a"), col("asset_b"), col("shared_hashes"),
+        col("jaccard"))
+  }
+
   /** 64-bit audio loudness fingerprint: the WAV amplitude histogram at 64
     * bins, one bit per bin holding more than its uniform share (1/64 of
     * the mass). Re-encodes and sparse sample jitter leave the mass

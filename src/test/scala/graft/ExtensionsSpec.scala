@@ -1274,4 +1274,43 @@ class ExtensionsSpec extends SparkTestBase {
       s"hashes ${hs.view.mapValues(_.toBinaryString).toMap}")
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("video frame-hash near-dup: shared footage pairs with exact Jaccard, unrelated footage doesn't") {
+    import graft.ext.Multimodal
+    // distinct high-contrast JPEG frames (period varies per seed, so
+    // frame fingerprints differ; identical bytes reused across videos
+    // decode to identical hashes)
+    def jpegFrame(seed: Int): Array[Byte] = {
+      val (w, h) = (36, 32)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((x * (seed + 2) * 5) % 256 + 256) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+      baos.toByteArray
+    }
+    val shared = (0 until 4).map(jpegFrame)
+    val aviA = aviBytes(shared, 40000)
+    val aviA2 = aviBytes(shared.take(3) :+ jpegFrame(20), 40000)
+    val aviB = aviBytes((10 until 14).map(jpegFrame), 40000)
+    val assets = Seq(
+      (1L, "video", aviA), (2L, "video", aviA2), (3L, "video", aviB),
+      (4L, "video", "not an avi".getBytes))
+      .toDF("asset_id", "modality", "content")
+    val fh = Multimodal.videoFrameHashes(assets)
+    val byAsset = fh.as[(Long, Int, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    assert(byAsset.keySet == Set(1L, 2L, 3L))
+    // every per-video fingerprint set is full-size (frames distinct)
+    assert(byAsset.values.forall(_.size == 4), byAsset.toString)
+    val pairs = Multimodal.videoNearDups(fh, minShared = 2L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // A and A' share exactly the 3 reused frames: Jaccard 3/(4+4−3)
+    assert(pairs((1L, 2L)) == ((3L, 3.0 / 5.0)), pairs.toString)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }
