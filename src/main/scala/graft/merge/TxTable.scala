@@ -83,10 +83,16 @@ object TxTable {
   private def partMatches(part: String, scope: String): Boolean =
     part == scope || part.startsWith(scope + "/")
 
+  /** `txns`: application-level idempotence marks, the Delta `txn` action
+    * shape — (appId, epoch) pairs riding IN the commit, so "this batch was
+    * applied" becomes atomic with the data landing. A regular commit
+    * carries at most one; a checkpoint carries the accumulated
+    * high-water map so [[compactLog]] never forgets an epoch. */
   private final case class Commit(action: String, partCol: Option[String],
                                   scheme: Option[String],
                                   removedParts: Seq[String],
-                                  files: Seq[FileEntry])
+                                  files: Seq[FileEntry],
+                                  txns: Seq[(String, Long)] = Nil)
 
   private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,6 +147,9 @@ object TxTable {
     c.partCol.foreach(p => sb.append("partCol\t").append(p).append('\n'))
     c.scheme.foreach(s => sb.append("scheme\t").append(s).append('\n'))
     c.removedParts.foreach(r => sb.append("removed\t").append(r).append('\n'))
+    c.txns.foreach { case (app, epoch) =>
+      sb.append("txn\t").append(app).append('\t').append(epoch).append('\n')
+    }
     c.files.foreach { f =>
       sb.append("file\t").append(f.path).append('\t')
         .append(f.part.getOrElse("")).append('\n')
@@ -154,12 +163,14 @@ object TxTable {
     var action = ""; var partCol: Option[String] = None
     var scheme: Option[String] = None
     val removed = Seq.newBuilder[String]; val files = Seq.newBuilder[FileEntry]
+    val txns = Seq.newBuilder[(String, Long)]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
         case Array("action", a)  => action = a
         case Array("partCol", v) => partCol = Some(v)
         case Array("scheme", v)  => scheme = Some(v)
         case Array("removed", v) => removed += v
+        case Array("txn", app, epoch) => txns += (app -> epoch.toLong)
         case Array("file", path, frag) =>
           files += FileEntry(path, if (frag.isEmpty) None else Some(frag))
         case Array("file", path) => files += FileEntry(path, None)
@@ -168,7 +179,8 @@ object TxTable {
       }
     }
     require(action.nonEmpty, s"corrupt commit $p: no action")
-    Commit(action, partCol, scheme, removed.result(), files.result())
+    Commit(action, partCol, scheme, removed.result(), files.result(),
+      txns.result())
   }
 
   private def applyCommit(live: Vector[FileEntry], c: Commit,
@@ -202,6 +214,28 @@ object TxTable {
         if (c.scheme.isDefined) scheme = c.scheme
       }
     (live, scheme)
+  }
+
+  /** Per-application txn high-water marks as of `asOf` (None = head):
+    * appId → max committed epoch. Seeds from the newest checkpoint at or
+    * below the target (checkpoints carry the accumulated map — see
+    * [[compactLog]]), then folds the commits after it, so log compaction
+    * never forgets an epoch. */
+  private def txnState(fs: FileSystem, dir: String,
+                       asOf: Option[Long] = None): Map[String, Long] = {
+    val target = asOf.getOrElse(Long.MaxValue)
+    val base = baseFor(fs, dir, target)
+    var state = base.map(_._2.txns.toMap).getOrElse(Map.empty[String, Long])
+    val from = base.map(_._1).getOrElse(Long.MinValue)
+    listCommits(fs, dir)
+      .filter { case (v, _) => v > from && v <= target }
+      .foreach { case (_, p) =>
+        parse(fs, p).txns.foreach { case (app, epoch) =>
+          if (state.getOrElse(app, Long.MinValue) < epoch)
+            state += (app -> epoch)
+        }
+      }
+    state
   }
 
   /** One replay pass yielding the live set AFTER each available version,
@@ -415,35 +449,121 @@ object TxTable {
       case Some(s) =>
         liveAll.filter(_.part.exists(p => s.exists(partMatches(p, _))))
     }
-    if (live.isEmpty) None
-    else {
-      // one read per staging batch (each needs its own basePath so the
-      // hive fragments re-materialize the partition column), unioned by
-      // name; vacuum/compaction keep the batch count bounded.
-      // allowMissingColumns = ADDITIVE schema evolution: a batch committed
-      // with extra columns widens the table and earlier batches read those
-      // columns as null — the lakehouse "add column" path, with no table
-      // rewrite.
-      val byBatch = live.groupBy(_.path.split('/').take(2).mkString("/"))
-      val frames = byBatch.toSeq.sortBy(_._1).map { case (batch, entries) =>
-        spark.read
-          .option("basePath", new Path(dir, batch).toString)
-          .parquet(entries.map(e => new Path(dir, e.path).toString): _*)
+    if (live.isEmpty) None else Some(framesFor(spark, dir, live))
+  }
+
+  /** Union the given file entries into one DataFrame — one read per staging
+    * batch (each needs its own basePath so the hive fragments
+    * re-materialize the partition column), unioned by name;
+    * vacuum/compaction keep the batch count bounded.
+    * allowMissingColumns = ADDITIVE schema evolution: a batch committed
+    * with extra columns widens the table and earlier batches read those
+    * columns as null — the lakehouse "add column" path, with no table
+    * rewrite. */
+  private def framesFor(spark: SparkSession, dir: String,
+                        entries: Seq[FileEntry]): DataFrame = {
+    val byBatch = entries.groupBy(_.path.split('/').take(2).mkString("/"))
+    val frames = byBatch.toSeq.sortBy(_._1).map { case (batch, es) =>
+      spark.read
+        .option("basePath", new Path(dir, batch).toString)
+        .parquet(es.map(e => new Path(dir, e.path).toString): _*)
+    }
+    // Type conflicts must fail AT PLANNING with a clear message: left to
+    // Spark, the union would coerce (string ∪ double → double) and only
+    // blow up mid-scan on the first malformed cast — a silent-corruption
+    // hazard for rows that DO happen to parse.
+    val seen = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.DataType]
+    for (sch <- frames.map(_.schema); f <- sch.fields)
+      seen.get(f.name) match {
+        case Some(t) => require(t == f.dataType,
+          s"TxTable $dir: column '${f.name}' has conflicting types across " +
+            s"batches ($t vs ${f.dataType}) — only ADDITIVE schema " +
+            "evolution (new columns) is supported")
+        case None => seen(f.name) = f.dataType
       }
-      // Type conflicts must fail AT PLANNING with a clear message: left to
-      // Spark, the union would coerce (string ∪ double → double) and only
-      // blow up mid-scan on the first malformed cast — a silent-corruption
-      // hazard for rows that DO happen to parse.
-      val seen = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.DataType]
-      for (sch <- frames.map(_.schema); f <- sch.fields)
-        seen.get(f.name) match {
-          case Some(t) => require(t == f.dataType,
-            s"TxTable $dir: column '${f.name}' has conflicting types across " +
-              s"batches ($t vs ${f.dataType}) — only ADDITIVE schema " +
-              "evolution (new columns) is supported")
-          case None => seen(f.name) = f.dataType
-        }
-      Some(frames.reduce(_.unionByName(_, allowMissingColumns = true)))
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Change-data-feed between versions: every row added or removed by the
+    * commits in `(afterVersion, untilVersion]` (until None = head), tagged
+    * `_change_type` (`insert` | `delete`) and `_commit_version`. None when
+    * the range is empty.
+    *
+    * Derivation is FILE-level (the Delta CDF-without-CDC-files fallback):
+    * consecutive live sets are diffed, files entering the set read as
+    * inserts, files leaving it as deletes. No data is duplicated or
+    * rewritten to serve the feed — removed files' bytes stay on disk until
+    * [[vacuum]], which is why `afterVersion` must be at or above the
+    * retention floor (checked loudly, same as [[read]] asOf).
+    *
+    * Costs O(changed files) scan — an incremental consumer pays for what
+    * changed, not table size. Caveat a consumer must know: a `replace`
+    * commit (including [[compactData]]'s rewrite) diffs as full-table
+    * delete + insert; a keyed consumer (see [[readChangesKeyed]], or an
+    * aggregate view applying −pre/+post) nets it out to zero for rows
+    * whose content didn't change. */
+  def readChanges(spark: SparkSession, dir: String, afterVersion: Long,
+                  untilVersion: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    val fs = hadoopFs(spark, dir)
+    for (floor <- readFloor(fs, dir))
+      require(afterVersion >= floor,
+        s"readChanges(afterVersion=$afterVersion) predates the vacuum " +
+          s"retention floor $floor for $dir: files removed by those " +
+          "versions may be reclaimed (vacuum with a larger retainVersions " +
+          "to keep a longer feed)")
+    val sets = liveSetsByVersion(fs, dir)
+    val until = untilVersion.getOrElse(Long.MaxValue)
+    // pair consecutive enumerated sets; the base live set for the first
+    // in-range version is the set AT afterVersion (empty for afterVersion=0)
+    val baseSet: Vector[FileEntry] =
+      sets.find(_._1 == afterVersion).map(_._2).getOrElse {
+        require(afterVersion == 0L,
+          s"readChanges: base version $afterVersion not found in the log " +
+            s"for $dir (available: ${sets.map(_._1).mkString(",")})")
+        Vector.empty
+      }
+    var prev = baseSet
+    val slices = Seq.newBuilder[(Long, String, Seq[FileEntry])]
+    sets.filter { case (v, _) => v > afterVersion && v <= until }
+      .foreach { case (v, cur) =>
+        val prevPaths = prev.map(_.path).toSet
+        val curPaths = cur.map(_.path).toSet
+        val added = cur.filterNot(e => prevPaths.contains(e.path))
+        val removed = prev.filterNot(e => curPaths.contains(e.path))
+        if (added.nonEmpty) slices += ((v, "insert", added))
+        if (removed.nonEmpty) slices += ((v, "delete", removed))
+        prev = cur
+      }
+    val parts = slices.result().map { case (v, t, entries) =>
+      framesFor(spark, dir, entries)
+        .withColumn("_change_type", lit(t))
+        .withColumn("_commit_version", lit(v))
+    }
+    if (parts.isEmpty) None
+    else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** [[readChanges]] with per-key collapsing: when one commit both removes
+    * and re-adds the same key (every replacePartitions-based upsert does),
+    * the pair is re-tagged `update_preimage`/`update_postimage` so a
+    * consumer can distinguish an update from churn. One hash shuffle over
+    * the CHANGED rows only — O(delta), never O(table). */
+  def readChangesKeyed(spark: SparkSession, dir: String, keys: Seq[String],
+                       afterVersion: Long,
+                       untilVersion: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, collect_set, size, when}
+    import org.apache.spark.sql.expressions.Window
+    readChanges(spark, dir, afterVersion, untilVersion).map { ch =>
+      val w = Window.partitionBy(
+        (keys :+ "_commit_version").map(col): _*)
+      ch.withColumn("__types", collect_set(col("_change_type")).over(w))
+        .withColumn("_change_type",
+          when(size(col("__types")) === 2,
+            when(col("_change_type") === "insert", "update_postimage")
+              .otherwise("update_preimage"))
+            .otherwise(col("_change_type")))
+        .drop("__types")
     }
   }
 
@@ -459,19 +579,53 @@ object TxTable {
   def replace(spark: SparkSession, dir: String, df: DataFrame,
               partitionCols: Seq[String] = Nil,
               scheme: Option[String] = None,
-              expectedHead: Option[Long] = None): Unit = {
+              expectedHead: Option[Long] = None,
+              txn: Option[(String, Long)] = None): Unit = {
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
-      Commit("replace", partColField(partitionCols), scheme, Nil, files),
+      Commit("replace", partColField(partitionCols), scheme, Nil, files,
+        txn.toSeq),
       expectedHead)
   }
 
-  /** Atomically append files (M3/M4 path — nothing existing is rewritten). */
+  /** Atomically append files (M3/M4 path — nothing existing is rewritten).
+    * `txn` rides an (appId, epoch) idempotence mark in the commit — see
+    * [[appendOnce]]. */
   def append(spark: SparkSession, dir: String, df: DataFrame,
-             partitionCols: Seq[String] = Nil): Unit = {
+             partitionCols: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): Unit = {
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
-      Commit("append", partColField(partitionCols), None, Nil, files))
+      Commit("append", partColField(partitionCols), None, Nil, files,
+        txn.toSeq))
+  }
+
+  /** Highest epoch committed for `appId`, None if the app never wrote.
+    * The read side of the exactly-once handshake: a foreachBatch sink
+    * checks `lastTxn < batchId` before writing (see [[appendOnce]]), an
+    * incremental view reads back the source version its last refresh
+    * applied. */
+  def lastTxn(spark: SparkSession, dir: String, appId: String): Option[Long] =
+    txnState(hadoopFs(spark, dir), dir).get(appId)
+
+  /** Idempotent append keyed by (appId, epoch): a no-op when an epoch
+    * >= `epoch` is already committed for `appId`. Returns true when the
+    * append actually landed.
+    *
+    * Because the mark rides IN the same commit as the data (single atomic
+    * log rename), there is no crash window between "data landed" and
+    * "epoch recorded" — a redelivered micro-batch after ANY crash point
+    * either sees its epoch (skip) or its data never became visible
+    * (rewrite). This is exactly-once sink semantics over at-least-once
+    * delivery, the Delta `txn`-action design. Epochs must be monotonic per
+    * appId (Structured Streaming batchIds are). Relies on the table's
+    * single-writer-per-appId contract, same as every idempotent-sink
+    * protocol. */
+  def appendOnce(spark: SparkSession, dir: String, df: DataFrame,
+                 appId: String, epoch: Long,
+                 partitionCols: Seq[String] = Nil): Boolean = {
+    if (lastTxn(spark, dir, appId).exists(_ >= epoch)) false
+    else { append(spark, dir, df, partitionCols, Some(appId -> epoch)); true }
   }
 
   /** Atomically swap the partitions present in `df`: live files under those
@@ -494,7 +648,8 @@ object TxTable {
   def replacePartitionsBy(spark: SparkSession, dir: String, df: DataFrame,
                           partCols: Seq[String],
                           scheme: Option[String] = None,
-                          expectedHead: Option[Long] = None): Unit = {
+                          expectedHead: Option[Long] = None,
+                          txn: Option[(String, Long)] = None): Unit = {
     require(partCols.nonEmpty, "replacePartitionsBy needs >= 1 partition column")
     // head live set only — replay() seeds from the newest checkpoint, so the
     // guard costs O(commits since compactLog), not O(versions × files)
@@ -512,7 +667,7 @@ object TxTable {
     val removed = files.flatMap(_.part).distinct
     commit(hadoopFs(spark, dir), dir,
       Commit("replacePartitions", partColField(partCols), scheme, removed,
-        files),
+        files, txn.toSeq),
       expectedHead)
   }
 
@@ -668,8 +823,11 @@ object TxTable {
         .map(_.split('/').map(_.split('=')(0)).mkString(","))
       val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, false)
+      // the checkpoint carries the ACCUMULATED txn map at the cut — the
+      // pruned commits below it may hold the only copy of an old epoch
+      val txns = txnState(fs, dir, asOf = Some(cut)).toSeq.sortBy(_._1)
       try out.write(render(
-        Commit("replace", partCol, scheme, Nil, live)).getBytes(UTF_8))
+        Commit("replace", partCol, scheme, Nil, live, txns)).getBytes(UTF_8))
       finally out.close()
       // a lost race is fine: a ckpt at cut is a pure function of the log
       if (!claimSlot(fs, tmp, ckptSlot)) fs.delete(tmp, true)

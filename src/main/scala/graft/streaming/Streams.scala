@@ -99,6 +99,25 @@ object Streams {
       else (s, b, _) =>
         MergeSink.upsertPartialScoped(s, dir, b, keys, mutableCols, scheme, orderCols)
 
+    /** Exactly-once RAW append into a [[graft.merge.TxTable]] — the sink
+      * for streams with no natural key to dedup on (raw event capture,
+      * log shipping). Every keyed sink above is replay-safe by MERGE
+      * algebra; a plain append is not, so this one rides the Structured
+      * Streaming batchId into the commit as a txn mark
+      * ([[graft.merge.TxTable.appendOnce]]): a redelivered micro-batch is
+      * a no-op, a crash between "data visible" and "epoch recorded" is
+      * impossible because they are the same log rename. The composition
+      * (at-least-once delivery from the checkpointed source + idempotent
+      * epoch-keyed commit) is end-to-end exactly-once — the same argument
+      * Delta's streaming sink makes with its txn action. */
+    def txAppendOnce(dir: String, appId: String,
+                     partitionCols: Seq[String] = Nil)
+        : (SparkSession, DataFrame, Long) => Unit =
+      (s, b, id) => {
+        graft.merge.TxTable.appendOnce(s, dir, b, appId, id, partitionCols)
+        ()
+      }
+
     /** Cluster-grade incremental dedup accounting as a streaming sink:
       * each micro-batch derives its near-dup edges against the persisted
       * ALL-docs signature index ([[graft.ext.Dedup.incrementalEdges]]),

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.merge.{IncrementalView, TxTable}
+
+/** Incremental materialized aggregate view: every refresh must land the
+  * view at EXACTLY the state a from-scratch aggregation of the source
+  * snapshot would produce — the invariant checked after every step here —
+  * while consuming only the change feed. */
+class IncrementalViewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df(rows: (String, Long, Long)*) =
+    rows.toDF("grp", "qty", "pb")
+
+  /** Ground truth: aggregate the current snapshot directly. */
+  private def recompute(dir: String): Map[String, (Long, Long)] =
+    TxTable.read(spark, dir).map {
+      _.groupBy("grp").agg(count(lit(1)).as("n"), sum("qty").as("s"))
+        .as[(String, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    }.getOrElse(Map.empty)
+
+  private def viewState(viewDir: String): Map[String, (Long, Long)] =
+    TxTable.read(spark, viewDir).map {
+      _.select("grp", "mv_count", "qty_sum")
+        .as[(String, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    }.getOrElse(Map.empty)
+
+  test("refresh ≡ recompute across appends, swaps, group deletion, and no-op calls") {
+    val src = tmpDir("mv-src"); val view = tmpDir("mv-view")
+
+    // nothing to do before the source exists
+    assert(IncrementalView.refresh(spark, src, view,
+      Seq("grp"), Seq("qty")).isEmpty)
+
+    // first refresh = full build
+    TxTable.append(spark, src, df(("a", 2L, 0L), ("a", 3L, 1L), ("b", 5L, 0L)),
+      Seq("pb"))
+    val r1 = IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4).get
+    assert(r1.full && viewState(view) == recompute(src))
+    assert(viewState(view) == Map("a" -> ((2L, 5L)), "b" -> ((1L, 5L))))
+    assert(IncrementalView.appliedVersion(spark, view)
+      .contains(TxTable.headVersion(spark, src).get))
+
+    // already at head: no-op
+    assert(IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4).isEmpty)
+
+    // incremental: append adds a group and grows another
+    TxTable.append(spark, src, df(("b", 1L, 1L), ("c", 7L, 0L)), Seq("pb"))
+    val r2 = IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4).get
+    assert(!r2.full && r2.changedRows == 2L)
+    assert(viewState(view) == recompute(src))
+
+    // partition swap: pb=0 rewritten — "a" loses its pb=0 row (2),
+    // "b" changes value, "c" is dropped entirely (group deletion)
+    TxTable.replacePartitionsBy(spark, src, df(("b", 9L, 0L)), Seq("pb"))
+    val r3 = IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4).get
+    assert(viewState(view) == recompute(src), s"r3=$r3")
+    assert(!viewState(view).contains("c")) // count hit 0 → group gone
+
+    // crash-replay safety: calling refresh again is a no-op (the txn mark
+    // rode in the same commit as the data)
+    assert(IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4).isEmpty)
+    assert(viewState(view) == recompute(src))
+  }
+
+  test("feed misuse fails loudly: applying from the wrong base trips the negative-count guard") {
+    val src = tmpDir("mv-src2"); val view = tmpDir("mv-view2")
+    TxTable.append(spark, src, df(("a", 1L, 0L)), Seq("pb"))
+    IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"))
+    // delete a's rows twice over by feeding the same swap through a view
+    // whose mark was forged backwards — simulate by replaying the feed
+    // after manually re-marking: swap pb=0 away from 'a', refresh, then
+    // force a second application of the same delete via a stale-view copy
+    TxTable.replacePartitionsBy(spark, src, df(("b", 1L, 0L)), Seq("pb"))
+    IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"))
+    TxTable.replacePartitionsBy(spark, src, df(("c", 1L, 0L)), Seq("pb"))
+    // sabotage: rewrite the view with a's row already gone but the mark
+    // rolled back, so the upcoming window re-deletes rows it never saw
+    val forged = TxTable.read(spark, view).get
+    TxTable.replace(spark, view, forged.filter(col("grp") =!= "b"),
+      Nil, None, None, txn = Some(IncrementalView.MvApp -> 1L))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"))
+    }
+    assert(e.getMessage.contains("negative group count"), e.getMessage)
+  }
+}

@@ -11,6 +11,37 @@ import graft.streaming.Streams
   * aggregation with watermark runs. */
 class StreamsSpec extends SparkTestBase {
 
+  test("txAppendOnce sink: exactly-once raw append under redelivery and checkpoint loss") {
+    import graft.merge.TxTable
+    val srcDir = tmpDir("eo-src"); val sinkDir = tmpDir("eo-sink")
+    val rows = Tables.load(spark, sf(), "events")
+      .select("event_id", "user_id").limit(200)
+    rows.repartition(4).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val handler = Streams.Sinks.txAppendOnce(sinkDir, "eo-app")
+    val q = Streams.toMergeSink(
+      Streams.parquetStream(spark, srcDir, schema, maxFilesPerTrigger = 2),
+      tmpDir("eo-ck"), Trigger.AvailableNow())(handler)
+    q.awaitTermination(120000)
+    val n = TxTable.read(spark, sinkDir).get.count()
+    assert(n == 200)
+    // redelivered micro-batch (same epoch): a no-op, not a duplicate append
+    handler(spark, rows.limit(10).toDF, 0L)
+    assert(TxTable.read(spark, sinkDir).get.count() == n)
+    // checkpoint loss: a FRESH checkpoint restarts batchIds at 0 — every
+    // epoch is already marked in the sink's log, so the full replay lands
+    // zero duplicate rows (this is the failure mode a plain append sink
+    // cannot survive)
+    val q2 = Streams.toMergeSink(
+      Streams.parquetStream(spark, srcDir, schema, maxFilesPerTrigger = 2),
+      tmpDir("eo-ck2"), Trigger.AvailableNow())(handler)
+    q2.awaitTermination(120000)
+    assert(TxTable.read(spark, sinkDir).get.count() == n)
+    // a genuinely new epoch still lands
+    handler(spark, rows.limit(7).toDF, 9999L)
+    assert(TxTable.read(spark, sinkDir).get.count() == n + 7)
+  }
+
   test("parquet stream -> appendDedup sink converges to batch result") {
     val srcDir = tmpDir("stream-src")
     val sinkDir = tmpDir("stream-sink")

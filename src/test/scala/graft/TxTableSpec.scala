@@ -728,4 +728,73 @@ class TxTableSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("conflicting types"), e.getMessage)
   }
+
+  test("txn appendOnce: redelivered epochs are no-ops, marks survive compactLog") {
+    import spark.implicits._
+    val dir = tmpDir("tx-txn")
+    val app = "stream-q"
+    assert(TxTable.lastTxn(spark, dir, app).isEmpty)
+    assert(TxTable.appendOnce(spark, dir, Seq((1L, "a")).toDF("id", "v"), app, 0L))
+    // exact redelivery of the same micro-batch: skipped, no duplicate rows
+    assert(!TxTable.appendOnce(spark, dir, Seq((1L, "a")).toDF("id", "v"), app, 0L))
+    assert(TxTable.appendOnce(spark, dir, Seq((2L, "b")).toDF("id", "v"), app, 1L))
+    // a LATE replay of an older epoch after newer ones committed: also skipped
+    assert(!TxTable.appendOnce(spark, dir, Seq((1L, "a")).toDF("id", "v"), app, 0L))
+    assert(TxTable.lastTxn(spark, dir, app).contains(1L))
+    assert(TxTable.read(spark, dir).get.count() == 2)
+    // an unrelated app's epochs are independent
+    assert(TxTable.appendOnce(spark, dir, Seq((10L, "z")).toDF("id", "v"), "other", 0L))
+    assert(TxTable.lastTxn(spark, dir, app).contains(1L))
+    // log compaction must NOT forget epochs: the checkpoint carries the map
+    TxTable.compactLog(spark, dir, retainVersions = 0)
+    assert(TxTable.lastTxn(spark, dir, app).contains(1L))
+    assert(TxTable.lastTxn(spark, dir, "other").contains(0L))
+    assert(!TxTable.appendOnce(spark, dir, Seq((1L, "a")).toDF("id", "v"), app, 1L))
+    assert(TxTable.read(spark, dir).get.count() == 3)
+  }
+
+  test("readChanges: appends feed inserts, partition swaps feed delete+insert, keyed collapse tags updates") {
+    import spark.implicits._
+    val dir = tmpDir("tx-cdc")
+    def df(rows: (Int, String, Int)*) = rows.toDF("k", "v", "pb")
+    TxTable.append(spark, dir, df((1, "a1", 0), (2, "b1", 1)), Seq("pb"))
+    val v1 = TxTable.headVersion(spark, dir).get
+    TxTable.append(spark, dir, df((3, "c1", 0)), Seq("pb"))
+    // swap bucket 0: k=1 changes value, k=3 is dropped (not re-staged)
+    TxTable.replacePartitionsBy(spark, dir, df((1, "a2", 0)), Seq("pb"))
+    val head = TxTable.headVersion(spark, dir).get
+
+    // feed after v1: one insert (k=3 @ v2), then the swap (v3) removes the
+    // two files under pb=0 and adds one — file-level delete+insert
+    val ch = TxTable.readChanges(spark, dir, v1).get
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(ch == Set(
+      (3, "c1", "insert", v1 + 1),
+      (1, "a1", "delete", head), (3, "c1", "delete", head),
+      (1, "a2", "insert", head)))
+
+    // keyed collapse: k=1's delete+insert in v3 becomes an update pair;
+    // k=3's lone delete stays a delete
+    val keyed = TxTable.readChangesKeyed(spark, dir, Seq("k"), v1).get
+      .select("k", "v", "_change_type")
+      .as[(Int, String, String)].collect().toSet
+    assert(keyed == Set(
+      (3, "c1", "insert"), (3, "c1", "delete"),
+      (1, "a1", "update_preimage"), (1, "a2", "update_postimage")))
+
+    // empty range → None; full range from 0 sees every insert
+    assert(TxTable.readChanges(spark, dir, head).isEmpty)
+    val all = TxTable.readChanges(spark, dir, 0L).get
+    assert(all.filter(col("_change_type") === "insert").count() == 4)
+
+    // vacuum past the base fences the feed loudly instead of planning
+    // over reclaimed files
+    TxTable.replace(spark, dir, df((9, "z", 0)), Seq("pb"))
+    TxTable.vacuum(spark, dir, retainVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      TxTable.readChanges(spark, dir, v1)
+    }
+    assert(e.getMessage.contains("retention floor"), e.getMessage)
+  }
 }
