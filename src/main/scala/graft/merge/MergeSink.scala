@@ -257,6 +257,126 @@ object MergeSink {
                   key: String, partitionCols: Seq[String] = Nil): Unit =
     insertIfAbsent(spark, dir, batch, Seq(key), partitionCols)
 
+  /** General tri-clause MERGE — the full `MERGE INTO` statement shape
+    * (matched → update or conditional delete; not-matched → insert;
+    * not-matched-by-source → conditional delete), which the M1-M4 modes
+    * specialize. The reference's loaders only ever upsert
+    * (load.py:18-187 `ON CONFLICT DO UPDATE/NOTHING`); the delete clauses
+    * are what CDC ingestion and GDPR-style retirement flows need and what
+    * a plain upsert cannot express.
+    *
+    * Conditions are evaluated over the joined row with the target aliased
+    * `t` and the source aliased `s` — e.g.
+    * `col("s.op") === "D"` for a CDC tombstone, or
+    * `col("t.status") === "stale"` to retire target rows absent from the
+    * source. Clause order on a match follows SQL MERGE: the delete
+    * condition is tested first; surviving matches take source values for
+    * `updateCols` and keep target values elsewhere. `source` must carry
+    * every target column (same contract as the other merge modes).
+    *
+    * `insertCond` guards the not-matched insert (s columns only) — the
+    * `WHEN NOT MATCHED AND <cond> THEN INSERT` form. A CDC feed MUST pass
+    * one excluding its tombstones (`col("s.op") =!= "D"`): a replayed
+    * delete for an already-deleted key arrives source-only, and an
+    * unconditional insert would resurrect it. Null conditions follow SQL
+    * WHEN semantics: not-true means the clause does not fire.
+    *
+    * One full-outer hash join on `keys` + one filter — single shuffle,
+    * no driver loop; for partition-scoped economics at scale compose with
+    * the scoped layouts the same way [[upsertPartialScoped]] does. */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+                keys: Seq[String], updateCols: Seq[String],
+                matchedDeleteCond: Option[Column] = None,
+                insertNotMatched: Boolean = true,
+                insertCond: Option[Column] = None,
+                notMatchedBySourceDeleteCond: Option[Column] = None,
+                orderCols: Seq[String] = Nil): Unit = {
+    val src = latestPerKey(source, keys, orderCols)
+    readTarget(spark, dir) match {
+      case None =>
+        // no target: every source row is not-matched; apply the insert
+        // clause (with its guard — tombstones in a first batch must not
+        // seed the table)
+        if (insertNotMatched)
+          writeReplace(spark, dir, filterInsertable(src, insertCond))
+      case Some(existing) =>
+        writeReplace(spark, dir,
+          mergeFullRows(existing, src, keys, updateCols, matchedDeleteCond,
+            insertNotMatched, insertCond, notMatchedBySourceDeleteCond))
+    }
+  }
+
+  /** [[mergeInto]] over the commit log: same plan, atomic `replace` commit
+    * carrying the pre-read head as `expectedHead` (OCC, as
+    * [[upsertPartialTx]]). */
+  def mergeIntoTx(spark: SparkSession, dir: String, source: DataFrame,
+                  keys: Seq[String], updateCols: Seq[String],
+                  matchedDeleteCond: Option[Column] = None,
+                  insertNotMatched: Boolean = true,
+                  insertCond: Option[Column] = None,
+                  notMatchedBySourceDeleteCond: Option[Column] = None,
+                  orderCols: Seq[String] = Nil): Unit = {
+    val src = latestPerKey(source, keys, orderCols)
+    val v0 = TxTable.headVersion(spark, dir)
+    TxTable.read(spark, dir) match {
+      case None =>
+        if (insertNotMatched)
+          TxTable.replace(spark, dir, filterInsertable(src, insertCond),
+            expectedHead = v0)
+      case Some(existing) =>
+        TxTable.replace(spark, dir,
+          mergeFullRows(existing, src, keys, updateCols, matchedDeleteCond,
+            insertNotMatched, insertCond, notMatchedBySourceDeleteCond),
+          expectedHead = v0)
+    }
+  }
+
+  /** First-batch form of the guarded insert clause: `insertCond` evaluated
+    * with only the source side in scope. */
+  private def filterInsertable(src: DataFrame,
+                               insertCond: Option[Column]): DataFrame =
+    insertCond match {
+      case None    => src
+      case Some(c) => src.alias("s").filter(coalesce(c, lit(false)))
+    }
+
+  /** The tri-clause MERGE plan ([[mergeInto]]): full-outer join on `keys`,
+    * per-row clause dispatch on which side(s) matched. Output columns =
+    * the target's. */
+  private def mergeFullRows(existing: DataFrame, src: DataFrame,
+                            keys: Seq[String], updateCols: Seq[String],
+                            matchedDeleteCond: Option[Column],
+                            insertNotMatched: Boolean,
+                            insertCond: Option[Column],
+                            notMatchedBySourceDeleteCond: Option[Column])
+      : DataFrame = {
+    val cols = existing.columns.toSeq
+    val t = existing.withColumn("__t", lit(true)).alias("t")
+    val s = src.withColumn("__s", lit(true)).alias("s")
+    val joined = t.join(s,
+      keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _),
+      "full_outer")
+    val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+    val targetOnly = col("t.__t").isNotNull && col("s.__s").isNull
+    // null condition results (SQL three-valued logic) mean "don't delete"
+    def fires(c: Option[Column]) =
+      coalesce(c.getOrElse(lit(false)), lit(false))
+    val insertOk =
+      lit(insertNotMatched) && fires(Some(insertCond.getOrElse(lit(true))))
+    val keep =
+      when(matched, !fires(matchedDeleteCond))
+        .when(targetOnly, !fires(notMatchedBySourceDeleteCond))
+        .otherwise(insertOk) // source-only: guarded insert clause
+    joined.filter(keep).select(cols.map { c =>
+      val out =
+        if (keys.contains(c)) coalesce(col(s"t.$c"), col(s"s.$c"))
+        else if (updateCols.contains(c))
+          when(targetOnly, col(s"t.$c")).otherwise(col(s"s.$c"))
+        else when(col("t.__t").isNotNull, col(s"t.$c")).otherwise(col(s"s.$c"))
+      out.as(c)
+    }: _*)
+  }
+
   /** Materialize `df` into `dir` via tmp-dir + swap, so a reader never sees
     * a half-written table and the plan can read the old contents. Local-FS
     * commit protocol; a cluster deployment swaps this for Delta's log.

@@ -248,4 +248,76 @@ class MergeSinkSpec extends SparkTestBase {
     val got = MergeSink.latestPerKey(b, Seq("k"), Seq("at")).select("v").as[String].collect()
     assert(got.toSeq == Seq("new"))
   }
+
+  test("mergeInto: tri-clause MERGE — CDC tombstones delete, updates apply, inserts land, absent rows retire conditionally") {
+    val dir = tmpDir("merge-full")
+    // target: op column is part of the row shape (source must carry all cols)
+    val t0 = Seq(("a", "open", "n-a", "U"), ("b", "open", "n-b", "U"),
+      ("c", "stale", "n-c", "U"), ("d", "stale", "n-d", "U"))
+      .toDF("k", "status", "note", "op")
+    MergeSink.writeReplace(spark, dir, t0)
+    // CDC batch: delete a (tombstone), update b, insert e; c/d absent
+    val batch = Seq(("a", "whatever", "x", "D"), ("b", "closed", "x", "U"),
+      ("e", "open", "n-e", "U")).toDF("k", "status", "note", "op")
+    def applyBatch(): Unit = MergeSink.mergeInto(spark, dir, batch, Seq("k"),
+      updateCols = Seq("status"),
+      matchedDeleteCond = Some(col("s.op") === "D"),
+      insertNotMatched = true,
+      // the tombstone guard: without it a REPLAYED delete for an
+      // already-deleted key arrives source-only and resurrects the row
+      insertCond = Some(col("s.op") =!= "D"),
+      // retire rows missing from the source ONLY if already stale AND not 'd'
+      notMatchedBySourceDeleteCond =
+        Some(col("t.status") === "stale" && col("t.k") =!= "d"))
+    applyBatch()
+    assert(snapshot(dir) == Seq(
+      ("b", "closed", "n-b"),   // matched update: status from source, note kept
+      ("d", "stale", "n-d"),    // not-matched-by-source, condition false → kept
+      ("e", "open", "n-e")))    // inserted
+    // a deleted by tombstone; c retired by the not-matched-by-source clause
+
+    // replaying the same batch: a's tombstone is source-only but guarded,
+    // b's update idempotent, e re-matches with identical values —
+    // converged state is unchanged
+    applyBatch()
+    assert(snapshot(dir) == Seq(
+      ("b", "closed", "n-b"), ("d", "stale", "n-d"), ("e", "open", "n-e")))
+  }
+
+  test("mergeInto: insertNotMatched=false drops source-only rows; null conditions mean keep") {
+    val dir = tmpDir("merge-noins")
+    MergeSink.writeReplace(spark, dir,
+      Seq(("a", "open", "n-a", "U")).toDF("k", "status", "note", "op"))
+    val batch = Seq(("a", "closed", "x", null.asInstanceOf[String]),
+      ("z", "open", "n-z", "U")).toDF("k", "status", "note", "op")
+    MergeSink.mergeInto(spark, dir, batch, Seq("k"),
+      updateCols = Seq("status"),
+      // s.op === "D" is NULL for a's row: three-valued logic → don't delete
+      matchedDeleteCond = Some(col("s.op") === "D"),
+      insertNotMatched = false)
+    assert(snapshot(dir) == Seq(("a", "closed", "n-a"))) // z not inserted
+  }
+
+  test("mergeIntoTx matches the rename-mode result and replays idempotently") {
+    import graft.merge.TxTable
+    val txDir = tmpDir("merge-tx"); val fsDir = tmpDir("merge-fs")
+    val t0 = Seq(("a", "open", "n-a", "U"), ("b", "open", "n-b", "U"))
+      .toDF("k", "status", "note", "op")
+    MergeSink.writeReplace(spark, fsDir, t0)
+    TxTable.replace(spark, txDir, t0)
+    val batch = Seq(("a", "x", "x", "D"), ("c", "open", "n-c", "U"))
+      .toDF("k", "status", "note", "op")
+    for (_ <- 1 to 2) { // includes a replay
+      MergeSink.mergeInto(spark, fsDir, batch, Seq("k"), Seq("status"),
+        matchedDeleteCond = Some(col("s.op") === "D"),
+        insertCond = Some(col("s.op") =!= "D"))
+      MergeSink.mergeIntoTx(spark, txDir, batch, Seq("k"), Seq("status"),
+        matchedDeleteCond = Some(col("s.op") === "D"),
+        insertCond = Some(col("s.op") =!= "D"))
+    }
+    val fromTx = TxTable.read(spark, txDir).get.select("k", "status", "note")
+      .as[(String, String, String)].collect().toSeq.sortBy(_._1)
+    assert(fromTx == snapshot(fsDir))
+    assert(fromTx == Seq(("b", "open", "n-b"), ("c", "open", "n-c")))
+  }
 }
