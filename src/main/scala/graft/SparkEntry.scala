@@ -1413,6 +1413,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           decimalSum(col("o_totalprice")).as("total"))),
 
+    // Time-series gap fill: a dense (group, day) grid with zero-filled
+    // daily revenue and a forward-filled last-known value — the resampling
+    // primitive reporting pipelines need before charting/joining series.
+    // The spine (366 days) is generated once and BROADCAST against the
+    // distributed group set, so at scale the grid costs one narrow join,
+    // not a shuffle; the forward fill is a per-group running window
+    // (partition count = group count — fine for per-entity series, and the
+    // grid is bounded by groups × days, never by fact rows).
+    "q121_gap_fill" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(decimalSum(col("o_totalprice")).as("rev0"))
+      val spine = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("1996-01-01")),
+        lit(java.sql.Date.valueOf("1996-12-31")),
+        expr("interval 1 day"))).as("d"))
+      val grid = orders.select(col("o_orderpriority").as("pri")).distinct()
+        .crossJoin(broadcast(spine))
+      val w = Window.partitionBy(col("pri")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("pri", "d"), "left")
+        .select(col("pri"), col("d"),
+          coalesce(col("rev0"), lit(0.0)).as("rev_day"),
+          coalesce(last(col("rev0"), ignoreNulls = true).over(w), lit(0.0))
+            .as("rev_ffill"))
+    }),
+
+    // OHLC resampling: first/last/min/max of a value per (series, day)
+    // bucket via min_by/max_by — single partial-aggregating shuffle, no
+    // sort, no window. The order key is a fixed-width (epoch_us, id)
+    // string so open/close stay deterministic even under timestamp ties
+    // (and the identical printf exists on the oracle side).
+    "q122_ohlc_resample" -> ((s, dir) => {
+      val key = format_string("%020d-%010d", unix_micros(col("ts")),
+        col("event_id"))
+      T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("bucket"))
+        .agg(min_by(col("value"), key).as("open"),
+          max_by(col("value"), key).as("close"),
+          min(col("value")).as("low"), max(col("value")).as("high"),
+          count(lit(1)).as("n"))
+    }),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -2603,6 +2650,40 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), ())""".stripMargin,
+
+    // q121: LAST_VALUE IGNORE NULLS over the same dense grid; the daily
+    // sums are decimal-exact, so the filled copies replay bit-for-bit.
+    "q121_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(DATE '1996-01-01',
+        |    DATE '1996-12-31', INTERVAL 1 day))::DATE AS d),
+        |pris AS (SELECT DISTINCT o_orderpriority AS pri FROM orders
+        |         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |           AND o_orderdate <  TIMESTAMP '1997-01-01'),
+        |daily AS (
+        |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev0
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT p.pri, s.d,
+        |  COALESCE(dl.rev0, 0.0) AS rev_day,
+        |  COALESCE(LAST_VALUE(dl.rev0 IGNORE NULLS) OVER (
+        |    PARTITION BY p.pri ORDER BY s.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+        |    AS rev_ffill
+        |FROM spine s CROSS JOIN pris p
+        |LEFT JOIN daily dl ON dl.pri = p.pri AND dl.d = s.d""".stripMargin,
+
+    // q122: arg_min/arg_max on the identical fixed-width order key.
+    "q122_ohlc_resample" ->
+      """SELECT event_type, CAST(ts AS DATE) AS bucket,
+        | arg_min(value, printf('%020d-%010d', epoch_us(ts), event_id)) AS open,
+        | arg_max(value, printf('%020d-%010d', epoch_us(ts), event_id)) AS close,
+        | min(value) AS low, max(value) AS high,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q47_stratified_sample" ->
       """SELECT lang, source, doc_id, strat_rank FROM (
