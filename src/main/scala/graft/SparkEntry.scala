@@ -1460,6 +1460,32 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Hopping (overlapping) windows via the built-in window() generator —
+    // each event lands in width/slide = 2 buckets, expanded row-wise BEFORE
+    // the aggregate so the shuffle carries partial aggregates per (window,
+    // type), never raw duplicated events. Epoch-aligned boundaries on both
+    // engines (3 h divides the day), so buckets line up exactly.
+    "q123_hopping_window" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), decimalSum(col("value")).as("val_sum"))
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("event_type"), col("n"), col("val_sum"))),
+
+    // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
+    // as one native operator instead of two hand-rolled window passes):
+    // a session absorbs an event landing strictly inside last_ts + gap, so
+    // the oracle's new-session test is `>=` — and session_end is
+    // last_ts + gap by definition, which the oracle reproduces. One
+    // shuffle on (user, merged-session) vs q26's two window sorts.
+    "q124_session_window" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))),
+
     // Benchmark decontamination: training docs sharing any distinct 3-gram
     // with the held-out set (doc_id % 50 == 0 stands in for a benchmark;
     // real corpora use longer grams, but the synthetic texts only collide
@@ -2684,6 +2710,39 @@ object SparkEntry {
         | min(value) AS low, max(value) AS high,
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q123: every event expanded into its 2 overlapping buckets (width 6 h,
+    // slide 3 h; k = 0,1 always lands inside — width/slide exact).
+    "q123_hopping_window" ->
+      """WITH expanded AS (
+        |  SELECT time_bucket(INTERVAL 3 hours, ts) - TO_HOURS(3*k) AS w_start,
+        |    event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0,1]) AS k) ks)
+        |SELECT w_start, w_start + INTERVAL 6 hours AS w_end, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM expanded GROUP BY 1, 2, 3""".stripMargin,
+
+    // q124: q26's gap-session algebra with session_window's exact
+    // semantics — new session at gap >= 30 min (the window is [start,
+    // last+gap)), end = last event + gap.
+    "q124_session_window" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |       WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        | SELECT user_id, ts,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        | FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        | MAX(ts) + INTERVAL 30 minutes AS session_end,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM numbered GROUP BY user_id, session_no""".stripMargin,
 
     "q47_stratified_sample" ->
       """SELECT lang, source, doc_id, strat_rank FROM (
