@@ -357,4 +357,44 @@ class PlanQualitySpec extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
   }
+
+  test("q121: date filter pushed to the orders scan; the spine side of the grid broadcasts") {
+    val p = plan("q121_gap_fill")
+    // the year filter must prune at the scan (row groups) — at 100 TB the
+    // grid is bounded by groups × days only if the fact filter pushes
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+      .findFirstIn(p).isDefined, p)
+    // the 366-row spine is the broadcast side; the group set stays
+    // distributed — no SortMergeJoin anywhere in the grid build
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q122/q123: resampling keeps map-side combine — partial aggregates before the exchange") {
+    // q122's min_by carries a string order key in its buffer, which is not
+    // a fixed-width mutable type, so Spark plans SortAggregate — fine: the
+    // scale property is the PARTIAL stage before the shuffle (the exchange
+    // carries one row per (group, partition), not raw events), which holds
+    // for both aggregate strategies.
+    val p22 = plan("q122_ohlc_resample")
+    assert(p22.contains("partial_min_by"), p22)
+    assert(!p22.contains("Window,") && !p22.contains("CartesianProduct"), p22)
+    // q123's sum/count are fixed-width: full whole-stage HashAggregate,
+    // partial then final, despite the 2× hopping row expansion
+    val p23 = plan("q123_hopping_window")
+    assert("HashAggregate".r.findAllIn(p23).size >= 2, p23)
+    assert(p23.contains("partial_"), p23)
+    assert(!p23.contains("SortAggregate"), p23)
+    assert(!p23.contains("CartesianProduct"), p23)
+  }
+
+  test("q124: session_window plans the native session-merge, one exchange on user_id") {
+    val p = plan("q124_session_window")
+    // the built-in operator shows up as updating/merging session windows in
+    // the aggregate expressions; the point is ONE shuffle keyed by user —
+    // no second window sort pass like the q26 formulation
+    assert(p.contains("session_window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
 }
