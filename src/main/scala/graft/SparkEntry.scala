@@ -1473,6 +1473,37 @@ object SparkEntry {
         .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
           col("event_type"), col("n"), col("val_sum"))),
 
+    // Rolling calendar aggregates over the dense q121 grid: a 7-day moving
+    // average (ROWS frame == RANGE frame once days are dense — the reason
+    // the grid comes first) and each day's share of its group total. The
+    // windowed sums run in DECIMAL so the 7-element frame folds and the
+    // full-partition total replay bit-for-bit cross-engine; the divisions
+    // are then single double ops on identical operands.
+    "q125_moving_avg" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(decimalSum(col("o_totalprice")).as("rev0"))
+      val spine = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("1996-01-01")),
+        lit(java.sql.Date.valueOf("1996-12-31")),
+        expr("interval 1 day"))).as("d"))
+      val grid = orders.select(col("o_orderpriority").as("pri")).distinct()
+        .crossJoin(broadcast(spine))
+        .join(daily, Seq("pri", "d"), "left")
+        .withColumn("rev_day", coalesce(col("rev0"), lit(0.0)))
+      val dec = col("rev_day").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val w7 = Window.partitionBy(col("pri")).orderBy(col("d"))
+        .rowsBetween(-6, Window.currentRow)
+      val wAll = Window.partitionBy(col("pri"))
+      grid.select(col("pri"), col("d"), col("rev_day"),
+        (sum(dec).over(w7).cast("double") / count(lit(1)).over(w7)).as("ma7"),
+        (col("rev_day") / sum(dec).over(wAll).cast("double")).as("share"))
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -2722,6 +2753,34 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM expanded GROUP BY 1, 2, 3""".stripMargin,
+
+    // q125: identical dense grid, then decimal-summed ROWS frames.
+    "q125_moving_avg" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(DATE '1996-01-01',
+        |    DATE '1996-12-31', INTERVAL 1 day))::DATE AS d),
+        |pris AS (SELECT DISTINCT o_orderpriority AS pri FROM orders
+        |         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |           AND o_orderdate <  TIMESTAMP '1997-01-01'),
+        |daily AS (
+        |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev0
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT p.pri, s.d, COALESCE(dl.rev0, 0.0) AS rev_day
+        |  FROM spine s CROSS JOIN pris p
+        |  LEFT JOIN daily dl ON dl.pri = p.pri AND dl.d = s.d)
+        |SELECT pri, d, rev_day,
+        |  CAST(SUM(CAST(rev_day AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+        |    / COUNT(*) OVER w7 AS ma7,
+        |  rev_day / CAST(SUM(CAST(rev_day AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY pri) AS DOUBLE) AS share
+        |FROM grid
+        |WINDOW w7 AS (PARTITION BY pri ORDER BY d
+        |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,
