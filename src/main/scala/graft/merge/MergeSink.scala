@@ -315,19 +315,20 @@ object MergeSink {
                   insertNotMatched: Boolean = true,
                   insertCond: Option[Column] = None,
                   notMatchedBySourceDeleteCond: Option[Column] = None,
-                  orderCols: Seq[String] = Nil): Unit = {
+                  orderCols: Seq[String] = Nil,
+                  txn: Option[(String, Long)] = None): Unit = {
     val src = latestPerKey(source, keys, orderCols)
     val v0 = TxTable.headVersion(spark, dir)
     TxTable.read(spark, dir) match {
       case None =>
         if (insertNotMatched)
           TxTable.replace(spark, dir, filterInsertable(src, insertCond),
-            expectedHead = v0)
+            expectedHead = v0, txn = txn)
       case Some(existing) =>
         TxTable.replace(spark, dir,
           mergeFullRows(existing, src, keys, updateCols, matchedDeleteCond,
             insertNotMatched, insertCond, notMatchedBySourceDeleteCond),
-          expectedHead = v0)
+          expectedHead = v0, txn = txn)
     }
   }
 
