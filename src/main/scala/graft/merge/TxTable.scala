@@ -69,13 +69,29 @@ object TxTable {
   private val DataDirName = "data"
   private val FloorName = "_vacuum_floor"
 
+  /** Per-file, per-column min/max envelope recorded in the log at stage
+    * time (read from the parquet footer the writer just produced — no data
+    * scan). `tag` is `I` (integral: int/long/date-days/timestamp-micros,
+    * compared in exact integer space) or `D` (float/double). Absent
+    * columns are simply unprunable — safe by construction. */
+  final case class ColStat(tag: String, min: String, max: String) {
+    def mayContain(lo: BigDecimal, hi: BigDecimal): Boolean = {
+      val mn = BigDecimal(min); val mx = BigDecimal(max)
+      !(mx < lo || mn > hi)
+    }
+  }
+
   /** One live data file: `path` relative to the table root; `part` is the
     * FULL relative hive fragment path (`part_bucket=3` or
     * `region=eu/day=2024-01-01` for nested layouts) for partitioned
     * layouts. Pruning and removal match fragments prefix-wise per segment
     * (see [[partMatches]]), so a one-column scope addresses the whole
-    * subtree under a multi-column layout. */
-  final case class FileEntry(path: String, part: Option[String])
+    * subtree under a multi-column layout. `stats` carries the file's
+    * column envelopes for log-level data skipping ([[readSkipping]]);
+    * empty on entries committed before stats existed — those files are
+    * never skipped. */
+  final case class FileEntry(path: String, part: Option[String],
+                             stats: Map[String, ColStat] = Map.empty)
 
   /** True when `part` is addressed by fragment `scope`: exact match, or
     * `scope` is a leading segment prefix (`region=eu` matches
@@ -153,6 +169,13 @@ object TxTable {
     c.files.foreach { f =>
       sb.append("file\t").append(f.path).append('\t')
         .append(f.part.getOrElse("")).append('\n')
+      // stat lines attach to the file line ABOVE them (order-dependent
+      // format, same file): `stat <col> <I|D> <min> <max>`
+      f.stats.toSeq.sortBy(_._1).foreach { case (cn, st) =>
+        sb.append("stat\t").append(cn).append('\t').append(st.tag)
+          .append('\t').append(st.min).append('\t').append(st.max)
+          .append('\n')
+      }
     }
     sb.result()
   }
@@ -162,7 +185,8 @@ object TxTable {
     val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
     var action = ""; var partCol: Option[String] = None
     var scheme: Option[String] = None
-    val removed = Seq.newBuilder[String]; val files = Seq.newBuilder[FileEntry]
+    val removed = Seq.newBuilder[String]
+    val files = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     val txns = Seq.newBuilder[(String, Long)]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
@@ -174,12 +198,18 @@ object TxTable {
         case Array("file", path, frag) =>
           files += FileEntry(path, if (frag.isEmpty) None else Some(frag))
         case Array("file", path) => files += FileEntry(path, None)
+        case Array("stat", cn, tag, mn, mx) =>
+          require(files.nonEmpty,
+            s"corrupt commit $p: stat line before any file line")
+          val last = files.last
+          files(files.length - 1) =
+            last.copy(stats = last.stats + (cn -> ColStat(tag, mn, mx)))
         case other => throw new java.io.IOException(
           s"corrupt commit $p: unparseable line '${other.mkString("\t")}'")
       }
     }
     require(action.nonEmpty, s"corrupt commit $p: no action")
-    Commit(action, partCol, scheme, removed.result(), files.result(),
+    Commit(action, partCol, scheme, removed.result(), files.toSeq,
       txns.result())
   }
 
@@ -358,6 +388,65 @@ object TxTable {
 
   // ----------------------------------------------------------------- data
 
+  /** Column envelopes from a parquet FOOTER the writer just produced — a
+    * metadata read, no data pages touched. Covered: top-level
+    * int/long/float/double plus date (days) and timestamp (micros), the
+    * types whose parquet statistics compare exactly in integer/double
+    * space. Deliberately skipped: binary/string (truncation + collation
+    * hazards), decimals (stats are unscaled), nested paths, and any
+    * row group missing statistics — a skipped column merely stays
+    * unprunable, never wrong. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          p: Path): Map[String, ColStat] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (String, BigDecimal, BigDecimal)]
+      val dropped = scala.collection.mutable.Set.empty[String]
+      val blocks = reader.getFooter.getBlocks
+      blocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          val pathParts = c.getPath.toArray
+          if (pathParts.length == 1) {
+            val name = pathParts(0)
+            val pt = c.getPrimitiveType
+            val logical = pt.getLogicalTypeAnnotation
+            val logicalOk = logical == null ||
+              logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
+              logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] ||
+              logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+            val tag = pt.getPrimitiveTypeName match {
+              case INT32 | INT64      => "I"
+              case FLOAT | DOUBLE     => "D"
+              case _                  => ""
+            }
+            val st = c.getStatistics
+            if (tag.isEmpty || !logicalOk || st == null || !st.hasNonNullValue)
+              dropped += name
+            else {
+              val (mn, mx) = (BigDecimal(st.genericGetMin.toString),
+                BigDecimal(st.genericGetMax.toString))
+              acc.get(name) match {
+                case None => acc(name) = (tag, mn, mx)
+                case Some((t, lo, hi)) =>
+                  acc(name) = (t, lo.min(mn), hi.max(mx))
+              }
+            }
+          }
+        }
+      }
+      (acc -- dropped).map { case (n, (t, lo, hi)) =>
+        n -> ColStat(t, lo.bigDecimal.toPlainString, hi.bigDecimal.toPlainString)
+      }.toMap
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty // stats are an
+        // optimization; a footer we cannot read leaves the file unprunable
+    } finally reader.close()
+  }
+
   /** Write `df` into a fresh staging dir; return its (relative) file
     * entries. Nothing is visible until the caller commits. */
   private def stage(spark: SparkSession, dir: String, df: DataFrame,
@@ -384,7 +473,8 @@ object TxTable {
         val segs = inBatch.split('/').dropRight(1)
           .filter(s => s.nonEmpty && s.contains("="))
         val frag = if (segs.isEmpty) None else Some(segs.mkString("/"))
-        files += FileEntry(rel, frag)
+        files += FileEntry(rel, frag,
+          footerStats(spark.sparkContext.hadoopConfiguration, p))
       }
     }
     files.result()
@@ -482,6 +572,52 @@ object TxTable {
         case None => seen(f.name) = f.dataType
       }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Log-level data skipping: [[read]] restricted to live files whose
+    * recorded column envelope intersects `[lo, hi]` on `col` — the
+    * Delta/Iceberg file-statistics design. The skip decision costs a log
+    * replay only: no footer of a skipped file is opened, no FileIndex
+    * lists it, the planner never sees it. That is the layer BELOW
+    * parquet's own row-group skipping (which still applies inside the
+    * files that survive) and the complement of hive-fragment pruning:
+    * it works on any clustered/sorted numeric column without a partition
+    * layout. Pair with [[graft.ops.Layout.writeZOrdered]]-style
+    * clustering — skipping is only as good as the layout's min/max
+    * tightness.
+    *
+    * Bounds are compared EXACTLY (integer space for int/long/date-days/
+    * timestamp-micros columns, double for float columns) — callers
+    * convert temporal literals to the storage unit. Files without stats
+    * (pre-stats commits, unreadable footers, unsupported types) are
+    * always kept, so the result is a superset of the matching rows; the
+    * caller's own row filter stays in the plan as usual. Returns None
+    * when NO live file can contain the range. */
+  def readSkipping(spark: SparkSession, dir: String, col: String,
+                   lo: BigDecimal, hi: BigDecimal,
+                   parts: Option[Set[String]] = None,
+                   asOf: Option[Long] = None): Option[DataFrame] = {
+    val fs = hadoopFs(spark, dir)
+    for (v <- asOf; floor <- readFloor(fs, dir))
+      require(v >= floor, s"asOf=$v predates the vacuum retention floor " +
+        s"$floor for $dir")
+    val (liveAll, _) = replay(fs, dir, asOf)
+    val scoped = parts match {
+      case None    => liveAll
+      case Some(s) =>
+        liveAll.filter(_.part.exists(p => s.exists(partMatches(p, _))))
+    }
+    val live = scoped.filter(_.stats.get(col).forall(_.mayContain(lo, hi)))
+    if (live.isEmpty) None else Some(framesFor(spark, dir, live))
+  }
+
+  /** (files kept, live files total) for a [[readSkipping]] range — the
+    * observability hook tests and maintenance use to see skipping work
+    * without planning a scan. */
+  def skippingStats(spark: SparkSession, dir: String, col: String,
+                    lo: BigDecimal, hi: BigDecimal): (Int, Int) = {
+    val live = replay(hadoopFs(spark, dir), dir)._1
+    (live.count(_.stats.get(col).forall(_.mayContain(lo, hi))), live.size)
   }
 
   /** Change-data-feed between versions: every row added or removed by the

@@ -729,6 +729,46 @@ class TxTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("conflicting types"), e.getMessage)
   }
 
+  test("file-stats skipping: clustered batches prune at the log level, stats survive compactLog") {
+    import spark.implicits._
+    val dir = tmpDir("tx-stats")
+    // three appends, each one file clustered on k: [0,100), [100,200), [200,300)
+    for (base <- Seq(0, 100, 200))
+      TxTable.append(spark, dir,
+        (base until base + 100).map(i => (i.toLong, i / 2.0, s"r$i"))
+          .toDF("k", "x", "s").repartition(1))
+    assert(TxTable.skippingStats(spark, dir, "k",
+      BigDecimal(120), BigDecimal(150)) == ((1, 3)))
+    // exact envelope boundaries are inclusive
+    assert(TxTable.skippingStats(spark, dir, "k",
+      BigDecimal(99), BigDecimal(100)) == ((2, 3)))
+    // double column prunes too
+    assert(TxTable.skippingStats(spark, dir, "x",
+      BigDecimal(10.3), BigDecimal(10.4)) == ((1, 3)))
+    // strings carry no stats → never pruned on (safe superset)
+    assert(TxTable.skippingStats(spark, dir, "s",
+      BigDecimal(0), BigDecimal(1)) == ((3, 3)))
+
+    // the skipped read + row filter ≡ the full read + row filter
+    val viaSkip = TxTable.readSkipping(spark, dir, "k",
+      BigDecimal(120), BigDecimal(150)).get
+      .filter(col("k").between(120, 150)).select("k")
+      .as[Long].collect().sorted
+    val viaFull = TxTable.read(spark, dir).get
+      .filter(col("k").between(120, 150)).select("k")
+      .as[Long].collect().sorted
+    assert(viaSkip.sameElements(viaFull) && viaSkip.length == 31)
+    // a range NO file can contain: None, no scan planned
+    assert(TxTable.readSkipping(spark, dir, "k",
+      BigDecimal(1000), BigDecimal(2000)).isEmpty)
+
+    // envelopes must survive log compaction (the checkpoint re-renders
+    // file entries WITH their stat lines)
+    TxTable.compactLog(spark, dir, retainVersions = 0)
+    assert(TxTable.skippingStats(spark, dir, "k",
+      BigDecimal(120), BigDecimal(150)) == ((1, 3)))
+  }
+
   test("txn appendOnce: redelivered epochs are no-ops, marks survive compactLog") {
     import spark.implicits._
     val dir = tmpDir("tx-txn")
