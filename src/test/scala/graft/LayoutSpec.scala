@@ -104,6 +104,34 @@ class LayoutSpec extends SparkTestBase {
       s"expected real two-dimensional pruning, got custkey=$zc price=$zp of $nFiles")
   }
 
+  test("z-ordered TxTable batches skip at the LOG level on both dimensions") {
+    import graft.merge.TxTable
+    // the full stack: z-order clustering supplies tight per-file
+    // envelopes, the commit log records them from the footers, and
+    // readSkipping prunes without opening anything — Delta's
+    // OPTIMIZE ZORDER + stats skipping as two composing primitives
+    val dir = tmpDir("zx-tx")
+    val pts = for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, x * 64L + y)
+    val df = spark.createDataFrame(pts).toDF("x", "y", "payload")
+    TxTable.replace(spark, dir,
+      Layout.zOrdered(df, "x", "y", nParts = 16).drop("zval"))
+    val (keptX, totX) = TxTable.skippingStats(spark, dir, "x",
+      BigDecimal(0), BigDecimal(7))
+    val (keptY, totY) = TxTable.skippingStats(spark, dir, "y",
+      BigDecimal(0), BigDecimal(7))
+    assert(totX == 16 && totY == 16)
+    assert(keptX <= totX / 2, s"x-range kept $keptX of $totX")
+    assert(keptY <= totY / 2, s"y-range kept $keptY of $totY")
+    // correctness: skipped read + filter ≡ full read + filter
+    val got = TxTable.readSkipping(spark, dir, "x",
+      BigDecimal(0), BigDecimal(7)).get
+      .filter(col("x") <= 7).agg(count(lit(1)), sum("payload")).head()
+    val want = TxTable.read(spark, dir).get
+      .filter(col("x") <= 7).agg(count(lit(1)), sum("payload")).head()
+    assert(got == want && got.getLong(0) == 8 * 64)
+  }
+
   test("z-ordered rewrite preserves rows exactly (layout is a permutation)") {
     val orders = graft.model.Tables.load(spark, sf(), "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
