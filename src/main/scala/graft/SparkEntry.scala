@@ -1504,6 +1504,58 @@ object SparkEntry {
         (col("rev_day") / sum(dec).over(wAll).cast("double")).as("share"))
     }),
 
+    // Correlated EXISTS / NOT EXISTS — exercised as SQL TEXT so Catalyst's
+    // subquery decorrelation is the surface under test: both subqueries
+    // must rewrite to semi/anti joins on o_custkey (the plan guard pins
+    // no nested-loop fallback), which is what makes the form viable at
+    // scale — a per-row subquery execution would be O(n·m).
+    "q126_exists_decorrelated" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("customer_q126")
+      T(s, dir, "orders").createOrReplaceTempView("orders_q126")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_q126 c
+        WHERE EXISTS (SELECT 1 FROM orders_q126 o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders_q126 o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice > 450000)""")
+    }),
+
+    // Correlated scalar-aggregate subquery (orders beating 2× their
+    // priority's mean) — decorrelates to one aggregate + one join. The
+    // mean is decimal-exact-sum / count so the threshold compare never
+    // flips on cross-engine float summation order.
+    "q127_scalar_subquery" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders_q127")
+      s.sql("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders_q127 o
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+          FROM orders_q127 o2
+          WHERE o2.o_orderpriority = o.o_orderpriority)""")
+    }),
+
+    // Bag-algebra set operators (INTERSECT / EXCEPT, distinct semantics):
+    // buyers who also hit errors, minus anyone who signed up — each
+    // operator plans as a semi/anti-style hash join on the shuffled key,
+    // never a sort-based global distinct-then-diff.
+    "q128_set_ops" -> ((s, dir) => {
+      T(s, dir, "events").createOrReplaceTempView("events_q128")
+      s.sql("""
+        (SELECT user_id FROM events_q128
+         WHERE event_type = 'purchase' AND value > 180
+         INTERSECT
+         SELECT user_id FROM events_q128
+         WHERE event_type = 'error' AND value > 180)
+        EXCEPT
+        SELECT user_id FROM events_q128
+        WHERE event_type = 'signup' AND value > 190""")
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -2781,6 +2833,36 @@ object SparkEntry {
         |FROM grid
         |WINDOW w7 AS (PARTITION BY pri ORDER BY d
         |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // q126-q128: dialect-shared SQL — DuckDB runs the same statements.
+    "q126_exists_decorrelated" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F'
+        |                    AND o2.o_totalprice > 450000)""".stripMargin,
+
+    "q127_scalar_subquery" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(*)
+        |  FROM orders o2
+        |  WHERE o2.o_orderpriority = o.o_orderpriority)""".stripMargin,
+
+    "q128_set_ops" ->
+      """(SELECT user_id FROM events
+        |   WHERE event_type = 'purchase' AND value > 180
+        | INTERSECT
+        | SELECT user_id FROM events
+        |   WHERE event_type = 'error' AND value > 180)
+        |EXCEPT
+        |SELECT user_id FROM events
+        |  WHERE event_type = 'signup' AND value > 190""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,

@@ -389,6 +389,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p23.contains("CartesianProduct"), p23)
   }
 
+  test("q126/q127/q128: subqueries decorrelate and set ops plan as joins — no nested-loop, no per-row subquery") {
+    val p126 = plan("q126_exists_decorrelated")
+    // EXISTS → semi, NOT EXISTS → anti, both hash joins on o_custkey
+    assert(p126.contains("LeftSemi") && p126.contains("LeftAnti"), p126)
+    assert(!p126.contains("BroadcastNestedLoopJoin") &&
+      !p126.contains("CartesianProduct"), p126)
+    val p127 = plan("q127_scalar_subquery")
+    // the correlated scalar aggregate becomes one aggregate + one join
+    assert(p127.contains("HashAggregate"), p127)
+    assert(!p127.contains("BroadcastNestedLoopJoin") &&
+      !p127.contains("CartesianProduct"), p127)
+    val p128 = plan("q128_set_ops")
+    assert(p128.contains("LeftSemi") && p128.contains("LeftAnti"), p128)
+    assert(!p128.contains("CartesianProduct"), p128)
+  }
+
   test("q124: session_window plans the native session-merge, one exchange on user_id") {
     val p = plan("q124_session_window")
     // the built-in operator shows up as updating/merging session windows in
