@@ -1556,6 +1556,35 @@ object SparkEntry {
         WHERE event_type = 'signup' AND value > 190""")
     }),
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE): a hierarchy walk from one
+    // region down through nations to suppliers over a unified edge table —
+    // the iterative-closure shape Graph.pageRank/nearDupClusters hand-roll
+    // as driver loops, expressed declaratively; each recursion step is one
+    // equi-join of the frontier against edges, so depth bounds the job
+    // count and the frontier bounds each shuffle.
+    "q129_recursive_cte" -> ((s, dir) => {
+      T(s, dir, "region").createOrReplaceTempView("region_q129")
+      T(s, dir, "nation").createOrReplaceTempView("nation_q129")
+      T(s, dir, "supplier").createOrReplaceTempView("supplier_q129")
+      s.sql("""
+        WITH RECURSIVE edges AS (
+          SELECT CONCAT('R', CAST(r_regionkey AS STRING)) AS parent,
+                 CONCAT('N', CAST(n_nationkey AS STRING)) AS child
+          FROM nation_q129 JOIN region_q129 ON n_regionkey = r_regionkey
+          UNION ALL
+          SELECT CONCAT('N', CAST(n_nationkey AS STRING)),
+                 CONCAT('S', CAST(s_suppkey AS STRING))
+          FROM supplier_q129 JOIN nation_q129 ON s_nationkey = n_nationkey
+        ),
+        walk AS (
+          SELECT 'R0' AS node, CAST(0 AS BIGINT) AS depth
+          UNION ALL
+          SELECT e.child, w.depth + 1
+          FROM walk w JOIN edges e ON e.parent = w.node
+        )
+        SELECT node, depth FROM walk""")
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -2863,6 +2892,25 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id FROM events
         |  WHERE event_type = 'signup' AND value > 190""".stripMargin,
+
+    // q129: the same WITH RECURSIVE statement runs on both engines.
+    "q129_recursive_cte" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT CONCAT('R', CAST(r_regionkey AS STRING)) AS parent,
+        |         CONCAT('N', CAST(n_nationkey AS STRING)) AS child
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT CONCAT('N', CAST(n_nationkey AS STRING)),
+        |         CONCAT('S', CAST(s_suppkey AS STRING))
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |),
+        |walk AS (
+        |  SELECT 'R0' AS node, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT e.child, w.depth + 1
+        |  FROM walk w JOIN edges e ON e.parent = w.node
+        |)
+        |SELECT node, depth FROM walk""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,
