@@ -1585,6 +1585,19 @@ object SparkEntry {
         SELECT node, depth FROM walk""")
     }),
 
+    // Spark 4 VARIANT path: parse the JSON props column ONCE into the
+    // binary semi-structured type and extract typed values — the engine's
+    // native answer to schema-on-read (vs q08's configured-key string
+    // flatten). The extraction is typed at the expression level
+    // (variant_get(..., 'long')), so the aggregate runs on longs, exact.
+    "q130_variant_json" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -2911,6 +2924,17 @@ object SparkEntry {
         |  FROM walk w JOIN edges e ON e.parent = w.node
         |)
         |SELECT node, depth FROM walk""".stripMargin,
+
+    // q130: the oracle extracts the same typed path via its JSON functions.
+    "q130_variant_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS k_sum,
+        | CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS k_min,
+        | CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS k_max
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,
