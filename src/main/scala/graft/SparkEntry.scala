@@ -1547,13 +1547,13 @@ object SparkEntry {
       T(s, dir, "events").createOrReplaceTempView("events_q128")
       s.sql("""
         (SELECT user_id FROM events_q128
-         WHERE event_type = 'purchase' AND value > 180
+         WHERE event_type = 'purchase' AND value > 100
          INTERSECT
          SELECT user_id FROM events_q128
-         WHERE event_type = 'error' AND value > 180)
+         WHERE event_type = 'error' AND value > 100)
         EXCEPT
         SELECT user_id FROM events_q128
-        WHERE event_type = 'signup' AND value > 190""")
+        WHERE event_type = 'signup' AND value > 150""")
     }),
 
     // Recursive CTE (Spark 4's WITH RECURSIVE): a hierarchy walk from one
@@ -2898,13 +2898,13 @@ object SparkEntry {
 
     "q128_set_ops" ->
       """(SELECT user_id FROM events
-        |   WHERE event_type = 'purchase' AND value > 180
+        |   WHERE event_type = 'purchase' AND value > 100
         | INTERSECT
         | SELECT user_id FROM events
-        |   WHERE event_type = 'error' AND value > 180)
+        |   WHERE event_type = 'error' AND value > 100)
         |EXCEPT
         |SELECT user_id FROM events
-        |  WHERE event_type = 'signup' AND value > 190""".stripMargin,
+        |  WHERE event_type = 'signup' AND value > 150""".stripMargin,
 
     // q129: the same WITH RECURSIVE statement runs on both engines.
     "q129_recursive_cte" ->

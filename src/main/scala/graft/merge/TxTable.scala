@@ -103,12 +103,18 @@ object TxTable {
     * shape — (appId, epoch) pairs riding IN the commit, so "this batch was
     * applied" becomes atomic with the data landing. A regular commit
     * carries at most one; a checkpoint carries the accumulated
-    * high-water map so [[compactLog]] never forgets an epoch. */
+    * high-water map so [[compactLog]] never forgets an epoch.
+    *
+    * `props`: table-property updates (latest value per key wins across
+    * the log, checkpoints carry the accumulated map — same replay algebra
+    * as txns). The `constraint.<name>` namespace is enforced on every
+    * write ([[setConstraint]]). */
   private final case class Commit(action: String, partCol: Option[String],
                                   scheme: Option[String],
                                   removedParts: Seq[String],
                                   files: Seq[FileEntry],
-                                  txns: Seq[(String, Long)] = Nil)
+                                  txns: Seq[(String, Long)] = Nil,
+                                  props: Seq[(String, String)] = Nil)
 
   private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -166,6 +172,11 @@ object TxTable {
     c.txns.foreach { case (app, epoch) =>
       sb.append("txn\t").append(app).append('\t').append(epoch).append('\n')
     }
+    c.props.foreach { case (k, v) =>
+      require(!k.exists("\t\n".contains(_)) && !v.exists("\t\n".contains(_)),
+        s"table property '$k' contains tab/newline — unrepresentable")
+      sb.append("prop\t").append(k).append('\t').append(v).append('\n')
+    }
     c.files.foreach { f =>
       sb.append("file\t").append(f.path).append('\t')
         .append(f.part.getOrElse("")).append('\n')
@@ -188,6 +199,7 @@ object TxTable {
     val removed = Seq.newBuilder[String]
     val files = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     val txns = Seq.newBuilder[(String, Long)]
+    val props = Seq.newBuilder[(String, String)]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
         case Array("action", a)  => action = a
@@ -195,6 +207,8 @@ object TxTable {
         case Array("scheme", v)  => scheme = Some(v)
         case Array("removed", v) => removed += v
         case Array("txn", app, epoch) => txns += (app -> epoch.toLong)
+        case Array("prop", k, v)      => props += (k -> v)
+        case Array("prop", k)         => props += (k -> "")
         case Array("file", path, frag) =>
           files += FileEntry(path, if (frag.isEmpty) None else Some(frag))
         case Array("file", path) => files += FileEntry(path, None)
@@ -210,7 +224,7 @@ object TxTable {
     }
     require(action.nonEmpty, s"corrupt commit $p: no action")
     Commit(action, partCol, scheme, removed.result(), files.toSeq,
-      txns.result())
+      txns.result(), props.result())
   }
 
   private def applyCommit(live: Vector[FileEntry], c: Commit,
@@ -266,6 +280,23 @@ object TxTable {
         }
       }
     state
+  }
+
+  /** Accumulated table properties as of `asOf` (None = head): latest
+    * value per key wins; empty value = removed. Seeds from checkpoints
+    * like [[txnState]]. */
+  private def propsState(fs: FileSystem, dir: String,
+                         asOf: Option[Long] = None): Map[String, String] = {
+    val target = asOf.getOrElse(Long.MaxValue)
+    val base = baseFor(fs, dir, target)
+    var state = base.map(_._2.props.toMap).getOrElse(Map.empty[String, String])
+    val from = base.map(_._1).getOrElse(Long.MinValue)
+    listCommits(fs, dir)
+      .filter { case (v, _) => v > from && v <= target }
+      .foreach { case (_, p) =>
+        parse(fs, p).props.foreach { case (k, v) => state += (k -> v) }
+      }
+    state.filter(_._2.nonEmpty)
   }
 
   /** One replay pass yielding the live set AFTER each available version,
@@ -717,6 +748,7 @@ object TxTable {
               scheme: Option[String] = None,
               expectedHead: Option[Long] = None,
               txn: Option[(String, Long)] = None): Unit = {
+    enforceConstraints(spark, dir, df)
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
       Commit("replace", partColField(partitionCols), scheme, Nil, files,
@@ -730,10 +762,90 @@ object TxTable {
   def append(spark: SparkSession, dir: String, df: DataFrame,
              partitionCols: Seq[String] = Nil,
              txn: Option[(String, Long)] = None): Unit = {
+    enforceConstraints(spark, dir, df)
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
       Commit("append", partColField(partitionCols), None, Nil, files,
         txn.toSeq))
+  }
+
+  /** Current table properties (latest value per key; removed keys absent). */
+  def tableProperties(spark: SparkSession, dir: String): Map[String, String] =
+    propsState(hadoopFs(spark, dir), dir)
+
+  /** Set/remove table properties in one atomic commit (empty value =
+    * remove). Property updates ride an empty `append` — conflict-free, no
+    * data files touched. */
+  def setProperties(spark: SparkSession, dir: String,
+                    props: Map[String, String]): Unit =
+    commit(hadoopFs(spark, dir), dir,
+      Commit("append", None, None, Nil, Nil, Nil, props.toSeq.sortBy(_._1)))
+
+  private val ConstraintPrefix = "constraint."
+
+  /** CHECK constraints currently enforced on every write: name → SQL
+    * boolean expression. */
+  def constraints(spark: SparkSession, dir: String): Map[String, String] =
+    tableProperties(spark, dir).collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** Attach a CHECK constraint (SQL boolean text over the table's
+    * columns, e.g. `"qty >= 0"`, `"k IS NOT NULL"`). SQL CHECK semantics:
+    * a row violates only when the expression is FALSE — NULL passes (use
+    * an explicit IS NOT NULL constraint for null rejection). Existing
+    * rows are validated first (one aggregate pass), as Delta does — a
+    * constraint the current table already breaks is refused, so the
+    * invariant is trustworthy from the moment it exists. Every subsequent
+    * [[append]]/[[appendOnce]]/[[replace]]/[[replacePartitionsBy]]
+    * validates its batch BEFORE staging and fails loudly with a count
+    * and example rows. */
+  def setConstraint(spark: SparkSession, dir: String, name: String,
+                    sqlText: String): Unit = {
+    read(spark, dir).foreach { t =>
+      failViolations(t, Seq(name -> sqlText),
+        s"existing rows in $dir violate new constraint")
+    }
+    setProperties(spark, dir, Map(s"$ConstraintPrefix$name" -> sqlText))
+  }
+
+  /** Remove a CHECK constraint. */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Unit =
+    setProperties(spark, dir, Map(s"$ConstraintPrefix$name" -> ""))
+
+  /** Validate `df` against the table's constraints — one aggregate pass
+    * for all of them; per violated constraint an example fetch. Called on
+    * every write path BEFORE staging, so a bad batch costs no staged
+    * bytes and no commit slot. */
+  private def enforceConstraints(spark: SparkSession, dir: String,
+                                 df: DataFrame): Unit = {
+    val cs = constraints(spark, dir).toSeq.sortBy(_._1)
+    if (cs.nonEmpty)
+      failViolations(df, cs, s"batch rejected by CHECK constraint on $dir")
+  }
+
+  private def failViolations(df: DataFrame, cs: Seq[(String, String)],
+                             context: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    // violation ⟺ expression IS FALSE (SQL CHECK: null passes)
+    def bad(sql: String) = !coalesce(expr(sql), lit(true))
+    val aggs = cs.map { case (n, sql) =>
+      sum(when(bad(sql), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = cs.zipWithIndex.filter { case (_, i) =>
+      !row.isNullAt(i) && row.getLong(i) > 0
+    }
+    if (violated.nonEmpty) {
+      val details = violated.map { case ((n, sql), i) =>
+        val examples = df.filter(bad(sql)).take(3)
+          .map(_.toString).mkString("; ")
+        s"'$n' CHECK ($sql): ${row.getLong(i)} row(s), e.g. $examples"
+      }
+      throw new IllegalArgumentException(
+        s"$context — ${details.mkString(" | ")}")
+    }
   }
 
   /** Highest epoch committed for `appId`, None if the app never wrote.
@@ -799,6 +911,7 @@ object TxTable {
           "a mismatched swap granularity would leave stale rows live (duplicates); " +
           "rewrite the table with replace() to change layouts")
     }
+    enforceConstraints(spark, dir, df)
     val files = stage(spark, dir, df, partCols)
     val removed = files.flatMap(_.part).distinct
     commit(hadoopFs(spark, dir), dir,
@@ -959,11 +1072,13 @@ object TxTable {
         .map(_.split('/').map(_.split('=')(0)).mkString(","))
       val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, false)
-      // the checkpoint carries the ACCUMULATED txn map at the cut — the
-      // pruned commits below it may hold the only copy of an old epoch
+      // the checkpoint carries the ACCUMULATED txn and property maps at
+      // the cut — the pruned commits below it may hold the only copies
       val txns = txnState(fs, dir, asOf = Some(cut)).toSeq.sortBy(_._1)
+      val props = propsState(fs, dir, asOf = Some(cut)).toSeq.sortBy(_._1)
       try out.write(render(
-        Commit("replace", partCol, scheme, Nil, live, txns)).getBytes(UTF_8))
+        Commit("replace", partCol, scheme, Nil, live, txns, props))
+        .getBytes(UTF_8))
       finally out.close()
       // a lost race is fine: a ckpt at cut is a pure function of the log
       if (!claimSlot(fs, tmp, ckptSlot)) fs.delete(tmp, true)

@@ -769,6 +769,53 @@ class TxTableSpec extends SparkTestBase {
       BigDecimal(120), BigDecimal(150)) == ((1, 3)))
   }
 
+  test("CHECK constraints: writes validated before staging, null passes, add-time scan, drop lifts, survives compactLog") {
+    import spark.implicits._
+    val dir = tmpDir("tx-check")
+    TxTable.append(spark, dir, Seq((1L, Option(5L)), (2L, Option(7L)))
+      .toDF("k", "qty"))
+    TxTable.setConstraint(spark, dir, "qty_nonneg", "qty >= 0")
+    assert(TxTable.constraints(spark, dir) == Map("qty_nonneg" -> "qty >= 0"))
+
+    // violating batch rejected BEFORE any commit: head pinned, no rows land
+    val v0 = TxTable.headVersion(spark, dir).get
+    val e = intercept[IllegalArgumentException] {
+      TxTable.append(spark, dir, Seq((3L, Option(-1L))).toDF("k", "qty"))
+    }
+    assert(e.getMessage.contains("qty_nonneg") &&
+      e.getMessage.contains("1 row(s)"), e.getMessage)
+    assert(TxTable.headVersion(spark, dir).contains(v0))
+    assert(TxTable.read(spark, dir).get.count() == 2)
+    // replace goes through the same gate
+    intercept[IllegalArgumentException] {
+      TxTable.replace(spark, dir, Seq((9L, Option(-9L))).toDF("k", "qty"))
+    }
+
+    // SQL CHECK three-valued logic: a NULL qty passes qty >= 0
+    TxTable.append(spark, dir, Seq((4L, Option.empty[Long])).toDF("k", "qty"))
+    assert(TxTable.read(spark, dir).get.count() == 3)
+    // ...which is exactly why adding IS NOT NULL now must be REFUSED by
+    // the add-time scan of existing rows
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.setConstraint(spark, dir, "qty_set", "qty IS NOT NULL")
+    }
+    assert(e2.getMessage.contains("existing rows"), e2.getMessage)
+    assert(!TxTable.constraints(spark, dir).contains("qty_set"))
+
+    // drop lifts enforcement
+    TxTable.dropConstraint(spark, dir, "qty_nonneg")
+    TxTable.append(spark, dir, Seq((5L, Option(-2L))).toDF("k", "qty"))
+    assert(TxTable.read(spark, dir).get.count() == 4)
+
+    // a constraint set before log compaction still binds after it
+    TxTable.setConstraint(spark, dir, "k_pos", "k > 0")
+    TxTable.compactLog(spark, dir, retainVersions = 0)
+    assert(TxTable.constraints(spark, dir) == Map("k_pos" -> "k > 0"))
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, dir, Seq((0L, Option(1L))).toDF("k", "qty"))
+    }
+  }
+
   test("txn appendOnce: redelivered epochs are no-ops, marks survive compactLog") {
     import spark.implicits._
     val dir = tmpDir("tx-txn")
