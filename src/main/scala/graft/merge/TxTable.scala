@@ -734,6 +734,27 @@ object TxTable {
     }
   }
 
+  /** Absolute paths of the current live data files — the identity a
+    * derivative per-file structure (e.g. a Bloom sidecar) keys on to stay
+    * in sync with the table at O(changed files) per refresh. */
+  def liveFilePaths(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = hadoopFs(spark, dir)
+    replay(fs, dir)._1
+      .map(e => fs.makeQualified(new Path(dir, e.path)).toString)
+  }
+
+  /** Read a SUBSET of the live files by absolute path (as returned by
+    * [[liveFilePaths]]) — partition columns re-materialize exactly as in
+    * [[read]]. The scan side of an index probe: the index names the
+    * files, this plans only them. None if no named file is live. */
+  def readFiles(spark: SparkSession, dir: String,
+                absPaths: Set[String]): Option[DataFrame] = {
+    val fs = hadoopFs(spark, dir)
+    val live = replay(fs, dir)._1.filter(e =>
+      absPaths.contains(fs.makeQualified(new Path(dir, e.path)).toString))
+    if (live.isEmpty) None else Some(framesFor(spark, dir, live))
+  }
+
   /** Head commit version, None before the first commit. Capture BEFORE
     * reading the state a replace-style write will be merged against, and
     * pass it as that write's `expectedHead` — the commit then fails if

@@ -144,4 +144,90 @@ object Layout {
     else spark.read.schema(base.schema).parquet(files: _*)
       .filter(col(c).cast("string") === value)
   }
+
+  // ---------------------------------------------------------------------
+  // Incremental sidecar maintenance over a TxTable: the index stays keyed
+  // by the log's live file set, so a refresh scans ONLY files that joined
+  // the set since the last refresh and drops rows for files that left it —
+  // O(changed files) per maintenance cycle where a rebuild is O(table).
+  // At a 30 s append cadence against a 100 TB table that is the entire
+  // difference between an index you can afford and one you can't.
+  // ---------------------------------------------------------------------
+
+  /** Bring the Bloom sidecar for `tableDir` (a [[graft.merge.TxTable]])
+    * up to date with its live file set. Returns (files indexed this
+    * refresh, stale rows dropped). The sidecar lives at
+    * `<tableDir>/_bloom_<c>` and is derivative state: it is rewritten
+    * with a plain overwrite (crash → next refresh rebuilds the delta;
+    * probes meanwhile degrade to at-worst-stale pruning, and
+    * [[readBloomPrunedTx]]'s exact re-check keeps results correct). */
+  def refreshBloomIndexTx(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, c: String, expectedItemsPerFile: Long,
+      fpp: Double = 0.01): (Int, Int) = {
+    import graft.merge.TxTable
+    val live = TxTable.liveFilePaths(spark, tableDir).toSet
+    val idxDir = bloomIndexDirTx(tableDir, c)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old =
+      if (fs.exists(new org.apache.hadoop.fs.Path(idxDir)))
+        Some(spark.read.parquet(idxDir))
+      else None
+    val indexed: Set[String] = old match {
+      case None    => Set.empty
+      case Some(d) => d.select("file").collect().map(_.getString(0)).toSet
+    }
+    val missing = (live -- indexed).toSeq.sorted
+    val stale = indexed -- live
+    if (missing.isEmpty && stale.isEmpty) return (0, 0)
+    val fresh =
+      if (missing.isEmpty) None
+      else Some(TxTable.readFiles(spark, tableDir, missing.toSet).get
+        .select(col("_metadata.file_path").as("file"),
+          col(c).cast("string").as("__v"))
+        .groupBy(col("file"))
+        .agg(graft.functions.SketchAggs.bloomAgg(col("__v"),
+          expectedItemsPerFile, fpp).as("bloom")))
+    val keptOld = old.map(_.filter(col("file").isin(live.toSeq: _*)))
+    val next = (keptOld, fresh) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => return (0, 0)
+    }
+    // the index must be fully materialized BEFORE the overwrite deletes
+    // its own input (keptOld reads idxDir)
+    val pinned = next.coalesce(1).localCheckpoint()
+    pinned.write.mode("overwrite").parquet(idxDir)
+    (missing.size, stale.size)
+  }
+
+  /** Sidecar location for [[refreshBloomIndexTx]]. Lives OUTSIDE the
+    * table's `data/` tree, so vacuum/compaction never mistake it for a
+    * staging batch. */
+  def bloomIndexDirTx(tableDir: String, c: String): String =
+    s"$tableDir/_bloom_$c"
+
+  /** Point lookup on a TxTable through its incrementally-maintained
+    * sidecar: probe O(files) filters driver-side, plan ONLY surviving
+    * live files (partition columns re-materialize as in TxTable.read),
+    * re-check exactly. Files newer than the last refresh are not yet in
+    * the index — they are always scanned (no false negatives from
+    * index lag). */
+  def readBloomPrunedTx(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, c: String, value: String): DataFrame = {
+    import graft.merge.TxTable
+    val idxDir = bloomIndexDirTx(tableDir, c)
+    val live = TxTable.liveFilePaths(spark, tableDir).toSet
+    val rows = spark.read.parquet(idxDir).collect().toSeq
+    val indexed = rows.map(_.getAs[String]("file")).toSet
+    val hits = rows.filter(r => graft.functions.SketchAggs.bloomMightContain(
+      r.getAs[Array[Byte]]("bloom"), value)).map(_.getAs[String]("file"))
+    val unindexed = live -- indexed // index lag: must be scanned
+    val targets = (hits.toSet ++ unindexed) & live
+    TxTable.readFiles(spark, tableDir, targets) match {
+      case None => TxTable.read(spark, tableDir).get.limit(0)
+      case Some(df) => df.filter(col(c).cast("string") === value)
+    }
+  }
 }

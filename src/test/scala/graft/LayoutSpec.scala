@@ -132,6 +132,43 @@ class LayoutSpec extends SparkTestBase {
     assert(got == want && got.getLong(0) == 8 * 64)
   }
 
+  test("incremental bloom sidecar over a TxTable: refresh scans only new files, probes stay exact through appends and compaction") {
+    import graft.merge.TxTable
+    import spark.implicits._
+    val dir = tmpDir("bloomtx")
+    def batch(lo: Int, n: Int) =
+      (lo until lo + n).map(i => (s"uid-$i", i)).toDF("uid", "v").repartition(2)
+    TxTable.append(spark, dir, batch(0, 200))
+    // first refresh indexes both files of batch 1
+    assert(Layout.refreshBloomIndexTx(spark, dir, "uid", 200L) == ((2, 0)))
+    // converged: nothing to do
+    assert(Layout.refreshBloomIndexTx(spark, dir, "uid", 200L) == ((0, 0)))
+    // append → only the 2 NEW files are scanned/indexed
+    TxTable.append(spark, dir, batch(200, 200))
+    assert(Layout.refreshBloomIndexTx(spark, dir, "uid", 200L) == ((2, 0)))
+
+    def lookup(v: String) =
+      Layout.readBloomPrunedTx(spark, dir, "uid", v)
+        .select("uid", "v").as[(String, Int)].collect().toSet
+    assert(lookup("uid-137") == Set(("uid-137", 137)))
+    assert(lookup("uid-321") == Set(("uid-321", 321)))
+    assert(lookup("uid-99999").isEmpty)
+
+    // INDEX LAG safety: a batch appended after the refresh is always
+    // scanned (never a false negative), before any re-refresh
+    TxTable.append(spark, dir, batch(400, 50))
+    assert(lookup("uid-423") == Set(("uid-423", 423)))
+
+    // compaction rewrites the live set: refresh drops every stale row and
+    // indexes the compacted file(s); probes still exact
+    TxTable.compactData(spark, dir, targetPartitions = 1)
+    val (built, dropped) = Layout.refreshBloomIndexTx(spark, dir, "uid", 500L)
+    assert(built >= 1 && dropped == 4, s"built=$built dropped=$dropped")
+    assert(lookup("uid-137") == Set(("uid-137", 137)))
+    assert(lookup("uid-423") == Set(("uid-423", 423)))
+    assert(lookup("uid-99999").isEmpty)
+  }
+
   test("z-ordered rewrite preserves rows exactly (layout is a permutation)") {
     val orders = graft.model.Tables.load(spark, sf(), "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
