@@ -1598,6 +1598,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))),
 
+    // Aggregate FILTER clause (the standard-SQL form of q01's
+    // sum(CASE...) encoding) — including its composition with DISTINCT,
+    // which CASE cannot express without a second aggregation: all four
+    // aggregates still run in ONE partial+final pass.
+    "q131_filtered_agg" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders_q131")
+      s.sql("""
+        SELECT o_orderstatus,
+          CAST(count(*) AS BIGINT) AS n_all,
+          CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS n_urgent,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            AS DOUBLE) AS rev_hot,
+          CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+            AS BIGINT) AS big_buyers
+        FROM orders_q131 GROUP BY o_orderstatus""")
+    }),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT — top-2 nations
+    // per region as the dependent-join form (the rank-window and
+    // heap-aggregate forms are q111/q116; this is the SQL shape a
+    // switching user writes first). Tie-broken to full determinism.
+    "q132_lateral_topk" -> ((s, dir) => {
+      T(s, dir, "region").createOrReplaceTempView("region_q132")
+      T(s, dir, "nation").createOrReplaceTempView("nation_q132")
+      T(s, dir, "customer").createOrReplaceTempView("customer_q132")
+      s.sql("""
+        SELECT r.r_name, t.n_name, t.cnt
+        FROM region_q132 r,
+        LATERAL (SELECT n_name, CAST(count(*) AS BIGINT) AS cnt
+                 FROM nation_q132 n
+                 JOIN customer_q132 c ON c_nationkey = n_nationkey
+                 WHERE n_regionkey = r.r_regionkey
+                 GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 2) t""")
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -2935,6 +2972,28 @@ object SparkEntry {
         | CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
         |   AS k_max
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q131/q132: dialect-shared statements.
+    "q131_filtered_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |    AS BIGINT) AS n_urgent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |    AS DOUBLE) AS rev_hot,
+        |  CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+        |    AS BIGINT) AS big_buyers
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q132_lateral_topk" ->
+      """SELECT r.r_name, t.n_name, t.cnt
+        |FROM region r,
+        |LATERAL (SELECT n_name, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM nation n
+        |         JOIN customer c ON c_nationkey = n_nationkey
+        |         WHERE n_regionkey = r.r_regionkey
+        |         GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 2) t""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,
