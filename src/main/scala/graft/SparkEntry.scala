@@ -1635,6 +1635,31 @@ object SparkEntry {
                  GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 2) t""")
     }),
 
+    // UNPIVOT — the wide→long inverse of q33's pivot, as the native
+    // relational operator (each output row is a (id, name, value) triple;
+    // no shuffle at all: unpivot is a narrow per-row expansion, the
+    // aggregate upstream did the only exchange).
+    "q133_unpivot" -> ((s, dir) => {
+      val wide = T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("click"),
+          count(when(col("event_type") === "error", 1)).as("error"))
+      wide.unpivot(Array(col("user_id")),
+        Array(col("click"), col("error")), "event_type", "cnt")
+    }),
+
+    // Exact grouped median via the sort-based percentile aggregate — the
+    // exact twin of the KLL sketch path (q97): right when groups fit the
+    // aggregate buffer, replaced by the sketch at open-ended cardinality.
+    // Interpolation arithmetic is identical IEEE on both engines, so the
+    // halved midpoints replay bit-for-bit.
+    "q134_grouped_median" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"),
+          count(lit(1)).as("n"))),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -2994,6 +3019,25 @@ object SparkEntry {
         |         JOIN customer c ON c_nationkey = n_nationkey
         |         WHERE n_regionkey = r.r_regionkey
         |         GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 2) t""".stripMargin,
+
+    // q133: the long form re-derived with FILTER counts + UNION ALL.
+    "q133_unpivot" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |      AS click,
+        |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+        |      AS error
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, 'click' AS event_type, click AS cnt FROM p
+        |UNION ALL
+        |SELECT user_id, 'error' AS event_type, error AS cnt FROM p""".stripMargin,
+
+    // q134: quantile_cont is the same linear-interpolation definition.
+    "q134_grouped_median" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS med,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,
