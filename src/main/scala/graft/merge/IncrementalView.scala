@@ -69,20 +69,10 @@ object IncrementalView {
     if (applied.exists(_ >= srcHead)) return None
     val scheme = MergeSink.PartitionScheme.keyHash(keys, buckets)
 
-    def fullBuild(): Option[Refresh] = {
-      val snap = TxTable.read(spark, sourceDir).getOrElse {
-        return None // source committed but live set empty: nothing to view
-      }
-      val view = snap.groupBy(keys.map(col): _*)
-        .agg(aggExprs(sumCols).head, aggExprs(sumCols).tail: _*)
-        .withColumn(scheme.colName, scheme.expr)
-      TxTable.replace(spark, viewDir, view, Seq(scheme.colName),
-        Some(scheme.descriptor), txn = Some(MvApp -> srcHead))
-      Some(Refresh(applied.getOrElse(0L), srcHead, -1L, buckets, full = true))
-    }
-
     applied match {
-      case None => fullBuild()
+      case None =>
+        fullBuild(spark, sourceDir, viewDir, keys, sumCols, scheme,
+          srcHead, applied.getOrElse(0L), buckets)
       case Some(from) =>
         val changes = TxTable.readChanges(spark, sourceDir, from,
           Some(srcHead)).getOrElse {
@@ -146,9 +136,11 @@ object IncrementalView {
         // leaving its old rows live — squash via the full path instead
         // (rare: a bucket's every group deleted in one window).
         val survivingBuckets = surviving.select(scheme.colName).distinct().count()
-        if (survivingBuckets < touched.length) fullBuild().map(_.copy(
-          fromVersion = from, changedRows = changedRows,
-          touchedBuckets = touched.length))
+        if (survivingBuckets < touched.length)
+          fullBuild(spark, sourceDir, viewDir, keys, sumCols, scheme,
+            srcHead, from, buckets).map(_.copy(
+            fromVersion = from, changedRows = changedRows,
+            touchedBuckets = touched.length))
         else {
           TxTable.replacePartitionsBy(spark, viewDir, surviving,
             Seq(scheme.colName), Some(scheme.descriptor),
@@ -157,6 +149,29 @@ object IncrementalView {
             full = false))
         }
     }
+  }
+
+  /** Full materialization, reading the source AS OF `srcHead` — the same
+    * version the refresh commit stamps as its txn epoch. Reading head
+    * instead would bake a source commit that lands between headVersion()
+    * and the read into a view marked as-of the EARLIER version, and the
+    * next refresh would re-apply that commit's delta on top — double
+    * counting. Package-private so the race window is testable: callers
+    * pass a deliberately stale head and assert the snapshot honors it. */
+  private[graft] def fullBuild(spark: SparkSession, sourceDir: String,
+      viewDir: String, keys: Seq[String], sumCols: Seq[String],
+      scheme: MergeSink.PartitionScheme, srcHead: Long, from: Long,
+      buckets: Int): Option[Refresh] = {
+    val snap = TxTable.read(spark, sourceDir, asOf = Some(srcHead))
+      .getOrElse {
+        return None // source committed but live set empty: nothing to view
+      }
+    val view = snap.groupBy(keys.map(col): _*)
+      .agg(aggExprs(sumCols).head, aggExprs(sumCols).tail: _*)
+      .withColumn(scheme.colName, scheme.expr)
+    TxTable.replace(spark, viewDir, view, Seq(scheme.colName),
+      Some(scheme.descriptor), txn = Some(MvApp -> srcHead))
+    Some(Refresh(from, srcHead, -1L, buckets, full = true))
   }
 
   /** The source version the view at `viewDir` currently reflects. */

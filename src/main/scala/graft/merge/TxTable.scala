@@ -75,10 +75,20 @@ object TxTable {
     * compared in exact integer space) or `D` (float/double). Absent
     * columns are simply unprunable — safe by construction. */
   final case class ColStat(tag: String, min: String, max: String) {
-    def mayContain(lo: BigDecimal, hi: BigDecimal): Boolean = {
-      val mn = BigDecimal(min); val mx = BigDecimal(max)
-      !(mx < lo || mn > hi)
-    }
+    def mayContain(lo: BigDecimal, hi: BigDecimal): Boolean =
+      if (tag == "D") {
+        // Spark evaluates float predicates widened to DOUBLE
+        // (0.1f -> 0.10000000149...), so the skip decision must live in
+        // double space too: float envelopes are recorded pre-widened (see
+        // footerStats), bounds are rounded to nearest double here, and one
+        // outward ulp absorbs that rounding — a file can lose its pruning
+        // to an ulp, never a matching row.
+        val mn = Math.nextDown(min.toDouble); val mx = Math.nextUp(max.toDouble)
+        !(mx < lo.toDouble || mn > hi.toDouble)
+      } else {
+        val mn = BigDecimal(min); val mx = BigDecimal(max)
+        !(mx < lo || mn > hi)
+      }
   }
 
   /** One live data file: `path` relative to the table root; `part` is the
@@ -458,8 +468,16 @@ object TxTable {
             if (tag.isEmpty || !logicalOk || st == null || !st.hasNonNullValue)
               dropped += name
             else {
-              val (mn, mx) = (BigDecimal(st.genericGetMin.toString),
-                BigDecimal(st.genericGetMax.toString))
+              // FLOAT stats widen Float -> Double BEFORE stringifying:
+              // the shortest repr of a float ("0.1") parses to a different
+              // double than the widened value Spark compares against, and
+              // that gap is what would break mayContain's superset
+              // guarantee (see its scaladoc).
+              def bd(v: Any): BigDecimal = v match {
+                case f: java.lang.Float => BigDecimal(f.toDouble)
+                case other              => BigDecimal(other.toString)
+              }
+              val (mn, mx) = (bd(st.genericGetMin), bd(st.genericGetMax))
               acc.get(name) match {
                 case None => acc(name) = (tag, mn, mx)
                 case Some((t, lo, hi)) =>
@@ -593,14 +611,22 @@ object TxTable {
     // Spark, the union would coerce (string ∪ double → double) and only
     // blow up mid-scan on the first malformed cast — a silent-corruption
     // hazard for rows that DO happen to parse.
+    // Key by the session's resolution rules: under the default
+    // spark.sql.caseSensitive=false, unionByName matches 'Price' to
+    // 'price', so the guard must too — or the exact hazard it documents
+    // (silent cross-type coercion) walks through on a case difference.
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def keyOf(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     val seen = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.DataType]
     for (sch <- frames.map(_.schema); f <- sch.fields)
-      seen.get(f.name) match {
+      seen.get(keyOf(f.name)) match {
         case Some(t) => require(t == f.dataType,
           s"TxTable $dir: column '${f.name}' has conflicting types across " +
             s"batches ($t vs ${f.dataType}) — only ADDITIVE schema " +
             "evolution (new columns) is supported")
-        case None => seen(f.name) = f.dataType
+        case None => seen(keyOf(f.name)) = f.dataType
       }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -617,9 +643,11 @@ object TxTable {
     * clustering — skipping is only as good as the layout's min/max
     * tightness.
     *
-    * Bounds are compared EXACTLY (integer space for int/long/date-days/
-    * timestamp-micros columns, double for float columns) — callers
-    * convert temporal literals to the storage unit. Files without stats
+    * Bounds on integral columns (int/long/date-days/timestamp-micros)
+    * compare EXACTLY in integer space — callers convert temporal literals
+    * to the storage unit. Float/double columns compare in double space
+    * (float envelopes recorded pre-widened, one outward ulp on the
+    * envelope), matching how Spark itself evaluates float predicates. Files without stats
     * (pre-stats commits, unreadable footers, unsupported types) are
     * always kept, so the result is a superset of the matching rows; the
     * caller's own row filter stays in the plan as usual. Returns None

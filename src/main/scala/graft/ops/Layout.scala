@@ -39,8 +39,9 @@ object Layout {
 
   /** Min/max-scaled linear bucket of `c` into 2^bits cells. Replayable:
     * all-double IEEE arithmetic ((x−min)·2^bits, then one divide), floor,
-    * and the max row clamps into the top cell; a degenerate span (min ==
-    * max) collapses to cell 0. Linear bucketing is deliberate — quantile
+    * and out-of-range values clamp symmetrically into the boundary cells
+    * (below min → cell 0, the max row → top cell); a degenerate span
+    * (min == max) collapses to cell 0. Linear bucketing is deliberate — quantile
     * bucketing spreads skew better but needs a global sort or a sampled
     * (nondeterministic) boundary set; min/max costs one O(1) agg and keeps
     * the layout reproducible. */
@@ -50,8 +51,8 @@ object Layout {
   /** [[linearBucket]] for an arbitrary (non-power-of-two) cell count. */
   def linearBucketN(c: Column, cmin: Double, cmax: Double, cells: Long): Column =
     if (!(cmax > cmin)) lit(0L)
-    else least(lit(cells - 1),
-      floor((c.cast("double") - lit(cmin)) * lit(cells.toDouble) / lit(cmax - cmin)))
+    else greatest(lit(0L), least(lit(cells - 1),
+      floor((c.cast("double") - lit(cmin)) * lit(cells.toDouble) / lit(cmax - cmin))))
 
   /** `df` plus a z-value column derived from the ACTUAL min/max of the two
     * dimensions (one tiny agg, collected to four literals — the returned

@@ -487,12 +487,6 @@ object Streams {
     }
   }
 
-  /** Cast an NTZ event-time column to session-zoned TimestampType — the
-    * streaming twin of `Tables.load`'s normalization, because
-    * `withWatermark` rejects TIMESTAMP_NTZ outright
-    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and parquet corpora ship both
-    * encodings. No-op for TimestampType; the cast is the identity on stored
-    * wall-clocks under the engine's fixed UTC session. */
   /** Watermarked stream-stream interval join (Spark's stateful two-stream
     * join, the last streaming join shape the engine lacked): every left
     * event matches right events under `keyCond` whose timestamp falls in
@@ -512,6 +506,12 @@ object Streams {
           col(rTs) < col(lTs) + expr(s"INTERVAL $withinSec SECOND"))
   }
 
+  /** Cast an NTZ event-time column to session-zoned TimestampType — the
+    * streaming twin of `Tables.load`'s normalization, because
+    * `withWatermark` rejects TIMESTAMP_NTZ outright
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and parquet corpora ship both
+    * encodings. No-op for TimestampType; the cast is the identity on stored
+    * wall-clocks under the engine's fixed UTC session. */
   def normalizeEventTime(df: DataFrame, tsCol: String): DataFrame =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>

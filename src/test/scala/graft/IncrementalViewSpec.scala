@@ -92,4 +92,24 @@ class IncrementalViewSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("negative group count"), e.getMessage)
   }
+
+  test("full build reads the source AS OF the stamped version — a commit racing past headVersion() is never double-counted") {
+    val src = tmpDir("mv-race-src"); val view = tmpDir("mv-race-view")
+    TxTable.append(spark, src, df(("a", 2L, 0L)), Seq("pb"))
+    val v1 = TxTable.headVersion(spark, src).get
+    // the race: a second commit lands AFTER refresh captured srcHead = v1
+    // but BEFORE it reads the source — reproduced by building at the now-
+    // stale head (the window refresh itself cannot pause inside)
+    TxTable.append(spark, src, df(("a", 3L, 0L)), Seq("pb"))
+    val scheme = graft.merge.MergeSink.PartitionScheme.keyHash(Seq("grp"), 4)
+    IncrementalView.fullBuild(spark, src, view, Seq("grp"), Seq("qty"),
+      scheme, v1, 0L, 4).get
+    // the view reflects ONLY v1; the racing commit is not baked in early
+    assert(viewState(view) == Map("a" -> ((1L, 2L))))
+    // ...so the next refresh applies it exactly once
+    val r = IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4).get
+    assert(!r.full && viewState(view) == recompute(src))
+    assert(viewState(view) == Map("a" -> ((2L, 5L))))
+  }
 }

@@ -37,6 +37,16 @@ class LayoutSpec extends SparkTestBase {
     assert(degen == Set(0L))
   }
 
+  test("linearBucketN clamps BOTH boundary cells: below-min values land in bin 0, never bin -1") {
+    // driftMonitor's contract: out-of-range values clamp into the boundary
+    // cells, so a frozen-edge drift batch below the reference lo must count
+    // as bin-0 mass, not vanish into a negative bin
+    val df = Seq(-5.0, 0.0, 5.0, 10.0, 25.0).toDF("x")
+    val got = df.select(Layout.linearBucketN(col("x"), 0.0, 10.0, 4).as("b"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 2L, 3L, 3L))
+  }
+
   /** Per-file [min,max] of a column across the files written at `path` —
     * exactly the envelope parquet footer stats expose to the scan. */
   private def envelopes(path: String, c: String): Seq[(Double, Double)] = {

@@ -769,6 +769,39 @@ class TxTableSpec extends SparkTestBase {
       BigDecimal(120), BigDecimal(150)) == ((1, 3)))
   }
 
+  test("file-stats skipping on FLOAT columns compares in widened double space (0.1f stays findable)") {
+    import spark.implicits._
+    val dir = tmpDir("tx-float-stats")
+    // two single-file batches: one holding 0.1f — whose double widening
+    // 0.10000000149... exceeds the float's shortest decimal repr "0.1" —
+    // and one far away so pruning is still observable
+    TxTable.append(spark, dir,
+      Seq((1L, 0.1f), (2L, 0.2f)).toDF("id", "f").repartition(1))
+    TxTable.append(spark, dir,
+      Seq((3L, 9.0f), (4L, 9.5f)).toDF("id", "f").repartition(1))
+    // Spark evaluates `f = 0.1f` against the WIDENED double; the point
+    // query at that value must keep the file containing the row
+    val widened = BigDecimal(0.1f.toDouble)
+    assert(TxTable.skippingStats(spark, dir, "f", widened, widened) == ((1, 2)))
+    val got = TxTable.readSkipping(spark, dir, "f", widened, widened).get
+      .filter(col("f") === 0.1f).select("id").as[Long].collect()
+    assert(got.sameElements(Array(1L)))
+    // and the envelope still prunes: a disjoint range keeps nothing
+    assert(TxTable.readSkipping(spark, dir, "f",
+      BigDecimal(50), BigDecimal(60)).isEmpty)
+  }
+
+  test("conflicting types behind a case-differing name fail loudly under caseSensitive=false") {
+    import spark.implicits._
+    val dir = tmpDir("tx-case-conflict")
+    TxTable.append(spark, dir, Seq((1L, 9.5)).toDF("id", "price"))
+    // unionByName resolves case-insensitively by default, so 'Price'
+    // string would silently coerce into 'price' double without the guard
+    TxTable.append(spark, dir, Seq((2L, "cheap")).toDF("id", "Price"))
+    val e = intercept[IllegalArgumentException] { TxTable.read(spark, dir) }
+    assert(e.getMessage.contains("conflicting types"), e.getMessage)
+  }
+
   test("CHECK constraints: writes validated before staging, null passes, add-time scan, drop lifts, survives compactLog") {
     import spark.implicits._
     val dir = tmpDir("tx-check")
