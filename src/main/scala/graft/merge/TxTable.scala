@@ -3,7 +3,8 @@ package graft.merge
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
 
 /** Minimal commit-log table format — the transactional binding
   * [[MergeSink.writeReplace]]'s scaladoc promises, so M1/M2 merges stop
@@ -245,6 +246,13 @@ object TxTable {
       val drop = c.removedParts
       live.filterNot(_.part.exists(p => drop.exists(partMatches(p, _)))) ++
         c.files
+    case "rewrite" =>
+      // removedParts carries relative FILE paths for this action — the
+      // file-granular copy-on-write [[deleteWhere]]/[[updateWhere]] commit:
+      // exactly the files that held matching rows leave the live set,
+      // their rewritten successors join it
+      val drop = c.removedParts.toSet
+      live.filterNot(f => drop.contains(f.path)) ++ c.files
     case other => throw new java.io.IOException(
       s"corrupt commit $p: unknown action '$other'")
   }
@@ -600,12 +608,17 @@ object TxTable {
     * columns as null — the lakehouse "add column" path, with no table
     * rewrite. */
   private def framesFor(spark: SparkSession, dir: String,
-                        entries: Seq[FileEntry]): DataFrame = {
+                        entries: Seq[FileEntry],
+                        filePathCol: Option[String] = None): DataFrame = {
     val byBatch = entries.groupBy(_.path.split('/').take(2).mkString("/"))
     val frames = byBatch.toSeq.sortBy(_._1).map { case (batch, es) =>
-      spark.read
+      val f = spark.read
         .option("basePath", new Path(dir, batch).toString)
         .parquet(es.map(e => new Path(dir, e.path).toString): _*)
+      // tag rows with their source file BEFORE the union: _metadata columns
+      // resolve on a file relation, not reliably through Union
+      filePathCol.fold(f)(n =>
+        f.select(col("*"), col("_metadata.file_path").as(n)))
     }
     // Type conflicts must fail AT PLANNING with a clear message: left to
     // Spark, the union would coerce (string ∪ double → double) and only
@@ -967,6 +980,104 @@ object TxTable {
       Commit("replacePartitions", partColField(partCols), scheme, removed,
         files, txn.toSeq),
       expectedHead)
+  }
+
+  /** What a row-level [[deleteWhere]]/[[updateWhere]] did: rows matching
+    * the predicate, live files that held them (and were rewritten), and
+    * the live file total — `filesRewritten << filesLive` is the
+    * copy-on-write promise a caller can assert on. */
+  final case class RewriteStats(matchedRows: Long, filesRewritten: Int,
+                                filesLive: Int)
+
+  /** Row-level DELETE, copy-on-write (the Delta `DELETE FROM` shape):
+    * one filtered scan finds the live files holding rows that match
+    * `cond` (pushed filters + parquet row-group stats prune it like any
+    * read), ONLY those files are rewritten without the matching rows, and
+    * one atomic `rewrite` commit swaps them — untouched files are never
+    * read twice, rewritten, or moved. Cost is O(matching files), not
+    * O(table); at 100 TB a delete touching one day's files rewrites one
+    * day's files. Null predicate semantics follow SQL DELETE: a row is
+    * removed only when `cond` is TRUE (NULL keeps the row).
+    *
+    * Concurrency: the commit is pinned to the head version read at entry
+    * (or the caller's `expectedHead`), so an interleaved writer fails this
+    * delete loudly instead of being silently dropped — re-read and retry.
+    * Time travel below the commit still sees the deleted rows until
+    * [[vacuum]]; a rewritten-away file's bytes are reclaimed once no
+    * retained version references its staging batch. [[readChanges]] shows
+    * a rewrite as file-level delete+insert, so every surviving row in a
+    * touched file appears as a cancelling (delete, insert) pair —
+    * signed-delta consumers ([[IncrementalView]]) net it to zero. */
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column,
+                  expectedHead: Option[Long] = None,
+                  txn: Option[(String, Long)] = None): RewriteStats =
+    rewriteWhere(spark, dir, cond, expectedHead, txn) { (touched, hit) =>
+      touched.filter(!hit)
+    }
+
+  /** Row-level UPDATE, copy-on-write — [[deleteWhere]]'s mechanics with
+    * matching rows transformed instead of dropped: each `set` entry
+    * replaces column `c` with its expression (evaluated over the row,
+    * cast back to the column's type so the table schema never drifts) on
+    * rows where `cond` is TRUE; all other rows and all other files are
+    * byte-identical survivors. Updating a partition column is allowed —
+    * rewritten rows restage into their new fragments. CHECK constraints
+    * validate the rewritten files before staging, same as every write. */
+  def updateWhere(spark: SparkSession, dir: String, cond: Column,
+                  set: Map[String, Column],
+                  expectedHead: Option[Long] = None,
+                  txn: Option[(String, Long)] = None): RewriteStats = {
+    require(set.nonEmpty, "updateWhere needs >= 1 SET column")
+    rewriteWhere(spark, dir, cond, expectedHead, txn) { (touched, hit) =>
+      val missing = set.keySet -- touched.columns.toSet
+      require(missing.isEmpty,
+        s"updateWhere SET names unknown column(s) ${missing.mkString(", ")} " +
+          s"— table has ${touched.columns.mkString(", ")}")
+      touched.select(touched.columns.map { c =>
+        set.get(c)
+          .map(e => when(hit, e.cast(touched.schema(c).dataType))
+            .otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+  }
+
+  private def rewriteWhere(spark: SparkSession, dir: String, cond: Column,
+      expectedHead: Option[Long], txn: Option[(String, Long)])
+      (transform: (DataFrame, Column) => DataFrame): RewriteStats = {
+    val fs = hadoopFs(spark, dir)
+    val head = expectedHead.orElse(headVersion(spark, dir))
+    val (live, _) = replay(fs, dir)
+    if (live.isEmpty) return RewriteStats(0L, 0, 0)
+    val hit = coalesce(cond, lit(false))
+    // one filtered scan over the live set, rows tagged with their source
+    // file — output is bounded by |files|, never rows
+    val perFile = framesFor(spark, dir, live, Some("__graft_file"))
+      .filter(hit)
+      .groupBy(col("__graft_file")).agg(count(lit(1)).as("__n"))
+      .collect()
+    if (perFile.isEmpty) return RewriteStats(0L, 0, live.size)
+    val byAbs = live.map(e =>
+      fs.makeQualified(new Path(dir, e.path)).toString -> e).toMap
+    val touched = perFile.map { r =>
+      byAbs.getOrElse(r.getString(0), throw new IllegalStateException(
+        s"rewrite scan surfaced non-live file ${r.getString(0)} — " +
+          "concurrent vacuum below the retention window?"))
+    }.toSeq.sortBy(_.path)
+    val matched = perFile.map(_.getLong(1)).sum
+    val layouts = touched.map(_.part
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil))
+      .distinct
+    require(layouts.size == 1,
+      s"rewrite spans mixed partition layouts ${layouts.mkString("; ")} — " +
+        "rewrite the table with replace() to a single layout first")
+    val partCols = layouts.head
+    val next = transform(framesFor(spark, dir, touched), hit)
+    enforceConstraints(spark, dir, next)
+    val files = stage(spark, dir, next, partCols)
+    commit(fs, dir, Commit("rewrite", partColField(partCols), None,
+      touched.map(_.path), files, txn.toSeq), head)
+    RewriteStats(matched, touched.size, live.size)
   }
 
   /** Reclaim data files outside the retention window (superseded replaces,

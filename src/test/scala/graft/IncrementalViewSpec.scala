@@ -93,6 +93,25 @@ class IncrementalViewSpec extends SparkTestBase {
     assert(e.getMessage.contains("negative group count"), e.getMessage)
   }
 
+  test("refresh stays exact across a row-level deleteWhere — the rewrite's cancelling (delete, insert) pairs net to zero") {
+    val src = tmpDir("mv-del-src"); val view = tmpDir("mv-del-view")
+    TxTable.append(spark, src,
+      df(("a", 2L, 0L), ("a", 3L, 0L), ("b", 5L, 0L), ("c", 7L, 1L)),
+      Seq("pb"))
+    IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4)
+    // row-level delete: the rewritten file's SURVIVING rows flow through
+    // the change feed as delete+insert of identical rows — the signed
+    // delta must cancel them and apply only the true deletion
+    val st = TxTable.deleteWhere(spark, src, col("qty") === 3L)
+    assert(st.matchedRows == 1L)
+    val r = IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4).get
+    assert(!r.full && viewState(view) == recompute(src))
+    assert(viewState(view) == Map("a" -> ((1L, 2L)), "b" -> ((1L, 5L)),
+      "c" -> ((1L, 7L))))
+  }
+
   test("full build reads the source AS OF the stamped version — a commit racing past headVersion() is never double-counted") {
     val src = tmpDir("mv-race-src"); val view = tmpDir("mv-race-view")
     TxTable.append(spark, src, df(("a", 2L, 0L)), Seq("pb"))

@@ -769,6 +769,82 @@ class TxTableSpec extends SparkTestBase {
       BigDecimal(120), BigDecimal(150)) == ((1, 3)))
   }
 
+  test("deleteWhere: copy-on-write rewrites ONLY files holding matches; NULL keeps its row; time travel, compactLog, and OCC hold") {
+    import spark.implicits._
+    val dir = tmpDir("tx-delete")
+    // three single-file batches clustered on k: [0,100)+null, [100,200), [200,300)
+    val first = (0 until 100).map(i => (Option(i.toLong), s"r$i")) :+
+      ((None: Option[Long]) -> "rnull")
+    TxTable.append(spark, dir, first.toDF("k", "v").repartition(1))
+    for (base <- Seq(100, 200))
+      TxTable.append(spark, dir,
+        (base until base + 100).map(i => (Option(i.toLong), s"r$i"))
+          .toDF("k", "v").repartition(1))
+    val vBefore = TxTable.headVersion(spark, dir).get
+    val before = TxTable.liveFilePaths(spark, dir).toSet
+
+    val st = TxTable.deleteWhere(spark, dir,
+      col("k") >= 120L && col("k") < 130L)
+    assert(st == TxTable.RewriteStats(10L, 1, 3))
+    val now = TxTable.read(spark, dir).get
+    assert(now.count() == 291 &&
+      now.filter(col("k").between(120L, 129L)).count() == 0)
+    // the NULL-k row survives: DELETE removes only cond=TRUE rows
+    assert(now.filter(col("k").isNull).count() == 1)
+    // exactly one file left the live set — the other two are byte-identical
+    val after = TxTable.liveFilePaths(spark, dir).toSet
+    assert((before & after).size == 2 && (before -- after).size == 1)
+    // time travel below the rewrite still sees the deleted rows
+    assert(TxTable.read(spark, dir, asOf = Some(vBefore)).get.count() == 301)
+    // a no-match delete commits nothing
+    val head = TxTable.headVersion(spark, dir).get
+    assert(TxTable.deleteWhere(spark, dir, col("k") === -1L) ==
+      TxTable.RewriteStats(0L, 0, 3))
+    assert(TxTable.headVersion(spark, dir).get == head)
+    // OCC: a delete pinned to a stale head fails loudly, table unchanged
+    intercept[java.io.IOException] {
+      TxTable.deleteWhere(spark, dir, col("k") === 5L,
+        expectedHead = Some(vBefore))
+    }
+    assert(TxTable.read(spark, dir).get.count() == 291)
+    // the rewrite folds through log compaction
+    TxTable.compactLog(spark, dir, retainVersions = 0)
+    assert(TxTable.read(spark, dir).get.count() == 291)
+  }
+
+  test("updateWhere: matching rows transform in place, schema stays, constraints gate, partition-column moves restage") {
+    import spark.implicits._
+    val dir = tmpDir("tx-update")
+    TxTable.append(spark, dir,
+      Seq((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L)).toDF("id", "qty", "pb"),
+      Seq("pb"))
+    TxTable.setConstraint(spark, dir, "qty_pos", "qty >= 0")
+    def state() = TxTable.read(spark, dir).get.select("id", "qty", "pb")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+
+    val st = TxTable.updateWhere(spark, dir, col("id") === 2L,
+      Map("qty" -> (col("qty") + 5)))
+    assert(st.matchedRows == 1L && st.filesRewritten == 1)
+    assert(state() == Map(1L -> ((10L, 0L)), 2L -> ((25L, 0L)),
+      3L -> ((30L, 1L))))
+    // the int literal casts back to the column's LongType (schema stable)
+    assert(TxTable.read(spark, dir).get.schema("qty").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a CHECK-violating update is refused before staging
+    intercept[IllegalArgumentException] {
+      TxTable.updateWhere(spark, dir, col("id") === 1L, Map("qty" -> lit(-5)))
+    }
+    assert(state()(1L) == ((10L, 0L)))
+    // unknown SET column fails loudly
+    intercept[IllegalArgumentException] {
+      TxTable.updateWhere(spark, dir, col("id") === 1L, Map("nope" -> lit(1)))
+    }
+    // updating the partition column restages the row into its new fragment
+    TxTable.updateWhere(spark, dir, col("id") === 3L, Map("pb" -> lit(0L)))
+    val pb0 = TxTable.read(spark, dir, parts = Some(Set("pb=0"))).get
+    assert(pb0.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("file-stats skipping on FLOAT columns compares in widened double space (0.1f stays findable)") {
     import spark.implicits._
     val dir = tmpDir("tx-float-stats")
