@@ -1660,6 +1660,43 @@ object SparkEntry {
         .agg(expr("percentile(value, 0.5)").as("med"),
           count(lit(1)).as("n"))),
 
+    // Deterministic training-export sharding: a seeded md5 key gives every
+    // doc a reproducible position in a GLOBAL shuffle order (no RNG — the
+    // order replays bit-for-bit on any cluster), fixed-size shards come
+    // from the distributed global rank (range-partition + per-partition
+    // offsets, never a single-partition window), and the per-shard
+    // manifest is what an export job publishes next to the data. Pair with
+    // Corpus.writeSharded to actually lay the files out.
+    "q135_shard_manifest" -> ((s, dir) => {
+      val keyed = T(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat_ws("|", lit("shard"), col("doc_id").cast("string")))
+            .as("__k"))
+      graft.ext.Corpus.globalRank(keyed, Seq(col("__k"), col("doc_id")), "rn")
+        .withColumn("shard", floor((col("rn") - 1) / lit(250.0)).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
+    // Grouped categorical mode with a DETERMINISTIC tie-break (count desc,
+    // then value asc) — Spark's own mode() leaves ties unspecified, which
+    // can never cross-engine-hash; stated as count + per-group ranked
+    // window (partitioned by the group key, so the sort is per-user local,
+    // no global order).
+    "q136_grouped_mode" -> ((s, dir) => {
+      val c = T(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      c.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -3038,6 +3075,36 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS med,
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q135: both engines lowercase-hex md5 the same bytes, so the global
+    // shuffle order — and therefore every fixed-size shard boundary —
+    // replays exactly.
+    "q135_shard_manifest" ->
+      """WITH ranked AS (
+        | SELECT doc_id, n_chars,
+        |  row_number() OVER (
+        |    ORDER BY md5('shard|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |SELECT CAST((rn-1)//250 AS BIGINT) AS shard,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(min(doc_id) AS BIGINT) AS min_doc,
+        | CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM ranked GROUP BY 1""".stripMargin,
+
+    // q136: the tie-break (cnt DESC, event_type ASC) makes the mode a
+    // function of the data, not the engine.
+    "q136_grouped_mode" ->
+      """WITH c AS (
+        | SELECT user_id, event_type, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT user_id, event_type, cnt,
+        |  row_number() OVER (
+        |    PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk
+        | FROM c)
+        |SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,

@@ -506,6 +506,26 @@ object Streams {
           col(rTs) < col(lTs) + expr(s"INTERVAL $withinSec SECOND"))
   }
 
+  /** Streaming exact dedup with BOUNDED state — Spark's
+    * dropDuplicatesWithinWatermark. A duplicate arriving within `delay` of
+    * the watermark is dropped; a key's state is evicted once the watermark
+    * passes it, so state is O(events inside the horizon), never O(stream).
+    * The two alternatives both lose at scale: plain dropDuplicates on a
+    * stream keeps every key forever (the classic state leak), and the
+    * sink-side M4 merge ([[Sinks.appendDedup]]) is exact across any gap
+    * but pays a table merge per micro-batch. This is the in-flight middle:
+    * exact within the horizon, at-least-once beyond it — compose with an
+    * idempotent sink when end-to-end exactness must survive horizon-older
+    * redelivery. First occurrences emit immediately (append mode does not
+    * wait for the watermark). Accepts either timestamp encoding via
+    * [[normalizeEventTime]]. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], delay: String = "10 minutes"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupWithinWatermark needs >= 1 key column")
+    normalizeEventTime(events, tsCol).withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** Cast an NTZ event-time column to session-zoned TimestampType — the
     * streaming twin of `Tables.load`'s normalization, because
     * `withWatermark` rejects TIMESTAMP_NTZ outright

@@ -383,6 +383,35 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("dedupWithinWatermark: duplicated input collapses to one row per key with bounded state") {
+    val srcDir = tmpDir("ddw-src")
+    val events = Tables.load(spark, sf(), "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    // the same corpus written twice: every key arrives (at least) twice,
+    // possibly in different micro-batches
+    events.repartition(2).write.parquet(srcDir)
+    events.repartition(3).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val deduped = Streams.dedupWithinWatermark(
+      Streams.parquetStream(spark, srcDir, schema, maxFilesPerTrigger = 2),
+      "ts", Seq("event_id"),
+      // wider than the corpus's event-time span: no copy can fall outside
+      // the horizon, so the output must be EXACTLY one row per key
+      delay = "3650 days")
+    val outDir = tmpDir("ddw-out")
+    val q = deduped.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", tmpDir("ddw-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(outDir)
+    val n = events.count()
+    assert(got.count() == n, "one row per key, none lost")
+    assert(got.select("event_id").distinct().count() == n)
+  }
+
   test("stream-stream interval join equals the batch inequality join") {
     val srcDir = tmpDir("ssj-src")
     val events = Tables.load(spark, sf(), "events")
