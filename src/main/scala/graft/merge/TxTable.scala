@@ -1203,6 +1203,83 @@ object TxTable {
     }
   }
 
+  /** What [[compactSmallFiles]] did: small files packed away, files
+    * written in their place, and live files left untouched. */
+  final case class CompactStats(filesPacked: Int, filesWritten: Int,
+                                filesUntouched: Int)
+
+  /** Small-file compaction (the Delta OPTIMIZE bin-packing shape, and the
+    * incremental complement to [[compactData]]'s whole-table rewrite):
+    * pack live files SMALLER than `smallBytes` into ~`targetBytes` files,
+    * per partition fragment, in one atomic `rewrite` commit — files at or
+    * above the threshold are never read, rewritten, or moved. This is THE
+    * maintenance op for streaming-ingested tables: a micro-batch sink
+    * lands one small file per trigger, and after a day a scan plans
+    * thousands of tiny splits; packing is O(small bytes), so running it
+    * every N batches keeps read amplification flat while the big
+    * compacted files from previous runs are skipped as already-done.
+    * File sizes come from the driver's file-status metadata — O(live
+    * files) namenode calls, no data read for the decision. A fragment
+    * with fewer than two small files is left alone (nothing to gain).
+    * Readers pinned below the commit keep working until [[vacuum]], same
+    * as every rewrite. */
+  def compactSmallFiles(spark: SparkSession, dir: String,
+                        targetBytes: Long = 128L << 20,
+                        smallBytes: Long = 64L << 20,
+                        expectedHead: Option[Long] = None): CompactStats = {
+    require(targetBytes > 0 && smallBytes > 0,
+      s"targetBytes/smallBytes must be positive: $targetBytes/$smallBytes")
+    val fs = hadoopFs(spark, dir)
+    val head = expectedHead.orElse(headVersion(spark, dir))
+    val (live, _) = replay(fs, dir)
+    if (live.isEmpty) return CompactStats(0, 0, 0)
+    val sized = live.map(e =>
+      e -> fs.getFileStatus(new Path(dir, e.path)).getLen)
+    // pack only fragments holding >= 2 small files — a lone small file
+    // rewrites into itself, pure churn
+    val packable = sized.filter(_._2 < smallBytes)
+      .groupBy(_._1.part).filter(_._2.size >= 2)
+    if (packable.isEmpty)
+      return CompactStats(0, 0, live.size)
+    val touched = packable.values.flatten.map(_._1).toSeq.sortBy(_.path)
+    val layouts = touched.map(_.part
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil))
+      .distinct
+    require(layouts.size == 1,
+      s"compactSmallFiles spans mixed partition layouts ${layouts.mkString("; ")}")
+    val partCols = layouts.head
+    // first-fit-decreasing bin packing per fragment, driver-side over the
+    // (file, size) metadata: each bin targets `targetBytes`. Rows are then
+    // routed to their file's bin and repartitioned on the bin id, so each
+    // bin lands whole in one writer task — the staged file count is
+    // bounded by the bin count without any global sort. (A hash collision
+    // merges two bins into one task: same-fragment bins write one larger
+    // file, different fragments still split via partitionBy — either way
+    // never MORE files than bins.)
+    var nextBin = 0
+    val binOf: Map[String, Int] = packable.values.flatMap { es =>
+      val open = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      es.sortBy(-_._2).map { case (e, len) =>
+        val i = open.indexWhere(_._1 >= len)
+        val id =
+          if (i >= 0) { open(i) = (open(i)._1 - len, open(i)._2); open(i)._2 }
+          else { val b = nextBin; nextBin += 1
+                 open += ((targetBytes - len, b)); b }
+        fs.makeQualified(new Path(dir, e.path)).toString -> id
+      }
+    }.toMap
+    val binDf = spark.createDataFrame(binOf.toSeq).toDF("__graft_file", "__bin")
+    import org.apache.spark.sql.functions.broadcast
+    val df = framesFor(spark, dir, touched, Some("__graft_file"))
+      .join(broadcast(binDf), "__graft_file")
+      .repartition(math.max(1, nextBin), col("__bin"))
+      .drop("__graft_file", "__bin")
+    val files = stage(spark, dir, df, partCols)
+    commit(fs, dir, Commit("rewrite", partColField(partCols), None,
+      touched.map(_.path), files, Nil), head)
+    CompactStats(touched.size, files.size, live.size - touched.size)
+  }
+
   /** Bound replay cost for long-lived tables WITHOUT destroying the
     * history retention and time travel are computed from: write a
     * checkpoint of the live set at the retention cut (head −

@@ -845,6 +845,44 @@ class TxTableSpec extends SparkTestBase {
     assert(pb0.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("compactSmallFiles: six micro-batch files pack per fragment in one rewrite; the large file never moves") {
+    import spark.implicits._
+    val dir = tmpDir("tx-optimize")
+    // the streaming-sink shape: one tiny file per trigger, two fragments
+    for (i <- 0 until 6)
+      TxTable.append(spark, dir,
+        Seq((i.toLong, s"r$i", i % 2L)).toDF("id", "v", "pb"), Seq("pb"))
+    // one already-compacted file, bigger than the small threshold
+    TxTable.append(spark, dir,
+      (100 until 5100).map(i => (i.toLong, s"big$i", 0L))
+        .toDF("id", "v", "pb").repartition(1), Seq("pb"))
+    val before = TxTable.liveFilePaths(spark, dir).toSet
+    assert(before.size == 7)
+    val bigPath = before.maxBy(p =>
+      new java.io.File(new java.net.URI(p)).length)
+
+    val st = TxTable.compactSmallFiles(spark, dir,
+      targetBytes = 1L << 20, smallBytes = 5L << 10)
+    assert(st == TxTable.CompactStats(filesPacked = 6, filesWritten = 2,
+      filesUntouched = 1))
+    val after = TxTable.liveFilePaths(spark, dir).toSet
+    // the big file is byte-identical live; every small file left the set
+    assert((before & after) == Set(bigPath))
+    val now = TxTable.read(spark, dir).get
+    assert(now.count() == 5006)
+    assert(now.filter(col("id") < 6L).select("id", "v", "pb")
+      .as[(Long, String, Long)].collect().sorted.toSeq ==
+      (0 until 6).map(i => (i.toLong, s"r$i", i % 2L)))
+    // partition pruning still works on the packed layout
+    assert(TxTable.read(spark, dir, parts = Some(Set("pb=1"))).get
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    // below-threshold pass is a no-op: no commit, nothing churned
+    val head = TxTable.headVersion(spark, dir).get
+    assert(TxTable.compactSmallFiles(spark, dir, smallBytes = 1L) ==
+      TxTable.CompactStats(0, 0, after.size))
+    assert(TxTable.headVersion(spark, dir).get == head)
+  }
+
   test("file-stats skipping on FLOAT columns compares in widened double space (0.1f stays findable)") {
     import spark.implicits._
     val dir = tmpDir("tx-float-stats")
