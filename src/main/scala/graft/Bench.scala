@@ -70,7 +70,7 @@ object Bench {
     "q94_local_supplier_volume", "q95_large_orders",
     "q105_priority_sample", "q108_phrase_search", "q109_interval_overlap",
     "q111_topk_per_group", "q112_sparse_cosine", "q113_funnel",
-    "q116_trending", "q117_priority_sample_grouped")
+    "q116_trending", "q117_priority_sample_grouped", "q135_shard_manifest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1697,6 +1697,22 @@ object SparkEntry {
         .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))
     }),
 
+    // Time-based RANGE window frame — the per-event trailing-24h aggregate
+    // (the frame kind q23/q125's ROWS frames cannot express: the window is
+    // bounded by event-time DISTANCE, not row count). Ordering key is
+    // integer epoch micros on both engines, so frame boundaries replay
+    // exactly; RANGE includes ties as peers, which makes the result
+    // independent of tie order. Partitioned by user — no global sort.
+    "q137_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-86400000000L, 0L)
+      T(s, dir, "events").select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_24h"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_24h"))
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -3105,6 +3121,16 @@ object SparkEntry {
         | FROM c)
         |SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rk = 1""".stripMargin,
+
+    // q137: identical integer-micros ordering key and frame bound; the
+    // decimal-exact sum keeps the trailing aggregate hashable.
+    "q137_range_frame" ->
+      """SELECT user_id, event_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_24h,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        | RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,

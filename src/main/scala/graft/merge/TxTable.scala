@@ -1203,6 +1203,34 @@ object TxTable {
     }
   }
 
+  /** Restore the table to the live state of `version` — the Delta RESTORE
+    * command, metadata-only: the restored version's file entries are
+    * re-committed as a new `replace`, so NOT ONE data byte is copied and
+    * the restore itself stays time-travelable (restoring a restore works,
+    * and the mistake that prompted it remains inspectable above the
+    * floor). `version` must be at or above the vacuum retention floor —
+    * below it the files may be reclaimed, and [[read]]'s own asOf fence
+    * rejects it loudly before any commit. The new commit is OCC-pinned to
+    * the head read at entry: a concurrent writer fails the restore rather
+    * than being silently rolled back. */
+  def restore(spark: SparkSession, dir: String, version: Long,
+              expectedHead: Option[Long] = None): Unit = {
+    val fs = hadoopFs(spark, dir)
+    val head = expectedHead.orElse(headVersion(spark, dir))
+    for (floor <- readFloor(fs, dir))
+      require(version >= floor,
+        s"restore to $version predates the vacuum retention floor $floor " +
+          s"for $dir — those files may already be reclaimed")
+    require(listCommits(fs, dir).exists(_._1 == version) ||
+      listCheckpoints(fs, dir).exists(_._1 == version),
+      s"restore target $version is not a committed version of $dir")
+    val (entries, scheme) = replay(fs, dir, Some(version))
+    commit(fs, dir, Commit("replace",
+      entries.flatMap(_.part).headOption
+        .map(_.split('/').map(_.takeWhile(_ != '=')).mkString(",")),
+      scheme, Nil, entries), head)
+  }
+
   /** What [[compactSmallFiles]] did: small files packed away, files
     * written in their place, and live files left untouched. */
   final case class CompactStats(filesPacked: Int, filesWritten: Int,
@@ -1222,10 +1250,20 @@ object TxTable {
     * files) namenode calls, no data read for the decision. A fragment
     * with fewer than two small files is left alone (nothing to gain).
     * Readers pinned below the commit keep working until [[vacuum]], same
-    * as every rewrite. */
+    * as every rewrite.
+    *
+    * `sortCols` clusters rows INSIDE each packed file (the sort is
+    * partition-local, no extra shuffle): micro-batch rows arrive in
+    * arrival order, so an unsorted packed file's parquet row groups all
+    * span the whole key range and row-group skipping reads everything;
+    * sorted, a point query touches one row group. (File-LEVEL envelopes
+    * still reflect which source files shared a bin — re-cluster across
+    * files with [[graft.ops.Layout.writeZOrdered]]-style rewrites when
+    * file pruning is the goal.) */
   def compactSmallFiles(spark: SparkSession, dir: String,
                         targetBytes: Long = 128L << 20,
                         smallBytes: Long = 64L << 20,
+                        sortCols: Seq[String] = Nil,
                         expectedHead: Option[Long] = None): CompactStats = {
     require(targetBytes > 0 && smallBytes > 0,
       s"targetBytes/smallBytes must be positive: $targetBytes/$smallBytes")
@@ -1270,10 +1308,16 @@ object TxTable {
     }.toMap
     val binDf = spark.createDataFrame(binOf.toSeq).toDF("__graft_file", "__bin")
     import org.apache.spark.sql.functions.broadcast
-    val df = framesFor(spark, dir, touched, Some("__graft_file"))
+    val shaped = framesFor(spark, dir, touched, Some("__graft_file"))
       .join(broadcast(binDf), "__graft_file")
       .repartition(math.max(1, nextBin), col("__bin"))
       .drop("__graft_file", "__bin")
+    // partCols prefix the sort so the partitioned writer's own required
+    // ordering is already satisfied and the clustering survives the write
+    val df =
+      if (sortCols.isEmpty) shaped
+      else shaped.sortWithinPartitions(
+        ((partCols ++ sortCols).distinct).map(col): _*)
     val files = stage(spark, dir, df, partCols)
     commit(fs, dir, Commit("rewrite", partColField(partCols), None,
       touched.map(_.path), files, Nil), head)

@@ -413,4 +413,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("session_window"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("q135: the global shard rank plans WITHOUT a single-partition exchange") {
+    // the scale property of the shard manifest: rank comes from
+    // range-partition + per-partition offsets, so a 10B-doc corpus ranks
+    // across all shuffle partitions — a Window with no PARTITION BY would
+    // show up here as Exchange SinglePartition and serialize the table
+    // (the range shuffle itself lives inside globalRank's eagerly-executed
+    // localCheckpoint, so the visible plan starts at Scan ExistingRDD —
+    // what must hold HERE is that the rank window is partitioned by the
+    // range-partition id, never a global Window/Sort)
+    val p = plan("q135_shard_manifest")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+  }
+
+  test("q136: the mode window is partitioned by the group key, never global") {
+    val p = plan("q136_grouped_mode")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }

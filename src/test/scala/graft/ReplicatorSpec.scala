@@ -72,4 +72,23 @@ class ReplicatorSpec extends SparkTestBase {
     // and the mark advanced: the next sync is a clean no-op
     assert(Replicator.sync(spark, src, dst, keys).isEmpty)
   }
+
+  test("replica tracks a row-level deleteWhere/updateWhere — rewrite commits collapse to the true net change") {
+    val src = tmpDir("rep-rw-src"); val dst = tmpDir("rep-rw-dst")
+    val keys = Seq("k")
+    TxTable.append(spark, src, df((1, "a1", 0), (2, "b1", 0), (3, "c1", 1)),
+      Seq("pb"))
+    Replicator.sync(spark, src, dst, keys)
+    // one rewrite deletes k=2; its file's SURVIVOR (k=1) rides the feed as
+    // a delete+insert pair the keyed collapse must net to a same-value
+    // update, not a spurious delete
+    TxTable.deleteWhere(spark, src, col("k") === 2)
+    assert(Replicator.sync(spark, src, dst, keys).isDefined)
+    assert(contents(dst) == contents(src))
+    assert(contents(dst) == Map(1 -> "a1", 3 -> "c1"))
+    // and an in-place update replicates as an update
+    TxTable.updateWhere(spark, src, col("k") === 3, Map("v" -> lit("c2")))
+    assert(Replicator.sync(spark, src, dst, keys).isDefined)
+    assert(contents(dst) == Map(1 -> "a1", 3 -> "c2"))
+  }
 }

@@ -845,6 +845,38 @@ class TxTableSpec extends SparkTestBase {
     assert(pb0.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("restore: metadata-only rollback to a retained version; the rollback itself stays time-travelable and OCC-pinned") {
+    import spark.implicits._
+    val dir = tmpDir("tx-restore")
+    TxTable.append(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    val v1 = TxTable.headVersion(spark, dir).get
+    val v1Paths = TxTable.liveFilePaths(spark, dir).toSet
+    TxTable.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))
+    TxTable.deleteWhere(spark, dir, col("id") === 1L)
+    val preRestore = TxTable.headVersion(spark, dir).get
+    def ids() = TxTable.read(spark, dir).get.select("id")
+      .as[Long].collect().toSet
+    assert(ids() == Set(2L))
+
+    TxTable.restore(spark, dir, v1)
+    assert(ids() == Set(1L))
+    // metadata-only: the restored live set IS v1's original files
+    assert(TxTable.liveFilePaths(spark, dir).toSet == v1Paths)
+    // the mistake stays inspectable above the floor
+    assert(TxTable.read(spark, dir, asOf = Some(preRestore)).get
+      .select("id").as[Long].collect().toSet == Set(2L))
+    // a version that never existed is refused loudly
+    intercept[IllegalArgumentException] {
+      TxTable.restore(spark, dir, 999L)
+    }
+    // OCC: a restore pinned to a stale head fails instead of silently
+    // rolling back the interleaved write
+    intercept[java.io.IOException] {
+      TxTable.restore(spark, dir, v1, expectedHead = Some(v1))
+    }
+    assert(ids() == Set(1L))
+  }
+
   test("compactSmallFiles: six micro-batch files pack per fragment in one rewrite; the large file never moves") {
     import spark.implicits._
     val dir = tmpDir("tx-optimize")
@@ -881,6 +913,28 @@ class TxTableSpec extends SparkTestBase {
     assert(TxTable.compactSmallFiles(spark, dir, smallBytes = 1L) ==
       TxTable.CompactStats(0, 0, after.size))
     assert(TxTable.headVersion(spark, dir).get == head)
+  }
+
+  test("compactSmallFiles sortCols: rows inside each packed file come out clustered") {
+    import spark.implicits._
+    val dir = tmpDir("tx-optimize-sort")
+    // four interleaved micro-files: arrival order is maximally unsorted
+    for (i <- 0 until 4)
+      TxTable.append(spark, dir,
+        (i until 400 by 4).map(j => (j.toLong, s"r$j")).toDF("k", "v")
+          .repartition(1))
+    val st = TxTable.compactSmallFiles(spark, dir,
+      targetBytes = 1L << 20, smallBytes = 1L << 20, sortCols = Seq("k"))
+    assert(st.filesPacked == 4)
+    val rows = TxTable.read(spark, dir).get.select("k")
+      .as[Long].collect().sorted
+    assert(rows.toSeq == (0L until 400L))
+    // every packed file is internally sorted on k — the row-group
+    // clustering the scaladoc promises
+    for (p <- TxTable.liveFilePaths(spark, dir)) {
+      val ks = spark.read.parquet(p).select("k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"unsorted packed file $p")
+    }
   }
 
   test("file-stats skipping on FLOAT columns compares in widened double space (0.1f stays findable)") {
