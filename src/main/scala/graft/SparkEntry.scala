@@ -1713,6 +1713,31 @@ object SparkEntry {
           .cast("double").as("sum_24h"))
     }),
 
+    // Quality-aware dedup resolution: inside each q64 near-dup cluster,
+    // KEEP the doc with the most content (n_chars desc, doc_id asc
+    // tie-break) and count what gets dropped — the curation step after
+    // clustering, where "remove duplicates" must pick a canonical survivor
+    // instead of an arbitrary one (LLM-data pipelines keep the longest
+    // near-dup for exactly this reason). Ranking is a per-cluster window —
+    // no global sort; cluster sizes bound each partition.
+    "q138_dedup_keep_best" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.portableNearDups(docs, "doc_id", "text"))
+      val members = clusters
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val kept = members.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+          col("n_chars").as("kept_chars"))
+      val sizes = members.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      kept.join(sizes, "cluster_id")
+        .withColumn("n_dropped", col("n_members") - 1)
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -3131,6 +3156,56 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         | RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // q138: q64's component pipeline (same CTE chain) extended with the
+    // ranked keep-best selection — survivor choice is value-checked, not
+    // just cluster membership.
+    "q138_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS t
+        | FROM documents WHERE doc_id < 500),
+        |mins AS (
+        | SELECT doc_id, r.i,
+        |  min(substr(md5(CAST(r.i AS VARCHAR) || '|' || t), 1, 16)) AS h
+        | FROM toks CROSS JOIN range(32) r(i) GROUP BY doc_id, r.i),
+        |sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, b.b AS band_id,
+        |  md5(array_to_string(sig[b.b*8+1 : b.b*8+8], ',')) AS band_hash
+        | FROM sigs CROSS JOIN range(4) b(b)),
+        |pairs AS (
+        | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        | FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |  AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+        |est AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |   CAST(len(list_filter(generate_series(1, 32),
+        |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/32 AS est_jaccard
+        |  FROM pairs p
+        |  JOIN sigs sa ON sa.doc_id = p.doc_a
+        |  JOIN sigs sb ON sb.doc_id = p.doc_b) z
+        | WHERE est_jaccard >= 0.6),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM est
+        |          UNION ALL SELECT doc_b, doc_a FROM est),
+        |reach(doc_id, m) AS (
+        | SELECT DISTINCT u, u FROM edges
+        | UNION
+        | SELECT e.u, reach.m FROM edges e JOIN reach ON reach.doc_id = e.v),
+        |clusters AS (SELECT doc_id, min(m) AS cluster_id FROM reach GROUP BY doc_id),
+        |members AS (
+        | SELECT c.cluster_id, c.doc_id, d.n_chars
+        | FROM clusters c JOIN documents d USING (doc_id)),
+        |ranked AS (
+        | SELECT cluster_id, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+        | FROM members),
+        |sizes AS (
+        | SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM members GROUP BY 1)
+        |SELECT r.cluster_id, r.doc_id AS kept_doc, CAST(r.n_chars AS BIGINT) AS kept_chars,
+        | s.n_members, s.n_members - 1 AS n_dropped
+        |FROM ranked r JOIN sizes s USING (cluster_id) WHERE rk = 1""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,

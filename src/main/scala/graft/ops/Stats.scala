@@ -126,10 +126,12 @@ object Stats {
     * Output: (bin, n, lo, hi) — per-cell count and REAL value bounds;
     * consecutive cells may share a boundary value when ties straddle.
     *
-    * Scale note: exact global rank is a total sort (one unpartitioned
-    * window here — fine at test SF; a 100 TB profile swaps the edges to
-    * approx_percentile/KLL and keeps this exact form for validation, the
-    * `exactDistinct=false` convention of [[columnProfile]]). */
+    * Scale note: the exact global rank comes from the distributed
+    * range-partition + per-partition-offset form ([[graft.ext.Corpus]]'s
+    * globalRank — no single-partition window anywhere), so even the exact
+    * profile scales across shuffle partitions; a 100 TB profile still
+    * usually prefers the approx_percentile/KLL edges
+    * ([[histogramEquiDepthSketch]]) to skip the range sort entirely. */
   def histogramEquiDepth(df: DataFrame, c: String, bins: Int,
       tieBreak: Column): DataFrame = {
     require(bins > 0, s"bins must be positive: $bins")
@@ -137,8 +139,7 @@ object Stats {
       .select(col(c).cast("double").as("x"), tieBreak.as("__t"))
     val n = nn.count()
     require(n > 0, s"histogramEquiDepth($c): empty input")
-    val w = Window.orderBy(col("x"), col("__t"))
-    nn.withColumn("__rn", row_number().over(w))
+    graft.ext.Corpus.globalRank(nn, Seq(col("x"), col("__t")), "__rn")
       .withColumn("bin", expr(s"((__rn - 1) * $bins) DIV ${n}L"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
