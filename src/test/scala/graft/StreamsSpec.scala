@@ -42,6 +42,40 @@ class StreamsSpec extends SparkTestBase {
     assert(TxTable.read(spark, sinkDir).get.count() == n + 7)
   }
 
+  test("micro-batch sink + compactSmallFiles: packing mid-stream never breaks exactly-once or loses a row") {
+    import graft.merge.TxTable
+    val srcDir = tmpDir("opt-src"); val sinkDir = tmpDir("opt-sink")
+    val rows = Tables.load(spark, sf(), "events")
+      .select("event_id", "user_id").limit(200)
+    rows.repartition(8).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val handler = Streams.Sinks.txAppendOnce(sinkDir, "opt-app")
+    // phase 1: one tiny file per trigger — the small-file problem
+    val q = Streams.toMergeSink(
+      Streams.parquetStream(spark, srcDir, schema, maxFilesPerTrigger = 1),
+      tmpDir("opt-ck"), Trigger.AvailableNow())(handler)
+    q.awaitTermination(120000)
+    val filesBefore = TxTable.liveFilePaths(spark, sinkDir).size
+    assert(filesBefore >= 8, s"expected fragmentation, got $filesBefore")
+    // maintenance between triggers: pack everything, clustered on the key
+    val st = TxTable.compactSmallFiles(spark, sinkDir,
+      targetBytes = 1L << 20, smallBytes = 1L << 20,
+      sortCols = Seq("event_id"))
+    assert(st.filesPacked == filesBefore)
+    assert(TxTable.liveFilePaths(spark, sinkDir).size < filesBefore)
+    assert(TxTable.read(spark, sinkDir).get.count() == 200)
+    // the txn high-water survives packing: a full checkpoint-loss replay
+    // after the rewrite still lands ZERO duplicates
+    val q2 = Streams.toMergeSink(
+      Streams.parquetStream(spark, srcDir, schema, maxFilesPerTrigger = 1),
+      tmpDir("opt-ck2"), Trigger.AvailableNow())(handler)
+    q2.awaitTermination(120000)
+    assert(TxTable.read(spark, sinkDir).get.count() == 200)
+    // and the stream keeps appending normally after the pack
+    handler(spark, rows.limit(5).toDF, 8888L)
+    assert(TxTable.read(spark, sinkDir).get.count() == 205)
+  }
+
   test("txAppendOnce + IncrementalView refresh per micro-batch: streaming aggregate view ≡ recompute") {
     import graft.merge.{IncrementalView, TxTable}
     import org.apache.spark.sql.{DataFrame, SparkSession}

@@ -845,6 +845,37 @@ class TxTableSpec extends SparkTestBase {
     assert(pb0.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("racing row-level rewrites: exactly one deleteWhere wins the slot, the loser fails loudly, no row lost twice") {
+    import spark.implicits._
+    val dir = tmpDir("tx-rewrite-race")
+    TxTable.append(spark, dir,
+      (0 until 100).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+        .repartition(1))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    // both deletes target the SAME file; both pin the same head — the
+    // rewrite computed against a state another rewrite just replaced must
+    // fail, or one delete's surviving rows would resurrect the other's
+    // deleted ones
+    val h0 = TxTable.headVersion(spark, dir)
+    def del(lo: Long, hi: Long) = Future {
+      try Some(TxTable.deleteWhere(spark, dir,
+        col("k") >= lo && col("k") < hi, expectedHead = h0))
+      catch { case _: java.io.IOException => None }
+    }
+    val (a, b) = (del(0L, 10L), del(50L, 60L))
+    val results = Seq(Await.result(a, 120.seconds),
+      Await.result(b, 120.seconds))
+    val wins = results.flatten
+    assert(wins.size == 1, s"exactly one rewrite must land, got $results")
+    assert(wins.head.matchedRows == 10L)
+    assert(TxTable.read(spark, dir).get.count() == 90)
+    pool.shutdown()
+  }
+
   test("restore: metadata-only rollback to a retained version; the rollback itself stays time-travelable and OCC-pinned") {
     import spark.implicits._
     val dir = tmpDir("tx-restore")
