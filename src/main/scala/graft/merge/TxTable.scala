@@ -1082,7 +1082,9 @@ object TxTable {
 
   /** Reclaim data files outside the retention window (superseded replaces,
     * crash-orphaned staging). Maintenance-cycle work, never the hot path.
-    * Returns the number of staging dirs deleted.
+    * Returns the number of staging dirs plus individually reclaimed files
+    * deleted (rewrite-retired files inside still-live batches reclaim
+    * file-by-file — see the in-body note).
     *
     * `retainVersions`: keep every file referenced by the live set of any of
     * the last N commits — a reader that resolved file paths at one of those
@@ -1119,6 +1121,18 @@ object TxTable {
           else now - st.getModificationTime >= minOrphanAgeMs
         }
       }
+      // FILE-granular reclaim inside still-live batches: a row-level
+      // rewrite ([[deleteWhere]]/[[compactSmallFiles]]) retires individual
+      // files whose batch keeps other live siblings — batch-level deletion
+      // alone would pin those dead bytes for as long as ONE sibling stays
+      // live. A file referenced by no retained live set is unreachable to
+      // any retention-respecting reader, so it reclaims exactly like a
+      // dead batch (and fences the floor the same way).
+      def paths(s: Seq[(Long, Vector[FileEntry])]) =
+        s.flatMap(_._2.map(_.path)).toSet
+      val deadFiles = (paths(sets) -- paths(retained))
+        .filter(p => keep.contains(p.split('/')(1))).toSeq.sorted
+      if (deadFiles.nonEmpty) removedCommitted = true
       // floor BEFORE the destructive deletes: the floor is monotonic and
       // idempotent, so advancing it for a delete that never happens is
       // harmless — whereas deleting first leaves a crash window where an
@@ -1129,7 +1143,8 @@ object TxTable {
         if (oldest > prior) writeFloor(fs, dir, oldest)
       }
       stale.foreach(st => fs.delete(st.getPath, true))
-      stale.size
+      deadFiles.foreach(p => fs.delete(new Path(dir, p), false))
+      stale.size + deadFiles.size
     }
   }
 

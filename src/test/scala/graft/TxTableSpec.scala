@@ -845,6 +845,31 @@ class TxTableSpec extends SparkTestBase {
     assert(pb0.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("vacuum reclaims rewrite-retired files inside still-live batches, file by file") {
+    import spark.implicits._
+    val dir = tmpDir("tx-vacuum-files")
+    // ONE batch, two files (pb=0, pb=1): the rewrite retires only pb=0's
+    // file, so the batch stays live and batch-level vacuum alone would
+    // pin the dead bytes forever
+    TxTable.append(spark, dir,
+      Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("id", "v", "pb"), Seq("pb"))
+    val before = TxTable.liveFilePaths(spark, dir).toSet
+    TxTable.deleteWhere(spark, dir, col("id") === 1L)
+    val retired = (before -- TxTable.liveFilePaths(spark, dir).toSet).toSeq
+    assert(retired.size == 1)
+    val retiredFile = new java.io.File(new java.net.URI(retired.head))
+    assert(retiredFile.exists, "bytes linger until vacuum — time travel works")
+    assert(TxTable.read(spark, dir, asOf = Some(1L)).get.count() == 2)
+    val reclaimed = TxTable.vacuum(spark, dir, retainVersions = 1)
+    assert(reclaimed >= 1 && !retiredFile.exists, s"reclaimed=$reclaimed")
+    // survivors unharmed, floor fences the pre-rewrite version
+    assert(TxTable.read(spark, dir).get.select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+    intercept[IllegalArgumentException] {
+      TxTable.read(spark, dir, asOf = Some(1L))
+    }
+  }
+
   test("racing row-level rewrites: exactly one deleteWhere wins the slot, the loser fails loudly, no row lost twice") {
     import spark.implicits._
     val dir = tmpDir("tx-rewrite-race")
