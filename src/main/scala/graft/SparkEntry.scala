@@ -1738,6 +1738,29 @@ object SparkEntry {
         .withColumn("n_dropped", col("n_members") - 1)
     }),
 
+    // Exact WEIGHTED median (the robust-statistics twin of q134's unit-
+    // weight median): smallest price whose cumulative quantity reaches
+    // half the group's total. Weights cast to exact integers so the
+    // running-sum comparison can never ulp-flip at the cut; the window is
+    // per-group (partitioned running sum + one per-group total), the
+    // cut row is picked with a plain min — no second sort.
+    "q139_weighted_median" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"), col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_orderkey"), col("l_linenumber"))
+      val order = Window.partitionBy(col("flag"))
+        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("flag"))
+      li.withColumn("cum", sum(col("qty")).over(order))
+        .withColumn("tot", sum(col("qty")).over(whole))
+        .filter(lit(2) * col("cum") >= col("tot"))
+        .groupBy(col("flag"))
+        .agg(min(col("price")).as("w_median"),
+          min(col("tot")).as("total_weight"))
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -3206,6 +3229,24 @@ object SparkEntry {
         |SELECT r.cluster_id, r.doc_id AS kept_doc, CAST(r.n_chars AS BIGINT) AS kept_chars,
         | s.n_members, s.n_members - 1 AS n_dropped
         |FROM ranked r JOIN sizes s USING (cluster_id) WHERE rk = 1""".stripMargin,
+
+    // q139: identical running-sum formulation; integer weights make the
+    // half-total cut exact on both engines.
+    "q139_weighted_median" ->
+      """WITH t AS (
+        | SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |  CAST(l_quantity AS BIGINT) AS qty, l_orderkey, l_linenumber
+        | FROM lineitem),
+        |c AS (
+        | SELECT flag, price, qty,
+        |  sum(qty) OVER (PARTITION BY flag
+        |    ORDER BY price, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(qty) OVER (PARTITION BY flag) AS tot
+        | FROM t)
+        |SELECT flag, min(price) AS w_median,
+        | CAST(min(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE 2*cum >= tot GROUP BY flag""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,
