@@ -199,6 +199,66 @@ class TxTableSpec extends SparkTestBase {
       assert(readSet(asOf = Some(v)) == snap, s"time travel to v$v diverged")
   }
 
+  test("randomized model WITH row-level rewrites: delete/update/pack interleave with writes; time travel and restore stay exact") {
+    val dir = tmpDir("tx-model-rw")
+    val rnd = new scala.util.Random(11)
+    var nextK = 0L
+    def rows(n: Int): Seq[(Long, Double, Int)] =
+      (1 to n).map { _ => nextK += 1
+        (nextK, rnd.nextInt(1000).toDouble, rnd.nextInt(3)) }
+    def df(rs: Seq[(Long, Double, Int)]) = rs.toDF("k", "v", "p")
+    var model = Set.empty[(Long, Double, Int)]
+    val history = Seq.newBuilder[(Long, Set[(Long, Double, Int)])]
+    def readSet(asOf: Option[Long] = None): Set[(Long, Double, Int)] =
+      TxTable.read(spark, dir, asOf = asOf)
+        .map(_.select("k", "v", "p").as[(Long, Double, Int)].collect().toSet)
+        .getOrElse(Set.empty)
+
+    for (i <- 1 to 24) {
+      rnd.nextInt(6) match {
+        case 0 =>
+          val rs = rows(1 + rnd.nextInt(5))
+          TxTable.replace(spark, dir, df(rs), Seq("p"))
+          model = rs.toSet
+        case 1 =>
+          val rs = rows(1 + rnd.nextInt(5))
+          TxTable.append(spark, dir, df(rs), Seq("p"))
+          model = model ++ rs
+        case 2 =>
+          val rs = rows(1 + rnd.nextInt(5))
+          val touched = rs.map(_._3).toSet
+          TxTable.replacePartitions(spark, dir, df(rs), "p")
+          model = model.filterNot(r => touched(r._3)) ++ rs
+        case 3 if model.nonEmpty => // row-level delete of a (range, fragment)
+          val ks = model.map(_._1).toSeq.sorted
+          val cut = ks(rnd.nextInt(ks.size)); val pr = rnd.nextInt(3)
+          TxTable.deleteWhere(spark, dir, col("k") <= cut && col("p") === pr)
+          model = model.filterNot(r => r._1 <= cut && r._3 == pr)
+        case 4 if model.nonEmpty => // row-level update of one key
+          val ks = model.map(_._1).toSeq.sorted
+          val target = ks(rnd.nextInt(ks.size))
+          TxTable.updateWhere(spark, dir, col("k") === target,
+            Map("v" -> (col("v") + lit(1000.0))))
+          model = model.map(r =>
+            if (r._1 == target) (r._1, r._2 + 1000.0, r._3) else r)
+        case 5 => // pure layout op: packing must never change contents
+          TxTable.compactSmallFiles(spark, dir,
+            targetBytes = 1L << 20, smallBytes = 1L << 20)
+        case _ => // delete/update drawn on an empty model: no-op round
+      }
+      assert(readSet() == model, s"op $i diverged")
+      TxTable.versions(spark, dir).lastOption.foreach(v =>
+        history += ((v, model)))
+    }
+    val snaps = history.result()
+    for ((v, snap) <- snaps)
+      assert(readSet(asOf = Some(v)) == snap, s"time travel to v$v diverged")
+    // metadata-only rollback into the middle of that history
+    val (v, snap) = snaps(snaps.size / 2)
+    TxTable.restore(spark, dir, v)
+    assert(readSet() == snap, s"restore to v$v diverged")
+  }
+
   test("append commits retry past a taken log slot; replace fails loudly") {
     val dir = tmpDir("tx-occ")
     MergeSink.insertIfAbsentTx(spark, dir,
