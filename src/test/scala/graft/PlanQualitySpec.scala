@@ -432,4 +432,18 @@ class PlanQualitySpec extends SparkTestBase {
     val p = plan("q136_grouped_mode")
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("q137/q139: RANGE-frame and weighted-median windows stay per-group — no global sort, no single partition") {
+    for (n <- Seq("q137_range_frame", "q139_weighted_median")) {
+      val p = plan(n)
+      assert(!p.contains("Exchange SinglePartition"), s"$n:\n$p")
+      assert(p.contains("windowspecdefinition"), s"$n:\n$p")
+    }
+  }
+
+  test("q138: keep-best composes the banded pair plan — no cartesian product anywhere") {
+    val p = plan("q138_dedup_keep_best")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
