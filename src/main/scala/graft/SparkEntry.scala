@@ -1761,6 +1761,35 @@ object SparkEntry {
           min(col("tot")).as("total_weight"))
     }),
 
+    // TPC-H Q21's shape over this corpus's columns: suppliers who were the
+    // SOLE late shipper on a finished multi-supplier order ("late" =
+    // shipped > 90 days after the order date, since this corpus carries no
+    // receipt/commit dates). Two correlated subqueries over the same fact
+    // table — one EXISTS, one NOT EXISTS that also references the OUTER
+    // order's date — stated as SQL text so Catalyst's decorrelation to a
+    // semi join + an anti join on l_orderkey is the surface under test
+    // (plan-guarded below like q126/q127; never a per-row subquery).
+    "q140_sole_late_supplier" -> ((s, dir) => {
+      T(s, dir, "supplier").createOrReplaceTempView("supplier_q140")
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem_q140")
+      T(s, dir, "orders").createOrReplaceTempView("orders_q140")
+      s.sql("""
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier_q140 s
+        JOIN lineitem_q140 l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders_q140 o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem_q140 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_q140 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s.s_name""")
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -3247,6 +3276,21 @@ object SparkEntry {
         |SELECT flag, min(price) AS w_median,
         | CAST(min(tot) AS BIGINT) AS total_weight
         |FROM c WHERE 2*cum >= tot GROUP BY flag""".stripMargin,
+
+    // q140: identical statement — both engines decorrelate; counts hash.
+    "q140_sole_late_supplier" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        | AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s.s_name""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,

@@ -441,6 +441,14 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q140: both correlated subqueries decorrelate to hash joins on l_orderkey — semi + anti, no per-row subquery") {
+    val p = plan("q140_sole_late_supplier")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q138: keep-best composes the banded pair plan — no cartesian product anywhere") {
     val p = plan("q138_dedup_keep_best")
     assert(!p.contains("CartesianProduct"), p)
