@@ -1790,6 +1790,31 @@ object SparkEntry {
         GROUP BY s.s_name""")
     }),
 
+    // TPC-H Q22's shape: high-balance customers gone DORMANT (no order
+    // since the cutoff), rolled up per nation — an uncorrelated scalar
+    // aggregate threshold (the global mean positive balance) plus a
+    // correlated NOT EXISTS with an extra predicate, the combination Q22
+    // exists to exercise. The mean is decimal-exact-sum / count so the
+    // threshold compare never flips on cross-engine float summation
+    // order (the q127 rule); decorrelation leaves one anti hash join and
+    // one one-row broadcast — plan-guarded, never a per-row subquery.
+    "q141_dormant_high_balance" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("customer_q141")
+      T(s, dir, "orders").createOrReplaceTempView("orders_q141")
+      s.sql("""
+        SELECT c.c_nationkey AS nation, CAST(count(*) AS BIGINT) AS numcust,
+          CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer_q141 c
+        WHERE c.c_acctbal > (
+            SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM customer_q141 c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders_q141 o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+        GROUP BY c.c_nationkey""")
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -3291,6 +3316,21 @@ object SparkEntry {
         |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s.s_name""".stripMargin,
+
+    // q141: identical statement; decimal-exact mean keeps the threshold
+    // compare engine-independent.
+    "q141_dormant_high_balance" ->
+      """SELECT c.c_nationkey AS nation, CAST(count(*) AS BIGINT) AS numcust,
+        | CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (
+        |   SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |          / count(*)
+        |   FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        | AND NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+        |GROUP BY c.c_nationkey""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,

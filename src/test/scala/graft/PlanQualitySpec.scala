@@ -449,6 +449,12 @@ class PlanQualitySpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q141: scalar threshold broadcasts one row, dormancy decorrelates to an anti hash join") {
+    val p = plan("q141_dormant_high_balance")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q138: keep-best composes the banded pair plan — no cartesian product anywhere") {
     val p = plan("q138_dedup_keep_best")
     assert(!p.contains("CartesianProduct"), p)
