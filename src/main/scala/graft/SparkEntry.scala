@@ -1815,6 +1815,40 @@ object SparkEntry {
         GROUP BY c.c_nationkey""")
     }),
 
+    // Share-of-total (ratio_to_report): each nation's revenue as a share
+    // of its region's — an aggregate feeding a windowed total over the
+    // aggregated (tiny) frame, so the window costs nothing at any scale.
+    // Revenue is decimal-exact; the share divides doubles whose relative
+    // error is ~1e-16, six rounded decimals away from ever flipping.
+    "q142_revenue_share" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").as("region"), col("n_name").as("nation"))
+        .agg(decimalSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+      val w = Window.partitionBy(col("region"))
+      rev.withColumn("share",
+        round(col("revenue") / sum(col("revenue")).over(w), 6))
+    }),
+
+    // Top-k WITH ties: rank() keeps every row of a tied band (q111's
+    // row_number form arbitrarily cuts ties; rank's output is a pure
+    // function of the data, so banded ties cross engines bit-exact).
+    // Banding by price floor manufactures the ties that make the
+    // semantics observable; per-priority window, no global sort.
+    "q143_ranked_ties" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(floor(col("o_totalprice") / lit(50000.0)).desc)
+      T(s, dir, "orders")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          floor(col("o_totalprice") / lit(50000.0)).cast("long")
+            .as("price_band"), col("rnk"))
+    }),
+
     // Gap-based sessions via the BUILT-IN session_window (the q26 semantics
     // as one native operator instead of two hand-rolled window passes):
     // a session absorbs an event landing strictly inside last_ts + gap, so
@@ -3331,6 +3365,31 @@ object SparkEntry {
         |   WHERE o.o_custkey = c.c_custkey
         |    AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
         |GROUP BY c.c_nationkey""".stripMargin,
+
+    // q142: decimal-exact revenue; six-decimal share rounding absorbs the
+    // sub-ulp window-summation-order difference.
+    "q142_revenue_share" ->
+      """WITH rev AS (
+        | SELECT n.n_regionkey AS region, n.n_name AS nation,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | GROUP BY 1, 2)
+        |SELECT region, nation, revenue,
+        | round(revenue / sum(revenue) OVER (PARTITION BY region), 6) AS share
+        |FROM rev""".stripMargin,
+
+    // q143: rank() ties are order-independent, so the banded top-k set is
+    // a pure function of the data.
+    "q143_ranked_ties" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band, rnk FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY floor(o_totalprice / 50000) DESC) AS BIGINT) AS rnk
+        | FROM orders) t WHERE rnk <= 5""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,
