@@ -178,7 +178,17 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","scale_k":$k,"queries_${k}x":$qsK,"slope_vs_1x":$slope,"sf_${k}x":"$dirK""""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"reps":$reps,"sf":"$sfDir"$extra}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"reps":$reps,"sf":"$sfDir"$extra}"""
+    println(json)
+    // self-preserving artifact: harnesses that capture only the tail of
+    // stdout (the round-9 BENCH json arrived truncated, parsed:null) can
+    // never lose the per-query record again — the full line also lands in
+    // a file committed with the round
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

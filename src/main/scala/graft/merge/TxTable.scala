@@ -84,7 +84,25 @@ object TxTable {
         // footerStats), bounds are rounded to nearest double here, and one
         // outward ulp absorbs that rounding — a file can lose its pruning
         // to an ulp, never a matching row.
-        val mn = Math.nextDown(min.toDouble); val mx = Math.nextUp(max.toDouble)
+        //
+        // Legacy float stats: commits written BEFORE envelopes were
+        // pre-widened stored the float's shortest decimal repr ("0.1"),
+        // which parses to a double up to half a float-ulp away from the
+        // f.toDouble value Spark compares against — far outside the
+        // double-ulp slack. Any stat string that round-trips exactly
+        // through Float COULD be such a legacy stat, so the envelope also
+        // covers that float's widened value; new-format strings never
+        // round-trip (toPlainString of the widened double), and exact
+        // floats ("1.5") agree in both interpretations — zero pruning
+        // lost where the ambiguity is absent.
+        def legacyFloat(s: String): Option[Double] = {
+          val f = s.toFloat
+          if (f.toString == s) Some(f.toDouble) else None
+        }
+        val mn = Math.nextDown(
+          legacyFloat(min).fold(min.toDouble)(math.min(min.toDouble, _)))
+        val mx = Math.nextUp(
+          legacyFloat(max).fold(max.toDouble)(math.max(max.toDouble, _)))
         !(mx < lo.toDouble || mn > hi.toDouble)
       } else {
         val mn = BigDecimal(min); val mx = BigDecimal(max)
@@ -401,11 +419,44 @@ object TxTable {
       done = claimSlot(fs, tmp, slot)
       if (!done && attempt >= maxAttempts) {
         fs.delete(tmp, true)
-        throw new java.io.IOException(
+        throw new CommitConflictException(
           s"tx commit failed: log slot $slot already taken (concurrent " +
             s"writer); ${c.action} commits must re-read and re-merge")
       }
     }
+  }
+
+  /** An OCC-pinned commit lost the head race: another writer committed
+    * between this operation's state read and its log-slot claim. Subclasses
+    * IOException (the failure every log format surfaces here) so existing
+    * handlers keep working; [[withRetry]] keys on the type. */
+  final class CommitConflictException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Re-run a full read-merge-commit closure until its commit lands or
+    * `maxAttempts` conflicts — the retry loop every OCC caller otherwise
+    * hand-rolls. `op` MUST re-read table state inside itself (every
+    * TxTable mutator that defaults `expectedHead = None` does: it reads
+    * the head at entry), so each attempt merges against the state that
+    * actually lost the race. Only [[CommitConflictException]] retries;
+    * any other failure (constraint violation, layout mismatch) propagates
+    * immediately — retrying those would loop on a deterministic error.
+    * Jittered linear backoff desynchronizes symmetric retriers. */
+  def withRetry[T](maxAttempts: Int = 5, backoffMs: Long = 25L)(op: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return op
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(backoffMs * attempt +
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(math.max(1L, backoffMs)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Atomically claim `slot` with the staged commit content in `tmp`.
@@ -1042,6 +1093,20 @@ object TxTable {
     }
   }
 
+  /** The rewrite paths tag rows with helper columns; a table already
+    * carrying those names would surface as a confusing ambiguous-reference
+    * AnalysisException mid-rewrite, so fail the precondition loudly instead
+    * (the same guard shape as Corpus.globalRank's helper columns). */
+  private val ReservedRewriteCols = Seq("__graft_file", "__bin")
+
+  private def requireNoReservedCols(cols: Seq[String], dir: String): Unit = {
+    val clash = cols.filter(ReservedRewriteCols.contains)
+    require(clash.isEmpty,
+      s"TxTable $dir: column(s) ${clash.mkString(", ")} collide with " +
+        s"reserved rewrite helper names ${ReservedRewriteCols.mkString(", ")} " +
+        "— rename them before using row-level rewrites or compaction")
+  }
+
   private def rewriteWhere(spark: SparkSession, dir: String, cond: Column,
       expectedHead: Option[Long], txn: Option[(String, Long)])
       (transform: (DataFrame, Column) => DataFrame): RewriteStats = {
@@ -1049,6 +1114,7 @@ object TxTable {
     val head = expectedHead.orElse(headVersion(spark, dir))
     val (live, _) = replay(fs, dir)
     if (live.isEmpty) return RewriteStats(0L, 0, 0)
+    requireNoReservedCols(framesFor(spark, dir, live).columns, dir)
     val hit = coalesce(cond, lit(false))
     // one filtered scan over the live set, rows tagged with their source
     // file — output is bounded by |files|, never rows
@@ -1100,6 +1166,27 @@ object TxTable {
     * exact; production maintenance should pass minutes). */
   def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 1,
              minOrphanAgeMs: Long = 0L): Int = {
+    val r = vacuumReport(spark, dir, retainVersions, minOrphanAgeMs,
+      dryRun = false)
+    r.batchDirs.size + r.files.size
+  }
+
+  /** Exactly what a [[vacuum]] with the same arguments would (or did)
+    * reclaim: whole staging dirs (superseded/orphaned batches), individual
+    * files retired inside still-live batches, their total bytes, and the
+    * retention floor the vacuum records (None when no committed history is
+    * removed). Paths are table-relative. */
+  final case class VacuumReport(batchDirs: Seq[String], files: Seq[String],
+                                bytes: Long, newFloor: Option[Long])
+
+  /** [[vacuum]]'s plan — and, when `dryRun = false`, its execution. The
+    * dry run is the operational safety affordance: it deletes NOTHING and
+    * returns precisely the reclaim set a real vacuum with the same
+    * arguments would delete, so "what would this destroy?" is answerable
+    * before the first destructive maintenance run on a production table. */
+  def vacuumReport(spark: SparkSession, dir: String, retainVersions: Int = 1,
+                   minOrphanAgeMs: Long = 0L,
+                   dryRun: Boolean = true): VacuumReport = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = hadoopFs(spark, dir)
     val sets = liveSetsByVersion(fs, dir)
@@ -1110,42 +1197,77 @@ object TxTable {
     val everCommitted = batches(sets) // every batch is live right after its
                                       // adding commit, so this is complete
     val dataDir = new Path(dir, DataDirName)
-    if (!fs.exists(dataDir)) 0
-    else {
-      val now = System.currentTimeMillis()
-      var removedCommitted = false
-      val stale = fs.listStatus(dataDir).toSeq.filter { st =>
-        val name = st.getPath.getName
-        st.isDirectory && !keep.contains(name) && {
-          if (everCommitted.contains(name)) { removedCommitted = true; true }
-          else now - st.getModificationTime >= minOrphanAgeMs
+    if (!fs.exists(dataDir))
+      return VacuumReport(Nil, Nil, 0L, None)
+    val now = System.currentTimeMillis()
+    var removedCommitted = false
+    val stale = fs.listStatus(dataDir).toSeq.filter { st =>
+      val name = st.getPath.getName
+      st.isDirectory && !keep.contains(name) && {
+        if (everCommitted.contains(name)) { removedCommitted = true; true }
+        else now - st.getModificationTime >= minOrphanAgeMs
+      }
+    }
+    // FILE-granular reclaim inside still-live batches: a row-level
+    // rewrite ([[deleteWhere]]/[[compactSmallFiles]]) retires individual
+    // files whose batch keeps other live siblings — batch-level deletion
+    // alone would pin those dead bytes for as long as ONE sibling stays
+    // live. A file referenced by no retained live set is unreachable to
+    // any retention-respecting reader, so it reclaims exactly like a
+    // dead batch (and fences the floor the same way).
+    def paths(s: Seq[(Long, Vector[FileEntry])]) =
+      s.flatMap(_._2.map(_.path)).toSet
+    val enumerated = paths(sets)
+    val deadFiles = (enumerated -- paths(retained))
+      .filter(p => keep.contains(p.split('/')(1))).toSeq.sorted
+    if (deadFiles.nonEmpty) removedCommitted = true
+    // GHOST files: on disk inside a KEPT batch but referenced by NO
+    // enumerable version — a rewrite retired them and a later compactLog
+    // checkpoint pruned the only commits that mentioned them, so the
+    // enumeration above can never see them. Without this disk diff they
+    // leak permanently on streaming tables that compact their log before
+    // vacuuming. They sit below compactLog's floor already (no retained
+    // reader can reference them), so no floor advance is needed; the
+    // orphan age guard keeps a racing writer's in-flight bytes safe the
+    // same way it does for whole orphan dirs.
+    val rootQ = fs.makeQualified(new Path(dir)).toString
+    val ghosts = keep.toSeq.sorted.flatMap { b =>
+      val bd = new Path(dataDir, b)
+      val acc = Seq.newBuilder[(String, Long)]
+      if (fs.exists(bd)) {
+        val it = fs.listFiles(bd, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
+          if (st.getPath.getName.endsWith(".parquet") &&
+              !enumerated.contains(rel) &&
+              now - st.getModificationTime >= minOrphanAgeMs)
+            acc += ((rel, st.getLen))
         }
       }
-      // FILE-granular reclaim inside still-live batches: a row-level
-      // rewrite ([[deleteWhere]]/[[compactSmallFiles]]) retires individual
-      // files whose batch keeps other live siblings — batch-level deletion
-      // alone would pin those dead bytes for as long as ONE sibling stays
-      // live. A file referenced by no retained live set is unreachable to
-      // any retention-respecting reader, so it reclaims exactly like a
-      // dead batch (and fences the floor the same way).
-      def paths(s: Seq[(Long, Vector[FileEntry])]) =
-        s.flatMap(_._2.map(_.path)).toSet
-      val deadFiles = (paths(sets) -- paths(retained))
-        .filter(p => keep.contains(p.split('/')(1))).toSeq.sorted
-      if (deadFiles.nonEmpty) removedCommitted = true
+      acc.result()
+    }
+    val bytes =
+      stale.map(st => fs.getContentSummary(st.getPath).getLength).sum +
+        deadFiles.map(p => fs.getFileStatus(new Path(dir, p)).getLen).sum +
+        ghosts.map(_._2).sum
+    val priorFloor = readFloor(fs, dir).getOrElse(Long.MinValue)
+    val newFloor = if (removedCommitted)
+      retained.headOption.map(_._1).filter(_ > priorFloor) else None
+    val report = VacuumReport(
+      stale.map(st => s"$DataDirName/${st.getPath.getName}").sorted,
+      (deadFiles ++ ghosts.map(_._1)).sorted, bytes, newFloor)
+    if (!dryRun) {
       // floor BEFORE the destructive deletes: the floor is monotonic and
       // idempotent, so advancing it for a delete that never happens is
       // harmless — whereas deleting first leaves a crash window where an
       // advertised old version plans over reclaimed files and dies with
       // the mid-scan FileNotFoundException the floor exists to prevent
-      if (removedCommitted) retained.headOption.foreach { case (oldest, _) =>
-        val prior = readFloor(fs, dir).getOrElse(Long.MinValue)
-        if (oldest > prior) writeFloor(fs, dir, oldest)
-      }
+      newFloor.foreach(writeFloor(fs, dir, _))
       stale.foreach(st => fs.delete(st.getPath, true))
-      deadFiles.foreach(p => fs.delete(new Path(dir, p), false))
-      stale.size + deadFiles.size
+      report.files.foreach(p => fs.delete(new Path(dir, p), false))
     }
+    report
   }
 
   /** Number of distinct staging batches the live set spans — the fan-in of
@@ -1286,6 +1408,7 @@ object TxTable {
     val head = expectedHead.orElse(headVersion(spark, dir))
     val (live, _) = replay(fs, dir)
     if (live.isEmpty) return CompactStats(0, 0, 0)
+    requireNoReservedCols(framesFor(spark, dir, live).columns, dir)
     val sized = live.map(e =>
       e -> fs.getFileStatus(new Path(dir, e.path)).getLen)
     // pack only fragments holding >= 2 small files — a lone small file

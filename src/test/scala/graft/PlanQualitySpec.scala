@@ -460,4 +460,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("q142: the share-of-total window stays partitioned by region — no single-partition exchange") {
+    val p = plan("q142_revenue_share")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("windowspecdefinition(region"), p)
+  }
+
+  test("q143: the rank-with-ties window is partitioned per priority, never a global sort") {
+    val p = plan("q143_ranked_ties")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("windowspecdefinition(o_orderpriority"), p)
+  }
 }

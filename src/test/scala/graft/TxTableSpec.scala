@@ -1201,4 +1201,159 @@ class TxTableSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("retention floor"), e.getMessage)
   }
+  test("withRetry: two racing deleteWhere both land with zero manual retries") {
+    import spark.implicits._
+    val dir = tmpDir("tx-retry-race")
+    TxTable.append(spark, dir,
+      (0 until 100).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+        .repartition(1))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    // same shape as the loud-failure race above, but each delete runs in
+    // the retry loop: the loser re-reads the post-winner state and merges
+    // against it, so BOTH rewrites land and neither resurrects the other's
+    // deleted rows
+    def del(lo: Long, hi: Long) = Future {
+      TxTable.withRetry(maxAttempts = 8) {
+        TxTable.deleteWhere(spark, dir, col("k") >= lo && col("k") < hi)
+      }
+    }
+    val (a, b) = (del(0L, 10L), del(50L, 60L))
+    val results = Seq(Await.result(a, 120.seconds),
+      Await.result(b, 120.seconds))
+    assert(results.forall(_.matchedRows == 10L), results.toString)
+    assert(TxTable.read(spark, dir).get.count() == 80)
+    assert(TxTable.read(spark, dir).get.select("k").as[Long].collect()
+      .toSet == ((10L until 50L) ++ (60L until 100L)).toSet)
+    pool.shutdown()
+    // a non-conflict failure propagates immediately (no retry loop on a
+    // deterministic error): attempts stay at 1
+    var attempts = 0
+    intercept[IllegalArgumentException] {
+      TxTable.withRetry(maxAttempts = 5) {
+        attempts += 1
+        TxTable.updateWhere(spark, dir, col("k") === 10L,
+          Map("nope" -> lit(1)))
+      }
+    }
+    assert(attempts == 1)
+  }
+
+  test("vacuum dry-run reports exactly the reclaim set, deletes nothing; the real run then deletes exactly it") {
+    import spark.implicits._
+    val dir = tmpDir("tx-vacuum-dry")
+    // a superseded batch (replace), a rewrite-retired file inside a live
+    // batch, and a crash-orphaned staging dir — all three reclaim classes
+    TxTable.append(spark, dir,
+      Seq((1L, "a", 0L), (3L, "c", 0L), (2L, "b", 1L)).toDF("id", "v", "pb")
+        .repartition(1),
+      Seq("pb"))
+    // id=3 survives in pb=0, so the rewrite stages a real successor file
+    // (an emptied file would leave an empty staging dir — orphan class)
+    TxTable.deleteWhere(spark, dir, col("id") === 1L)
+    Seq((99L, "GHOST", 9L)).toDF("id", "v", "pb")
+      .write.parquet(s"$dir/data/b-orphan-dry")
+    def diskParquet(): Set[String] = {
+      val base = new java.io.File(dir).toPath
+      val out = scala.collection.mutable.Set[String]()
+      java.nio.file.Files.walk(base).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          out += base.relativize(p).toString
+      }
+      out.toSet
+    }
+    val before = diskParquet()
+    val plan = TxTable.vacuumReport(spark, dir, retainVersions = 1)
+    // dry run touched nothing
+    assert(diskParquet() == before)
+    assert(TxTable.read(spark, dir, asOf = Some(1L)).get.count() == 3)
+    assert(plan.batchDirs.size == 1 && plan.batchDirs.head.contains("b-orphan-dry"))
+    assert(plan.files.size == 1, plan.toString)
+    assert(plan.bytes > 0L && plan.newFloor.contains(2L))
+    // the real run deletes exactly the dry run's set
+    val n = TxTable.vacuum(spark, dir, retainVersions = 1)
+    assert(n == plan.batchDirs.size + plan.files.size)
+    val removed = before -- diskParquet()
+    assert(removed.map(p => p.split('/').take(2).mkString("/")).subsetOf(
+      (plan.files ++ plan.batchDirs).map(p => p.split('/').take(2).mkString("/")).toSet))
+    assert(plan.files.toSet.subsetOf(before))
+    assert(plan.files.forall(f => !new java.io.File(s"$dir/$f").exists))
+    assert(TxTable.read(spark, dir).get.select("id").as[Long].collect()
+      .toSet == Set(2L, 3L))
+  }
+
+  test("vacuum reclaims a rewrite-retired file whose retirement predates a compactLog checkpoint (no permanent leak)") {
+    import spark.implicits._
+    val dir = tmpDir("tx-vacuum-ghost")
+    // one batch, two files; the rewrite retires only pb=0's file, then
+    // compactLog prunes the commits that ever mentioned it — the retired
+    // file is now invisible to version enumeration while its batch stays
+    // live through the pb=1 sibling: the exact leak shape of a streaming
+    // table that compacts its log before vacuuming
+    TxTable.append(spark, dir,
+      Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("id", "v", "pb"), Seq("pb"))
+    val before = TxTable.liveFilePaths(spark, dir).toSet
+    TxTable.deleteWhere(spark, dir, col("id") === 1L)
+    val retired = (before -- TxTable.liveFilePaths(spark, dir).toSet).toSeq
+    assert(retired.size == 1)
+    val retiredFile = new java.io.File(new java.net.URI(retired.head))
+    TxTable.compactLog(spark, dir, retainVersions = 0)
+    assert(retiredFile.exists, "bytes linger until vacuum")
+    val plan = TxTable.vacuumReport(spark, dir, retainVersions = 1)
+    assert(plan.files.exists(f => retiredFile.getPath.endsWith(f)),
+      s"ghost file missing from the reclaim plan: $plan")
+    val reclaimed = TxTable.vacuum(spark, dir, retainVersions = 1)
+    assert(reclaimed >= 1 && !retiredFile.exists)
+    assert(TxTable.read(spark, dir).get.select("id").as[Long].collect()
+      .toSeq == Seq(2L))
+    // a fresh in-flight file inside a kept batch is NOT swept under an age
+    // guard (racing-writer safety, same contract as orphan dirs)
+    val keptBatch = TxTable.liveFilePaths(spark, dir).head
+      .split('/').dropRight(1).mkString("/")
+    val planted = new java.io.File(
+      new java.net.URI(s"$keptBatch/zz-inflight.parquet"))
+    java.nio.file.Files.write(planted.toPath, Array[Byte](1, 2, 3))
+    val guarded = TxTable.vacuumReport(spark, dir, retainVersions = 1,
+      minOrphanAgeMs = 3600000L)
+    assert(!guarded.files.exists(_.endsWith("zz-inflight.parquet")))
+    val swept = TxTable.vacuumReport(spark, dir, retainVersions = 1)
+    assert(swept.files.exists(_.endsWith("zz-inflight.parquet")))
+  }
+
+  test("legacy float stats: mayContain covers the float-widened value a pre-widening commit implied") {
+    // a legacy stat recorded 0.1f as its shortest repr "0.1"; Spark
+    // compares the widened 0.10000000149... — the envelope must cover it
+    val legacy = TxTable.ColStat("D", "0.1", "0.1")
+    val widened = BigDecimal(0.1f.toDouble)
+    assert(legacy.mayContain(widened, widened))
+    // and still covers the plain-double interpretation
+    assert(legacy.mayContain(BigDecimal("0.1"), BigDecimal("0.1")))
+    // a new-format string (toPlainString of a widened double) does NOT
+    // round-trip through Float, so pruning stays double-tight
+    val s = new java.math.BigDecimal(0.1f.toDouble).toPlainString
+    val modern = TxTable.ColStat("D", s, s)
+    assert(modern.mayContain(widened, widened))
+    assert(!modern.mayContain(BigDecimal("0.2"), BigDecimal("0.3")))
+    // exact floats agree in both interpretations — zero pruning lost
+    assert(!TxTable.ColStat("D", "1.5", "1.5")
+      .mayContain(BigDecimal("1.6"), BigDecimal("2.0")))
+  }
+
+  test("reserved helper columns are refused up front by rewrites and compaction") {
+    import spark.implicits._
+    val dir = tmpDir("tx-reserved")
+    TxTable.append(spark, dir,
+      Seq((1L, "x")).toDF("k", "__graft_file"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.deleteWhere(spark, dir, col("k") === 1L)
+    }
+    assert(e.getMessage.contains("__graft_file"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.compactSmallFiles(spark, dir)
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
 }
