@@ -15,7 +15,11 @@ import graft.plans.{AsOfJoinStrategy, RangeJoinRewrite}
   *  - the [[graft.plans.AsOfJoinStrategy]] planner strategy (the custom
   *    merge-based as-of join physical operator);
   *  - the SQL function surface (`safe_bool`, `dot_product`, ... — the same
-  *    set `Registry.registerAll` adds per-session).
+  *    set `Registry.registerAll` adds per-session);
+  *  - the [[graft.sql.GraftSqlRules]] resolution rule that makes TxTables
+  *    resolved through [[graft.sql.GraftCatalog]] readable/writable from
+  *    plain SQL (SELECT incl. VERSION/TIMESTAMP AS OF, INSERT, CTAS,
+  *    DELETE, UPDATE).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -24,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         session.conf.get("spark.graft.rangeJoin.binSeconds", "3600").toLong)
     }
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectResolutionRule(session => graft.sql.GraftSqlRules(session))
     Registry.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.Registry", name), builder))

@@ -625,6 +625,40 @@ object TxTable {
     listCommits(fs, dir).map(_._1).filter(_ >= floor)
   }
 
+  /** The live file entries as of `asOf` (None = head) — the SQL front
+    * door's ([[graft.sql.GraftFileIndex]]) view of the table: it plans its
+    * own scan over these entries (partition pruning + stats skipping in
+    * `listFiles`), so it needs the raw replay result, not the planned
+    * DataFrame [[read]] returns. Same vacuum-floor guard as [[read]]. */
+  private[graft] def liveEntriesForSql(spark: SparkSession, dir: String,
+                                       asOf: Option[Long]): Seq[FileEntry] = {
+    val fs = hadoopFs(spark, dir)
+    for (v <- asOf; floor <- readFloor(fs, dir))
+      require(v >= floor,
+        s"asOf=$v predates the vacuum retention floor $floor for $dir: " +
+          "the data files those versions referenced have been reclaimed " +
+          "(vacuum with a larger retainVersions to keep more history)")
+    replay(fs, dir, asOf)._1
+  }
+
+  /** Newest version whose commit landed at or before `micros`
+    * (epoch microseconds — the unit DSv2 `TIMESTAMP AS OF` resolves to),
+    * within the advertised (above-floor) range. Commit time is the log
+    * file's modification time, the same clock Delta's timestamp travel
+    * reads. None when every advertised commit is newer. */
+  private[graft] def versionAtTimestampMicros(spark: SparkSession,
+                                              dir: String,
+                                              micros: Long): Option[Long] = {
+    val fs = hadoopFs(spark, dir)
+    val floor = readFloor(fs, dir).getOrElse(Long.MinValue)
+    val ms = Math.floorDiv(micros, 1000L)
+    listCommits(fs, dir)
+      .filter { case (v, p) =>
+        v >= floor && fs.getFileStatus(p).getModificationTime <= ms
+      }
+      .lastOption.map(_._1)
+  }
+
   /** Snapshot read of the live file set; None before the first commit or if
     * the live set is empty. `parts` prunes AT THE LOG LEVEL to the given
     * partition fragments — file-skipping before any footer is opened, the

@@ -1,0 +1,219 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.merge.TxTable
+
+/** Catalog plugin mapping `graft.<ns...>.<table>` names onto TxTable
+  * directories under a root path — the piece that makes the lakehouse
+  * addressable from plain SQL text, the way the reference's consumers
+  * address its PostgreSQL star schema (`setup_target.py:11-242`: Power BI
+  * reads TABLES, not APIs). Wire-up:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sql.GraftCatalog
+  *   spark.sql.catalog.graft.root = /data/lake
+  *   spark.sql.extensions         = graft.GraftExtensions   // read/write rules
+  * }}}
+  *
+  * then `SELECT * FROM graft.db.events VERSION AS OF 3`, `INSERT INTO`,
+  * `DELETE FROM`, CTAS, `SHOW TABLES IN graft.db` all work. A table is any
+  * directory under the root holding a `_graft_log`; namespaces are plain
+  * directories. [[GraftSqlTable]] instances returned here are inert
+  * descriptors — [[GraftSqlRules]] swaps them for the real file-scan
+  * relation during analysis (the V1-fallback design Delta shipped with for
+  * years; scans stay fully vectorized, nothing is read through a row
+  * connector). */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var rootDir: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = new Path(rootDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootDir = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.root=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private[sql] def tableDir(ident: Identifier): String =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(new Path(rootDir))(new Path(_, _)).toString
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_graft_log"))
+
+  // ----------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsPath = namespace.foldLeft(new Path(rootDir))(new Path(_, _))
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    fs.listStatus(nsPath).toSeq
+      .filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .sortBy(_.name()).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!TxTable.exists(spark, dir))
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    new GraftSqlTable(dir, None, fullName(ident))
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!TxTable.exists(spark, dir))
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    new GraftSqlTable(dir, Some(version.trim.toLong), fullName(ident))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    // `timestamp` arrives in MICROseconds (the TableCatalog contract)
+    val dir = tableDir(ident)
+    if (!TxTable.exists(spark, dir))
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    val v = TxTable.versionAtTimestampMicros(spark, dir, timestamp)
+      .getOrElse(throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF predates every commit of ${fullName(ident)}"))
+    new GraftSqlTable(dir, Some(v), fullName(ident))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  /** Plain CREATE TABLE (schema-only) is not supported: a TxTable's schema
+    * is carried by its data commits. CTAS works — [[GraftSqlRules]]
+    * rewrites it to an atomic first-commit insert before this is ever
+    * consulted. */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created by their first write: use CREATE TABLE " +
+        "... AS SELECT, df.write.format(\"graft\"), or TxTable.append")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolves additively with " +
+        "appended batches, properties via TxTable.setProperties")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(tableDir(ident))
+    isTableDir(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(tableDir(oldIdent))
+    if (!isTableDir(from)) throw new NoSuchTableException(
+      (catalogName +: oldIdent.namespace().toSeq :+ oldIdent.name()))
+    require(fs.rename(from, new Path(tableDir(newIdent))),
+      s"rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+  }
+
+  // ------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(rootDir)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName)).sortBy(_.head).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val nsPath = namespace.foldLeft(new Path(rootDir))(new Path(_, _))
+      if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(
+        catalogName +: namespace.toSeq)
+      fs.listStatus(nsPath).toSeq
+        .filter(s => s.isDirectory && !isTableDir(s.getPath))
+        .map(s => namespace :+ s.getPath.getName).toArray
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val nsPath = namespace.foldLeft(new Path(rootDir))(new Path(_, _))
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val nsPath = namespace.foldLeft(new Path(rootDir))(new Path(_, _))
+    fs.mkdirs(nsPath)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val nsPath = namespace.foldLeft(new Path(rootDir))(new Path(_, _))
+    if (!fs.exists(nsPath)) false
+    else {
+      if (!cascade)
+        require(fs.listStatus(nsPath).isEmpty,
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(nsPath, true)
+    }
+  }
+}
+
+/** Catalog-resolved descriptor of one TxTable snapshot (optionally
+  * time-travelled). Deliberately inert: it exposes name/schema/
+  * partitioning/properties so analysis and DESCRIBE work, and claims
+  * read/write capabilities so capability checks pass, but the actual scan
+  * and write plans are substituted by [[GraftSqlRules]] during resolution
+  * — Spark never reads a row through this object. */
+final class GraftSqlTable(val dir: String, val asOf: Option[Long],
+                          ident: String) extends Table {
+
+  private lazy val schema0: StructType =
+    GraftSql.tableSchema(SparkSession.active, dir, asOf)
+
+  private[sql] lazy val partCols: Seq[String] =
+    GraftSql.partitionColumns(SparkSession.active, dir)
+
+  override def name(): String = ident
+
+  override def schema(): StructType = schema0
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] = {
+    val base = TxTable.tableProperties(SparkSession.active, dir)
+    (base ++ Map("graft.dir" -> dir) ++
+      asOf.map(v => "graft.versionAsOf" -> v.toString)).asJava
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+}

@@ -1,0 +1,246 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, PartitionDirectory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.merge.TxTable
+
+/** The lakehouse commit log as a Spark [[FileIndex]] — the same seam Delta
+  * and Iceberg use to put a transaction log under a stock parquet scan
+  * (reference analogy: the target star schema the reference's consumers
+  * query with plain SQL, `setup_target.py:11-242`). The planner sees an
+  * ordinary `FileSourceScanExec` (vectorized parquet, pushed filters,
+  * whole-stage codegen all intact); this index decides WHICH files that
+  * scan may touch:
+  *
+  *  - hive-fragment partition pruning: `listFiles`' partition filters are
+  *    evaluated against each live fragment's typed values — a pruned
+  *    partition's files are never listed, same contract as Spark's own
+  *    `PartitioningAwareFileIndex`;
+  *  - log-level stats skipping: data filters of range/equality shape are
+  *    checked against the per-file column envelopes the log recorded at
+  *    stage time ([[TxTable.ColStat]]) — a file that cannot contain a
+  *    matching row never reaches the `FileIndex` listing, the layer BELOW
+  *    parquet's own row-group skipping. Skipping yields a superset of the
+  *    matching files (data filters stay in the plan and re-apply per row),
+  *    so an untranslatable predicate just skips nothing — never wrong.
+  *
+  * At 100 TB the replay cost is O(log), the listing O(live files) driver
+  * memory — the same scaling contract as the Delta log. One snapshot is
+  * taken at construction; `refresh()` re-replays.
+  *
+  * Partition column TYPES follow [[TxTable.read]]'s inference (the
+  * basePath re-materialization), so the SQL front door and the Scala API
+  * agree on every column's type; only column ORDER differs (SQL puts
+  * partition columns last, the `HadoopFsRelation` contract).
+  */
+final class GraftFileIndex(spark: SparkSession, val dir: String,
+                           val asOf: Option[Long]) extends FileIndex {
+
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private val fs = new Path(dir).getFileSystem(hadoopConf)
+  private val qualifiedDir = fs.makeQualified(new Path(dir))
+
+  private case class Snapshot(
+      entries: Seq[TxTable.FileEntry],
+      statuses: Map[String, FileStatusWithMetadata],
+      fullSchema: StructType,
+      partCols: Seq[String])
+
+  private def load(): Snapshot = {
+    val entries = TxTable.liveEntriesForSql(spark, dir, asOf)
+    val schema = TxTable.read(spark, dir, asOf = asOf)
+      .map(_.schema).getOrElse(new StructType())
+    // partition columns from the live fragments themselves (the files are
+    // the source of truth; the commit partCol field is informational)
+    val partCols: Seq[String] = entries.flatMap(_.part).headOption
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
+      .getOrElse(Nil)
+    // a half-partitioned live set can't be modelled as one relation —
+    // fail loudly rather than hand the planner files with missing
+    // partition values (the API read handles mixed layouts; SQL doesn't)
+    if (partCols.nonEmpty)
+      require(entries.forall(_.part.isDefined),
+        s"TxTable $dir mixes partitioned and unpartitioned live batches — " +
+          "the SQL front door needs a uniform layout; compact or replace " +
+          "into one scheme first (TxTable.read still works)")
+    val statuses = entries.map { e =>
+      val st = fs.getFileStatus(new Path(qualifiedDir, e.path))
+      e.path -> FileStatusWithMetadata(st)
+    }.toMap
+    Snapshot(entries, statuses, schema, partCols)
+  }
+
+  @volatile private var snap: Snapshot = load()
+
+  private def timeZone: String =
+    spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+
+  /** Hive-escaped fragment value → typed catalyst value for `dt`. */
+  private def partValue(raw: String, dt: DataType): Any = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else {
+      val unescaped = unescapePathName(raw)
+      Cast(Literal(UTF8String.fromString(unescaped), StringType), dt,
+        Some(timeZone)).eval(InternalRow.empty)
+    }
+  }
+
+  /** Spark writes partition dir names with %XX escapes for chars illegal
+    * in paths; reverse that (the `PartitioningUtils.unescapePathName`
+    * algorithm, re-implemented — two hex digits after each '%'). */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          try {
+            val code = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+            sb.append(code.toChar); i += 3
+          } catch {
+            case _: NumberFormatException => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
+  override def partitionSchema: StructType =
+    StructType(snap.partCols.map(c => snap.fullSchema.find(_.name == c)
+      .getOrElse(StructField(c, StringType))))
+
+  /** Table schema minus partition columns, in table order. */
+  def dataSchema: StructType = {
+    val pc = snap.partCols.toSet
+    StructType(snap.fullSchema.filterNot(f => pc.contains(f.name)))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(qualifiedDir)
+
+  override def inputFiles: Array[String] =
+    snap.entries.map(e => new Path(qualifiedDir, e.path).toString).toArray
+
+  override def sizeInBytes: Long =
+    snap.statuses.values.map(_.getLen).sum
+
+  override def refresh(): Unit = { snap = load() }
+
+  /** Typed partition-value row for one fragment, in partitionSchema order. */
+  private def partRow(frag: Option[String]): InternalRow = frag match {
+    case None => InternalRow.empty
+    case Some(f) =>
+      val kv = f.split('/').map { seg =>
+        val eq = seg.indexOf('=')
+        seg.substring(0, eq) -> seg.substring(eq + 1)
+      }.toMap
+      val ps = partitionSchema
+      InternalRow.fromSeq(ps.map(sf => partValue(kv(sf.name), sf.dataType)))
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val s = snap
+    val groups: Seq[(Option[String], Seq[TxTable.FileEntry])] =
+      s.entries.groupBy(_.part).toSeq.sortBy(_._1)
+    // 1. partition pruning — exact evaluation (Spark does NOT re-apply
+    // partition filters per row, so this must be precise, not a superset)
+    val afterPart =
+      if (partitionFilters.isEmpty || s.partCols.isEmpty) groups
+      else {
+        val ps = partitionSchema
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = ps.indexWhere(_.name == a.name)
+            require(i >= 0,
+              s"partition filter references unknown column ${a.name}")
+            BoundReference(i, ps(i).dataType, nullable = true)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        pred.initialize(0)
+        groups.filter { case (frag, _) => pred.eval(partRow(frag)) }
+      }
+    // 2. log-level stats skipping — superset semantics (data filters stay
+    // in the plan), so unsupported shapes simply skip nothing
+    val ranges = extractRanges(dataFilters)
+    afterPart.map { case (frag, es) =>
+      val kept =
+        if (ranges.isEmpty) es
+        else es.filter(e => ranges.forall { case (c, lo, hi) =>
+          e.stats.get(c).forall(_.mayContain(lo, hi))
+        })
+      PartitionDirectory(partRow(frag), kept.map(e => s.statuses(e.path)))
+    }.filter(_.files.nonEmpty)
+  }
+
+  private val NegInf = BigDecimal("-1e308")
+  private val PosInf = BigDecimal("1e308")
+
+  private def litBd(l: Literal): Option[BigDecimal] =
+    if (l.value == null) None
+    else l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType =>
+        Some(BigDecimal(l.value.toString))
+      case FloatType  => Some(BigDecimal(l.value.asInstanceOf[Float].toDouble))
+      case DoubleType => Some(BigDecimal(l.value.asInstanceOf[Double]))
+      case _: DecimalType =>
+        Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal)
+      case _ => None
+    }
+
+  /** (column, lo, hi) constraints implied by the pushable conjuncts of
+    * `filters`. Strict bounds are widened to inclusive — still a superset,
+    * which is all skipping needs. */
+  private def extractRanges(filters: Seq[Expression]): Seq[(String, BigDecimal, BigDecimal)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        litBd(l).map(v => (a.name, v, v))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        litBd(l).map(v => (a.name, v, v))
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        litBd(l).map(v => (a.name, v, v))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        litBd(l).map(v => (a.name, v, PosInf))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        litBd(l).map(v => (a.name, v, PosInf))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        litBd(l).map(v => (a.name, NegInf, v))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        litBd(l).map(v => (a.name, NegInf, v))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        litBd(l).map(v => (a.name, NegInf, v))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        litBd(l).map(v => (a.name, NegInf, v))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        litBd(l).map(v => (a.name, v, PosInf))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        litBd(l).map(v => (a.name, v, PosInf))
+      case _ => None
+    }
+  }
+
+  /** (files the current listing would keep under these filters, live
+    * total) — the observability hook PlanQualitySpec uses to prove
+    * skipping works through the SQL scan. */
+  def skippingStats(dataFilters: Seq[Expression]): (Int, Int) = {
+    val ranges = extractRanges(dataFilters)
+    val kept = snap.entries.count(e => ranges.forall { case (c, lo, hi) =>
+      e.stats.get(c).forall(_.mayContain(lo, hi))
+    })
+    (kept, snap.entries.size)
+  }
+}

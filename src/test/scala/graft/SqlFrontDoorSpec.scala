@@ -1,0 +1,273 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SessionBridge
+
+import graft.merge.TxTable
+
+/** The SQL front door (graft.sql): `format("graft")` reader/writer, the
+  * GraftCatalog + GraftSqlRules path that makes TxTables addressable from
+  * plain SQL text — SELECT (incl. VERSION/TIMESTAMP AS OF), INSERT, CTAS,
+  * DELETE, UPDATE — and the plan guards proving the commit log's
+  * partition pruning and stats skipping survive through the SQL scan
+  * (reference analogy: consumers querying the target star schema with
+  * SQL, `setup_target.py:11-242`). */
+class SqlFrontDoorSpec extends SparkTestBase {
+
+  private lazy val lakeRoot = tmpDir("graft-lake")
+
+  /** Extensions-enabled sibling session with the graft catalog mounted —
+    * the exact production wire-up (spark.sql.extensions +
+    * spark.sql.catalog.graft). */
+  private lazy val ext: SparkSession = {
+    val s = SessionBridge.withExtensions(spark, new GraftExtensions()(_))
+    s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.root", lakeRoot)
+    s
+  }
+
+  private def df(s: SparkSession, ids: Range, tag: String): DataFrame = {
+    val sq = s.sqlContext; import sq.implicits._
+    ids.map(i => (i.toLong, s"$tag-$i", i * 10.0)).toDF("id", "name", "score")
+      .repartition(1)
+  }
+
+  private def fileScan(q: DataFrame): FileSourceScanExec =
+    q.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan:\n" +
+      q.queryExecution.executedPlan.toString))
+
+  private def scannedFiles(q: DataFrame): Int =
+    fileScan(q).selectedPartitions.totalNumberOfFiles.toInt
+
+  // ------------------------------------------------------ format("graft")
+
+  test("format(graft) read matches TxTable.read; versionAsOf time-travels") {
+    val dir = tmpDir("fmt-read")
+    TxTable.append(ext, dir, df(ext, 1 to 50, "a"))
+    TxTable.append(ext, dir, df(ext, 51 to 80, "b"))
+
+    val viaFmt = ext.read.format("graft").load(dir)
+    assert(viaFmt.count() == 80)
+    assert(viaFmt.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val api = TxTable.read(ext, dir).get
+    assert(viaFmt.select("id", "name", "score").collect().toSet ==
+      api.select("id", "name", "score").collect().toSet)
+
+    // commit versions are 1-based: v1 = the first append
+    val v1 = ext.read.format("graft").option("versionAsOf", "1").load(dir)
+    assert(v1.count() == 50)
+    assert(v1.agg(max("id")).head.getLong(0) == 50L)
+  }
+
+  test("format(graft) timestampAsOf resolves to the newest commit <= ts") {
+    val dir = tmpDir("fmt-ts")
+    TxTable.append(ext, dir, df(ext, 1 to 10, "a"))
+    Thread.sleep(60)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(60)
+    TxTable.append(ext, dir, df(ext, 11 to 20, "b"))
+
+    val atV0 = ext.read.format("graft")
+      .option("timestampAsOf", betweenMs.toString).load(dir)
+    assert(atV0.count() == 10)
+    // an instant before every commit must fail loudly, not return empty
+    val e = intercept[IllegalArgumentException] {
+      ext.read.format("graft").option("timestampAsOf", "1000").load(dir)
+    }
+    assert(e.getMessage.contains("predates"))
+  }
+
+  test("format(graft) write: append/overwrite modes + partitionBy option") {
+    val dir = tmpDir("fmt-write")
+    df(ext, 1 to 30, "a").withColumn("bucket", col("id") % 3)
+      .write.format("graft").option("partitionBy", "bucket")
+      .mode("append").save(dir)
+    df(ext, 31 to 40, "b").withColumn("bucket", col("id") % 3)
+      .write.format("graft").option("partitionBy", "bucket")
+      .mode("append").save(dir)
+    assert(TxTable.read(ext, dir).get.count() == 40)
+
+    df(ext, 100 to 104, "c").withColumn("bucket", col("id") % 3)
+      .write.format("graft").option("partitionBy", "bucket")
+      .mode("overwrite").save(dir)
+    val after = TxTable.read(ext, dir).get
+    assert(after.count() == 5 && after.agg(min("id")).head.getLong(0) == 100L)
+    // overwrite is a commit, not a truncation: history still travels
+    assert(ext.read.format("graft").option("versionAsOf", "2")
+      .load(dir).count() == 40)
+  }
+
+  // ------------------------------------------------------------- catalog
+
+  test("catalog: CREATE NAMESPACE, CTAS, SELECT, SHOW TABLES") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 25, "x").createOrReplaceTempView("src_cat")
+    ext.sql("CREATE TABLE graft.db.people AS SELECT * FROM src_cat")
+
+    val got = ext.sql(
+      "SELECT count(*) AS n, sum(id) AS s FROM graft.db.people").head()
+    assert(got.getLong(0) == 25L && got.getLong(1) == (1 to 25).sum.toLong)
+
+    val tables = ext.sql("SHOW TABLES IN graft.db")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(tables.contains("people"))
+
+    // the physical shape is a stock vectorized parquet scan, not a row
+    // connector — the whole point of the V1-relation swap
+    val scan = fileScan(ext.sql("SELECT id FROM graft.db.people"))
+    assert(scan.relation.fileFormat.toString.toLowerCase.contains("parquet"))
+  }
+
+  test("catalog: INSERT INTO appends, INSERT OVERWRITE replaces atomically") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 5, "x").createOrReplaceTempView("src_ins")
+    ext.sql("CREATE TABLE graft.db.ins_t AS SELECT * FROM src_ins")
+
+    ext.sql("INSERT INTO graft.db.ins_t VALUES (100, 'manual', 3.5)")
+    assert(ext.sql("SELECT count(*) FROM graft.db.ins_t").head.getLong(0) == 6)
+    assert(ext.sql(
+      "SELECT name FROM graft.db.ins_t WHERE id = 100").head.getString(0)
+      == "manual")
+
+    ext.sql("INSERT INTO graft.db.ins_t SELECT id + 200, name, score " +
+      "FROM src_ins WHERE id <= 2")
+    assert(ext.sql("SELECT count(*) FROM graft.db.ins_t").head.getLong(0) == 8)
+
+    ext.sql("INSERT OVERWRITE graft.db.ins_t VALUES (1, 'only', 0.0)")
+    val rows = ext.sql("SELECT id, name FROM graft.db.ins_t").collect()
+    assert(rows.toSeq == Seq(Row(1L, "only")))
+  }
+
+  test("catalog: VERSION AS OF and TIMESTAMP AS OF in SQL text") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 10, "v0").createOrReplaceTempView("src_tt")
+    ext.sql("CREATE TABLE graft.db.tt AS SELECT * FROM src_tt")
+    Thread.sleep(60)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(60)
+    ext.sql("INSERT INTO graft.db.tt VALUES (99, 'late', 1.0)")
+
+    assert(ext.sql("SELECT count(*) FROM graft.db.tt").head.getLong(0) == 11)
+    assert(ext.sql(
+      "SELECT count(*) FROM graft.db.tt VERSION AS OF 1").head.getLong(0) == 10)
+
+    val tsLit = java.time.Instant.ofEpochMilli(betweenMs)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(ext.sql(s"SELECT count(*) FROM graft.db.tt TIMESTAMP AS OF " +
+      s"'$tsLit'").head.getLong(0) == 10)
+  }
+
+  test("catalog: DELETE FROM and UPDATE are copy-on-write log commits") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 20, "d").createOrReplaceTempView("src_dml")
+    ext.sql("CREATE TABLE graft.db.dml AS SELECT * FROM src_dml")
+
+    ext.sql("DELETE FROM graft.db.dml WHERE id > 15")
+    assert(ext.sql("SELECT count(*) FROM graft.db.dml").head.getLong(0) == 15)
+
+    ext.sql("UPDATE graft.db.dml SET score = score * 2, name = 'bumped' " +
+      "WHERE id <= 3")
+    val bumped = ext.sql("SELECT id, name, score FROM graft.db.dml " +
+      "WHERE id <= 3 ORDER BY id").collect()
+    assert(bumped.map(_.getString(1)).forall(_ == "bumped"))
+    assert(bumped.map(_.getDouble(2)).toSeq == Seq(20.0, 40.0, 60.0))
+    assert(ext.sql("SELECT count(*) FROM graft.db.dml WHERE name = 'bumped'")
+      .head.getLong(0) == 3)
+    // DML never loses history: version 1 (the CTAS commit) keeps all 20
+    assert(ext.sql("SELECT count(*) FROM graft.db.dml VERSION AS OF 1")
+      .head.getLong(0) == 20)
+  }
+
+  test("catalog: partitioned CTAS records the layout; SQL agrees with API") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 30, "p").withColumn("bucket", col("id") % 3)
+      .createOrReplaceTempView("src_part")
+    ext.sql("CREATE TABLE graft.db.part_t PARTITIONED BY (bucket) " +
+      "AS SELECT * FROM src_part")
+
+    val viaSql = ext.sql(
+      "SELECT id, name, score, bucket FROM graft.db.part_t")
+    val viaApi = TxTable.read(ext, s"$lakeRoot/db/part_t").get
+      .select("id", "name", "score", "bucket")
+    assert(viaSql.collect().toSet == viaApi.collect().toSet)
+    // partition columns surface LAST in the SQL schema (HadoopFsRelation
+    // contract) with the API read's inferred type
+    assert(ext.table("graft.db.part_t").columns.last == "bucket")
+  }
+
+  // ---------------------------------------------------------- plan guards
+
+  test("plan guard: partition pruning through the SQL scan") {
+    val dir = tmpDir("prune-part")
+    val d = df(ext, 1 to 60, "p").withColumn("bucket", col("id") % 3)
+      .repartition(col("bucket"))
+    TxTable.append(ext, dir, d, Seq("bucket"))
+
+    val q = ext.read.format("graft").load(dir).filter(col("bucket") === 1)
+    val total = new graft.sql.GraftFileIndex(ext, dir, None)
+      .inputFiles.length
+    assert(total >= 3, s"expected >=3 partition files, got $total")
+    val kept = scannedFiles(q)
+    assert(kept < total, s"partition pruning did not prune: $kept/$total")
+    assert(q.count() == 20)
+  }
+
+  test("plan guard: log-level stats skipping through the SQL scan") {
+    val dir = tmpDir("prune-stats")
+    // three commits with disjoint id envelopes -> three files
+    TxTable.append(ext, dir, df(ext, 1 to 100, "a"))
+    TxTable.append(ext, dir, df(ext, 101 to 200, "b"))
+    TxTable.append(ext, dir, df(ext, 201 to 300, "c"))
+
+    val all = ext.read.format("graft").load(dir)
+    assert(scannedFiles(all) == 3)
+
+    val low = all.filter(col("id") <= 50)
+    assert(scannedFiles(low) == 1,
+      "stats skipping must keep only the first commit's file")
+    assert(low.count() == 50)
+
+    val mid = all.filter(col("id") >= 150 && col("id") < 250)
+    assert(scannedFiles(mid) == 2)
+    assert(mid.count() == 100)
+
+    // filters are pushed INTO the parquet scan too (row-group level)
+    val scan = fileScan(low)
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("id")),
+      scan.metadata.toString)
+  }
+
+  test("plan guard: skipping composes with partition pruning in one query") {
+    val dir = tmpDir("prune-both")
+    for (lo <- Seq(1, 101)) {
+      val d = df(ext, lo to (lo + 99), "x")
+        .withColumn("bucket", col("id") % 2).repartition(col("bucket"))
+      TxTable.append(ext, dir, d, Seq("bucket"))
+    }
+    val total = new graft.sql.GraftFileIndex(ext, dir, None)
+      .inputFiles.length
+    assert(total >= 4)
+    val q = ext.read.format("graft").load(dir)
+      .filter(col("bucket") === 0 && col("id") <= 100)
+    val kept = scannedFiles(q)
+    assert(kept < total / 2 + 1, s"expected <= ${total / 2} files, got $kept")
+    assert(q.count() == 50)
+  }
+
+  test("mixed partitioned/unpartitioned layout is refused loudly for SQL") {
+    val dir = tmpDir("mixed")
+    TxTable.append(ext, dir, df(ext, 1 to 5, "a"))
+    TxTable.append(ext, dir,
+      df(ext, 6 to 10, "b").withColumn("bucket", lit(1L)), Seq("bucket"))
+    val e = intercept[IllegalArgumentException] {
+      ext.read.format("graft").load(dir).count()
+    }
+    assert(e.getMessage.contains("mixes partitioned and unpartitioned"))
+  }
+}
