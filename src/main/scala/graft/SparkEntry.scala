@@ -1872,12 +1872,63 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
         docs.filter(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
         n = 3)
-    })
+    }),
+
+    // The lakehouse SQL front door end-to-end as PURE SQL TEXT: `orders`
+    // lives as a TxTable (committed in two halves — even keys at v1, odd
+    // at v2 — so time travel is observable), addressed through the
+    // GraftCatalog + GraftSqlRules path exactly as a production consumer
+    // would (`spark.sql.catalog.graft` + `spark.sql.extensions`). The
+    // query joins the head's per-status totals against the VERSION AS OF 1
+    // snapshot's counts; the oracle replays v1 as the even-key half.
+    // Integer-exact outputs only (counts + key sums), so the hash compare
+    // is decimal-free by construction.
+    "q144_sql_lakehouse" -> ((s, dir) =>
+      sqlLakeSession(s, dir).sql(
+        """SELECT h.o_orderstatus, h.n_all, h.sum_key, v.n_v1
+          |FROM (SELECT o_orderstatus, count(*) AS n_all,
+          |             sum(o_orderkey) AS sum_key
+          |      FROM graft.lake.orders GROUP BY o_orderstatus) h
+          |JOIN (SELECT o_orderstatus, count(*) AS n_v1
+          |      FROM graft.lake.orders VERSION AS OF 1
+          |      GROUP BY o_orderstatus) v
+          |ON h.o_orderstatus = v.o_orderstatus""".stripMargin))
   )
 
   /** Incremental horizon for the q34-q39 pipeline runs: mid-fixture so the
     * OR-of-timestamp predicates genuinely filter (fixtures span 03-01..03-07). */
   private val refSince = java.sql.Timestamp.valueOf("2024-03-03 00:00:00")
+
+  /** q144's lake + session: an extensions-enabled sibling session whose
+    * `graft` catalog is rooted at a per-corpus TxTable fixture — the
+    * corpus `orders` committed as two halves (even o_orderkey at v1, odd
+    * at v2) so VERSION AS OF is observable from SQL text. The fixture is
+    * content-checked (head must be exactly v2) and rebuilt from scratch
+    * otherwise, so a crashed half-build never poisons the compare. */
+  private val sqlLakeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SparkSession]
+  private def sqlLakeSession(s: SparkSession, dir: String): SparkSession =
+    sqlLakeCache.getOrElseUpdate((s, dir), {
+      val root = "/tmp/graft_sql_lake_v1/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tableDir = s"$root/lake/orders"
+      val complete = graft.merge.TxTable.exists(s, tableDir) &&
+        graft.merge.TxTable.headVersion(s, tableDir).contains(2L)
+      if (!complete) {
+        val p = new org.apache.hadoop.fs.Path(tableDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = T(s, dir, "orders")
+        graft.merge.TxTable.append(s, tableDir,
+          orders.filter(col("o_orderkey") % 2 === 0))
+        graft.merge.TxTable.append(s, tableDir,
+          orders.filter(col("o_orderkey") % 2 =!= 0))
+      }
+      val ext = org.apache.spark.sql.graftbridge.SessionBridge
+        .withExtensions(s, new GraftExtensions()(_))
+      ext.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+      ext.conf.set("spark.sql.catalog.graft.root", root)
+      ext
+    })
 
   // memoized per session: each call otherwise re-lists and re-footers 13
   // parquet dirs, pure driver latency repeated across the six q34-q39 runs
@@ -3390,6 +3441,20 @@ object SparkEntry {
         |  CAST(rank() OVER (PARTITION BY o_orderpriority
         |    ORDER BY floor(o_totalprice / 50000) DESC) AS BIGINT) AS rnk
         | FROM orders) t WHERE rnk <= 5""".stripMargin,
+
+    // q144: the Spark side ran pure SQL through the graft catalog over a
+    // TxTable whose v1 commit is exactly the even-o_orderkey half of
+    // `orders`; the oracle replays head as all rows and v1 as that half.
+    // DuckDB's sum(BIGINT) widens to HUGEINT — cast back for the compare.
+    "q144_sql_lakehouse" ->
+      """WITH h AS (SELECT o_orderstatus, count(*) AS n_all,
+        |                  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |           FROM orders GROUP BY o_orderstatus),
+        |     v AS (SELECT o_orderstatus, count(*) AS n_v1
+        |           FROM orders WHERE o_orderkey % 2 = 0
+        |           GROUP BY o_orderstatus)
+        |SELECT h.o_orderstatus, h.n_all, h.sum_key, v.n_v1
+        |FROM h JOIN v ON h.o_orderstatus = v.o_orderstatus""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,

@@ -472,4 +472,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(p.contains("windowspecdefinition(o_orderpriority"), p)
   }
+
+  test("q144: the SQL front door plans stock vectorized parquet scans with pushed aggregates' filters intact") {
+    val p = plan("q144_sql_lakehouse")
+    // the catalog path must NOT degrade to a row connector: both branches
+    // (head and VERSION AS OF 1) are FileScans of the TxTable's parquet
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BatchScan"), p)
+    // and log-level stats skipping still works through that scan: the odd
+    // half's envelope starts at key 1 (even at 0), so a <0 probe prunes
+    // the odd half's file(s) and keeps the even ones
+    val lake = "/tmp/graft_sql_lake_v1/_root_testdata_sf0.001/lake/orders"
+    val idx = new graft.sql.GraftFileIndex(spark, lake, None)
+    val keyAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "o_orderkey", org.apache.spark.sql.types.LongType)()
+    val (kept, total) = idx.skippingStats(Seq(
+      org.apache.spark.sql.catalyst.expressions.LessThan(keyAttr,
+        org.apache.spark.sql.catalyst.expressions.Literal(0L))))
+    assert(total >= 2 && kept < total,
+      s"stats skipping through the SQL index: kept $kept of $total")
+  }
 }
