@@ -53,27 +53,79 @@ object Replicator {
           Some(srcHead)).getOrElse {
           return Some(srcHead) // version advance with no file delta
         }
-        val insertLike =
-          col("_change_type").isin("insert", "update_postimage")
-        // latest action per key: version ascending, postimage beats its
-        // own version's preimage
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col("_commit_version").desc,
-            when(insertLike, 1).otherwise(0).desc)
-        val net = ch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .withColumn("__op", when(insertLike, lit("U")).otherwise(lit("D")))
-          .drop("__rn", "_change_type", "_commit_version")
-        val dataCols = net.columns.toSeq.filterNot(c =>
-          keys.contains(c) || c == "__op")
-        MergeSink.mergeIntoTx(spark, dstDir, net, keys,
-          updateCols = dataCols,
-          matchedDeleteCond = Some(col("s.__op") === "D"),
-          insertCond = Some(col("s.__op") =!= "D"),
-          txn = Some(app -> srcHead))
+        applyNet(spark, dstDir, keys, ch, app, srcHead)
         Some(srcHead)
     }
+  }
+
+  /** Apply one change-feed slice to the replica as ONE net merge commit
+    * marked (app, epoch) — shared by the batch [[sync]] and the
+    * micro-batch loop [[stream]] starts. Idempotent: a slice whose epoch
+    * the replica already reflects is skipped whole, which is exactly the
+    * replay-safety foreachBatch needs after a crash. Works on both the
+    * raw insert/delete feed and the keyed update_pre/postimage form (an
+    * update's postimage IS its version's insert-like action in both). */
+  private[graft] def applyNet(spark: SparkSession, dstDir: String,
+                              keys: Seq[String], ch: org.apache.spark.sql.DataFrame,
+                              app: String, epoch: Long): Unit = {
+    if (TxTable.lastTxn(spark, dstDir, app).exists(_ >= epoch)) return
+    val insertLike =
+      col("_change_type").isin("insert", "update_postimage")
+    // latest action per key: version ascending, postimage beats its
+    // own version's preimage
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc,
+        when(insertLike, 1).otherwise(0).desc)
+    val net = ch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("__op", when(insertLike, lit("U")).otherwise(lit("D")))
+      .drop("__rn", "_change_type", "_commit_version")
+    val dataCols = net.columns.toSeq.filterNot(c =>
+      keys.contains(c) || c == "__op")
+    MergeSink.mergeIntoTx(spark, dstDir, net, keys,
+      updateCols = dataCols,
+      matchedDeleteCond = Some(col("s.__op") === "D"),
+      insertCond = Some(col("s.__op") =!= "D"),
+      txn = Some(app -> epoch))
+  }
+
+  /** Streaming replication: subscribe to `srcDir`'s commit log
+    * ([[graft.sql.GraftStreamSource]], cdc mode) and fold each
+    * micro-batch into the replica with the SAME net-merge algebra and
+    * (app, epoch) marks as [[sync]] — so the replica a stream maintains
+    * is bit-for-bit the replica a sync loop would build, but follows
+    * continuously instead of polling (the reference's 30 s cycle,
+    * `scheduler.py:45-69`, without the re-extraction). Exactly-once:
+    * offsets ride the checkpoint WAL, and a replayed foreachBatch is a
+    * no-op via the epoch guard in [[applyNet]].
+    *
+    * Returns the started query; callers own its lifecycle
+    * (`processAllAvailable`/`awaitTermination`/`stop`). Pass
+    * `Trigger.AvailableNow()` for a catch-up-and-stop run,
+    * `ProcessingTime` for a live follower. */
+  def stream(spark: SparkSession, srcDir: String, dstDir: String,
+             keys: Seq[String], checkpointDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+             maxVersionsPerBatch: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keys.nonEmpty, "Replicator.stream needs >= 1 key column")
+    val app = appId(keys)
+    val reader = spark.readStream.format("graft").option("mode", "cdc")
+    maxVersionsPerBatch.foreach(m =>
+      reader.option("maxVersionsPerBatch", m.toString))
+    reader.load(srcDir).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // epoch = the batch's top version; computed on the driver from the
+        // tiny cdc-version column (bounded by maxVersionsPerBatch slices)
+        val top = batch.agg(max(col("_commit_version"))).head()
+        if (!top.isNullAt(0))
+          applyNet(spark, dstDir, keys, batch, app, top.getLong(0))
+      }
+      .start()
   }
 
   /** Full re-seed: replace the replica with the current source snapshot

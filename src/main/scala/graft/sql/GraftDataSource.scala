@@ -1,7 +1,8 @@
 package graft.sql
 
 import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -21,9 +22,28 @@ import graft.merge.TxTable
   * writer API's own `.partitionBy` is not forwarded to V1 relations, so
   * the option is the contract — same approach as other V1 connectors). */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // `spark.readStream.format("graft")` — commit-log subscription; modes
+  // and options documented on [[GraftStreamSource]]
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft streams carry the table's own schema; don't pass one")
+    val dir = pathOf(parameters)
+    (shortName(), GraftStreamSource.schemaFor(sqlContext.sparkSession, dir,
+      parameters.get("mode").contains("cdc")))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    GraftStreamSource.fromParameters(sqlContext.sparkSession,
+      pathOf(parameters), parameters)
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

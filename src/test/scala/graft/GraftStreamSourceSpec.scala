@@ -1,0 +1,184 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.merge.{MergeSink, Replicator, TxTable}
+
+/** The commit log as a Structured Streaming SOURCE
+  * (`spark.readStream.format("graft")`): version-ranged micro-batches,
+  * rate limiting under Trigger.AvailableNow, appends/cdc modes, restart
+  * from checkpoint, and streaming replication converging to
+  * Replicator.sync's batch result. */
+class GraftStreamSourceSpec extends SparkTestBase {
+
+  private def df(ids: Range, tag: String): DataFrame = {
+    val sq = spark.sqlContext; import sq.implicits._
+    ids.map(i => (i.toLong, s"$tag-$i", i * 10.0)).toDF("id", "name", "score")
+      .repartition(1)
+  }
+
+  private def contents(dir: String): Set[(Long, String, Double)] =
+    TxTable.read(spark, dir).map(_.select("id", "name", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
+      .getOrElse(Set.empty)
+
+  test("appends mode drains history + follows, one commit per batch under the rate limit") {
+    val src = tmpDir("ss-src")
+    TxTable.append(spark, src, df(1 to 10, "a"))
+    TxTable.append(spark, src, df(11 to 20, "b"))
+    TxTable.append(spark, src, df(21 to 30, "c"))
+
+    val batches = mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", "1").load(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("ss-ck"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches.synchronized {
+          batches += ((id, b.select("id").collect().map(_.getLong(0)).toSet))
+        }; ()
+      }.start()
+    q.awaitTermination(120000)
+
+    // three commits, rate limit 1 -> exactly three non-empty micro-batches
+    val nonEmpty = batches.filter(_._2.nonEmpty)
+    assert(nonEmpty.size == 3, batches.toString)
+    assert(nonEmpty.map(_._2) == Seq((1L to 10L).toSet, (11L to 20L).toSet,
+      (21L to 30L).toSet), batches.toString)
+  }
+
+  test("appends mode without a rate limit drains everything in one batch") {
+    val src = tmpDir("ss-one")
+    TxTable.append(spark, src, df(1 to 5, "a"))
+    TxTable.append(spark, src, df(6 to 9, "b"))
+    var n = 0L; var batches = 0
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("ss-one-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val c = b.count(); if (c > 0) { n += c; batches += 1 }; ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(n == 9 && batches == 1)
+  }
+
+  test("appends mode fails loudly on a delete commit; ignoreDeletes skips it") {
+    val src = tmpDir("ss-del")
+    TxTable.append(spark, src, df(1 to 10, "a"))
+    TxTable.deleteWhere(spark, src, col("id") > 8)
+    TxTable.append(spark, src, df(11 to 12, "b"))
+
+    val e = intercept[StreamingQueryException] {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("ss-del-ck1"))
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+      q.awaitTermination(120000)
+    }
+    assert(e.getCause.getMessage.contains("removed or rewrote files"),
+      e.getCause.getMessage)
+
+    val seen = mutable.Set.empty[Long]
+    val q2 = spark.readStream.format("graft")
+      .option("ignoreDeletes", "true").load(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("ss-del-ck2"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.select("id").collect().map(_.getLong(0)) }; ()
+      }.start()
+    q2.awaitTermination(120000)
+    // every insert slice is delivered (incl. the delete's rewrite file —
+    // ignoreDeletes skips REMOVALS, it does not dedupe re-adds; consumers
+    // needing net semantics use cdc mode)
+    assert(Set(11L, 12L).subsetOf(seen) && (1L to 8L).toSet.subsetOf(seen))
+  }
+
+  test("restart from checkpoint consumes only new commits, no duplicates") {
+    val src = tmpDir("ss-restart")
+    val ck = tmpDir("ss-restart-ck")
+    TxTable.append(spark, src, df(1 to 10, "a"))
+    TxTable.append(spark, src, df(11 to 20, "b"))
+
+    val seen = mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= b.select("id").collect().map(_.getLong(0)) }; ()
+        }.start()
+      q.awaitTermination(120000)
+    }
+    run()
+    assert(seen.sorted == (1L to 20L))
+    run() // caught up: nothing re-delivered
+    assert(seen.sorted == (1L to 20L))
+    TxTable.append(spark, src, df(21 to 25, "c"))
+    run() // only the new commit arrives
+    assert(seen.sorted == (1L to 25L))
+  }
+
+  test("cdc mode tags versions; streaming replication == Replicator.sync's batch result") {
+    val src = tmpDir("ss-cdc-src")
+    // v1: seed; v2: keyed upsert (update 3 rows + insert 2); v3: delete 4
+    TxTable.append(spark, src, df(1 to 20, "a"))
+    MergeSink.mergeIntoTx(spark, src,
+      df(18 to 22, "upd"), Seq("id"), updateCols = Seq("name", "score"))
+    TxTable.deleteWhere(spark, src, col("id") <= 4)
+
+    // streamed replica: one micro-batch per commit
+    val dstStream = tmpDir("ss-cdc-dst1")
+    val q = Replicator.stream(spark, src, dstStream, Seq("id"),
+      checkpointDir = tmpDir("ss-cdc-ck"),
+      maxVersionsPerBatch = Some(1L))
+    q.awaitTermination(120000)
+
+    // batch replica built by the sync loop (snapshot at head)
+    val dstSync = tmpDir("ss-cdc-dst2")
+    Replicator.sync(spark, src, dstSync, Seq("id"))
+
+    val expected = contents(src)
+    assert(expected.nonEmpty && contents(dstStream) == expected)
+    assert(contents(dstSync) == expected)
+    // the streamed replica applied multiple epoch-marked merge commits
+    assert(TxTable.headVersion(spark, dstStream).exists(_ >= 2))
+    assert(Replicator.appliedVersion(spark, dstStream, Seq("id"))
+      .contains(TxTable.headVersion(spark, src).get))
+
+    // follow-up commits keep converging through the SAME checkpoint
+    TxTable.append(spark, src, df(40 to 44, "late"))
+    MergeSink.mergeIntoTx(spark, src, df(40 to 41, "fix"), Seq("id"),
+      updateCols = Seq("name", "score"))
+    val q2 = Replicator.stream(spark, src, dstStream, Seq("id"),
+      checkpointDir = tmpDir("ss-cdc-ck") /* fresh ck also converges */)
+    q2.awaitTermination(120000)
+    Replicator.sync(spark, src, dstSync, Seq("id"))
+    assert(contents(dstStream) == contents(src))
+    assert(contents(dstSync) == contents(src))
+  }
+
+  test("startingVersion = head follows only future commits") {
+    val src = tmpDir("ss-future")
+    TxTable.append(spark, src, df(1 to 50, "old"))
+    val head = TxTable.headVersion(spark, src).get
+    TxTable.append(spark, src, df(51 to 55, "new"))
+
+    val seen = mutable.Set.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", head.toString).load(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("ss-future-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.select("id").collect().map(_.getLong(0)) }; ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(seen == (51L to 55L).toSet)
+  }
+}
