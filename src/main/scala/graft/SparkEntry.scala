@@ -258,8 +258,10 @@ object SparkEntry {
     // §7.6 BPE subword vocabulary (Sennrich 2016): train 20 merges on the
     // corpus slice, segment it under them. The iterative argmax makes the
     // trainer non-SQL-expressible — no oracle row (driver records the
-    // rows-only check); the real proof is CorpusSpec's model-based
-    // equivalence against an independent reference implementation.
+    // rows-only check); the trainer's proof is CorpusSpec's model-based
+    // equivalence against an independent reference implementation, and
+    // the SEGMENTATION half is hash-green separately as q145 (frozen
+    // merge table, fully relational DuckDB replay).
     "q81_bpe_segment" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 100)
       val merges = graft.ext.Corpus.bpeTrain(docs, col("text"), nMerges = 20)
@@ -1892,8 +1894,36 @@ object SparkEntry {
           |JOIN (SELECT o_orderstatus, count(*) AS n_v1
           |      FROM graft.lake.orders VERSION AS OF 1
           |      GROUP BY o_orderstatus) v
-          |ON h.o_orderstatus = v.o_orderstatus""".stripMargin))
+          |ON h.o_orderstatus = v.o_orderstatus""".stripMargin)),
+
+    // q81's oracle-expressible half, hash-green: bpeSegment's greedy
+    // sequential merge application under a FROZEN merge table (the 20
+    // merges q81's trainer learns on this corpus slice, frozen so the
+    // oracle needs no argmax loop). The DuckDB twin replays every pass
+    // with literal replace() over a double-space symbol encoding — one
+    // separator space is consumed by each match and restored by the
+    // replacement, which makes SQL replace()'s continue-after-replacement
+    // scan EXACTLY the fold mergePass computes (no regex, no lookaround).
+    // Training itself stays model-proven in CorpusSpec (q81).
+    "q145_bpe_apply" -> ((s, dir) => {
+      val sq = s.sqlContext; import sq.implicits._
+      val merges = bpeFrozenMerges.zipWithIndex
+        .map { case ((l, r), i) => (i + 1, l, r) }
+        .toDF("rank", "left", "right")
+      graft.ext.Corpus.bpeSegment(
+        T(s, dir, "documents").filter(col("doc_id") < 100),
+        col("doc_id"), col("text"), merges)
+    })
   )
+
+  /** q145's merge table: bpeTrain(nMerges = 20) on sf0.01 documents
+    * (doc_id < 100), frozen so both engines apply the identical program.
+    * Regenerate with `graft.tools.BpeDump` if the corpus changes. */
+  private val bpeFrozenMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "e" -> "</w>", "n" -> "</w>", "er" -> "</w>", "o" -> "w",
+    "ow" -> "</w>", "s" -> "t", "o" -> "r", "h" -> "</w>", "l" -> "u",
+    "a" -> "t", "i" -> "n", "a" -> "</w>", "y" -> "</w>", "t" -> "</w>",
+    "g" -> "</w>", "a" -> "r", "p" -> "ar", "f" -> "i", "fi" -> "l")
 
   /** Incremental horizon for the q34-q39 pipeline runs: mid-fixture so the
     * OR-of-timestamp predicates genuinely filter (fixtures span 03-01..03-07). */
@@ -3456,6 +3486,10 @@ object SparkEntry {
         |SELECT h.o_orderstatus, h.n_all, h.sum_key, v.n_v1
         |FROM h JOIN v ON h.o_orderstatus = v.o_orderstatus""".stripMargin,
 
+    // q145: generated — 20 chained literal replace() passes; see
+    // bpeApplyOracleSql for the encoding argument.
+    "q145_bpe_apply" -> bpeApplyOracleSql,
+
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,
     // last+gap)), end = last event + gap.
@@ -4275,6 +4309,41 @@ object SparkEntry {
     s"read_parquet('${graft.demo.ReferenceFixtures.parquetDir}/$table/*.parquet')"
 
   private val refSinceSql = "TIMESTAMP '2024-03-03 00:00:00'"
+
+  /** q145's oracle: bpeSegment's sequential greedy merge program replayed
+    * with LITERAL `replace()` (no regex — RE2 has no lookaround anyway).
+    * Encoding: a word's symbols joined by DOUBLE spaces with double-space
+    * sentinels (`"  a  b  </w>  "`); one merge pass (L, R) is
+    * `replace(s, ' L  R ', ' LR ')` — the pattern consumes one space of
+    * each flanking separator and the replacement restores them, so
+    * separators stay exactly double and SQL replace()'s non-overlapping
+    * continue-after-replacement scan computes precisely the left-to-right
+    * fold `Corpus.mergePass` does (verified: "a a a" -> ["aa","a"],
+    * "a b a b" -> ["ab","ab"]). Symbols never contain spaces (tokens are
+    * whitespace-split), so the separator is unambiguous. */
+  private def bpeApplyOracleSql: String = {
+    def q(s: String) = s.replace("'", "''")
+    val initial = "'  ' || array_to_string(list_append(" +
+      "regexp_extract_all(word, '.'), '</w>'), '  ') || '  '"
+    val folded = bpeFrozenMerges.foldLeft(initial) { case (acc, (l, r)) =>
+      s"replace($acc, ' ${q(l)}  ${q(r)} ', ' ${q(l)}${q(r)} ')"
+    }
+    s"""WITH words AS (
+       | SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       | FROM documents WHERE doc_id < 100),
+       |seg AS (SELECT word, $folded AS s FROM words),
+       |subs AS (SELECT word, string_split(trim(s), '  ') AS subs FROM seg),
+       |sp0 AS (SELECT word, subs, unnest(range(CAST(len(subs) AS BIGINT))) AS sub_pos
+       |        FROM subs),
+       |sp AS (SELECT word, CAST(sub_pos AS BIGINT) AS sub_pos,
+       |               subs[sub_pos + 1] AS subword FROM sp0),
+       |dt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |       FROM documents WHERE doc_id < 100),
+       |dp AS (SELECT doc_id, unnest(range(CAST(len(t) AS BIGINT))) AS pos, t FROM dt),
+       |dw AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, t[pos + 1] AS word FROM dp)
+       |SELECT dw.doc_id, dw.pos, dw.word, sp.sub_pos, sp.subword
+       |FROM dw JOIN sp USING (word)""".stripMargin
+  }
 
   /** q17's oracle: the portable simhash transliterated — md5-half token
     * bits, 32 packed-lane sums, 64-term fingerprint pack. Generated because
