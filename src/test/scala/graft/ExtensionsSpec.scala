@@ -1234,6 +1234,90 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("image near-dup under REAL JPEG recompression: 60 lossy plants, precision 1.0, recall 1.0 at hamming <= 7") {
+    import graft.ext.Multimodal
+    // 60 distinct base images: random 9x8 cell grids (36x32 px — 4-pixel
+    // cells, so one JPEG 8x8 DCT block spans FOUR dHash cells and its
+    // quantization error genuinely bleeds across gradient boundaries;
+    // horizontal neighbors only ~>= 25 luma apart, a thin margin); their
+    // lossy variants are ACTUAL JPEG re-encodes at quality 0.25 — block
+    // ringing and chroma subsampling included — not synthetic bit flips
+    def cells(seed: Int): Array[Array[Int]] = {
+      val rnd = new scala.util.Random(seed)
+      val cs = Array.tabulate(8, 9) { (_, _) => 0 }.map { row =>
+        var prev = -1000
+        row.map { _ =>
+          var v = 15 + rnd.nextInt(9) * 25 // 15, 40, ..., 215
+          while (math.abs(v - prev) < 25) v = 15 + rnd.nextInt(9) * 25
+          prev = v; v
+        }
+      }
+      // plant LOW-CONTRAST neighbor pairs (the flat regions real photos
+      // have): six gradient bits per image sit within +-3 luma, where
+      // JPEG quantization error is larger than the margin — these are
+      // the bits recompression may legitimately flip
+      for (r <- Seq(0, 3, 6); c <- Seq(2, 6))
+        cs(r)(c + 1) = math.max(0, math.min(255,
+          cs(r)(c) + rnd.nextInt(7) - 3))
+      cs
+    }
+    def render(cs: Array[Array[Int]]): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val v = cs(y / 4)(x / 4)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def asPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
+    def asJpeg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val baos = new java.io.ByteArrayOutputStream()
+      w.setOutput(javax.imageio.ImageIO.createImageOutputStream(baos))
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose()
+      baos.toByteArray
+    }
+    val n = 60
+    val assets = (0 until n).flatMap { i =>
+      val img = render(cells(7001 + i))
+      Seq((i.toLong, "image", asPng(img)),
+        (1000L + i, "image", asJpeg(img, 0.25f)))
+    }.toDF("asset_id", "modality", "content")
+
+    val hashes = Multimodal.imageHashes(assets)
+    assert(hashes.count() == 2L * n, "every payload (PNG and JPEG) decodes")
+    val pairs = Multimodal.imageNearDups(hashes, maxDist = 7)
+      .as[(Long, Long, Long)].collect()
+    val truth = (0 until n).map(i => (i.toLong, 1000L + i)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // precision 1.0: no cross-image pair sneaks under the threshold
+    assert(found.subsetOf(truth),
+      s"false positives: ${found -- truth}")
+    // recall 1.0: every real lossy variant is recovered
+    assert(found == truth,
+      s"missed plants: ${truth -- found} (of ${truth.size})")
+    // and the lossy variation is genuinely nonzero but inside tolerance:
+    // record the measured distance profile
+    val dists = pairs.map(_._3)
+    assert(dists.forall(d => d >= 0 && d <= 7), dists.mkString(","))
+    // the tolerance is genuinely exercised: recompression flipped bits
+    // on at least some plants (distance 0 everywhere would mean the
+    // setup was too easy to probe the hamming band at all)
+    assert(dists.max >= 1, "JPEG q=0.25 produced zero bit flips — " +
+      "tighten margins so the tolerance is actually exercised")
+    info(s"JPEG q=0.25 hamming distances: min=${dists.min} max=${dists.max} " +
+      s"mean=${dists.sum.toDouble / dists.length}")
+  }
+
   test("audio fingerprints: same loudness profile pairs, different profile doesn't, undecodable skips") {
     import javax.sound.sampled._
     import graft.ext.Multimodal
