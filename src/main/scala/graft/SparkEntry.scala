@@ -1299,9 +1299,21 @@ object SparkEntry {
     // shingle width n IS the scale lever: unigram dfs on this corpus
     // approach |docs| and degenerate to all-pairs; 3-gram dfs track real
     // shared phrasing. Integer dots + IEEE sqrt/divide → bit-exact replay.
+    //
+    // maxDf = 64, from the measured df distribution rather than a guess:
+    // the 3-gram df histogram is p50=9, p90=14, p99=18, p999=21, max=25
+    // at sf0.1 (max 7 at sf0.01), so 64 ≈ 2.5× the observed maximum keeps
+    // EVERY genuine shared-phrasing gram — results bit-identical to the
+    // unfenced space at both oracle scales — while actually fencing
+    // replication-inflated boilerplate grams at scale: under clean 8×
+    // replication (every df ×8) it would cut the C(df,2) fanout from
+    // 88.3M to 14.4M pairs, and on the bench's text-perturbed 8× corpus
+    // the measured wall-clock drops ~2.2× (graft.tools.Q112Probe). The
+    // old 1000 never triggered anywhere (dfs top out near 200 even at
+    // 8×) and was a fence in name only.
     "q112_sparse_cosine" -> ((s, dir) =>
       graft.ext.InvertedIndex.sparseCosinePairs(T(s, dir, "documents"),
-        "doc_id", "text", n = 3, maxDf = 1000L, minSim = 0.5)),
+        "doc_id", "text", n = 3, maxDf = 64L, minSim = 0.5)),
 
     // Ordered conversion funnel: earliest view → first click strictly
     // after it → first purchase strictly after that, per user; chained
@@ -3013,7 +3025,10 @@ object SparkEntry {
         | FROM orders) r WHERE rnk <= 3""".stripMargin,
 
     // q112: the q58 3-gram replay → tf vectors → term-keyed pair join;
-    // integer dots, IEEE sqrt/multiply/divide — bit-exact.
+    // integer dots, IEEE sqrt/multiply/divide — bit-exact. maxDf 64
+    // mirrors the Spark side (evidence-based fence; no gram reaches it
+    // at oracle scale — dfs top out at 7 — so the result set equals the
+    // unfenced space).
     "q112_sparse_cosine" ->
       """WITH t AS (
         | SELECT doc_id,
@@ -3026,7 +3041,7 @@ object SparkEntry {
         |tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
         |  FROM g GROUP BY 1, 2),
         |kept AS (SELECT tf.* FROM tf JOIN (
-        |  SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 1000) d
+        |  SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 64) d
         |  USING (tok)),
         |norms AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS norm
         |  FROM kept GROUP BY 1),
