@@ -2,15 +2,16 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, TableAlreadyExistsException, UnresolvedAttribute}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{InsertIntoDataSourceCommand, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.graftbridge.PlanBridge
 
-import graft.merge.TxTable
+import graft.merge.{MergeSink, TxTable}
 
 /** Analyzer rule wiring the catalog's inert [[GraftSqlTable]] descriptors
   * to real plans — the V1-fallback design (the shape Delta shipped with
@@ -87,6 +88,13 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
         GraftUpdateCommand(t.dir,
           u.condition.map(condSql(_, "UPDATE")).getOrElse("true"), sets)
       } else u
+
+    case m: MergeIntoTable if tableOf(m.targetTable).isDefined =>
+      if (m.resolved) {
+        val t = tableOf(m.targetTable).get
+        requireNoAsOf(t, "MERGE")
+        convertMerge(m, t)
+      } else m
 
     case c: CreateTableAsSelect => c.name match {
       case ResolvedIdentifier(cat: GraftCatalog, ident) if c.query.resolved =>
@@ -172,6 +180,201 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     }.sql
   }
+
+  // ------------------------------------------------------------ MERGE INTO
+
+  /** `MERGE INTO graft.db.t t USING src s ON t.k = s.k WHEN ...` → one
+    * [[MergeSink.mergeIntoTx]] commit (single full-outer hash join on the
+    * keys, OCC replace). The supported subset is the tri-clause algebra
+    * that engine implements:
+    *
+    *  - ON: a conjunction of `t.<key> = s.<col>` equalities;
+    *  - WHEN MATCHED [AND c] THEN DELETE, and/or an UNconditioned
+    *    WHEN MATCHED THEN UPDATE SET (the engine tests delete first, so a
+    *    delete clause must precede the update clause, as CDC merges
+    *    write them);
+    *  - WHEN NOT MATCHED [AND c] THEN INSERT;
+    *  - WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE.
+    *
+    * UPDATE/INSERT values are expressions over the SOURCE row (the
+    * `s.col`, literal, and computed forms); referencing the target row in
+    * a SET value, a conditioned UPDATE, or multiple clauses of one kind
+    * fail loudly — use the TxTable API for those shapes. Values are cast
+    * to the target column's type; a column the statement doesn't set
+    * rides as a typed NULL (insert) / keeps its target value (update),
+    * the standard MERGE semantics. */
+  private def convertMerge(m: MergeIntoTable, t: GraftSqlTable): LogicalPlan = {
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft MERGE: $what is not supported — use the TxTable/MergeSink API")
+    if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // ON clause → (target key, source column) pairs
+    val keyPairs: Seq[(String, String)] = conjuncts(m.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
+      case EqualNullSafe(a: AttributeReference, b: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
+      case EqualNullSafe(b: AttributeReference, a: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
+      case other => unsupported(
+        s"non-equi ON condition ${other.sql} (need t.<key> = s.<col> conjuncts)")
+    }
+    val keys = keyPairs.map(_._1)
+    require(keys.distinct.size == keys.size,
+      s"graft MERGE: duplicate target key in ON clause: $keys")
+
+    /** Source-side expression rendered with bare names (resolved against
+      * the projected source df). Target references are illegal here. */
+    def srcSql(e: Expression, where: String): String = {
+      require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+        s"graft MERGE: subquery in $where is not supported")
+      e.transform {
+        case a: AttributeReference if sOut.contains(a) =>
+          UnresolvedAttribute(Seq(a.name))
+        case a: AttributeReference if tOut.contains(a) =>
+          unsupported(s"target column ${a.name} referenced in $where " +
+            "(values must be computable from the source row)")
+      }.sql
+    }
+    /** Source attribute names any joined-row condition references — these
+      * must survive into the projected source under their own names. */
+    val condSrcAttrs = scala.collection.mutable.LinkedHashSet.empty[String]
+    /** Joined-row condition rendered over the t/s aliases mergeInto uses. */
+    def joinedSql(e: Expression, where: String): String = {
+      require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+        s"graft MERGE: subquery in $where is not supported")
+      e.transform {
+        case a: AttributeReference if tOut.contains(a) =>
+          UnresolvedAttribute(Seq("t", a.name))
+        case a: AttributeReference if sOut.contains(a) =>
+          condSrcAttrs += a.name
+          UnresolvedAttribute(Seq("s", a.name))
+      }.sql
+    }
+
+    /** (target column, rendered value expr, Some(srcAttr) when the value
+      * is exactly a bare source column). */
+    def assignMap(as: Seq[Assignment],
+                  where: String): Seq[(String, String, Option[String])] =
+      as.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => unsupported(s"nested-field assignment ${other.sql}")
+        }
+        val bare = a.value match {
+          case ar: AttributeReference if sOut.contains(ar) => Some(ar.name)
+          case _ => None
+        }
+        (name, srcSql(a.value, where), bare)
+      }
+
+    // clause inventory (one of each kind; delete-before-update on match)
+    var updateSets: Option[Seq[(String, String, Option[String])]] = None
+    var matchedDelete: Option[Option[String]] = None
+    m.matchedActions.foreach {
+      case UpdateAction(cond, as, _) =>
+        if (updateSets.isDefined) unsupported("two WHEN MATCHED UPDATE clauses")
+        if (cond.isDefined) unsupported("a conditioned WHEN MATCHED UPDATE")
+        updateSets = Some(assignMap(as, "UPDATE SET"))
+      case DeleteAction(cond) =>
+        if (matchedDelete.isDefined) unsupported("two WHEN MATCHED DELETE clauses")
+        if (updateSets.isDefined) unsupported(
+          "WHEN MATCHED DELETE after an unconditioned UPDATE (unreachable " +
+            "clause; put the delete first)")
+        matchedDelete = Some(cond.map(joinedSql(_, "MATCHED DELETE condition")))
+      case other => unsupported(s"matched action $other")
+    }
+    var insertSets: Option[Seq[(String, String, Option[String])]] = None
+    var insertCond: Option[String] = None
+    m.notMatchedActions.foreach {
+      case InsertAction(cond, as) =>
+        if (insertSets.isDefined) unsupported("two WHEN NOT MATCHED INSERT clauses")
+        insertSets = Some(assignMap(as, "INSERT VALUES"))
+        // filterInsertable evaluates under the same `s` alias
+        insertCond = cond.map(joinedSql(_, "INSERT condition"))
+      case other => unsupported(s"not-matched action $other")
+    }
+    var nmbsDelete: Option[Option[String]] = None
+    m.notMatchedBySourceActions.foreach {
+      case DeleteAction(cond) =>
+        if (nmbsDelete.isDefined) unsupported(
+          "two WHEN NOT MATCHED BY SOURCE clauses")
+        nmbsDelete = Some(cond.map(joinedSql(_, "NOT MATCHED BY SOURCE condition")))
+      case other => unsupported(s"not-matched-by-source action $other")
+    }
+    require(updateSets.isDefined || matchedDelete.isDefined ||
+      insertSets.isDefined || nmbsDelete.isDefined,
+      "graft MERGE: no actionable clause")
+
+    // one source column per target column, cast to the target type; the
+    // update and insert clause must agree where both set a column (the
+    // engine carries ONE source value per column through the join)
+    val updateM = updateSets.getOrElse(Nil).map(a => a._1 -> a._2).toMap
+    val insertM = insertSets.getOrElse(Nil).map(a => a._1 -> a._2).toMap
+    // target column -> the bare source attr it carries verbatim (if any)
+    val bareM = (keyPairs ++
+      (updateSets.getOrElse(Nil) ++ insertSets.getOrElse(Nil))
+        .collect { case (n, _, Some(src)) => n -> src }).toMap
+    val keyM = keyPairs.toMap
+    // `UPDATE SET *` expands to include the key as `k = s.k` — a no-op
+    // against the ON equality; allow exactly that form and drop it (a key
+    // set to anything ELSE would re-key the row, which a keyed merge
+    // cannot express)
+    val realUpdates = updateM.filter { case (c, _) =>
+      !keyM.contains(c) || {
+        require(bareM.get(c) == keyM.get(c) &&
+          updateSets.get.exists(a => a._1 == c && a._3 == keyM.get(c)),
+          s"graft MERGE: UPDATE SET of merge key $c to a value other than " +
+            "its ON-clause source column is not supported")
+        false
+      }
+    }
+    val targetFields = t.schema().fields.toSeq
+    val produced: Seq[(String, String)] = targetFields.map { f =>
+      val e = keyM.get(f.name)
+        .orElse(updateM.get(f.name).map { u =>
+          insertM.get(f.name).filter(_ != u).foreach(i => unsupported(
+            s"column ${f.name} set to different UPDATE ($u) and INSERT ($i) " +
+              "expressions"))
+          u
+        })
+        .orElse(insertM.get(f.name))
+        .getOrElse("NULL")
+      f.name -> s"CAST(($e) AS ${f.dataType.sql})"
+    }
+    // source columns the joined-row conditions reference must reach the
+    // join under their own names: pass non-target names through verbatim;
+    // a name that collides with a produced target column is only safe when
+    // that column carries exactly the same bare source attribute
+    val producedNames = produced.map(_._1).toSet
+    val passthrough = condSrcAttrs.toSeq.filterNot(producedNames.contains)
+      .map(n => n -> n)
+    condSrcAttrs.filter(producedNames.contains).foreach { n =>
+      require(bareM.get(n).contains(n),
+        s"graft MERGE: a condition references s.$n but the statement also " +
+          s"computes target column $n from a different expression — the " +
+          "condition would read the computed value; rename one side")
+    }
+
+    GraftMergeCommand(t.dir, rewrite(m.sourceTable),
+      (produced ++ passthrough).map { case (n, e) => s"($e) AS `$n`" },
+      keys,
+      updateCols = realUpdates.keys.toSeq.sorted,
+      matchedDeleteCond = matchedDelete.map(_.getOrElse("true")),
+      insertNotMatched = insertSets.isDefined,
+      insertCond = insertCond,
+      notMatchedBySourceDeleteCond = nmbsDelete.map(_.getOrElse("true")))
+  }
 }
 
 /** `DELETE FROM` as a copy-on-write log commit — see
@@ -193,6 +396,33 @@ final case class GraftUpdateCommand(dir: String, condSql: String,
   override def run(sparkSession: SparkSession): Seq[Row] = {
     TxTable.updateWhere(sparkSession, dir, expr(condSql),
       sets.map { case (c, e) => c -> expr(e) }.toMap)
+    Nil
+  }
+}
+
+/** `MERGE INTO` as one [[MergeSink.mergeIntoTx]] commit. `sourcePlan` is
+  * the resolved (and graft-swapped) source; `projections` re-shape it to
+  * one column per target column (cast to the target type) plus the
+  * passthrough columns the conditions read; the condition strings are
+  * `t.`/`s.`-qualified SQL over the engine's join aliases. */
+final case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
+                                   projections: Seq[String], keys: Seq[String],
+                                   updateCols: Seq[String],
+                                   matchedDeleteCond: Option[String],
+                                   insertNotMatched: Boolean,
+                                   insertCond: Option[String],
+                                   notMatchedBySourceDeleteCond: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val src = PlanBridge.ofRows(sparkSession, sourcePlan)
+      .selectExpr(projections: _*)
+    MergeSink.mergeIntoTx(sparkSession, dir, src, keys,
+      updateCols = updateCols,
+      matchedDeleteCond = matchedDeleteCond.map(expr),
+      insertNotMatched = insertNotMatched,
+      insertCond = insertCond.map(expr),
+      notMatchedBySourceDeleteCond = notMatchedBySourceDeleteCond.map(expr))
     Nil
   }
 }

@@ -201,6 +201,97 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(ext.table("graft.db.part_t").columns.last == "bucket")
   }
 
+  test("catalog: MERGE INTO — upsert (UPDATE SET * / INSERT *) in one commit") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 10, "base").createOrReplaceTempView("src_m0")
+    ext.sql("CREATE TABLE graft.db.m1 AS SELECT * FROM src_m0")
+    // updates ids 8..10, inserts 11..12
+    df(ext, 8 to 12, "new").createOrReplaceTempView("src_m1")
+    ext.sql("""MERGE INTO graft.db.m1 t USING src_m1 s ON t.id = s.id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+    val rows = ext.sql("SELECT id, name FROM graft.db.m1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 12)
+    assert(rows.filter(_._1 <= 7).forall(_._2.startsWith("base-")))
+    assert(rows.filter(_._1 >= 8).forall(_._2.startsWith("new-")))
+    // one MERGE = one commit (CTAS was v1)
+    assert(TxTable.headVersion(ext, s"$lakeRoot/db/m1").contains(2L))
+  }
+
+  test("catalog: MERGE INTO — CDC shape with tombstones and computed SET") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 10, "base").createOrReplaceTempView("src_m2b")
+    ext.sql("CREATE TABLE graft.db.m2 AS SELECT * FROM src_m2b")
+    // feed: delete 1-2, update 9-10 (score doubled), insert 20 + a
+    // tombstone for a row that never existed (21 — must NOT resurrect)
+    val sq = ext.sqlContext; import sq.implicits._
+    Seq((1L, "x", 0.0, "D"), (2L, "x", 0.0, "D"),
+      (9L, "upd", 90.0, "U"), (10L, "upd", 100.0, "U"),
+      (20L, "ins", 200.0, "U"), (21L, "ghost", 0.0, "D"))
+      .toDF("id", "name", "score", "op").createOrReplaceTempView("src_m2")
+    ext.sql("""MERGE INTO graft.db.m2 t USING src_m2 s ON t.id = s.id
+               WHEN MATCHED AND s.op = 'D' THEN DELETE
+               WHEN MATCHED THEN UPDATE SET name = s.name, score = s.score * 2
+               WHEN NOT MATCHED AND s.op <> 'D' THEN
+                 INSERT (id, name, score) VALUES (s.id, s.name, s.score * 2)""")
+    val got = ext.sql("SELECT id, name, score FROM graft.db.m2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == ((3L to 10L) :+ 20L))
+    assert(got.filter(_._1 >= 9).map(_._3).toSeq == Seq(180.0, 200.0, 400.0))
+    assert(got.filter(t => t._1 >= 3 && t._1 <= 8)
+      .forall(t => t._2.startsWith("base-")))
+  }
+
+  test("catalog: MERGE INTO — NOT MATCHED BY SOURCE DELETE retires absent rows") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 6, "base").createOrReplaceTempView("src_m3b")
+    ext.sql("CREATE TABLE graft.db.m3 AS SELECT * FROM src_m3b")
+    df(ext, 4 to 8, "cur").createOrReplaceTempView("src_m3")
+    ext.sql("""MERGE INTO graft.db.m3 t USING src_m3 s ON t.id = s.id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *
+               WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    // full sync: the table now mirrors the source exactly
+    val got = ext.sql("SELECT id, name FROM graft.db.m3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == (4 to 8).map(i => (i.toLong, s"cur-$i")))
+  }
+
+  test("catalog: unsupported MERGE shapes fail loudly, not wrongly") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 3, "b").createOrReplaceTempView("src_m4b")
+    ext.sql("CREATE TABLE graft.db.m4 AS SELECT * FROM src_m4b")
+    df(ext, 1 to 3, "s").createOrReplaceTempView("src_m4")
+    def fails(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](ext.sql(sql))
+      assert(e.getMessage.contains(needle), s"$sql =>\n${e.getMessage}")
+    }
+    // conditioned UPDATE
+    fails("""MERGE INTO graft.db.m4 t USING src_m4 s ON t.id = s.id
+             WHEN MATCHED AND s.score > 1 THEN UPDATE SET *""",
+      "conditioned WHEN MATCHED UPDATE")
+    // dead delete clause after an unconditioned update: Spark's parser
+    // itself rejects this shape (our unreachable-clause guard backstops
+    // programmatic plan construction)
+    fails("""MERGE INTO graft.db.m4 t USING src_m4 s ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN MATCHED THEN DELETE""",
+      "NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION")
+    // re-keying a row through UPDATE SET of the merge key
+    fails("""MERGE INTO graft.db.m4 t USING src_m4 s ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET id = s.id + 100""",
+      "merge key")
+    // non-equi ON
+    fails("""MERGE INTO graft.db.m4 t USING src_m4 s ON t.id < s.id
+             WHEN MATCHED THEN DELETE""",
+      "non-equi ON")
+    // target reference in a SET value
+    fails("""MERGE INTO graft.db.m4 t USING src_m4 s ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET score = t.score + s.score""",
+      "target column")
+  }
+
   // ---------------------------------------------------------- plan guards
 
   test("plan guard: partition pruning through the SQL scan") {
