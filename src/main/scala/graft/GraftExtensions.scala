@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectResolutionRule(session => graft.sql.GraftSqlRules(session))
+    graft.sql.GraftTableFunctions.all.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.sql.GraftTableFunctions", name), builder))
+    }
     Registry.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.Registry", name), builder))

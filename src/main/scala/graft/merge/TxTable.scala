@@ -625,6 +625,31 @@ object TxTable {
     listCommits(fs, dir).map(_._1).filter(_ >= floor)
   }
 
+  /** Audit history of the advertised (above-floor) commits, newest first:
+    * one row per commit with its action, wall-clock commit time (the log
+    * file's modification time — the same clock timestamp travel reads),
+    * file/partition churn counts, layout, idempotence mark, and property
+    * count — the DESCRIBE HISTORY affordance. Driver-side O(log) commit
+    * parses; no data file is touched. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fs = hadoopFs(spark, dir)
+    val floor = readFloor(fs, dir).getOrElse(Long.MinValue)
+    val rows = listCommits(fs, dir).filter(_._1 >= floor)
+      .map { case (v, p) =>
+        val c = parse(fs, p)
+        (v, c.action,
+          new java.sql.Timestamp(fs.getFileStatus(p).getModificationTime),
+          c.files.size.toLong, c.removedParts.size.toLong, c.partCol,
+          c.txns.headOption.map(_._1), c.txns.headOption.map(_._2),
+          c.props.size.toLong)
+      }
+    val sq = spark.sqlContext
+    import sq.implicits._
+    rows.toDF("version", "action", "committed_at", "n_files_added",
+        "n_parts_removed", "part_col", "txn_app", "txn_epoch", "n_props")
+      .orderBy(org.apache.spark.sql.functions.desc("version"))
+  }
+
   /** The live file entries as of `asOf` (None = head) — the SQL front
     * door's ([[graft.sql.GraftFileIndex]]) view of the table: it plans its
     * own scan over these entries (partition pruning + stats skipping in

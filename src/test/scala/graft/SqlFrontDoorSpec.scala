@@ -351,6 +351,36 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(q.count() == 50)
   }
 
+  test("table functions: graft_table / graft_changes / graft_history from bare SQL") {
+    val dir = tmpDir("tvf")
+    TxTable.append(ext, dir, df(ext, 1 to 10, "a"))
+    TxTable.append(ext, dir, df(ext, 11 to 15, "b"))
+    TxTable.deleteWhere(ext, dir, col("id") > 13)
+
+    assert(ext.sql(s"SELECT count(*) FROM graft_table('$dir')")
+      .head.getLong(0) == 13)
+    assert(ext.sql(s"SELECT count(*) FROM graft_table('$dir', 1)")
+      .head.getLong(0) == 10)
+    // pushed filter still prunes through the TVF's file index
+    val pruned = ext.sql(s"SELECT id FROM graft_table('$dir') WHERE id <= 5")
+    assert(scannedFiles(pruned) == 1 && pruned.count() == 5)
+
+    val ch = ext.sql(s"SELECT _change_type, count(*) AS n " +
+      s"FROM graft_changes('$dir', 1) GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // v2 appends 5; v3's copy-on-write delete removes the v2 file (5 rows
+    // out) and re-adds the 3 survivors
+    assert(ch("insert") == 8 && ch("delete") == 5, ch.toString)
+    assert(ext.sql(s"SELECT count(*) FROM graft_changes('$dir', 3)")
+      .head.getLong(0) == 0)
+
+    val hist = ext.sql(s"SELECT version, action, n_files_added " +
+      s"FROM graft_history('$dir') ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.map(_._2).toSeq == Seq("append", "append", "rewrite"))
+  }
+
   test("mixed partitioned/unpartitioned layout is refused loudly for SQL") {
     val dir = tmpDir("mixed")
     TxTable.append(ext, dir, df(ext, 1 to 5, "a"))
