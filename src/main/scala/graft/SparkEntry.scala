@@ -1925,6 +1925,52 @@ object SparkEntry {
       graft.ext.Corpus.bpeSegment(
         T(s, dir, "documents").filter(col("doc_id") < 100),
         col("doc_id"), col("text"), merges)
+    }),
+
+    // SQL DML end-to-end as pure text — DROP/CTAS/DELETE/UPDATE against
+    // a catalog table, all copy-on-write commits through the log, then an
+    // aggregate the oracle replays relationally (delete = WHERE NOT,
+    // update = CASE). Rebuilt from scratch every run, so the mutating
+    // statements are deterministic and replay-safe.
+    "q146_sql_dml" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+      ext.sql("DROP TABLE IF EXISTS graft.dml.orders_t")
+      ext.sql("CREATE TABLE graft.dml.orders_t AS " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.lake.orders")
+      ext.sql("DELETE FROM graft.dml.orders_t WHERE o_orderkey % 10 = 3")
+      ext.sql("UPDATE graft.dml.orders_t SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderstatus = 'F'")
+      ext.sql("""SELECT o_orderstatus, count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                 FROM graft.dml.orders_t GROUP BY o_orderstatus""")
+    }),
+
+    // SQL MERGE INTO end-to-end as pure text: CDC-shaped tri-clause merge
+    // (tombstone delete, computed UPDATE SET, guarded INSERT) against a
+    // catalog table; the oracle replays the clause algebra as set
+    // operations. Same rebuild-per-run discipline as q146.
+    "q147_sql_merge" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+      ext.sql("DROP TABLE IF EXISTS graft.dml.m")
+      ext.sql("CREATE TABLE graft.dml.m AS " +
+        "SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price " +
+        "FROM graft.lake.orders WHERE o_orderkey % 3 = 0")
+      ext.sql("""MERGE INTO graft.dml.m t
+                 USING (SELECT o_orderkey AS k, o_orderstatus AS st,
+                               o_totalprice AS price,
+                               CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+                                    ELSE 'U' END AS op
+                        FROM graft.lake.orders WHERE o_orderkey % 2 = 0) s
+                 ON t.k = s.k
+                 WHEN MATCHED AND s.op = 'D' THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET price = s.price * 3
+                 WHEN NOT MATCHED AND s.op <> 'D' THEN
+                   INSERT (k, st, price) VALUES (s.k, s.st, s.price * 3)""")
+      ext.sql("""SELECT st, count(*) AS n,
+                 CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+                 FROM graft.dml.m GROUP BY st""")
     })
   )
 
@@ -3504,6 +3550,40 @@ object SparkEntry {
     // q145: generated — 20 chained literal replace() passes; see
     // bpeApplyOracleSql for the encoding argument.
     "q145_bpe_apply" -> bpeApplyOracleSql,
+
+    // q146: the SQL DML sequence replayed relationally — DELETE is
+    // WHERE NOT, UPDATE is CASE; the decimal-exact sum is the house
+    // cross-engine pattern.
+    "q146_sql_dml" ->
+      """WITH t AS (
+        | SELECT o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 10 <> 3)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM t GROUP BY o_orderstatus""".stripMargin,
+
+    // q147: the tri-clause MERGE as set algebra — matched tombstones
+    // deleted, matched survivors' and inserted rows' price normalized
+    // (×3: the merge engine carries ONE source value per column, so
+    // UPDATE and INSERT agree — the supported ingest-normalization
+    // shape), target-only rows untouched.
+    "q147_sql_merge" ->
+      """WITH tgt AS (
+        | SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+        | FROM orders WHERE o_orderkey % 3 = 0),
+        |fin AS (
+        | SELECT k, st,
+        |  CASE WHEN k % 2 = 0 THEN price * 3 ELSE price END AS price
+        | FROM tgt WHERE NOT (k % 2 = 0 AND k % 5 = 0)
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, o_totalprice * 3 FROM orders
+        | WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |   AND o_orderkey % 5 <> 0)
+        |SELECT st, count(*) AS n,
+        | CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM fin GROUP BY st""".stripMargin,
 
     // q124: q26's gap-session algebra with session_window's exact
     // semantics — new session at gap >= 30 min (the window is [start,

@@ -126,6 +126,31 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     case r: DataSourceV2Relation if tableOf(r).isDefined =>
       swapToV1(r, tableOf(r).get)
 
+    // `spark.readStream.table("graft.db.t")` — swap the catalog-resolved
+    // V2 streaming descriptor onto the V1 GraftStreamSource path (the
+    // same source format("graft") plants), output ids preserved
+    case r: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+        if r.table.isInstanceOf[GraftSqlTable] =>
+      val t = r.table.asInstanceOf[GraftSqlTable]
+      requireNoAsOf(t, "streaming read")
+      import scala.jdk.CollectionConverters._
+      val opts = r.extraOptions.asScala.toMap
+      require(!opts.get("mode").contains("cdc"),
+        "cdc-mode streams carry extra columns the catalog table does not " +
+          "declare — use spark.readStream.format(\"graft\") with the path")
+      val v1 = org.apache.spark.sql.graftbridge.StreamingBridge
+        .v1StreamingRelation(session, "graft", opts + ("path" -> t.dir))
+      val caseSensitive =
+        session.conf.get("spark.sql.caseSensitive", "false").toBoolean
+      def sameName(a: String, b: String) =
+        if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+      Project(r.output.map { o =>
+        val src = v1.output.find(a => sameName(a.name, o.name)).getOrElse(
+          throw new IllegalStateException(
+            s"column '${o.name}' missing from the stream schema of ${t.dir}"))
+        Alias(src, o.name)(exprId = o.exprId)
+      }, v1)
+
     case other =>
       other.mapChildren(rewrite).transformExpressionsDown {
         case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))

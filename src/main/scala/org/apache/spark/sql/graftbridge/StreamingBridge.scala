@@ -27,4 +27,17 @@ object StreamingBridge {
     cs.internalCreateDataFrame(cs.sparkContext.emptyRDD[InternalRow], schema,
       isStreaming = true)
   }
+
+  /** A V1 `StreamingRelation` leaf for `provider` — what
+    * `spark.readStream.format(provider).options(...).load()` plants, built
+    * directly so an analyzer rule can swap a catalog-resolved
+    * `StreamingRelationV2` onto the V1 source path
+    * (`DataSource`/`StreamingRelation` are `private[sql]`). */
+  def v1StreamingRelation(spark: SparkSession, provider: String,
+                          options: Map[String, String])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+      org.apache.spark.sql.execution.datasources.DataSource(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        className = provider, options = options))
 }

@@ -163,6 +163,30 @@ class GraftStreamSourceSpec extends SparkTestBase {
     assert(contents(dstSync) == contents(src))
   }
 
+  test("readStream.table through the graft catalog rides the same V1 source") {
+    val sq = org.apache.spark.sql.graftbridge.SessionBridge
+      .withExtensions(spark, new GraftExtensions()(_))
+    val root = tmpDir("ss-cat-root")
+    sq.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    sq.conf.set("spark.sql.catalog.graft.root", root)
+    sq.sql("CREATE NAMESPACE graft.db")
+    TxTable.append(sq, s"$root/db/ev", {
+      val c = sq.sqlContext; import c.implicits._
+      (1 to 12).map(i => (i.toLong, s"e-$i")).toDF("id", "name").repartition(1)
+    })
+
+    val seen = mutable.Set.empty[Long]
+    val q = sq.readStream.table("graft.db.ev")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("ss-cat-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.select("id").collect().map(_.getLong(0)) }; ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(seen == (1L to 12L).toSet)
+  }
+
   test("startingVersion = head follows only future commits") {
     val src = tmpDir("ss-future")
     TxTable.append(spark, src, df(1 to 50, "old"))
