@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,7 +35,8 @@ import graft.merge.TxTable
   * relation during analysis (the V1-fallback design Delta shipped with for
   * years; scans stay fully vectorized, nothing is read through a row
   * connector). */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var rootDir: String = _
@@ -133,6 +135,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(fs.rename(from, new Path(tableDir(newIdent))),
       s"rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
   }
+
+  // ------------------------------------------------------- procedures
+
+  // `CALL graft.system.vacuum('db.t', dry_run => true)` etc. — the
+  // maintenance loop from SQL text; see [[GraftProcedures]]
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   // ------------------------------------------------------- namespaces
 

@@ -1,0 +1,148 @@
+package graft.sql
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.merge.TxTable
+
+/** Maintenance procedures for `CALL graft.system.<proc>(...)` — the SQL
+  * face of the lakehouse's operational loop (the affordances Delta ships
+  * as `VACUUM`/`OPTIMIZE` statements, expressed through Spark 4's
+  * standard `ProcedureCatalog` binding so no parser extension is needed):
+  *
+  *  - `vacuum(table, retain_versions, min_orphan_age_ms, dry_run)` —
+  *    reclaim (or, dry_run => true, just REPORT) superseded batches and
+  *    rewrite-retired files; one result row per reclaimable item plus a
+  *    byte-total summary row;
+  *  - `compact_small_files(table, target_bytes, small_bytes)` — OPTIMIZE
+  *    bin packing; returns the packed/written/untouched counts;
+  *  - `compact_log(table, retain_versions)` — checkpoint + prune the
+  *    commit log;
+  *  - `restore(table, version)` — metadata-only rollback.
+  *
+  * `table` is the catalog-relative name (`db.t`). Every procedure
+  * delegates to the [[TxTable]] maintenance API — same floors, same OCC,
+  * same loud fences. */
+object GraftProcedures {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val procs: Map[String, GraftCatalog => BoundUnbound] = Map(
+    "vacuum" -> (cat => new BoundUnbound("vacuum",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("retain_versions", IntegerType)
+          .defaultValue("1").build(),
+        ProcedureParameter.in("min_orphan_age_ms", LongType)
+          .defaultValue("0").build(),
+        ProcedureParameter.in("dry_run", BooleanType)
+          .defaultValue("false").build()),
+      StructType(Seq(StructField("kind", StringType),
+        StructField("item", StringType))),
+      { in =>
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        val r = TxTable.vacuumReport(spark, dir,
+          retainVersions = in.getInt(1), minOrphanAgeMs = in.getLong(2),
+          dryRun = in.getBoolean(3))
+        (r.batchDirs.map(p => Seq("batch_dir", p)) ++
+          r.files.map(p => Seq("file", p)) :+
+          Seq(if (in.getBoolean(3)) "reclaimable" else "reclaimed",
+            s"${r.bytes} bytes" + r.newFloor.fold("")(f => s", floor -> $f")))
+          .map(strRow)
+      })),
+    "compact_small_files" -> (cat => new BoundUnbound("compact_small_files",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("target_bytes", LongType)
+          .defaultValue((128L << 20).toString).build(),
+        ProcedureParameter.in("small_bytes", LongType)
+          .defaultValue((64L << 20).toString).build()),
+      StructType(Seq(StructField("files_packed", IntegerType),
+        StructField("files_written", IntegerType),
+        StructField("files_untouched", IntegerType))),
+      { in =>
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        val s = TxTable.compactSmallFiles(spark, dir,
+          targetBytes = in.getLong(1), smallBytes = in.getLong(2))
+        Seq(InternalRow(s.filesPacked, s.filesWritten, s.filesUntouched))
+      })),
+    "compact_log" -> (cat => new BoundUnbound("compact_log",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("retain_versions", IntegerType)
+          .defaultValue("0").build()),
+      StructType(Seq(StructField("status", StringType))),
+      { in =>
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        TxTable.compactLog(spark, dir, retainVersions = in.getInt(1))
+        Seq(strRow(Seq("log compacted")))
+      })),
+    "restore" -> (cat => new BoundUnbound("restore",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", LongType).build()),
+      StructType(Seq(StructField("status", StringType))),
+      { in =>
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        val v = in.getLong(1)
+        TxTable.restore(spark, dir, v)
+        Seq(strRow(Seq(s"restored to version $v")))
+      })))
+
+  private def strRow(ss: Seq[String]): InternalRow =
+    InternalRow.fromSeq(ss.map(UTF8String.fromString))
+
+  private def tableDir(cat: GraftCatalog, name: String): String = {
+    val parts = name.split('.')
+    val dir = cat.tableDir(Identifier.of(parts.init, parts.last))
+    require(TxTable.exists(spark, dir),
+      s"no TxTable at $name (resolved to $dir)")
+    dir
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procs.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")} " +
+        "(procedures live under `system`)")
+    procs.get(ident.name()) match {
+      case Some(f) => f(cat)
+      case None => throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name()} " +
+          s"(available: ${procs.keys.toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  /** One class serving both halves of the procedure contract: parameters
+    * are static, so bind() is the identity. */
+  private final class BoundUnbound(procName: String,
+                                   params: Array[ProcedureParameter],
+                                   outSchema: StructType,
+                                   body: InternalRow => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val resultRows = body(input).toArray
+      Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = resultRows
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft $procName result"
+      }).iterator()
+    }
+  }
+}

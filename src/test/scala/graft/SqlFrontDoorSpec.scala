@@ -381,6 +381,50 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(hist.map(_._2).toSeq == Seq("append", "append", "rewrite"))
   }
 
+  test("procedures: CALL graft.system.{vacuum,compact_small_files,compact_log,restore}") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 10, "p").createOrReplaceTempView("src_proc")
+    ext.sql("CREATE TABLE graft.db.proc_t AS SELECT * FROM src_proc")
+    ext.sql("INSERT INTO graft.db.proc_t VALUES (11, 'x', 1.0)")
+    ext.sql("INSERT INTO graft.db.proc_t VALUES (12, 'y', 2.0)")
+    val dir = s"$lakeRoot/db/proc_t"
+
+    // OPTIMIZE: three small files pack into one; contents unchanged
+    val packed = ext.sql(
+      "CALL graft.system.compact_small_files('db.proc_t')").head()
+    assert(packed.getInt(0) == 3 && packed.getInt(1) == 1, packed.toString)
+    assert(ext.sql("SELECT count(*) FROM graft.db.proc_t").head.getLong(0) == 12)
+
+    // RESTORE back to the 11-row state (v2), metadata-only
+    assert(ext.sql("CALL graft.system.restore('db.proc_t', 2)")
+      .head.getString(0).contains("version 2"))
+    assert(ext.sql("SELECT count(*) FROM graft.db.proc_t").head.getLong(0) == 11)
+
+    // dry-run vacuum reports without deleting; the real run then reclaims
+    val dry = ext.sql("CALL graft.system.vacuum('db.proc_t', " +
+      "retain_versions => 1, dry_run => true)").collect()
+    assert(dry.last.getString(0) == "reclaimable", dry.mkString(","))
+    assert(ext.sql("SELECT count(*) FROM graft.db.proc_t").head.getLong(0) == 11)
+    val real = ext.sql("CALL graft.system.vacuum('db.proc_t', " +
+      "retain_versions => 1)").collect()
+    assert(real.last.getString(0) == "reclaimed")
+    // same reclaim set the dry run promised
+    assert(real.map(_.getString(1)).init.toSet ==
+      dry.map(_.getString(1)).init.toSet)
+    assert(ext.sql("SELECT count(*) FROM graft.db.proc_t").head.getLong(0) == 11)
+
+    assert(ext.sql("CALL graft.system.compact_log('db.proc_t')")
+      .head.getString(0) == "log compacted")
+    assert(ext.sql("SELECT count(*) FROM graft.db.proc_t").head.getLong(0) == 11)
+
+    // Spark wraps the loader's IllegalArgumentException in
+    // FAILED_TO_LOAD_ROUTINE; the loud naming survives in the chain
+    val e = intercept[Exception](ext.sql("CALL graft.system.nope('x')"))
+    assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
+      e.getMessage.contains("unknown procedure"), e.getMessage)
+    assert(TxTable.exists(ext, dir))
+  }
+
   test("mixed partitioned/unpartitioned layout is refused loudly for SQL") {
     val dir = tmpDir("mixed")
     TxTable.append(ext, dir, df(ext, 1 to 5, "a"))
