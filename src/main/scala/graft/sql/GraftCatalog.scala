@@ -118,10 +118,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft tables are created by their first write: use CREATE TABLE " +
         "... AS SELECT, df.write.format(\"graft\"), or TxTable.append")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves additively with " +
-        "appended batches, properties via TxTable.setProperties")
+  /** Property changes land as one atomic empty-commit property update —
+    * including the `constraint.<name>` namespace, so
+    * `ALTER TABLE graft.db.t SET TBLPROPERTIES('constraint.pos'='x >= 0')`
+    * arms a CHECK constraint enforced on every subsequent write. Schema
+    * changes stay unsupported: a TxTable's schema is carried by its data
+    * commits (additive evolution via appends). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!TxTable.exists(spark, dir))
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    val props: Map[String, String] = changes.map {
+      case sp: TableChange.SetProperty => sp.property() -> sp.value()
+      case rp: TableChange.RemoveProperty => rp.property() -> "" // remove
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported; schema evolves " +
+          "additively with appended batches")
+    }.toMap
+    if (props.nonEmpty) TxTable.setProperties(spark, dir, props)
+    new GraftSqlTable(dir, None, fullName(ident))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tableDir(ident))

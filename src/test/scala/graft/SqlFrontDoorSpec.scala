@@ -425,6 +425,34 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(TxTable.exists(ext, dir))
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES commits atomically; constraints arm") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 5, "a").createOrReplaceTempView("src_alter")
+    ext.sql("CREATE TABLE graft.db.alt AS SELECT * FROM src_alter")
+    val dir = s"$lakeRoot/db/alt"
+
+    ext.sql("ALTER TABLE graft.db.alt SET TBLPROPERTIES" +
+      "('team' = 'etl', 'constraint.pos' = 'score >= 0')")
+    assert(TxTable.tableProperties(ext, dir).get("team").contains("etl"))
+    // the constraint set through SQL is ENFORCED on the next SQL write
+    val e = intercept[Exception] {
+      ext.sql("INSERT INTO graft.db.alt VALUES (99, 'bad', -5.0)")
+    }
+    assert(e.getMessage.contains("constraint") ||
+      Option(e.getCause).exists(_.getMessage.contains("constraint")),
+      e.getMessage)
+    assert(ext.sql("SELECT count(*) FROM graft.db.alt").head.getLong(0) == 5)
+
+    ext.sql("ALTER TABLE graft.db.alt UNSET TBLPROPERTIES('constraint.pos')")
+    ext.sql("INSERT INTO graft.db.alt VALUES (99, 'ok-now', -5.0)")
+    assert(ext.sql("SELECT count(*) FROM graft.db.alt").head.getLong(0) == 6)
+    // schema changes stay refused
+    val e2 = intercept[Exception] {
+      ext.sql("ALTER TABLE graft.db.alt ADD COLUMN extra INT")
+    }
+    assert(e2.getMessage.toLowerCase.contains("not supported"), e2.getMessage)
+  }
+
   test("mixed partitioned/unpartitioned layout is refused loudly for SQL") {
     val dir = tmpDir("mixed")
     TxTable.append(ext, dir, df(ext, 1 to 5, "a"))
