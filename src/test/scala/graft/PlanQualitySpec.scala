@@ -492,4 +492,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(total >= 2 && kept < total,
       s"stats skipping through the SQL index: kept $kept of $total")
   }
+
+  test("q145: corpus joins the vocab segmentation via broadcast — corpus scanned once, filter pushed") {
+    val p = plan("q145_bpe_apply")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LessThan(doc_id,100)"), p)
+  }
+
+  test("q146/q147: the post-DML aggregates stay vectorized GraftFileIndex parquet scans") {
+    for (q <- Seq("q146_sql_dml", "q147_sql_merge")) {
+      val p = plan(q)
+      assert(p.contains("GraftFileIndex"), s"$q:\n$p")
+      assert(!p.contains("BatchScan") && !p.contains("CartesianProduct"),
+        s"$q:\n$p")
+    }
+  }
 }
