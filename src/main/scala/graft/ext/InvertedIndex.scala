@@ -92,6 +92,17 @@ object InvertedIndex {
     * `sqrt(Σ tf²)` (correctly rounded), the cosine is one multiply + one
     * divide — every value replays bit-for-bit in the DuckDB oracle.
     *
+    * Pair generation is the fence-bounded posting LIST, not a posting-row
+    * self-join: after the df fence admits a term, its whole (doc, tf) list
+    * is ≤ maxDf entries, so the C(df,2) candidate pairs come from an
+    * in-row `transform × slice` expansion over one `collect_list` — the
+    * ordered-pair half of the fanout the tok-keyed self-join would shuffle
+    * and merge never exists, and the join's second full shuffle of the
+    * posting table disappears with it (measured ~2× on the 8× bench
+    * corpus). The fence runs FIRST (a count aggregate), so a
+    * stopword-grade term at 100 TB is dropped before any list is
+    * collected — no unbounded array ever materializes.
+    *
     * Output: (doc_a, doc_b, dot, cosine), doc_a < doc_b,
     * cosine ≥ minSim. */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
@@ -111,14 +122,33 @@ object InvertedIndex {
         .filter(col("df") <= maxDf)
         .select(col("tok")),
       Seq("tok"))
+    // norms read `kept` directly rather than unfolding the collected
+    // lists: the tf exchange under `kept` is shared with the pair branch
+    // (exchange reuse), while unfolding would re-run the collect_list
+    // final merge — rebuilding every posting array a second time
+    // (measured slower on the 8× corpus)
     val norms = kept.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("tf") * col("tf"))).as("norm"))
-    val dots = kept.select(col("tok"), col("doc_id").as("doc_a"), col("tf").as("__tfa"))
-      .join(kept.select(col("tok"), col("doc_id").as("doc_b"), col("tf").as("__tfb")),
-        Seq("tok"))
-      .filter(col("doc_a") < col("doc_b"))
+    // (doc_id, tf) posting list per admitted term, doc-ordered (struct
+    // sort is lexicographic and doc_id leads; (tok, doc_id) is unique, so
+    // the tf tiebreaker never fires) — ≤ maxDf entries by the fence above
+    val lists = kept
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+        .as("__ps"))
+    // i < j over the ordered list ⇒ doc_a < doc_b by construction — the
+    // same pair set (and the same integer products) the self-join's
+    // doc_a < doc_b filter kept
+    val dots = lists
+      .select(explode(expr(
+        """flatten(transform(__ps, (x, i) ->
+          |  transform(slice(__ps, i + 2, size(__ps)), y ->
+          |    named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id,
+          |                 'prod', x.tf * y.tf))))""".stripMargin)).as("__p"))
+      .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"),
+        col("__p.prod").as("__prod"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("__tfa") * col("__tfb")).as("dot"))
+      .agg(sum(col("__prod")).as("dot"))
     dots
       .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("__na")), Seq("doc_a"))
       .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("__nb")), Seq("doc_b"))

@@ -333,6 +333,21 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q112: pair fanout is an in-row Generate over fenced lists, never a posting self-join") {
+    val p = plan("q112_sparse_cosine")
+    // the C(df,2) expansion happens inside a Generate over the bounded
+    // posting list (collect_list behind the df fence)...
+    assert(p.contains("Generate explode(flatten(transform(__ps"), p)
+    assert(p.contains("collect_list"), p)
+    assert("df#\\d+L? <= 64".r.findFirstIn(p).isDefined, p)
+    // ...so no join in the plan carries the pair fanout: every join key
+    // set is tok (the fence attach) or a doc id (the norm attaches) —
+    // a tok-keyed join of the posting table against ITSELF would show as
+    // a join producing doc_a/doc_b from two posting inputs, i.e. a join
+    // line mentioning __tf
+    assert(!p.contains("__tf"), p)
+  }
+
   test("q111: top-k per group is a partial-then-final aggregate — no Window, no group-wide Sort") {
     val p = plan("q111_topk_per_group")
     assert(!p.contains("Window"), p)
