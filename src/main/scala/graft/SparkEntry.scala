@@ -1294,8 +1294,9 @@ object SparkEntry {
         Seq(col("o_custkey")), col("o_totalprice"), col("o_orderkey"), k = 3)),
 
     // Sparse shingle-cosine pairs: lexical near-dup similarity on
-    // 3-gram posting lists (one term-keyed self-join, maxDf fence on the
-    // quadratic stopword corner — never an all-pairs doc join). The
+    // 3-gram posting lists (fence-first bounded posting lists expanded
+    // in-row to i<j pairs, maxDf fence on the quadratic stopword
+    // corner — never an all-pairs doc join, never an unbounded list). The
     // shingle width n IS the scale lever: unigram dfs on this corpus
     // approach |docs| and degenerate to all-pairs; 3-gram dfs track real
     // shared phrasing. Integer dots + IEEE sqrt/divide → bit-exact replay.
@@ -1971,6 +1972,37 @@ object SparkEntry {
       ext.sql("""SELECT st, count(*) AS n,
                  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
                  FROM graft.dml.m GROUP BY st""")
+    }),
+
+    // The streaming loop end-to-end as PURE OPTIONS: the lake's orders
+    // TxTable subscribed as a stream (readStream.format("graft")),
+    // filtered in flight, committed into a fresh TxTable by the
+    // exactly-once streaming sink (writeStream.format("graft"),
+    // txn-marked AvailableNow drain), then the sink table read back and
+    // aggregated. Replica + checkpoint are rebuilt from scratch every run
+    // (the q146 discipline) so the drain is deterministic; the oracle
+    // replays the in-flight transform relationally on `orders`.
+    // Integer-only outputs keep the hash compare decimal-free.
+    "q148_stream_replicate" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      val srcDir = sqlLakeRoot(dir) + "/lake/orders"
+      val root = "/tmp/graft_stream_loop_v1/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val dst = s"$root/replica"
+      val q = ext.readStream.format("graft").load(srcDir)
+        .where(col("o_orderkey") % 2 === 0)
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      ext.read.format("graft").load(dst)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
     })
   )
 
@@ -1995,10 +2027,11 @@ object SparkEntry {
     * otherwise, so a crashed half-build never poisons the compare. */
   private val sqlLakeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SparkSession]
+  private def sqlLakeRoot(dir: String): String =
+    "/tmp/graft_sql_lake_v1/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
   private def sqlLakeSession(s: SparkSession, dir: String): SparkSession =
     sqlLakeCache.getOrElseUpdate((s, dir), {
-      val root = "/tmp/graft_sql_lake_v1/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = sqlLakeRoot(dir)
       val tableDir = s"$root/lake/orders"
       val complete = graft.merge.TxTable.exists(s, tableDir) &&
         graft.merge.TxTable.headVersion(s, tableDir).contains(2L)
@@ -3550,6 +3583,15 @@ object SparkEntry {
     // q145: generated — 20 chained literal replace() passes; see
     // bpeApplyOracleSql for the encoding argument.
     "q145_bpe_apply" -> bpeApplyOracleSql,
+
+    // q148: the stream replicated the even-o_orderkey filter of `orders`
+    // exactly-once; the oracle replays the transform relationally.
+    // DuckDB's sum(BIGINT) widens to HUGEINT — cast back for the compare.
+    "q148_stream_replicate" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
 
     // q146: the SQL DML sequence replayed relationally — DELETE is
     // WHERE NOT, UPDATE is CASE; the decimal-exact sum is the house

@@ -1,8 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -23,9 +24,28 @@ import graft.merge.TxTable
   * the option is the contract — same approach as other V1 connectors). */
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // `df.writeStream.format("graft")` — exactly-once micro-batch commits
+  // into the TxTable log; modes and the txn handshake documented on
+  // [[GraftStreamSink]]
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode != OutputMode.Update(),
+      "graft streaming sink supports append (exactly-once TxTable.append) " +
+        "and complete (exactly-once TxTable.replace); update-mode needs a " +
+        "key contract — use the Streams.Sinks merge sinks via foreachBatch")
+    val parts =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionBy").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters), parts,
+      outputMode, parameters.get("txnAppId"))
+  }
 
   // `spark.readStream.format("graft")` — commit-log subscription; modes
   // and options documented on [[GraftStreamSource]]

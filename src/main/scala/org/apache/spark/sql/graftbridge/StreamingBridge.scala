@@ -22,6 +22,18 @@ object StreamingBridge {
       isStreaming = true)
   }
 
+  /** The inverse wrap for a V1 `Sink.addBatch`: the micro-batch DataFrame
+    * the engine hands a sink still carries `isStreaming = true` leaves, so
+    * batch writer APIs refuse it (CALL_ON_STREAMING_DATASET_UNSUPPORTED).
+    * Re-root its compiled RDD as a plain batch LogicalRDD — one execution,
+    * the same move DeltaSink makes by dropping to FileFormatWriter below
+    * the analyzer. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   def emptyStreaming(spark: SparkSession, schema: StructType): DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     cs.internalCreateDataFrame(cs.sparkContext.emptyRDD[InternalRow], schema,
