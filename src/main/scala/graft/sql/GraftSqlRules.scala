@@ -61,9 +61,26 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     case o: OverwriteByExpression if tableOf(o.table).isDefined =>
       if (o.query.resolved && o.outputResolved) {
         require(o.deleteExpr == Literal.TrueLiteral,
-          "graft INSERT OVERWRITE replaces the whole table; partition-" +
-            "scoped overwrite is the API's replacePartitionsBy")
+          "graft INSERT OVERWRITE replaces the whole table; for partition-" +
+            "scoped overwrite SET spark.sql.sources.partitionOverwriteMode=" +
+            "dynamic (or use the API's replacePartitionsBy)")
         insertCommand(tableOf(o.table).get, rewrite(o.query), overwrite = true)
+      } else o
+
+    // dynamic INSERT OVERWRITE: atomically swap exactly the partition
+    // fragments present in the query result — untouched partitions' files
+    // are never rewritten or moved (the replacePartitionsBy contract);
+    // the layout guard inside refuses a granularity mismatch loudly
+    case o: OverwritePartitionsDynamic if tableOf(o.table).isDefined =>
+      if (o.query.resolved && o.outputResolved) {
+        val t = tableOf(o.table).get
+        requireNoAsOf(t, "INSERT OVERWRITE (dynamic)")
+        require(t.partCols.nonEmpty,
+          "dynamic INSERT OVERWRITE targets a partitioned table; this " +
+            "graft table is unpartitioned — plain INSERT OVERWRITE " +
+            "replaces it atomically")
+        GraftDynamicOverwriteCommand(t.dir, rewrite(o.query),
+          t.partCols, t.schema().fieldNames.toSeq)
       } else o
 
     case d: DeleteFromTable if tableOf(d.table).isDefined =>
@@ -399,6 +416,23 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
       insertNotMatched = insertSets.isDefined,
       insertCond = insertCond,
       notMatchedBySourceDeleteCond = nmbsDelete.map(_.getOrElse("true")))
+  }
+}
+
+/** Dynamic `INSERT OVERWRITE` as one atomic partition swap — see
+  * [[TxTable.replacePartitionsBy]]. The analyzer's output resolution
+  * already aligned and cast the query to the table's column order;
+  * `colNames` re-labels positionally so staging partitions by name. */
+final case class GraftDynamicOverwriteCommand(dir: String,
+                                              queryPlan: LogicalPlan,
+                                              partCols: Seq[String],
+                                              colNames: Seq[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val df = PlanBridge.ofRows(sparkSession, queryPlan).toDF(colNames: _*)
+    TxTable.replacePartitionsBy(sparkSession, dir, df, partCols)
+    Nil
   }
 }
 

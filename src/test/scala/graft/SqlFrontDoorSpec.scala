@@ -453,6 +453,36 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(e2.getMessage.toLowerCase.contains("not supported"), e2.getMessage)
   }
 
+  test("dynamic INSERT OVERWRITE swaps exactly the query's partitions; untouched partitions' files never move") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.dyn")
+    ext.sql("DROP TABLE IF EXISTS graft.dyn.pt")
+    ext.sql("CREATE TABLE graft.dyn.pt PARTITIONED BY (bucket) AS " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS bucket " +
+      "FROM range(1, 21)")
+    val dir = s"$lakeRoot/dyn/pt"
+    val oddBefore = TxTable.liveFilePaths(ext, dir)
+      .filter(_.contains("bucket=odd")).sorted
+    assert(oddBefore.nonEmpty)
+
+    ext.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      ext.sql("INSERT OVERWRITE graft.dyn.pt " +
+        "SELECT id * 100 AS id, 'even' AS bucket FROM range(1, 4)")
+    } finally {
+      ext.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    }
+    val rows = ext.sql("SELECT bucket, count(*) AS n, sum(id) AS s " +
+      "FROM graft.dyn.pt GROUP BY bucket").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // even: replaced by the 3 new rows (100+200+300); odd: 1,3,...,19 intact
+    assert(rows("even") == ((3L, 600L)), rows.toString)
+    assert(rows("odd") == ((10L, 100L)), rows.toString)
+    // the odd partition's physical files are byte-identical — never restaged
+    val oddAfter = TxTable.liveFilePaths(ext, dir)
+      .filter(_.contains("bucket=odd")).sorted
+    assert(oddAfter == oddBefore)
+  }
+
   test("mixed partitioned/unpartitioned layout is refused loudly for SQL") {
     val dir = tmpDir("mixed")
     TxTable.append(ext, dir, df(ext, 1 to 5, "a"))
