@@ -86,6 +86,38 @@ object Layout {
     zOrdered(df, c1, c2, nParts, bits).drop("zval")
       .write.mode("overwrite").parquet(path)
 
+  /** OPTIMIZE ZORDER over a [[graft.merge.TxTable]]: rewrite the live
+    * rows into `nParts` z-ordered files along (`c1`, `c2`) in ONE
+    * OCC-pinned replace commit — every output file gets a tight min/max
+    * envelope in both dimensions, so the commit log's ColStat skipping
+    * (and parquet's own row-group pruning) serve range predicates on
+    * either column from then on. O(table rewrite) by design — the full
+    * clustering pass behind Delta's OPTIMIZE ZORDER BY; run it on cold,
+    * query-heavy tables where ongoing two-dimensional skipping pays back
+    * the rewrite (the incremental maintenance loop stays
+    * `compactSmallFiles`). Concurrent writers surface as the replace's
+    * OCC conflict, not silent row loss. Unpartitioned layouts only: a
+    * hive-partitioned table's pruning dimension IS its layout — refuse
+    * rather than silently flatten it. Returns (filesBefore, filesAfter). */
+  def zorderTx(spark: org.apache.spark.sql.SparkSession, dir: String,
+               c1: String, c2: String, nParts: Int, bits: Int = 8): (Int, Int) = {
+    import graft.merge.TxTable
+    val head = TxTable.headVersion(spark, dir)
+    require(head.isDefined, s"no TxTable at $dir")
+    val df = TxTable.read(spark, dir).get
+    require(!df.columns.contains("zval"),
+      "table already has a 'zval' column — reserved by the z-order rewrite")
+    require(!TxTable.liveEntriesForSql(spark, dir, None).exists(_.part.isDefined),
+      s"zorderTx flattens hive layouts: $dir is partitioned — z-order " +
+        "within partitions is not supported; replace() into an " +
+        "unpartitioned layout first")
+    val before = TxTable.liveFilePaths(spark, dir).size
+    TxTable.replace(spark, dir,
+      zOrdered(df, c1, c2, nParts, bits).drop("zval"),
+      expectedHead = head)
+    (before, TxTable.liveFilePaths(spark, dir).size)
+  }
+
   // ---------------------------------------------------------------------
   // Per-file Bloom sidecar index: file skipping BEYOND min/max. Parquet
   // envelopes (and the z-order layout above) prune RANGE predicates; a

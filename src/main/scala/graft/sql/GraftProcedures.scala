@@ -25,6 +25,9 @@ import graft.merge.TxTable
   *    bin packing; returns the packed/written/untouched counts;
   *  - `compact_log(table, retain_versions)` — checkpoint + prune the
   *    commit log;
+  *  - `zorder(table, col1, col2, n_files)` — OPTIMIZE ZORDER: one
+  *    OCC-pinned full rewrite into z-ordered files so the log's ColStat
+  *    skipping prunes range predicates on BOTH columns;
   *  - `restore(table, version)` — metadata-only rollback.
   *
   * `table` is the catalog-relative name (`db.t`). Every procedure
@@ -83,6 +86,22 @@ object GraftProcedures {
         val dir = tableDir(cat, in.getUTF8String(0).toString)
         TxTable.compactLog(spark, dir, retainVersions = in.getInt(1))
         Seq(strRow(Seq("log compacted")))
+      })),
+    "zorder" -> (cat => new BoundUnbound("zorder",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("col1", StringType).build(),
+        ProcedureParameter.in("col2", StringType).build(),
+        ProcedureParameter.in("n_files", IntegerType)
+          .defaultValue("16").build()),
+      StructType(Seq(StructField("files_before", IntegerType),
+        StructField("files_after", IntegerType))),
+      { in =>
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        val (before, after) = graft.ops.Layout.zorderTx(spark, dir,
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+          nParts = in.getInt(3))
+        Seq(InternalRow(before, after))
       })),
     "restore" -> (cat => new BoundUnbound("restore",
       Array(

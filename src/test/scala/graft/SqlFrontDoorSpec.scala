@@ -483,6 +483,45 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(oddAfter == oddBefore)
   }
 
+  test("CALL graft.system.zorder rewrites into a layout that skips on BOTH dimensions through the SQL scan") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    ext.sql("DROP TABLE IF EXISTS graft.maint.z")
+    // x row-major, y column-major over a 32x32 grid: neither insertion
+    // order nor a single-column sort clusters both
+    ext.sql("CREATE TABLE graft.maint.z AS " +
+      "SELECT CAST(id % 32 AS DOUBLE) AS x, CAST(id DIV 32 AS DOUBLE) AS y, " +
+      "id FROM range(0, 1024)")
+    val sumBefore = ext.sql("SELECT sum(id) AS s FROM graft.maint.z")
+      .head.getLong(0)
+
+    val res = ext.sql("CALL graft.system.zorder('maint.z', 'x', 'y', 16)")
+      .collect()
+    assert(res.length == 1)
+    assert(res.head.getInt(1) == 16, res.toSeq.toString) // files_after
+
+    // the rewrite is a permutation — nothing lost, nothing invented
+    assert(ext.sql("SELECT sum(id) AS s FROM graft.maint.z")
+      .head.getLong(0) == sumBefore)
+    assert(ext.sql("SELECT count(*) AS n FROM graft.maint.z")
+      .head.getLong(0) == 1024)
+
+    // range predicates on EITHER dimension prune files at the log level
+    val qx = ext.sql("SELECT id FROM graft.maint.z WHERE x < 4.0")
+    val qy = ext.sql("SELECT id FROM graft.maint.z WHERE y < 4.0")
+    assert(scannedFiles(qx) < 16, s"x-range scanned ${scannedFiles(qx)}/16")
+    assert(scannedFiles(qy) < 16, s"y-range scanned ${scannedFiles(qy)}/16")
+    assert(qx.count() == 128 && qy.count() == 128)
+
+    // a partitioned table is refused, not silently flattened
+    ext.sql("DROP TABLE IF EXISTS graft.maint.zp")
+    ext.sql("CREATE TABLE graft.maint.zp PARTITIONED BY (p) AS " +
+      "SELECT id, CAST(id % 2 AS STRING) AS p FROM range(0, 10)")
+    val e = intercept[Exception] {
+      ext.sql("CALL graft.system.zorder('maint.zp', 'id', 'id', 4)").collect()
+    }
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+  }
+
   test("mixed partitioned/unpartitioned layout is refused loudly for SQL") {
     val dir = tmpDir("mixed")
     TxTable.append(ext, dir, df(ext, 1 to 5, "a"))
