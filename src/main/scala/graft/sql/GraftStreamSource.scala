@@ -39,8 +39,11 @@ import graft.merge.TxTable
   * `startingVersion` (default 0) = the snapshot boundary: 0 streams the
   * whole table history from its first commit (seed + follow in one
   * query); the current head streams only future commits.
-  * `maxVersionsPerBatch` rate-limits how many commits one micro-batch
-  * may cover.
+  * `startingTimestamp` (exclusive with it) resolves an instant — epoch
+  * millis or `yyyy-MM-dd HH:mm:ss` text, the batch reader's
+  * `timestampAsOf` grammar — to the newest commit at or before it, which
+  * becomes that boundary. `maxVersionsPerBatch` rate-limits how many
+  * commits one micro-batch may cover.
   *
   * Restart contract: offsets come back from the checkpoint WAL; a start
   * version below the source's vacuum floor fails loudly
@@ -146,9 +149,22 @@ object GraftStreamSource {
       case Some(other) => throw new IllegalArgumentException(
         s"unknown graft stream mode '$other' (use 'appends' or 'cdc')")
     }
+    // startingTimestamp: the stream-side twin of the batch reader's
+    // timestampAsOf — resolved ONCE at source construction to the newest
+    // commit at or before the instant, which becomes the snapshot
+    // boundary (commits AFTER it stream)
+    val byTs = parameters.get("startingTimestamp").map { raw =>
+      val t = raw.trim
+      val micros: Long =
+        if (t.matches("-?\\d+")) t.toLong * 1000L // epoch millis
+        else java.sql.Timestamp.valueOf(t).getTime * 1000L
+      TxTable.versionAtTimestampMicros(spark, dir, micros).getOrElse(0L)
+    }
+    require(byTs.isEmpty || !parameters.contains("startingVersion"),
+      "give startingVersion OR startingTimestamp, not both")
     new GraftStreamSource(spark, dir, cdc,
-      startingVersion = parameters.get("startingVersion")
-        .map(_.trim.toLong).getOrElse(0L),
+      startingVersion = byTs.orElse(parameters.get("startingVersion")
+        .map(_.trim.toLong)).getOrElse(0L),
       maxVersionsPerBatch =
         parameters.get("maxVersionsPerBatch").map(_.trim.toLong),
       ignoreDeletes =

@@ -205,4 +205,39 @@ class GraftStreamSourceSpec extends SparkTestBase {
     q.awaitTermination(120000)
     assert(seen == (51L to 55L).toSet)
   }
+
+  test("startingTimestamp resolves to the newest commit <= ts; later commits stream") {
+    val src = tmpDir("ss-ts")
+    TxTable.append(spark, src, df(1 to 10, "old"))
+    Thread.sleep(60)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(60)
+    TxTable.append(spark, src, df(11 to 15, "new"))
+
+    val seen = mutable.Set.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", betweenMs.toString).load(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("ss-ts-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.select("id").collect().map(_.getLong(0)) }; ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(seen == (11L to 15L).toSet)
+
+    // both boundary options together are refused
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("startingTimestamp", betweenMs.toString)
+        .option("startingVersion", "0").load(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("ss-ts-ck2"))
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+        .awaitTermination(120000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("not both")), msgs(e).toString)
+  }
 }
