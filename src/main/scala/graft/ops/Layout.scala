@@ -58,16 +58,22 @@ object Layout {
     * dimensions (one tiny agg, collected to four literals — the returned
     * plan is an exchange-free narrow map). */
   def withZValue(df: DataFrame, c1: String, c2: String, bits: Int = 8,
-                 as: String = "zval"): DataFrame = {
-    val r = df.agg(
-      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"cannot z-order on all-null column ($c1, $c2)")
-    val z = zValue(
-      linearBucket(col(c1), r.getDouble(0), r.getDouble(1), bits),
-      linearBucket(col(c2), r.getDouble(2), r.getDouble(3), bits), bits)
-    df.withColumn(as, z)
+                 as: String = "zval"): DataFrame =
+    withZValueN(df, Seq(c1, c2), bits, as)
+
+  /** [[withZValue]] over N dimensions (one tiny agg for all 2N min/max
+    * literals; `dims`·bits must fit a long). */
+  def withZValueN(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                  as: String = "zval"): DataFrame = {
+    require(cols.nonEmpty, "z-order needs >= 1 column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      require(!r.isNullAt(2 * i), s"cannot z-order on all-null column $c")
+      linearBucket(col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1), bits)
+    }
+    df.withColumn(as, zValueN(buckets, bits))
   }
 
   /** Range-partition + sort `df` along the Z curve of (`c1`, `c2`). Every
@@ -75,7 +81,12 @@ object Layout {
     * its min/max envelope is tight in both dimensions. */
   def zOrdered(df: DataFrame, c1: String, c2: String, nParts: Int,
                bits: Int = 8): DataFrame =
-    withZValue(df, c1, c2, bits)
+    zOrderedN(df, Seq(c1, c2), nParts, bits)
+
+  /** [[zOrdered]] over N dimensions. */
+  def zOrderedN(df: DataFrame, cols: Seq[String], nParts: Int,
+                bits: Int = 8): DataFrame =
+    withZValueN(df, cols, bits)
       .repartitionByRange(nParts, col("zval"))
       .sortWithinPartitions(col("zval"))
 
@@ -87,9 +98,10 @@ object Layout {
       .write.mode("overwrite").parquet(path)
 
   /** OPTIMIZE ZORDER over a [[graft.merge.TxTable]]: rewrite the live
-    * rows into `nParts` z-ordered files along (`c1`, `c2`) in ONE
-    * OCC-pinned replace commit — every output file gets a tight min/max
-    * envelope in both dimensions, so the commit log's ColStat skipping
+    * rows into `nParts` z-ordered files along `cols` (any number of
+    * dimensions, `cols.size × bits ≤ 63`) in ONE OCC-pinned replace
+    * commit — every output file gets a tight min/max envelope in every
+    * dimension, so the commit log's ColStat skipping
     * (and parquet's own row-group pruning) serve range predicates on
     * either column from then on. O(table rewrite) by design — the full
     * clustering pass behind Delta's OPTIMIZE ZORDER BY; run it on cold,
@@ -100,8 +112,10 @@ object Layout {
     * hive-partitioned table's pruning dimension IS its layout — refuse
     * rather than silently flatten it. Returns (filesBefore, filesAfter). */
   def zorderTx(spark: org.apache.spark.sql.SparkSession, dir: String,
-               c1: String, c2: String, nParts: Int, bits: Int = 8): (Int, Int) = {
+               cols: Seq[String], nParts: Int, bits: Int = 8): (Int, Int) = {
     import graft.merge.TxTable
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"zorderTx: ${cols.size} columns × $bits bits must fit a long")
     val head = TxTable.headVersion(spark, dir)
     require(head.isDefined, s"no TxTable at $dir")
     val df = TxTable.read(spark, dir).get
@@ -113,7 +127,7 @@ object Layout {
         "unpartitioned layout first")
     val before = TxTable.liveFilePaths(spark, dir).size
     TxTable.replace(spark, dir,
-      zOrdered(df, c1, c2, nParts, bits).drop("zval"),
+      zOrderedN(df, cols, nParts, bits).drop("zval"),
       expectedHead = head)
     (before, TxTable.liveFilePaths(spark, dir).size)
   }

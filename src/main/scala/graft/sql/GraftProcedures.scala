@@ -25,9 +25,10 @@ import graft.merge.TxTable
   *    bin packing; returns the packed/written/untouched counts;
   *  - `compact_log(table, retain_versions)` — checkpoint + prune the
   *    commit log;
-  *  - `zorder(table, col1, col2, n_files)` — OPTIMIZE ZORDER: one
-  *    OCC-pinned full rewrite into z-ordered files so the log's ColStat
-  *    skipping prunes range predicates on BOTH columns;
+  *  - `zorder(table, cols, n_files)` — OPTIMIZE ZORDER: one OCC-pinned
+  *    full rewrite into files z-ordered along the comma-separated
+  *    columns, so the log's ColStat skipping prunes range predicates on
+  *    EVERY listed column;
   *  - `restore(table, version)` — metadata-only rollback.
   *
   * `table` is the catalog-relative name (`db.t`). Every procedure
@@ -90,17 +91,17 @@ object GraftProcedures {
     "zorder" -> (cat => new BoundUnbound("zorder",
       Array(
         ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("col1", StringType).build(),
-        ProcedureParameter.in("col2", StringType).build(),
+        ProcedureParameter.in("cols", StringType).build(),
         ProcedureParameter.in("n_files", IntegerType)
           .defaultValue("16").build()),
       StructType(Seq(StructField("files_before", IntegerType),
         StructField("files_after", IntegerType))),
       { in =>
         val dir = tableDir(cat, in.getUTF8String(0).toString)
+        val cols = in.getUTF8String(1).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val (before, after) = graft.ops.Layout.zorderTx(spark, dir,
-          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-          nParts = in.getInt(3))
+          cols, nParts = in.getInt(2))
         Seq(InternalRow(before, after))
       })),
     "restore" -> (cat => new BoundUnbound("restore",

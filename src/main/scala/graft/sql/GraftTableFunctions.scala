@@ -18,7 +18,12 @@ import graft.merge.TxTable
   *  - `graft_changes('<dir>', after [, until])` — the CDC feed between
   *    versions ([[TxTable.readChanges]]), `_change_type` /
   *    `_commit_version` tagged; empty result when nothing changed;
-  *  - `graft_history('<dir>')` — one audit row per advertised commit.
+  *  - `graft_history('<dir>')` — one audit row per advertised commit;
+  *  - `graft_files('<dir>' [, version])` — the live file layout (path,
+  *    partition fragment, bytes, per-column min/max envelopes): the
+  *    observability feed behind compaction / z-order decisions, the
+  *    DESCRIBE DETAIL counterpart. Driver-side O(live files), same
+  *    contract as the planner's own listing.
   *
   * Arguments must be literals (the plan is built at resolution time).
   * Registered by [[graft.GraftExtensions]]. */
@@ -70,5 +75,24 @@ object GraftTableFunctions {
       require(args.size == 1, "graft_history(dir)")
       PlanBridge.analyzed(
         TxTable.history(spark, strArg(args.head, "graft_history", "dir")))
+    },
+    "graft_files" -> { args =>
+      require(args.size == 1 || args.size == 2,
+        "graft_files(dir [, version])")
+      val dir = strArg(args.head, "graft_files", "dir")
+      require(TxTable.exists(spark, dir), s"no TxTable commit log at $dir")
+      val asOf = args.lift(1).map(longArg(_, "graft_files", "version"))
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rows = TxTable.liveEntriesForSql(spark, dir, asOf).map { e =>
+        val len = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(p, e.path)).getLen
+        (e.path, e.part.orNull, len,
+          e.stats.map { case (c, cs) => c -> cs.min },
+          e.stats.map { case (c, cs) => c -> cs.max })
+      }
+      val sq = spark.sqlContext; import sq.implicits._
+      PlanBridge.analyzed(
+        rows.toDF("path", "partition", "bytes", "stat_min", "stat_max"))
     })
 }

@@ -494,7 +494,7 @@ class SqlFrontDoorSpec extends SparkTestBase {
     val sumBefore = ext.sql("SELECT sum(id) AS s FROM graft.maint.z")
       .head.getLong(0)
 
-    val res = ext.sql("CALL graft.system.zorder('maint.z', 'x', 'y', 16)")
+    val res = ext.sql("CALL graft.system.zorder('maint.z', 'x,y', 16)")
       .collect()
     assert(res.length == 1)
     assert(res.head.getInt(1) == 16, res.toSeq.toString) // files_after
@@ -517,9 +517,46 @@ class SqlFrontDoorSpec extends SparkTestBase {
     ext.sql("CREATE TABLE graft.maint.zp PARTITIONED BY (p) AS " +
       "SELECT id, CAST(id % 2 AS STRING) AS p FROM range(0, 10)")
     val e = intercept[Exception] {
-      ext.sql("CALL graft.system.zorder('maint.zp', 'id', 'id', 4)").collect()
+      ext.sql("CALL graft.system.zorder('maint.zp', 'id,id', 4)").collect()
     }
     assert(e.getMessage.contains("partitioned"), e.getMessage)
+
+    // three dimensions: every listed column's range predicate prunes
+    ext.sql("DROP TABLE IF EXISTS graft.maint.z3")
+    ext.sql("CREATE TABLE graft.maint.z3 AS " +
+      "SELECT CAST(id % 8 AS DOUBLE) AS x, CAST((id DIV 8) % 8 AS DOUBLE) AS y, " +
+      "CAST(id DIV 64 AS DOUBLE) AS z, id FROM range(0, 512)")
+    val r3 = ext.sql("CALL graft.system.zorder('maint.z3', 'x,y,z', 8)")
+      .collect()
+    assert(r3.head.getInt(1) == 8, r3.toSeq.toString)
+    for (c <- Seq("x", "y", "z")) {
+      val q = ext.sql(s"SELECT id FROM graft.maint.z3 WHERE $c < 2.0")
+      assert(scannedFiles(q) < 8, s"$c-range scanned ${scannedFiles(q)}/8")
+      assert(q.count() == 128)
+    }
+  }
+
+  test("graft_files lists the live layout with bytes and per-column envelopes; version arg time-travels") {
+    val dir = tmpDir("tvf-files")
+    TxTable.append(ext, dir, df(ext, 1 to 50, "a"))
+    TxTable.append(ext, dir, df(ext, 51 to 80, "b"))
+
+    val rows = ext.sql(s"SELECT * FROM graft_files('$dir')").collect()
+    assert(rows.length == TxTable.liveFilePaths(ext, dir).size)
+    assert(rows.length == 2) // repartition(1) per append
+    assert(rows.forall(_.getLong(2) > 0)) // bytes
+    assert(rows.forall(_.isNullAt(1)))    // unpartitioned
+    assert(rows.forall(r => r.getMap[String, String](3).contains("id") &&
+      r.getMap[String, String](4).contains("id")))
+
+    // the envelopes are the ones the skipping layer uses — disjoint id
+    // ranges across the two files
+    val ranges = rows.map(r => (r.getMap[String, String](3)("id").toDouble,
+      r.getMap[String, String](4)("id").toDouble)).sortBy(_._1)
+    assert(ranges.head._2 < ranges.last._1, ranges.toSeq.toString)
+
+    val v1 = ext.sql(s"SELECT * FROM graft_files('$dir', 1)").collect()
+    assert(v1.length == 1)
   }
 
   test("mixed partitioned/unpartitioned layout is refused loudly for SQL") {
