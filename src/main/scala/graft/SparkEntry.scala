@@ -2003,6 +2003,37 @@ object SparkEntry {
       ext.read.format("graft").load(dst)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+    }),
+
+    // The FULL SQL maintenance loop as one oracle row: four separate
+    // commits build the table (small files by construction), then every
+    // CALL in the book runs over it — OPTIMIZE bin packing, OPTIMIZE
+    // ZORDER (a full clustering rewrite), log checkpoint+prune, vacuum of
+    // everything the rewrites retired — and the final aggregate must
+    // still hash-match the plain relational definition. Maintenance is
+    // exactly the code most likely to lose or duplicate rows silently;
+    // this row makes "it didn't" a DuckDB-checked fact every round.
+    // Rebuilt from scratch per run (the q146 discipline).
+    "q149_sql_maintenance" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+      ext.sql("DROP TABLE IF EXISTS graft.maint.mo")
+      val base = "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus" +
+        " FROM graft.lake.orders WHERE o_orderkey % 4 = "
+      ext.sql(s"CREATE TABLE graft.maint.mo AS ${base}0")
+      for (r <- 1 to 3)
+        ext.sql(s"INSERT INTO graft.maint.mo ${base}$r")
+      ext.sql("CALL graft.system.compact_small_files('maint.mo')").collect()
+      ext.sql(
+        "CALL graft.system.zorder('maint.mo', 'o_custkey,o_totalprice', 8)")
+        .collect()
+      ext.sql("CALL graft.system.compact_log('maint.mo')").collect()
+      ext.sql("CALL graft.system.vacuum('maint.mo')").collect()
+      ext.sql("""SELECT o_orderstatus, count(*) AS n,
+                 sum(o_orderkey) AS sum_key,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+                 FROM graft.maint.mo GROUP BY o_orderstatus""")
     })
   )
 
@@ -3592,6 +3623,15 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // q149: after the full maintenance loop (pack, z-order rewrite, log
+    // compaction, vacuum) the table must still be exactly `orders` —
+    // every maintenance action is a permutation of the live rows.
+    "q149_sql_maintenance" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // q146: the SQL DML sequence replayed relationally — DELETE is
     // WHERE NOT, UPDATE is CASE; the decimal-exact sum is the house
