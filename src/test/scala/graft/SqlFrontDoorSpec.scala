@@ -559,6 +559,48 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(v1.length == 1)
   }
 
+  test("DESCRIBE TABLE and SHOW TBLPROPERTIES serve the consumer surface") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    ext.sql("DROP TABLE IF EXISTS graft.meta.d")
+    ext.sql("CREATE TABLE graft.meta.d AS SELECT 1L AS id, 'x' AS name")
+    ext.sql("ALTER TABLE graft.meta.d SET TBLPROPERTIES('owner.team'='etl')")
+
+    val desc = ext.sql("DESCRIBE TABLE graft.meta.d").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("id").contains("bigint") &&
+      desc.get("name").contains("string"), desc.toString)
+
+    val props = ext.sql("SHOW TBLPROPERTIES graft.meta.d").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("owner.team").contains("etl"), props.toString)
+  }
+
+  test("concurrent SQL INSERTs from racing threads both land (append commits are conflict-free)") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.race")
+    ext.sql("DROP TABLE IF EXISTS graft.race.t")
+    ext.sql("CREATE TABLE graft.race.t AS SELECT id FROM range(0, 10)")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    val futures = (0 until 4).map { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          gate.await(30, TimeUnit.SECONDS)
+          ext.sql("INSERT INTO graft.race.t " +
+            s"SELECT id FROM range(${100 * (i + 1)}, ${100 * (i + 1) + 10})")
+          ()
+        }
+      })
+    }
+    gate.countDown()
+    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // all four appends landed on top of the seed — nothing lost to a race
+    assert(ext.sql("SELECT count(*) AS n FROM graft.race.t")
+      .head.getLong(0) == 50)
+    assert(TxTable.headVersion(ext, s"$lakeRoot/race/t").contains(5L))
+  }
+
   test("mixed partitioned/unpartitioned layout is refused loudly for SQL") {
     val dir = tmpDir("mixed")
     TxTable.append(ext, dir, df(ext, 1 to 5, "a"))
