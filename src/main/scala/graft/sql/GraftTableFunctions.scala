@@ -12,9 +12,10 @@ import graft.merge.TxTable
   * the operational affordances a Delta user gets from `DESCRIBE HISTORY`
   * and `table_changes(...)`, usable without mounting a catalog:
   *
-  *  - `graft_table('<dir>' [, version])` — snapshot (optionally
-  *    time-travelled) read of a TxTable path, planned through
-  *    [[GraftFileIndex]] (partition pruning + stats skipping intact);
+  *  - `graft_table('<dir>' [, version | 'timestamp'])` — snapshot
+  *    (optionally time-travelled, by commit version or timestamp text)
+  *    read of a TxTable path, planned through [[GraftFileIndex]]
+  *    (partition pruning + stats skipping intact);
   *  - `graft_changes('<dir>', after [, until])` — the CDC feed between
   *    versions ([[TxTable.readChanges]]), `_change_type` /
   *    `_commit_version` tagged; empty result when nothing changed;
@@ -54,10 +55,29 @@ object GraftTableFunctions {
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_table" -> { args =>
       require(args.size == 1 || args.size == 2,
-        "graft_table(dir [, version])")
+        "graft_table(dir [, version | 'timestamp'])")
       val dir = strArg(args.head, "graft_table", "dir")
       require(TxTable.exists(spark, dir), s"no TxTable commit log at $dir")
-      val asOf = args.lift(1).map(longArg(_, "graft_table", "version"))
+      // integer second arg = commit version; string = timestamp text
+      // (the reader's timestampAsOf grammar), resolved to the newest
+      // commit at or before the instant
+      val asOf = args.lift(1).map { e =>
+        arg(e, "graft_table", "version/timestamp") match {
+          case i: Int  => i.toLong
+          case l: Long => l
+          case s: UTF8String =>
+            val t = s.toString.trim
+            val micros =
+              if (t.matches("-?\\d+")) t.toLong * 1000L // epoch millis
+              else java.sql.Timestamp.valueOf(t).getTime * 1000L
+            TxTable.versionAtTimestampMicros(spark, dir, micros).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft_table: '$t' predates every commit of $dir"))
+          case other => throw new IllegalArgumentException(
+            "graft_table: second argument must be an integer version or " +
+              s"a timestamp string literal, got $other")
+        }
+      }
       PlanBridge.analyzed(GraftSql.dataFrame(spark, dir, asOf))
     },
     "graft_changes" -> { args =>

@@ -354,12 +354,18 @@ class SqlFrontDoorSpec extends SparkTestBase {
   test("table functions: graft_table / graft_changes / graft_history from bare SQL") {
     val dir = tmpDir("tvf")
     TxTable.append(ext, dir, df(ext, 1 to 10, "a"))
+    Thread.sleep(60)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(60)
     TxTable.append(ext, dir, df(ext, 11 to 15, "b"))
     TxTable.deleteWhere(ext, dir, col("id") > 13)
 
     assert(ext.sql(s"SELECT count(*) FROM graft_table('$dir')")
       .head.getLong(0) == 13)
     assert(ext.sql(s"SELECT count(*) FROM graft_table('$dir', 1)")
+      .head.getLong(0) == 10)
+    // timestamp-text time travel: the newest commit <= the instant is v1
+    assert(ext.sql(s"SELECT count(*) FROM graft_table('$dir', '$betweenMs')")
       .head.getLong(0) == 10)
     // pushed filter still prunes through the TVF's file index
     val pruned = ext.sql(s"SELECT id FROM graft_table('$dir') WHERE id <= 5")
