@@ -1999,7 +1999,9 @@ object SparkEntry {
         .option("checkpointLocation", s"$root/ck")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "q148: AvailableNow stream drain did not finish within 180 s — " +
+          "reading the replica now would produce a silently short result")
       ext.read.format("graft").load(dst)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))

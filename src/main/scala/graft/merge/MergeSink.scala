@@ -290,7 +290,8 @@ object MergeSink {
                 insertNotMatched: Boolean = true,
                 insertCond: Option[Column] = None,
                 notMatchedBySourceDeleteCond: Option[Column] = None,
-                orderCols: Seq[String] = Nil): Unit = {
+                orderCols: Seq[String] = Nil,
+                updateSources: Map[String, String] = Map.empty): Unit = {
     val src = latestPerKey(source, keys, orderCols)
     readTarget(spark, dir) match {
       case None =>
@@ -302,7 +303,8 @@ object MergeSink {
       case Some(existing) =>
         writeReplace(spark, dir,
           mergeFullRows(existing, src, keys, updateCols, matchedDeleteCond,
-            insertNotMatched, insertCond, notMatchedBySourceDeleteCond))
+            insertNotMatched, insertCond, notMatchedBySourceDeleteCond,
+            updateSources))
     }
   }
 
@@ -316,7 +318,8 @@ object MergeSink {
                   insertCond: Option[Column] = None,
                   notMatchedBySourceDeleteCond: Option[Column] = None,
                   orderCols: Seq[String] = Nil,
-                  txn: Option[(String, Long)] = None): Unit = {
+                  txn: Option[(String, Long)] = None,
+                  updateSources: Map[String, String] = Map.empty): Unit = {
     val src = latestPerKey(source, keys, orderCols)
     val v0 = TxTable.headVersion(spark, dir)
     TxTable.read(spark, dir) match {
@@ -327,7 +330,8 @@ object MergeSink {
       case Some(existing) =>
         TxTable.replace(spark, dir,
           mergeFullRows(existing, src, keys, updateCols, matchedDeleteCond,
-            insertNotMatched, insertCond, notMatchedBySourceDeleteCond),
+            insertNotMatched, insertCond, notMatchedBySourceDeleteCond,
+            updateSources),
           expectedHead = v0, txn = txn)
     }
   }
@@ -343,13 +347,22 @@ object MergeSink {
 
   /** The tri-clause MERGE plan ([[mergeInto]]): full-outer join on `keys`,
     * per-row clause dispatch on which side(s) matched. Output columns =
-    * the target's. */
+    * the target's.
+    *
+    * `updateSources` lets the UPDATE and INSERT clauses disagree on a
+    * column: the source row carries the INSERT value under the column's
+    * own name (used for source-only rows) and the UPDATE value under a
+    * SIDE-CHANNEL column named `updateSources(col)` (used for matched
+    * rows) — standard MERGE lets the two clauses set different values,
+    * and a single in-row value cannot express that. Columns absent from
+    * the map read their one in-row value on both paths, as before. */
   private def mergeFullRows(existing: DataFrame, src: DataFrame,
                             keys: Seq[String], updateCols: Seq[String],
                             matchedDeleteCond: Option[Column],
                             insertNotMatched: Boolean,
                             insertCond: Option[Column],
-                            notMatchedBySourceDeleteCond: Option[Column])
+                            notMatchedBySourceDeleteCond: Option[Column],
+                            updateSources: Map[String, String] = Map.empty)
       : DataFrame = {
     val cols = existing.columns.toSeq
     val t = existing.withColumn("__t", lit(true)).alias("t")
@@ -372,7 +385,9 @@ object MergeSink {
       val out =
         if (keys.contains(c)) coalesce(col(s"t.$c"), col(s"s.$c"))
         else if (updateCols.contains(c))
-          when(targetOnly, col(s"t.$c")).otherwise(col(s"s.$c"))
+          when(targetOnly, col(s"t.$c"))
+            .when(matched, col(s"s.${updateSources.getOrElse(c, c)}"))
+            .otherwise(col(s"s.$c")) // source-only: the INSERT value
         else when(col("t.__t").isNotNull, col(s"t.$c")).otherwise(col(s"s.$c"))
       out.as(c)
     }: _*)

@@ -61,14 +61,22 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     val partCols: Seq[String] = entries.flatMap(_.part).headOption
       .map(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
       .getOrElse(Nil)
-    // a half-partitioned live set can't be modelled as one relation —
-    // fail loudly rather than hand the planner files with missing
-    // partition values (the API read handles mixed layouts; SQL doesn't)
+    // a mixed-layout live set can't be modelled as one relation — fail
+    // loudly rather than hand the planner files with missing partition
+    // values (the API read handles mixed layouts; SQL doesn't). The check
+    // is per-fragment COLUMN SEQUENCE, not just partitioned-vs-not:
+    // appends with different partitionBy sets would otherwise pass here
+    // and crash listFiles with a bare key lookup later.
     if (partCols.nonEmpty)
-      require(entries.forall(_.part.isDefined),
-        s"TxTable $dir mixes partitioned and unpartitioned live batches — " +
-          "the SQL front door needs a uniform layout; compact or replace " +
-          "into one scheme first (TxTable.read still works)")
+      entries.foreach { e =>
+        val cols = e.part.map(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
+        require(cols.contains(partCols),
+          s"TxTable $dir mixes partition layouts across live batches " +
+            s"(${cols.getOrElse(Seq("<unpartitioned>")).mkString(",")} vs " +
+            s"${partCols.mkString(",")}) — the SQL front door needs a " +
+            "uniform layout; compact or replace into one scheme first " +
+            "(TxTable.read still works)")
+      }
     val statuses = entries.map { e =>
       val st = fs.getFileStatus(new Path(qualifiedDir, e.path))
       e.path -> FileStatusWithMetadata(st)

@@ -358,42 +358,67 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
       insertSets.isDefined || nmbsDelete.isDefined,
       "graft MERGE: no actionable clause")
 
-    // one source column per target column, cast to the target type; the
-    // update and insert clause must agree where both set a column (the
-    // engine carries ONE source value per column through the join)
-    val updateM = updateSets.getOrElse(Nil).map(a => a._1 -> a._2).toMap
-    val insertM = insertSets.getOrElse(Nil).map(a => a._1 -> a._2).toMap
-    // target column -> the bare source attr it carries verbatim (if any)
-    val bareM = (keyPairs ++
-      (updateSets.getOrElse(Nil) ++ insertSets.getOrElse(Nil))
-        .collect { case (n, _, Some(src)) => n -> src }).toMap
+    // per target column: the UPDATE / INSERT values as (rendered expr,
+    // bare source attr when the value is exactly one source column)
+    val updateA = updateSets.getOrElse(Nil).map(a => a._1 -> ((a._2, a._3))).toMap
+    val insertA = insertSets.getOrElse(Nil).map(a => a._1 -> ((a._2, a._3))).toMap
     val keyM = keyPairs.toMap
-    // `UPDATE SET *` expands to include the key as `k = s.k` — a no-op
-    // against the ON equality; allow exactly that form and drop it (a key
-    // set to anything ELSE would re-key the row, which a keyed merge
-    // cannot express)
-    val realUpdates = updateM.filter { case (c, _) =>
-      !keyM.contains(c) || {
-        require(bareM.get(c) == keyM.get(c) &&
-          updateSets.get.exists(a => a._1 == c && a._3 == keyM.get(c)),
-          s"graft MERGE: UPDATE SET of merge key $c to a value other than " +
-            "its ON-clause source column is not supported")
-        false
+    // `UPDATE SET *` / `INSERT *` expand to include the key as `k = s.k` —
+    // a no-op against the ON equality; allow exactly that form and drop it
+    // (a key set to anything ELSE would re-key the row, which a keyed
+    // merge cannot express)
+    def requireKeyNoop(m: Map[String, (String, Option[String])],
+                       clause: String): Unit =
+      keyM.foreach { case (k, srcCol) =>
+        m.get(k).foreach { case (_, bare) =>
+          require(bare.contains(srcCol),
+            s"graft MERGE: $clause of merge key $k to a value other than " +
+              "its ON-clause source column is not supported")
+        }
       }
-    }
+    requireKeyNoop(updateA, "UPDATE SET")
+    requireKeyNoop(insertA, "INSERT VALUES")
+    val realUpdates = updateA.keySet.filterNot(keyM.contains)
+
     val targetFields = t.schema().fields.toSeq
+    targetFields.foreach(f => require(!f.name.startsWith("__graft_upd_"),
+      s"graft MERGE: target column ${f.name} collides with the engine's " +
+        "reserved __graft_upd_ prefix"))
+    // One in-row value per column feeds the INSERT path. When the UPDATE
+    // clause disagrees — a different expression, or the INSERT column list
+    // omits a column the UPDATE sets (standard MERGE inserts NULL there) —
+    // the update value rides a `__graft_upd_<col>` side-channel column
+    // instead (MergeSink.mergeFullRows' updateSources contract), so each
+    // clause applies exactly its own value.
+    val divergent =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val producedBare = scala.collection.mutable.Map.empty[String, String]
     val produced: Seq[(String, String)] = targetFields.map { f =>
-      val e = keyM.get(f.name)
-        .orElse(updateM.get(f.name).map { u =>
-          insertM.get(f.name).filter(_ != u).foreach(i => unsupported(
-            s"column ${f.name} set to different UPDATE ($u) and INSERT ($i) " +
-              "expressions"))
-          u
-        })
-        .orElse(insertM.get(f.name))
-        .getOrElse("NULL")
+      val e: String = keyM.get(f.name) match {
+        case Some(k) => producedBare(f.name) = k; k
+        case None => (updateA.get(f.name), insertA.get(f.name)) match {
+          case (Some((u, ub)), Some((i, ib))) if u == i =>
+            ib.orElse(ub).foreach(producedBare(f.name) = _); u
+          case (Some((u, _)), Some((i, ib))) =>
+            divergent += ((f.name, u, f.dataType.sql))
+            ib.foreach(producedBare(f.name) = _); i
+          case (Some((u, ub)), None) =>
+            if (insertSets.isEmpty) {
+              // no INSERT clause: the in-row value only ever feeds updates
+              ub.foreach(producedBare(f.name) = _); u
+            } else { divergent += ((f.name, u, f.dataType.sql)); "NULL" }
+          case (None, Some((i, ib))) =>
+            ib.foreach(producedBare(f.name) = _); i
+          case (None, None) => "NULL"
+        }
+      }
       f.name -> s"CAST(($e) AS ${f.dataType.sql})"
     }
+    val updProjs = divergent.toSeq.map { case (c, u, tpe) =>
+      s"__graft_upd_$c" -> s"CAST(($u) AS $tpe)"
+    }
+    val updateSources =
+      divergent.toSeq.map { case (c, _, _) => c -> s"__graft_upd_$c" }
     // source columns the joined-row conditions reference must reach the
     // join under their own names: pass non-target names through verbatim;
     // a name that collides with a produced target column is only safe when
@@ -402,16 +427,17 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     val passthrough = condSrcAttrs.toSeq.filterNot(producedNames.contains)
       .map(n => n -> n)
     condSrcAttrs.filter(producedNames.contains).foreach { n =>
-      require(bareM.get(n).contains(n),
+      require(producedBare.get(n).contains(n),
         s"graft MERGE: a condition references s.$n but the statement also " +
           s"computes target column $n from a different expression — the " +
           "condition would read the computed value; rename one side")
     }
 
     GraftMergeCommand(t.dir, rewrite(m.sourceTable),
-      (produced ++ passthrough).map { case (n, e) => s"($e) AS `$n`" },
+      (produced ++ updProjs ++ passthrough).map { case (n, e) => s"($e) AS `$n`" },
       keys,
-      updateCols = realUpdates.keys.toSeq.sorted,
+      updateCols = realUpdates.toSeq.sorted,
+      updateSources = updateSources,
       matchedDeleteCond = matchedDelete.map(_.getOrElse("true")),
       insertNotMatched = insertSets.isDefined,
       insertCond = insertCond,
@@ -467,6 +493,7 @@ final case class GraftUpdateCommand(dir: String, condSql: String,
 final case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
                                    projections: Seq[String], keys: Seq[String],
                                    updateCols: Seq[String],
+                                   updateSources: Seq[(String, String)],
                                    matchedDeleteCond: Option[String],
                                    insertNotMatched: Boolean,
                                    insertCond: Option[String],
@@ -481,7 +508,8 @@ final case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
       matchedDeleteCond = matchedDeleteCond.map(expr),
       insertNotMatched = insertNotMatched,
       insertCond = insertCond.map(expr),
-      notMatchedBySourceDeleteCond = notMatchedBySourceDeleteCond.map(expr))
+      notMatchedBySourceDeleteCond = notMatchedBySourceDeleteCond.map(expr),
+      updateSources = updateSources.toMap)
     Nil
   }
 }

@@ -243,6 +243,35 @@ class SqlFrontDoorSpec extends SparkTestBase {
       .forall(t => t._2.startsWith("base-")))
   }
 
+  test("catalog: MERGE INTO — UPDATE and INSERT clauses set DIFFERENT values") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 6, "base").createOrReplaceTempView("src_m5b")
+    ext.sql("CREATE TABLE graft.db.m5 AS SELECT * FROM src_m5b")
+    // updates ids 5..6, inserts 7..8:
+    //  - `name` set to DIFFERENT expressions by the two clauses;
+    //  - `score` set ONLY by UPDATE — standard MERGE inserts NULL there,
+    //    the update expression must NOT leak into inserted rows
+    df(ext, 5 to 8, "new").createOrReplaceTempView("src_m5")
+    ext.sql("""MERGE INTO graft.db.m5 t USING src_m5 s ON t.id = s.id
+               WHEN MATCHED THEN UPDATE SET name = s.name, score = s.score + 1
+               WHEN NOT MATCHED THEN
+                 INSERT (id, name) VALUES (s.id, concat(s.name, '!'))""")
+    val got = ext.sql("SELECT id, name, score FROM graft.db.m5 ORDER BY id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.map(_._1).toSeq == (1L to 8L))
+    // untouched rows intact
+    assert(got.filter(_._1 <= 4).forall(t =>
+      t._2 == s"base-${t._1}" && t._3.contains(t._1 * 10.0)))
+    // matched rows: UPDATE's values
+    assert(got.filter(t => t._1 == 5 || t._1 == 6).forall(t =>
+      t._2 == s"new-${t._1}" && t._3.contains(t._1 * 10.0 + 1)))
+    // inserted rows: INSERT's name, and NULL score — not the UPDATE expr
+    assert(got.filter(_._1 >= 7).forall(t =>
+      t._2 == s"new-${t._1}!" && t._3.isEmpty))
+  }
+
   test("catalog: MERGE INTO — NOT MATCHED BY SOURCE DELETE retires absent rows") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     df(ext, 1 to 6, "base").createOrReplaceTempView("src_m3b")
@@ -290,6 +319,25 @@ class SqlFrontDoorSpec extends SparkTestBase {
     fails("""MERGE INTO graft.db.m4 t USING src_m4 s ON t.id = s.id
              WHEN MATCHED THEN UPDATE SET score = t.score + s.score""",
       "target column")
+  }
+
+  test("mixed partition layouts across live batches fail the SQL read loudly") {
+    val dir = tmpDir("fmt-mixed-layout")
+    // int-typed bucket so the hive partition-inference type (int) agrees
+    // with the data-column type in the batch that does NOT partition by it
+    val a = df(ext, 1 to 10, "a")
+      .withColumn("bucket", (col("id") % 2).cast("int"))
+    val b = df(ext, 11 to 20, "b")
+      .withColumn("bucket", (col("id") % 2).cast("int"))
+    TxTable.append(ext, dir, a, partitionCols = Seq("bucket"))
+    TxTable.append(ext, dir, b, partitionCols = Seq("name"))
+    // the API read still handles the mix; SQL must refuse with the
+    // intended message, not crash in listFiles' fragment lookup
+    assert(TxTable.read(ext, dir).get.count() == 20)
+    val e = intercept[Exception] {
+      ext.read.format("graft").load(dir).count()
+    }
+    assert(e.getMessage.contains("mixes partition layouts"), e.getMessage)
   }
 
   // ---------------------------------------------------------- plan guards
@@ -615,6 +663,6 @@ class SqlFrontDoorSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] {
       ext.read.format("graft").load(dir).count()
     }
-    assert(e.getMessage.contains("mixes partitioned and unpartitioned"))
+    assert(e.getMessage.contains("mixes partition layouts"))
   }
 }
