@@ -138,12 +138,18 @@ object TxTable {
     * the log, checkpoints carry the accumulated map — same replay algebra
     * as txns). The `constraint.<name>` namespace is enforced on every
     * write ([[setConstraint]]). */
+  /** `dataChange = false` marks a commit that rearranges bytes without
+    * changing the table's rows (compaction, z-order clustering — the Delta
+    * `dataChange` flag): the change feed ([[readChanges]]) skips such
+    * commits entirely, so maintenance never re-emits a 100 TB table to
+    * every streaming consumer. Absent in old commits = true. */
   private final case class Commit(action: String, partCol: Option[String],
                                   scheme: Option[String],
                                   removedParts: Seq[String],
                                   files: Seq[FileEntry],
                                   txns: Seq[(String, Long)] = Nil,
-                                  props: Seq[(String, String)] = Nil)
+                                  props: Seq[(String, String)] = Nil,
+                                  dataChange: Boolean = true)
 
   private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -195,6 +201,7 @@ object TxTable {
   private def render(c: Commit): String = {
     val sb = new StringBuilder
     sb.append("action\t").append(c.action).append('\n')
+    if (!c.dataChange) sb.append("dataChange\tfalse\n")
     c.partCol.foreach(p => sb.append("partCol\t").append(p).append('\n'))
     c.scheme.foreach(s => sb.append("scheme\t").append(s).append('\n'))
     c.removedParts.foreach(r => sb.append("removed\t").append(r).append('\n'))
@@ -225,6 +232,7 @@ object TxTable {
     val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
     var action = ""; var partCol: Option[String] = None
     var scheme: Option[String] = None
+    var dataChange = true
     val removed = Seq.newBuilder[String]
     val files = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     val txns = Seq.newBuilder[(String, Long)]
@@ -232,6 +240,7 @@ object TxTable {
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
         case Array("action", a)  => action = a
+        case Array("dataChange", v) => dataChange = v.toBoolean
         case Array("partCol", v) => partCol = Some(v)
         case Array("scheme", v)  => scheme = Some(v)
         case Array("removed", v) => removed += v
@@ -253,7 +262,7 @@ object TxTable {
     }
     require(action.nonEmpty, s"corrupt commit $p: no action")
     Commit(action, partCol, scheme, removed.result(), files.toSeq,
-      txns.result(), props.result())
+      txns.result(), props.result(), dataChange)
   }
 
   private def applyCommit(live: Vector[FileEntry], c: Commit,
@@ -341,7 +350,7 @@ object TxTable {
     * starts from the pruning-base checkpoint (whose version IS the floor),
     * so every advertised version is covered. */
   private def liveSetsByVersion(fs: FileSystem,
-                                dir: String): Seq[(Long, Vector[FileEntry])] = {
+                                dir: String): Seq[(Long, Vector[FileEntry], Boolean)] = {
     val commits = listCommits(fs, dir)
     // only a ckpt at/below the FIRST commit may seed: a mid-history ckpt
     // would skip enumerating the older-but-still-present versions
@@ -350,11 +359,12 @@ object TxTable {
     }
     var live = base.map(_._2.files.toVector).getOrElse(Vector.empty)
     val from = base.map(_._1).getOrElse(Long.MinValue)
-    val sets = Seq.newBuilder[(Long, Vector[FileEntry])]
-    base.foreach { case (v, _) => sets += ((v, live)) }
+    val sets = Seq.newBuilder[(Long, Vector[FileEntry], Boolean)]
+    base.foreach { case (v, _) => sets += ((v, live, true)) }
     commits.filter(_._1 > from).foreach { case (v, p) =>
-      live = applyCommit(live, parse(fs, p), p)
-      sets += ((v, live))
+      val c = parse(fs, p)
+      live = applyCommit(live, c, p)
+      sets += ((v, live, c.dataChange))
     }
     sets.result()
   }
@@ -815,11 +825,13 @@ object TxTable {
     * retention floor (checked loudly, same as [[read]] asOf).
     *
     * Costs O(changed files) scan — an incremental consumer pays for what
-    * changed, not table size. Caveat a consumer must know: a `replace`
-    * commit (including [[compactData]]'s rewrite) diffs as full-table
-    * delete + insert; a keyed consumer (see [[readChangesKeyed]], or an
-    * aggregate view applying −pre/+post) nets it out to zero for rows
-    * whose content didn't change. */
+    * changed, not table size. Maintenance rewrites ([[compactData]],
+    * [[compactSmallFiles]], z-order) commit with `dataChange = false` and
+    * are SKIPPED here entirely — same rows, so nothing to report. Caveat
+    * that remains: a user-issued `replace` diffs as full-table delete +
+    * insert; a keyed consumer (see [[readChangesKeyed]], or an aggregate
+    * view applying −pre/+post) nets it out to zero for rows whose content
+    * didn't change. */
   def readChanges(spark: SparkSession, dir: String, afterVersion: Long,
                   untilVersion: Option[Long] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions.lit
@@ -830,30 +842,8 @@ object TxTable {
           s"retention floor $floor for $dir: files removed by those " +
           "versions may be reclaimed (vacuum with a larger retainVersions " +
           "to keep a longer feed)")
-    val sets = liveSetsByVersion(fs, dir)
-    val until = untilVersion.getOrElse(Long.MaxValue)
-    // pair consecutive enumerated sets; the base live set for the first
-    // in-range version is the set AT afterVersion (empty for afterVersion=0)
-    val baseSet: Vector[FileEntry] =
-      sets.find(_._1 == afterVersion).map(_._2).getOrElse {
-        require(afterVersion == 0L,
-          s"readChanges: base version $afterVersion not found in the log " +
-            s"for $dir (available: ${sets.map(_._1).mkString(",")})")
-        Vector.empty
-      }
-    var prev = baseSet
-    val slices = Seq.newBuilder[(Long, String, Seq[FileEntry])]
-    sets.filter { case (v, _) => v > afterVersion && v <= until }
-      .foreach { case (v, cur) =>
-        val prevPaths = prev.map(_.path).toSet
-        val curPaths = cur.map(_.path).toSet
-        val added = cur.filterNot(e => prevPaths.contains(e.path))
-        val removed = prev.filterNot(e => curPaths.contains(e.path))
-        if (added.nonEmpty) slices += ((v, "insert", added))
-        if (removed.nonEmpty) slices += ((v, "delete", removed))
-        prev = cur
-      }
-    val parts = slices.result().map { case (v, t, entries) =>
+    val parts = changeSlices(fs, dir, afterVersion,
+      untilVersion.getOrElse(Long.MaxValue)).map { case (v, t, entries) =>
       framesFor(spark, dir, entries)
         .withColumn("_change_type", lit(t))
         .withColumn("_commit_version", lit(v))
@@ -861,6 +851,66 @@ object TxTable {
     if (parts.isEmpty) None
     else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
+
+  /** The file-level change slices in `(afterVersion, until]`: one
+    * `(version, insert|delete, entries)` per non-empty side of each
+    * version's live-set diff. Versions whose commit is marked
+    * `dataChange = false` (compaction, z-order — byte rearrangement, same
+    * rows) contribute NOTHING: their diff is pure churn no row-level
+    * consumer should see, and emitting it would re-stream a whole table
+    * after every maintenance cycle. Driver-side log work only — no data
+    * file is opened here. */
+  private def changeSlices(fs: FileSystem, dir: String, afterVersion: Long,
+                           until: Long): Seq[(Long, String, Seq[FileEntry])] = {
+    val sets = liveSetsByVersion(fs, dir)
+    // pair consecutive enumerated sets; the base live set for the first
+    // in-range version is the set AT afterVersion (empty for afterVersion=0)
+    var prev: Vector[FileEntry] =
+      sets.find(_._1 == afterVersion).map(_._2).getOrElse {
+        require(afterVersion == 0L,
+          s"readChanges: base version $afterVersion not found in the log " +
+            s"for $dir (available: ${sets.map(_._1).mkString(",")})")
+        Vector.empty
+      }
+    val slices = Seq.newBuilder[(Long, String, Seq[FileEntry])]
+    sets.filter { case (v, _, _) => v > afterVersion && v <= until }
+      .foreach { case (v, cur, dataChange) =>
+        if (dataChange) {
+          val prevPaths = prev.map(_.path).toSet
+          val curPaths = cur.map(_.path).toSet
+          val added = cur.filterNot(e => prevPaths.contains(e.path))
+          val removed = prev.filterNot(e => curPaths.contains(e.path))
+          if (added.nonEmpty) slices += ((v, "insert", added))
+          if (removed.nonEmpty) slices += ((v, "delete", removed))
+        }
+        prev = cur
+      }
+    slices.result()
+  }
+
+  /** Per-version change SHAPE in `(afterVersion, until]`, driver-side:
+    * (version, added files, removed files), dataChange=false maintenance
+    * versions excluded — what a streaming source needs for admission
+    * decisions without scanning a byte of data. */
+  private[graft] def changeShape(spark: SparkSession, dir: String,
+                                 afterVersion: Long,
+                                 untilVersion: Option[Long] = None)
+      : Seq[(Long, Boolean, Boolean)] =
+    changeSlices(hadoopFs(spark, dir), dir, afterVersion,
+      untilVersion.getOrElse(Long.MaxValue))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (v, ss) =>
+        (v, ss.exists(_._2 == "insert"), ss.exists(_._2 == "delete"))
+      }
+
+  /** File entries ADDED per version in `(afterVersion, until]` (dataChange
+    * versions only) — the input for byte/file-based stream rate limiting. */
+  private[graft] def addedEntriesByVersion(spark: SparkSession, dir: String,
+                                           afterVersion: Long,
+                                           untilVersion: Option[Long] = None)
+      : Seq[(Long, Seq[FileEntry])] =
+    changeSlices(hadoopFs(spark, dir), dir, afterVersion,
+      untilVersion.getOrElse(Long.MaxValue))
+      .collect { case (v, "insert", es) => v -> es }
 
   /** [[readChanges]] with per-key collapsing: when one commit both removes
     * and re-adds the same key (every replacePartitions-based upsert does),
@@ -914,17 +964,20 @@ object TxTable {
     listCommits(hadoopFs(spark, dir), dir).lastOption.map(_._1)
 
   /** Atomically replace the whole table. `expectedHead`: see
-    * [[headVersion]]; None skips the staleness check (single-writer). */
+    * [[headVersion]]; None skips the staleness check (single-writer).
+    * `dataChange = false` marks a row-preserving maintenance rewrite
+    * (compaction/clustering): the change feed skips the commit entirely. */
   def replace(spark: SparkSession, dir: String, df: DataFrame,
               partitionCols: Seq[String] = Nil,
               scheme: Option[String] = None,
               expectedHead: Option[Long] = None,
-              txn: Option[(String, Long)] = None): Unit = {
+              txn: Option[(String, Long)] = None,
+              dataChange: Boolean = true): Unit = {
     enforceConstraints(spark, dir, df)
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
       Commit("replace", partColField(partitionCols), scheme, Nil, files,
-        txn.toSeq),
+        txn.toSeq, dataChange = dataChange),
       expectedHead)
   }
 
@@ -1249,7 +1302,7 @@ object TxTable {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = hadoopFs(spark, dir)
     val sets = liveSetsByVersion(fs, dir)
-    def batches(s: Seq[(Long, Vector[FileEntry])]) =
+    def batches(s: Seq[(Long, Vector[FileEntry], Boolean)]) =
       s.flatMap(_._2.map(_.path.split('/')(1))).toSet
     val retained = sets.takeRight(retainVersions)
     val keep = batches(retained)
@@ -1274,7 +1327,7 @@ object TxTable {
     // live. A file referenced by no retained live set is unreachable to
     // any retention-respecting reader, so it reclaims exactly like a
     // dead batch (and fences the floor the same way).
-    def paths(s: Seq[(Long, Vector[FileEntry])]) =
+    def paths(s: Seq[(Long, Vector[FileEntry], Boolean)]) =
       s.flatMap(_._2.map(_.path)).toSet
     val enumerated = paths(sets)
     val deadFiles = (enumerated -- paths(retained))
@@ -1393,7 +1446,7 @@ object TxTable {
             partCols.map(org.apache.spark.sql.functions.col): _*)
         else if (targetPartitions > 0) df0.repartition(targetPartitions)
         else df0
-      replace(spark, dir, df, partCols, scheme)
+      replace(spark, dir, df, partCols, scheme, dataChange = false)
       vacuum(spark, dir, retainVersions)
       true
     }
@@ -1517,7 +1570,7 @@ object TxTable {
         ((partCols ++ sortCols).distinct).map(col): _*)
     val files = stage(spark, dir, df, partCols)
     commit(fs, dir, Commit("rewrite", partColField(partCols), None,
-      touched.map(_.path), files, Nil), head)
+      touched.map(_.path), files, Nil, dataChange = false), head)
     CompactStats(touched.size, files.size, live.size - touched.size)
   }
 

@@ -128,7 +128,7 @@ object Layout {
     val before = TxTable.liveFilePaths(spark, dir).size
     TxTable.replace(spark, dir,
       zOrderedN(df, cols, nParts, bits).drop("zval"),
-      expectedHead = head)
+      expectedHead = head, dataChange = false)
     (before, TxTable.liveFilePaths(spark, dir).size)
   }
 

@@ -27,11 +27,23 @@ import graft.merge.TxTable
   * would freeze the FIRST rate-limited offset as the target and stop one
   * batch in).
   *
+  * Maintenance rewrites (compaction, z-order) commit with
+  * `dataChange = false` and never appear in the feed AT ALL, in any mode —
+  * same rows, nothing to report (the Delta `dataChange` contract); a
+  * 100 TB table's compaction cycle costs its consumers zero rows.
+  *
   * Modes (`option("mode", ...)`):
   *  - `appends` (default): rows ADDED to the table; a commit that removes
-  *    files (delete/update/replace/compaction) fails the stream loudly
-  *    unless `ignoreDeletes=true` (silently dropping changes would
-  *    un-sync every consumer — the Delta source makes the same choice);
+  *    files (delete/update/replace) fails the stream loudly by default —
+  *    silently dropping changes would un-sync every consumer (the Delta
+  *    source makes the same choice). `ignoreDeletes=true` skips
+  *    DELETE-ONLY commits and still fails loudly on a commit that also
+  *    re-added surviving rows (a row-level rewrite): re-emitting those
+  *    rows as fresh inserts would silently duplicate them downstream.
+  *    `skipChangeCommits=true` (implies ignoreDeletes) goes further and
+  *    drops every file-removing version from the feed entirely — pure
+  *    appends flow, updates/deletes are consciously unobserved (Delta's
+  *    option of the same name);
   *  - `cdc`: the full change feed with `_change_type` /
   *    `_commit_version` columns — the input for streaming replication
   *    ([[graft.merge.Replicator.stream]]).
@@ -42,8 +54,16 @@ import graft.merge.TxTable
   * `startingTimestamp` (exclusive with it) resolves an instant — epoch
   * millis or `yyyy-MM-dd HH:mm:ss` text, the batch reader's
   * `timestampAsOf` grammar — to the newest commit at or before it, which
-  * becomes that boundary. `maxVersionsPerBatch` rate-limits how many
-  * commits one micro-batch may cover.
+  * becomes that boundary.
+  *
+  * Rate limits — all optional, combinable (a batch stops at the first
+  * limit hit, always advancing at least one version so drains terminate):
+  *  - `maxVersionsPerBatch`: commits per micro-batch;
+  *  - `maxFilesPerBatch` / `maxBytesPerBatch` (the Delta maxFilesPerTrigger
+  *    / maxBytesPerTrigger shape): cap a batch by the DATA it admits —
+  *    added files / their bytes — so one 4-billion-row backfill commit and
+  *    four 4-row commits stop being "the same size". Soft caps: a single
+  *    commit larger than the cap still flows alone rather than wedging.
   *
   * Restart contract: offsets come back from the checkpoint WAL; a start
   * version below the source's vacuum floor fails loudly
@@ -53,11 +73,16 @@ import graft.merge.TxTable
 final class GraftStreamSource(spark: SparkSession, dir: String,
                               cdc: Boolean, startingVersion: Long,
                               maxVersionsPerBatch: Option[Long],
-                              ignoreDeletes: Boolean)
+                              ignoreDeletes: Boolean,
+                              skipChangeCommits: Boolean = false,
+                              maxFilesPerBatch: Option[Long] = None,
+                              maxBytesPerBatch: Option[Long] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerBatch.forall(_ > 0),
     "maxVersionsPerBatch must be positive")
+  require(maxFilesPerBatch.forall(_ > 0) && maxBytesPerBatch.forall(_ > 0),
+    "maxFilesPerBatch/maxBytesPerBatch must be positive")
 
   override val schema: StructType = GraftStreamSource.schemaFor(spark, dir, cdc)
 
@@ -79,8 +104,39 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
     val from = Option(start).map(o => ver(o.json)).getOrElse(startingVersion)
     val head0 = TxTable.headVersion(spark, dir).getOrElse(return null)
     val head = availableNowCap.fold(head0)(math.min(head0, _))
-    val next = maxVersionsPerBatch.fold(head)(m => math.min(head, from + m))
+    var next = maxVersionsPerBatch.fold(head)(m => math.min(head, from + m))
+    if (maxFilesPerBatch.isDefined || maxBytesPerBatch.isDefined)
+      next = capByData(from, next)
     if (next <= from) null else LongOffset(next)
+  }
+
+  /** Per-file lengths are immutable once committed — cache across batches. */
+  private val sizeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def sizeOf(relPath: String): Long = sizeCache.getOrElseUpdate(
+    relPath,
+    new org.apache.hadoop.fs.Path(dir, relPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new org.apache.hadoop.fs.Path(dir, relPath)).getLen)
+
+  /** Largest end version in `(from, next]` whose cumulative ADDED
+    * files/bytes stay under the caps. Versions adding nothing (props-only,
+    * delete-only, maintenance) are free; the first data-bearing version is
+    * always admitted even when it alone exceeds a cap, so a drain can
+    * never wedge on one oversized commit. Log-replay cost only. */
+  private def capByData(from: Long, next: Long): Long = {
+    val added = TxTable.addedEntriesByVersion(spark, dir, from, Some(next))
+    var files = 0L; var bytes = 0L
+    for ((v, es) <- added) {
+      files += es.size
+      if (maxBytesPerBatch.isDefined) bytes += es.map(e => sizeOf(e.path)).sum
+      val over = maxFilesPerBatch.exists(files > _) ||
+        maxBytesPerBatch.exists(bytes > _)
+      // stop BEFORE v unless v is the batch's first data-bearing version
+      if (over && files > es.size) return v - 1
+      if (over) return v
+    }
+    next
   }
 
   override def reportLatestOffset(): OffsetV2 =
@@ -102,15 +158,37 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
     val batch = TxTable.readChanges(spark, dir, after, Some(until)) match {
       case None => return StreamingBridge.emptyStreaming(spark, schema)
       case Some(ch) if cdc => ch
-      case Some(ch) =>
-        if (!ignoreDeletes) {
+      case Some(ch0) =>
+        // versions that removed files, driver-side from the log (the
+        // dataChange=false maintenance versions are already absent)
+        lazy val removing = TxTable.changeShape(spark, dir, after, Some(until))
+          .filter(_._3).map(_._1)
+        val ch =
+          if (!skipChangeCommits) ch0
+          else if (removing.isEmpty) ch0
+          else ch0.filter(!col("_commit_version").isin(removing: _*))
+        if (!skipChangeCommits && !ignoreDeletes) {
           // `_change_type` is a per-slice literal, so this filter constant-
           // folds to an empty scan when no commit in range removed files —
           // the happy path costs nothing
           require(ch.filter(col("_change_type") === "delete").isEmpty,
             s"commits ($after, $until] of $dir removed or rewrote files; " +
               "an appends-mode stream cannot represent that — use " +
-              "mode=cdc, or ignoreDeletes=true to skip removals")
+              "mode=cdc, ignoreDeletes=true to skip delete-only commits, " +
+              "or skipChangeCommits=true to skip every changing commit")
+        } else if (!skipChangeCommits && removing.nonEmpty) {
+          // ignoreDeletes: skipping the delete half of a ROW-LEVEL REWRITE
+          // would re-emit every surviving row of the touched files as a
+          // fresh insert — silent duplication downstream. Only commits
+          // that removed rows without re-adding any may be skipped.
+          require(ch.filter(col("_change_type") === "insert" &&
+              col("_commit_version").isin(removing: _*)).isEmpty,
+            s"commits ${removing.mkString(",")} of $dir both removed and " +
+              "re-added rows (row-level rewrite/upsert): ignoreDeletes " +
+              "only skips delete-only commits — re-emitting the rewritten " +
+              "files would duplicate their rows downstream; use mode=cdc " +
+              "for net change semantics, or skipChangeCommits=true to " +
+              "consciously drop changing commits")
         }
         ch.filter(col("_change_type") === "insert")
           .drop("_change_type", "_commit_version")
@@ -162,12 +240,19 @@ object GraftStreamSource {
     }
     require(byTs.isEmpty || !parameters.contains("startingVersion"),
       "give startingVersion OR startingTimestamp, not both")
+    val skipChanges =
+      parameters.get("skipChangeCommits").exists(_.trim.toBoolean)
     new GraftStreamSource(spark, dir, cdc,
       startingVersion = byTs.orElse(parameters.get("startingVersion")
         .map(_.trim.toLong)).getOrElse(0L),
       maxVersionsPerBatch =
         parameters.get("maxVersionsPerBatch").map(_.trim.toLong),
-      ignoreDeletes =
-        parameters.get("ignoreDeletes").exists(_.trim.toBoolean))
+      ignoreDeletes = skipChanges ||
+        parameters.get("ignoreDeletes").exists(_.trim.toBoolean),
+      skipChangeCommits = skipChanges,
+      maxFilesPerBatch =
+        parameters.get("maxFilesPerBatch").map(_.trim.toLong),
+      maxBytesPerBatch =
+        parameters.get("maxBytesPerBatch").map(_.trim.toLong))
   }
 }

@@ -66,10 +66,26 @@ class GraftStreamSourceSpec extends SparkTestBase {
     assert(n == 9 && batches == 1)
   }
 
-  test("appends mode fails loudly on a delete commit; ignoreDeletes skips it") {
+  private def drainAppends(src: String, ck: String,
+                           opts: Map[String, String] = Map.empty): Seq[Long] = {
+    val seen = mutable.ArrayBuffer.empty[Long]
+    val r0 = spark.readStream.format("graft")
+    val q = opts.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }
+      .load(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.select("id").collect().map(_.getLong(0)) }; ()
+      }.start()
+    q.awaitTermination(120000)
+    seen.sorted.toSeq
+  }
+
+  test("appends mode fails loudly on removing commits; ignoreDeletes skips only delete-ONLY commits") {
     val src = tmpDir("ss-del")
     TxTable.append(spark, src, df(1 to 10, "a"))
-    TxTable.deleteWhere(spark, src, col("id") > 8)
+    TxTable.deleteWhere(spark, src, col("id") > 8) // row-level REWRITE: 1-8 re-staged
     TxTable.append(spark, src, df(11 to 12, "b"))
 
     val e = intercept[StreamingQueryException] {
@@ -82,20 +98,89 @@ class GraftStreamSourceSpec extends SparkTestBase {
     assert(e.getCause.getMessage.contains("removed or rewrote files"),
       e.getCause.getMessage)
 
-    val seen = mutable.Set.empty[Long]
-    val q2 = spark.readStream.format("graft")
-      .option("ignoreDeletes", "true").load(src)
-      .writeStream.trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", tmpDir("ss-del-ck2"))
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        seen.synchronized {
-          seen ++= b.select("id").collect().map(_.getLong(0)) }; ()
-      }.start()
-    q2.awaitTermination(120000)
-    // every insert slice is delivered (incl. the delete's rewrite file —
-    // ignoreDeletes skips REMOVALS, it does not dedupe re-adds; consumers
-    // needing net semantics use cdc mode)
-    assert(Set(11L, 12L).subsetOf(seen) && (1L to 8L).toSet.subsetOf(seen))
+    // ignoreDeletes must ALSO fail here: the rewrite re-added rows 1-8, and
+    // skipping only the delete half would re-emit them as fresh inserts —
+    // silent duplication downstream
+    val e2 = intercept[StreamingQueryException] {
+      drainAppends(src, tmpDir("ss-del-ck2"), Map("ignoreDeletes" -> "true"))
+    }
+    assert(e2.getCause.getMessage.contains("delete-only commits"),
+      e2.getCause.getMessage)
+
+    // skipChangeCommits consciously drops the whole rewrite version: only
+    // the pure appends flow (1-10 from v1, 11-12 from v3) — exactly once
+    assert(drainAppends(src, tmpDir("ss-del-ck3"),
+      Map("skipChangeCommits" -> "true")) == (1L to 12L))
+  }
+
+  test("ignoreDeletes skips a delete-only commit (whole file dropped, no survivors)") {
+    val src = tmpDir("ss-delonly")
+    TxTable.append(spark, src, df(1 to 10, "a"))
+    TxTable.append(spark, src, df(11 to 20, "b"))
+    // every row of batch b's file matches: nothing survives to re-add
+    TxTable.deleteWhere(spark, src, col("id") >= 11)
+    TxTable.append(spark, src, df(21 to 22, "c"))
+
+    assert(drainAppends(src, tmpDir("ss-delonly-ck"),
+      Map("ignoreDeletes" -> "true")) == ((1L to 20L) ++ Seq(21L, 22L)))
+  }
+
+  test("maintenance rewrites (dataChange=false) are invisible to every stream mode") {
+    val src = tmpDir("ss-maint")
+    TxTable.append(spark, src, df(1 to 10, "a").repartition(4))
+    TxTable.append(spark, src, df(11 to 20, "b").repartition(4))
+    // compaction rewrites all eight small files into one — same rows
+    val st = TxTable.compactSmallFiles(spark, src)
+    assert(st.filesPacked > 0)
+    TxTable.append(spark, src, df(21 to 25, "c"))
+
+    // appends mode, NO ignoreDeletes: the compaction commit must not trip
+    // the removal guard nor re-emit the table — each row exactly once
+    assert(drainAppends(src, tmpDir("ss-maint-ck")) == (1L to 25L))
+
+    // the cdc feed likewise carries no churn from the compaction version
+    val ch = TxTable.readChanges(spark, src, 0L).get
+    assert(ch.filter(col("_change_type") === "delete").isEmpty)
+    assert(ch.filter(col("_change_type") === "insert").count() == 25)
+  }
+
+  test("maxFilesPerBatch / maxBytesPerBatch bound batches by data, not commit count") {
+    val src = tmpDir("ss-bytes")
+    TxTable.append(spark, src, df(1 to 5, "a"))                  // 1 file
+    TxTable.append(spark, src, df(6 to 45, "big").repartition(6)) // 6 files
+    TxTable.append(spark, src, df(46 to 50, "c"))                // 1 file
+
+    def batchSets(opts: Map[String, String], ck: String): Seq[Set[Long]] = {
+      val batches = mutable.ArrayBuffer.empty[Set[Long]]
+      val q = opts.foldLeft(spark.readStream.format("graft")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val s = b.select("id").collect().map(_.getLong(0)).toSet
+          batches.synchronized { if (s.nonEmpty) batches += s }; ()
+        }.start()
+      q.awaitTermination(120000)
+      batches.toSeq
+    }
+
+    // cap 2 files: v1 fits; v2 (6 files) exceeds but is the next batch's
+    // FIRST data version so it flows alone; v3 lands in a third batch —
+    // under maxVersionsPerBatch alone v1 would have merged with v2
+    val byFiles = batchSets(Map("maxFilesPerBatch" -> "2"),
+      tmpDir("ss-bytes-ck1"))
+    assert(byFiles.size == 3, byFiles.toString)
+    assert(byFiles(0) == (1L to 5L).toSet)
+    assert(byFiles(1) == (6L to 45L).toSet)
+    assert(byFiles(2) == (46L to 50L).toSet)
+
+    // a 1-byte cap degrades to one data-bearing version per batch — the
+    // oversized-commit guarantee (never wedge, always progress)
+    val byBytes = batchSets(Map("maxBytesPerBatch" -> "1"),
+      tmpDir("ss-bytes-ck2"))
+    assert(byBytes.size == 3, byBytes.toString)
+    assert(byBytes.map(_.size).sum == 50)
   }
 
   test("restart from checkpoint consumes only new commits, no duplicates") {
