@@ -2036,6 +2036,36 @@ object SparkEntry {
                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS total
                  FROM graft.maint.mo GROUP BY o_orderstatus""")
+    }),
+
+    // SQL schema evolution end-to-end as pure text: CTAS with the narrow
+    // schema, ALTER TABLE ADD COLUMNS (metadata-only — zero bytes
+    // rewritten at any table size), INSERT carrying the new column,
+    // UPDATE back-filling it on old rows, and a final aggregate the
+    // oracle replays relationally (declared-unwritten = typed NULL). The
+    // `v1_cols` literal pins the time-travel contract into the hash: the
+    // pre-ALTER version still reads the OLD two-column schema. Rebuilt
+    // from scratch per run (the q146 discipline).
+    "q150_sql_evolution" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.orders_e")
+      ext.sql("CREATE TABLE graft.ddl.orders_e AS " +
+        "SELECT o_orderkey, o_orderstatus FROM graft.lake.orders " +
+        "WHERE o_orderkey % 4 <> 1")
+      ext.sql("ALTER TABLE graft.ddl.orders_e ADD COLUMNS (prio BIGINT)")
+      ext.sql("INSERT INTO graft.ddl.orders_e " +
+        "SELECT o_orderkey, o_orderstatus, o_orderkey % 7 " +
+        "FROM graft.lake.orders WHERE o_orderkey % 4 = 1")
+      ext.sql("UPDATE graft.ddl.orders_e SET prio = 99 " +
+        "WHERE prio IS NULL AND o_orderkey % 10 = 0")
+      val v1Cols =
+        ext.sql("SELECT * FROM graft.ddl.orders_e VERSION AS OF 1")
+          .columns.length
+      ext.sql(s"""SELECT o_orderstatus, count(*) AS n,
+                 CAST(sum(coalesce(prio, -1)) AS BIGINT) AS prio_sum,
+                 count(prio) AS prio_n, $v1Cols AS v1_cols
+                 FROM graft.ddl.orders_e GROUP BY o_orderstatus""")
     })
   )
 
@@ -3635,6 +3665,27 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
+    // q150: the evolution sequence replayed relationally — the CTAS rows
+    // carry a typed NULL for the later-declared column, the INSERT rows
+    // carry values, the UPDATE is CASE; v1_cols = 2 IS the time-travel
+    // assertion (the pre-ALTER snapshot's column count).
+    "q150_sql_evolution" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_orderstatus, CAST(NULL AS BIGINT) AS prio
+        | FROM orders WHERE o_orderkey % 4 <> 1
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, o_orderkey % 7
+        | FROM orders WHERE o_orderkey % 4 = 1),
+        |t AS (
+        | SELECT o_orderstatus,
+        |  CASE WHEN prio IS NULL AND o_orderkey % 10 = 0 THEN 99
+        |       ELSE prio END AS prio
+        | FROM base)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(coalesce(prio, -1)) AS BIGINT) AS prio_sum,
+        | count(prio) AS prio_n, 2 AS v1_cols
+        |FROM t GROUP BY o_orderstatus""".stripMargin,
+
     // q146: the SQL DML sequence replayed relationally — DELETE is
     // WHERE NOT, UPDATE is CASE; the decimal-exact sum is the house
     // cross-engine pattern.
@@ -3650,9 +3701,9 @@ object SparkEntry {
 
     // q147: the tri-clause MERGE as set algebra — matched tombstones
     // deleted, matched survivors' and inserted rows' price normalized
-    // (×3: the merge engine carries ONE source value per column, so
-    // UPDATE and INSERT agree — the supported ingest-normalization
-    // shape), target-only rows untouched.
+    // (×3 in both clauses; diverging UPDATE/INSERT values are also
+    // supported via the __graft_upd side channel — spec-covered),
+    // target-only rows untouched.
     "q147_sql_merge" ->
       """WITH tgt AS (
         | SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price

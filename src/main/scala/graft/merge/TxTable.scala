@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal commit-log table format — the transactional binding
   * [[MergeSink.writeReplace]]'s scaladoc promises, so M1/M2 merges stop
@@ -716,7 +717,9 @@ object TxTable {
       case Some(s) =>
         liveAll.filter(_.part.exists(p => s.exists(partMatches(p, _))))
     }
-    if (live.isEmpty) None else Some(framesFor(spark, dir, live))
+    if (live.isEmpty) None
+    else Some(widenWithEvolution(spark, framesFor(spark, dir, live),
+      fs, dir, asOf))
   }
 
   /** Union the given file entries into one DataFrame — one read per staging
@@ -800,7 +803,9 @@ object TxTable {
         liveAll.filter(_.part.exists(p => s.exists(partMatches(p, _))))
     }
     val live = scoped.filter(_.stats.get(col).forall(_.mayContain(lo, hi)))
-    if (live.isEmpty) None else Some(framesFor(spark, dir, live))
+    if (live.isEmpty) None
+    else Some(widenWithEvolution(spark, framesFor(spark, dir, live),
+      fs, dir, asOf))
   }
 
   /** (files kept, live files total) for a [[readSkipping]] range — the
@@ -849,7 +854,9 @@ object TxTable {
         .withColumn("_commit_version", lit(v))
     }
     if (parts.isEmpty) None
-    else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+    else Some(widenWithEvolution(spark,
+      parts.reduce(_.unionByName(_, allowMissingColumns = true)),
+      fs, dir, untilVersion))
   }
 
   /** The file-level change slices in `(afterVersion, until]`: one
@@ -953,7 +960,9 @@ object TxTable {
     val fs = hadoopFs(spark, dir)
     val live = replay(fs, dir)._1.filter(e =>
       absPaths.contains(fs.makeQualified(new Path(dir, e.path)).toString))
-    if (live.isEmpty) None else Some(framesFor(spark, dir, live))
+    if (live.isEmpty) None
+    else Some(widenWithEvolution(spark, framesFor(spark, dir, live),
+      fs, dir, None))
   }
 
   /** Head commit version, None before the first commit. Capture BEFORE
@@ -1002,9 +1011,90 @@ object TxTable {
     * remove). Property updates ride an empty `append` — conflict-free, no
     * data files touched. */
   def setProperties(spark: SparkSession, dir: String,
-                    props: Map[String, String]): Unit =
+                    props: Map[String, String]): Unit = {
+    require(!props.keys.exists(_.startsWith("graft.schema.")),
+      "graft.schema.* properties are managed by addColumns / " +
+        "ALTER TABLE ... ADD COLUMNS — setting them directly would " +
+        "corrupt the declared schema")
     commit(hadoopFs(spark, dir), dir,
       Commit("append", None, None, Nil, Nil, Nil, props.toSeq.sortBy(_._1)))
+  }
+
+  /** Property key holding the ADD COLUMNS-declared extension of the
+    * data-carried schema, as a compact StructType JSON. */
+  private val SchemaAddedProp = "graft.schema.added"
+
+  /** Columns declared by [[addColumns]] as of `asOf`, in declaration
+    * order. Property state is versioned like everything else in the log,
+    * so time travel below the ALTER naturally reads the OLD schema. */
+  private def evolutionFields(fs: FileSystem, dir: String,
+                              asOf: Option[Long]): Seq[StructField] =
+    propsState(fs, dir, asOf).get(SchemaAddedProp)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType].fields.toSeq)
+      .getOrElse(Nil)
+
+  /** Materialize the declared-but-not-yet-written evolution columns as
+    * typed NULLs (appended last, declaration order), and fail loudly when
+    * a batch carries one of them with a conflicting type — the same
+    * planning-time guard [[framesFor]] applies between batches. */
+  private def widenWithEvolution(spark: SparkSession, df: DataFrame,
+                                 fs: FileSystem, dir: String,
+                                 asOf: Option[Long]): DataFrame = {
+    val fields = evolutionFields(fs, dir, asOf)
+    if (fields.isEmpty) return df
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def key(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val present = df.schema.fields.map(f => key(f.name) -> f.dataType).toMap
+    fields.foldLeft(df) { (d, f) =>
+      present.get(key(f.name)) match {
+        case Some(t) =>
+          require(t == f.dataType,
+            s"TxTable $dir: column '${f.name}' was declared ${f.dataType} " +
+              s"by ADD COLUMNS but a batch carries it as $t — only " +
+              "ADDITIVE schema evolution is supported")
+          d
+        case None =>
+          d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      }
+    }
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS` — additive schema evolution WITHOUT a
+    * data commit (the Delta/Iceberg metadata-only ALTER): the new columns
+    * are declared in one atomic property commit; every read materializes
+    * them as typed NULLs until a write actually carries values, at which
+    * point the data takes over (the declaration stays as a harmless
+    * superset record). Time travel below the ALTER reads the old schema —
+    * property state is versioned. Zero bytes rewritten at any table size.
+    *
+    * Columns must be nullable (existing rows have no value) and must not
+    * collide with any current column under the session's case rules. */
+  def addColumns(spark: SparkSession, dir: String,
+                 fields: Seq[StructField]): Unit = {
+    require(fields.nonEmpty, "addColumns needs at least one column")
+    require(exists(spark, dir), s"no TxTable at $dir")
+    val fs = hadoopFs(spark, dir)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def key(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val prior = evolutionFields(fs, dir, None)
+    val taken = (read(spark, dir).map(_.schema.fieldNames.toSeq)
+      .getOrElse(Nil) ++ prior.map(_.name)).map(key).toSet
+    fields.foreach { f =>
+      require(f.nullable, s"added column ${f.name} must be nullable — " +
+        "existing rows have no value for it")
+      require(!taken.contains(key(f.name)),
+        s"column ${f.name} already exists in $dir")
+    }
+    require(fields.map(f => key(f.name)).distinct.size == fields.size,
+      s"duplicate column name in ADD COLUMNS: ${fields.map(_.name).mkString(", ")}")
+    commit(fs, dir, Commit("append", None, None, Nil, Nil, Nil,
+      Seq(SchemaAddedProp -> StructType(prior ++ fields).json)))
+  }
 
   private val ConstraintPrefix = "constraint."
 
@@ -1229,8 +1319,11 @@ object TxTable {
     requireNoReservedCols(framesFor(spark, dir, live).columns, dir)
     val hit = coalesce(cond, lit(false))
     // one filtered scan over the live set, rows tagged with their source
-    // file — output is bounded by |files|, never rows
-    val perFile = framesFor(spark, dir, live, Some("__graft_file"))
+    // file — output is bounded by |files|, never rows. Widened with the
+    // declared evolution columns so a rewrite can SET or test a column no
+    // batch has materialized yet.
+    val perFile = widenWithEvolution(spark,
+        framesFor(spark, dir, live, Some("__graft_file")), fs, dir, None)
       .filter(hit)
       .groupBy(col("__graft_file")).agg(count(lit(1)).as("__n"))
       .collect()
@@ -1250,7 +1343,9 @@ object TxTable {
       s"rewrite spans mixed partition layouts ${layouts.mkString("; ")} — " +
         "rewrite the table with replace() to a single layout first")
     val partCols = layouts.head
-    val next = transform(framesFor(spark, dir, touched), hit)
+    val next = transform(
+      widenWithEvolution(spark, framesFor(spark, dir, touched),
+        fs, dir, None), hit)
     enforceConstraints(spark, dir, next)
     val files = stage(spark, dir, next, partCols)
     commit(fs, dir, Commit("rewrite", partColField(partCols), None,

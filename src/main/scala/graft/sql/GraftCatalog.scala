@@ -121,21 +121,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Property changes land as one atomic empty-commit property update —
     * including the `constraint.<name>` namespace, so
     * `ALTER TABLE graft.db.t SET TBLPROPERTIES('constraint.pos'='x >= 0')`
-    * arms a CHECK constraint enforced on every subsequent write. Schema
-    * changes stay unsupported: a TxTable's schema is carried by its data
-    * commits (additive evolution via appends). */
+    * arms a CHECK constraint enforced on every subsequent write.
+    * `ADD COLUMNS` routes into [[TxTable.addColumns]]'s additive evolution:
+    * metadata-only (zero bytes rewritten at any table size), reads
+    * materialize the new columns as typed NULLs until data carries them,
+    * and time travel below the ALTER keeps the old schema. Other schema
+    * changes (drop/rename/retype) stay unsupported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!TxTable.exists(spark, dir))
       throw new NoSuchTableException(
         (catalogName +: ident.namespace().toSeq :+ ident.name()))
-    val props: Map[String, String] = changes.map {
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      require(a.fieldNames().length == 1,
+        s"ADD COLUMNS of nested field ${a.fieldNames().mkString(".")} " +
+          "is not supported")
+      require(a.position() == null,
+        "ADD COLUMNS ... FIRST/AFTER is not supported — new columns " +
+          "append at the end of the schema")
+      require(a.isNullable,
+        s"added column ${a.fieldNames()(0)} must be nullable — existing " +
+          "rows have no value for it")
+      org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType())
+    }
+    val props: Map[String, String] = changes.collect {
       case sp: TableChange.SetProperty => sp.property() -> sp.value()
       case rp: TableChange.RemoveProperty => rp.property() -> "" // remove
-      case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE change $other is not supported; schema evolves " +
-          "additively with appended batches")
     }.toMap
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"ALTER TABLE change ${unsupported.head} is not supported; only " +
+        "ADD COLUMNS (additive evolution) and TBLPROPERTIES changes are")
+    if (adds.nonEmpty) TxTable.addColumns(spark, dir, adds)
     if (props.nonEmpty) TxTable.setProperties(spark, dir, props)
     new GraftSqlTable(dir, None, fullName(ident))
   }

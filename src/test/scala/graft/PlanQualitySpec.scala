@@ -523,4 +523,13 @@ class PlanQualitySpec extends SparkTestBase {
         s"$q:\n$p")
     }
   }
+
+  test("q150: the post-ALTER aggregate stays a vectorized GraftFileIndex parquet scan") {
+    val p = plan("q150_sql_evolution")
+    assert(p.contains("GraftFileIndex"), p)
+    assert(!p.contains("BatchScan") && !p.contains("CartesianProduct"), p)
+    // the declared-then-written column reads from parquet where present —
+    // no per-row UDF or generator materializes it in the final scan
+    assert(!p.contains("Generate"), p)
+  }
 }

@@ -789,6 +789,57 @@ class TxTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("conflicting types"), e.getMessage)
   }
 
+  test("addColumns: metadata-only ALTER — typed NULLs until written, time travel keeps old schema") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    import spark.implicits._
+    val dir = tmpDir("tx-addcols")
+    TxTable.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = TxTable.headVersion(spark, dir).get
+    TxTable.addColumns(spark, dir, Seq(StructField("bonus", LongType)))
+    // no data commit happened: one empty property commit, zero files
+    assert(TxTable.headVersion(spark, dir).contains(v1 + 1))
+    val widened = TxTable.read(spark, dir).get
+    assert(widened.columns.toSeq == Seq("id", "v", "bonus"))
+    assert(widened.filter(col("bonus").isNull).count() == 2)
+    // a write carrying the column takes over; old rows still read null
+    TxTable.append(spark, dir, Seq((3L, "c", 7L)).toDF("id", "v", "bonus"))
+    val mixed = TxTable.read(spark, dir).get
+    assert(mixed.agg(sum("bonus")).head.getLong(0) == 7L)
+    assert(mixed.filter(col("bonus").isNull).count() == 2)
+    // time travel below the ALTER: the old schema
+    assert(TxTable.read(spark, dir, asOf = Some(v1)).get
+      .columns.toSeq == Seq("id", "v"))
+    // UPDATE can SET a declared-but-never-written column (widened rewrite)
+    TxTable.addColumns(spark, dir,
+      Seq(StructField("note", StringType)))
+    TxTable.updateWhere(spark, dir, col("id") === 1L,
+      Map("note" -> lit("first")))
+    val notes = TxTable.read(spark, dir).get.select("id", "note")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(notes == Map(1L -> Some("first"), 2L -> None, 3L -> None))
+    // guards: duplicate name, non-nullable, direct property poke
+    val e1 = intercept[IllegalArgumentException] {
+      TxTable.addColumns(spark, dir, Seq(StructField("BONUS", LongType)))
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.addColumns(spark, dir,
+        Seq(StructField("req", LongType, nullable = false)))
+    }
+    assert(e2.getMessage.contains("nullable"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      TxTable.setProperties(spark, dir, Map("graft.schema.added" -> "{}"))
+    }
+    assert(e3.getMessage.contains("managed by addColumns"), e3.getMessage)
+    // declared type conflicting with a later batch fails at planning
+    val dir2 = tmpDir("tx-addcols-conflict")
+    TxTable.append(spark, dir2, Seq((1L, "a")).toDF("id", "v"))
+    TxTable.addColumns(spark, dir2, Seq(StructField("x", LongType)))
+    TxTable.append(spark, dir2, Seq((2L, "b", 1.5)).toDF("id", "v", "x"))
+    val e4 = intercept[IllegalArgumentException](TxTable.read(spark, dir2))
+    assert(e4.getMessage.contains("declared"), e4.getMessage)
+  }
+
   test("file-stats skipping: clustered batches prune at the log level, stats survive compactLog") {
     import spark.implicits._
     val dir = tmpDir("tx-stats")
