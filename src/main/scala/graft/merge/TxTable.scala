@@ -74,11 +74,16 @@ object TxTable {
   /** Per-file, per-column min/max envelope recorded in the log at stage
     * time (read from the parquet footer the writer just produced — no data
     * scan). `tag` is `I` (integral: int/long/date-days/timestamp-micros,
-    * compared in exact integer space) or `D` (float/double). Absent
+    * compared in exact integer space), `D` (float/double), or `S`
+    * (string: hex-encoded UTF-8 bounds TRUNCATED to ≤ 16 bytes, the
+    * Iceberg design — lower bound truncated down, upper bound truncated
+    * and incremented, so the envelope is a superset of the real values
+    * and pruning can lose precision but never a matching row). Absent
     * columns are simply unprunable — safe by construction. */
   final case class ColStat(tag: String, min: String, max: String) {
     def mayContain(lo: BigDecimal, hi: BigDecimal): Boolean =
-      if (tag == "D") {
+      if (tag == "S") true // numeric probe on a string envelope: unprunable
+      else if (tag == "D") {
         // Spark evaluates float predicates widened to DOUBLE
         // (0.1f -> 0.10000000149...), so the skip decision must live in
         // double space too: float envelopes are recorded pre-widened (see
@@ -109,7 +114,57 @@ object TxTable {
         val mn = BigDecimal(min); val mx = BigDecimal(max)
         !(mx < lo || mn > hi)
       }
+
+    /** String-envelope intersection with `[lo, hi]` (None = unbounded),
+      * compared in unsigned UTF-8 byte order — exactly how Spark's default
+      * UTF8_BINARY collation and parquet's UNSIGNED sort order compare.
+      * Non-string envelopes are unprunable for a string probe. */
+    def mayContainUtf8(lo: Option[Array[Byte]],
+                       hi: Option[Array[Byte]]): Boolean =
+      tag != "S" || {
+        val mn = hexToBytes(min); val mx = hexToBytes(max)
+        !(hi.exists(h => ubCompare(mn, h) > 0) ||
+          lo.exists(l => ubCompare(mx, l) < 0))
+      }
   }
+
+  /** Unsigned lexicographic byte compare (UTF8_BINARY order). */
+  private[graft] def ubCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def bytesToHex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private def hexToBytes(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Max recorded bytes of a string bound (Iceberg's default truncate(16)). */
+  private val StringStatBytes = 16
+
+  /** Upper bound after truncation to `n` bytes: the value itself when it
+    * fits; otherwise the n-byte prefix incremented at its last
+    * non-0xFF byte (trailing bytes dropped — a shorter incremented prefix
+    * upper-bounds every string under the original prefix). None when every
+    * prefix byte is 0xFF: no finite bound exists, the column stat is
+    * dropped rather than recorded wrong. */
+  private[graft] def truncatedUpper(b: Array[Byte],
+                                    n: Int = StringStatBytes): Option[Array[Byte]] =
+    if (b.length <= n) Some(b)
+    else {
+      val p = b.take(n)
+      var i = n - 1
+      while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+      if (i < 0) None
+      else Some(p.take(i + 1).updated(i, (p(i) + 1).toByte))
+    }
 
   /** One live data file: `path` relative to the table root; `part` is the
     * FULL relative hive fragment path (`part_bucket=3` or
@@ -501,12 +556,14 @@ object TxTable {
 
   /** Column envelopes from a parquet FOOTER the writer just produced — a
     * metadata read, no data pages touched. Covered: top-level
-    * int/long/float/double plus date (days) and timestamp (micros), the
+    * int/long/float/double plus date (days) and timestamp (micros) — the
     * types whose parquet statistics compare exactly in integer/double
-    * space. Deliberately skipped: binary/string (truncation + collation
-    * hazards), decimals (stats are unscaled), nested paths, and any
-    * row group missing statistics — a skipped column merely stays
-    * unprunable, never wrong. */
+    * space — and UTF8 strings with TRUNCATED bounds (≤ 16 bytes, lower
+    * bound truncated down / upper truncated-and-incremented: the Iceberg
+    * contract — a superset envelope, pruning precision lost but never a
+    * matching row). Deliberately skipped: non-string binary, decimals
+    * (stats are unscaled), nested paths, and any row group missing
+    * statistics — a skipped column merely stays unprunable, never wrong. */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
                           p: Path): Map[String, ColStat] = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -516,6 +573,7 @@ object TxTable {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try {
       val acc = scala.collection.mutable.Map.empty[String, (String, BigDecimal, BigDecimal)]
+      val accS = scala.collection.mutable.Map.empty[String, (Array[Byte], Array[Byte])]
       val dropped = scala.collection.mutable.Set.empty[String]
       val blocks = reader.getFooter.getBlocks
       blocks.forEach { b =>
@@ -529,13 +587,31 @@ object TxTable {
               logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
               logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] ||
               logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+            val isString = pt.getPrimitiveTypeName == BINARY &&
+              logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
             val tag = pt.getPrimitiveTypeName match {
               case INT32 | INT64      => "I"
               case FLOAT | DOUBLE     => "D"
               case _                  => ""
             }
             val st = c.getStatistics
-            if (tag.isEmpty || !logicalOk || st == null || !st.hasNonNullValue)
+            if (isString) {
+              // full (untruncated) bytes accumulate across row groups in
+              // unsigned order; truncation happens once, at render below
+              if (st == null || !st.hasNonNullValue) dropped += name
+              else {
+                val mn = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                val mx = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                accS.get(name) match {
+                  case None => accS(name) = (mn, mx)
+                  case Some((lo, hi)) => accS(name) = (
+                    if (ubCompare(mn, lo) < 0) mn else lo,
+                    if (ubCompare(mx, hi) > 0) mx else hi)
+                }
+              }
+            } else if (tag.isEmpty || !logicalOk || st == null || !st.hasNonNullValue)
               dropped += name
             else {
               // FLOAT stats widen Float -> Double BEFORE stringifying:
@@ -557,9 +633,17 @@ object TxTable {
           }
         }
       }
-      (acc -- dropped).map { case (n, (t, lo, hi)) =>
+      val numeric = (acc -- dropped).map { case (n, (t, lo, hi)) =>
         n -> ColStat(t, lo.bigDecimal.toPlainString, hi.bigDecimal.toPlainString)
       }.toMap
+      val strings = (accS -- dropped).flatMap { case (n, (lo, hi)) =>
+        // hex in the log (tab/newline-safe); drop the column when no
+        // finite truncated upper bound exists (16 leading 0xFF bytes)
+        truncatedUpper(hi).map(up =>
+          n -> ColStat("S", bytesToHex(lo.take(StringStatBytes)),
+            bytesToHex(up)))
+      }.toMap
+      numeric ++ strings
     } catch {
       case scala.util.control.NonFatal(_) => Map.empty // stats are an
         // optimization; a footer we cannot read leaves the file unprunable
@@ -815,6 +899,17 @@ object TxTable {
                     lo: BigDecimal, hi: BigDecimal): (Int, Int) = {
     val live = replay(hadoopFs(spark, dir), dir)._1
     (live.count(_.stats.get(col).forall(_.mayContain(lo, hi))), live.size)
+  }
+
+  /** [[skippingStats]] for a STRING range `[lo, hi]` (None = unbounded),
+    * compared in UTF8_BINARY byte order against the truncated string
+    * envelopes. The SQL front door ([[graft.sql.GraftFileIndex]]) applies
+    * the same test per predicate — this is its observability twin. */
+  def skippingStatsString(spark: SparkSession, dir: String, col: String,
+                          lo: Option[String], hi: Option[String]): (Int, Int) = {
+    val loB = lo.map(_.getBytes(UTF_8)); val hiB = hi.map(_.getBytes(UTF_8))
+    val live = replay(hadoopFs(spark, dir), dir)._1
+    (live.count(_.stats.get(col).forall(_.mayContainUtf8(loB, hiB))), live.size)
   }
 
   /** Change-data-feed between versions: every row added or removed by the

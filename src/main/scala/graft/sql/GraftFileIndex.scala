@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, PartitionDirectory}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -180,12 +180,16 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     // 2. log-level stats skipping — superset semantics (data filters stay
     // in the plan), so unsupported shapes simply skip nothing
     val ranges = extractRanges(dataFilters)
+    val sRanges = extractStringRanges(dataFilters)
     afterPart.map { case (frag, es) =>
       val kept =
-        if (ranges.isEmpty) es
-        else es.filter(e => ranges.forall { case (c, lo, hi) =>
-          e.stats.get(c).forall(_.mayContain(lo, hi))
-        })
+        if (ranges.isEmpty && sRanges.isEmpty) es
+        else es.filter(e =>
+          ranges.forall { case (c, lo, hi) =>
+            e.stats.get(c).forall(_.mayContain(lo, hi))
+          } && sRanges.forall { case (c, lo, hi) =>
+            e.stats.get(c).forall(_.mayContainUtf8(lo, hi))
+          })
       PartitionDirectory(partRow(frag), kept.map(e => s.statuses(e.path)))
     }.filter(_.files.nonEmpty)
   }
@@ -241,14 +245,73 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     }
   }
 
+  /** String literal → UTF-8 bytes, default (UTF8_BINARY) collation only:
+    * the envelopes compare in unsigned byte order, which IS that
+    * collation's order; any other collation stays unprunable. */
+  private def litUtf8(l: Literal): Option[Array[Byte]] =
+    if (l.value == null) None
+    else l.dataType match {
+      case StringType => Some(l.value.asInstanceOf[UTF8String].getBytes)
+      case _          => None
+    }
+
+  /** (column, lo, hi) STRING constraints (None = unbounded) from the
+    * pushable conjuncts — equality, ranges, and `col LIKE 'prefix%'`
+    * (StartsWith maps to [prefix, prefix+1), exactly what a truncated
+    * envelope answers best — the UUID-prefix lookup shape). */
+  private def extractStringRanges(filters: Seq[Expression])
+      : Seq[(String, Option[Array[Byte]], Option[Array[Byte]])] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        litUtf8(l).map(b => (a.name, Some(b), Some(b)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        litUtf8(l).map(b => (a.name, Some(b), Some(b)))
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        litUtf8(l).map(b => (a.name, Some(b), Some(b)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        litUtf8(l).map(b => (a.name, Some(b), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        litUtf8(l).map(b => (a.name, Some(b), None))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        litUtf8(l).map(b => (a.name, None, Some(b)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        litUtf8(l).map(b => (a.name, None, Some(b)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        litUtf8(l).map(b => (a.name, None, Some(b)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        litUtf8(l).map(b => (a.name, None, Some(b)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        litUtf8(l).map(b => (a.name, Some(b), None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        litUtf8(l).map(b => (a.name, Some(b), None))
+      case StartsWith(a: AttributeReference, l: Literal) =>
+        // upper = the prefix INCREMENTED (truncatedUpper over a longer
+        // array forces the increment path): ["abc", "abd") covers every
+        // string starting with "abc"; an un-incrementable all-0xFF prefix
+        // leaves the upper side unbounded
+        litUtf8(l).filter(_.nonEmpty).map(b =>
+          (a.name, Some(b),
+            TxTable.truncatedUpper(b :+ 0x00.toByte, b.length)))
+      case _ => None
+    }
+  }
+
   /** (files the current listing would keep under these filters, live
     * total) — the observability hook PlanQualitySpec uses to prove
     * skipping works through the SQL scan. */
   def skippingStats(dataFilters: Seq[Expression]): (Int, Int) = {
     val ranges = extractRanges(dataFilters)
-    val kept = snap.entries.count(e => ranges.forall { case (c, lo, hi) =>
-      e.stats.get(c).forall(_.mayContain(lo, hi))
-    })
+    val sRanges = extractStringRanges(dataFilters)
+    val kept = snap.entries.count(e =>
+      ranges.forall { case (c, lo, hi) =>
+        e.stats.get(c).forall(_.mayContain(lo, hi))
+      } && sRanges.forall { case (c, lo, hi) =>
+        e.stats.get(c).forall(_.mayContainUtf8(lo, hi))
+      })
     (kept, snap.entries.size)
   }
 }

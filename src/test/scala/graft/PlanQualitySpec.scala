@@ -524,6 +524,42 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("string predicates prune files through the SQL scan (truncated envelopes)") {
+    import spark.implicits._
+    val dir = tmpDir("pq-str-skip")
+    // three UUID-shaped clustered batches (the reference's string join
+    // keys, setup_target.py:38): one file each, disjoint first hex digit
+    for (h <- Seq("0", "8", "f"))
+      graft.merge.TxTable.append(spark, dir,
+        (0 until 50).map(i => (f"$h$i%07d-0000-4000-8000-${i}%012d", i.toLong))
+          .toDF("uid", "v").repartition(1))
+    val idx = new graft.sql.GraftFileIndex(spark, dir, None)
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal, StartsWith}
+    import org.apache.spark.sql.types.StringType
+    val uid = AttributeReference("uid", StringType)()
+    // point lookup on a UUID: exactly one file survives the listing
+    val (kept1, total) = idx.skippingStats(Seq(
+      EqualTo(uid, Literal.create("80000003-0000-4000-8000-000000000003",
+        StringType))))
+    assert(total == 3 && kept1 == 1, s"kept $kept1 of $total")
+    // LIKE 'f%' prefix shape prunes to the f-file
+    val (keptP, _) = idx.skippingStats(Seq(
+      StartsWith(uid, Literal.create("f", StringType))))
+    assert(keptP == 1, s"kept $keptP")
+    // impossible key prunes everything; the data filter still re-applies
+    // per row in the plan, so this is pure I/O savings, never wrongness
+    val (kept0, _) = idx.skippingStats(Seq(
+      EqualTo(uid, Literal.create("zzzzzzzz", StringType))))
+    assert(kept0 == 0, s"kept $kept0")
+    // and the end-to-end scan agrees: the same predicate through a real
+    // FileSourceScanExec lists exactly the surviving file's partitions
+    val rel = graft.sql.GraftSql.relation(spark, dir, None)
+    val df = org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+      .filter($"uid" === "80000003-0000-4000-8000-000000000003")
+    assert(df.count() == 1)
+  }
+
   test("q150: the post-ALTER aggregate stays a vectorized GraftFileIndex parquet scan") {
     val p = plan("q150_sql_evolution")
     assert(p.contains("GraftFileIndex"), p)

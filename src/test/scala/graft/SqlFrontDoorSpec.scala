@@ -324,29 +324,29 @@ class SqlFrontDoorSpec extends SparkTestBase {
   test("ALTER TABLE ADD COLUMNS: SQL DDL, INSERT with the new column, time travel keeps old schema") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     df(ext, 1 to 4, "base").createOrReplaceTempView("src_alt")
-    ext.sql("CREATE TABLE graft.db.alt AS SELECT * FROM src_alt")
-    ext.sql("ALTER TABLE graft.db.alt ADD COLUMNS (bonus BIGINT, tag STRING)")
+    ext.sql("CREATE TABLE graft.db.alt_ev AS SELECT * FROM src_alt")
+    ext.sql("ALTER TABLE graft.db.alt_ev ADD COLUMNS (bonus BIGINT, tag STRING)")
     // metadata-only: the SQL schema widened, existing rows read NULL
-    assert(ext.table("graft.db.alt").columns.toSeq ==
+    assert(ext.table("graft.db.alt_ev").columns.toSeq ==
       Seq("id", "name", "score", "bonus", "tag"))
     assert(ext.sql(
-      "SELECT count(*) FROM graft.db.alt WHERE bonus IS NULL AND tag IS NULL")
+      "SELECT count(*) FROM graft.db.alt_ev WHERE bonus IS NULL AND tag IS NULL")
       .head.getLong(0) == 4)
     // INSERT with values for the new columns; old rows stay NULL
-    ext.sql("INSERT INTO graft.db.alt VALUES (5, 'ins-5', 50.0, 7, 'x')")
+    ext.sql("INSERT INTO graft.db.alt_ev VALUES (5, 'ins-5', 50.0, 7, 'x')")
     val agg = ext.sql("""SELECT count(*) AS n, sum(bonus) AS b,
-                         count(tag) AS t FROM graft.db.alt""").head
+                         count(tag) AS t FROM graft.db.alt_ev""").head
     assert(agg.getLong(0) == 5 && agg.getLong(1) == 7 && agg.getLong(2) == 1)
     // UPDATE can SET a declared column old batches never wrote
-    ext.sql("UPDATE graft.db.alt SET bonus = id * 2 WHERE id <= 2")
-    assert(ext.sql("SELECT sum(bonus) FROM graft.db.alt").head.getLong(0)
+    ext.sql("UPDATE graft.db.alt_ev SET bonus = id * 2 WHERE id <= 2")
+    assert(ext.sql("SELECT sum(bonus) FROM graft.db.alt_ev").head.getLong(0)
       == 2 + 4 + 7)
     // time travel below the ALTER: the old three-column schema
-    assert(ext.sql("SELECT * FROM graft.db.alt VERSION AS OF 1")
+    assert(ext.sql("SELECT * FROM graft.db.alt_ev VERSION AS OF 1")
       .columns.toSeq == Seq("id", "name", "score"))
     // duplicate add is refused
     val e = intercept[Exception](
-      ext.sql("ALTER TABLE graft.db.alt ADD COLUMNS (bonus INT)"))
+      ext.sql("ALTER TABLE graft.db.alt_ev ADD COLUMNS (bonus INT)"))
     assert(e.getMessage.contains("already exists"), e.getMessage)
   }
 
@@ -529,9 +529,10 @@ class SqlFrontDoorSpec extends SparkTestBase {
     ext.sql("ALTER TABLE graft.db.alt UNSET TBLPROPERTIES('constraint.pos')")
     ext.sql("INSERT INTO graft.db.alt VALUES (99, 'ok-now', -5.0)")
     assert(ext.sql("SELECT count(*) FROM graft.db.alt").head.getLong(0) == 6)
-    // schema changes stay refused
+    // ADD COLUMNS is supported (additive evolution); destructive schema
+    // changes stay refused
     val e2 = intercept[Exception] {
-      ext.sql("ALTER TABLE graft.db.alt ADD COLUMN extra INT")
+      ext.sql("ALTER TABLE graft.db.alt DROP COLUMN score")
     }
     assert(e2.getMessage.toLowerCase.contains("not supported"), e2.getMessage)
   }

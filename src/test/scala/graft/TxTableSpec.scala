@@ -789,6 +789,45 @@ class TxTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("conflicting types"), e.getMessage)
   }
 
+  test("string stats skipping: truncated bounds prune, never falsely, incl. 16-byte boundary") {
+    import spark.implicits._
+    val dir = tmpDir("tx-str-stats")
+    val p16 = "a" * 16 // exactly the truncation width
+    // three single-file batches with disjoint string ranges on k:
+    //  b1: short keys "apple..banana"; b2: long keys sharing the 16-byte
+    //  prefix p16 (truncation collapses them all to [p16, p16+1));
+    //  b3: "zebra..zulu"
+    TxTable.append(spark, dir,
+      Seq(("apple", 1L), ("banana", 2L)).toDF("k", "v").repartition(1))
+    TxTable.append(spark, dir,
+      Seq((p16 + "m-suffix-one", 3L), (p16 + "q-suffix-two", 4L))
+        .toDF("k", "v").repartition(1))
+    TxTable.append(spark, dir,
+      Seq(("zebra", 5L), ("zulu", 6L)).toDF("k", "v").repartition(1))
+
+    def kept(lo: Option[String], hi: Option[String]): Int =
+      TxTable.skippingStatsString(spark, dir, "k", lo, hi)._1
+
+    // point probes prune to one file
+    assert(kept(Some("apple"), Some("apple")) == 1)
+    assert(kept(Some("zebra"), Some("zebra")) == 1)
+    // a probe INSIDE b2's truncated envelope must keep b2 even though the
+    // exact value is absent (superset semantics, truncation-lossy)
+    assert(kept(Some(p16 + "n-not-present"), Some(p16 + "n-not-present")) == 1)
+    // the truncation boundary itself: p16 is b2's recorded LOWER bound;
+    // probing exactly p16 must keep b2 (lower bound truncated DOWN)
+    assert(kept(Some(p16), Some(p16)) == 1)
+    // strictly above b2's incremented upper bound ("a"*15 + "b"): b2
+    // prunes; b1 ("banana" > lo) and b3 survive
+    assert(kept(Some("a" * 15 + "c"), None) == 2)
+    // ranges: everything below "b" = b1 + b2 (b2's lower starts with 'a')
+    assert(kept(None, Some("b")) == 2)
+    // disjoint probe prunes all three
+    assert(kept(Some("mmm"), Some("mmm")) == 0)
+    // rows still correct through a skipped read path (superset contract):
+    // the SQL index applies the same test — proven in PlanQualitySpec
+  }
+
   test("addColumns: metadata-only ALTER — typed NULLs until written, time travel keeps old schema") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
     import spark.implicits._
