@@ -1339,8 +1339,12 @@ object SparkEntry {
     // re-encoded/retouched copy, since the synthetic corpus has no native
     // image dups) — then dHash box-averages the REAL ImageIO decode,
     // candidates come from 8-bit band equality (pigeonhole-complete ≤ 7
-    // bits), popcount verifies. Rows-only check: the decode is not
-    // SQL-expressible.
+    // bits), popcount verifies. The decode half's (asset_id, phash)
+    // output is dumped to a fixed fixture path (the ReferenceFixtures
+    // bridge), and the DuckDB oracle replays the WHOLE relational half —
+    // band explode, candidate join, XOR popcount, threshold — from those
+    // same 8-byte inputs; only the ImageIO decode itself stays
+    // model-tested (ExtensionsSpec's JPEG-fidelity precision/recall).
     "q115_image_neardup" -> ((s, dir) => {
       import graft.ext.Multimodal
       val emb = T(s, dir, "embeddings")
@@ -1348,10 +1352,11 @@ object SparkEntry {
         .select((col("vec_id") + 100000L).as("vec_id"),
           expr("transform(embedding, (x, i) -> " +
             "IF(i = 0, CAST(x + 0.02 AS FLOAT), x))").as("embedding"))
+      val hashes = Multimodal.imageHashes(Multimodal.imagesFromEmbeddings(
+        emb.select("vec_id", "embedding").unionByName(retouched)))
+      hashes.write.mode("overwrite").parquet(imageHashFixtureDir)
       Multimodal.imageNearDups(
-        Multimodal.imageHashes(Multimodal.imagesFromEmbeddings(
-          emb.select("vec_id", "embedding").unionByName(retouched))),
-        maxDist = 4)
+        s.read.parquet(imageHashFixtureDir), maxDist = 4)
     }),
 
     // Trending entities: top-3 users per calendar day by event count —
@@ -2068,6 +2073,13 @@ object SparkEntry {
                  FROM graft.ddl.orders_e GROUP BY o_orderstatus""")
     })
   )
+
+  /** q115's decode/relational seam: the dHash half (ImageIO decode → 8
+    * bytes per asset) lands here so the DuckDB oracle can replay the
+    * banded near-dup from byte-identical inputs. Fixed path (no sf tag):
+    * Verify and its oracle compare always run as a pair on one corpus —
+    * the same single-writer discipline as the q34-q39 fixtures. */
+  private val imageHashFixtureDir = "/tmp/graft_image_hashes_v1"
 
   /** q145's merge table: bpeTrain(nMerges = 20) on sf0.01 documents
     * (doc_id < 100), frozen so both engines apply the identical program.
@@ -3232,6 +3244,28 @@ object SparkEntry {
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM active JOIN cohort USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // q115: the banded-Hamming relational half replayed from the decode
+    // half's fixture (8 bytes per asset, dumped by the query itself):
+    // band explode, (band, value)-equality candidate join, XOR popcount
+    // verify, threshold — DuckDB's >> is the same arithmetic shift and
+    // bit_count the same two's-complement popcount as Spark's. Only the
+    // ImageIO decode stays model-tested.
+    "q115_image_neardup" ->
+      s"""WITH h AS (
+        | SELECT asset_id, phash
+        | FROM read_parquet('$imageHashFixtureDir/*.parquet')),
+        |b AS (
+        | SELECT asset_id, phash, (phash >> (band * 8)) & 255 AS bv, band
+        | FROM h, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(band)),
+        |cand AS (
+        | SELECT DISTINCT x.asset_id AS asset_a, x.phash AS pa,
+        |                 y.asset_id AS asset_b, y.phash AS pb
+        | FROM b x JOIN b y ON x.band = y.band AND x.bv = y.bv
+        |   AND x.asset_id < y.asset_id)
+        |SELECT asset_a, asset_b,
+        | CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 4""".stripMargin,
 
     // q116: the rank-window form is the contract (STRING tie order on the
     // user id, matching the aggregate's keying; val cast back to BIGINT).
