@@ -93,15 +93,22 @@ object InvertedIndex {
     * divide — every value replays bit-for-bit in the DuckDB oracle.
     *
     * Pair generation is the fence-bounded posting LIST, not a posting-row
-    * self-join: after the df fence admits a term, its whole (doc, tf) list
-    * is ≤ maxDf entries, so the C(df,2) candidate pairs come from an
-    * in-row `transform × slice` expansion over one `collect_list` — the
-    * ordered-pair half of the fanout the tok-keyed self-join would shuffle
-    * and merge never exists, and the join's second full shuffle of the
-    * posting table disappears with it (measured ~2× on the 8× bench
-    * corpus). The fence runs FIRST (a count aggregate), so a
-    * stopword-grade term at 100 TB is dropped before any list is
-    * collected — no unbounded array ever materializes.
+    * self-join: after the df fence admits a term, its whole
+    * (doc, tf, norm) list is ≤ maxDf entries, and the C(df,2) ordered
+    * pairs come from TWO chained generators — `posexplode` of the list,
+    * then `explode(slice(list, i+2, …))` per element — which run inside
+    * whole-stage codegen (the earlier higher-order `transform × transform`
+    * lambda expansion evaluated interpreted; swapping it for generators
+    * measured ~1.5× end-to-end on the 8× bench corpus). The fence runs
+    * FIRST (a count aggregate), so a stopword-grade term at 100 TB is
+    * dropped before any list is collected — no unbounded array ever
+    * materializes.
+    *
+    * Norms ride IN the posting-list structs (joined once onto the fenced
+    * postings — O(postings) rows), so each pair row already carries
+    * `norm_a · norm_b` and the aggregated pair table — the biggest
+    * relation in the whole plan, C(df,2)-fold larger than the postings —
+    * is never joined against anything.
     *
     * Output: (doc_a, doc_b, dot, cosine), doc_a < doc_b,
     * cosine ≥ minSim. */
@@ -129,30 +136,30 @@ object InvertedIndex {
     // (measured slower on the 8× corpus)
     val norms = kept.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("tf") * col("tf"))).as("norm"))
-    // (doc_id, tf) posting list per admitted term, doc-ordered (struct
-    // sort is lexicographic and doc_id leads; (tok, doc_id) is unique, so
-    // the tf tiebreaker never fires) — ≤ maxDf entries by the fence above
-    val lists = kept
+    // (doc_id, tf, norm) posting list per admitted term, doc-ordered
+    // (struct sort is lexicographic and doc_id leads; (tok, doc_id) is
+    // unique, so later fields never break a tie) — ≤ maxDf entries by the
+    // fence above. The norm join lands on the POSTINGS (≤ |corpus n-grams|
+    // rows), the only place it stays O(postings).
+    val lists = kept.join(norms, Seq("doc_id"))
       .groupBy(col("tok"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
-        .as("__ps"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("tf"), col("norm")))).as("__ps"))
     // i < j over the ordered list ⇒ doc_a < doc_b by construction — the
-    // same pair set (and the same integer products) the self-join's
-    // doc_a < doc_b filter kept
-    val dots = lists
-      .select(explode(expr(
-        """flatten(transform(__ps, (x, i) ->
-          |  transform(slice(__ps, i + 2, size(__ps)), y ->
-          |    named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id,
-          |                 'prod', x.tf * y.tf))))""".stripMargin)).as("__p"))
-      .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"),
-        col("__p.prod").as("__prod"))
+    // same pair set (and the same integer products) a self-join's
+    // doc_a < doc_b filter would keep. `first(nn)` is well-defined: every
+    // row of one (doc_a, doc_b) group carries the identical product.
+    lists
+      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "__x")))
+      .select(col("__x.doc_id").as("doc_a"), col("__x.tf").as("__ta"),
+        col("__x.norm").as("__na"),
+        explode(expr("slice(__ps, __i + 2, size(__ps))")).as("__y"))
+      .select(col("doc_a"), col("__y.doc_id").as("doc_b"),
+        (col("__ta") * col("__y.tf")).as("__prod"),
+        (col("__na") * col("__y.norm")).as("__nn"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("__prod")).as("dot"))
-    dots
-      .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("__na")), Seq("doc_a"))
-      .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("__nb")), Seq("doc_b"))
-      .withColumn("cosine", col("dot") / (col("__na") * col("__nb")))
+      .agg(sum(col("__prod")).as("dot"), first(col("__nn")).as("__nn"))
+      .withColumn("cosine", col("dot") / col("__nn"))
       .filter(col("cosine") >= minSim)
       .select(col("doc_a"), col("doc_b"), col("dot"), col("cosine"))
   }

@@ -335,9 +335,11 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("q112: pair fanout is an in-row Generate over fenced lists, never a posting self-join") {
     val p = plan("q112_sparse_cosine")
-    // the C(df,2) expansion happens inside a Generate over the bounded
-    // posting list (collect_list behind the df fence)...
-    assert(p.contains("Generate explode(flatten(transform(__ps"), p)
+    // the C(df,2) expansion happens inside TWO chained codegen Generates
+    // over the bounded posting list (collect_list behind the df fence):
+    // posexplode of the list, then explode(slice(...)) per element
+    assert(p.contains("Generate posexplode(__ps"), p)
+    assert(p.contains("Generate explode(slice(__ps"), p)
     assert(p.contains("collect_list"), p)
     assert("df#\\d+L? <= 64".r.findFirstIn(p).isDefined, p)
     // ...so no join in the plan carries the pair fanout: every join key
