@@ -73,6 +73,9 @@ object Bench {
     "q116_trending", "q117_priority_sample_grouped", "q135_shard_manifest")
 
   def main(args: Array[String]): Unit = {
+    val loadavgStart = String.format(java.util.Locale.ROOT, "%.2f",
+      Double.box(java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
@@ -178,7 +181,26 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","scale_k":$k,"queries_${k}x":$qsK,"slope_vs_1x":$slope,"sf_${k}x":"$dirK""""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"reps":$reps,"sf":"$sfDir"$extra}"""
+    // host conditions ride in the artifact so a slope ghost on a contended
+    // box (observed: 21.65 vs 1.17 for the same binary) is attributable
+    // from the JSON alone, without a re-run
+    val host = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val loadavg = String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(os.getSystemLoadAverage))
+      val jvms = try {
+        val d = new java.io.File("/proc")
+        d.listFiles((f: java.io.File) => f.getName.forall(_.isDigit)).count { p =>
+          try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p.getPath, "comm"))).trim == "java"
+          catch { case _: Throwable => false }
+        }
+      } catch { case _: Throwable => -1 }
+      s""""host":{"loadavg_start":$loadavgStart,"loadavg_end":$loadavg,""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
+        s""""java_procs":$jvms}"""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"reps":$reps,"sf":"$sfDir",$host$extra}"""
     println(json)
     // self-preserving artifact: harnesses that capture only the tail of
     // stdout (the round-9 BENCH json arrived truncated, parsed:null) can

@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectResolutionRule(session => graft.sql.GraftSqlRules(session))
+    // `DESCRIBE HISTORY graft.db.t` / `DESCRIBE HISTORY '/path'` — parse-
+    // time sugar over the graft_history TVF
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(session, delegate))
     graft.sql.GraftTableFunctions.all.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.sql.GraftTableFunctions", name), builder))

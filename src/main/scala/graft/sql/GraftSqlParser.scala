@@ -1,0 +1,72 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Parser sugar for the statements a lakehouse user types first —
+  * currently `DESCRIBE HISTORY <table>` (Delta's spelling), accepted as
+  *
+  *  - `DESCRIBE HISTORY graft.db.t` (a [[GraftCatalog]]-qualified name,
+  *    resolved through the catalog's configured root), or
+  *  - `DESCRIBE HISTORY '/path/to/table'` (a quoted TxTable path);
+  *
+  * both rewrite AT PARSE TIME to the equivalent `graft_history(...)`
+  * table-valued function call, so the statement form adds zero new
+  * execution surface — it IS the TVF. Everything else delegates to
+  * Spark's own parser untouched. */
+final class GraftSqlParser(session: SparkSession,
+                           delegate: ParserInterface) extends ParserInterface {
+
+  private val DescribeHistory =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+
+  private def quote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The TxTable directory a DESCRIBE HISTORY target names. */
+  private def dirOf(raw: String): String = {
+    val t = raw.trim
+    if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+        (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+      t.substring(1, t.length - 1)
+    else {
+      val parts = delegate.parseMultipartIdentifier(t)
+      require(parts.length >= 2,
+        s"DESCRIBE HISTORY needs a catalog-qualified name " +
+          s"(<catalog>.<ns...>.<table>) or a quoted path, got '$t'")
+      val root = session.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+        .getOrElse(throw new IllegalArgumentException(
+          s"DESCRIBE HISTORY: '${parts.head}' is not a configured graft " +
+            "catalog (spark.sql.catalog.<name>.root is unset) — qualify " +
+            "the table with its graft catalog or pass a quoted path"))
+      (root +: parts.tail).mkString("/")
+    }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case DescribeHistory(target) =>
+      delegate.parsePlan(
+        s"SELECT * FROM graft_history(${quote(dirOf(target))})")
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

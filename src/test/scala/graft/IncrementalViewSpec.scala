@@ -112,6 +112,63 @@ class IncrementalViewSpec extends SparkTestBase {
       "c" -> ((1L, 7L))))
   }
 
+  test("min/max maintenance: insert-only folds in-feed; deletes of group extrema re-aggregate exactly") {
+    val src = tmpDir("mv-mm-src"); val view = tmpDir("mv-mm-view")
+    def mmState(viewDir: String): Map[String, (Long, Long, Long, Long)] =
+      TxTable.read(spark, viewDir).map {
+        _.select("grp", "mv_count", "qty_sum", "qty_min", "qty_max")
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      }.getOrElse(Map.empty)
+    def mmRecompute(dir: String): Map[String, (Long, Long, Long, Long)] =
+      TxTable.read(spark, dir).map {
+        _.groupBy("grp").agg(count(lit(1)), sum("qty"), min("qty"), max("qty"))
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      }.getOrElse(Map.empty)
+    def refresh() = IncrementalView.refresh(spark, src, view,
+      Seq("grp"), Seq("qty"), buckets = 4, minMaxCols = Seq("qty"))
+
+    // full build carries min/max
+    TxTable.append(spark, src,
+      df(("a", 2L, 0L), ("a", 9L, 1L), ("b", 5L, 0L)), Seq("pb"))
+    assert(refresh().get.full && mmState(view) == mmRecompute(src))
+
+    // insert-only window: extrema fold from the feed, no source rescan
+    // (new max for a, new min for b, brand-new group c)
+    TxTable.append(spark, src,
+      df(("a", 11L, 1L), ("b", 1L, 1L), ("c", 7L, 0L)), Seq("pb"))
+    val r2 = refresh().get
+    assert(!r2.full && mmState(view) == mmRecompute(src))
+    assert(mmState(view)("a") == ((3L, 22L, 2L, 11L)))
+
+    // delete the MIN of a and the MAX of... delete a's current maximum
+    // row too: both extrema retire in one window — the rescan regime
+    TxTable.deleteWhere(spark, src, col("grp") === "a" && col("qty") === 2L)
+    TxTable.deleteWhere(spark, src, col("grp") === "a" && col("qty") === 11L)
+    val r3 = refresh().get
+    assert(!r3.full && mmState(view) == mmRecompute(src))
+    assert(mmState(view)("a") == ((1L, 9L, 9L, 9L)))
+
+    // update that moves a group's minimum (rewrite = delete+insert pairs)
+    TxTable.updateWhere(spark, src,
+      col("grp") === "b" && col("qty") === 1L, Map("qty" -> lit(20L)))
+    val r4 = refresh().get
+    assert(!r4.full && mmState(view) == mmRecompute(src))
+    assert(mmState(view)("b") == ((2L, 25L, 5L, 20L)))
+
+    // mixed window: deletes in one group, pure inserts in another — only
+    // the delete-touched group takes the rescan path, both land exact
+    TxTable.deleteWhere(spark, src, col("grp") === "c")
+    TxTable.append(spark, src, df(("b", 0L, 0L)), Seq("pb"))
+    // (r5 may take the documented empty-bucket full-rebuild escape — the
+    // deleted group was alone in its bucket; exactness is the contract)
+    val r5 = refresh().get
+    assert(mmState(view) == mmRecompute(src), r5.toString)
+    assert(!mmState(view).contains("c"))
+    assert(mmState(view)("b") == ((3L, 25L, 0L, 20L)))
+  }
+
   test("full build reads the source AS OF the stamped version — a commit racing past headVersion() is never double-counted") {
     val src = tmpDir("mv-race-src"); val view = tmpDir("mv-race-view")
     TxTable.append(spark, src, df(("a", 2L, 0L)), Seq("pb"))

@@ -350,6 +350,27 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(e.getMessage.contains("already exists"), e.getMessage)
   }
 
+  test("DESCRIBE HISTORY: catalog-qualified name and quoted path both audit the log") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 5, "h").createOrReplaceTempView("src_hist")
+    ext.sql("CREATE TABLE graft.db.hist_t AS SELECT * FROM src_hist")
+    ext.sql("INSERT INTO graft.db.hist_t VALUES (9, 'late', 1.0)")
+
+    val byName = ext.sql("DESCRIBE HISTORY graft.db.hist_t")
+      .select("version", "action").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(byName == Seq((2L, "append"), (1L, "replace")), byName)
+    // DESC abbreviation + quoted-path form hit the same audit rows
+    val byPath = ext.sql(s"DESC HISTORY '$lakeRoot/db/hist_t'")
+      .select("version").collect().map(_.getLong(0)).toSeq
+    assert(byPath == Seq(2L, 1L))
+    // non-graft target fails loudly, ordinary statements are untouched
+    val e = intercept[Exception](ext.sql("DESCRIBE HISTORY nope.db.t"))
+    assert(e.getMessage.contains("not a configured graft catalog"),
+      e.getMessage)
+    assert(ext.sql("SELECT 1 + 1").head.getInt(0) == 2)
+  }
+
   test("mixed partition layouts across live batches fail the SQL read loudly") {
     val dir = tmpDir("fmt-mixed-layout")
     // int-typed bucket so the hive partition-inference type (int) agrees
