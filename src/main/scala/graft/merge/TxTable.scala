@@ -128,6 +128,10 @@ object TxTable {
       }
   }
 
+  /** [[ubCompare]] as an Ordering, for min/max over byte-string sets. */
+  private[graft] val utf8Ordering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => ubCompare(a, b)
+
   /** Unsigned lexicographic byte compare (UTF8_BINARY order). */
   private[graft] def ubCompare(a: Array[Byte], b: Array[Byte]): Int = {
     val n = math.min(a.length, b.length)

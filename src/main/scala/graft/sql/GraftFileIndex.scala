@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, PartitionDirectory}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -241,6 +241,14 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
         litBd(l).map(v => (a.name, v, PosInf))
       case LessThanOrEqual(l: Literal, a: AttributeReference) =>
         litBd(l).map(v => (a.name, v, PosInf))
+      // IN-list point lookups prune by the list's envelope — a superset
+      // (values between min and max that are not IN still pass here; the
+      // row filter removes them), which is all skipping needs
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.map(l => litBd(l.asInstanceOf[Literal]))
+        if (vs.exists(_.isEmpty)) None
+        else Some((a.name, vs.flatten.min, vs.flatten.max))
       case _ => None
     }
   }
@@ -296,6 +304,13 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
         litUtf8(l).filter(_.nonEmpty).map(b =>
           (a.name, Some(b),
             TxTable.truncatedUpper(b :+ 0x00.toByte, b.length)))
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.map(l => litUtf8(l.asInstanceOf[Literal]))
+        if (vs.exists(_.isEmpty)) None
+        else Some((a.name,
+          Some(vs.flatten.minBy(identity)(TxTable.utf8Ordering)),
+          Some(vs.flatten.maxBy(identity)(TxTable.utf8Ordering))))
       case _ => None
     }
   }

@@ -553,6 +553,14 @@ class PlanQualitySpec extends SparkTestBase {
     val (kept0, _) = idx.skippingStats(Seq(
       EqualTo(uid, Literal.create("zzzzzzzz", StringType))))
     assert(kept0 == 0, s"kept $kept0")
+    // IN-list lookups prune by the list envelope: two f-keys keep only
+    // the f-file (superset semantics — values between them still pass
+    // here and die at the row filter)
+    val (keptIn, _) = idx.skippingStats(Seq(
+      org.apache.spark.sql.catalyst.expressions.In(uid, Seq(
+        Literal.create("f0000001-0000-4000-8000-000000000001", StringType),
+        Literal.create("f0000004-0000-4000-8000-000000000004", StringType)))))
+    assert(keptIn == 1, s"kept $keptIn")
     // and the end-to-end scan agrees: the same predicate through a real
     // FileSourceScanExec lists exactly the surviving file's partitions
     val rel = graft.sql.GraftSql.relation(spark, dir, None)
