@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Predicate, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, PartitionDirectory}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -249,6 +249,15 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
         val vs = list.map(l => litBd(l.asInstanceOf[Literal]))
         if (vs.exists(_.isEmpty)) None
         else Some((a.name, vs.flatten.min, vs.flatten.max))
+      // the optimizer turns long IN lists into InSet (internal values,
+      // not Literal children) — same envelope rule
+      case ins: InSet if ins.child.isInstanceOf[AttributeReference] &&
+          ins.hset.nonEmpty =>
+        val a = ins.child.asInstanceOf[AttributeReference]
+        val vs = ins.hset.toSeq.map(v =>
+          litBd(Literal(v, a.dataType)))
+        if (vs.exists(_.isEmpty)) None
+        else Some((a.name, vs.flatten.min, vs.flatten.max))
       case _ => None
     }
   }
@@ -309,8 +318,17 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
         val vs = list.map(l => litUtf8(l.asInstanceOf[Literal]))
         if (vs.exists(_.isEmpty)) None
         else Some((a.name,
-          Some(vs.flatten.minBy(identity)(TxTable.utf8Ordering)),
-          Some(vs.flatten.maxBy(identity)(TxTable.utf8Ordering))))
+          Some(vs.flatten.min(TxTable.utf8Ordering)),
+          Some(vs.flatten.max(TxTable.utf8Ordering))))
+      case ins: InSet if ins.child.isInstanceOf[AttributeReference] &&
+          ins.hset.nonEmpty =>
+        val a = ins.child.asInstanceOf[AttributeReference]
+        val vs = ins.hset.toSeq.map(v =>
+          litUtf8(Literal(v, a.dataType)))
+        if (vs.exists(_.isEmpty)) None
+        else Some((a.name,
+          Some(vs.flatten.min(TxTable.utf8Ordering)),
+          Some(vs.flatten.max(TxTable.utf8Ordering))))
       case _ => None
     }
   }

@@ -561,6 +561,12 @@ class PlanQualitySpec extends SparkTestBase {
         Literal.create("f0000001-0000-4000-8000-000000000001", StringType),
         Literal.create("f0000004-0000-4000-8000-000000000004", StringType)))))
     assert(keptIn == 1, s"kept $keptIn")
+    // the optimizer's InSet form (long IN lists) prunes the same way
+    val (keptInSet, _) = idx.skippingStats(Seq(
+      org.apache.spark.sql.catalyst.expressions.InSet(uid,
+        (0 until 12).map(i => org.apache.spark.unsafe.types.UTF8String
+          .fromString(f"f$i%07d-x"): Any).toSet)))
+    assert(keptInSet == 1, s"kept $keptInSet")
     // and the end-to-end scan agrees: the same predicate through a real
     // FileSourceScanExec lists exactly the surviving file's partitions
     val rel = graft.sql.GraftSql.relation(spark, dir, None)
