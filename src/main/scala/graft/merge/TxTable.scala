@@ -736,7 +736,7 @@ object TxTable {
     val rows = listCommits(fs, dir).filter(_._1 >= floor)
       .map { case (v, p) =>
         val c = parse(fs, p)
-        (v, c.action,
+        (v, c.action, c.dataChange,
           new java.sql.Timestamp(fs.getFileStatus(p).getModificationTime),
           c.files.size.toLong, c.removedParts.size.toLong, c.partCol,
           c.txns.headOption.map(_._1), c.txns.headOption.map(_._2),
@@ -744,8 +744,9 @@ object TxTable {
       }
     val sq = spark.sqlContext
     import sq.implicits._
-    rows.toDF("version", "action", "committed_at", "n_files_added",
-        "n_parts_removed", "part_col", "txn_app", "txn_epoch", "n_props")
+    rows.toDF("version", "action", "data_change", "committed_at",
+        "n_files_added", "n_parts_removed", "part_col", "txn_app",
+        "txn_epoch", "n_props")
       .orderBy(org.apache.spark.sql.functions.desc("version"))
   }
 

@@ -357,13 +357,21 @@ class SqlFrontDoorSpec extends SparkTestBase {
     ext.sql("INSERT INTO graft.db.hist_t VALUES (9, 'late', 1.0)")
 
     val byName = ext.sql("DESCRIBE HISTORY graft.db.hist_t")
-      .select("version", "action").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(byName == Seq((2L, "append"), (1L, "replace")), byName)
+      .select("version", "action", "data_change").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(byName == Seq((2L, "append", true), (1L, "replace", true)), byName)
     // DESC abbreviation + quoted-path form hit the same audit rows
     val byPath = ext.sql(s"DESC HISTORY '$lakeRoot/db/hist_t'")
       .select("version").collect().map(_.getLong(0)).toSeq
     assert(byPath == Seq(2L, 1L))
+    // a maintenance rewrite audits as data_change = false — the audit
+    // trail shows exactly what the change feed skips
+    TxTable.append(ext, s"$lakeRoot/db/hist_t",
+      df(ext, 6 to 7, "h2").repartition(2))
+    TxTable.compactSmallFiles(ext, s"$lakeRoot/db/hist_t")
+    val head = ext.sql("DESCRIBE HISTORY graft.db.hist_t").limit(1)
+      .select("action", "data_change").head
+    assert(head.getString(0) == "rewrite" && !head.getBoolean(1))
     // non-graft target fails loudly, ordinary statements are untouched
     val e = intercept[Exception](ext.sql("DESCRIBE HISTORY nope.db.t"))
     assert(e.getMessage.contains("not a configured graft catalog"),
