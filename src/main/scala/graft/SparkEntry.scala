@@ -256,12 +256,13 @@ object SparkEntry {
     }),
 
     // §7.6 BPE subword vocabulary (Sennrich 2016): train 20 merges on the
-    // corpus slice, segment it under them. The iterative argmax makes the
-    // trainer non-SQL-expressible — no oracle row (driver records the
-    // rows-only check); the trainer's proof is CorpusSpec's model-based
-    // equivalence against an independent reference implementation, and
-    // the SEGMENTATION half is hash-green separately as q145 (frozen
-    // merge table, fully relational DuckDB replay).
+    // corpus slice, segment it under them. The oracle replays TRAINING
+    // itself — 20 unrolled (pair-count, argmax, greedy merge) DuckDB
+    // stages over the q145 double-space encoding, each stage's merge pair
+    // its own 1-row argmax — then the segmentation join under the learned
+    // merges (see bpeTrainSegmentOracleSql). CorpusSpec's model-based
+    // equivalence against an independent reference implementation stands
+    // as the second, engine-independent proof.
     "q81_bpe_segment" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 100)
       val merges = graft.ext.Corpus.bpeTrain(docs, col("text"), nMerges = 20)
@@ -3680,6 +3681,7 @@ object SparkEntry {
     // q145: generated — 20 chained literal replace() passes; see
     // bpeApplyOracleSql for the encoding argument.
     "q145_bpe_apply" -> bpeApplyOracleSql,
+    "q81_bpe_segment" -> bpeTrainSegmentOracleSql,
 
     // q148: the stream replicated the even-o_orderkey filter of `orders`
     // exactly-once; the oracle replays the transform relationally.
@@ -4585,6 +4587,52 @@ object SparkEntry {
     * fold `Corpus.mergePass` does (verified: "a a a" -> ["aa","a"],
     * "a b a b" -> ["ab","ab"]). Symbols never contain spaces (tokens are
     * whitespace-split), so the separator is unambiguous. */
+  /** q81's oracle: BPE TRAINING itself replayed in DuckDB — the 20
+    * (pair-count → argmax → greedy merge) iterations unrolled as chained
+    * MATERIALIZED CTEs over the double-space symbol encoding (q145's
+    * replace() trick — each stage's merge pair is the stage's own 1-row
+    * argmax, tie-broken (count DESC, left, right) exactly as bpeTrain),
+    * then the segmentation join under the LEARNED merges. MATERIALIZED
+    * matters: each stage reads its predecessor twice (merge + apply), so
+    * inlined CTEs would expand 2^20-fold. This closes the last
+    * `no_oracle` row — training, not just application, is hash-checked. */
+  private def bpeTrainSegmentOracleSql: String = {
+    val n = 20
+    val initial = "'  ' || array_to_string(list_append(" +
+      "regexp_extract_all(word, '.'), '</w>'), '  ') || '  '"
+    val stages = (1 to n).map { k =>
+      val j = k - 1
+      s"""x$k AS (SELECT word, wcount, string_split(trim(s), '  ') AS subs FROM seg$j),
+         |e$k AS (SELECT wcount, subs,
+         |  unnest(range(CAST(len(subs) - 1 AS BIGINT))) AS pos FROM x$k),
+         |c$k AS (SELECT subs[pos + 1] AS l, subs[pos + 2] AS r,
+         |  CAST(sum(wcount) AS BIGINT) AS pc FROM e$k GROUP BY 1, 2),
+         |m$k AS (SELECT l, r FROM c$k WHERE pc >= 2
+         |  ORDER BY pc DESC, l, r LIMIT 1),
+         |seg$k AS MATERIALIZED (SELECT w.word, w.wcount,
+         |  replace(w.s, ' ' || m.l || '  ' || m.r || ' ',
+         |          ' ' || m.l || m.r || ' ') AS s
+         |  FROM seg$j w, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       | FROM documents WHERE doc_id < 100),
+       |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM w0 GROUP BY word),
+       |seg0 AS MATERIALIZED (SELECT word, wcount, $initial AS s FROM wf),
+       |$stages,
+       |subs AS (SELECT word, string_split(trim(s), '  ') AS subs FROM seg$n),
+       |sp0 AS (SELECT word, subs, unnest(range(CAST(len(subs) AS BIGINT))) AS sub_pos
+       |        FROM subs),
+       |sp AS (SELECT word, CAST(sub_pos AS BIGINT) AS sub_pos,
+       |               subs[sub_pos + 1] AS subword FROM sp0),
+       |dt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |       FROM documents WHERE doc_id < 100),
+       |dp AS (SELECT doc_id, unnest(range(CAST(len(t) AS BIGINT))) AS pos, t FROM dt),
+       |dw AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, t[pos + 1] AS word FROM dp)
+       |SELECT dw.doc_id, dw.pos, dw.word, sp.sub_pos, sp.subword
+       |FROM dw JOIN sp USING (word)""".stripMargin
+  }
+
   private def bpeApplyOracleSql: String = {
     def q(s: String) = s.replace("'", "''")
     val initial = "'  ' || array_to_string(list_append(" +
