@@ -1054,15 +1054,19 @@ object TxTable {
   /** Read a SUBSET of the live files by absolute path (as returned by
     * [[liveFilePaths]]) — partition columns re-materialize exactly as in
     * [[read]]. The scan side of an index probe: the index names the
-    * files, this plans only them. None if no named file is live. */
+    * files, this plans only them. None if no named file is live.
+    * `filePathCol` tags each row with its source file's qualified path
+    * (resolved per batch BEFORE the union — `_metadata` does not resolve
+    * through one), for per-file index builders. */
   def readFiles(spark: SparkSession, dir: String,
-                absPaths: Set[String]): Option[DataFrame] = {
+                absPaths: Set[String],
+                filePathCol: Option[String] = None): Option[DataFrame] = {
     val fs = hadoopFs(spark, dir)
     val live = replay(fs, dir)._1.filter(e =>
       absPaths.contains(fs.makeQualified(new Path(dir, e.path)).toString))
     if (live.isEmpty) None
-    else Some(widenWithEvolution(spark, framesFor(spark, dir, live),
-      fs, dir, None))
+    else Some(widenWithEvolution(spark,
+      framesFor(spark, dir, live, filePathCol), fs, dir, None))
   }
 
   /** Head commit version, None before the first commit. Capture BEFORE

@@ -229,9 +229,9 @@ object Layout {
     if (missing.isEmpty && stale.isEmpty) return (0, 0)
     val fresh =
       if (missing.isEmpty) None
-      else Some(TxTable.readFiles(spark, tableDir, missing.toSet).get
-        .select(col("_metadata.file_path").as("file"),
-          col(c).cast("string").as("__v"))
+      else Some(TxTable.readFiles(spark, tableDir, missing.toSet,
+          filePathCol = Some("file")).get
+        .select(col("file"), col(c).cast("string").as("__v"))
         .groupBy(col("file"))
         .agg(graft.functions.SketchAggs.bloomAgg(col("__v"),
           expectedItemsPerFile, fpp).as("bloom")))

@@ -86,6 +86,80 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
 
   @volatile private var snap: Snapshot = load()
 
+  /** Lazily-loaded per-file Bloom sidecars
+    * ([[graft.ops.Layout.refreshBloomIndexTx]]'s `_bloom_<col>` layout):
+    * column → (qualified file path → filter bytes). The point-lookup
+    * complement of the min/max envelopes — a high-cardinality column
+    * that is NOT the clustering key has file-spanning envelopes and
+    * range skipping prunes nothing; the Bloom probe prunes exactly that
+    * shape. Loaded only when an equality/IN constraint names an indexed
+    * column (one small driver-side collect per index, KBs per file);
+    * files missing from an index (built since the last refresh) are
+    * always kept — index lag can never lose a row. */
+  private lazy val blooms: Map[String, Map[String, Array[Byte]]] = {
+    val dirs =
+      if (!fs.exists(qualifiedDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(qualifiedDir)
+    dirs.toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bloom_"))
+      .map { s =>
+        val c = s.getPath.getName.stripPrefix("_bloom_")
+        val rows = spark.read.parquet(s.getPath.toString).collect()
+        c -> rows.map(r =>
+          r.getAs[String]("file") -> r.getAs[Array[Byte]]("bloom")).toMap
+      }.toMap
+  }
+
+  /** Literal rendered as the sidecar's key form (`CAST(col AS STRING)`),
+    * for the types whose string form is unambiguous. */
+  private def litBloomKey(l: Literal): Option[String] =
+    if (l.value == null) None
+    else l.dataType match {
+      case StringType => Some(l.value.toString)
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(l.value.toString)
+      case _ => None
+    }
+
+  /** (column, candidate values) point constraints from the pushable
+    * conjuncts — a file survives when ANY value might be present. */
+  private def extractBloomProbes(filters: Seq[Expression])
+      : Seq[(String, Seq[String])] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        litBloomKey(l).map(v => (a.name, Seq(v)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        litBloomKey(l).map(v => (a.name, Seq(v)))
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        litBloomKey(l).map(v => (a.name, Seq(v)))
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.map(l => litBloomKey(l.asInstanceOf[Literal]))
+        if (vs.exists(_.isEmpty)) None else Some((a.name, vs.flatten))
+      case ins: InSet if ins.child.isInstanceOf[AttributeReference] &&
+          ins.hset.nonEmpty =>
+        val a = ins.child.asInstanceOf[AttributeReference]
+        val vs = ins.hset.toSeq.map(v => litBloomKey(Literal(v, a.dataType)))
+        if (vs.exists(_.isEmpty)) None else Some((a.name, vs.flatten))
+      case _ => None
+    }.filter(p => blooms.contains(p._1))
+  }
+
+  /** True when the Bloom sidecars allow `e` under every point probe. */
+  private def bloomKeeps(probes: Seq[(String, Seq[String])],
+                         e: TxTable.FileEntry): Boolean =
+    probes.forall { case (c, vs) =>
+      blooms(c).get(fs.makeQualified(new Path(qualifiedDir, e.path)).toString) match {
+        case None       => true // not indexed (yet): must be scanned
+        case Some(bits) => vs.exists(v =>
+          graft.functions.SketchAggs.bloomMightContain(bits, v))
+      }
+    }
+
   private def timeZone: String =
     spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID)
@@ -177,19 +251,21 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
         pred.initialize(0)
         groups.filter { case (frag, _) => pred.eval(partRow(frag)) }
       }
-    // 2. log-level stats skipping — superset semantics (data filters stay
-    // in the plan), so unsupported shapes simply skip nothing
+    // 2. log-level stats skipping + Bloom-sidecar point pruning —
+    // superset semantics (data filters stay in the plan), so unsupported
+    // shapes simply skip nothing
     val ranges = extractRanges(dataFilters)
     val sRanges = extractStringRanges(dataFilters)
+    val probes = extractBloomProbes(dataFilters)
     afterPart.map { case (frag, es) =>
       val kept =
-        if (ranges.isEmpty && sRanges.isEmpty) es
+        if (ranges.isEmpty && sRanges.isEmpty && probes.isEmpty) es
         else es.filter(e =>
           ranges.forall { case (c, lo, hi) =>
             e.stats.get(c).forall(_.mayContain(lo, hi))
           } && sRanges.forall { case (c, lo, hi) =>
             e.stats.get(c).forall(_.mayContainUtf8(lo, hi))
-          })
+          } && bloomKeeps(probes, e))
       PartitionDirectory(partRow(frag), kept.map(e => s.statuses(e.path)))
     }.filter(_.files.nonEmpty)
   }
@@ -339,12 +415,13 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
   def skippingStats(dataFilters: Seq[Expression]): (Int, Int) = {
     val ranges = extractRanges(dataFilters)
     val sRanges = extractStringRanges(dataFilters)
+    val probes = extractBloomProbes(dataFilters)
     val kept = snap.entries.count(e =>
       ranges.forall { case (c, lo, hi) =>
         e.stats.get(c).forall(_.mayContain(lo, hi))
       } && sRanges.forall { case (c, lo, hi) =>
         e.stats.get(c).forall(_.mayContainUtf8(lo, hi))
-      })
+      } && bloomKeeps(probes, e))
     (kept, snap.entries.size)
   }
 }

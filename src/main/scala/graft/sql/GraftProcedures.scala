@@ -29,6 +29,11 @@ import graft.merge.TxTable
   *    full rewrite into files z-ordered along the comma-separated
   *    columns, so the log's ColStat skipping prunes range predicates on
   *    EVERY listed column;
+  *  - `refresh_bloom(table, col, expected_items_per_file, fpp)` —
+  *    incrementally refresh the per-file Bloom sidecar for `col`
+  *    (O(changed files)); once built, the SQL scan's [[GraftFileIndex]]
+  *    prunes equality/IN point lookups on that column through it — the
+  *    unsorted-high-cardinality shape min/max envelopes cannot prune;
   *  - `restore(table, version)` — metadata-only rollback.
   *
   * `table` is the catalog-relative name (`db.t`). Every procedure
@@ -103,6 +108,26 @@ object GraftProcedures {
         val (before, after) = graft.ops.Layout.zorderTx(spark, dir,
           cols, nParts = in.getInt(2))
         Seq(InternalRow(before, after))
+      })),
+    "refresh_bloom" -> (cat => new BoundUnbound("refresh_bloom",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("col", StringType).build(),
+        ProcedureParameter.in("expected_items_per_file", LongType)
+          .defaultValue("1000000").build(),
+        ProcedureParameter.in("fpp", DoubleType)
+          .defaultValue("0.01").build()),
+      StructType(Seq(StructField("files_indexed", IntegerType),
+        StructField("stale_dropped", IntegerType))),
+      { in =>
+        // incremental: scans only files that joined the live set since
+        // the last refresh; the SQL scan's GraftFileIndex then prunes
+        // point lookups on the column through the sidecar
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        val (indexed, dropped) = graft.ops.Layout.refreshBloomIndexTx(
+          spark, dir, in.getUTF8String(1).toString,
+          expectedItemsPerFile = in.getLong(2), fpp = in.getDouble(3))
+        Seq(InternalRow(indexed, dropped))
       })),
     "restore" -> (cat => new BoundUnbound("restore",
       Array(

@@ -379,6 +379,53 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(ext.sql("SELECT 1 + 1").head.getInt(0) == 2)
   }
 
+  test("CALL graft.system.refresh_bloom: point lookups prune through the SQL scan") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.StringType
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val dir = s"$lakeRoot/db/bt"
+    def key(n: Int): String =
+      f"k-$n%05d-" + ((n * 2654435761L) & 0xffffffffL).toHexString
+    // four single-file batches of INTERLEAVED keys: every file's min/max
+    // envelope spans the whole key space, so range/string skipping keeps
+    // all four — exactly the unsorted point-lookup shape the sidecar is for
+    val sq = ext.sqlContext; import sq.implicits._
+    for (b <- 0 until 4)
+      TxTable.append(ext, dir,
+        (0 until 200).map(i => (key(i * 4 + b), (i * 4 + b).toLong))
+          .toDF("uid", "v").repartition(1))
+
+    val r = ext.sql(
+      "CALL graft.system.refresh_bloom('db.bt', 'uid', 1000, 0.001)").head
+    assert(r.getInt(0) == 4 && r.getInt(1) == 0)
+
+    val uid = AttributeReference("uid", StringType)()
+    val idx = new graft.sql.GraftFileIndex(ext, dir, None)
+    // without the sidecar every file survives the envelopes (interleaved);
+    // the bloom probe cuts the listing to the one real holder (+ ≤1 fp —
+    // deterministic filters, so this is a stable bound, not flake room)
+    val (kept, total) = idx.skippingStats(Seq(
+      EqualTo(uid, Literal.create(key(5), StringType))))
+    assert(total == 4 && kept <= 2 && kept >= 1, s"kept $kept of $total")
+    assert(ext.sql(s"SELECT v FROM graft.db.bt WHERE uid = '${key(5)}'")
+      .head.getLong(0) == 5L)
+
+    // a batch appended AFTER the refresh is unindexed: always scanned —
+    // index lag can never lose a row
+    TxTable.append(ext, dir, Seq(("zz-new", 9999L)).toDF("uid", "v")
+      .repartition(1))
+    val idx2 = new graft.sql.GraftFileIndex(ext, dir, None)
+    val (kept2, total2) = idx2.skippingStats(Seq(
+      EqualTo(uid, Literal.create("zz-new", StringType))))
+    assert(total2 == 5 && kept2 >= 1, s"kept $kept2 of $total2")
+    assert(ext.sql("SELECT v FROM graft.db.bt WHERE uid = 'zz-new'")
+      .head.getLong(0) == 9999L)
+    // a second refresh indexes the straggler and drops nothing
+    val r2 = ext.sql(
+      "CALL graft.system.refresh_bloom('db.bt', 'uid', 1000, 0.001)").head
+    assert(r2.getInt(0) == 1 && r2.getInt(1) == 0)
+  }
+
   test("mixed partition layouts across live batches fail the SQL read loudly") {
     val dir = tmpDir("fmt-mixed-layout")
     // int-typed bucket so the hive partition-inference type (int) agrees
