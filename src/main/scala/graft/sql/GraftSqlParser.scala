@@ -8,21 +8,24 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Parser sugar for the statements a lakehouse user types first —
-  * currently `DESCRIBE HISTORY <table>` (Delta's spelling), accepted as
+  * `DESCRIBE HISTORY <table>` and `DESCRIBE DETAIL <table>` (Delta's
+  * spellings), each accepted as
   *
   *  - `DESCRIBE HISTORY graft.db.t` (a [[GraftCatalog]]-qualified name,
   *    resolved through the catalog's configured root), or
   *  - `DESCRIBE HISTORY '/path/to/table'` (a quoted TxTable path);
   *
-  * both rewrite AT PARSE TIME to the equivalent `graft_history(...)`
-  * table-valued function call, so the statement form adds zero new
-  * execution surface — it IS the TVF. Everything else delegates to
-  * Spark's own parser untouched. */
+  * both rewrite AT PARSE TIME to the equivalent TVF call
+  * (`graft_history(...)` / `graft_files(...)`), so the statement forms
+  * add zero new execution surface — they ARE the TVFs. Everything else
+  * delegates to Spark's own parser untouched. */
 final class GraftSqlParser(session: SparkSession,
                            delegate: ParserInterface) extends ParserInterface {
 
   private val DescribeHistory =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val DescribeDetail =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
 
   private def quote(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -50,6 +53,9 @@ final class GraftSqlParser(session: SparkSession,
     case DescribeHistory(target) =>
       delegate.parsePlan(
         s"SELECT * FROM graft_history(${quote(dirOf(target))})")
+    case DescribeDetail(target) =>
+      delegate.parsePlan(
+        s"SELECT * FROM graft_files(${quote(dirOf(target))})")
     case _ => delegate.parsePlan(sqlText)
   }
 

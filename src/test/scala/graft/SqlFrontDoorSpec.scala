@@ -377,6 +377,13 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(e.getMessage.contains("not a configured graft catalog"),
       e.getMessage)
     assert(ext.sql("SELECT 1 + 1").head.getInt(0) == 2)
+    // DESCRIBE DETAIL = the graft_files layout feed (live files + bytes
+    // + per-column envelopes), one row per live file
+    val detail = ext.sql("DESCRIBE DETAIL graft.db.hist_t")
+    assert(detail.columns.toSeq ==
+      Seq("path", "partition", "bytes", "stat_min", "stat_max"))
+    assert(detail.count() ==
+      TxTable.liveFilePaths(ext, s"$lakeRoot/db/hist_t").size)
   }
 
   test("CALL graft.system.refresh_bloom: point lookups prune through the SQL scan") {
