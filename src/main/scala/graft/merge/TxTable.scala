@@ -170,6 +170,17 @@ object TxTable {
       else Some(p.take(i + 1).updated(i, (p(i) + 1).toByte))
     }
 
+  /** Deletion-vector reference riding on a live file: `dir` is the
+    * table-relative sidecar directory (`data/dv-<uuid>`) holding
+    * `(file, pos)` position-delete rows for one or more files, `deleted`
+    * the number of this file's positions recorded there. A file carries at
+    * most ONE ref — a later [[deleteWhereDV]] touching the same file
+    * merges the old positions into its new sidecar and re-points the ref,
+    * so readers never chain vectors. The sidecar directory participates in
+    * [[vacuum]] retention exactly like a data batch (it is referenced by
+    * the live sets that reference the ref). */
+  final case class DvRef(dir: String, deleted: Long)
+
   /** One live data file: `path` relative to the table root; `part` is the
     * FULL relative hive fragment path (`part_bucket=3` or
     * `region=eu/day=2024-01-01` for nested layouts) for partitioned
@@ -178,9 +189,12 @@ object TxTable {
     * subtree under a multi-column layout. `stats` carries the file's
     * column envelopes for log-level data skipping ([[readSkipping]]);
     * empty on entries committed before stats existed — those files are
-    * never skipped. */
+    * never skipped. `dv` attaches a deletion vector: the file's LIVE rows
+    * are its physical rows minus the sidecar's positions (merge-on-read
+    * DELETE — see [[deleteWhereDV]]); stats stay valid as a superset. */
   final case class FileEntry(path: String, part: Option[String],
-                             stats: Map[String, ColStat] = Map.empty)
+                             stats: Map[String, ColStat] = Map.empty,
+                             dv: Option[DvRef] = None)
 
   /** True when `part` is addressed by fragment `scope`: exact match, or
     * `scope` is a leading segment prefix (`region=eu` matches
@@ -203,13 +217,16 @@ object TxTable {
     * `dataChange` flag): the change feed ([[readChanges]]) skips such
     * commits entirely, so maintenance never re-emits a 100 TB table to
     * every streaming consumer. Absent in old commits = true. */
+  /** `dvRefs`: the `dv` action's payload — (live file path → new deletion-
+    * vector ref) attachments. Every other action leaves it empty. */
   private final case class Commit(action: String, partCol: Option[String],
                                   scheme: Option[String],
                                   removedParts: Seq[String],
                                   files: Seq[FileEntry],
                                   txns: Seq[(String, Long)] = Nil,
                                   props: Seq[(String, String)] = Nil,
-                                  dataChange: Boolean = true)
+                                  dataChange: Boolean = true,
+                                  dvRefs: Seq[(String, DvRef)] = Nil)
 
   private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -273,14 +290,23 @@ object TxTable {
         s"table property '$k' contains tab/newline — unrepresentable")
       sb.append("prop\t").append(k).append('\t').append(v).append('\n')
     }
+    c.dvRefs.foreach { case (target, d) =>
+      sb.append("dvref\t").append(target).append('\t').append(d.dir)
+        .append('\t').append(d.deleted).append('\n')
+    }
     c.files.foreach { f =>
       sb.append("file\t").append(f.path).append('\t')
         .append(f.part.getOrElse("")).append('\n')
-      // stat lines attach to the file line ABOVE them (order-dependent
-      // format, same file): `stat <col> <I|D> <min> <max>`
+      // stat/dv lines attach to the file line ABOVE them (order-dependent
+      // format, same file): `stat <col> <I|D|S> <min> <max>`,
+      // `dv <sidecar dir> <deleted>`
       f.stats.toSeq.sortBy(_._1).foreach { case (cn, st) =>
         sb.append("stat\t").append(cn).append('\t').append(st.tag)
           .append('\t').append(st.min).append('\t').append(st.max)
+          .append('\n')
+      }
+      f.dv.foreach { d =>
+        sb.append("dv\t").append(d.dir).append('\t').append(d.deleted)
           .append('\n')
       }
     }
@@ -297,6 +323,7 @@ object TxTable {
     val files = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     val txns = Seq.newBuilder[(String, Long)]
     val props = Seq.newBuilder[(String, String)]
+    val dvRefs = Seq.newBuilder[(String, DvRef)]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
         case Array("action", a)  => action = a
@@ -316,13 +343,20 @@ object TxTable {
           val last = files.last
           files(files.length - 1) =
             last.copy(stats = last.stats + (cn -> ColStat(tag, mn, mx)))
+        case Array("dv", dvDir, n) =>
+          require(files.nonEmpty,
+            s"corrupt commit $p: dv line before any file line")
+          files(files.length - 1) =
+            files.last.copy(dv = Some(DvRef(dvDir, n.toLong)))
+        case Array("dvref", target, dvDir, n) =>
+          dvRefs += (target -> DvRef(dvDir, n.toLong))
         case other => throw new java.io.IOException(
           s"corrupt commit $p: unparseable line '${other.mkString("\t")}'")
       }
     }
     require(action.nonEmpty, s"corrupt commit $p: no action")
     Commit(action, partCol, scheme, removed.result(), files.toSeq,
-      txns.result(), props.result(), dataChange)
+      txns.result(), props.result(), dataChange, dvRefs.result())
   }
 
   private def applyCommit(live: Vector[FileEntry], c: Commit,
@@ -340,6 +374,19 @@ object TxTable {
       // their rewritten successors join it
       val drop = c.removedParts.toSet
       live.filterNot(f => drop.contains(f.path)) ++ c.files
+    case "dv" =>
+      // merge-on-read DELETE: attach (or re-point) deletion-vector refs on
+      // live files — no data file enters or leaves the set. A ref whose
+      // target is no longer live is impossible at commit time (OCC-pinned)
+      // and unreplayable after it, so fail loudly rather than drop a delete
+      val refs = c.dvRefs.toMap
+      val targets = refs.keySet
+      val livePaths = live.map(_.path).toSet
+      val missing = targets -- livePaths
+      if (missing.nonEmpty) throw new java.io.IOException(
+        s"corrupt commit $p: dv ref targets non-live file(s) " +
+          missing.toSeq.sorted.mkString(", "))
+      live.map(e => refs.get(e.path).fold(e)(r => e.copy(dv = Some(r))))
     case other => throw new java.io.IOException(
       s"corrupt commit $p: unknown action '$other'")
   }
@@ -811,6 +858,12 @@ object TxTable {
       fs, dir, asOf))
   }
 
+  /** Internal helper names the deletion-vector read path tags rows with;
+    * reserved on every DV-carrying table (guarded below and in
+    * [[requireNoReservedCols]]). */
+  private val DvFileCol = "__graft_dv_file"
+  private val DvPosCol = "__graft_dv_pos"
+
   /** Union the given file entries into one DataFrame — one read per staging
     * batch (each needs its own basePath so the hive fragments
     * re-materialize the partition column), unioned by name;
@@ -818,34 +871,117 @@ object TxTable {
     * allowMissingColumns = ADDITIVE schema evolution: a batch committed
     * with extra columns widens the table and earlier batches read those
     * columns as null — the lakehouse "add column" path, with no table
-    * rewrite. */
+    * rewrite.
+    *
+    * Deletion vectors apply HERE, so every consumer — reads, CDC slices,
+    * row-level rewrites, compaction, merges — sees only live rows: entries
+    * carrying a [[DvRef]] read with the parquet `_metadata.row_index`
+    * position column and anti-join their sidecar's `(file, pos)` rows
+    * (still a stock vectorized scan; only the DV'd files pay the join,
+    * clean files take the plain path). `filePathCol`/`rowPosCol` tag rows
+    * with their source file's qualified path / file-absolute row position
+    * (resolved per batch BEFORE the union — `_metadata` does not resolve
+    * through one). */
   private def framesFor(spark: SparkSession, dir: String,
                         entries: Seq[FileEntry],
-                        filePathCol: Option[String] = None): DataFrame = {
-    val byBatch = entries.groupBy(_.path.split('/').take(2).mkString("/"))
-    val frames = byBatch.toSeq.sortBy(_._1).map { case (batch, es) =>
-      val f = spark.read
-        .option("basePath", new Path(dir, batch).toString)
-        .parquet(es.map(e => new Path(dir, e.path).toString): _*)
-      // tag rows with their source file BEFORE the union: _metadata columns
-      // resolve on a file relation, not reliably through Union
-      filePathCol.fold(f)(n =>
-        f.select(col("*"), col("_metadata.file_path").as(n)))
+                        filePathCol: Option[String] = None,
+                        rowPosCol: Option[String] = None): DataFrame = {
+    require(entries.nonEmpty, s"framesFor: no entries for $dir")
+    val fs = hadoopFs(spark, dir)
+    val rootQ = fs.makeQualified(new Path(dir)).toString
+    val (dvEntries, clean) = entries.partition(_.dv.isDefined)
+    def rawBatches(es: Seq[FileEntry]): Seq[DataFrame] =
+      es.groupBy(_.path.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
+        .map { case (batch, group) =>
+          spark.read
+            .option("basePath", new Path(dir, batch).toString)
+            .parquet(group.map(e => new Path(dir, e.path).toString): _*)
+        }
+    val cleanRaw = rawBatches(clean)
+    val dvRaw = rawBatches(dvEntries)
+    guardTypeConflicts(spark, dir, (cleanRaw ++ dvRaw).map(_.schema))
+    if (dvEntries.nonEmpty) {
+      val clash = (cleanRaw ++ dvRaw).flatMap(_.schema.fieldNames)
+        .filter(n => n == DvFileCol || n == DvPosCol).distinct
+      require(clash.isEmpty,
+        s"TxTable $dir: column(s) ${clash.mkString(", ")} collide with the " +
+          "deletion-vector read helpers — rename them before using " +
+          "deleteWhereDV on this table")
     }
-    // Type conflicts must fail AT PLANNING with a clear message: left to
-    // Spark, the union would coerce (string ∪ double → double) and only
-    // blow up mid-scan on the first malformed cast — a silent-corruption
-    // hazard for rows that DO happen to parse.
-    // Key by the session's resolution rules: under the default
-    // spark.sql.caseSensitive=false, unionByName matches 'Price' to
-    // 'price', so the guard must too — or the exact hazard it documents
-    // (silent cross-type coercion) walks through on a case difference.
+    val cleanDf: Option[DataFrame] =
+      if (cleanRaw.isEmpty) None
+      else Some(cleanRaw.map { f =>
+        val extra =
+          filePathCol.map(n => col("_metadata.file_path").as(n)).toSeq ++
+            rowPosCol.map(n => col("_metadata.row_index").as(n))
+        if (extra.isEmpty) f else f.select(col("*") +: extra: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    val dvDf: Option[DataFrame] =
+      if (dvRaw.isEmpty) None
+      else {
+        val scan = dvRaw.map(f => f.select(col("*"),
+            col("_metadata.file_path").as(DvFileCol),
+            col("_metadata.row_index").as(DvPosCol)))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val kept = scan.join(effectiveDvRows(spark, dir, dvEntries),
+          scan(DvFileCol) === col("__graft_del_file") &&
+            scan(DvPosCol) === col("__graft_del_pos"), "left_anti")
+        val f1 = filePathCol.fold(kept.drop(DvFileCol))(
+          kept.withColumnRenamed(DvFileCol, _))
+        Some(rowPosCol.fold(f1.drop(DvPosCol))(
+          f1.withColumnRenamed(DvPosCol, _)))
+      }
+    (cleanDf, dvDf) match {
+      case (Some(c), Some(d)) => c.unionByName(d, allowMissingColumns = true)
+      case (Some(c), None)    => c
+      case (None, Some(d))    => d
+      case (None, None)       => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** The `(qualified file, pos)` position-delete rows currently in force
+    * for `entries` (each of which must carry a [[DvRef]]): every
+    * referenced sidecar is read once, restricted to the (file → sidecar)
+    * pairs the refs actually assert — a position an OLD sidecar recorded
+    * for a file whose ref has moved on is already folded into the new
+    * sidecar and must not count twice. Output columns are the join-side
+    * helpers `__graft_del_file` (qualified) / `__graft_del_pos`. */
+  private def effectiveDvRows(spark: SparkSession, dir: String,
+                              entries: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, concat}
+    val fs = hadoopFs(spark, dir)
+    val rootQ = fs.makeQualified(new Path(dir)).toString
+    val refs = entries.map(e => (e.path, e.dv.get.dir))
+    val refDf = spark.createDataFrame(refs)
+      .toDF("__graft_ref_file", "__graft_ref_dv")
+    val sidecars = refs.map(_._2).distinct.sorted.map { d =>
+      spark.read.parquet(new Path(dir, d).toString)
+        .select(col("file").as("__graft_del_rel"),
+          col("pos").as("__graft_del_pos"), lit(d).as("__graft_del_src"))
+    }.reduce(_.union(_))
+    sidecars.join(broadcast(refDf),
+        sidecars("__graft_del_rel") === refDf("__graft_ref_file") &&
+          sidecars("__graft_del_src") === refDf("__graft_ref_dv"), "left_semi")
+      .select(concat(lit(rootQ + "/"), col("__graft_del_rel"))
+        .as("__graft_del_file"), col("__graft_del_pos"))
+  }
+
+  /** Type conflicts must fail AT PLANNING with a clear message: left to
+    * Spark, the union would coerce (string ∪ double → double) and only
+    * blow up mid-scan on the first malformed cast — a silent-corruption
+    * hazard for rows that DO happen to parse.
+    * Key by the session's resolution rules: under the default
+    * spark.sql.caseSensitive=false, unionByName matches 'Price' to
+    * 'price', so the guard must too — or the exact hazard it documents
+    * (silent cross-type coercion) walks through on a case difference. */
+  private def guardTypeConflicts(spark: SparkSession, dir: String,
+                                 schemas: Seq[StructType]): Unit = {
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def keyOf(n: String): String =
       if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     val seen = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.DataType]
-    for (sch <- frames.map(_.schema); f <- sch.fields)
+    for (sch <- schemas; f <- sch.fields)
       seen.get(keyOf(f.name)) match {
         case Some(t) => require(t == f.dataType,
           s"TxTable $dir: column '${f.name}' has conflicting types across " +
@@ -853,7 +989,6 @@ object TxTable {
             "evolution (new columns) is supported")
         case None => seen(keyOf(f.name)) = f.dataType
       }
-    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Log-level data skipping: [[read]] restricted to live files whose
@@ -983,10 +1118,18 @@ object TxTable {
     sets.filter { case (v, _, _) => v > afterVersion && v <= until }
       .foreach { case (v, cur, dataChange) =>
         if (dataChange) {
-          val prevPaths = prev.map(_.path).toSet
-          val curPaths = cur.map(_.path).toSet
-          val added = cur.filterNot(e => prevPaths.contains(e.path))
-          val removed = prev.filterNot(e => curPaths.contains(e.path))
+          // identity = (path, dv ref): a deletion-vector attach changes a
+          // file's LIVE rows without moving its bytes, so it must diff as
+          // remove(file@oldDv) + add(file@newDv) — framesFor reads each
+          // side DV-applied, which presents the commit exactly like a
+          // copy-on-write rewrite (deleted rows as pure deletes, survivors
+          // as cancelling pairs signed-delta consumers net to zero)
+          def ident(e: FileEntry): String =
+            e.dv.fold(e.path)(d => s"${e.path}@${d.dir}")
+          val prevIds = prev.map(ident).toSet
+          val curIds = cur.map(ident).toSet
+          val added = cur.filterNot(e => prevIds.contains(ident(e)))
+          val removed = prev.filterNot(e => curIds.contains(ident(e)))
           if (added.nonEmpty) slices += ((v, "insert", added))
           if (removed.nonEmpty) slices += ((v, "delete", removed))
         }
@@ -1403,7 +1546,8 @@ object TxTable {
     * carrying those names would surface as a confusing ambiguous-reference
     * AnalysisException mid-rewrite, so fail the precondition loudly instead
     * (the same guard shape as Corpus.globalRank's helper columns). */
-  private val ReservedRewriteCols = Seq("__graft_file", "__bin")
+  private val ReservedRewriteCols =
+    Seq("__graft_file", "__graft_pos", "__bin", DvFileCol, DvPosCol)
 
   private def requireNoReservedCols(cols: Seq[String], dir: String): Unit = {
     val clash = cols.filter(ReservedRewriteCols.contains)
@@ -1457,6 +1601,178 @@ object TxTable {
     RewriteStats(matched, touched.size, live.size)
   }
 
+  /** What a [[deleteWhereDV]] did: rows newly deleted, live files that got
+    * a (new or re-pointed) deletion-vector ref, and the live total —
+    * `filesRewritten = 0` by construction is the merge-on-read promise. */
+  final case class DvStats(matchedRows: Long, filesTouched: Int,
+                           filesLive: Int)
+
+  /** Row-level DELETE, merge-on-read (the Delta deletion-vector / Iceberg
+    * positional-delete shape): instead of rewriting every file that holds
+    * a matching row ([[deleteWhere]]'s copy-on-write), ONE scan records
+    * the matching rows' `(file, position)` pairs into a small parquet
+    * sidecar (`data/dv-<uuid>/`), and one atomic `dv` commit attaches the
+    * sidecar to the touched files. Write cost is O(matched rows), not
+    * O(bytes of matched files) — at 100 TB, deleting 1k rows spread over
+    * 1k large files writes kilobytes, where copy-on-write would rewrite
+    * the lot. Reads apply the vector as a position anti-join on the
+    * touched files only (see [[framesFor]]); clean files keep their plain
+    * vectorized path. A file touched again MERGES its old positions into
+    * the new sidecar (one ref per file, never a chain), so read cost per
+    * file stays one join against one sidecar.
+    *
+    * Trade-offs vs copy-on-write, stated: every subsequent read of a
+    * touched file pays the anti-join until [[purgeDvs]] (or any rewrite —
+    * compaction, z-order, CoW delete) folds the vector in; file stats
+    * become a superset (skipping stays correct, prunes a little less).
+    * Null predicate semantics, OCC head pinning, time travel (versions
+    * below the commit read the pre-delete rows), the change feed (the
+    * commit presents as delete+insert of the touched file, like a CoW
+    * rewrite), CHECK constraints (a delete cannot violate one), and
+    * vacuum retention of the sidecar all behave exactly as
+    * [[deleteWhere]]'s scaladoc promises. */
+  def deleteWhereDV(spark: SparkSession, dir: String, cond: Column,
+                    expectedHead: Option[Long] = None,
+                    txn: Option[(String, Long)] = None): DvStats = {
+    import org.apache.spark.sql.functions.broadcast
+    val fs = hadoopFs(spark, dir)
+    val head = expectedHead.orElse(headVersion(spark, dir))
+    val (live, _) = replay(fs, dir)
+    if (live.isEmpty) return DvStats(0L, 0, 0)
+    requireNoReservedCols(framesFor(spark, dir, live).columns, dir)
+    val hit = coalesce(cond, lit(false))
+    val rootQ = fs.makeQualified(new Path(dir)).toString
+    // ONE DV-aware scan (already-deleted rows can never re-match) tagging
+    // each matching row with its file and file-absolute position; the
+    // sidecar stores table-relative paths so the table stays relocatable
+    val matches = widenWithEvolution(spark,
+        framesFor(spark, dir, live, Some("__graft_file"), Some("__graft_pos")),
+        fs, dir, None)
+      .filter(hit)
+      .select(col("__graft_file")
+          .substr(lit(rootQ.length + 2), lit(Int.MaxValue)).as("file"),
+        col("__graft_pos").as("pos"))
+    val batch = s"dv-${java.util.UUID.randomUUID()}"
+    val out = new Path(new Path(dir, DataDirName), batch)
+    // clustered by file, positions sorted — the read side's semi/anti
+    // joins then skip row groups on the sidecar too
+    matches.repartition(col("file")).sortWithinPartitions("file", "pos")
+      .write.parquet(out.toString)
+    val staged = {
+      val it = fs.listFiles(fs.makeQualified(out), true)
+      var any = false
+      while (it.hasNext && !any) any = it.next().getPath.getName.endsWith(".parquet")
+      any
+    }
+    if (!staged) { fs.delete(out, true); return DvStats(0L, 0, live.size) }
+    // per-file NEW-match counts from the staged sidecar — a re-read of the
+    // small sidecar, never a second table scan
+    val newCounts = spark.read.parquet(out.toString)
+      .groupBy("file").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) { fs.delete(out, true); return DvStats(0L, 0, live.size) }
+    val byRel = live.map(e => e.path -> e).toMap
+    val touched = newCounts.keySet.toSeq.sorted.map(p =>
+      byRel.getOrElse(p, throw new IllegalStateException(
+        s"deleteWhereDV scan surfaced non-live file $p — concurrent " +
+          "vacuum below the retention window?")))
+    // fold the touched files' EXISTING vectors into the new sidecar (same
+    // directory, second small write), so each file keeps exactly one ref
+    val carried = touched.filter(_.dv.isDefined)
+    if (carried.nonEmpty) {
+      val refs = carried.map(e => (e.path, e.dv.get.dir))
+      val refDf = spark.createDataFrame(refs)
+        .toDF("__graft_ref_file", "__graft_ref_dv")
+      val olds = refs.map(_._2).distinct.sorted.map { d =>
+        spark.read.parquet(new Path(dir, d).toString)
+          .select(col("file"), col("pos"), lit(d).as("__graft_del_src"))
+      }.reduce(_.union(_))
+      olds.join(broadcast(refDf),
+          olds("file") === refDf("__graft_ref_file") &&
+            olds("__graft_del_src") === refDf("__graft_ref_dv"), "left_semi")
+        .select("file", "pos")
+        .repartition(col("file")).sortWithinPartitions("file", "pos")
+        .write.mode("append").parquet(out.toString)
+    }
+    // merged cardinality = new matches + carried-over (disjoint by
+    // construction: the scan above applied the old vectors)
+    val refsNew = touched.map(e =>
+      e.path -> DvRef(s"$DataDirName/$batch",
+        newCounts(e.path) + e.dv.map(_.deleted).getOrElse(0L)))
+    commit(fs, dir, Commit("dv", None, None, Nil, Nil, txn.toSeq,
+      dvRefs = refsNew), head)
+    DvStats(newCounts.values.sum, touched.size, live.size)
+  }
+
+  /** Fold deletion vectors back into clean files: live files whose deleted
+    * fraction is at least `minDeletedFraction` (0.0 = every DV-carrying
+    * file) are rewritten WITHOUT their deleted positions and atomically
+    * swapped — the maintenance half of the merge-on-read trade, restoring
+    * the plain vectorized read path and tight file stats. Row-preserving
+    * (`dataChange = false`): the change feed stays silent, exactly like
+    * compaction. Fractions compare against the parquet footer's row count
+    * — O(DV'd files) metadata reads, no data scanned for the decision.
+    * Superseded sidecars reclaim via [[vacuum]] once outside retention. */
+  def purgeDvs(spark: SparkSession, dir: String,
+               minDeletedFraction: Double = 0.0,
+               expectedHead: Option[Long] = None): CompactStats = {
+    require(minDeletedFraction >= 0.0 && minDeletedFraction <= 1.0,
+      s"minDeletedFraction must be in [0, 1], got $minDeletedFraction")
+    val fs = hadoopFs(spark, dir)
+    val head = expectedHead.orElse(headVersion(spark, dir))
+    val (live, _) = replay(fs, dir)
+    val dvd = live.filter(_.dv.isDefined)
+    if (dvd.isEmpty) return CompactStats(0, 0, live.size)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targets =
+      if (minDeletedFraction <= 0.0) dvd
+      else dvd.filter { e =>
+        val rows = parquetRowCount(conf, new Path(dir, e.path))
+        rows > 0 && e.dv.get.deleted.toDouble / rows >= minDeletedFraction
+      }
+    if (targets.isEmpty) return CompactStats(0, 0, live.size)
+    val layouts = targets.map(_.part
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil))
+      .distinct
+    require(layouts.size == 1,
+      s"purgeDvs spans mixed partition layouts ${layouts.mkString("; ")}")
+    val partCols = layouts.head
+    val next = widenWithEvolution(spark, framesFor(spark, dir, targets),
+      fs, dir, None)
+    val files = stage(spark, dir, next, partCols)
+    commit(fs, dir, Commit("rewrite", partColField(partCols), None,
+      targets.map(_.path), files, Nil, dataChange = false), head)
+    CompactStats(targets.size, files.size, live.size - targets.size)
+  }
+
+  /** Parquet footer record count — a metadata read, no data pages. */
+  private def parquetRowCount(conf: org.apache.hadoop.conf.Configuration,
+                              p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try reader.getRecordCount finally reader.close()
+  }
+
+  /** True when any live file carries a deletion vector as of `asOf` —
+    * the SQL front door's routing test (DV'd files need the position
+    * anti-join; clean files keep the stock FileIndex scan). */
+  private[graft] def hasLiveDvs(spark: SparkSession, dir: String,
+                                asOf: Option[Long] = None): Boolean =
+    liveEntriesForSql(spark, dir, asOf).exists(_.dv.isDefined)
+
+  /** [[read]] restricted to the DV-carrying live files (None when there
+    * are none) — the SQL front door unions this branch beside the clean
+    * files' stock vectorized scan. */
+  private[graft] def readDvSlice(spark: SparkSession, dir: String,
+                                 asOf: Option[Long] = None): Option[DataFrame] = {
+    val fs = hadoopFs(spark, dir)
+    val entries = liveEntriesForSql(spark, dir, asOf).filter(_.dv.isDefined)
+    if (entries.isEmpty) None
+    else Some(widenWithEvolution(spark, framesFor(spark, dir, entries),
+      fs, dir, asOf))
+  }
+
   /** Reclaim data files outside the retention window (superseded replaces,
     * crash-orphaned staging). Maintenance-cycle work, never the hot path.
     * Returns the number of staging dirs plus individually reclaimed files
@@ -1501,8 +1817,12 @@ object TxTable {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = hadoopFs(spark, dir)
     val sets = liveSetsByVersion(fs, dir)
+    // a deletion-vector sidecar dir is referenced exactly like a data
+    // batch (via the live entries' dv refs), so it retains and reclaims
+    // at batch granularity with the same rules
     def batches(s: Seq[(Long, Vector[FileEntry], Boolean)]) =
-      s.flatMap(_._2.map(_.path.split('/')(1))).toSet
+      s.flatMap(_._2.flatMap(e =>
+        e.path.split('/')(1) +: e.dv.map(_.dir.split('/')(1)).toSeq)).toSet
     val retained = sets.takeRight(retainVersions)
     val keep = batches(retained)
     val everCommitted = batches(sets) // every batch is live right after its
@@ -1527,7 +1847,7 @@ object TxTable {
     // any retention-respecting reader, so it reclaims exactly like a
     // dead batch (and fences the floor the same way).
     def paths(s: Seq[(Long, Vector[FileEntry], Boolean)]) =
-      s.flatMap(_._2.map(_.path)).toSet
+      s.flatMap(_._2.flatMap(e => e.path +: e.dv.map(_.dir).toSeq)).toSet
     val enumerated = paths(sets)
     val deadFiles = (enumerated -- paths(retained))
       .filter(p => keep.contains(p.split('/')(1))).toSeq.sorted
@@ -1542,7 +1862,11 @@ object TxTable {
     // orphan age guard keeps a racing writer's in-flight bytes safe the
     // same way it does for whole orphan dirs.
     val rootQ = fs.makeQualified(new Path(dir)).toString
-    val ghosts = keep.toSeq.sorted.flatMap { b =>
+    // dv- sidecar batches are skipped: a kept sidecar's part files are
+    // referenced as a whole DIRECTORY by the dv refs (never enumerated
+    // file-by-file), so the not-in-enumerated test would misread every
+    // one of them as a ghost and delete live deletion vectors
+    val ghosts = keep.toSeq.sorted.filterNot(_.startsWith("dv-")).flatMap { b =>
       val bd = new Path(dataDir, b)
       val acc = Seq.newBuilder[(String, Long)]
       if (fs.exists(bd)) {

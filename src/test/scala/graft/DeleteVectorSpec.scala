@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.merge.TxTable
+
+/** Merge-on-read DELETE via deletion vectors — the write-amplification
+  * escape hatch beside TxTable's copy-on-write `deleteWhere`: a delete
+  * records `(file, position)` sidecar rows and one `dv` commit instead of
+  * rewriting every touched file. The matrix here pins the interplay that
+  * makes the feature trustworthy: reads (plain, time-travelled, skipped,
+  * partitioned), merging a second delete into one ref per file, CoW
+  * rewrites folding vectors in, the change feed presenting a dv commit
+  * like a rewrite, purge restoring clean files silently, and vacuum /
+  * compactLog retaining exactly the referenced sidecars. */
+class DeleteVectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def build(dir: String, n: Int = 100, perFile: Int = 25): Unit = {
+    // several appends so the live set spans files with disjoint id ranges
+    (0 until n by perFile).foreach { lo =>
+      TxTable.append(spark, dir,
+        (lo until math.min(lo + perFile, n))
+          .map(i => (i.toLong, s"u${i % 7}", i * 10L)).toDF("id", "user", "amt")
+          .coalesce(1))
+    }
+  }
+
+  private def ids(dir: String, asOf: Option[Long] = None): Seq[Long] =
+    TxTable.read(spark, dir, asOf = asOf).get
+      .select("id").as[Long].collect().sorted.toSeq
+
+  private def livePaths(dir: String): Seq[String] =
+    TxTable.liveFilePaths(spark, dir).sorted
+
+  test("DV delete removes rows without rewriting any data file") {
+    val dir = tmpDir("dv-basic")
+    build(dir)
+    val before = livePaths(dir)
+    val st = TxTable.deleteWhereDV(spark, dir, col("id") % 10 === 3)
+    assert(st.matchedRows == 10 && st.filesTouched == 4 && st.filesLive == 4)
+    // merge-on-read promise: the data files never moved
+    assert(livePaths(dir) == before)
+    assert(ids(dir) == (0L until 100L).filterNot(_ % 10 == 3))
+    // the rows are gone from aggregates too (no survivor duplication)
+    assert(TxTable.read(spark, dir).get.agg(sum("amt")).as[Long].head() ==
+      (0 until 100).filterNot(_ % 10 == 3).map(_ * 10L).sum)
+  }
+
+  test("second DV delete merges into one ref per file; time travel reads each version") {
+    val dir = tmpDir("dv-merge")
+    build(dir)
+    val v0 = TxTable.headVersion(spark, dir).get
+    TxTable.deleteWhereDV(spark, dir, col("id") < 10)
+    val v1 = TxTable.headVersion(spark, dir).get
+    val st2 = TxTable.deleteWhereDV(spark, dir, col("id") >= 10 && col("id") < 30)
+    // second delete touches file 0 (ids 0-24) again and file 1 (25-49):
+    // already-deleted ids 0-9 must not re-match
+    assert(st2.matchedRows == 20 && st2.filesTouched == 2)
+    assert(ids(dir) == (30L until 100L))
+    assert(ids(dir, Some(v1)) == (10L until 100L))
+    assert(ids(dir, Some(v0)) == (0L until 100L))
+  }
+
+  test("copy-on-write delete and update fold existing vectors in, never resurrect") {
+    val dir = tmpDir("dv-cow")
+    build(dir)
+    TxTable.deleteWhereDV(spark, dir, col("id") === 7L)
+    // CoW delete on the same file: survivors of BOTH deletes only
+    val rs = TxTable.deleteWhere(spark, dir, col("id") === 8L)
+    assert(rs.matchedRows == 1 && rs.filesRewritten == 1)
+    assert(ids(dir) == (0L until 100L).filterNot(i => i == 7 || i == 8))
+    // the rewritten file dropped its ref; an update elsewhere stays MoR-safe
+    TxTable.deleteWhereDV(spark, dir, col("id") === 40L)
+    TxTable.updateWhere(spark, dir, col("id") === 41L,
+      Map("amt" -> lit(-1L)))
+    val t = TxTable.read(spark, dir).get
+    assert(t.filter(col("id") === 40L).isEmpty)
+    assert(t.filter(col("amt") === -1L).select("id").as[Long].head() == 41L)
+  }
+
+  test("change feed presents a dv commit as delete+insert of the touched file") {
+    val dir = tmpDir("dv-cdc")
+    TxTable.append(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    val v1 = TxTable.headVersion(spark, dir).get
+    TxTable.deleteWhereDV(spark, dir, col("id") === 2L)
+    val ch = TxTable.readChanges(spark, dir, v1).get
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+    // pre image = all 3 rows as deletes, post image = 2 survivors as inserts
+    assert(ch.filter(_._2 == "delete").map(_._1).sorted == Seq(1L, 2L, 3L))
+    assert(ch.filter(_._2 == "insert").map(_._1).sorted == Seq(1L, 3L))
+    // keyed collapse: survivors re-tag as update pairs, the deleted row
+    // stays a pure delete — the signed-delta contract consumers net on
+    val keyed = TxTable.readChangesKeyed(spark, dir, Seq("id"), v1).get
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+    assert(keyed.filter(_._1 == 2L).map(_._2) == Seq("delete"))
+    assert(keyed.filter(_._1 == 1L).map(_._2).sorted ==
+      Seq("update_postimage", "update_preimage"))
+  }
+
+  test("purgeDvs rewrites only files over the threshold, silently (dataChange=false)") {
+    val dir = tmpDir("dv-purge")
+    build(dir) // 4 files of 25 rows
+    // file 0 loses 20/25 rows, file 2 loses 1/25
+    TxTable.deleteWhereDV(spark, dir, col("id") < 20 || col("id") === 60L)
+    val before = ids(dir)
+    val vBefore = TxTable.headVersion(spark, dir).get
+    val st = TxTable.purgeDvs(spark, dir, minDeletedFraction = 0.5)
+    assert(st.filesPacked == 1) // only the 80%-deleted file
+    assert(ids(dir) == before) // row-preserving
+    // silent for the change feed, like compaction
+    assert(TxTable.readChanges(spark, dir, vBefore).isEmpty)
+    // full purge clears the rest; reads stay identical
+    val st2 = TxTable.purgeDvs(spark, dir)
+    assert(st2.filesPacked == 1)
+    assert(ids(dir) == before)
+    assert(!TxTable.hasLiveDvs(spark, dir))
+    // idempotent once clean
+    assert(TxTable.purgeDvs(spark, dir).filesPacked == 0)
+  }
+
+  test("vacuum reclaims superseded sidecars, keeps referenced ones, survives compactLog") {
+    val dir = tmpDir("dv-vacuum")
+    build(dir, n = 50, perFile = 25)
+    TxTable.deleteWhereDV(spark, dir, col("id") === 1L) // sidecar S1
+    TxTable.deleteWhereDV(spark, dir, col("id") === 2L) // S2 (file 0 ref moves S1->S2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dvDirs: Seq[String] = {
+      val dd = new org.apache.hadoop.fs.Path(dir, "data")
+      fs.listStatus(dd).map(_.getPath.getName).filter(_.startsWith("dv-")).sorted.toSeq
+    }
+    assert(dvDirs.size == 2)
+    val report = TxTable.vacuumReport(spark, dir, retainVersions = 1,
+      dryRun = false)
+    // S1 is unreferenced by the head live set -> reclaimed; S2 survives
+    assert(report.batchDirs.count(_.startsWith("data/dv-")) == 1)
+    assert(dvDirs.size == 1)
+    assert(ids(dir) == (0L until 50L).filterNot(i => i == 1 || i == 2))
+    // checkpoint the log: the ckpt must carry the ref, and the ghost scan
+    // must not eat the live sidecar's part files
+    TxTable.compactLog(spark, dir, retainVersions = 0)
+    TxTable.vacuum(spark, dir, retainVersions = 1)
+    assert(dvDirs.size == 1)
+    assert(ids(dir) == (0L until 50L).filterNot(i => i == 1 || i == 2))
+  }
+
+  test("compactSmallFiles folds vectors; partitioned tables delete and prune correctly") {
+    val dir = tmpDir("dv-part")
+    // two appends per bucket so each fragment holds >= 2 packable files
+    for (p <- 0 until 4; half <- 0 until 2) {
+      TxTable.append(spark, dir,
+        (half * 10 until half * 10 + 10)
+          .map(i => (p, i.toLong + p * 100)).toDF("bucket", "id")
+          .coalesce(1), partitionCols = Seq("bucket"))
+    }
+    val st = TxTable.deleteWhereDV(spark, dir, col("id") % 2 === 1)
+    assert(st.matchedRows == 40)
+    // partition-scoped read applies the vector
+    val scoped = TxTable.read(spark, dir, Some(Set("bucket=2"))).get
+    assert(scoped.count() == 10 &&
+      scoped.agg(max(col("id") % 2)).head().getLong(0) == 0L)
+    // compaction reads DV-applied rows and drops the refs on packed files
+    val cs = TxTable.compactSmallFiles(spark, dir,
+      targetBytes = 1L << 30, smallBytes = 1L << 30)
+    assert(cs.filesPacked == 8)
+    assert(!TxTable.hasLiveDvs(spark, dir))
+    assert(TxTable.read(spark, dir).get.count() == 40)
+  }
+
+  test("OCC: a dv commit pinned to a stale head fails loudly; empty match commits nothing") {
+    val dir = tmpDir("dv-occ")
+    build(dir, n = 20, perFile = 10)
+    val head = TxTable.headVersion(spark, dir).get
+    TxTable.append(spark, dir, Seq((999L, "x", 0L)).toDF("id", "user", "amt"))
+    intercept[TxTable.CommitConflictException] {
+      TxTable.deleteWhereDV(spark, dir, col("id") === 1L,
+        expectedHead = Some(head))
+    }
+    // no match -> no commit, no sidecar debris in the live set
+    val v = TxTable.headVersion(spark, dir).get
+    val st = TxTable.deleteWhereDV(spark, dir, col("id") === 12345L)
+    assert(st.matchedRows == 0L)
+    assert(TxTable.headVersion(spark, dir).get == v)
+  }
+
+  test("schema evolution: DV'd tables read declared columns; restore round-trips refs") {
+    val dir = tmpDir("dv-evo")
+    build(dir, n = 20, perFile = 10)
+    TxTable.deleteWhereDV(spark, dir, col("id") === 5L)
+    val vDel = TxTable.headVersion(spark, dir).get
+    TxTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    val t = TxTable.read(spark, dir).get
+    assert(t.columns.contains("note") && t.count() == 19)
+    // RESTORE re-commits entries incl. their dv refs: same rows after
+    TxTable.append(spark, dir, Seq((777L, "z", 1L)).toDF("id", "user", "amt"))
+    TxTable.restore(spark, dir, vDel)
+    assert(ids(dir) == (0L until 20L).filterNot(_ == 5))
+    assert(TxTable.hasLiveDvs(spark, dir))
+  }
+}
