@@ -94,7 +94,14 @@ class GraftDataSource extends RelationProvider
     val dir = pathOf(parameters)
     require(TxTable.exists(spark, dir),
       s"no TxTable commit log at $dir")
-    GraftSql.relation(spark, dir, resolveAsOf(spark, dir, parameters))
+    val asOf = resolveAsOf(spark, dir, parameters)
+    // live deletion vectors need the position anti-join branch, which a
+    // stock HadoopFsRelation cannot express — fall back to a
+    // PrunedFilteredScan over the DV-aware DataFrame (filters still push
+    // into the inner parquet scans; the V1 boundary materializes rows).
+    // Clean tables keep the zero-overhead relation.
+    if (TxTable.hasLiveDvs(spark, dir, asOf)) GraftDvScanRelation(dir, asOf)
+    else GraftSql.relation(spark, dir, asOf)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -115,6 +122,68 @@ class GraftDataSource extends RelationProvider
         if (!exists) TxTable.append(spark, dir, data, partCols)
     }
     GraftSql.relation(spark, dir, None)
+  }
+}
+
+/** format("graft") read fallback for tables with live deletion vectors:
+  * the DV-aware scan ([[GraftSql.dataFrame]] — clean files vectorized,
+  * DV'd files position-anti-joined) exposed through the V1
+  * `PrunedFilteredScan` seam. Column pruning and the translatable filters
+  * are applied INSIDE the DataFrame (so they reach the parquet scans);
+  * every filter is also declared unhandled, so Spark re-applies them above
+  * — double evaluation, never a missed predicate. The SQL catalog path
+  * does not use this (it swaps the logical plan directly and keeps
+  * whole-stage codegen across the union); this exists so
+  * `spark.read.format("graft")` stays correct mid-delete-cycle. */
+final case class GraftDvScanRelation(dir: String, asOf: Option[Long])
+    extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  private def spark: SparkSession = SparkSession.active
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = GraftSql.tableSchema(spark, dir, asOf)
+  // rows handed back are already InternalRow (toRdd) — skip the Row
+  // conversion layer, the JDBC-style connector contract
+  override def needConversion: Boolean = false
+  override def unhandledFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    val df0 = GraftSql.dataFrame(spark, dir, asOf)
+    val filtered = filters.flatMap(toColumn(_, df0)).foldLeft(df0)(_.filter(_))
+    val pruned = filtered.select(requiredColumns.map(col(_)).toSeq: _*)
+    pruned.queryExecution.toRdd.map(_.copy())
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
+
+  /** Best-effort V1-filter → Column translation for pushdown INTO the
+    * DataFrame (None = skip; Spark re-applies everything anyway). */
+  private def toColumn(f: org.apache.spark.sql.sources.Filter,
+                       df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+      case And(l, r) =>
+        (toColumn(l, df), toColumn(r, df)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (one, other)       => one.orElse(other) // half is still sound
+        }
+      case Or(l, r) =>
+        for (a <- toColumn(l, df); b <- toColumn(r, df)) yield a || b
+      case _ => None
+    }
   }
 }
 

@@ -40,7 +40,8 @@ import graft.merge.TxTable
   * partition columns last, the `HadoopFsRelation` contract).
   */
 final class GraftFileIndex(spark: SparkSession, val dir: String,
-                           val asOf: Option[Long]) extends FileIndex {
+                           val asOf: Option[Long],
+                           excludeDv: Boolean = false) extends FileIndex {
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private val fs = new Path(dir).getFileSystem(hadoopConf)
@@ -53,12 +54,20 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
       partCols: Seq[String])
 
   private def load(): Snapshot = {
-    val entries = TxTable.liveEntriesForSql(spark, dir, asOf)
+    // excludeDv: files carrying a deletion vector are listed by the DV
+    // union branch instead (position anti-join) — a stock scan of them
+    // would resurrect deleted rows. Schema and layout still come from the
+    // FULL live set, so the two branches always agree.
+    val allEntries = TxTable.liveEntriesForSql(spark, dir, asOf)
+    val entries =
+      if (excludeDv) allEntries.filter(_.dv.isEmpty) else allEntries
     val schema = TxTable.read(spark, dir, asOf = asOf)
       .map(_.schema).getOrElse(new StructType())
     // partition columns from the live fragments themselves (the files are
-    // the source of truth; the commit partCol field is informational)
-    val partCols: Seq[String] = entries.flatMap(_.part).headOption
+    // the source of truth; the commit partCol field is informational) —
+    // derived from the FULL set so an all-DV'd table still types its
+    // partition columns correctly
+    val partCols: Seq[String] = allEntries.flatMap(_.part).headOption
       .map(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
       .getOrElse(Nil)
     // a mixed-layout live set can't be modelled as one relation — fail
@@ -68,7 +77,7 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     // appends with different partitionBy sets would otherwise pass here
     // and crash listFiles with a bare key lookup later.
     if (partCols.nonEmpty)
-      entries.foreach { e =>
+      allEntries.foreach { e =>
         val cols = e.part.map(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
         require(cols.contains(partCols),
           s"TxTable $dir mixes partition layouts across live batches " +

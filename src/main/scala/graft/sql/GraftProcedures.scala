@@ -34,6 +34,11 @@ import graft.merge.TxTable
   *    (O(changed files)); once built, the SQL scan's [[GraftFileIndex]]
   *    prunes equality/IN point lookups on that column through it — the
   *    unsorted-high-cardinality shape min/max envelopes cannot prune;
+  *  - `purge_dvs(table, min_deleted_fraction)` — fold deletion vectors
+  *    back into clean files (the maintenance half of
+  *    `graft.deletes.mode = dv`): files at/above the deleted fraction are
+  *    rewritten without their deleted positions, restoring the plain
+  *    vectorized scan; row-preserving, change-feed silent;
   *  - `restore(table, version)` — metadata-only rollback.
   *
   * `table` is the catalog-relative name (`db.t`). Every procedure
@@ -128,6 +133,23 @@ object GraftProcedures {
           spark, dir, in.getUTF8String(1).toString,
           expectedItemsPerFile = in.getLong(2), fpp = in.getDouble(3))
         Seq(InternalRow(indexed, dropped))
+      })),
+    "purge_dvs" -> (cat => new BoundUnbound("purge_dvs",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("min_deleted_fraction", DoubleType)
+          .defaultValue("0.0").build()),
+      StructType(Seq(StructField("files_purged", IntegerType),
+        StructField("files_written", IntegerType),
+        StructField("files_untouched", IntegerType))),
+      { in =>
+        // fold deletion vectors back into clean files (row-preserving,
+        // change-feed silent) — the maintenance half of `graft.deletes.
+        // mode = dv`; superseded sidecars reclaim via vacuum
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        val s = TxTable.purgeDvs(spark, dir,
+          minDeletedFraction = in.getDouble(1))
+        Seq(InternalRow(s.filesPacked, s.filesWritten, s.filesUntouched))
       })),
     "restore" -> (cat => new BoundUnbound("restore",
       Array(

@@ -17,10 +17,14 @@ import org.apache.spark.sql.types.StructType
   * data columns first, partition columns last. */
 object GraftSql {
 
-  /** Index + relation for a table snapshot (asOf None = head). */
+  /** Index + relation for a table snapshot (asOf None = head).
+    * `excludeDv` lists only the files WITHOUT deletion vectors — the clean
+    * branch of [[dataFrame]]'s union; scanning DV'd files through a stock
+    * relation would resurrect deleted rows. */
   def relation(spark: SparkSession, dir: String,
-               asOf: Option[Long] = None): HadoopFsRelation = {
-    val index = new GraftFileIndex(spark, dir, asOf)
+               asOf: Option[Long] = None,
+               excludeDv: Boolean = false): HadoopFsRelation = {
+    val index = new GraftFileIndex(spark, dir, asOf, excludeDv)
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
@@ -42,10 +46,26 @@ object GraftSql {
   def partitionColumns(spark: SparkSession, dir: String): Seq[String] =
     new GraftFileIndex(spark, dir, None).partitionSchema.map(_.name)
 
-  /** DataFrame over the relation — the programmatic twin of
-    * `spark.read.format("graft").load(dir)`, used by tests and the
-    * insert path. */
+  /** DataFrame over the table snapshot — the scan every SQL read plans
+    * (the catalog swap rule, the `graft_table` TVF, tests).
+    *
+    * Clean tables stay ONE stock vectorized relation. A table with live
+    * deletion vectors splits: files WITHOUT a vector keep the
+    * [[GraftFileIndex]] relation (partition pruning + log-level stats
+    * skipping fully intact — the 100 TB bulk), files WITH one read
+    * through [[TxTable]]'s position anti-join branch, unioned by name.
+    * Catalyst pushes predicates into both branches; [[TxTable.purgeDvs]]
+    * (or any rewrite) returns a file to the clean side. */
   def dataFrame(spark: SparkSession, dir: String,
-                asOf: Option[Long] = None): DataFrame =
-    spark.sqlContext.baseRelationToDataFrame(relation(spark, dir, asOf))
+                asOf: Option[Long] = None): DataFrame = {
+    val dvSlice = graft.merge.TxTable.readDvSlice(spark, dir, asOf)
+    val base = spark.sqlContext.baseRelationToDataFrame(
+      relation(spark, dir, asOf, excludeDv = dvSlice.isDefined))
+    dvSlice match {
+      case None => base
+      case Some(dv) =>
+        import org.apache.spark.sql.functions.col
+        base.unionByName(dv.select(base.columns.map(col(_)): _*))
+    }
+  }
 }

@@ -186,9 +186,11 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
       "meaningless — target the table head")
 
   /** Read swap. The Project re-publishes the relation's columns under the
-    * ORIGINAL output ids so upstream resolved references keep binding. */
+    * ORIGINAL output ids so upstream resolved references keep binding.
+    * [[GraftSql.dataFrame]] decides the scan shape: one stock relation for
+    * clean tables, clean-relation ∪ deletion-vector-branch otherwise. */
   private def swapToV1(r: DataSourceV2Relation, t: GraftSqlTable): LogicalPlan = {
-    val lr = LogicalRelation(GraftSql.relation(session, t.dir, t.asOf))
+    val lr = PlanBridge.analyzed(GraftSql.dataFrame(session, t.dir, t.asOf))
     val caseSensitive =
       session.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def sameName(a: String, b: String) =
@@ -462,13 +464,26 @@ final case class GraftDynamicOverwriteCommand(dir: String,
   }
 }
 
-/** `DELETE FROM` as a copy-on-write log commit — see
-  * [[TxTable.deleteWhere]]. */
+/** `DELETE FROM` as a log commit. The write strategy is a per-table
+  * choice via TBLPROPERTIES (the Delta `enableDeletionVectors` shape):
+  * `graft.deletes.mode = cow` (default) rewrites matching files without
+  * the matched rows ([[TxTable.deleteWhere]]); `= dv` records deletion
+  * vectors instead ([[TxTable.deleteWhereDV]]) — O(matched rows) written,
+  * reads pay a position anti-join on the touched files until
+  * `CALL graft.system.purge_dvs` folds them back. */
 final case class GraftDeleteCommand(dir: String, condSql: String)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    TxTable.deleteWhere(sparkSession, dir, expr(condSql))
+    val mode = TxTable.tableProperties(sparkSession, dir)
+      .getOrElse("graft.deletes.mode", "cow")
+    mode match {
+      case "cow" => TxTable.deleteWhere(sparkSession, dir, expr(condSql))
+      case "dv"  => TxTable.deleteWhereDV(sparkSession, dir, expr(condSql))
+      case other => throw new IllegalArgumentException(
+        s"table property graft.deletes.mode must be 'cow' or 'dv', got " +
+          s"'$other' on $dir")
+    }
     Nil
   }
 }

@@ -109,10 +109,12 @@ object GraftTableFunctions {
           new org.apache.hadoop.fs.Path(p, e.path)).getLen
         (e.path, e.part.orNull, len,
           e.stats.map { case (c, cs) => c -> cs.min },
-          e.stats.map { case (c, cs) => c -> cs.max })
+          e.stats.map { case (c, cs) => c -> cs.max },
+          e.dv.map(_.dir).orNull, e.dv.map(_.deleted).getOrElse(0L))
       }
       val sq = spark.sqlContext; import sq.implicits._
       PlanBridge.analyzed(
-        rows.toDF("path", "partition", "bytes", "stat_min", "stat_max"))
+        rows.toDF("path", "partition", "bytes", "stat_min", "stat_max",
+          "dv_path", "n_deleted"))
     })
 }

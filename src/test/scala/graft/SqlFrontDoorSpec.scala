@@ -184,6 +184,96 @@ class SqlFrontDoorSpec extends SparkTestBase {
       .head.getLong(0) == 20)
   }
 
+  test("DELETE FROM with graft.deletes.mode=dv is merge-on-read: no data file moves") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 40, "mor").createOrReplaceTempView("src_mor")
+    ext.sql("CREATE TABLE graft.db.mor AS SELECT * FROM src_mor")
+    ext.sql("INSERT INTO graft.db.mor SELECT id + 100, name, score FROM src_mor")
+    ext.sql("ALTER TABLE graft.db.mor SET TBLPROPERTIES('graft.deletes.mode'='dv')")
+    val dir = s"$lakeRoot/db/mor"
+    val before = TxTable.liveFilePaths(ext, dir).sorted
+
+    // hits only the first file (ids 1-40); the second stays clean
+    ext.sql("DELETE FROM graft.db.mor WHERE id <= 10")
+    assert(TxTable.liveFilePaths(ext, dir).sorted == before) // zero rewrites
+    assert(ext.sql("SELECT count(*) FROM graft.db.mor").head.getLong(0) == 70)
+    assert(ext.sql("SELECT min(id) FROM graft.db.mor").head.getLong(0) == 11L)
+    // pre-delete version still reads all rows
+    val vPre = TxTable.versions(ext, dir).takeRight(2).head
+    assert(ext.sql(
+      s"SELECT count(*) FROM graft.db.mor VERSION AS OF $vPre")
+      .head.getLong(0) == 80)
+    // graft_files exposes the vector: one file carries it, one is clean
+    val files = ext.sql(s"SELECT n_deleted, dv_path FROM graft_files('$dir')")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(files.count(_._1 == 10L) == 1 && files.count(_._1 == 0L) == 1)
+    assert(files.forall(f => (f._1 > 0) == (f._2 != null)))
+
+    // the clean file keeps the stock FileIndex scan with skipping intact:
+    // a predicate outside the DV'd file's range lists only the clean file
+    // (the DV branch's join makes the plan adaptive — unwrap AQE)
+    val q = ext.sql("SELECT id FROM graft.db.mor WHERE id > 100")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (101L to 140L))
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(s.plan) // materialized stages are leaf nodes hiding a subtree
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val scans = scansOf(q.queryExecution.executedPlan)
+    val cleanScan = scans.find(
+      _.relation.location.isInstanceOf[graft.sql.GraftFileIndex])
+    assert(cleanScan.isDefined, scans.map(_.relation.location.getClass).toString)
+    assert(cleanScan.get.selectedPartitions.totalNumberOfFiles == 1L)
+  }
+
+  test("CALL graft.system.purge_dvs folds vectors; the plan returns to one stock scan") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 30, "pg").createOrReplaceTempView("src_purge")
+    ext.sql("CREATE TABLE graft.db.purge AS SELECT * FROM src_purge")
+    ext.sql("ALTER TABLE graft.db.purge SET TBLPROPERTIES('graft.deletes.mode'='dv')")
+    ext.sql("DELETE FROM graft.db.purge WHERE id % 3 = 0")
+    val want = (1 to 30).filter(_ % 3 != 0).map(_.toLong)
+    assert(ext.sql("SELECT id FROM graft.db.purge ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == want)
+
+    val r = ext.sql("CALL graft.system.purge_dvs('db.purge')").collect()
+    assert(r.head.getInt(0) == 1) // one DV'd file purged
+    assert(ext.sql("SELECT id FROM graft.db.purge ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == want)
+    val dir = s"$lakeRoot/db/purge"
+    assert(ext.sql(s"SELECT max(n_deleted) FROM graft_files('$dir')")
+      .head.getLong(0) == 0L)
+    // clean again: exactly one scan, and it is the GraftFileIndex one
+    val scans = ext.sql("SELECT id FROM graft.db.purge")
+      .queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1 &&
+      scans.head.relation.location.isInstanceOf[graft.sql.GraftFileIndex])
+    // bad mode value fails loudly
+    ext.sql("ALTER TABLE graft.db.purge SET TBLPROPERTIES('graft.deletes.mode'='nope')")
+    val e = intercept[Exception] {
+      ext.sql("DELETE FROM graft.db.purge WHERE id = 1") }
+    assert(e.getMessage.contains("graft.deletes.mode"))
+  }
+
+  test("format(graft) reads a DV'd table correctly (fallback scan, filters apply)") {
+    val dir = tmpDir("fmt-dv")
+    TxTable.append(ext, dir, df(ext, 1 to 50, "a"))
+    TxTable.append(ext, dir, df(ext, 51 to 80, "b"))
+    TxTable.deleteWhereDV(ext, dir, col("id").between(20, 60))
+    val t = ext.read.format("graft").load(dir)
+    assert(t.count() == 39)
+    assert(t.filter(col("id") < 30).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 19L))
+    assert(t.select(sum("score")).head.getDouble(0) ==
+      ((1 to 19) ++ (61 to 80)).map(_ * 10.0).sum)
+    // time travel below the delete ignores the vector
+    assert(ext.read.format("graft").option("versionAsOf", "2").load(dir)
+      .count() == 80)
+  }
+
   test("catalog: partitioned CTAS records the layout; SQL agrees with API") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     df(ext, 1 to 30, "p").withColumn("bucket", col("id") % 3)
@@ -381,7 +471,8 @@ class SqlFrontDoorSpec extends SparkTestBase {
     // + per-column envelopes), one row per live file
     val detail = ext.sql("DESCRIBE DETAIL graft.db.hist_t")
     assert(detail.columns.toSeq ==
-      Seq("path", "partition", "bytes", "stat_min", "stat_max"))
+      Seq("path", "partition", "bytes", "stat_min", "stat_max",
+        "dv_path", "n_deleted"))
     assert(detail.count() ==
       TxTable.liveFilePaths(ext, s"$lakeRoot/db/hist_t").size)
   }
