@@ -2072,6 +2072,50 @@ object SparkEntry {
                  CAST(sum(coalesce(prio, -1)) AS BIGINT) AS prio_sum,
                  count(prio) AS prio_n, $v1Cols AS v1_cols
                  FROM graft.ddl.orders_e GROUP BY o_orderstatus""")
+    }),
+
+    // q151: merge-on-read DELETE (deletion vectors) through the SQL front
+    // door, then CALL graft.system.purge_dvs — the full lifecycle as one
+    // hash-checked row set. Two DELETEs with overlapping file footprints
+    // exercise the per-file vector MERGE; the literals baked into every
+    // row pin the mechanics: files_moved = 0 (no data file rewritten by
+    // either DELETE — the merge-on-read promise), had_dvs (vectors were
+    // live when the first aggregate ran), deleted_n (the vectors'
+    // recorded cardinality, which DuckDB recomputes relationally). The
+    // 'mor' stage aggregates THROUGH the anti-join read path; the
+    // 'purged' stage re-aggregates after the vectors fold back into
+    // clean files — both must hash to the same relational answer.
+    "q151_sql_dv_delete" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+      ext.sql("DROP TABLE IF EXISTS graft.mor.orders_dv")
+      ext.sql("CREATE TABLE graft.mor.orders_dv AS " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.lake.orders")
+      ext.sql("ALTER TABLE graft.mor.orders_dv " +
+        "SET TBLPROPERTIES('graft.deletes.mode'='dv')")
+      val tableDir = sqlLakeRoot(dir) + "/mor/orders_dv"
+      val before = graft.merge.TxTable.liveFilePaths(ext, tableDir).toSet
+      ext.sql("DELETE FROM graft.mor.orders_dv WHERE o_orderkey % 10 = 3")
+      ext.sql("DELETE FROM graft.mor.orders_dv WHERE o_orderkey % 7 = 2")
+      val after = graft.merge.TxTable.liveFilePaths(ext, tableDir).toSet
+      val moved = ((before -- after) ++ (after -- before)).size
+      val meta = ext.sql(s"""SELECT CAST(sum(n_deleted) AS BIGINT),
+          count(CASE WHEN dv_path IS NOT NULL THEN 1 END)
+          FROM graft_files('$tableDir')""").head()
+      val deletedN = meta.getLong(0)
+      val hadDvs = meta.getLong(1) > 0
+      def agg(tag: String) = ext.sql(
+        s"""SELECT '$tag' AS stage, o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           $moved AS files_moved, $hadDvs AS had_dvs,
+           ${deletedN}L AS deleted_n
+           FROM graft.mor.orders_dv GROUP BY o_orderstatus""")
+      val stage1 = agg("mor")
+      val rows1 = stage1.collect().toSeq
+      ext.sql("CALL graft.system.purge_dvs('mor.orders_dv')")
+      import scala.jdk.CollectionConverters._
+      ext.createDataFrame(rows1.asJava, stage1.schema)
+        .unionByName(agg("purged"))
     })
   )
 
@@ -3721,6 +3765,26 @@ object SparkEntry {
         | CAST(sum(coalesce(prio, -1)) AS BIGINT) AS prio_sum,
         | count(prio) AS prio_n, 2 AS v1_cols
         |FROM t GROUP BY o_orderstatus""".stripMargin,
+
+    // q151: both stages replay as the SAME delete-filtered aggregate —
+    // merge-on-read and purged reads must agree row-for-row. files_moved
+    // = 0 and had_dvs = true are the mechanics pinned as literals;
+    // deleted_n is recomputed relationally (the vectors' cardinality IS
+    // the count of matching rows).
+    "q151_sql_dv_delete" ->
+      """WITH t AS (
+        | SELECT o_orderstatus, o_totalprice FROM orders
+        | WHERE o_orderkey % 10 <> 3 AND o_orderkey % 7 <> 2),
+        |a AS (
+        | SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  0 AS files_moved, true AS had_dvs,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey % 10 = 3 OR o_orderkey % 7 = 2) AS deleted_n
+        | FROM t GROUP BY o_orderstatus)
+        |SELECT 'mor' AS stage, * FROM a
+        |UNION ALL
+        |SELECT 'purged' AS stage, * FROM a""".stripMargin,
 
     // q146: the SQL DML sequence replayed relationally — DELETE is
     // WHERE NOT, UPDATE is CASE; the decimal-exact sum is the house
