@@ -375,10 +375,12 @@ object TxTable {
       val drop = c.removedParts.toSet
       live.filterNot(f => drop.contains(f.path)) ++ c.files
     case "dv" =>
-      // merge-on-read DELETE: attach (or re-point) deletion-vector refs on
-      // live files — no data file enters or leaves the set. A ref whose
-      // target is no longer live is impossible at commit time (OCC-pinned)
-      // and unreplayable after it, so fail loudly rather than drop a delete
+      // merge-on-read DELETE/UPDATE: attach (or re-point) deletion-vector
+      // refs on live files, and add this commit's staged files (empty for
+      // a pure delete; an update's transformed copies for updateWhereDV —
+      // one atomic commit covers both halves). A ref whose target is no
+      // longer live is impossible at commit time (OCC-pinned) and
+      // unreplayable after it, so fail loudly rather than drop a delete
       val refs = c.dvRefs.toMap
       val targets = refs.keySet
       val livePaths = live.map(_.path).toSet
@@ -386,7 +388,8 @@ object TxTable {
       if (missing.nonEmpty) throw new java.io.IOException(
         s"corrupt commit $p: dv ref targets non-live file(s) " +
           missing.toSeq.sorted.mkString(", "))
-      live.map(e => refs.get(e.path).fold(e)(r => e.copy(dv = Some(r))))
+      live.map(e => refs.get(e.path).fold(e)(r => e.copy(dv = Some(r)))) ++
+        c.files
     case other => throw new java.io.IOException(
       s"corrupt commit $p: unknown action '$other'")
   }
@@ -1701,6 +1704,112 @@ object TxTable {
         newCounts(e.path) + e.dv.map(_.deleted).getOrElse(0L)))
     commit(fs, dir, Commit("dv", None, None, Nil, Nil, txn.toSeq,
       dvRefs = refsNew), head)
+    DvStats(newCounts.values.sum, touched.size, live.size)
+  }
+
+  /** Row-level UPDATE, merge-on-read — [[deleteWhereDV]]'s mechanics with
+    * the matched rows re-appended transformed: ONE scan stages the
+    * matching rows (with their positions), the positions become a
+    * deletion vector on the touched files, the transformed copies stage
+    * as new data files, and a single atomic `dv` commit carries BOTH
+    * halves — there is no window where the old and new row are live
+    * together or both absent. Write cost is O(matched rows), not O(bytes
+    * of matched files). Updating a partition column is allowed (the
+    * copies restage into their new fragments). CHECK constraints validate
+    * the transformed rows BEFORE anything stages, same as every write.
+    * The same read-side trade as deleteWhereDV applies until [[purgeDvs]];
+    * note the updated rows land in fresh files, so their envelopes are
+    * tight while the old files' stats stay a superset. */
+  def updateWhereDV(spark: SparkSession, dir: String, cond: Column,
+                    set: Map[String, Column],
+                    expectedHead: Option[Long] = None,
+                    txn: Option[(String, Long)] = None): DvStats = {
+    import org.apache.spark.sql.functions.broadcast
+    require(set.nonEmpty, "updateWhereDV needs >= 1 SET column")
+    val fs = hadoopFs(spark, dir)
+    val head = expectedHead.orElse(headVersion(spark, dir))
+    val (live, _) = replay(fs, dir)
+    if (live.isEmpty) return DvStats(0L, 0, 0)
+    requireNoReservedCols(framesFor(spark, dir, live).columns, dir)
+    val hit = coalesce(cond, lit(false))
+    val rootQ = fs.makeQualified(new Path(dir)).toString
+    // ONE table scan: the matched rows in full (for the transformed
+    // copies) plus their (file, pos) — parked in an uncommitted temp dir
+    // so the sidecar and the copies both derive from it without a second
+    // scan. Crash debris here is an orphan dir vacuum reclaims by age.
+    val tagged = widenWithEvolution(spark,
+        framesFor(spark, dir, live, Some("__graft_file"), Some("__graft_pos")),
+        fs, dir, None)
+      .filter(hit)
+      .withColumn("__graft_rel", col("__graft_file")
+        .substr(lit(rootQ.length + 2), lit(Int.MaxValue)))
+      .drop("__graft_file")
+    val missing = set.keySet -- tagged.columns.toSet
+    require(missing.isEmpty,
+      s"updateWhereDV SET names unknown column(s) ${missing.mkString(", ")}")
+    val tmp = new Path(new Path(dir, DataDirName),
+      s"tmp-upd-${java.util.UUID.randomUUID()}")
+    tagged.write.parquet(tmp.toString)
+    def hasParquet(p: Path): Boolean = {
+      val it = fs.listFiles(fs.makeQualified(p), true)
+      var any = false
+      while (it.hasNext && !any) any = it.next().getPath.getName.endsWith(".parquet")
+      any
+    }
+    if (!hasParquet(tmp)) { fs.delete(tmp, true); return DvStats(0L, 0, live.size) }
+    val matchedFull = spark.read.parquet(tmp.toString)
+    val batch = s"dv-${java.util.UUID.randomUUID()}"
+    val out = new Path(new Path(dir, DataDirName), batch)
+    matchedFull
+      .select(col("__graft_rel").as("file"), col("__graft_pos").as("pos"))
+      .repartition(col("file")).sortWithinPartitions("file", "pos")
+      .write.parquet(out.toString)
+    val newCounts = spark.read.parquet(out.toString)
+      .groupBy("file").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byRel = live.map(e => e.path -> e).toMap
+    val touched = newCounts.keySet.toSeq.sorted.map(p =>
+      byRel.getOrElse(p, throw new IllegalStateException(
+        s"updateWhereDV scan surfaced non-live file $p")))
+    val carried = touched.filter(_.dv.isDefined)
+    if (carried.nonEmpty) {
+      val refs = carried.map(e => (e.path, e.dv.get.dir))
+      val refDf = spark.createDataFrame(refs)
+        .toDF("__graft_ref_file", "__graft_ref_dv")
+      val olds = refs.map(_._2).distinct.sorted.map { d =>
+        spark.read.parquet(new Path(dir, d).toString)
+          .select(col("file"), col("pos"), lit(d).as("__graft_del_src"))
+      }.reduce(_.union(_))
+      olds.join(broadcast(refDf),
+          olds("file") === refDf("__graft_ref_file") &&
+            olds("__graft_del_src") === refDf("__graft_ref_dv"), "left_semi")
+        .select("file", "pos")
+        .repartition(col("file")).sortWithinPartitions("file", "pos")
+        .write.mode("append").parquet(out.toString)
+    }
+    // the transformed copies — every row here matched, so the SET applies
+    // unconditionally; casts pin the table schema exactly as updateWhere
+    val dataCols = matchedFull.columns
+      .filterNot(c => c == "__graft_rel" || c == "__graft_pos")
+    val transformed = matchedFull.select(dataCols.map { c =>
+      set.get(c)
+        .map(e => e.cast(matchedFull.schema(c).dataType).as(c))
+        .getOrElse(col(c))
+    }.toSeq: _*)
+    enforceConstraints(spark, dir, transformed)
+    val layouts = touched.map(_.part
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil))
+      .distinct
+    require(layouts.size == 1,
+      s"updateWhereDV spans mixed partition layouts ${layouts.mkString("; ")}")
+    val partCols = layouts.head
+    val files = stage(spark, dir, transformed, partCols)
+    val refsNew = touched.map(e =>
+      e.path -> DvRef(s"$DataDirName/$batch",
+        newCounts(e.path) + e.dv.map(_.deleted).getOrElse(0L)))
+    commit(fs, dir, Commit("dv", partColField(partCols), None, Nil, files,
+      txn.toSeq, dvRefs = refsNew), head)
+    fs.delete(tmp, true)
     DvStats(newCounts.values.sum, touched.size, live.size)
   }
 

@@ -488,14 +488,26 @@ final case class GraftDeleteCommand(dir: String, condSql: String)
   }
 }
 
-/** `UPDATE` as a copy-on-write log commit — see [[TxTable.updateWhere]]. */
+/** `UPDATE` as a log commit — strategy follows the same
+  * `graft.deletes.mode` table property as DELETE: `cow` (default)
+  * rewrites the touched files ([[TxTable.updateWhere]]); `dv` vectors
+  * out the old rows and appends transformed copies in one atomic commit
+  * ([[TxTable.updateWhereDV]]) — O(matched rows) written. */
 final case class GraftUpdateCommand(dir: String, condSql: String,
                                     sets: Seq[(String, String)])
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    TxTable.updateWhere(sparkSession, dir, expr(condSql),
-      sets.map { case (c, e) => c -> expr(e) }.toMap)
+    val setCols = sets.map { case (c, e) => c -> expr(e) }.toMap
+    val mode = TxTable.tableProperties(sparkSession, dir)
+      .getOrElse("graft.deletes.mode", "cow")
+    mode match {
+      case "cow" => TxTable.updateWhere(sparkSession, dir, expr(condSql), setCols)
+      case "dv"  => TxTable.updateWhereDV(sparkSession, dir, expr(condSql), setCols)
+      case other => throw new IllegalArgumentException(
+        s"table property graft.deletes.mode must be 'cow' or 'dv', got " +
+          s"'$other' on $dir")
+    }
     Nil
   }
 }

@@ -168,6 +168,50 @@ class DeleteVectorSpec extends SparkTestBase {
     assert(TxTable.read(spark, dir).get.count() == 40)
   }
 
+  test("updateWhereDV: old rows vectored out, transformed copies appended, one atomic commit") {
+    val dir = tmpDir("dv-upd")
+    build(dir)
+    val before = livePaths(dir)
+    val commits0 = TxTable.versions(spark, dir).size
+    val st = TxTable.updateWhereDV(spark, dir, col("id") % 20 === 0,
+      Map("amt" -> (col("amt") + 1L), "user" -> lit("bumped")))
+    assert(st.matchedRows == 5 && st.filesTouched == 4)
+    // exactly ONE commit; every pre-existing data file still live
+    assert(TxTable.versions(spark, dir).size == commits0 + 1)
+    assert(before.forall(livePaths(dir).contains))
+    val t = TxTable.read(spark, dir).get
+    assert(t.count() == 100) // no row lost or duplicated
+    val bumped = t.filter(col("user") === "bumped")
+      .select("id", "amt").as[(Long, Long)].collect().toMap
+    assert(bumped == (0 until 100 by 20).map(i => i.toLong -> (i * 10L + 1)).toMap)
+    // untouched rows byte-identical
+    assert(t.filter(col("id") === 1L).select("amt").as[Long].head() == 10L)
+    // a second MoR update re-touching the same files merges vectors
+    TxTable.updateWhereDV(spark, dir, col("user") === "bumped",
+      Map("amt" -> lit(0L)))
+    val t2 = TxTable.read(spark, dir).get
+    assert(t2.count() == 100)
+    assert(t2.filter(col("user") === "bumped").agg(sum("amt"))
+      .as[Long].head() == 0L)
+  }
+
+  test("updateWhereDV: partition-column update restages the copy into its new fragment") {
+    val dir = tmpDir("dv-upd-part")
+    (0 until 2).foreach { p =>
+      TxTable.append(spark, dir,
+        (0 until 10).map(i => (p, i.toLong + p * 100)).toDF("bucket", "id")
+          .coalesce(1), partitionCols = Seq("bucket"))
+    }
+    TxTable.updateWhereDV(spark, dir, col("id") === 3L,
+      Map("bucket" -> lit(1)))
+    val t = TxTable.read(spark, dir).get
+    assert(t.count() == 20)
+    assert(t.filter(col("id") === 3L).select("bucket").as[Int].head() == 1)
+    // log-level partition scope agrees with the moved row
+    assert(TxTable.read(spark, dir, Some(Set("bucket=1"))).get.count() == 11)
+    assert(TxTable.read(spark, dir, Some(Set("bucket=0"))).get.count() == 9)
+  }
+
   test("OCC: a dv commit pinned to a stale head fails loudly; empty match commits nothing") {
     val dir = tmpDir("dv-occ")
     build(dir, n = 20, perFile = 10)

@@ -251,6 +251,14 @@ class SqlFrontDoorSpec extends SparkTestBase {
       .queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
     assert(scans.size == 1 &&
       scans.head.relation.location.isInstanceOf[graft.sql.GraftFileIndex])
+    // SQL UPDATE under dv mode: merge-on-read too — no data file moves
+    val before = TxTable.liveFilePaths(ext, dir).toSet
+    ext.sql("UPDATE graft.db.purge SET score = -1.0 WHERE id = 2")
+    assert(before.subsetOf(TxTable.liveFilePaths(ext, dir).toSet))
+    assert(ext.sql("SELECT score FROM graft.db.purge WHERE id = 2")
+      .head.getDouble(0) == -1.0)
+    assert(ext.sql("SELECT count(*) FROM graft.db.purge").head.getLong(0) ==
+      want.size)
     // bad mode value fails loudly
     ext.sql("ALTER TABLE graft.db.purge SET TBLPROPERTIES('graft.deletes.mode'='nope')")
     val e = intercept[Exception] {
