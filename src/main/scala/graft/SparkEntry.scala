@@ -2116,6 +2116,41 @@ object SparkEntry {
       import scala.jdk.CollectionConverters._
       ext.createDataFrame(rows1.asJava, stage1.schema)
         .unionByName(agg("purged"))
+    }),
+
+    // q152: tri-clause MERGE INTO, merge-on-read — the statement that is
+    // O(table) under the replace engine commits O(changed rows) under
+    // graft.deletes.mode=dv (tombstoned positions + updated/inserted
+    // copies in ONE atomic dv commit). files_moved = 0 pins the promise:
+    // no pre-merge data file was rewritten or retired by the MERGE. The
+    // aggregate reads THROUGH the vectors (no purge), so the anti-join
+    // path itself is under the hash.
+    "q152_sql_dv_merge" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+      ext.sql("DROP TABLE IF EXISTS graft.mor.merge_dv")
+      ext.sql("CREATE TABLE graft.mor.merge_dv AS " +
+        "SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price " +
+        "FROM graft.lake.orders WHERE o_orderkey % 3 = 1")
+      ext.sql("ALTER TABLE graft.mor.merge_dv " +
+        "SET TBLPROPERTIES('graft.deletes.mode'='dv')")
+      val tableDir = sqlLakeRoot(dir) + "/mor/merge_dv"
+      val before = graft.merge.TxTable.liveFilePaths(ext, tableDir).toSet
+      ext.sql("""MERGE INTO graft.mor.merge_dv t USING (
+                   SELECT o_orderkey AS k, o_orderstatus AS st,
+                          o_totalprice AS price
+                   FROM graft.lake.orders WHERE o_orderkey % 2 = 1) s
+                 ON t.k = s.k
+                 WHEN MATCHED AND s.k % 5 = 0 THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET price = s.price * 3
+                 WHEN NOT MATCHED AND s.k % 5 <> 0 THEN
+                   INSERT (k, st, price) VALUES (s.k, s.st, s.price * 3)""")
+      val after = graft.merge.TxTable.liveFilePaths(ext, tableDir).toSet
+      val moved = (before -- after).size
+      ext.sql(s"""SELECT st, count(*) AS n,
+                 CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                 $moved AS files_moved
+                 FROM graft.mor.merge_dv GROUP BY st""")
     })
   )
 
@@ -3785,6 +3820,28 @@ object SparkEntry {
         |SELECT 'mor' AS stage, * FROM a
         |UNION ALL
         |SELECT 'purged' AS stage, * FROM a""".stripMargin,
+
+    // q152: q147's MERGE set-algebra shape under the merge-on-read
+    // engine — matched tombstones (odd & %5=0) removed, matched
+    // survivors (odd) price-tripled, guarded inserts (odd, not target,
+    // not tombstone) tripled, target-only (even keys of the %3=1 slice)
+    // untouched; files_moved = 0 is the merge-on-read promise.
+    "q152_sql_dv_merge" ->
+      """WITH fin AS (
+        | SELECT k, st,
+        |  CASE WHEN k % 2 = 1 THEN price * 3 ELSE price END AS price
+        | FROM (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |              o_totalprice AS price
+        |       FROM orders WHERE o_orderkey % 3 = 1)
+        | WHERE NOT (k % 2 = 1 AND k % 5 = 0)
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, o_totalprice * 3 FROM orders
+        | WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 <> 1
+        |   AND o_orderkey % 5 <> 0)
+        |SELECT st, count(*) AS n,
+        | CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | 0 AS files_moved
+        |FROM fin GROUP BY st""".stripMargin,
 
     // q146: the SQL DML sequence replayed relationally — DELETE is
     // WHERE NOT, UPDATE is CASE; the decimal-exact sum is the house

@@ -336,6 +336,107 @@ object MergeSink {
     }
   }
 
+  /** [[mergeIntoTx]]'s merge-on-read twin: the SAME tri-clause algebra,
+    * but instead of rewriting the whole table, ONE join pass computes the
+    * change set — retired row positions (matched deletes, matched updates'
+    * old images, not-matched-by-source deletes) and appended copies
+    * (updated images, guarded inserts) — and
+    * [[TxTable.applyRowChanges]] commits both halves atomically as a
+    * deletion-vector commit. Untouched rows are never read twice,
+    * rewritten, or moved: a 1k-row CDC batch into a 100 TB table writes
+    * O(1k rows), where the replace-based merge rewrites the table. The
+    * join output is parked in an uncommitted temp dir (O(changed rows)),
+    * so the target is scanned exactly once. Read-side trade and
+    * maintenance are [[TxTable.deleteWhereDV]]'s: anti-join on the
+    * touched files until `purgeDvs`.
+    *
+    * Clause semantics are [[mergeFullRows]]'s, row for row (delete tested
+    * before update; SQL three-valued conditions; `updateSources` side
+    * channel for diverging UPDATE/INSERT values) — MergeSinkSpec asserts
+    * equivalence against the replace-based plan on the same inputs. */
+  def mergeIntoDV(spark: SparkSession, dir: String, source: DataFrame,
+                  keys: Seq[String], updateCols: Seq[String],
+                  matchedDeleteCond: Option[Column] = None,
+                  insertNotMatched: Boolean = true,
+                  insertCond: Option[Column] = None,
+                  notMatchedBySourceDeleteCond: Option[Column] = None,
+                  orderCols: Seq[String] = Nil,
+                  txn: Option[(String, Long)] = None,
+                  updateSources: Map[String, String] = Map.empty): Unit = {
+    val src = latestPerKey(source, keys, orderCols)
+    val head = TxTable.headVersion(spark, dir)
+    val tagged = TxTable.readTagged(spark, dir, "__graft_file", "__graft_pos")
+    tagged match {
+      case None =>
+        // no target rows: every source row is not-matched (first batch)
+        if (insertNotMatched)
+          TxTable.replace(spark, dir, filterInsertable(src, insertCond),
+            expectedHead = head, txn = txn)
+      case Some(existing) =>
+        val cols = existing.columns.toSeq
+          .filterNot(c => c == "__graft_file" || c == "__graft_pos")
+        val t = existing.withColumn("__t", lit(true)).alias("t")
+        val s = src.withColumn("__s", lit(true)).alias("s")
+        val joined = t.join(s,
+          keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _),
+          "full_outer")
+        val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+        val targetOnly = col("t.__t").isNotNull && col("s.__s").isNull
+        def fires(c: Option[Column]) =
+          coalesce(c.getOrElse(lit(false)), lit(false))
+        val insertOk =
+          lit(insertNotMatched) && fires(Some(insertCond.getOrElse(lit(true))))
+        val hasUpdate = updateCols.nonEmpty
+        // one pass over the join classifies every CHANGED row ('del' =
+        // position retires, 'upd' = position retires + copy appends,
+        // 'ins' = copy appends); unchanged rows never leave the join
+        val action =
+          when(matched && fires(matchedDeleteCond), "del")
+            .when(matched && lit(hasUpdate), "upd")
+            .when(targetOnly && fires(notMatchedBySourceDeleteCond), "del")
+            .when(col("t.__t").isNull && insertOk, "ins")
+        val outCols = cols.map { c =>
+          when(col("__graft_action") === "ins", col(s"s.$c"))
+            .otherwise(
+              if (keys.contains(c)) col(s"t.$c")
+              else if (updateCols.contains(c))
+                col(s"s.${updateSources.getOrElse(c, c)}")
+              else col(s"t.$c"))
+            .as(c)
+        }
+        val changed = joined
+          .withColumn("__graft_action", action)
+          .filter(col("__graft_action").isNotNull)
+          .select(col("__graft_action") +:
+            col("t.__graft_file").as("__graft_file") +:
+            col("t.__graft_pos").as("__graft_pos") +: outCols: _*)
+        // park the O(changed) set so the target scans once; crash debris
+        // is an orphan dir vacuum reclaims by age
+        val fs = new Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new Path(new Path(dir, "data"),
+          s"tmp-mrg-${java.util.UUID.randomUUID()}")
+        changed.write.parquet(tmp.toString)
+        val any = {
+          val it = fs.listFiles(fs.makeQualified(tmp), true)
+          var a = false
+          while (it.hasNext && !a) a = it.next().getPath.getName.endsWith(".parquet")
+          a
+        }
+        if (any) {
+          val ch = spark.read.parquet(tmp.toString)
+          TxTable.applyRowChanges(spark, dir,
+            ch.filter(col("__graft_action") =!= "ins")
+              .select(col("__graft_file").as("file"),
+                col("__graft_pos").as("pos")),
+            appends = Some(ch.filter(col("__graft_action") =!= "del")
+              .select(cols.map(col): _*)),
+            expectedHead = head, txn = txn)
+        }
+        fs.delete(tmp, true)
+    }
+  }
+
   /** First-batch form of the guarded insert clause: `insertCond` evaluated
     * with only the source side in scope. */
   private def filterInsertable(src: DataFrame,

@@ -1637,29 +1637,68 @@ object TxTable {
   def deleteWhereDV(spark: SparkSession, dir: String, cond: Column,
                     expectedHead: Option[Long] = None,
                     txn: Option[(String, Long)] = None): DvStats = {
+    val head = expectedHead.orElse(headVersion(spark, dir))
+    readTagged(spark, dir, "__graft_file", "__graft_pos") match {
+      case None => DvStats(0L, 0, 0)
+      case Some(tagged) =>
+        // ONE DV-aware scan (already-deleted rows can never re-match)
+        // tagging each matching row with its file + file-absolute position
+        val hit = coalesce(cond, lit(false))
+        applyRowChanges(spark, dir,
+          tagged.filter(hit)
+            .select(col("__graft_file").as("file"), col("__graft_pos").as("pos")),
+          appends = None, expectedHead = head, txn = txn)
+    }
+  }
+
+  /** The table's live rows tagged with their source file's QUALIFIED path
+    * and file-absolute row position — the scan side of every merge-on-read
+    * write ([[deleteWhereDV]]/[[updateWhereDV]]/[[applyRowChanges]]
+    * callers like MergeSink's MoR MERGE). DV-aware and evolution-widened
+    * like [[read]]; None before the first commit / empty live set. */
+  private[graft] def readTagged(spark: SparkSession, dir: String,
+                                fileCol: String,
+                                posCol: String): Option[DataFrame] = {
+    val fs = hadoopFs(spark, dir)
+    val (live, _) = replay(fs, dir)
+    if (live.isEmpty) None
+    else {
+      requireNoReservedCols(framesFor(spark, dir, live).columns, dir)
+      Some(widenWithEvolution(spark,
+        framesFor(spark, dir, live, Some(fileCol), Some(posCol)),
+        fs, dir, None))
+    }
+  }
+
+  /** The merge-on-read PRIMITIVE: one atomic `dv` commit that deletes the
+    * given `(file, pos)` rows (columns named exactly `file` = qualified
+    * path as [[readTagged]] tags it, `pos`) and appends `appends` — both
+    * halves visible together or not at all. [[deleteWhereDV]] is
+    * (deletes, None); [[updateWhereDV]] is (old positions, transformed
+    * copies); a keyed MERGE is (retired positions, updated+inserted
+    * rows). Deletes evaluate ONCE into the sidecar (clustered by file,
+    * positions sorted, so the read side's joins skip row groups);
+    * touched files' existing vectors fold into the same sidecar — one
+    * ref per file, never a chain. Appends stage under the table's live
+    * partition layout and pass the CHECK gate before anything stages.
+    * O(changed rows) written at any table size. */
+  def applyRowChanges(spark: SparkSession, dir: String, deletes: DataFrame,
+                      appends: Option[DataFrame],
+                      expectedHead: Option[Long] = None,
+                      txn: Option[(String, Long)] = None): DvStats = {
     import org.apache.spark.sql.functions.broadcast
     val fs = hadoopFs(spark, dir)
     val head = expectedHead.orElse(headVersion(spark, dir))
     val (live, _) = replay(fs, dir)
-    if (live.isEmpty) return DvStats(0L, 0, 0)
-    requireNoReservedCols(framesFor(spark, dir, live).columns, dir)
-    val hit = coalesce(cond, lit(false))
+    require(live.nonEmpty, s"applyRowChanges on empty table $dir")
     val rootQ = fs.makeQualified(new Path(dir)).toString
-    // ONE DV-aware scan (already-deleted rows can never re-match) tagging
-    // each matching row with its file and file-absolute position; the
-    // sidecar stores table-relative paths so the table stays relocatable
-    val matches = widenWithEvolution(spark,
-        framesFor(spark, dir, live, Some("__graft_file"), Some("__graft_pos")),
-        fs, dir, None)
-      .filter(hit)
-      .select(col("__graft_file")
-          .substr(lit(rootQ.length + 2), lit(Int.MaxValue)).as("file"),
-        col("__graft_pos").as("pos"))
     val batch = s"dv-${java.util.UUID.randomUUID()}"
     val out = new Path(new Path(dir, DataDirName), batch)
-    // clustered by file, positions sorted — the read side's semi/anti
-    // joins then skip row groups on the sidecar too
-    matches.repartition(col("file")).sortWithinPartitions("file", "pos")
+    // the sidecar stores table-relative paths so the table stays relocatable
+    deletes.select(col("file")
+        .substr(lit(rootQ.length + 2), lit(Int.MaxValue)).as("file"),
+        col("pos"))
+      .repartition(col("file")).sortWithinPartitions("file", "pos")
       .write.parquet(out.toString)
     val staged = {
       val it = fs.listFiles(fs.makeQualified(out), true)
@@ -1667,17 +1706,17 @@ object TxTable {
       while (it.hasNext && !any) any = it.next().getPath.getName.endsWith(".parquet")
       any
     }
-    if (!staged) { fs.delete(out, true); return DvStats(0L, 0, live.size) }
-    // per-file NEW-match counts from the staged sidecar — a re-read of the
-    // small sidecar, never a second table scan
-    val newCounts = spark.read.parquet(out.toString)
-      .groupBy("file").agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (newCounts.isEmpty) { fs.delete(out, true); return DvStats(0L, 0, live.size) }
+    // per-file NEW-delete counts from the staged sidecar — a re-read of
+    // the small sidecar, never a second table scan
+    val newCounts =
+      if (!staged) Map.empty[String, Long]
+      else spark.read.parquet(out.toString)
+        .groupBy("file").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     val byRel = live.map(e => e.path -> e).toMap
     val touched = newCounts.keySet.toSeq.sorted.map(p =>
       byRel.getOrElse(p, throw new IllegalStateException(
-        s"deleteWhereDV scan surfaced non-live file $p — concurrent " +
+        s"applyRowChanges surfaced non-live file $p — concurrent " +
           "vacuum below the retention window?")))
     // fold the touched files' EXISTING vectors into the new sidecar (same
     // directory, second small write), so each file keeps exactly one ref
@@ -1697,12 +1736,31 @@ object TxTable {
         .repartition(col("file")).sortWithinPartitions("file", "pos")
         .write.mode("append").parquet(out.toString)
     }
-    // merged cardinality = new matches + carried-over (disjoint by
-    // construction: the scan above applied the old vectors)
+    // appended copies under the table's live layout, CHECK-gated
+    val files = appends match {
+      case None => Nil
+      case Some(a) =>
+        val layouts = live.map(_.part
+          .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil))
+          .distinct
+        require(layouts.size == 1,
+          s"applyRowChanges spans mixed partition layouts ${layouts.mkString("; ")}")
+        enforceConstraints(spark, dir, a)
+        stage(spark, dir, a, layouts.head)
+    }
+    if (newCounts.isEmpty && files.isEmpty) {
+      fs.delete(out, true)
+      return DvStats(0L, 0, live.size)
+    }
+    if (newCounts.isEmpty) fs.delete(out, true) // pure-append change set
+    // merged cardinality = new deletes + carried-over (disjoint by
+    // construction: a DV-aware scan never re-surfaces a deleted position)
     val refsNew = touched.map(e =>
       e.path -> DvRef(s"$DataDirName/$batch",
         newCounts(e.path) + e.dv.map(_.deleted).getOrElse(0L)))
-    commit(fs, dir, Commit("dv", None, None, Nil, Nil, txn.toSeq,
+    val partCol = live.flatMap(_.part).headOption
+      .map(_.split('/').map(_.takeWhile(_ != '=')).mkString(","))
+    commit(fs, dir, Commit("dv", partCol, None, Nil, files, txn.toSeq,
       dvRefs = refsNew), head)
     DvStats(newCounts.values.sum, touched.size, live.size)
   }
@@ -1724,93 +1782,49 @@ object TxTable {
                     set: Map[String, Column],
                     expectedHead: Option[Long] = None,
                     txn: Option[(String, Long)] = None): DvStats = {
-    import org.apache.spark.sql.functions.broadcast
     require(set.nonEmpty, "updateWhereDV needs >= 1 SET column")
     val fs = hadoopFs(spark, dir)
     val head = expectedHead.orElse(headVersion(spark, dir))
-    val (live, _) = replay(fs, dir)
-    if (live.isEmpty) return DvStats(0L, 0, 0)
-    requireNoReservedCols(framesFor(spark, dir, live).columns, dir)
+    val tagged0 = readTagged(spark, dir, "__graft_file", "__graft_pos")
+      .getOrElse(return DvStats(0L, 0, 0))
     val hit = coalesce(cond, lit(false))
-    val rootQ = fs.makeQualified(new Path(dir)).toString
+    val tagged = tagged0.filter(hit)
+    val missing = set.keySet -- tagged.columns.toSet
+    require(missing.isEmpty,
+      s"updateWhereDV SET names unknown column(s) ${missing.mkString(", ")}")
     // ONE table scan: the matched rows in full (for the transformed
     // copies) plus their (file, pos) — parked in an uncommitted temp dir
     // so the sidecar and the copies both derive from it without a second
     // scan. Crash debris here is an orphan dir vacuum reclaims by age.
-    val tagged = widenWithEvolution(spark,
-        framesFor(spark, dir, live, Some("__graft_file"), Some("__graft_pos")),
-        fs, dir, None)
-      .filter(hit)
-      .withColumn("__graft_rel", col("__graft_file")
-        .substr(lit(rootQ.length + 2), lit(Int.MaxValue)))
-      .drop("__graft_file")
-    val missing = set.keySet -- tagged.columns.toSet
-    require(missing.isEmpty,
-      s"updateWhereDV SET names unknown column(s) ${missing.mkString(", ")}")
     val tmp = new Path(new Path(dir, DataDirName),
       s"tmp-upd-${java.util.UUID.randomUUID()}")
     tagged.write.parquet(tmp.toString)
-    def hasParquet(p: Path): Boolean = {
-      val it = fs.listFiles(fs.makeQualified(p), true)
+    val hasParquet = {
+      val it = fs.listFiles(fs.makeQualified(tmp), true)
       var any = false
       while (it.hasNext && !any) any = it.next().getPath.getName.endsWith(".parquet")
       any
     }
-    if (!hasParquet(tmp)) { fs.delete(tmp, true); return DvStats(0L, 0, live.size) }
-    val matchedFull = spark.read.parquet(tmp.toString)
-    val batch = s"dv-${java.util.UUID.randomUUID()}"
-    val out = new Path(new Path(dir, DataDirName), batch)
-    matchedFull
-      .select(col("__graft_rel").as("file"), col("__graft_pos").as("pos"))
-      .repartition(col("file")).sortWithinPartitions("file", "pos")
-      .write.parquet(out.toString)
-    val newCounts = spark.read.parquet(out.toString)
-      .groupBy("file").agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val byRel = live.map(e => e.path -> e).toMap
-    val touched = newCounts.keySet.toSeq.sorted.map(p =>
-      byRel.getOrElse(p, throw new IllegalStateException(
-        s"updateWhereDV scan surfaced non-live file $p")))
-    val carried = touched.filter(_.dv.isDefined)
-    if (carried.nonEmpty) {
-      val refs = carried.map(e => (e.path, e.dv.get.dir))
-      val refDf = spark.createDataFrame(refs)
-        .toDF("__graft_ref_file", "__graft_ref_dv")
-      val olds = refs.map(_._2).distinct.sorted.map { d =>
-        spark.read.parquet(new Path(dir, d).toString)
-          .select(col("file"), col("pos"), lit(d).as("__graft_del_src"))
-      }.reduce(_.union(_))
-      olds.join(broadcast(refDf),
-          olds("file") === refDf("__graft_ref_file") &&
-            olds("__graft_del_src") === refDf("__graft_ref_dv"), "left_semi")
-        .select("file", "pos")
-        .repartition(col("file")).sortWithinPartitions("file", "pos")
-        .write.mode("append").parquet(out.toString)
+    if (!hasParquet) {
+      fs.delete(tmp, true)
+      return DvStats(0L, 0, replay(fs, dir)._1.size)
     }
+    val matchedFull = spark.read.parquet(tmp.toString)
     // the transformed copies — every row here matched, so the SET applies
     // unconditionally; casts pin the table schema exactly as updateWhere
     val dataCols = matchedFull.columns
-      .filterNot(c => c == "__graft_rel" || c == "__graft_pos")
+      .filterNot(c => c == "__graft_file" || c == "__graft_pos")
     val transformed = matchedFull.select(dataCols.map { c =>
       set.get(c)
         .map(e => e.cast(matchedFull.schema(c).dataType).as(c))
         .getOrElse(col(c))
     }.toSeq: _*)
-    enforceConstraints(spark, dir, transformed)
-    val layouts = touched.map(_.part
-      .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil))
-      .distinct
-    require(layouts.size == 1,
-      s"updateWhereDV spans mixed partition layouts ${layouts.mkString("; ")}")
-    val partCols = layouts.head
-    val files = stage(spark, dir, transformed, partCols)
-    val refsNew = touched.map(e =>
-      e.path -> DvRef(s"$DataDirName/$batch",
-        newCounts(e.path) + e.dv.map(_.deleted).getOrElse(0L)))
-    commit(fs, dir, Commit("dv", partColField(partCols), None, Nil, files,
-      txn.toSeq, dvRefs = refsNew), head)
+    val stats = applyRowChanges(spark, dir,
+      matchedFull.select(col("__graft_file").as("file"),
+        col("__graft_pos").as("pos")),
+      appends = Some(transformed), expectedHead = head, txn = txn)
     fs.delete(tmp, true)
-    DvStats(newCounts.values.sum, touched.size, live.size)
+    stats
   }
 
   /** Fold deletion vectors back into clean files: live files whose deleted

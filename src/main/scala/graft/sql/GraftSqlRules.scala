@@ -530,13 +530,22 @@ final case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val src = PlanBridge.ofRows(sparkSession, sourcePlan)
       .selectExpr(projections: _*)
-    MergeSink.mergeIntoTx(sparkSession, dir, src, keys,
-      updateCols = updateCols,
-      matchedDeleteCond = matchedDeleteCond.map(expr),
-      insertNotMatched = insertNotMatched,
-      insertCond = insertCond.map(expr),
-      notMatchedBySourceDeleteCond = notMatchedBySourceDeleteCond.map(expr),
-      updateSources = updateSources.toMap)
+    // graft.deletes.mode governs MERGE like DELETE/UPDATE: 'cow' commits
+    // one atomic replace (rewrites the table); 'dv' commits the change
+    // set merge-on-read — O(changed rows) written
+    val mode = TxTable.tableProperties(sparkSession, dir)
+      .getOrElse("graft.deletes.mode", "cow")
+    val run = mode match {
+      case "cow" => MergeSink.mergeIntoTx _
+      case "dv"  => MergeSink.mergeIntoDV _
+      case other => throw new IllegalArgumentException(
+        s"table property graft.deletes.mode must be 'cow' or 'dv', got " +
+          s"'$other' on $dir")
+    }
+    run(sparkSession, dir, src, keys, updateCols,
+      matchedDeleteCond.map(expr), insertNotMatched, insertCond.map(expr),
+      notMatchedBySourceDeleteCond.map(expr), Nil, None,
+      updateSources.toMap)
     Nil
   }
 }

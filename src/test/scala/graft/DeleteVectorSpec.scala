@@ -212,6 +212,67 @@ class DeleteVectorSpec extends SparkTestBase {
     assert(TxTable.read(spark, dir, Some(Set("bucket=0"))).get.count() == 9)
   }
 
+  test("mergeIntoDV ≡ mergeIntoTx on the tri-clause CDC shape; zero files rewritten") {
+    import graft.merge.MergeSink
+    val txDir = tmpDir("dv-mrg-tx"); val dvDir = tmpDir("dv-mrg-dv")
+    val base = (1 to 60).map(i => (i.toLong, s"v$i", i * 1.0))
+      .toDF("k", "v", "w").repartition(3)
+    TxTable.append(spark, txDir, base); TxTable.append(spark, dvDir, base)
+    // CDC batch: tombstones (k%10=0), updates (k<=30), inserts (k>60),
+    // a guarded insert that must NOT fire (op='D' on an absent key), and
+    // retirement of dormant rows (k in 55..59 absent from source + cond)
+    val src = ((1 to 30) ++ (55 to 70)).map { i =>
+      (i.toLong, s"new$i", i * 2.0, if (i % 10 == 0) "D" else "U")
+    }.toDF("k", "v", "w", "op")
+    def run(dir: String, f: MergeSink.type => Unit): Unit = f(MergeSink)
+    val args = (dir: String) => (spark, dir, src, Seq("k"), Seq("v", "w"))
+    MergeSink.mergeIntoTx(spark, txDir, src, Seq("k"),
+      updateCols = Seq("v", "w"),
+      matchedDeleteCond = Some(expr("s.op = 'D'")),
+      insertCond = Some(expr("s.op <> 'D'")),
+      notMatchedBySourceDeleteCond = Some(expr("t.k BETWEEN 31 AND 40")))
+    val before = livePaths(dvDir)
+    MergeSink.mergeIntoDV(spark, dvDir, src, Seq("k"),
+      updateCols = Seq("v", "w"),
+      matchedDeleteCond = Some(expr("s.op = 'D'")),
+      insertCond = Some(expr("s.op <> 'D'")),
+      notMatchedBySourceDeleteCond = Some(expr("t.k BETWEEN 31 AND 40")))
+    // merge-on-read: every original data file is still live (plus copies)
+    assert(before.forall(livePaths(dvDir).contains))
+    def snap(dir: String) = TxTable.read(spark, dir).get
+      .select("k", "v", "w").as[(Long, String, Double)].collect().sorted.toSeq
+    assert(snap(dvDir) == snap(txDir))
+    // replay the same batch: both engines converge (idempotent algebra)
+    MergeSink.mergeIntoDV(spark, dvDir, src, Seq("k"),
+      updateCols = Seq("v", "w"),
+      matchedDeleteCond = Some(expr("s.op = 'D'")),
+      insertCond = Some(expr("s.op <> 'D'")))
+    MergeSink.mergeIntoTx(spark, txDir, src, Seq("k"),
+      updateCols = Seq("v", "w"),
+      matchedDeleteCond = Some(expr("s.op = 'D'")),
+      insertCond = Some(expr("s.op <> 'D'")))
+    assert(snap(dvDir) == snap(txDir))
+  }
+
+  test("mergeIntoDV: divergent UPDATE/INSERT values via the side channel; first batch") {
+    import graft.merge.MergeSink
+    val dir = tmpDir("dv-mrg-side")
+    // first batch on an empty table takes the insert-only path
+    val b0 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "w")
+    MergeSink.mergeIntoDV(spark, dir, b0, Seq("k"), updateCols = Seq("v", "w"))
+    assert(TxTable.read(spark, dir).get.count() == 2)
+    // UPDATE sets v='upd', INSERT sets v='ins' — side channel carries the
+    // update value
+    val b1 = Seq((2L, "ins", 2.0, "upd"), (3L, "ins", 3.0, "upd"))
+      .toDF("k", "v", "w", "__upd_v")
+    MergeSink.mergeIntoDV(spark, dir, b1, Seq("k"),
+      updateCols = Seq("v", "w"),
+      updateSources = Map("v" -> "__upd_v"))
+    val m = TxTable.read(spark, dir).get.select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "a", 2L -> "upd", 3L -> "ins"))
+  }
+
   test("OCC: a dv commit pinned to a stale head fails loudly; empty match commits nothing") {
     val dir = tmpDir("dv-occ")
     build(dir, n = 20, perFile = 10)

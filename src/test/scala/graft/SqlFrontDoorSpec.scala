@@ -317,6 +317,32 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(TxTable.headVersion(ext, s"$lakeRoot/db/m1").contains(2L))
   }
 
+  test("catalog: MERGE INTO under graft.deletes.mode=dv is merge-on-read") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    df(ext, 1 to 10, "base").createOrReplaceTempView("src_mdv0")
+    ext.sql("CREATE TABLE graft.db.mdv AS SELECT * FROM src_mdv0")
+    ext.sql("ALTER TABLE graft.db.mdv SET TBLPROPERTIES('graft.deletes.mode'='dv')")
+    val dir = s"$lakeRoot/db/mdv"
+    val before = TxTable.liveFilePaths(ext, dir).toSet
+    val sq = ext.sqlContext; import sq.implicits._
+    Seq((1L, "x", 0.0, "D"), (9L, "upd", 90.0, "U"), (20L, "ins", 200.0, "U"))
+      .toDF("id", "name", "score", "op").createOrReplaceTempView("src_mdv")
+    ext.sql("""MERGE INTO graft.db.mdv t USING src_mdv s ON t.id = s.id
+               WHEN MATCHED AND s.op = 'D' THEN DELETE
+               WHEN MATCHED THEN UPDATE SET name = s.name, score = s.score
+               WHEN NOT MATCHED AND s.op <> 'D' THEN
+                 INSERT (id, name, score) VALUES (s.id, s.name, s.score)""")
+    // every original data file is still live — the merge wrote only the
+    // change set (vector + copies)
+    assert(before.subsetOf(TxTable.liveFilePaths(ext, dir).toSet))
+    val m = ext.sql("SELECT id, name FROM graft.db.mdv ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(m.map(_._1).toSeq == ((2L to 8L) ++ Seq(9L, 10L, 20L)))
+    assert(m.toMap.apply(9L) == "upd" && m.toMap.apply(20L) == "ins")
+    assert(ext.sql("SELECT count(*) FROM graft.db.mdv VERSION AS OF 1")
+      .head.getLong(0) == 10) // pre-merge snapshot intact
+  }
+
   test("catalog: MERGE INTO — CDC shape with tombstones and computed SET") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     df(ext, 1 to 10, "base").createOrReplaceTempView("src_m2b")
