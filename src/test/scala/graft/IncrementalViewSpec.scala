@@ -112,6 +112,29 @@ class IncrementalViewSpec extends SparkTestBase {
       "c" -> ((1L, 7L))))
   }
 
+  test("refresh stays exact across a merge-on-read deleteWhereDV/updateWhereDV") {
+    val src = tmpDir("mv-dv-src"); val view = tmpDir("mv-dv-view")
+    TxTable.append(spark, src,
+      df(("a", 2L, 0L), ("a", 3L, 0L), ("b", 5L, 0L), ("c", 7L, 1L)),
+      Seq("pb"))
+    IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4)
+    // a dv commit presents as delete(file@oldDv)+insert(file@newDv) of the
+    // touched file: survivors cancel, the vectored row nets to -1
+    val st = TxTable.deleteWhereDV(spark, src, col("qty") === 3L)
+    assert(st.matchedRows == 1L && st.filesTouched == 1)
+    val r = IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4).get
+    assert(!r.full && viewState(view) == recompute(src))
+    // and a MoR update flows as the same net change an in-place update does
+    TxTable.updateWhereDV(spark, src, col("qty") === 5L,
+      Map("qty" -> lit(50L)))
+    IncrementalView.refresh(spark, src, view, Seq("grp"), Seq("qty"),
+      buckets = 4)
+    assert(viewState(view) == recompute(src))
+    assert(viewState(view)("b") == ((1L, 50L)))
+  }
+
   test("min/max maintenance: insert-only folds in-feed; deletes of group extrema re-aggregate exactly") {
     val src = tmpDir("mv-mm-src"); val view = tmpDir("mv-mm-view")
     def mmState(viewDir: String): Map[String, (Long, Long, Long, Long)] =

