@@ -2151,6 +2151,40 @@ object SparkEntry {
                  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
                  $moved AS files_moved
                  FROM graft.mor.merge_dv GROUP BY st""")
+    }),
+
+    // q153: RENAME/DROP COLUMN through the SQL front door — metadata-only
+    // column mapping (files keep physical names; one versioned property
+    // re-labels the logical view). The lifecycle: CTAS half the corpus,
+    // rename + drop, INSERT the other half under the NEW names (landing
+    // on the physical columns), aggregate by the renamed column.
+    // files_moved = 0 pins the metadata-only cost; v1_cols = 4 pins the
+    // time-travel contract (the pre-DDL snapshot keeps all four original
+    // columns).
+    "q153_sql_column_mapping" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.orders_cm")
+      ext.sql("CREATE TABLE graft.ddl.orders_cm AS " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority " +
+        "FROM graft.lake.orders WHERE o_orderkey % 2 = 0")
+      val tableDir = sqlLakeRoot(dir) + "/ddl/orders_cm"
+      val before = graft.merge.TxTable.liveFilePaths(ext, tableDir).toSet
+      ext.sql("ALTER TABLE graft.ddl.orders_cm " +
+        "RENAME COLUMN o_orderstatus TO status")
+      ext.sql("ALTER TABLE graft.ddl.orders_cm DROP COLUMN o_orderpriority")
+      ext.sql("INSERT INTO graft.ddl.orders_cm " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        "FROM graft.lake.orders WHERE o_orderkey % 2 = 1")
+      val after = graft.merge.TxTable.liveFilePaths(ext, tableDir).toSet
+      val moved = (before -- after).size
+      val v1Cols =
+        ext.sql("SELECT * FROM graft.ddl.orders_cm VERSION AS OF 1")
+          .columns.length
+      ext.sql(s"""SELECT status, count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                 $moved AS files_moved, $v1Cols AS v1_cols
+                 FROM graft.ddl.orders_cm GROUP BY status""")
     })
   )
 
@@ -3842,6 +3876,16 @@ object SparkEntry {
         | CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | 0 AS files_moved
         |FROM fin GROUP BY st""".stripMargin,
+
+    // q153: the mapping DDL replays as plain relational algebra — the
+    // CTAS and INSERT halves reunite the whole corpus, the rename is an
+    // output alias, the dropped column simply never projects. 0 and 4
+    // are the metadata-only / time-travel literals the Spark side pins.
+    "q153_sql_column_mapping" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | 0 AS files_moved, 4 AS v1_cols
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // q146: the SQL DML sequence replayed relationally — DELETE is
     // WHERE NOT, UPDATE is CASE; the decimal-exact sum is the house

@@ -619,7 +619,7 @@ object TxTable {
     * (stats are unscaled), nested paths, and any row group missing
     * statistics — a skipped column merely stays unprunable, never wrong. */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
-                          p: Path): Map[String, ColStat] = {
+                          p: Path): (Long, Map[String, ColStat]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -697,18 +697,24 @@ object TxTable {
           n -> ColStat("S", bytesToHex(lo.take(StringStatBytes)),
             bytesToHex(up)))
       }.toMap
-      numeric ++ strings
+      (reader.getRecordCount, numeric ++ strings)
     } catch {
-      case scala.util.control.NonFatal(_) => Map.empty // stats are an
-        // optimization; a footer we cannot read leaves the file unprunable
+      case scala.util.control.NonFatal(_) => (-1L, Map.empty) // stats are
+        // an optimization; a footer we cannot read leaves the file
+        // unprunable (and un-droppable: -1 is "unknown", never "empty")
     } finally reader.close()
   }
 
   /** Write `df` into a fresh staging dir; return its (relative) file
-    * entries. Nothing is visible until the caller commits. */
-  private def stage(spark: SparkSession, dir: String, df: DataFrame,
+    * entries. Nothing is visible until the caller commits. The frame is
+    * reverse-mapped onto the table's PHYSICAL column names first (the
+    * write-side half of RENAME COLUMN — see [[renameColumn]]): a frame
+    * arriving in logical names lands under the names the files carry; a
+    * maintenance frame already in physical names passes through. */
+  private def stage(spark: SparkSession, dir: String, df0: DataFrame,
                     partitionCols: Seq[String]): Seq[FileEntry] = {
     val fs = hadoopFs(spark, dir)
+    val df = toPhysical(df0, fs, dir)
     val batch = s"b-${java.util.UUID.randomUUID()}"
     val stagingDir = new Path(new Path(dir, DataDirName), batch)
     val w = df.write.mode("overwrite")
@@ -730,8 +736,14 @@ object TxTable {
         val segs = inBatch.split('/').dropRight(1)
           .filter(s => s.nonEmpty && s.contains("="))
         val frag = if (segs.isEmpty) None else Some(segs.mkString("/"))
-        files += FileEntry(rel, frag,
-          footerStats(spark.sparkContext.hadoopConfiguration, p))
+        val (rows, stats) =
+          footerStats(spark.sparkContext.hadoopConfiguration, p)
+        // a ZERO-row part file (a rewrite that deleted a file's every
+        // survivor, an empty writer partition) never enters the live set:
+        // it carries no stats, so it would defeat pruning forever and
+        // bloat every listing; its bytes stay as staging debris vacuum
+        // reclaims. -1 = unreadable footer: kept, merely unprunable.
+        if (rows != 0L) files += FileEntry(rel, frag, stats)
       }
     }
     files.result()
@@ -857,7 +869,7 @@ object TxTable {
         liveAll.filter(_.part.exists(p => s.exists(partMatches(p, _))))
     }
     if (live.isEmpty) None
-    else Some(widenWithEvolution(spark, framesFor(spark, dir, live),
+    else Some(present(spark, framesFor(spark, dir, live),
       fs, dir, asOf))
   }
 
@@ -1029,9 +1041,11 @@ object TxTable {
       case Some(s) =>
         liveAll.filter(_.part.exists(p => s.exists(partMatches(p, _))))
     }
-    val live = scoped.filter(_.stats.get(col).forall(_.mayContain(lo, hi)))
+    // stats are keyed by the PHYSICAL name the footer carried
+    val physCol = physicalNameOf(fs, dir, asOf, col)
+    val live = scoped.filter(_.stats.get(physCol).forall(_.mayContain(lo, hi)))
     if (live.isEmpty) None
-    else Some(widenWithEvolution(spark, framesFor(spark, dir, live),
+    else Some(present(spark, framesFor(spark, dir, live),
       fs, dir, asOf))
   }
 
@@ -1040,9 +1054,17 @@ object TxTable {
     * without planning a scan. */
   def skippingStats(spark: SparkSession, dir: String, col: String,
                     lo: BigDecimal, hi: BigDecimal): (Int, Int) = {
-    val live = replay(hadoopFs(spark, dir), dir)._1
-    (live.count(_.stats.get(col).forall(_.mayContain(lo, hi))), live.size)
+    val fs = hadoopFs(spark, dir)
+    val live = replay(fs, dir)._1
+    val p = physicalNameOf(fs, dir, None, col)
+    (live.count(_.stats.get(p).forall(_.mayContain(lo, hi))), live.size)
   }
+
+  /** The physical (file-carried) name behind logical column `col` at
+    * `asOf` — identity when never renamed. */
+  private def physicalNameOf(fs: FileSystem, dir: String,
+                             asOf: Option[Long], col: String): String =
+    mappingState(fs, dir, asOf)._1.find(_._2 == col).map(_._1).getOrElse(col)
 
   /** [[skippingStats]] for a STRING range `[lo, hi]` (None = unbounded),
     * compared in UTF8_BINARY byte order against the truncated string
@@ -1051,8 +1073,10 @@ object TxTable {
   def skippingStatsString(spark: SparkSession, dir: String, col: String,
                           lo: Option[String], hi: Option[String]): (Int, Int) = {
     val loB = lo.map(_.getBytes(UTF_8)); val hiB = hi.map(_.getBytes(UTF_8))
-    val live = replay(hadoopFs(spark, dir), dir)._1
-    (live.count(_.stats.get(col).forall(_.mayContainUtf8(loB, hiB))), live.size)
+    val fs = hadoopFs(spark, dir)
+    val live = replay(fs, dir)._1
+    val p = physicalNameOf(fs, dir, None, col)
+    (live.count(_.stats.get(p).forall(_.mayContainUtf8(loB, hiB))), live.size)
   }
 
   /** Change-data-feed between versions: every row added or removed by the
@@ -1092,7 +1116,7 @@ object TxTable {
         .withColumn("_commit_version", lit(v))
     }
     if (parts.isEmpty) None
-    else Some(widenWithEvolution(spark,
+    else Some(present(spark,
       parts.reduce(_.unionByName(_, allowMissingColumns = true)),
       fs, dir, untilVersion))
   }
@@ -1211,7 +1235,7 @@ object TxTable {
     val live = replay(fs, dir)._1.filter(e =>
       absPaths.contains(fs.makeQualified(new Path(dir, e.path)).toString))
     if (live.isEmpty) None
-    else Some(widenWithEvolution(spark,
+    else Some(present(spark,
       framesFor(spark, dir, live, filePathCol), fs, dir, None))
   }
 
@@ -1263,16 +1287,194 @@ object TxTable {
   def setProperties(spark: SparkSession, dir: String,
                     props: Map[String, String]): Unit = {
     require(!props.keys.exists(_.startsWith("graft.schema.")),
-      "graft.schema.* properties are managed by addColumns / " +
-        "ALTER TABLE ... ADD COLUMNS — setting them directly would " +
-        "corrupt the declared schema")
+      "graft.schema.* properties are managed by addColumns/renameColumn/" +
+        "dropColumns (ALTER TABLE ADD/RENAME/DROP COLUMN) — setting them " +
+        "directly would corrupt the declared schema")
+    commitProps(spark, dir, props)
+  }
+
+  /** Property commit without the graft.schema.* guard — the internal
+    * vehicle of the schema DDL methods themselves. */
+  private def commitProps(spark: SparkSession, dir: String,
+                          props: Map[String, String]): Unit =
     commit(hadoopFs(spark, dir), dir,
       Commit("append", None, None, Nil, Nil, Nil, props.toSeq.sortBy(_._1)))
-  }
 
   /** Property key holding the ADD COLUMNS-declared extension of the
     * data-carried schema, as a compact StructType JSON. */
   private val SchemaAddedProp = "graft.schema.added"
+
+  /** Property key holding the column-mapping state (RENAME/DROP COLUMN —
+    * the Delta column-mapping idea cut to name mapping): data files keep
+    * their PHYSICAL column names forever; this property maps them to the
+    * LOGICAL schema readers see. Encoding: `r:<physical>=<logical>` and
+    * `d:<physical>` entries joined by ';' (names containing ';'/'=' are
+    * refused at DDL time). Versioned like every property, so time travel
+    * below a rename reads the old names and checkpoints carry it. */
+  private val SchemaMappingProp = "graft.schema.mapping"
+
+  /** (physical → logical renames, dropped physical names) as of `asOf`. */
+  private def mappingState(fs: FileSystem, dir: String,
+                           asOf: Option[Long]): (Map[String, String], Set[String]) =
+    propsState(fs, dir, asOf).get(SchemaMappingProp) match {
+      case None | Some("") => (Map.empty, Set.empty)
+      case Some(enc) =>
+        val ren = Map.newBuilder[String, String]
+        val dropped = Set.newBuilder[String]
+        enc.split(';').filter(_.nonEmpty).foreach {
+          case e if e.startsWith("r:") =>
+            val i = e.indexOf('=')
+            ren += (e.substring(2, i) -> e.substring(i + 1))
+          case e if e.startsWith("d:") => dropped += e.substring(2)
+          case e => throw new java.io.IOException(
+            s"corrupt $SchemaMappingProp entry '$e' on $dir")
+        }
+        (ren.result(), dropped.result())
+    }
+
+  private def renderMapping(ren: Map[String, String],
+                            dropped: Set[String]): String =
+    (ren.toSeq.sortBy(_._1).map { case (p, l) => s"r:$p=$l" } ++
+      dropped.toSeq.sorted.map("d:" + _)).mkString(";")
+
+  /** Logical presentation of a physically-named frame: dropped columns
+    * projected away, renamed columns re-labelled. Identity (and free)
+    * when the table never ran a RENAME/DROP. */
+  private def presentLogical(df: DataFrame, fs: FileSystem, dir: String,
+                             asOf: Option[Long]): DataFrame = {
+    val (ren, dropped) = mappingState(fs, dir, asOf)
+    if (ren.isEmpty && dropped.isEmpty) df
+    else df.select(df.columns.filterNot(dropped.contains)
+      .map(c => col(c).as(ren.getOrElse(c, c))).toSeq: _*)
+  }
+
+  /** [[presentLogical]] for frames produced OUTSIDE TxTable (the SQL front
+    * door's stock scan over the physical files). */
+  private[graft] def presentLogicalDf(spark: SparkSession, dir: String,
+                                      df: DataFrame,
+                                      asOf: Option[Long]): DataFrame =
+    presentLogical(df, hadoopFs(spark, dir), dir, asOf)
+
+  /** physical → logical rename map at `asOf` (empty when unmapped) — the
+    * SQL front door re-labels its physical scan schema through this. */
+  private[graft] def renameMap(spark: SparkSession, dir: String,
+                               asOf: Option[Long]): Map[String, String] =
+    mappingState(hadoopFs(spark, dir), dir, asOf)._1
+
+  /** Reverse-map a LOGICAL frame onto the physical column names data
+    * files carry — the write-side chokepoint ([[stage]] applies it).
+    * Only logical names present in the rename map move; a frame already
+    * in physical names passes through unchanged (physical names are
+    * disjoint from the logical view by the ADD COLUMNS taint rule). */
+  private def toPhysical(df: DataFrame, fs: FileSystem,
+                         dir: String): DataFrame = {
+    val (ren, _) = mappingState(fs, dir, None)
+    if (ren.isEmpty) df
+    else {
+      val inv = ren.map(_.swap)
+      df.select(df.columns.map(c => col(c).as(inv.getOrElse(c, c))).toSeq: _*)
+    }
+  }
+
+  /** Logical column names referenced by the table's CHECK constraints —
+    * the DDL guards refuse renaming/dropping these (the constraint text
+    * would silently stop resolving on the next write otherwise). */
+  private def constraintRefs(spark: SparkSession, dir: String): Set[String] =
+    constraints(spark, dir).values.flatMap { sql =>
+      spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }
+    }.toSet
+
+  private def requireMappableName(n: String, what: String): Unit = {
+    require(!n.exists(";=\t\n".contains(_)),
+      s"$what '$n' contains ';', '=', tab, or newline — unrepresentable " +
+        "in the column-mapping property")
+    require(!ReservedRewriteCols.contains(n) && !n.startsWith("__graft_"),
+      s"$what '$n' collides with the engine's reserved __graft_ helper " +
+        "namespace")
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` — metadata-only (zero
+    * bytes rewritten at any table size): data files keep the physical
+    * name, one atomic property commit re-labels the logical view, and
+    * every write arriving with the new name maps back onto the physical
+    * column ([[stage]]). Time travel below the commit reads the old name.
+    * Refused loudly for partition columns (their name IS the directory
+    * layout), constraint-referenced columns (the stored CHECK text would
+    * stop resolving), collisions with any current logical name, and reuse
+    * of a name the table has ever carried physically (old files would
+    * leak their bytes into the reborn column). */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+                   to: String): Unit = {
+    require(exists(spark, dir), s"no TxTable at $dir")
+    requireMappableName(from, "column"); requireMappableName(to, "column")
+    val fs = hadoopFs(spark, dir)
+    val (ren, dropped) = mappingState(fs, dir, None)
+    val logical = read(spark, dir).map(_.columns.toSeq).getOrElse(Nil)
+    require(logical.contains(from),
+      s"RENAME COLUMN: no column '$from' in $dir (has: ${logical.mkString(", ")})")
+    if (from == to) return
+    require(!logical.contains(to),
+      s"RENAME COLUMN: column '$to' already exists in $dir")
+    val physical0 = ren.find(_._2 == from).map(_._1).getOrElse(from)
+    // renaming BACK to the column's own physical name merely restores
+    // identity — always safe; any OTHER previously-carried name is
+    // tainted (old files would leak their bytes into the reborn column)
+    val usedPhysical = ren.keySet ++ dropped ++
+      logical.filterNot(ren.values.toSet).toSet
+    require(physical0 == to || !usedPhysical.contains(to),
+      s"RENAME COLUMN: '$to' was previously carried physically by $dir " +
+        "(renamed away or dropped) — old files would leak into it; pick " +
+        "a fresh name")
+    val partCols = replay(fs, dir)._1.flatMap(_.part).headOption.toSeq
+      .flatMap(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
+    require(!partCols.contains(from),
+      s"RENAME COLUMN: '$from' is a partition column of $dir — the name " +
+        "is baked into the directory layout; rewrite the table to rename it")
+    require(!constraintRefs(spark, dir).contains(from),
+      s"RENAME COLUMN: '$from' is referenced by a CHECK constraint on " +
+        s"$dir — drop the constraint first, rename, then re-add it")
+    val ren2 = (ren - physical0) ++
+      (if (physical0 == to) Nil else Seq(physical0 -> to))
+    commitProps(spark, dir,
+      Map(SchemaMappingProp -> renderMapping(ren2, dropped)))
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` — metadata-only: the physical column
+    * stays in the files (its bytes reclaim as files naturally rewrite)
+    * but leaves the logical view in one atomic property commit. The name
+    * becomes tainted: [[addColumns]] refuses to rebirth it. Same guards
+    * as [[renameColumn]] for partition/constraint columns; dropping every
+    * column is refused. */
+  def dropColumns(spark: SparkSession, dir: String,
+                  names: Seq[String]): Unit = {
+    require(names.nonEmpty, "dropColumns needs >= 1 column")
+    require(exists(spark, dir), s"no TxTable at $dir")
+    names.foreach(requireMappableName(_, "column"))
+    val fs = hadoopFs(spark, dir)
+    val (ren, dropped) = mappingState(fs, dir, None)
+    val logical = read(spark, dir).map(_.columns.toSeq).getOrElse(Nil)
+    val missing = names.filterNot(logical.contains)
+    require(missing.isEmpty,
+      s"DROP COLUMN: no column(s) ${missing.mkString(", ")} in $dir")
+    require((logical.toSet -- names).nonEmpty,
+      s"DROP COLUMN would leave $dir with no columns")
+    val partCols = replay(fs, dir)._1.flatMap(_.part).headOption.toSeq
+      .flatMap(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
+    val partClash = names.filter(partCols.contains)
+    require(partClash.isEmpty,
+      s"DROP COLUMN: ${partClash.mkString(", ")} are partition columns " +
+        s"of $dir — rewrite the table to change its layout")
+    val consClash = names.filter(constraintRefs(spark, dir).contains)
+    require(consClash.isEmpty,
+      s"DROP COLUMN: ${consClash.mkString(", ")} are referenced by CHECK " +
+        s"constraints on $dir — drop the constraints first")
+    val physicals = names.map(n => ren.find(_._2 == n).map(_._1).getOrElse(n))
+    commitProps(spark, dir, Map(SchemaMappingProp ->
+      renderMapping(ren -- physicals, dropped ++ physicals)))
+  }
 
   /** Columns declared by [[addColumns]] as of `asOf`, in declaration
     * order. Property state is versioned like everything else in the log,
@@ -1312,6 +1514,41 @@ object TxTable {
     }
   }
 
+  /** The full read-side presentation: evolution widening (declared
+    * columns materialize as typed NULLs) THEN column mapping (dropped
+    * columns leave, renamed columns re-label) — in that order, because
+    * a declared-then-renamed column's physical name is its declaration
+    * name. Every read path flows through here. */
+  private def present(spark: SparkSession, df: DataFrame, fs: FileSystem,
+                      dir: String, asOf: Option[Long]): DataFrame =
+    presentLogical(widenWithEvolution(spark, df, fs, dir, asOf),
+      fs, dir, asOf)
+
+  /** The PHYSICAL schema a stock file scan over the live files should
+    * use (evolution-widened, dropped columns excluded so their bytes are
+    * never read, renames NOT applied — files carry physical names): what
+    * [[graft.sql.GraftFileIndex]] hands the planner; the SQL front door
+    * re-labels the scan output through [[renameMap]]. */
+  private[graft] def scanSchema(spark: SparkSession, dir: String,
+                                asOf: Option[Long]): StructType = {
+    val fs = hadoopFs(spark, dir)
+    val (live, _) = replay(fs, dir, asOf)
+    if (live.isEmpty) new StructType()
+    else {
+      val widened = widenWithEvolution(spark,
+        framesFor(spark, dir, live), fs, dir, asOf)
+      val dropped = mappingState(fs, dir, asOf)._2
+      StructType(widened.schema.filterNot(f => dropped.contains(f.name)))
+    }
+  }
+
+  /** True when the table carries any RENAME/DROP mapping at `asOf`. */
+  private[graft] def hasColumnMapping(spark: SparkSession, dir: String,
+                                      asOf: Option[Long] = None): Boolean = {
+    val (ren, dropped) = mappingState(hadoopFs(spark, dir), dir, asOf)
+    ren.nonEmpty || dropped.nonEmpty
+  }
+
   /** `ALTER TABLE ... ADD COLUMNS` — additive schema evolution WITHOUT a
     * data commit (the Delta/Iceberg metadata-only ALTER): the new columns
     * are declared in one atomic property commit; every read materializes
@@ -1332,13 +1569,20 @@ object TxTable {
     def key(n: String): String =
       if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     val prior = evolutionFields(fs, dir, None)
+    // taint rule: a name the table has EVER carried physically (current
+    // columns, renamed-away originals, dropped columns) can never be
+    // re-added — old files still hold bytes under it, and a reborn
+    // column would silently read them
+    val (ren, dropped) = mappingState(fs, dir, None)
     val taken = (read(spark, dir).map(_.schema.fieldNames.toSeq)
-      .getOrElse(Nil) ++ prior.map(_.name)).map(key).toSet
+      .getOrElse(Nil) ++ prior.map(_.name)).map(key).toSet ++
+      (ren.keySet ++ dropped).map(key)
     fields.foreach { f =>
       require(f.nullable, s"added column ${f.name} must be nullable — " +
         "existing rows have no value for it")
       require(!taken.contains(key(f.name)),
-        s"column ${f.name} already exists in $dir")
+        s"column ${f.name} already exists (or was previously carried " +
+          s"physically) in $dir")
     }
     require(fields.map(f => key(f.name)).distinct.size == fields.size,
       s"duplicate column name in ADD COLUMNS: ${fields.map(_.name).mkString(", ")}")
@@ -1573,7 +1817,7 @@ object TxTable {
     // file — output is bounded by |files|, never rows. Widened with the
     // declared evolution columns so a rewrite can SET or test a column no
     // batch has materialized yet.
-    val perFile = widenWithEvolution(spark,
+    val perFile = present(spark,
         framesFor(spark, dir, live, Some("__graft_file")), fs, dir, None)
       .filter(hit)
       .groupBy(col("__graft_file")).agg(count(lit(1)).as("__n"))
@@ -1595,7 +1839,7 @@ object TxTable {
         "rewrite the table with replace() to a single layout first")
     val partCols = layouts.head
     val next = transform(
-      widenWithEvolution(spark, framesFor(spark, dir, touched),
+      present(spark, framesFor(spark, dir, touched),
         fs, dir, None), hit)
     enforceConstraints(spark, dir, next)
     val files = stage(spark, dir, next, partCols)
@@ -1664,7 +1908,7 @@ object TxTable {
     if (live.isEmpty) None
     else {
       requireNoReservedCols(framesFor(spark, dir, live).columns, dir)
-      Some(widenWithEvolution(spark,
+      Some(present(spark,
         framesFor(spark, dir, live, Some(fileCol), Some(posCol)),
         fs, dir, None))
     }
@@ -1860,7 +2104,7 @@ object TxTable {
     require(layouts.size == 1,
       s"purgeDvs spans mixed partition layouts ${layouts.mkString("; ")}")
     val partCols = layouts.head
-    val next = widenWithEvolution(spark, framesFor(spark, dir, targets),
+    val next = present(spark, framesFor(spark, dir, targets),
       fs, dir, None)
     val files = stage(spark, dir, next, partCols)
     commit(fs, dir, Commit("rewrite", partColField(partCols), None,
@@ -1892,7 +2136,7 @@ object TxTable {
     val fs = hadoopFs(spark, dir)
     val entries = liveEntriesForSql(spark, dir, asOf).filter(_.dv.isDefined)
     if (entries.isEmpty) None
-    else Some(widenWithEvolution(spark, framesFor(spark, dir, entries),
+    else Some(present(spark, framesFor(spark, dir, entries),
       fs, dir, asOf))
   }
 
@@ -2209,11 +2453,14 @@ object TxTable {
       .repartition(math.max(1, nextBin), col("__bin"))
       .drop("__graft_file", "__bin")
     // partCols prefix the sort so the partitioned writer's own required
-    // ordering is already satisfied and the clustering survives the write
+    // ordering is already satisfied and the clustering survives the write.
+    // `shaped` carries PHYSICAL names (raw frames, no logical
+    // presentation), so logical sortCols translate first.
     val df =
       if (sortCols.isEmpty) shaped
       else shaped.sortWithinPartitions(
-        ((partCols ++ sortCols).distinct).map(col): _*)
+        ((partCols ++ sortCols.map(physicalNameOf(fs, dir, None, _)))
+          .distinct).map(col): _*)
     val files = stage(spark, dir, df, partCols)
     commit(fs, dir, Commit("rewrite", partColField(partCols), None,
       touched.map(_.path), files, Nil, dataChange = false), head)

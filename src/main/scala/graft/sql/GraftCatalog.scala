@@ -125,8 +125,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `ADD COLUMNS` routes into [[TxTable.addColumns]]'s additive evolution:
     * metadata-only (zero bytes rewritten at any table size), reads
     * materialize the new columns as typed NULLs until data carries them,
-    * and time travel below the ALTER keeps the old schema. Other schema
-    * changes (drop/rename/retype) stay unsupported. */
+    * and time travel below the ALTER keeps the old schema.
+    * `RENAME COLUMN` / `DROP COLUMN` route into the column-mapping DDL
+    * ([[TxTable.renameColumn]]/[[TxTable.dropColumns]]) — also
+    * metadata-only: files keep their physical names, one versioned
+    * property re-labels the logical view, and partition/constraint-
+    * referenced columns and tainted-name reuse refuse loudly. Retype
+    * stays unsupported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!TxTable.exists(spark, dir))
@@ -148,14 +153,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case sp: TableChange.SetProperty => sp.property() -> sp.value()
       case rp: TableChange.RemoveProperty => rp.property() -> "" // remove
     }.toMap
+    // RENAME/DROP COLUMN: metadata-only column mapping (see
+    // TxTable.renameColumn/dropColumns for the guards — partition and
+    // constraint-referenced columns, tainted-name reuse all refuse loudly)
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      require(r.fieldNames().length == 1,
+        s"RENAME COLUMN of nested field ${r.fieldNames().mkString(".")} " +
+          "is not supported")
+      r.fieldNames()(0) -> r.newName()
+    }
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames().length == 1,
+        s"DROP COLUMN of nested field ${d.fieldNames().mkString(".")} " +
+          "is not supported")
+      d.fieldNames()(0)
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
-      s"ALTER TABLE change ${unsupported.head} is not supported; only " +
-        "ADD COLUMNS (additive evolution) and TBLPROPERTIES changes are")
+      s"ALTER TABLE change ${unsupported.head} is not supported; " +
+        "ADD COLUMNS, RENAME COLUMN, DROP COLUMN, and TBLPROPERTIES " +
+        "changes are")
     if (adds.nonEmpty) TxTable.addColumns(spark, dir, adds)
+    renames.foreach { case (from, to) =>
+      TxTable.renameColumn(spark, dir, from, to) }
+    if (drops.nonEmpty) TxTable.dropColumns(spark, dir, drops)
     if (props.nonEmpty) TxTable.setProperties(spark, dir, props)
     new GraftSqlTable(dir, None, fullName(ident))
   }

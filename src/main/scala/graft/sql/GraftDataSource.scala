@@ -95,12 +95,15 @@ class GraftDataSource extends RelationProvider
     require(TxTable.exists(spark, dir),
       s"no TxTable commit log at $dir")
     val asOf = resolveAsOf(spark, dir, parameters)
-    // live deletion vectors need the position anti-join branch, which a
-    // stock HadoopFsRelation cannot express — fall back to a
-    // PrunedFilteredScan over the DV-aware DataFrame (filters still push
-    // into the inner parquet scans; the V1 boundary materializes rows).
-    // Clean tables keep the zero-overhead relation.
-    if (TxTable.hasLiveDvs(spark, dir, asOf)) GraftDvScanRelation(dir, asOf)
+    // live deletion vectors need the position anti-join branch, and a
+    // RENAME/DROP mapping needs the logical re-labelling — neither fits
+    // a stock HadoopFsRelation, so fall back to a PrunedFilteredScan over
+    // the full DataFrame (filters still push into the inner parquet
+    // scans; the V1 boundary materializes rows). Plain tables keep the
+    // zero-overhead relation.
+    if (TxTable.hasLiveDvs(spark, dir, asOf) ||
+        TxTable.hasColumnMapping(spark, dir, asOf))
+      GraftDvScanRelation(dir, asOf)
     else GraftSql.relation(spark, dir, asOf)
   }
 

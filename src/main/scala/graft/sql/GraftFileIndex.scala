@@ -61,8 +61,10 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     val allEntries = TxTable.liveEntriesForSql(spark, dir, asOf)
     val entries =
       if (excludeDv) allEntries.filter(_.dv.isEmpty) else allEntries
-    val schema = TxTable.read(spark, dir, asOf = asOf)
-      .map(_.schema).getOrElse(new StructType())
+    // PHYSICAL schema (dropped columns excluded, renames NOT applied):
+    // the scan must name the columns the parquet files carry; the front
+    // door re-labels its output to the logical names above the scan
+    val schema = TxTable.scanSchema(spark, dir, asOf)
     // partition columns from the live fragments themselves (the files are
     // the source of truth; the commit partCol field is informational) —
     // derived from the FULL set so an all-DV'd table still types its

@@ -34,11 +34,15 @@ object GraftSql {
       options = Map.empty[String, String])(spark)
   }
 
-  /** The front door's view of the table schema (data ++ partition). */
+  /** The front door's view of the table schema (data ++ partition), in
+    * LOGICAL names — physical scan names re-labelled through the
+    * RENAME COLUMN mapping (identity on unmapped tables). */
   def tableSchema(spark: SparkSession, dir: String,
                   asOf: Option[Long] = None): StructType = {
     val index = new GraftFileIndex(spark, dir, asOf)
-    StructType(index.dataSchema ++ index.partitionSchema)
+    val ren = graft.merge.TxTable.renameMap(spark, dir, asOf)
+    StructType((index.dataSchema ++ index.partitionSchema)
+      .map(f => f.copy(name = ren.getOrElse(f.name, f.name))))
   }
 
   /** Partition column names recorded by the live layout (empty when the
@@ -59,8 +63,12 @@ object GraftSql {
   def dataFrame(spark: SparkSession, dir: String,
                 asOf: Option[Long] = None): DataFrame = {
     val dvSlice = graft.merge.TxTable.readDvSlice(spark, dir, asOf)
-    val base = spark.sqlContext.baseRelationToDataFrame(
+    val phys = spark.sqlContext.baseRelationToDataFrame(
       relation(spark, dir, asOf, excludeDv = dvSlice.isDefined))
+    // re-label the physical scan to the logical schema (a Project the
+    // optimizer pushes filters straight through — pruning and skipping
+    // below it keep operating on the physical names the stats carry)
+    val base = graft.merge.TxTable.presentLogicalDf(spark, dir, phys, asOf)
     dvSlice match {
       case None => base
       case Some(dv) =>

@@ -474,6 +474,52 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(e.getMessage.contains("already exists"), e.getMessage)
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN: metadata-only mapping through the SQL front door") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl2")
+    ext.sql("DROP TABLE IF EXISTS graft.ddl2.cm")
+    df(ext, 1 to 30, "cm").createOrReplaceTempView("src_cm")
+    ext.sql("CREATE TABLE graft.ddl2.cm AS SELECT * FROM src_cm")
+    val dir = s"$lakeRoot/ddl2/cm"
+    val before = TxTable.liveFilePaths(ext, dir).toSet
+    ext.sql("ALTER TABLE graft.ddl2.cm RENAME COLUMN name TO label")
+    ext.sql("ALTER TABLE graft.ddl2.cm DROP COLUMN score")
+    assert(TxTable.liveFilePaths(ext, dir).toSet == before) // zero files moved
+    assert(ext.table("graft.ddl2.cm").columns.toSeq == Seq("id", "label"))
+    // reads, filters, and writes all speak the logical names
+    ext.sql("INSERT INTO graft.ddl2.cm SELECT 31, 'fresh'")
+    assert(ext.sql("SELECT label FROM graft.ddl2.cm WHERE id = 31")
+      .head.getString(0) == "fresh")
+    assert(ext.sql("SELECT count(*) FROM graft.ddl2.cm WHERE label LIKE 'cm-%'")
+      .head.getLong(0) == 30)
+    // time travel below the DDL reads the ORIGINAL schema
+    assert(ext.sql("SELECT * FROM graft.ddl2.cm VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "name", "score"))
+    // DML in logical names routes through the same engines
+    ext.sql("UPDATE graft.ddl2.cm SET label = 'renamed' WHERE id = 31")
+    ext.sql("DELETE FROM graft.ddl2.cm WHERE label = 'renamed'")
+    assert(ext.sql("SELECT count(*) FROM graft.ddl2.cm").head.getLong(0) == 30)
+    // the scan is still ONE stock vectorized GraftFileIndex relation —
+    // the rename is a Project the optimizer pushes filters through, and
+    // log-level skipping keeps pruning via the PHYSICAL stats: the
+    // post-DELETE live files hold ids 1-30 (rewritten) so a probe above
+    // that range lists nothing
+    ext.sql("ALTER TABLE graft.ddl2.cm RENAME COLUMN id TO doc_id")
+    val q = ext.table("graft.ddl2.cm").filter(col("doc_id") > 1000)
+    assert(scannedFiles(q) == 0)
+    val qAll = ext.table("graft.ddl2.cm").filter(col("doc_id") <= 30)
+    assert(fileScan(qAll).relation.location.isInstanceOf[graft.sql.GraftFileIndex])
+    assert(qAll.count() == 30)
+    // tainted names refuse rebirth from SQL too
+    val e = intercept[Exception] {
+      ext.sql("ALTER TABLE graft.ddl2.cm ADD COLUMNS (score DOUBLE)") }
+    assert(e.getMessage.contains("previously carried"), e.getMessage)
+    // format("graft") fallback reads the logical view
+    val fmt = ext.read.format("graft").load(dir)
+    assert(fmt.columns.toSeq == Seq("doc_id", "label"))
+    assert(fmt.filter(col("doc_id") === 7).select("label")
+      .head.getString(0) == "cm-7")
+  }
+
   test("DESCRIBE HISTORY: catalog-qualified name and quoted path both audit the log") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     df(ext, 1 to 5, "h").createOrReplaceTempView("src_hist")
@@ -737,10 +783,10 @@ class SqlFrontDoorSpec extends SparkTestBase {
     ext.sql("ALTER TABLE graft.db.alt UNSET TBLPROPERTIES('constraint.pos')")
     ext.sql("INSERT INTO graft.db.alt VALUES (99, 'ok-now', -5.0)")
     assert(ext.sql("SELECT count(*) FROM graft.db.alt").head.getLong(0) == 6)
-    // ADD COLUMNS is supported (additive evolution); destructive schema
-    // changes stay refused
+    // ADD/RENAME/DROP COLUMN are supported (evolution + column mapping);
+    // a retype stays refused
     val e2 = intercept[Exception] {
-      ext.sql("ALTER TABLE graft.db.alt DROP COLUMN score")
+      ext.sql("ALTER TABLE graft.db.alt ALTER COLUMN score TYPE STRING")
     }
     assert(e2.getMessage.toLowerCase.contains("not supported"), e2.getMessage)
   }
