@@ -2467,6 +2467,49 @@ object TxTable {
     CompactStats(touched.size, files.size, live.size - touched.size)
   }
 
+  /** Rewrite an explicit SET of live files (by relative path) through a
+    * row-preserving transform, in one `rewrite` commit that can carry
+    * property updates ATOMICALLY with the swap — the primitive behind
+    * incremental clustering ([[graft.ops.Layout.zorderIncrementalTx]]
+    * stamps its progress marker in the same commit, so a crash can never
+    * record clustering that didn't land or vice versa). DV-aware and
+    * logical-schema like every read; `dataChange = false` (same live
+    * rows), so the change feed stays silent. Returns
+    * (files rewritten, files written). */
+  private[graft] def rewriteSet(spark: SparkSession, dir: String,
+                                targets: Set[String],
+                                transform: DataFrame => DataFrame,
+                                props: Map[String, String] = Map.empty,
+                                expectedHead: Option[Long] = None): (Int, Int) = {
+    require(targets.nonEmpty, "rewriteSet needs >= 1 target file")
+    val fs = hadoopFs(spark, dir)
+    val head = expectedHead.orElse(headVersion(spark, dir))
+    val (live, _) = replay(fs, dir)
+    val byRel = live.map(e => e.path -> e).toMap
+    val missing = targets.filterNot(byRel.contains)
+    require(missing.isEmpty,
+      s"rewriteSet targets non-live file(s) ${missing.toSeq.sorted.mkString(", ")}")
+    val touched = targets.toSeq.sorted.map(byRel)
+    val layouts = touched.map(_.part
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil))
+      .distinct
+    require(layouts.size == 1,
+      s"rewriteSet spans mixed partition layouts ${layouts.mkString("; ")}")
+    val next = transform(present(spark,
+      framesFor(spark, dir, touched), fs, dir, None))
+    val files = stage(spark, dir, next, layouts.head)
+    commit(fs, dir, Commit("rewrite", partColField(layouts.head), None,
+      touched.map(_.path), files, Nil, props.toSeq.sortBy(_._1),
+      dataChange = false), head)
+    (touched.size, files.size)
+  }
+
+  /** Relative paths of the live files as of `asOf` — [[rewriteSet]]'s
+    * addressing scheme (and the identity incremental clustering diffs). */
+  private[graft] def liveRelPaths(spark: SparkSession, dir: String,
+                                  asOf: Option[Long] = None): Seq[String] =
+    replay(hadoopFs(spark, dir), dir, asOf)._1.map(_.path)
+
   /** Bound replay cost for long-lived tables WITHOUT destroying the
     * history retention and time travel are computed from: write a
     * checkpoint of the live set at the retention cut (head −

@@ -132,6 +132,62 @@ object Layout {
     (before, TxTable.liveFilePaths(spark, dir).size)
   }
 
+  /** Property recording incremental-clustering progress:
+    * `<version>|<col,col,...>` — the commit version of the last
+    * clustering pass and the column list it clustered by. Rides IN the
+    * clustering commit itself (see [[graft.merge.TxTable.rewriteSet]]),
+    * so progress and data can never disagree. */
+  private val ZorderStateProp = "graft.zorder.state"
+
+  /** Incremental OPTIMIZE ZORDER — the 100 TB form of [[zorderTx]]:
+    * cluster ONLY the live files that were NOT live at the last
+    * clustering pass (new appends, compaction outputs, rewrite
+    * successors), leaving already-clustered files untouched. Each cycle
+    * costs O(new bytes), never O(table); skipping needs no global
+    * structure — every output file's min/max envelope is tight on every
+    * listed column, so old cells and new cells prune independently.
+    * `nParts` bounds THIS cycle's output files. Falls back to clustering
+    * everything (≡ a first full pass) when no state exists, the recorded
+    * version fell below the log-compaction floor, or `cols` changed.
+    * Returns (files clustered, files written); (0, 0) = nothing new,
+    * no commit. Same unpartitioned-layout contract as [[zorderTx]]. */
+  def zorderIncrementalTx(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, cols: Seq[String], nParts: Int,
+                          bits: Int = 8): (Int, Int) = {
+    import graft.merge.TxTable
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"zorderIncrementalTx: ${cols.size} columns × $bits bits must fit a long")
+    val head = TxTable.headVersion(spark, dir)
+    require(head.isDefined, s"no TxTable at $dir")
+    require(!TxTable.liveEntriesForSql(spark, dir, None).exists(_.part.isDefined),
+      s"z-order flattens hive layouts: $dir is partitioned — cluster an " +
+        "unpartitioned layout")
+    val liveNow = TxTable.liveRelPaths(spark, dir)
+    val clustered: Set[String] =
+      TxTable.tableProperties(spark, dir).get(ZorderStateProp) match {
+        case Some(s) =>
+          val i = s.indexOf('|')
+          val (v, cs) = (s.substring(0, i).toLong, s.substring(i + 1))
+          if (cs != cols.mkString(",") ||
+              !TxTable.versions(spark, dir).contains(v)) Set.empty
+          else TxTable.liveRelPaths(spark, dir, Some(v)).toSet
+        case None => Set.empty
+      }
+    val candidates = liveNow.filterNot(clustered).toSet
+    if (candidates.isEmpty) return (0, 0)
+    TxTable.rewriteSet(spark, dir, candidates,
+      df => {
+        require(!df.columns.contains("zval"),
+          "table already has a 'zval' column — reserved by the z-order rewrite")
+        zOrderedN(df, cols, nParts, bits).drop("zval")
+      },
+      // the pinned commit lands at head+1 exactly; stamping that version
+      // makes THIS commit's live set the next pass's "already clustered"
+      props = Map(ZorderStateProp ->
+        s"${head.get + 1}|${cols.mkString(",")}"),
+      expectedHead = head)
+  }
+
   // ---------------------------------------------------------------------
   // Per-file Bloom sidecar index: file skipping BEYOND min/max. Parquet
   // envelopes (and the z-order layout above) prune RANGE predicates; a

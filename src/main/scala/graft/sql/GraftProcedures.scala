@@ -103,15 +103,24 @@ object GraftProcedures {
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("cols", StringType).build(),
         ProcedureParameter.in("n_files", IntegerType)
-          .defaultValue("16").build()),
+          .defaultValue("16").build(),
+        ProcedureParameter.in("incremental", BooleanType)
+          .defaultValue("false").build()),
       StructType(Seq(StructField("files_before", IntegerType),
         StructField("files_after", IntegerType))),
       { in =>
+        // incremental => cluster only files NOT live at the last pass
+        // (O(new bytes) per cycle; first pass ≡ full); false => the full
+        // one-commit table rewrite
         val dir = tableDir(cat, in.getUTF8String(0).toString)
         val cols = in.getUTF8String(1).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        val (before, after) = graft.ops.Layout.zorderTx(spark, dir,
-          cols, nParts = in.getInt(2))
+        val (before, after) =
+          if (in.getBoolean(3))
+            graft.ops.Layout.zorderIncrementalTx(spark, dir, cols,
+              nParts = in.getInt(2))
+          else graft.ops.Layout.zorderTx(spark, dir, cols,
+            nParts = in.getInt(2))
         Seq(InternalRow(before, after))
       })),
     "refresh_bloom" -> (cat => new BoundUnbound("refresh_bloom",

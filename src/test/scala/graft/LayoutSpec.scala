@@ -142,6 +142,52 @@ class LayoutSpec extends SparkTestBase {
     assert(got == want && got.getLong(0) == 8 * 64)
   }
 
+  test("incremental z-order: each pass clusters ONLY new files; old cells keep pruning") {
+    import graft.merge.TxTable
+    val dir = tmpDir("zx-inc")
+    def pts(lo: Int, hi: Int) = spark.createDataFrame(
+      for (x <- lo until hi; y <- 0 until 32)
+        yield (x.toLong, y.toLong, x * 32L + y)).toDF("x", "y", "payload")
+    TxTable.append(spark, dir, pts(0, 32).repartition(3))
+    // first pass = full clustering of everything live
+    val (c1, w1) = Layout.zorderIncrementalTx(spark, dir, Seq("x", "y"),
+      nParts = 8)
+    assert(c1 == 3 && w1 == 8)
+    val afterFirst = TxTable.liveFilePaths(spark, dir).toSet
+    // nothing new -> no commit at all
+    val head1 = TxTable.headVersion(spark, dir)
+    assert(Layout.zorderIncrementalTx(spark, dir, Seq("x", "y"), 8) == ((0, 0)))
+    assert(TxTable.headVersion(spark, dir) == head1)
+    // new appends: ONLY they cluster; the first pass's files never move
+    TxTable.append(spark, dir, pts(32, 64).repartition(2))
+    TxTable.append(spark, dir, pts(64, 96).repartition(2))
+    val (c2, w2) = Layout.zorderIncrementalTx(spark, dir, Seq("x", "y"),
+      nParts = 8)
+    assert(c2 == 4 && w2 == 8)
+    assert(afterFirst.subsetOf(TxTable.liveFilePaths(spark, dir).toSet))
+    // both generations prune on both dimensions (per-file envelopes need
+    // no global structure); rows are exactly preserved
+    val (keptX, totX) = TxTable.skippingStats(spark, dir, "x",
+      BigDecimal(0), BigDecimal(7))
+    val (keptY, totY) = TxTable.skippingStats(spark, dir, "y",
+      BigDecimal(0), BigDecimal(3))
+    assert(totX == 16 && keptX <= 4, s"x kept $keptX of $totX")
+    assert(keptY <= totY / 2, s"y kept $keptY of $totY")
+    assert(TxTable.read(spark, dir).get.agg(sum("payload")).head.getLong(0) ==
+      (for (x <- 0 until 96; y <- 0 until 32) yield x * 32L + y).sum)
+    // changing the column list invalidates the state: full recluster
+    val (c3, _) = Layout.zorderIncrementalTx(spark, dir, Seq("x"), 4)
+    assert(c3 == 16)
+    // compaction re-mixes files -> its outputs become candidates again
+    TxTable.compactSmallFiles(spark, dir,
+      targetBytes = 1L << 30, smallBytes = 1L << 30)
+    val (c4, _) = Layout.zorderIncrementalTx(spark, dir, Seq("x"), 4)
+    assert(c4 >= 1) // exactly the compaction outputs
+    // the clustering commit is maintenance: the change feed never saw it
+    assert(TxTable.readChanges(spark, dir,
+      TxTable.headVersion(spark, dir).get - 1).isEmpty)
+  }
+
   test("incremental bloom sidecar over a TxTable: refresh scans only new files, probes stay exact through appends and compaction") {
     import graft.merge.TxTable
     import spark.implicits._

@@ -762,6 +762,33 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(TxTable.exists(ext, dir))
   }
 
+  test("CALL graft.system.zorder(incremental => true): only new files cluster per cycle") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val sq = ext.sqlContext; import sq.implicits._
+    (1 to 40).map(i => (i.toLong, (i * 7 % 40).toLong))
+      .toDF("x", "y").repartition(3).createOrReplaceTempView("src_zi")
+    ext.sql("DROP TABLE IF EXISTS graft.db.zi")
+    ext.sql("CREATE TABLE graft.db.zi AS SELECT * FROM src_zi")
+    val r1 = ext.sql(
+      "CALL graft.system.zorder('db.zi', 'x,y', 4, incremental => true)")
+      .head
+    assert(r1.getInt(0) >= 1 && r1.getInt(1) == 4)
+    val dir = s"$lakeRoot/db/zi"
+    val afterFirst = TxTable.liveFilePaths(ext, dir).toSet
+    // nothing new: (0, 0), no commit
+    assert(ext.sql(
+      "CALL graft.system.zorder('db.zi', 'x,y', 4, incremental => true)")
+      .head.getInt(0) == 0)
+    // new data: ONLY it clusters, the first pass's files never move
+    ext.sql("INSERT INTO graft.db.zi SELECT id + 100, id FROM range(40)")
+    val r2 = ext.sql(
+      "CALL graft.system.zorder('db.zi', 'x,y', 4, incremental => true)")
+      .head
+    assert(r2.getInt(0) >= 1)
+    assert(afterFirst.subsetOf(TxTable.liveFilePaths(ext, dir).toSet))
+    assert(ext.sql("SELECT count(*) FROM graft.db.zi").head.getLong(0) == 80)
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES commits atomically; constraints arm") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     df(ext, 1 to 5, "a").createOrReplaceTempView("src_alter")
