@@ -118,6 +118,34 @@ object Streams {
         ()
       }
 
+    /** Streaming CDC-apply at scale: each micro-batch MERGEs into the
+      * TxTable target merge-on-read ([[MergeSink.mergeIntoDV]] — retired
+      * positions + appended copies in one atomic deletion-vector commit),
+      * so a trigger costs O(changed rows) written where the replace-based
+      * merge sinks rewrite their whole scope. The tri-clause algebra
+      * (tombstone delete / update / guarded insert / not-matched-by-source
+      * retirement) matches the SQL MERGE surface; conditions speak the
+      * `t.`/`s.` aliases. The batchId rides as a txn mark in the commit,
+      * so a redelivered micro-batch (or a full fresh-checkpoint replay)
+      * is a structural no-op — end-to-end exactly-once by the same
+      * argument as [[txAppendOnce]]. Pair with `CALL graft.system.
+      * purge_dvs` in the maintenance loop to bound the deleted fraction. */
+    def mergeCdcDV(dir: String, appId: String, keys: Seq[String],
+                   updateCols: Seq[String],
+                   matchedDeleteCond: Option[Column] = None,
+                   insertCond: Option[Column] = None,
+                   notMatchedBySourceDeleteCond: Option[Column] = None,
+                   orderCols: Seq[String] = Nil)
+        : (SparkSession, DataFrame, Long) => Unit =
+      (s, b, id) => {
+        if (!graft.merge.TxTable.lastTxn(s, dir, appId).exists(_ >= id))
+          MergeSink.mergeIntoDV(s, dir, b, keys, updateCols,
+            matchedDeleteCond = matchedDeleteCond,
+            insertCond = insertCond,
+            notMatchedBySourceDeleteCond = notMatchedBySourceDeleteCond,
+            orderCols = orderCols, txn = Some(appId -> id))
+      }
+
     /** Cluster-grade incremental dedup accounting as a streaming sink:
       * each micro-batch derives its near-dup edges against the persisted
       * ALL-docs signature index ([[graft.ext.Dedup.incrementalEdges]]),

@@ -1462,4 +1462,61 @@ class StreamsSpec extends SparkTestBase {
     assert(!emitted.isNullAt(0) && emitted.getLong(0) > 0)
     assert(emitted.getLong(0) <= Tables.load(spark, sf(), "events").count())
   }
+
+  test("mergeCdcDV sink: streamed CDC batches ≡ sequential batch merges; replay and fresh-checkpoint rerun are no-ops") {
+    import graft.merge.{MergeSink, TxTable}
+    val sq = spark.sqlContext; import sq.implicits._
+    // CDC feed: inserts, an update, a tombstone, a re-keyed insert — in
+    // three ordered micro-batches (one staged file per trigger)
+    val batches = Seq(
+      Seq((1L, "a1", 10.0, "U"), (2L, "b1", 20.0, "U"), (3L, "c1", 30.0, "U")),
+      Seq((2L, "b2", 22.0, "U"), (4L, "d1", 40.0, "U"), (3L, "x", 0.0, "D")),
+      Seq((5L, "e1", 50.0, "U"), (1L, "x", 0.0, "D"), (6L, "f1", 60.0, "U")))
+    val schema = batches.head.toDF("k", "v", "w", "op").schema
+    val flat = tmpDir("cdcdv-flat"); new java.io.File(flat).mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val one = tmpDir(s"cdcdv-b$i")
+      b.toDF("k", "v", "w", "op").coalesce(1).write.parquet(one)
+      val part = new java.io.File(one).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(flat, f"b$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    // baseline: the same tri-clause merge applied batch-by-batch (replace
+    // engine) on a twin table
+    val twin = tmpDir("cdcdv-twin")
+    batches.foreach { b =>
+      MergeSink.mergeIntoTx(spark, twin, b.toDF("k", "v", "w", "op"),
+        Seq("k"), updateCols = Seq("v", "w"),
+        matchedDeleteCond = Some(expr("s.op = 'D'")),
+        insertCond = Some(expr("s.op <> 'D'")))
+    }
+    val dir = tmpDir("cdcdv-tgt"); val ck = tmpDir("cdcdv-ck")
+    val sink = Streams.Sinks.mergeCdcDV(dir, "cdc-apply", Seq("k"),
+      updateCols = Seq("v", "w"),
+      matchedDeleteCond = Some(expr("s.op = 'D'")),
+      insertCond = Some(expr("s.op <> 'D'")))
+    def drain(checkpoint: String): Unit = {
+      val q = Streams.toMergeSink(
+        Streams.parquetStream(spark, flat, schema, maxFilesPerTrigger = 1),
+        checkpoint, Trigger.AvailableNow())(sink)
+      q.awaitTermination()
+    }
+    drain(ck)
+    def state(d: String): Map[Long, (String, Double)] =
+      TxTable.read(spark, d).get.select("k", "v", "w")
+        .as[(Long, String, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(state(dir) == state(twin))
+    assert(state(dir) == Map(2L -> (("b2", 22.0)), 4L -> (("d1", 40.0)),
+      5L -> (("e1", 50.0)), 6L -> (("f1", 60.0))))
+    // a FRESH checkpoint replays every batch: the txn marks make the
+    // rerun a structural no-op — same rows, no new data commit
+    val head = TxTable.headVersion(spark, dir)
+    drain(tmpDir("cdcdv-ck2"))
+    assert(TxTable.headVersion(spark, dir) == head)
+    assert(state(dir) == state(twin))
+  }
 }
