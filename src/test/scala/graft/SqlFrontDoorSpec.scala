@@ -930,6 +930,12 @@ class SqlFrontDoorSpec extends SparkTestBase {
     ext.sql("CREATE TABLE graft.meta.d AS SELECT 1L AS id, 'x' AS name")
     ext.sql("ALTER TABLE graft.meta.d SET TBLPROPERTIES('owner.team'='etl')")
 
+    // SHOW CREATE TABLE reconstructs the DDL from the V2 descriptor
+    val ddl = ext.sql("SHOW CREATE TABLE graft.meta.d").head.getString(0)
+    assert(ddl.startsWith("CREATE TABLE graft.meta.d") &&
+      ddl.contains("id BIGINT") && ddl.contains("name STRING") &&
+      ddl.contains("'owner.team' = 'etl'"), ddl)
+
     val desc = ext.sql("DESCRIBE TABLE graft.meta.d").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(desc.get("id").contains("bigint") &&
