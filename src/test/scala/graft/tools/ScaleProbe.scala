@@ -287,6 +287,43 @@ object ScaleProbe {
     val xK = time(s"asof_exec ${k}x")(asofExec(evK, odK))
     println(f"[probe] asof_exec ratio=${xK / x1}%.1f (k=$k, linear=~$k)")
 
+    // DELETE write amplification: the SAME sparse delete (one row in
+    // ~2k, touching nearly every file) on identical kx tables — CoW
+    // rewrites every touched file (~the table's bytes), merge-on-read
+    // writes the matched positions. Both pay the same find-the-rows
+    // scan; the gap IS the write amplification, and it widens linearly
+    // with file size (at 100 TB-class files, CoW rewrites GBs per
+    // touched file where DV writes KBs).
+    {
+      import graft.merge.TxTable
+      def freshDir(tag: String): String =
+        java.nio.file.Files.createTempDirectory(s"probe-$tag").toString + "/t"
+      val cowDir = freshDir("del-cow"); val dvDir = freshDir("del-dv")
+      val body = docsK.select(col("doc_id"), col("text"))
+      TxTable.replace(spark, cowDir, body)
+      TxTable.replace(spark, dvDir, body)
+      val cond = col("doc_id") % 1999 === 0
+      val tCow = time("delete_cow kx")(
+        TxTable.deleteWhere(spark, cowDir, cond).matchedRows)
+      val tDv = time("delete_dv kx")(
+        TxTable.deleteWhereDV(spark, dvDir, cond).matchedRows)
+      def liveBytes(d: String): Long = {
+        val fs = new org.apache.hadoop.fs.Path(d)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        TxTable.liveFilePaths(spark, d)
+          .map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
+      }
+      // bytes the delete WROTE: CoW = its rewritten files; DV = sidecar
+      val fsDv = new org.apache.hadoop.fs.Path(dvDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dvBytes = fsDv.listStatus(new org.apache.hadoop.fs.Path(dvDir, "data"))
+        .filter(_.getPath.getName.startsWith("dv-"))
+        .map(s => fsDv.getContentSummary(s.getPath).getLength).sum
+      println(f"[probe] delete write-amp: cow rewrote ~${liveBytes(cowDir)}%d B " +
+        f"of table, dv sidecar wrote ${dvBytes}%d B " +
+        f"(time cow/dv=${tCow / tDv}%.1f)")
+    }
+
     spark.stop()
   }
 }
