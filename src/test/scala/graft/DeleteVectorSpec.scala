@@ -289,6 +289,35 @@ class DeleteVectorSpec extends SparkTestBase {
     assert(TxTable.headVersion(spark, dir).get == v)
   }
 
+  test("racing DV deletes: the loser's withRetry re-scan sees the winner's vector") {
+    val dir = tmpDir("dv-race")
+    build(dir, n = 40, perFile = 20)
+    // two writers race overlapping deletes on the same files; OCC pins
+    // each commit to its pre-scan head, so exactly one attempt per round
+    // lands and the retry re-reads — the second delete's scan then runs
+    // against the first's vector (already-deleted rows can't re-match,
+    // counts stay exact)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val fa = Future(TxTable.withRetry() {
+      TxTable.deleteWhereDV(spark, dir, col("id") % 4 === 0) })
+    val fb = Future(TxTable.withRetry() {
+      TxTable.deleteWhereDV(spark, dir, col("id") % 4 === 1) })
+    val (sa, sb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    pool.shutdown()
+    assert(sa.matchedRows == 10 && sb.matchedRows == 10)
+    assert(ids(dir) == (0L until 40L).filterNot(i => i % 4 == 0 || i % 4 == 1))
+    // per-file cardinality is the union, never double-counted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deleted = TxTable.read(spark, dir) // sanity via the TVF-equivalent
+    assert(TxTable.hasLiveDvs(spark, dir))
+    assert(deleted.get.count() == 20)
+  }
+
   test("schema evolution: DV'd tables read declared columns; restore round-trips refs") {
     val dir = tmpDir("dv-evo")
     build(dir, n = 20, perFile = 10)

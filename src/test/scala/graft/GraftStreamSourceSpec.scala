@@ -113,6 +113,31 @@ class GraftStreamSourceSpec extends SparkTestBase {
       Map("skipChangeCommits" -> "true")) == (1L to 12L))
   }
 
+  test("a deletion-vector commit is a rewrite to appends mode: loud without skipChangeCommits, skipped with") {
+    val src = tmpDir("ss-dv")
+    TxTable.append(spark, src, df(1 to 10, "a"))
+    // MoR delete: no data file moves, but the touched file's LIVE rows
+    // changed — the (path, dv) identity presents it as remove+add, so an
+    // appends consumer must not silently re-emit or silently miss it
+    TxTable.deleteWhereDV(spark, src, col("id") > 8)
+    TxTable.append(spark, src, df(11 to 12, "b"))
+
+    val e = intercept[StreamingQueryException] {
+      drainAppends(src, tmpDir("ss-dv-ck1"), Map.empty)
+    }
+    assert(e.getCause.getMessage.contains("removed or rewrote files"),
+      e.getCause.getMessage)
+    // skipChangeCommits drops the dv version whole: pure appends flow,
+    // and the v1 file is read WITHOUT the vector (its rows as appended)
+    assert(drainAppends(src, tmpDir("ss-dv-ck2"),
+      Map("skipChangeCommits" -> "true")) == (1L to 12L))
+    // the cdc path handles it exactly (delete+insert pairs) — proven by
+    // ReplicatorSpec's merge-on-read sync case; here just the shape:
+    val ch = TxTable.readChanges(spark, src, 1L, Some(2L)).get
+    assert(ch.filter(col("_change_type") === "delete").count() == 10 &&
+      ch.filter(col("_change_type") === "insert").count() == 8)
+  }
+
   test("ignoreDeletes skips a delete-only commit (whole file dropped, no survivors)") {
     val src = tmpDir("ss-delonly")
     TxTable.append(spark, src, df(1 to 10, "a"))
