@@ -17,8 +17,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * both rewrite AT PARSE TIME to the equivalent TVF call
   * (`graft_history(...)` / `graft_files(...)`), so the statement forms
-  * add zero new execution surface — they ARE the TVFs. Everything else
-  * delegates to Spark's own parser untouched. */
+  * add zero new execution surface — they ARE the TVFs. The maintenance
+  * statements rewrite onto the procedure surface the same way:
+  *
+  *  - `VACUUM graft.db.t [RETAIN n VERSIONS] [DRY RUN]`
+  *    → `CALL graft.system.vacuum('db.t', ...)` (retention here is
+  *    version-based, so the spelling says VERSIONS where Delta says
+  *    HOURS — an honest rename, not a different semantics);
+  *  - `OPTIMIZE graft.db.t` → `CALL graft.system.compact_small_files`;
+  *  - `OPTIMIZE graft.db.t ZORDER BY (c1, c2)` → `CALL graft.system.
+  *    zorder` (the incremental form stays a CALL parameter).
+  *
+  * Maintenance statements need the catalog-qualified name (procedures
+  * resolve through the catalog); everything else delegates to Spark's
+  * own parser untouched. */
 final class GraftSqlParser(session: SparkSession,
                            delegate: ParserInterface) extends ParserInterface {
 
@@ -49,6 +61,25 @@ final class GraftSqlParser(session: SparkSession,
     }
   }
 
+  private val VacuumStmt =
+    """(?is)^\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
+  private val OptimizeStmt =
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+
+  /** (catalog, catalog-relative name) of a maintenance-statement target —
+    * procedures resolve table names through their own catalog. */
+  private def catRel(raw: String, stmt: String): (String, String) = {
+    val parts = delegate.parseMultipartIdentifier(raw.trim)
+    require(parts.length >= 2,
+      s"$stmt needs a catalog-qualified name (<catalog>.<ns...>.<table>), " +
+        s"got '$raw' — for bare paths use the TxTable API or the TVFs")
+    require(session.conf.getOption(
+        s"spark.sql.catalog.${parts.head}.root").isDefined,
+      s"$stmt: '${parts.head}' is not a configured graft catalog " +
+        "(spark.sql.catalog.<name>.root is unset)")
+    (parts.head, parts.tail.mkString("."))
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DescribeHistory(target) =>
       delegate.parsePlan(
@@ -56,6 +87,24 @@ final class GraftSqlParser(session: SparkSession,
     case DescribeDetail(target) =>
       delegate.parsePlan(
         s"SELECT * FROM graft_files(${quote(dirOf(target))})")
+    case VacuumStmt(target, retain, dry) =>
+      val (cat, rel) = catRel(target, "VACUUM")
+      val args = Seq(quote(rel)) ++
+        Option(retain).map(r => s"retain_versions => $r") ++
+        Option(dry).map(_ => "dry_run => true")
+      delegate.parsePlan(s"CALL $cat.system.vacuum(${args.mkString(", ")})")
+    case OptimizeStmt(target, zcols) =>
+      val (cat, rel) = catRel(target, "OPTIMIZE")
+      Option(zcols) match {
+        case None =>
+          delegate.parsePlan(
+            s"CALL $cat.system.compact_small_files(${quote(rel)})")
+        case Some(cs) =>
+          val cols = cs.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).mkString(",")
+          delegate.parsePlan(
+            s"CALL $cat.system.zorder(${quote(rel)}, ${quote(cols)})")
+      }
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -762,6 +762,39 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(TxTable.exists(ext, dir))
   }
 
+  test("VACUUM and OPTIMIZE statement forms rewrite onto the procedure surface") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.stmt_t")
+    df(ext, 1 to 20, "s").createOrReplaceTempView("src_stmt")
+    ext.sql("CREATE TABLE graft.db.stmt_t AS SELECT * FROM src_stmt")
+    ext.sql("INSERT INTO graft.db.stmt_t SELECT * FROM src_stmt WHERE id <= 5")
+    val dir = s"$lakeRoot/db/stmt_t"
+
+    // OPTIMIZE = bin packing; the ZORDER BY form = the clustering rewrite
+    val packed = ext.sql("OPTIMIZE graft.db.stmt_t").head
+    assert(packed.getInt(0) == 2 && packed.getInt(1) == 1)
+    val z = ext.sql("OPTIMIZE graft.db.stmt_t ZORDER BY (id, score)").head
+    assert(z.getInt(1) == 16) // zorder's default n_files
+    assert(ext.sql("SELECT count(*) FROM graft.db.stmt_t")
+      .head.getLong(0) == 25)
+
+    // VACUUM DRY RUN reports without deleting; the real run reclaims the
+    // same set (version-based retention, hence the VERSIONS spelling)
+    val dry = ext.sql("VACUUM graft.db.stmt_t DRY RUN").collect()
+    assert(dry.last.getString(0) == "reclaimable")
+    assert(ext.sql("SELECT count(*) FROM graft.db.stmt_t VERSION AS OF 1")
+      .head.getLong(0) == 20) // nothing deleted yet
+    val real = ext.sql("VACUUM graft.db.stmt_t RETAIN 1 VERSIONS").collect()
+    assert(real.last.getString(0) == "reclaimed")
+    assert(real.map(_.getString(1)).init.toSet ==
+      dry.map(_.getString(1)).init.toSet)
+    assert(ext.sql("SELECT count(*) FROM graft.db.stmt_t")
+      .head.getLong(0) == 25)
+    // an unqualified target is refused with the pointer, not misparsed
+    val e = intercept[Exception](ext.sql("VACUUM stmt_t"))
+    assert(e.getMessage.contains("catalog-qualified"), e.getMessage)
+  }
+
   test("CALL graft.system.zorder(incremental => true): only new files cluster per cycle") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     val sq = ext.sqlContext; import sq.implicits._
