@@ -26,7 +26,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    HOURS — an honest rename, not a different semantics);
   *  - `OPTIMIZE graft.db.t` → `CALL graft.system.compact_small_files`;
   *  - `OPTIMIZE graft.db.t ZORDER BY (c1, c2)` → `CALL graft.system.
-  *    zorder` (the incremental form stays a CALL parameter).
+  *    zorder` (the incremental form stays a CALL parameter);
+  *  - `RESTORE [TABLE] graft.db.t TO VERSION AS OF n` →
+  *    `CALL graft.system.restore` (metadata-only rollback).
   *
   * Maintenance statements need the catalog-qualified name (procedures
   * resolve through the catalog); everything else delegates to Spark's
@@ -65,6 +67,8 @@ final class GraftSqlParser(session: SparkSession,
     """(?is)^\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val OptimizeStmt =
     """(?is)^\s*OPTIMIZE\s+([\w.`]+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val RestoreStmt =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   /** (catalog, catalog-relative name) of a maintenance-statement target —
     * procedures resolve table names through their own catalog. */
@@ -105,6 +109,10 @@ final class GraftSqlParser(session: SparkSession,
           delegate.parsePlan(
             s"CALL $cat.system.zorder(${quote(rel)}, ${quote(cols)})")
       }
+    case RestoreStmt(target, version) =>
+      val (cat, rel) = catRel(target, "RESTORE")
+      delegate.parsePlan(
+        s"CALL $cat.system.restore(${quote(rel)}, ${version}L)")
     case _ => delegate.parsePlan(sqlText)
   }
 

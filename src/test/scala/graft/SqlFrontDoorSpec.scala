@@ -793,6 +793,15 @@ class SqlFrontDoorSpec extends SparkTestBase {
     // an unqualified target is refused with the pointer, not misparsed
     val e = intercept[Exception](ext.sql("VACUUM stmt_t"))
     assert(e.getMessage.contains("catalog-qualified"), e.getMessage)
+
+    // RESTORE TABLE ... TO VERSION AS OF rolls back metadata-only
+    ext.sql("DELETE FROM graft.db.stmt_t WHERE id > 3")
+    val headBefore = TxTable.headVersion(ext, dir).get
+    ext.sql(s"RESTORE TABLE graft.db.stmt_t TO VERSION AS OF ${headBefore - 1}")
+    assert(ext.sql("SELECT count(*) FROM graft.db.stmt_t")
+      .head.getLong(0) == 25)
+    // the restore is itself a new commit — the mistake stays inspectable
+    assert(TxTable.headVersion(ext, dir).contains(headBefore + 1))
   }
 
   test("CALL graft.system.zorder(incremental => true): only new files cluster per cycle") {
