@@ -868,9 +868,50 @@ object TxTable {
       case Some(s) =>
         liveAll.filter(_.part.exists(p => s.exists(partMatches(p, _))))
     }
-    if (live.isEmpty) None
-    else Some(present(spark, framesFor(spark, dir, live),
+    if (live.nonEmpty)
+      Some(present(spark, framesFor(spark, dir, live), fs, dir, asOf))
+    else if (parts.isEmpty && liveAll.isEmpty)
+      // zero live files but a DECLARED schema (truncate, or a delete
+      // that emptied the table): an empty typed frame — the table keeps
+      // its shape, like any metadata-carrying format
+      emptyDeclared(spark, fs, dir, asOf)
+    else None
+  }
+
+  /** Empty frame carrying the declared schema (None when none declared) —
+    * the read of a schema'd-but-empty table. */
+  private def emptyDeclared(spark: SparkSession, fs: FileSystem,
+                            dir: String,
+                            asOf: Option[Long]): Option[DataFrame] = {
+    val fields = evolutionFields(fs, dir, asOf)
+    if (fields.isEmpty) None
+    else Some(presentLogical(
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(fields)),
       fs, dir, asOf))
+  }
+
+  /** TRUNCATE: one atomic commit that empties the live set AND records
+    * the current full (physical) schema as declared fields, so the table
+    * keeps its shape — reads return an empty typed frame, DESCRIBE and
+    * INSERT keep working, and time travel below the commit still reads
+    * the rows (retention governs the bytes, as for every delete). */
+  def truncate(spark: SparkSession, dir: String,
+               expectedHead: Option[Long] = None): Unit = {
+    val fs = hadoopFs(spark, dir)
+    val head = expectedHead.orElse(headVersion(spark, dir))
+    require(head.isDefined, s"no TxTable at $dir")
+    // physical schema (pre-mapping): the declared fields live below the
+    // rename/drop presentation, exactly like ADD COLUMNS declarations
+    val schema = scanSchema(spark, dir, None)
+    val prior = evolutionFields(fs, dir, None)
+    val priorNames = prior.map(_.name).toSet
+    val fields = prior ++ schema.fields.filterNot(f => priorNames(f.name))
+      .map(f => StructField(f.name, f.dataType))
+    commit(fs, dir, Commit("replace", None, None, Nil, Nil, Nil,
+      if (fields.isEmpty) Nil
+      else Seq(SchemaAddedProp -> StructType(fields).json)), head)
   }
 
   /** Internal helper names the deletion-vector read path tags rows with;
@@ -1533,11 +1574,14 @@ object TxTable {
                                 asOf: Option[Long]): StructType = {
     val fs = hadoopFs(spark, dir)
     val (live, _) = replay(fs, dir, asOf)
-    if (live.isEmpty) new StructType()
+    val dropped = mappingState(fs, dir, asOf)._2
+    if (live.isEmpty)
+      // empty table: the declared schema IS the schema (see [[truncate]])
+      StructType(evolutionFields(fs, dir, asOf)
+        .filterNot(f => dropped.contains(f.name)))
     else {
       val widened = widenWithEvolution(spark,
         framesFor(spark, dir, live), fs, dir, asOf)
-      val dropped = mappingState(fs, dir, asOf)._2
       StructType(widened.schema.filterNot(f => dropped.contains(f.name)))
     }
   }
@@ -1843,8 +1887,23 @@ object TxTable {
         fs, dir, None), hit)
     enforceConstraints(spark, dir, next)
     val files = stage(spark, dir, next, partCols)
+    // a rewrite that empties the table records the (physical) schema as
+    // declared fields IN the same commit — the table keeps its shape for
+    // reads/DESCRIBE/INSERT instead of becoming schema-less (see
+    // [[truncate]]; data files are this format's schema carrier)
+    val props =
+      if (files.nonEmpty || touched.size != live.size) Nil
+      else {
+        val prior = evolutionFields(fs, dir, None)
+        val priorNames = prior.map(_.name).toSet
+        val fields = prior ++ scanSchema(spark, dir, None).fields
+          .filterNot(f => priorNames(f.name))
+          .map(f => StructField(f.name, f.dataType))
+        if (fields.isEmpty) Nil
+        else Seq(SchemaAddedProp -> StructType(fields).json)
+      }
     commit(fs, dir, Commit("rewrite", partColField(partCols), None,
-      touched.map(_.path), files, txn.toSeq), head)
+      touched.map(_.path), files, txn.toSeq, props), head)
     RewriteStats(matched, touched.size, live.size)
   }
 

@@ -267,7 +267,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * and write plans are substituted by [[GraftSqlRules]] during resolution
   * — Spark never reads a row through this object. */
 final class GraftSqlTable(val dir: String, val asOf: Option[Long],
-                          ident: String) extends Table {
+                          ident: String) extends Table
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `TRUNCATE TABLE` — one atomic commit that empties the live set and
+    * records the schema as declared fields ([[TxTable.truncate]]): the
+    * table keeps its shape, time travel below the commit keeps the rows. */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty,
+      "TRUNCATE against a time-travelled snapshot is meaningless — " +
+        "target the table head")
+    TxTable.truncate(SparkSession.active, dir)
+    true
+  }
 
   private lazy val schema0: StructType =
     GraftSql.tableSchema(SparkSession.active, dir, asOf)

@@ -804,6 +804,40 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(TxTable.headVersion(ext, dir).contains(headBefore + 1))
   }
 
+  test("an emptied table keeps its schema: full DELETE, TRUNCATE TABLE, and refill") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.empt")
+    df(ext, 1 to 10, "e").createOrReplaceTempView("src_empt")
+    ext.sql("CREATE TABLE graft.db.empt AS SELECT * FROM src_empt")
+    val dir = s"$lakeRoot/db/empt"
+
+    // a DELETE that matches every row leaves ZERO live files — the
+    // schema must survive as declared fields (recorded in the same
+    // rewrite commit), so reads, DESCRIBE, and INSERT keep working
+    ext.sql("DELETE FROM graft.db.empt WHERE id >= 1")
+    assert(ext.sql("SELECT count(*) FROM graft.db.empt").head.getLong(0) == 0)
+    assert(ext.sql("SELECT id, name, score FROM graft.db.empt").isEmpty)
+    assert(ext.table("graft.db.empt").columns.toSeq ==
+      Seq("id", "name", "score"))
+    assert(TxTable.read(ext, dir).get.isEmpty) // API agrees: Some(empty)
+    ext.sql("INSERT INTO graft.db.empt SELECT * FROM src_empt")
+    assert(ext.sql("SELECT count(*) FROM graft.db.empt").head.getLong(0) == 10)
+
+    // TRUNCATE TABLE: same contract through the V2 statement
+    val vPre = TxTable.headVersion(ext, dir).get
+    ext.sql("TRUNCATE TABLE graft.db.empt")
+    assert(ext.sql("SELECT count(*) FROM graft.db.empt").head.getLong(0) == 0)
+    assert(ext.table("graft.db.empt").columns.toSeq ==
+      Seq("id", "name", "score"))
+    // time travel below the truncate keeps the rows
+    assert(ext.sql(s"SELECT count(*) FROM graft.db.empt VERSION AS OF $vPre")
+      .head.getLong(0) == 10)
+    // and the table refills with the same shape
+    ext.sql("INSERT INTO graft.db.empt SELECT 99, 'post', 1.0")
+    assert(ext.sql("SELECT name FROM graft.db.empt").head.getString(0) ==
+      "post")
+  }
+
   test("CALL graft.system.zorder(incremental => true): only new files cluster per cycle") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     val sq = ext.sqlContext; import sq.implicits._
