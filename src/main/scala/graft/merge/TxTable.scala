@@ -518,7 +518,12 @@ object TxTable {
     val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(render(c).getBytes(UTF_8)) finally out.close()
-    val maxAttempts = if (c.action == "append") 5 else 1
+    // an append with an explicit expectedHead is ALSO pinned: it is a
+    // read-merge-write in disguise (the schema-DDL property commits merge
+    // the full mapping/declaration state they read at entry), so slot
+    // retry would silently last-writer-win over a racing DDL
+    val freeAppend = c.action == "append" && expectedHead.isEmpty
+    val maxAttempts = if (freeAppend) 5 else 1
     // non-append: pin the slot to the version the caller read
     // (`expectedHead`) — if anything committed since, the state this commit
     // was merged against is stale and claiming a later slot would silently
@@ -532,7 +537,7 @@ object TxTable {
     while (!done) {
       attempt += 1
       val next =
-        if (c.action == "append")
+        if (freeAppend)
           listCommits(fs, dir).lastOption.map(_._1 + 1).getOrElse(1L)
         else pinned
       val slot = new Path(ld, f"$next%020d.commit")
@@ -903,15 +908,15 @@ object TxTable {
     val head = expectedHead.orElse(headVersion(spark, dir))
     require(head.isDefined, s"no TxTable at $dir")
     // physical schema (pre-mapping): the declared fields live below the
-    // rename/drop presentation, exactly like ADD COLUMNS declarations
-    val schema = scanSchema(spark, dir, None)
-    val prior = evolutionFields(fs, dir, None)
-    val priorNames = prior.map(_.name).toSet
-    val fields = prior ++ schema.fields.filterNot(f => priorNames(f.name))
-      .map(f => StructField(f.name, f.dataType))
+    // rename/drop presentation, exactly like ADD COLUMNS declarations.
+    // The partition layout of the set being emptied rides along (falling
+    // back to a prior declaration when the table was already empty).
+    val partCols = replay(fs, dir)._1.flatMap(_.part).headOption
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
+      .getOrElse(declaredPartitionCols(spark, dir))
     commit(fs, dir, Commit("replace", None, None, Nil, Nil, Nil,
-      if (fields.isEmpty) Nil
-      else Seq(SchemaAddedProp -> StructType(fields).json)), head)
+      declaredShapeProps(fs, dir, scanSchema(spark, dir, None).fields.toSeq,
+        partCols)), head)
   }
 
   /** Internal helper names the deletion-vector read path tags rows with;
@@ -1298,10 +1303,21 @@ object TxTable {
               txn: Option[(String, Long)] = None,
               dataChange: Boolean = true): Unit = {
     enforceConstraints(spark, dir, df)
+    val fs = hadoopFs(spark, dir)
     val files = stage(spark, dir, df, partitionCols)
-    commit(hadoopFs(spark, dir), dir,
+    // a replace whose result is EMPTY (INSERT OVERWRITE of an empty
+    // SELECT, a CoW MERGE that deleted everything) still declares the
+    // table's shape — otherwise read() would return None and the SQL
+    // schema would vanish, inconsistent with TRUNCATE/DELETE-to-empty.
+    // The declared schema is the incoming frame's, in the PHYSICAL names
+    // files would have carried (same layer as every declaration).
+    val props =
+      if (files.nonEmpty) Nil
+      else declaredShapeProps(fs, dir,
+        toPhysical(df, fs, dir).schema.fields.toSeq, partitionCols)
+    commit(fs, dir,
       Commit("replace", partColField(partitionCols), scheme, Nil, files,
-        txn.toSeq, dataChange = dataChange),
+        txn.toSeq, props, dataChange = dataChange),
       expectedHead)
   }
 
@@ -1316,6 +1332,39 @@ object TxTable {
     commit(hadoopFs(spark, dir), dir,
       Commit("append", partColField(partitionCols), None, Nil, files,
         txn.toSeq))
+  }
+
+  /** DDL-first table creation (the `CREATE TABLE` the reference's whole
+    * bootstrap is built on, `setup_target.py:11-242`): one atomic first
+    * commit carrying the declared schema, the partition layout, and any
+    * initial table properties — zero data files. Reads return an empty
+    * typed frame, DESCRIBE shows schema + partitioning, INSERT lands under
+    * the declared layout, and `constraint.*` properties arm CHECKs from
+    * the very first write. Refuses an existing table (CTAS/IF NOT EXISTS
+    * handling is the caller's). Partition columns must be declared fields;
+    * the `graft.schema.*` namespace is managed here, not via `props`. */
+  def create(spark: SparkSession, dir: String, schema: StructType,
+             partitionCols: Seq[String] = Nil,
+             props: Map[String, String] = Map.empty): Unit = {
+    require(!exists(spark, dir), s"TxTable already exists at $dir")
+    require(schema.fields.nonEmpty, s"CREATE TABLE $dir with no columns")
+    schema.fields.foreach(f => requireMappableName(f.name, "column"))
+    val names = schema.fieldNames.toSeq
+    require(names.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+      .size == names.size, s"duplicate column name in CREATE TABLE $dir: " +
+      names.mkString(", "))
+    val missing = partitionCols.filterNot(names.contains)
+    require(missing.isEmpty,
+      s"PARTITIONED BY column(s) ${missing.mkString(", ")} not in the " +
+        s"declared schema of $dir")
+    require(!props.keys.exists(_.startsWith("graft.schema.")),
+      "graft.schema.* properties are managed by the DDL itself")
+    val fs = hadoopFs(spark, dir)
+    commit(fs, dir, Commit("append", partColField(partitionCols), None,
+      Nil, Nil, Nil,
+      (declaredShapeProps(fs, dir,
+        schema.fields.map(f => StructField(f.name, f.dataType)).toSeq,
+        partitionCols) ++ props.toSeq.sortBy(_._1))))
   }
 
   /** Current table properties (latest value per key; removed keys absent). */
@@ -1335,15 +1384,58 @@ object TxTable {
   }
 
   /** Property commit without the graft.schema.* guard — the internal
-    * vehicle of the schema DDL methods themselves. */
+    * vehicle of the schema DDL methods themselves. `expectedHead` pins the
+    * commit to the head version the caller's state read saw (OCC): the
+    * schema DDLs read-merge-write the FULL mapping/declaration string, so
+    * an unpinned slot retry would silently drop a racing DDL's change. */
   private def commitProps(spark: SparkSession, dir: String,
-                          props: Map[String, String]): Unit =
+                          props: Map[String, String],
+                          expectedHead: Option[Long] = None): Unit =
     commit(hadoopFs(spark, dir), dir,
-      Commit("append", None, None, Nil, Nil, Nil, props.toSeq.sortBy(_._1)))
+      Commit("append", None, None, Nil, Nil, Nil, props.toSeq.sortBy(_._1)),
+      expectedHead)
 
   /** Property key holding the ADD COLUMNS-declared extension of the
     * data-carried schema, as a compact StructType JSON. */
   private val SchemaAddedProp = "graft.schema.added"
+
+  /** Property key holding the declared partition column list (comma-
+    * joined, physical names — partition columns can never be renamed).
+    * Recorded by every commit that empties the live set ([[truncate]],
+    * replace/rewrite-to-empty) and by DDL-first [[create]], because the
+    * live files are otherwise the layout's only carrier: without it a
+    * TRUNCATE of a partitioned table would silently drop the layout and
+    * the next INSERT would land unpartitioned (Delta keeps the partition
+    * spec in table metadata across TRUNCATE; so does this). Consulted
+    * only when the live set is empty — live fragments stay the source of
+    * truth otherwise. */
+  private val SchemaPartitionsProp = "graft.schema.partitions"
+
+  /** Declared partition columns as of `asOf` (empty when none declared) —
+    * the empty-live-set fallback the SQL front door plans inserts with. */
+  private[graft] def declaredPartitionCols(spark: SparkSession, dir: String,
+                                           asOf: Option[Long] = None): Seq[String] =
+    propsState(hadoopFs(spark, dir), dir, asOf).get(SchemaPartitionsProp)
+      .toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** Props an emptying commit (or DDL-first create) carries so the table
+    * keeps its SHAPE with zero live files: the schema as declared fields
+    * (merged over any prior declaration, declaration order preserved) and
+    * the partition layout. Reads return an empty typed frame, DESCRIBE
+    * and INSERT keep working, the next INSERT lands partitioned. */
+  private def declaredShapeProps(fs: FileSystem, dir: String,
+                                 schema: Seq[StructField],
+                                 partitionCols: Seq[String]): Seq[(String, String)] = {
+    val prior = evolutionFields(fs, dir, None)
+    val priorNames = prior.map(_.name).toSet
+    val fields = prior ++ schema.filterNot(f => priorNames(f.name))
+      .map(f => StructField(f.name, f.dataType))
+    (if (fields.isEmpty) Nil
+     else Seq(SchemaAddedProp -> StructType(fields).json)) :+
+      // empty value = property removed (an unpartitioned emptying clears
+      // any stale declared layout)
+      (SchemaPartitionsProp -> partitionCols.mkString(","))
+  }
 
   /** Property key holding the column-mapping state (RENAME/DROP COLUMN —
     * the Delta column-mapping idea cut to name mapping): data files keep
@@ -1448,10 +1540,13 @@ object TxTable {
     * of a name the table has ever carried physically (old files would
     * leak their bytes into the reborn column). */
   def renameColumn(spark: SparkSession, dir: String, from: String,
-                   to: String): Unit = {
+                   to: String): Unit = withRetry() {
     require(exists(spark, dir), s"no TxTable at $dir")
     requireMappableName(from, "column"); requireMappableName(to, "column")
     val fs = hadoopFs(spark, dir)
+    // OCC: the mapping merge below is valid only against this head — a
+    // racing DDL conflicts (and the whole closure retries on fresh state)
+    val head = headVersion(spark, dir)
     val (ren, dropped) = mappingState(fs, dir, None)
     val logical = read(spark, dir).map(_.columns.toSeq).getOrElse(Nil)
     require(logical.contains(from),
@@ -1480,7 +1575,7 @@ object TxTable {
     val ren2 = (ren - physical0) ++
       (if (physical0 == to) Nil else Seq(physical0 -> to))
     commitProps(spark, dir,
-      Map(SchemaMappingProp -> renderMapping(ren2, dropped)))
+      Map(SchemaMappingProp -> renderMapping(ren2, dropped)), head)
   }
 
   /** `ALTER TABLE ... DROP COLUMN` — metadata-only: the physical column
@@ -1490,11 +1585,12 @@ object TxTable {
     * as [[renameColumn]] for partition/constraint columns; dropping every
     * column is refused. */
   def dropColumns(spark: SparkSession, dir: String,
-                  names: Seq[String]): Unit = {
+                  names: Seq[String]): Unit = withRetry() {
     require(names.nonEmpty, "dropColumns needs >= 1 column")
     require(exists(spark, dir), s"no TxTable at $dir")
     names.foreach(requireMappableName(_, "column"))
     val fs = hadoopFs(spark, dir)
+    val head = headVersion(spark, dir) // OCC pin, as renameColumn
     val (ren, dropped) = mappingState(fs, dir, None)
     val logical = read(spark, dir).map(_.columns.toSeq).getOrElse(Nil)
     val missing = names.filterNot(logical.contains)
@@ -1514,7 +1610,7 @@ object TxTable {
         s"constraints on $dir — drop the constraints first")
     val physicals = names.map(n => ren.find(_._2 == n).map(_._1).getOrElse(n))
     commitProps(spark, dir, Map(SchemaMappingProp ->
-      renderMapping(ren -- physicals, dropped ++ physicals)))
+      renderMapping(ren -- physicals, dropped ++ physicals)), head)
   }
 
   /** Columns declared by [[addColumns]] as of `asOf`, in declaration
@@ -1604,10 +1700,11 @@ object TxTable {
     * Columns must be nullable (existing rows have no value) and must not
     * collide with any current column under the session's case rules. */
   def addColumns(spark: SparkSession, dir: String,
-                 fields: Seq[StructField]): Unit = {
+                 fields: Seq[StructField]): Unit = withRetry() {
     require(fields.nonEmpty, "addColumns needs at least one column")
     require(exists(spark, dir), s"no TxTable at $dir")
     val fs = hadoopFs(spark, dir)
+    val head = headVersion(spark, dir) // OCC pin, as renameColumn
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def key(n: String): String =
@@ -1631,7 +1728,7 @@ object TxTable {
     require(fields.map(f => key(f.name)).distinct.size == fields.size,
       s"duplicate column name in ADD COLUMNS: ${fields.map(_.name).mkString(", ")}")
     commit(fs, dir, Commit("append", None, None, Nil, Nil, Nil,
-      Seq(SchemaAddedProp -> StructType(prior ++ fields).json)))
+      Seq(SchemaAddedProp -> StructType(prior ++ fields).json)), head)
   }
 
   private val ConstraintPrefix = "constraint."
@@ -1893,15 +1990,8 @@ object TxTable {
     // [[truncate]]; data files are this format's schema carrier)
     val props =
       if (files.nonEmpty || touched.size != live.size) Nil
-      else {
-        val prior = evolutionFields(fs, dir, None)
-        val priorNames = prior.map(_.name).toSet
-        val fields = prior ++ scanSchema(spark, dir, None).fields
-          .filterNot(f => priorNames(f.name))
-          .map(f => StructField(f.name, f.dataType))
-        if (fields.isEmpty) Nil
-        else Seq(SchemaAddedProp -> StructType(fields).json)
-      }
+      else declaredShapeProps(fs, dir,
+        scanSchema(spark, dir, None).fields.toSeq, partCols)
     commit(fs, dir, Commit("rewrite", partColField(partCols), None,
       touched.map(_.path), files, txn.toSeq, props), head)
     RewriteStats(matched, touched.size, live.size)
@@ -1997,10 +2087,13 @@ object TxTable {
     val rootQ = fs.makeQualified(new Path(dir)).toString
     val batch = s"dv-${java.util.UUID.randomUUID()}"
     val out = new Path(new Path(dir, DataDirName), batch)
-    // the sidecar stores table-relative paths so the table stays relocatable
+    // the sidecar stores table-relative paths so the table stays
+    // relocatable; distinct() so a caller passing duplicate (file, pos)
+    // pairs can't inflate the deleted counts purgeDvs decides on
     deletes.select(col("file")
         .substr(lit(rootQ.length + 2), lit(Int.MaxValue)).as("file"),
         col("pos"))
+      .distinct()
       .repartition(col("file")).sortWithinPartitions("file", "pos")
       .write.parquet(out.toString)
     val staged = {
@@ -2022,7 +2115,13 @@ object TxTable {
         s"applyRowChanges surfaced non-live file $p — concurrent " +
           "vacuum below the retention window?")))
     // fold the touched files' EXISTING vectors into the new sidecar (same
-    // directory, second small write), so each file keeps exactly one ref
+    // directory, second small write), so each file keeps exactly one ref.
+    // Carried rows are anti-joined against the NEW rows first: a caller
+    // passing positions that are already deleted (not derived from a
+    // DV-aware scan — readTagged callers can't, but this is a public API)
+    // must not produce duplicate sidecar rows or double-counted `deleted`
+    // (reads stay correct either way via the anti-join; the COUNTS drive
+    // purgeDvs' deleted-fraction policy and must be exact).
     val carried = touched.filter(_.dv.isDefined)
     if (carried.nonEmpty) {
       val refs = carried.map(e => (e.path, e.dv.get.dir))
@@ -2032,10 +2131,12 @@ object TxTable {
         spark.read.parquet(new Path(dir, d).toString)
           .select(col("file"), col("pos"), lit(d).as("__graft_del_src"))
       }.reduce(_.union(_))
+      val newRows = spark.read.parquet(out.toString).select("file", "pos")
       olds.join(broadcast(refDf),
           olds("file") === refDf("__graft_ref_file") &&
             olds("__graft_del_src") === refDf("__graft_ref_dv"), "left_semi")
         .select("file", "pos")
+        .join(newRows, Seq("file", "pos"), "left_anti")
         .repartition(col("file")).sortWithinPartitions("file", "pos")
         .write.mode("append").parquet(out.toString)
     }
@@ -2056,16 +2157,26 @@ object TxTable {
       return DvStats(0L, 0, live.size)
     }
     if (newCounts.isEmpty) fs.delete(out, true) // pure-append change set
-    // merged cardinality = new deletes + carried-over (disjoint by
-    // construction: a DV-aware scan never re-surfaces a deleted position)
+    // merged per-file cardinality: exact distinct counts. With no carried
+    // vectors the deduped new counts ARE the totals; with carried ones,
+    // one more read of the (small) merged sidecar — new ∪ (carried \ new)
+    // is distinct by construction of the anti-join above.
+    val finalCounts =
+      if (carried.isEmpty) newCounts
+      else spark.read.parquet(out.toString)
+        .groupBy("file").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     val refsNew = touched.map(e =>
-      e.path -> DvRef(s"$DataDirName/$batch",
-        newCounts(e.path) + e.dv.map(_.deleted).getOrElse(0L)))
+      e.path -> DvRef(s"$DataDirName/$batch", finalCounts(e.path)))
     val partCol = live.flatMap(_.part).headOption
       .map(_.split('/').map(_.takeWhile(_ != '=')).mkString(","))
     commit(fs, dir, Commit("dv", partCol, None, Nil, files, txn.toSeq,
       dvRefs = refsNew), head)
-    DvStats(newCounts.values.sum, touched.size, live.size)
+    // newly deleted = merged totals minus what the carried vectors already
+    // held — exact even when the caller re-submits already-deleted pairs
+    DvStats(finalCounts.values.sum -
+        carried.map(_.dv.get.deleted).sum,
+      touched.size, live.size)
   }
 
   /** Row-level UPDATE, merge-on-read — [[deleteWhereDV]]'s mechanics with

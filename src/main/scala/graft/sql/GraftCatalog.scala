@@ -107,16 +107,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def invalidateTable(ident: Identifier): Unit = ()
 
-  /** Plain CREATE TABLE (schema-only) is not supported: a TxTable's schema
-    * is carried by its data commits. CTAS works — [[GraftSqlRules]]
-    * rewrites it to an atomic first-commit insert before this is ever
-    * consulted. */
+  /** DDL-first `CREATE TABLE` (+ `PARTITIONED BY`, `TBLPROPERTIES`) — one
+    * atomic schema-only first commit ([[TxTable.create]]): the table
+    * exists with declared fields and layout and zero data files; reads
+    * return an empty typed frame, DESCRIBE and INSERT work immediately,
+    * and `constraint.*` properties arm CHECKs from the first write. CTAS
+    * still never reaches here ([[GraftSqlRules]] rewrites it to an atomic
+    * first-commit insert). Engine-reserved property keys Spark threads
+    * through (provider/location/owner/...) are dropped, not persisted. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by their first write: use CREATE TABLE " +
-        "... AS SELECT, df.write.format(\"graft\"), or TxTable.append")
+                           properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (TxTable.exists(spark, dir))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    val partCols = partitions.map { t =>
+      require(t.name == "identity",
+        s"graft tables support identity partitioning only, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }.toSeq
+    val reserved = Set("provider", "location", "owner", "external",
+      "comment", "option.path", "path", "is_managed_location")
+    val props = properties.asScala.toMap
+      .filterNot { case (k, _) => reserved.contains(k.toLowerCase) }
+    TxTable.create(spark, dir, schema, partCols, props)
+    new GraftSqlTable(dir, None, fullName(ident))
+  }
 
   /** Property changes land as one atomic empty-commit property update —
     * including the `constraint.<name>` namespace, so

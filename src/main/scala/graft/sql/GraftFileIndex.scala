@@ -68,10 +68,14 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     // partition columns from the live fragments themselves (the files are
     // the source of truth; the commit partCol field is informational) —
     // derived from the FULL set so an all-DV'd table still types its
-    // partition columns correctly
+    // partition columns correctly. An EMPTY live set falls back to the
+    // declared layout (TRUNCATE / DDL-first CREATE TABLE record it), so
+    // DESCRIBE keeps showing the partitioning and the next INSERT lands
+    // partitioned instead of silently flattening the table.
     val partCols: Seq[String] = allEntries.flatMap(_.part).headOption
       .map(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
-      .getOrElse(Nil)
+      .getOrElse(if (allEntries.isEmpty)
+        TxTable.declaredPartitionCols(spark, dir, asOf) else Nil)
     // a mixed-layout live set can't be modelled as one relation — fail
     // loudly rather than hand the planner files with missing partition
     // values (the API read handles mixed layouts; SQL doesn't). The check

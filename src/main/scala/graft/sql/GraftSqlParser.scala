@@ -30,9 +30,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - `RESTORE [TABLE] graft.db.t TO VERSION AS OF n` →
   *    `CALL graft.system.restore` (metadata-only rollback).
   *
-  * Maintenance statements need the catalog-qualified name (procedures
-  * resolve through the catalog); everything else delegates to Spark's
-  * own parser untouched. */
+  * Maintenance statements rewrite only for graft-qualified names
+  * (procedures resolve through the catalog); a target that is not a
+  * configured graft catalog — a single-part Delta-style `VACUUM t`, a
+  * co-installed extension's table — falls through to the delegate parser
+  * untouched, as does everything else. */
 final class GraftSqlParser(session: SparkSession,
                            delegate: ParserInterface) extends ParserInterface {
 
@@ -70,18 +72,19 @@ final class GraftSqlParser(session: SparkSession,
   private val RestoreStmt =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
-  /** (catalog, catalog-relative name) of a maintenance-statement target —
-    * procedures resolve table names through their own catalog. */
-  private def catRel(raw: String, stmt: String): (String, String) = {
-    val parts = delegate.parseMultipartIdentifier(raw.trim)
-    require(parts.length >= 2,
-      s"$stmt needs a catalog-qualified name (<catalog>.<ns...>.<table>), " +
-        s"got '$raw' — for bare paths use the TxTable API or the TVFs")
-    require(session.conf.getOption(
-        s"spark.sql.catalog.${parts.head}.root").isDefined,
-      s"$stmt: '${parts.head}' is not a configured graft catalog " +
-        "(spark.sql.catalog.<name>.root is unset)")
-    (parts.head, parts.tail.mkString("."))
+  /** (catalog, catalog-relative name) of a maintenance-statement target,
+    * None when the target is NOT a graft-qualified name (single-part, or
+    * its leading part is not a configured graft catalog) — those fall
+    * through to the delegate parser untouched, so a co-installed
+    * extension's own `VACUUM t` / `OPTIMIZE t` keeps working. */
+  private def catRel(raw: String): Option[(String, String)] = {
+    val parts =
+      try delegate.parseMultipartIdentifier(raw.trim)
+      catch { case _: Exception => return None }
+    if (parts.length >= 2 && session.conf.getOption(
+        s"spark.sql.catalog.${parts.head}.root").isDefined)
+      Some((parts.head, parts.tail.mkString(".")))
+    else None
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
@@ -92,27 +95,36 @@ final class GraftSqlParser(session: SparkSession,
       delegate.parsePlan(
         s"SELECT * FROM graft_files(${quote(dirOf(target))})")
     case VacuumStmt(target, retain, dry) =>
-      val (cat, rel) = catRel(target, "VACUUM")
-      val args = Seq(quote(rel)) ++
-        Option(retain).map(r => s"retain_versions => $r") ++
-        Option(dry).map(_ => "dry_run => true")
-      delegate.parsePlan(s"CALL $cat.system.vacuum(${args.mkString(", ")})")
+      catRel(target) match {
+        case None => delegate.parsePlan(sqlText)
+        case Some((cat, rel)) =>
+          val args = Seq(quote(rel)) ++
+            Option(retain).map(r => s"retain_versions => $r") ++
+            Option(dry).map(_ => "dry_run => true")
+          delegate.parsePlan(
+            s"CALL $cat.system.vacuum(${args.mkString(", ")})")
+      }
     case OptimizeStmt(target, zcols) =>
-      val (cat, rel) = catRel(target, "OPTIMIZE")
-      Option(zcols) match {
-        case None =>
-          delegate.parsePlan(
-            s"CALL $cat.system.compact_small_files(${quote(rel)})")
-        case Some(cs) =>
-          val cols = cs.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .filter(_.nonEmpty).mkString(",")
-          delegate.parsePlan(
-            s"CALL $cat.system.zorder(${quote(rel)}, ${quote(cols)})")
+      catRel(target) match {
+        case None => delegate.parsePlan(sqlText)
+        case Some((cat, rel)) => Option(zcols) match {
+          case None =>
+            delegate.parsePlan(
+              s"CALL $cat.system.compact_small_files(${quote(rel)})")
+          case Some(cs) =>
+            val cols = cs.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty).mkString(",")
+            delegate.parsePlan(
+              s"CALL $cat.system.zorder(${quote(rel)}, ${quote(cols)})")
+        }
       }
     case RestoreStmt(target, version) =>
-      val (cat, rel) = catRel(target, "RESTORE")
-      delegate.parsePlan(
-        s"CALL $cat.system.restore(${quote(rel)}, ${version}L)")
+      catRel(target) match {
+        case None => delegate.parsePlan(sqlText)
+        case Some((cat, rel)) =>
+          delegate.parsePlan(
+            s"CALL $cat.system.restore(${quote(rel)}, ${version}L)")
+      }
     case _ => delegate.parsePlan(sqlText)
   }
 

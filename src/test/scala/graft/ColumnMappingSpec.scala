@@ -163,4 +163,32 @@ class ColumnMappingSpec extends SparkTestBase {
     val ch = TxTable.readChanges(spark, dir, v - 1).get
     assert(ch.columns.contains("comment") && !ch.columns.contains("note"))
   }
+
+  test("racing schema DDLs are OCC-pinned: neither rename is lost") {
+    // renameColumn/dropColumns/addColumns read-merge-write the FULL
+    // mapping/declaration property; un-pinned slot retry would let two
+    // concurrent DDLs last-writer-win (one silently lost). Pinned commits
+    // + withRetry make the loser re-read and re-merge instead.
+    val dir = tmpDir("cm-race")
+    TxTable.append(spark, dir,
+      Seq((1L, "a", 1.0, "x")).toDF("id", "v", "score", "tag"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val fa = Future { barrier.await()
+      TxTable.renameColumn(spark, dir, "v", "val2") }
+    val fb = Future { barrier.await()
+      TxTable.renameColumn(spark, dir, "tag", "label") }
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    pool.shutdown()
+    assert(TxTable.read(spark, dir).get.columns.toSeq ==
+      Seq("id", "val2", "score", "label"))
+    // and a third DDL over the merged state still lands
+    TxTable.dropColumns(spark, dir, Seq("score"))
+    assert(TxTable.read(spark, dir).get.columns.toSeq ==
+      Seq("id", "val2", "label"))
+  }
 }

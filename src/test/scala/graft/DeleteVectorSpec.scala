@@ -318,6 +318,33 @@ class DeleteVectorSpec extends SparkTestBase {
     assert(deleted.get.count() == 20)
   }
 
+  test("applyRowChanges with already-deleted positions: exact counts, no duplicate sidecar rows") {
+    val dir = tmpDir("dv-resubmit")
+    build(dir, n = 10, perFile = 10) // one file, positions 0..9
+    val file = livePaths(dir).head
+    def pairs(ps: Long*) = ps.map(p => (file, p)).toDF("file", "pos")
+    val s1 = TxTable.applyRowChanges(spark, dir, pairs(0L, 1L, 2L), None)
+    assert(s1.matchedRows == 3)
+    // second call overlaps: pos 1,2 are ALREADY deleted (a caller not
+    // derived from a DV-aware scan), pos 3 is new — and pos 4 arrives
+    // twice in the same call. Newly deleted must be exactly {3, 4}.
+    val s2 = TxTable.applyRowChanges(spark, dir,
+      pairs(1L, 2L, 3L, 4L, 4L), None)
+    assert(s2.matchedRows == 2, s"expected 2 newly deleted, got $s2")
+    assert(ids(dir) == (5L until 10L))
+    // the live DvRef's cardinality is the exact distinct union (drives
+    // purgeDvs' deleted-fraction policy), and the sidecar holds no dups
+    val entry = TxTable.liveEntriesForSql(spark, dir, None)
+      .find(_.dv.isDefined).get
+    assert(entry.dv.get.deleted == 5L, entry.dv)
+    val sidecar = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(dir, entry.dv.get.dir).toString)
+    assert(sidecar.count() == 5 && sidecar.distinct().count() == 5)
+    // purge folds exactly those five out
+    TxTable.purgeDvs(spark, dir)
+    assert(ids(dir) == (5L until 10L) && !TxTable.hasLiveDvs(spark, dir))
+  }
+
   test("schema evolution: DV'd tables read declared columns; restore round-trips refs") {
     val dir = tmpDir("dv-evo")
     build(dir, n = 20, perFile = 10)

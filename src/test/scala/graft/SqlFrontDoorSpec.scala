@@ -790,9 +790,11 @@ class SqlFrontDoorSpec extends SparkTestBase {
       dry.map(_.getString(1)).init.toSet)
     assert(ext.sql("SELECT count(*) FROM graft.db.stmt_t")
       .head.getLong(0) == 25)
-    // an unqualified target is refused with the pointer, not misparsed
+    // an unqualified target is NOT ours to claim — it falls through to
+    // the delegate parser (so a co-installed extension's own VACUUM
+    // keeps working); with none installed that's Spark's parse error
     val e = intercept[Exception](ext.sql("VACUUM stmt_t"))
-    assert(e.getMessage.contains("catalog-qualified"), e.getMessage)
+    assert(!e.getMessage.contains("graft catalog"), e.getMessage)
 
     // RESTORE TABLE ... TO VERSION AS OF rolls back metadata-only
     ext.sql("DELETE FROM graft.db.stmt_t WHERE id > 3")
@@ -836,6 +838,99 @@ class SqlFrontDoorSpec extends SparkTestBase {
     ext.sql("INSERT INTO graft.db.empt SELECT 99, 'post', 1.0")
     assert(ext.sql("SELECT name FROM graft.db.empt").head.getString(0) ==
       "post")
+  }
+
+  test("DDL-first CREATE TABLE: declared schema + PARTITIONED BY, empty reads, INSERT lands partitioned") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.ddl")
+    ext.sql("CREATE TABLE graft.db.ddl " +
+      "(id BIGINT, name STRING, score DOUBLE, bucket INT) " +
+      "PARTITIONED BY (bucket) " +
+      "TBLPROPERTIES ('team' = 'etl', 'constraint.pos' = 'score >= 0')")
+    val dir = s"$lakeRoot/db/ddl"
+
+    // the table exists with ZERO data files: empty typed reads, DESCRIBE
+    assert(ext.sql("SELECT count(*) FROM graft.db.ddl").head.getLong(0) == 0)
+    assert(ext.table("graft.db.ddl").schema.map(f => f.name -> f.dataType.sql)
+      .toMap == Map("id" -> "BIGINT", "name" -> "STRING",
+        "score" -> "DOUBLE", "bucket" -> "INT"))
+    val desc = ext.sql("DESCRIBE TABLE graft.db.ddl").collect()
+      .map(_.getString(0))
+    assert(desc.contains("bucket"), desc.mkString(", "))
+    assert(TxTable.tableProperties(ext, dir).get("team").contains("etl"))
+
+    // the armed CHECK rejects a bad first INSERT before any commit
+    val bad = intercept[Exception] {
+      ext.sql("INSERT INTO graft.db.ddl VALUES (1, 'bad', -1.0, 0)")
+    }
+    assert(bad.getMessage.contains("constraint") ||
+      Option(bad.getCause).exists(_.getMessage.contains("constraint")),
+      bad.getMessage)
+
+    // INSERT honors the declared layout: files land under bucket=<v>
+    ext.sql("INSERT INTO graft.db.ddl " +
+      "SELECT id, concat('n', id), id * 1.5, cast(id % 2 AS INT) FROM range(10)")
+    assert(ext.sql("SELECT count(*) FROM graft.db.ddl").head.getLong(0) == 10)
+    val frags = TxTable.liveEntriesForSql(ext, dir, None).flatMap(_.part)
+    assert(frags.nonEmpty && frags.forall(_.startsWith("bucket=")),
+      frags.mkString(", "))
+    // partition pruning through the declared layout
+    assert(ext.sql("SELECT count(*) FROM graft.db.ddl WHERE bucket = 1")
+      .head.getLong(0) == 5)
+
+    // IF NOT EXISTS is a no-op; a bare re-CREATE refuses
+    ext.sql("CREATE TABLE IF NOT EXISTS graft.db.ddl (x INT)")
+    assert(ext.table("graft.db.ddl").columns.length == 4)
+    val dup = intercept[Exception] { ext.sql("CREATE TABLE graft.db.ddl (x INT)") }
+    assert(dup.getMessage.toLowerCase.contains("already exists"), dup.getMessage)
+  }
+
+  test("TRUNCATE of a partitioned table keeps the layout; refills land partitioned") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.ptrunc")
+    ext.sql("CREATE TABLE graft.db.ptrunc PARTITIONED BY (b) AS " +
+      "SELECT id, cast(id % 3 AS INT) AS b FROM range(30)")
+    val dir = s"$lakeRoot/db/ptrunc"
+    assert(TxTable.liveEntriesForSql(ext, dir, None)
+      .flatMap(_.part).forall(_.startsWith("b=")))
+
+    ext.sql("TRUNCATE TABLE graft.db.ptrunc")
+    assert(ext.sql("SELECT count(*) FROM graft.db.ptrunc").head.getLong(0) == 0)
+    // the declared layout survives the empty live set (Delta keeps the
+    // partition spec in metadata across TRUNCATE; so does this)
+    assert(TxTable.declaredPartitionCols(ext, dir) == Seq("b"))
+    ext.sql("INSERT INTO graft.db.ptrunc " +
+      "SELECT id, cast(id % 3 AS INT) FROM range(9)")
+    val frags = TxTable.liveEntriesForSql(ext, dir, None).flatMap(_.part)
+    assert(frags.nonEmpty && frags.forall(_.startsWith("b=")),
+      s"refill landed unpartitioned: ${frags.mkString(", ")}")
+    assert(ext.sql("SELECT count(*) FROM graft.db.ptrunc WHERE b = 2")
+      .head.getLong(0) == 3)
+  }
+
+  test("INSERT OVERWRITE with an empty SELECT keeps the schema (replace-to-empty)") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.repl0")
+    ext.sql("CREATE TABLE graft.db.repl0 AS " +
+      "SELECT id, concat('n', id) AS name FROM range(5)")
+    ext.sql("INSERT OVERWRITE graft.db.repl0 " +
+      "SELECT id, concat('n', id) AS name FROM range(10) WHERE id < 0")
+    assert(ext.sql("SELECT count(*) FROM graft.db.repl0").head.getLong(0) == 0)
+    // schema did NOT vanish: reads type, DESCRIBE works, INSERT refills
+    assert(ext.table("graft.db.repl0").columns.toSeq == Seq("id", "name"))
+    assert(TxTable.read(ext, s"$lakeRoot/db/repl0").get.isEmpty)
+    ext.sql("INSERT INTO graft.db.repl0 VALUES (7, 'back')")
+    assert(ext.sql("SELECT name FROM graft.db.repl0").head.getString(0) == "back")
+  }
+
+  test("VACUUM/OPTIMIZE against a non-graft name falls through to the delegate parser") {
+    // a single-part Delta-style target (or any non-graft catalog) must
+    // reach the delegate untouched — Spark's own parse error, never the
+    // graft rewrite's require
+    val e = intercept[Exception] { ext.sql("VACUUM sometable") }
+    assert(!e.getMessage.contains("graft catalog"), e.getMessage)
+    val e2 = intercept[Exception] { ext.sql("OPTIMIZE sometable") }
+    assert(!e2.getMessage.contains("graft catalog"), e2.getMessage)
   }
 
   test("CALL graft.system.zorder(incremental => true): only new files cluster per cycle") {
