@@ -2185,6 +2185,43 @@ object SparkEntry {
                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
                  $moved AS files_moved, $v1Cols AS v1_cols
                  FROM graft.ddl.orders_cm GROUP BY status""")
+    }),
+
+    // q154: DDL-first CREATE TABLE — the reference's whole bootstrap is
+    // this shape (`setup_target.py:11-242`: CREATE TABLE first, load
+    // later). One atomic schema-only commit declares fields + the
+    // partition layout + an armed CHECK; the literals pin the mechanics:
+    // empty_n = 0 (the fresh table reads as zero TYPED rows, not an
+    // error), v1_live = 0 (zero data files at v1 — the commit carries
+    // only metadata), partitioned = true (the later INSERT landed under
+    // the DECLARED o_orderstatus= layout, proving the layout survives an
+    // empty live set). The aggregate then reads back through partition
+    // pruning-capable fragments and must hash-match DuckDB over the raw
+    // corpus. Rebuilt from scratch per run (the q146 discipline).
+    "q154_sql_create_table" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.orders_ct")
+      ext.sql("CREATE TABLE graft.ddl.orders_ct (" +
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING) " +
+        "PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES('constraint.key_pos' = 'o_orderkey >= 0')")
+      val emptyN =
+        ext.sql("SELECT count(*) FROM graft.ddl.orders_ct").head.getLong(0)
+      val tableDir = sqlLakeRoot(dir) + "/ddl/orders_ct"
+      val v1Live = graft.merge.TxTable.liveFilePaths(ext, tableDir).size
+      ext.sql("INSERT INTO graft.ddl.orders_ct " +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM graft.lake.orders")
+      val partitioned = graft.merge.TxTable
+        .liveEntriesForSql(ext, tableDir, None)
+        .forall(_.part.exists(_.startsWith("o_orderstatus=")))
+      ext.sql(s"""SELECT o_orderstatus, count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total,
+                 ${emptyN}L AS empty_n, $v1Live AS v1_live,
+                 $partitioned AS partitioned
+                 FROM graft.ddl.orders_ct GROUP BY o_orderstatus""")
     })
   )
 
@@ -3885,6 +3922,16 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | 0 AS files_moved, 4 AS v1_cols
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // q154: DDL-first CREATE TABLE replays as the plain corpus aggregate
+    // — the DDL contributes zero rows by definition; 0/0/true are the
+    // schema-only-commit, zero-data-files, and declared-layout literals
+    // the Spark side measures.
+    "q154_sql_create_table" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | CAST(0 AS BIGINT) AS empty_n, 0 AS v1_live, true AS partitioned
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // q146: the SQL DML sequence replayed relationally — DELETE is

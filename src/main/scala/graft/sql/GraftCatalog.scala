@@ -199,7 +199,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     renames.foreach { case (from, to) =>
       TxTable.renameColumn(spark, dir, from, to) }
     if (drops.nonEmpty) TxTable.dropColumns(spark, dir, drops)
-    if (props.nonEmpty) TxTable.setProperties(spark, dir, props)
+    // arming a CHECK validates the EXISTING rows first (one aggregate
+    // pass — the Delta ADD CONSTRAINT contract), so the invariant is
+    // trustworthy from the moment it exists; removals and plain
+    // properties commit directly
+    val (consAdds, rest) = props.partition { case (k, v) =>
+      k.startsWith("constraint.") && v.nonEmpty }
+    consAdds.foreach { case (k, v) =>
+      TxTable.setConstraint(spark, dir, k.stripPrefix("constraint."), v) }
+    if (rest.nonEmpty) TxTable.setProperties(spark, dir, rest)
     new GraftSqlTable(dir, None, fullName(ident))
   }
 

@@ -65,6 +65,13 @@ final class GraftSqlParser(session: SparkSession,
     }
   }
 
+  private val AddConstraintStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val DropConstraintStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+  private val CreateLikeStmt =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.`]+)\s+LIKE\s+([\w.`]+)\s*;?\s*$""".r
+
   private val VacuumStmt =
     """(?is)^\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val OptimizeStmt =
@@ -124,6 +131,37 @@ final class GraftSqlParser(session: SparkSession,
         case Some((cat, rel)) =>
           delegate.parsePlan(
             s"CALL $cat.system.restore(${quote(rel)}, ${version}L)")
+      }
+    // ADD/DROP CONSTRAINT (the Delta spelling) = sugar over the
+    // `constraint.<name>` TBLPROPERTIES namespace — zero new execution
+    // paths; the catalog's alterTable validates existing rows on ADD
+    case AddConstraintStmt(target, name, check) =>
+      if (catRel(target).isEmpty) delegate.parsePlan(sqlText)
+      else delegate.parsePlan(s"ALTER TABLE $target SET TBLPROPERTIES(" +
+        s"${quote("constraint." + name)} = ${quote(check.trim)})")
+    case DropConstraintStmt(target, name) =>
+      if (catRel(target).isEmpty) delegate.parsePlan(sqlText)
+      else delegate.parsePlan(s"ALTER TABLE $target UNSET TBLPROPERTIES(" +
+        s"${quote("constraint." + name)})")
+    // CREATE TABLE ... LIKE: DDL-first create with the source's declared
+    // schema + partition layout, rendered at parse time from the source
+    // table's catalog state (data is NOT copied — the Spark contract)
+    case CreateLikeStmt(ifNotExists, target, source) =>
+      (catRel(target), catRel(source)) match {
+        case (Some(_), Some((srcCat, srcRel))) =>
+          val root = session.conf.get(s"spark.sql.catalog.$srcCat.root")
+          val srcDir = (root +: srcRel.split('.').toSeq).mkString("/")
+          val schema = GraftSql.tableSchema(session, srcDir)
+          val parts = GraftSql.partitionColumns(session, srcDir)
+          val cols = schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          val partBy =
+            if (parts.isEmpty) ""
+            else parts.map(c => s"`$c`").mkString(" PARTITIONED BY (", ", ", ")")
+          val ine = Option(ifNotExists).map(_ => "IF NOT EXISTS ").getOrElse("")
+          delegate.parsePlan(
+            s"CREATE TABLE $ine$target ($cols)$partBy")
+        case _ => delegate.parsePlan(sqlText)
       }
     case _ => delegate.parsePlan(sqlText)
   }

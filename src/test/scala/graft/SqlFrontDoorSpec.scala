@@ -923,6 +923,63 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(ext.sql("SELECT name FROM graft.db.repl0").head.getString(0) == "back")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT statement forms arm and disarm the CHECK") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.cons")
+    ext.sql("CREATE TABLE graft.db.cons AS " +
+      "SELECT id, id * 2.0 AS score FROM range(5)")
+    // ADD CONSTRAINT validates EXISTING rows first (the Delta contract):
+    // a constraint the table already breaks is refused
+    val bad = intercept[Exception] {
+      ext.sql("ALTER TABLE graft.db.cons ADD CONSTRAINT neg CHECK (score < 0)")
+    }
+    assert(bad.getMessage.contains("violate") ||
+      Option(bad.getCause).exists(_.getMessage.contains("violate")),
+      bad.getMessage)
+    ext.sql("ALTER TABLE graft.db.cons ADD CONSTRAINT pos CHECK (score >= 0)")
+    // visible in SHOW TBLPROPERTIES under the constraint.* namespace
+    val props = ext.sql("SHOW TBLPROPERTIES graft.db.cons").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("constraint.pos").contains("score >= 0"), props)
+    // armed: a bad INSERT is rejected BEFORE any commit
+    val e = intercept[Exception] {
+      ext.sql("INSERT INTO graft.db.cons VALUES (9, -1.0)")
+    }
+    assert(e.getMessage.contains("constraint") ||
+      Option(e.getCause).exists(_.getMessage.contains("constraint")),
+      e.getMessage)
+    assert(ext.sql("SELECT count(*) FROM graft.db.cons").head.getLong(0) == 5)
+    // DROP CONSTRAINT disarms
+    ext.sql("ALTER TABLE graft.db.cons DROP CONSTRAINT pos")
+    ext.sql("INSERT INTO graft.db.cons VALUES (9, -1.0)")
+    assert(ext.sql("SELECT count(*) FROM graft.db.cons").head.getLong(0) == 6)
+  }
+
+  test("CREATE TABLE LIKE clones schema + layout with no data; SHOW COLUMNS works") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.src_like")
+    ext.sql("DROP TABLE IF EXISTS graft.db.dst_like")
+    ext.sql("CREATE TABLE graft.db.src_like PARTITIONED BY (b) AS " +
+      "SELECT id, cast(id % 2 AS INT) AS b FROM range(10)")
+    ext.sql("CREATE TABLE graft.db.dst_like LIKE graft.db.src_like")
+    assert(ext.sql("SELECT count(*) FROM graft.db.dst_like")
+      .head.getLong(0) == 0)
+    assert(ext.table("graft.db.dst_like").schema
+        .map(f => f.name -> f.dataType).toSeq ==
+      ext.table("graft.db.src_like").schema
+        .map(f => f.name -> f.dataType).toSeq)
+    // the partition layout cloned too: an INSERT lands partitioned
+    ext.sql("INSERT INTO graft.db.dst_like " +
+      "SELECT id, cast(id % 2 AS INT) FROM range(4)")
+    val frags = TxTable
+      .liveEntriesForSql(ext, s"$lakeRoot/db/dst_like", None).flatMap(_.part)
+    assert(frags.nonEmpty && frags.forall(_.startsWith("b=")),
+      frags.mkString(", "))
+    // SHOW COLUMNS serves the consumer surface on both
+    assert(ext.sql("SHOW COLUMNS IN graft.db.dst_like").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("b", "id"))
+  }
+
   test("VACUUM/OPTIMIZE against a non-graft name falls through to the delegate parser") {
     // a single-part Delta-style target (or any non-graft catalog) must
     // reach the delegate untouched — Spark's own parse error, never the
