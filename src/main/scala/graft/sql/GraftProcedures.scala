@@ -160,6 +160,32 @@ object GraftProcedures {
           minDeletedFraction = in.getDouble(1))
         Seq(InternalRow(s.filesPacked, s.filesWritten, s.filesUntouched))
       })),
+    "analyze" -> (cat => new BoundUnbound("analyze",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("cols", StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("all_columns", BooleanType)
+          .defaultValue("false").build()),
+      StructType(Seq(StructField("row_count", LongType),
+        StructField("size_bytes", LongType),
+        StructField("columns_analyzed", IntegerType))),
+      { in =>
+        // row/size stats: O(files) footer metadata, DV-exact; column
+        // stats (cols => 'a,b' or all_columns => true): one aggregate
+        // scan. Persisted as a property commit — checkpoints carry it,
+        // so compactLog keeps the stats; the SQL scan rule attaches
+        // them to plan estimation (GraftSqlRules.swapToV1).
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        val (rows, bytes) = TxTable.analyze(spark, dir)
+        val cols =
+          if (in.getBoolean(2))
+            TxTable.read(spark, dir).map(_.columns.toSeq).getOrElse(Nil)
+          else in.getUTF8String(1).toString
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        if (cols.nonEmpty) TxTable.analyzeColumns(spark, dir, cols)
+        Seq(InternalRow(rows, bytes, cols.size))
+      })),
     "restore" -> (cat => new BoundUnbound("restore",
       Array(
         ProcedureParameter.in("table", StringType).build(),

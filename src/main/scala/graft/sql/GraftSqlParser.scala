@@ -72,6 +72,9 @@ final class GraftSqlParser(session: SparkSession,
   private val CreateLikeStmt =
     """(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.`]+)\s+LIKE\s+([\w.`]+)\s*;?\s*$""".r
 
+  private val AnalyzeStmt =
+    """(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS\s*(NOSCAN|FOR\s+ALL\s+COLUMNS|FOR\s+COLUMNS\s+(.+?))?\s*;?\s*$""".r
+
   private val VacuumStmt =
     """(?is)^\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val OptimizeStmt =
@@ -131,6 +134,27 @@ final class GraftSqlParser(session: SparkSession,
         case Some((cat, rel)) =>
           delegate.parsePlan(
             s"CALL $cat.system.restore(${quote(rel)}, ${version}L)")
+      }
+    // ANALYZE TABLE ... COMPUTE STATISTICS [NOSCAN | FOR [ALL] COLUMNS]:
+    // row/size stats are metadata-only (footers − DV cardinalities), so
+    // NOSCAN and the plain form are identical; FOR COLUMNS adds the one
+    // aggregate scan. Persisted in the log; the scan rule hands them to
+    // plan estimation.
+    case AnalyzeStmt(target, mode, colList) =>
+      catRel(target) match {
+        case None => delegate.parsePlan(sqlText)
+        case Some((cat, rel)) =>
+          val m = Option(mode).map(_.trim.toUpperCase.replaceAll("\\s+", " "))
+            .getOrElse("")
+          val colsArg =
+            if (m.startsWith("FOR COLUMNS"))
+              s", cols => ${quote(colList.split(',')
+                .map(_.trim.stripPrefix("`").stripSuffix("`"))
+                .filter(_.nonEmpty).mkString(","))}"
+            else if (m == "FOR ALL COLUMNS") ", all_columns => true"
+            else ""
+          delegate.parsePlan(
+            s"CALL $cat.system.analyze(${quote(rel)}$colsArg)")
       }
     // ADD/DROP CONSTRAINT (the Delta spelling) = sugar over the
     // `constraint.<name>` TBLPROPERTIES namespace — zero new execution

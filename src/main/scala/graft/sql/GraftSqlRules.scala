@@ -188,9 +188,32 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
   /** Read swap. The Project re-publishes the relation's columns under the
     * ORIGINAL output ids so upstream resolved references keep binding.
     * [[GraftSql.dataFrame]] decides the scan shape: one stock relation for
-    * clean tables, clean-relation ∪ deletion-vector-branch otherwise. */
+    * clean tables, clean-relation ∪ deletion-vector-branch otherwise.
+    *
+    * If the table has been `ANALYZE`d, the persisted stats attach to the
+    * scan as catalog statistics, so plan estimation (broadcast-vs-shuffle,
+    * CBO join sizing) runs on the measured live row count and byte size
+    * instead of fileSize × compressionFactor defaults. Clean tables only:
+    * a DV'd live set splits into two branches and whole-table stats would
+    * misattribute (purge_dvs restores the clean shape and the stats). */
   private def swapToV1(r: DataSourceV2Relation, t: GraftSqlTable): LogicalPlan = {
-    val lr = PlanBridge.analyzed(GraftSql.dataFrame(session, t.dir, t.asOf))
+    val lr0 = PlanBridge.analyzed(GraftSql.dataFrame(session, t.dir, t.asOf))
+    val lr = TxTable.catalogStats(session, t.dir, t.asOf) match {
+      case Some(cs) if !TxTable.hasLiveDvs(session, t.dir, t.asOf) =>
+        lr0.transform {
+          case l: LogicalRelation if l.catalogTable.isEmpty &&
+              (l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location match {
+                    case g: GraftFileIndex => g.dir == t.dir
+                    case _ => false
+                  }
+                case _ => false
+              }) =>
+            l.copy(catalogTable = Some(statsCatalogTable(t, l, cs)))
+        }
+      case _ => lr0
+    }
     val caseSensitive =
       session.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def sameName(a: String, b: String) =
@@ -204,6 +227,23 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
         Alias(src, o.name)(exprId = o.exprId)
       }
     Project(aliases, lr)
+  }
+
+  /** Minimal CatalogTable vehicle for the ANALYZE stats —
+    * LogicalRelation.computeStats reads ONLY `.stats` from it; identity
+    * and storage exist to satisfy the case-class contract. */
+  private def statsCatalogTable(t: GraftSqlTable, l: LogicalRelation,
+      cs: org.apache.spark.sql.catalyst.catalog.CatalogStatistics)
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(t.name()),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(t.dir).toUri)),
+      schema = l.relation.schema,
+      provider = Some("parquet"),
+      stats = Some(cs))
   }
 
   private def insertCommand(t: GraftSqlTable, query: LogicalPlan,

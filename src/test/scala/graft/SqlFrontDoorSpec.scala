@@ -980,6 +980,70 @@ class SqlFrontDoorSpec extends SparkTestBase {
       .map(_.getString(0)).sorted.toSeq == Seq("b", "id"))
   }
 
+  test("ANALYZE TABLE: measured stats flip the dim-fact join to broadcast; stats survive compactLog") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.an_dim")
+    ext.sql("DROP TABLE IF EXISTS graft.db.an_fact")
+    ext.sql("CREATE TABLE graft.db.an_dim AS " +
+      "SELECT id AS k, id * 3 AS v FROM range(20000)")
+    ext.sql("CREATE TABLE graft.db.an_fact AS " +
+      "SELECT id % 20000 AS k, id AS x FROM range(100000)")
+    val dimDir = s"$lakeRoot/db/an_dim"
+    val fs = new org.apache.hadoop.fs.Path(dimDir)
+      .getFileSystem(ext.sparkContext.hadoopConfiguration)
+    val dimBytes = TxTable.liveFilePaths(ext, dimDir)
+      .map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
+      .sum
+    // without stats, estimation is fileBytes × fileCompressionFactor — a
+    // blanket multiplier real deployments set because parquet bytes
+    // underestimate in-memory size. Pick it so BOTH tables estimate over
+    // the threshold pre-ANALYZE; AQE off so the STATIC decision is under
+    // test (static broadcast avoids planning the shuffle at all).
+    val factor = math.max(1L, 3000000L / math.max(1L, dimBytes))
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.sources.fileCompressionFactor", "spark.sql.cbo.enabled",
+      "spark.sql.adaptive.enabled").map(k => k -> ext.conf.getOption(k))
+    try {
+      ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "1000000")
+      ext.conf.set("spark.sql.sources.fileCompressionFactor", factor.toString)
+      ext.conf.set("spark.sql.cbo.enabled", "true")
+      ext.conf.set("spark.sql.adaptive.enabled", "false")
+      def hasBroadcast: Boolean = ext.sql(
+        "SELECT count(*) FROM graft.db.an_fact f " +
+          "JOIN graft.db.an_dim d ON f.k = d.k")
+        .queryExecution.executedPlan
+        .exists { case _: BroadcastHashJoinExec => true; case _ => false }
+      assert(!hasBroadcast,
+        s"pre-ANALYZE the join must NOT broadcast (dim $dimBytes B × $factor)")
+
+      // ANALYZE: measured row count + live size land in the log; the
+      // dim's 20k × 24 B estimate is now under the threshold
+      val st = ext.sql(
+        "ANALYZE TABLE graft.db.an_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+        .head
+      assert(st.getLong(0) == 20000L && st.getInt(2) == 2, st)
+      assert(hasBroadcast, "post-ANALYZE the dim must broadcast")
+      // CBO sees the measured row count on the dim scan (stats evaluate
+      // against the THREAD-active conf, so pin it to ext for the read)
+      org.apache.spark.sql.SparkSession.setActiveSession(ext)
+      assert(ext.table("graft.db.an_dim").queryExecution.optimizedPlan
+        .stats.rowCount.contains(BigInt(20000)))
+      // and the properties surface through SHOW TBLPROPERTIES
+      val props = ext.sql("SHOW TBLPROPERTIES graft.db.an_dim").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.stats.rowcount").contains("20000"), props)
+      assert(props.contains("graft.stats.col.k"), props.keys)
+
+      // stats survive log compaction (checkpoints carry properties)
+      ext.sql("CALL graft.system.compact_log('db.an_dim')").collect()
+      assert(TxTable.catalogStats(ext, dimDir, None)
+        .exists(_.rowCount.contains(BigInt(20000))))
+      assert(hasBroadcast, "stats (and the broadcast) survive compactLog")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(ext.conf.unset(k))(ext.conf.set(k, _)) }
+  }
+
   test("VACUUM/OPTIMIZE against a non-graft name falls through to the delegate parser") {
     // a single-part Delta-style target (or any non-graft catalog) must
     // reach the delegate untouched — Spark's own parse error, never the
