@@ -2222,6 +2222,41 @@ object SparkEntry {
                  ${emptyN}L AS empty_n, $v1Live AS v1_live,
                  $partitioned AS partitioned
                  FROM graft.ddl.orders_ct GROUP BY o_orderstatus""")
+    }),
+
+    // q155: type-widening schema evolution through the SQL front door —
+    // CTAS lands o_orderkey as INT (narrow half of the corpus),
+    // ALTER COLUMN ... TYPE BIGINT is one metadata-only property commit
+    // (files_moved = 0), the second INSERT carries values ONLY a BIGINT
+    // can hold (key + 8e9), and the final aggregate reads old int32
+    // files and new int64 files through ONE stock vectorized scan — the
+    // reader's widening promotion under the hash. v1_type pins the
+    // time-travel contract: the pre-ALTER snapshot still reads INT.
+    // Rebuilt from scratch per run (the q146 discipline).
+    "q155_sql_type_widening" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.orders_tw")
+      ext.sql("CREATE TABLE graft.ddl.orders_tw AS " +
+        "SELECT CAST(o_orderkey AS INT) AS k, o_orderstatus, o_totalprice " +
+        "FROM graft.lake.orders WHERE o_orderkey % 2 = 0")
+      val tableDir = sqlLakeRoot(dir) + "/ddl/orders_tw"
+      val before = graft.merge.TxTable.liveFilePaths(ext, tableDir).toSet
+      ext.sql("ALTER TABLE graft.ddl.orders_tw ALTER COLUMN k TYPE BIGINT")
+      val after = graft.merge.TxTable.liveFilePaths(ext, tableDir).toSet
+      val moved = ((before -- after) ++ (after -- before)).size
+      ext.sql("INSERT INTO graft.ddl.orders_tw " +
+        "SELECT o_orderkey + 8000000000, o_orderstatus, o_totalprice " +
+        "FROM graft.lake.orders WHERE o_orderkey % 2 = 1")
+      val v1Type =
+        ext.sql("SELECT * FROM graft.ddl.orders_tw VERSION AS OF 1")
+          .schema("k").dataType.sql
+      ext.sql(s"""SELECT o_orderstatus, count(*) AS n,
+                 CAST(sum(k) AS BIGINT) AS key_sum,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total,
+                 $moved AS files_moved, '$v1Type' AS v1_type
+                 FROM graft.ddl.orders_tw GROUP BY o_orderstatus""")
     })
   )
 
@@ -3933,6 +3968,24 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | CAST(0 AS BIGINT) AS empty_n, 0 AS v1_live, true AS partitioned
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // q155: the widening sequence replays relationally — even keys as-is
+    // (the values an INT held exactly), odd keys shifted beyond int32
+    // range; 0 and 'INT' are the metadata-only / time-travel literals
+    // the Spark side measures. The key_sum only matches if the engine
+    // reads the old int32 files as BIGINT exactly.
+    "q155_sql_type_widening" ->
+      """WITH t AS (
+        | SELECT o_orderkey AS k, o_orderstatus, o_totalprice FROM orders
+        | WHERE o_orderkey % 2 = 0
+        | UNION ALL
+        | SELECT o_orderkey + 8000000000, o_orderstatus, o_totalprice
+        | FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(k) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | 0 AS files_moved, 'INT' AS v1_type
+        |FROM t GROUP BY o_orderstatus""".stripMargin,
 
     // q146: the SQL DML sequence replayed relationally — DELETE is
     // WHERE NOT, UPDATE is CASE; the decimal-exact sum is the house

@@ -960,7 +960,11 @@ object TxTable {
         }
     val cleanRaw = rawBatches(clean)
     val dvRaw = rawBatches(dvEntries)
-    guardTypeConflicts(spark, dir, (cleanRaw ++ dvRaw).map(_.schema))
+    // head-state widen map: a guard exemption only — the actual casts
+    // apply version-correctly in widenWithEvolution (pre-ALTER live sets
+    // contain no post-ALTER files, so head state can't sanction too much)
+    guardTypeConflicts(spark, dir, (cleanRaw ++ dvRaw).map(_.schema),
+      widenState(fs, dir, None))
     if (dvEntries.nonEmpty) {
       val clash = (cleanRaw ++ dvRaw).flatMap(_.schema.fieldNames)
         .filter(n => n == DvFileCol || n == DvPosCol).distinct
@@ -1036,18 +1040,27 @@ object TxTable {
     * 'price', so the guard must too — or the exact hazard it documents
     * (silent cross-type coercion) walks through on a case difference. */
   private def guardTypeConflicts(spark: SparkSession, dir: String,
-                                 schemas: Seq[StructType]): Unit = {
+                                 schemas: Seq[StructType],
+                                 widen: Map[String, DataType]): Unit = {
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def keyOf(n: String): String =
       if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val widenKeyed = widen.map { case (c, t) => keyOf(c) -> t }
     val seen = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.DataType]
     for (sch <- schemas; f <- sch.fields)
       seen.get(keyOf(f.name)) match {
-        case Some(t) => require(t == f.dataType,
-          s"TxTable $dir: column '${f.name}' has conflicting types across " +
-            s"batches ($t vs ${f.dataType}) — only ADDITIVE schema " +
-            "evolution (new columns) is supported")
+        case Some(t) =>
+          // a DECLARED widening sanctions exactly the mixes inside its
+          // lattice path (old narrow files beside new wide ones); the
+          // union then coerces them and widenWithEvolution lifts the rest
+          val sanctioned = widenKeyed.get(keyOf(f.name)).exists(d =>
+            Seq(t, f.dataType).forall(x => x == d || widenOk(x, d)))
+          require(t == f.dataType || sanctioned,
+            s"TxTable $dir: column '${f.name}' has conflicting types across " +
+              s"batches ($t vs ${f.dataType}) — only ADDITIVE schema " +
+              "evolution (new columns) and declared type widenings " +
+              "(alterColumnType) are supported")
         case None => seen(keyOf(f.name)) = f.dataType
       }
   }
@@ -1568,6 +1581,87 @@ object TxTable {
       (SchemaPartitionsProp -> partitionCols.mkString(","))
   }
 
+  /** Property key holding declared type WIDENINGS (`ALTER COLUMN ... TYPE`
+    * — the Delta/Iceberg type-widening idea): `physical:catalogType`
+    * entries joined by ';'. Data files keep their original physical types
+    * forever; reads cast old files UP to the declared type (exact-value
+    * moves only — see [[widenOk]] — so no row can change meaning), new
+    * writes land already-widened, and time travel below the ALTER reads
+    * the old type because property state is versioned. Zero bytes
+    * rewritten at any table size. */
+  private val SchemaWidenProp = "graft.schema.widen"
+
+  /** physical column → declared widened type as of `asOf`. */
+  private def widenState(fs: FileSystem, dir: String,
+                         asOf: Option[Long]): Map[String, DataType] =
+    propsState(fs, dir, asOf).get(SchemaWidenProp) match {
+      case None | Some("") => Map.empty
+      case Some(enc) => enc.split(';').filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        require(i > 0, s"corrupt $SchemaWidenProp entry '$e' on $dir")
+        e.substring(0, i) -> DataType.fromDDL(e.substring(i + 1))
+      }.toMap
+    }
+
+  /** The sanctioned widening lattice — exactly the moves where every
+    * value of `from` is exactly representable in `to`, so casting old
+    * files up can never change a row's meaning: the integral chain,
+    * float→double, and decimal precision growth at the same scale. */
+  private def widenOk(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN col TYPE t` — metadata-only type
+    * widening: one atomic property commit declares the new type; reads
+    * cast old files up, the SQL scan plans the widened schema (the
+    * vectorized parquet reader's widening promotion does the per-file
+    * lift), writes carrying either the old or the new type land and read
+    * consistently, and file-skipping envelopes compare in the widened
+    * numeric space (BigDecimal-exact either way). Refused for anything
+    * outside [[widenOk]]'s exact-value lattice and for partition columns
+    * (their type is baked into the directory values). OCC-pinned like
+    * every schema DDL. */
+  def alterColumnType(spark: SparkSession, dir: String, name: String,
+                      to: DataType): Unit = withRetry() {
+    require(exists(spark, dir), s"no TxTable at $dir")
+    requireMappableName(name, "column")
+    val fs = hadoopFs(spark, dir)
+    val head = headVersion(spark, dir) // OCC pin, as renameColumn
+    val df = read(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no readable schema at $dir"))
+    require(df.columns.contains(name),
+      s"ALTER COLUMN: no column '$name' in $dir " +
+        s"(has: ${df.columns.mkString(", ")})")
+    val from = df.schema(name).dataType // already widened by prior ALTERs
+    if (from == to) return
+    require(widenOk(from, to),
+      s"ALTER COLUMN TYPE $from -> $to is not supported — only " +
+        "value-preserving widenings are (byte->short->int->long, " +
+        "float->double, decimal precision growth at the same scale); " +
+        "narrowing or cross-family retypes need a table rewrite")
+    val partCols = replay(fs, dir)._1.flatMap(_.part).headOption.toSeq
+      .flatMap(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
+      .++(declaredPartitionCols(spark, dir))
+    require(!partCols.contains(name),
+      s"ALTER COLUMN: '$name' is a partition column of $dir — its type " +
+        "is baked into the directory values; rewrite the table to retype it")
+    val phys = physicalNameOf(fs, dir, None, name)
+    val next = widenState(fs, dir, None) + (phys -> to)
+    commitProps(spark, dir, Map(SchemaWidenProp ->
+      next.toSeq.sortBy(_._1)
+        .map { case (p, t) => s"$p:${t.catalogString}" }.mkString(";")),
+      head)
+  }
+
   /** Property key holding the column-mapping state (RENAME/DROP COLUMN —
     * the Delta column-mapping idea cut to name mapping): data files keep
     * their PHYSICAL column names forever; this property maps them to the
@@ -1754,18 +1848,35 @@ object TxTable {
       .getOrElse(Nil)
 
   /** Materialize the declared-but-not-yet-written evolution columns as
-    * typed NULLs (appended last, declaration order), and fail loudly when
-    * a batch carries one of them with a conflicting type — the same
-    * planning-time guard [[framesFor]] applies between batches. */
-  private def widenWithEvolution(spark: SparkSession, df: DataFrame,
+    * typed NULLs (appended last, declaration order), apply declared TYPE
+    * WIDENINGS (cast columns whose batches carry a narrower physical type
+    * up to the declared type — exact-value moves only), and fail loudly
+    * when a batch carries a column with a genuinely conflicting type —
+    * the same planning-time guard [[framesFor]] applies between batches. */
+  private def widenWithEvolution(spark: SparkSession, df0: DataFrame,
                                  fs: FileSystem, dir: String,
                                  asOf: Option[Long]): DataFrame = {
-    val fields = evolutionFields(fs, dir, asOf)
-    if (fields.isEmpty) return df
+    val widen = widenState(fs, dir, asOf)
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def key(n: String): String =
       if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val widenKeyed = widen.map { case (c, t) => key(c) -> t }
+    // 1. declared widenings lift whatever the union produced (all-narrow
+    // batches union to the narrow type; the declaration says otherwise)
+    val df =
+      if (widen.isEmpty) df0
+      else df0.schema.fields.foldLeft(df0) { (d, f) =>
+        widenKeyed.get(key(f.name)) match {
+          case Some(t) if f.dataType != t =>
+            d.withColumn(f.name, col(f.name).cast(t))
+          case _ => d
+        }
+      }
+    // 2. ADD COLUMNS declarations, their types seen THROUGH the widenings
+    val fields = evolutionFields(fs, dir, asOf)
+      .map(f => widenKeyed.get(key(f.name)).fold(f)(t => f.copy(dataType = t)))
+    if (fields.isEmpty) return df
     val present = df.schema.fields.map(f => key(f.name) -> f.dataType).toMap
     fields.foldLeft(df) { (d, f) =>
       present.get(key(f.name)) match {

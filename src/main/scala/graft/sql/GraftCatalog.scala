@@ -147,8 +147,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * ([[TxTable.renameColumn]]/[[TxTable.dropColumns]]) — also
     * metadata-only: files keep their physical names, one versioned
     * property re-labels the logical view, and partition/constraint-
-    * referenced columns and tainted-name reuse refuse loudly. Retype
-    * stays unsupported. */
+    * referenced columns and tainted-name reuse refuse loudly.
+    * `ALTER COLUMN ... TYPE` routes into [[TxTable.alterColumnType]]'s
+    * metadata-only type WIDENING (exact-value moves only: the integral
+    * chain, float→double, decimal precision growth); anything else
+    * refuses loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!TxTable.exists(spark, dir))
@@ -185,17 +188,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "is not supported")
       d.fieldNames()(0)
     }
+    // ALTER COLUMN ... TYPE: metadata-only type WIDENING (int->long,
+    // float->double, decimal precision growth) — TxTable.alterColumnType
+    // refuses anything outside the exact-value lattice loudly
+    val retypes = changes.collect { case u: TableChange.UpdateColumnType =>
+      require(u.fieldNames().length == 1,
+        s"ALTER COLUMN of nested field ${u.fieldNames().mkString(".")} " +
+          "is not supported")
+      u.fieldNames()(0) -> u.newDataType()
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
       s"ALTER TABLE change ${unsupported.head} is not supported; " +
-        "ADD COLUMNS, RENAME COLUMN, DROP COLUMN, and TBLPROPERTIES " +
-        "changes are")
+        "ADD COLUMNS, RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE " +
+        "(widening), and TBLPROPERTIES changes are")
     if (adds.nonEmpty) TxTable.addColumns(spark, dir, adds)
+    retypes.foreach { case (c, t) =>
+      TxTable.alterColumnType(spark, dir, c, t) }
     renames.foreach { case (from, to) =>
       TxTable.renameColumn(spark, dir, from, to) }
     if (drops.nonEmpty) TxTable.dropColumns(spark, dir, drops)

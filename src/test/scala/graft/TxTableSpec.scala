@@ -755,7 +755,10 @@ class TxTableSpec extends SparkTestBase {
         .withColumn(scheme.colName, scheme.expr),
       Seq(scheme.colName), Some("legacy-scheme"))
     assert(TxTable.exists(spark, dir))
-    assert(TxTable.read(spark, dir).isEmpty)
+    // a replace-to-empty DECLARES its schema (same contract as TRUNCATE):
+    // the read is Some(empty typed frame), never None
+    assert(TxTable.read(spark, dir).exists(_.isEmpty))
+    assert(TxTable.read(spark, dir).get.columns.contains("k"))
     // previously: NoSuchElementException from read().get in the migration arm
     val b = Seq(("k1", "open", "n1")).toDF("k", "status", "note")
     MergeSink.upsertPartialScopedTx(spark, dir, b, Seq("k"), Seq("status"), scheme)

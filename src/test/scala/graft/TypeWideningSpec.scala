@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.SessionBridge
+
+import graft.merge.TxTable
+
+/** Type-widening schema evolution (`ALTER COLUMN ... TYPE`, the
+  * Delta/Iceberg widening contract): one metadata-only property commit
+  * declares the new type; old files' values read cast UP (exact-value
+  * moves only), new files land wide, time travel below the ALTER keeps
+  * the narrow type, and file-skipping envelopes stay correct because the
+  * comparison space (BigDecimal) is widening-invariant. */
+class TypeWideningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("int->long: old files read as long, new long files union, time travel keeps int") {
+    val dir = tmpDir("tw-int")
+    TxTable.append(spark, dir, (1 to 10).map(i => (i, s"n$i")).toDF("x", "name"))
+    val vNarrow = TxTable.headVersion(spark, dir).get
+    assert(TxTable.read(spark, dir).get.schema("x").dataType == IntegerType)
+
+    TxTable.alterColumnType(spark, dir, "x", LongType)
+    val t = TxTable.read(spark, dir).get
+    assert(t.schema("x").dataType == LongType)
+    assert(t.select(sum("x")).as[Long].head() == 55L)
+
+    // a batch carrying the widened type (incl. values beyond int range)
+    TxTable.append(spark, dir,
+      Seq((5000000000L, "big")).toDF("x", "name"))
+    val t2 = TxTable.read(spark, dir).get
+    assert(t2.schema("x").dataType == LongType && t2.count() == 11)
+    assert(t2.select(max("x")).as[Long].head() == 5000000000L)
+    // a late batch still carrying the OLD narrow type reads fine too
+    TxTable.append(spark, dir, Seq((99, "late")).toDF("x", "name"))
+    assert(TxTable.read(spark, dir).get.filter(col("x") === 99L).count() == 1)
+
+    // time travel below the ALTER reads the original narrow type
+    assert(TxTable.read(spark, dir, asOf = Some(vNarrow)).get
+      .schema("x").dataType == IntegerType)
+  }
+
+  test("float->double and decimal precision growth; refusals outside the lattice") {
+    val dir = tmpDir("tw-fd")
+    TxTable.append(spark, dir,
+      Seq((1, 1.5f, BigDecimal("12.34"))).toDF("k", "f", "d")
+        .select(col("k"), col("f"), col("d").cast(DecimalType(10, 2)).as("d")))
+    TxTable.alterColumnType(spark, dir, "f", DoubleType)
+    TxTable.alterColumnType(spark, dir, "d", DecimalType(16, 2))
+    val t = TxTable.read(spark, dir).get
+    assert(t.schema("f").dataType == DoubleType)
+    assert(t.schema("d").dataType == DecimalType(16, 2))
+    assert(t.select(sum("f")).head.getDouble(0) == 1.5)
+
+    // refusals: narrowing, cross-family, scale change, partition column
+    def refused(op: => Unit, frag: String): Unit = {
+      val e = intercept[Exception](op)
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    refused(TxTable.alterColumnType(spark, dir, "f", FloatType),
+      "not supported")
+    refused(TxTable.alterColumnType(spark, dir, "k", StringType),
+      "not supported")
+    refused(TxTable.alterColumnType(spark, dir, "d", DecimalType(18, 4)),
+      "not supported")
+    val pdir = tmpDir("tw-part")
+    TxTable.append(spark, pdir,
+      Seq((1, 10L)).toDF("b", "v"), partitionCols = Seq("b"))
+    refused(TxTable.alterColumnType(spark, pdir, "b", LongType),
+      "partition column")
+  }
+
+  test("stats skipping stays correct across the widen (envelopes compare in the widened space)") {
+    val dir = tmpDir("tw-skip")
+    // two int files with disjoint ranges, then widen, then a long file
+    TxTable.append(spark, dir, (1 to 100).map(i => (i, i)).toDF("x", "p")
+      .coalesce(1))
+    TxTable.append(spark, dir, (1000 to 1100).map(i => (i, i)).toDF("x", "p")
+      .coalesce(1))
+    TxTable.alterColumnType(spark, dir, "x", LongType)
+    TxTable.append(spark, dir,
+      Seq((6000000000L, 7)).toDF("x", "p").coalesce(1))
+    // point probe into the first int file: prunes the other two
+    assert(TxTable.skippingStats(spark, dir, "x",
+      BigDecimal(50), BigDecimal(50)) == (1, 3))
+    // beyond-int probe hits only the long file
+    assert(TxTable.skippingStats(spark, dir, "x",
+      BigDecimal(5000000000L), BigDecimal(7000000000L)) == (1, 3))
+    val hit = TxTable.readSkipping(spark, dir, "x",
+      BigDecimal(1000), BigDecimal(1005)).get
+    assert(hit.schema("x").dataType == LongType)
+    assert(hit.filter(col("x") >= 1000L && col("x") <= 1005L).count() == 6)
+  }
+
+  test("SQL front door: ALTER COLUMN TYPE, stock scan reads mixed files, widened aggregates") {
+    val lakeRoot = tmpDir("tw-lake")
+    val ext = SessionBridge.withExtensions(spark, new GraftExtensions()(_))
+    ext.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    ext.conf.set("spark.sql.catalog.graft.root", lakeRoot)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.tw")
+    ext.sql("CREATE TABLE graft.db.tw AS " +
+      "SELECT cast(id AS INT) AS x, concat('n', id) AS name FROM range(50)")
+    ext.sql("ALTER TABLE graft.db.tw ALTER COLUMN x TYPE BIGINT")
+    assert(ext.table("graft.db.tw").schema("x").dataType == LongType)
+    // old int files + a new beyond-int-range batch through ONE SQL scan
+    ext.sql("INSERT INTO graft.db.tw VALUES (5000000000, 'big')")
+    assert(ext.sql("SELECT sum(x) FROM graft.db.tw").head.getLong(0) ==
+      (0L until 50L).sum + 5000000000L)
+    assert(ext.sql("SELECT count(*) FROM graft.db.tw WHERE x = 7")
+      .head.getLong(0) == 1)
+    // DESCRIBE shows the widened type; the pre-ALTER snapshot keeps INT
+    assert(ext.sql("SELECT * FROM graft.db.tw VERSION AS OF 1")
+      .schema("x").dataType == IntegerType)
+    // format("graft") read agrees
+    assert(ext.read.format("graft").load(s"$lakeRoot/db/tw")
+      .schema("x").dataType == LongType)
+  }
+}
