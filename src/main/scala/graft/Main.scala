@@ -67,34 +67,26 @@ object Main {
       env.getOrElse("GRAFT_TX_SINKS", "").trim.toLowerCase)
     val sched = new CycleScheduler(runner, conf.maxConsecutiveFailures,
       metrics = Some(new MetricsStore(spark, boot.tablePath("etl_metrics"))),
-      maintenance = cycleId =>
-        if (compactEvery > 0 && cycleId % compactEvery == 0) {
-          if (txSinks)
-            // tx maintenance: rewrite fragmented live sets into one batch
-            // (bounds read()'s union fan-in), squash the log, reclaim
-            // superseded data files
-            graft.model.Schemas.targets.keys.foreach { t =>
-              val dir = boot.tablePath(t)
-              if (graft.merge.TxTable.exists(spark, dir)) {
-                // retainVersions=2 + a 5 min orphan age: a reader that
-                // resolved files at the pre-compaction head keeps working
-                // for at least one maintenance interval, and a crashed or
-                // in-flight staging dir is never swept while fresh.
-                // compactLog checkpoints before pruning, so the retained
-                // version tail survives log compaction and the three
-                // maintenance steps commute.
-                if (graft.merge.TxTable.liveBatchCount(spark, dir) > compactMaxFiles)
-                  graft.merge.TxTable.compactData(spark, dir,
-                    targetPartitions = 1, retainVersions = 2)
-                graft.merge.TxTable.vacuum(spark, dir, retainVersions = 2,
-                  minOrphanAgeMs = 5 * 60 * 1000L)
-                graft.merge.TxTable.compactLog(spark, dir, retainVersions = 2)
-              }
-            }
-          else graft.merge.MergeSink.compactIfNeeded(spark,
-            boot.tablePath("fact_scenario_timeline"), maxFiles = compactMaxFiles,
-            targetPartitions = 1, partitionCols = Seq("event_date"))
-        })
+      maintenance =
+        if (txSinks)
+          // tx maintenance: the self-driving policy loop — per cycle it
+          // reads each table's health from the log (small-file count, DV
+          // fractions, log length past the last checkpoint, reclaimable
+          // debris) and runs ONLY the actions whose thresholds trip, in
+          // dependency order (rewrites → checkpoint → vacuum). A healthy
+          // table costs a few metadata probes and zero commits, so the
+          // hook runs every `compactEvery` cycles without churn.
+          graft.ops.Maintenance.cycleHook(spark,
+            graft.model.Schemas.targets.keys.toSeq.map(boot.tablePath),
+            every = compactEvery,
+            p = graft.ops.MaintainPolicy(
+              minSmallFiles = compactMaxFiles,
+              retainVersions = 2))
+        else cycleId =>
+          if (compactEvery > 0 && cycleId % compactEvery == 0)
+            graft.merge.MergeSink.compactIfNeeded(spark,
+              boot.tablePath("fact_scenario_timeline"), maxFiles = compactMaxFiles,
+              targetPartitions = 1, partitionCols = Seq("event_date")))
     val cycles = env.get("GRAFT_CYCLES").map(_.trim.toInt).getOrElse(Int.MaxValue)
     sched.run(ScenarioPipeline.streams(spark, src, boot, txSinks),
       conf.pollIntervalSec, cycles)

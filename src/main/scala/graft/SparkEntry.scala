@@ -2037,10 +2037,39 @@ object SparkEntry {
         .collect()
       ext.sql("CALL graft.system.compact_log('maint.mo')").collect()
       ext.sql("CALL graft.system.vacuum('maint.mo')").collect()
-      ext.sql("""SELECT o_orderstatus, count(*) AS n,
+      // …then the SELF-DRIVING policy over mixed write/delete cycles:
+      // merge-on-read deletes + partial re-inserts with
+      // CALL graft.system.maintain interleaved — the policy reads table
+      // health from the log and runs only the actions whose thresholds
+      // trip (purge_dvs at 5%, compaction at 2 small files, checkpoint
+      // past 4 commits, vacuum at 1 reclaimable item). After the loop the
+      // read tax is PROVABLY bounded: dv_bounded pins that no live file
+      // carries a vector at/over the policy fraction.
+      ext.sql("ALTER TABLE graft.maint.mo " +
+        "SET TBLPROPERTIES('graft.deletes.mode'='dv')")
+      val tableDir = sqlLakeRoot(dir) + "/maint/mo"
+      for (c <- 0 until 3) {
+        ext.sql(s"DELETE FROM graft.maint.mo WHERE o_orderkey % 9 = $c")
+        ext.sql("INSERT INTO graft.maint.mo " +
+          "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+          s"FROM graft.lake.orders WHERE o_orderkey % 9 = $c " +
+          "AND o_orderkey % 2 = 0")
+        ext.sql("CALL graft.system.maintain('maint.mo', " +
+          "min_small_files => 2, dv_min_deleted_fraction => 0.05, " +
+          "min_log_commits => 4, min_vacuum_items => 1)").collect()
+      }
+      val dvBounded = graft.merge.TxTable
+        .liveEntriesForSql(ext, tableDir, None).forall { e =>
+          e.dv.forall { d =>
+            val phys = ext.read.parquet(
+              new org.apache.hadoop.fs.Path(tableDir, e.path).toString).count()
+            phys > 0 && d.deleted.toDouble / phys < 0.05
+          }
+        }
+      ext.sql(s"""SELECT o_orderstatus, count(*) AS n,
                  sum(o_orderkey) AS sum_key,
                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   AS total
+                   AS total, $dvBounded AS dv_bounded
                  FROM graft.maint.mo GROUP BY o_orderstatus""")
     }),
 
@@ -3880,11 +3909,19 @@ object SparkEntry {
     // q149: after the full maintenance loop (pack, z-order rewrite, log
     // compaction, vacuum) the table must still be exactly `orders` —
     // every maintenance action is a permutation of the live rows.
+    // the maintain() cycles replay relationally: three slices (key%9 in
+    // 0..2) deleted, their even keys re-inserted — final live set =
+    // NOT(key%9<3 AND odd). Every maintenance action in between is a
+    // permutation of live rows; dv_bounded = true pins the policy's
+    // read-tax bound as a measured fact.
     "q149_sql_maintenance" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | true AS dv_bounded
+        |FROM orders
+        |WHERE NOT (o_orderkey % 9 < 3 AND o_orderkey % 2 = 1)
+        |GROUP BY o_orderstatus""".stripMargin,
 
     // q150: the evolution sequence replayed relationally — the CTAS rows
     // carry a typed NULL for the later-declared column, the INSERT rows

@@ -481,6 +481,17 @@ object TxTable {
 
   // --------------------------------------------------------- vacuum floor
 
+  /** Commits beyond the newest checkpoint (the whole log when none) —
+    * the health metric [[graft.ops.Maintenance]]'s compact_log threshold
+    * reads; O(log listing), no commit parsed. */
+  private[graft] def commitsSinceCheckpoint(spark: SparkSession,
+                                            dir: String): Int = {
+    val fs = hadoopFs(spark, dir)
+    val ckpt = listCheckpoints(fs, dir).lastOption.map(_._1)
+      .getOrElse(Long.MinValue)
+    listCommits(fs, dir).count(_._1 > ckpt)
+  }
+
   /** Oldest version guaranteed readable after vacuums (see [[vacuum]]);
     * absent until a vacuum actually removes a committed batch. */
   private def readFloor(fs: FileSystem, dir: String): Option[Long] = {

@@ -139,6 +139,19 @@ object Layout {
     * so progress and data can never disagree. */
   private val ZorderStateProp = "graft.zorder.state"
 
+  /** (version of the last incremental pass, its columns) — None when the
+    * table never opted into incremental clustering. The health probe
+    * [[Maintenance.maintain]] uses to decide whether (and on which
+    * columns) to run another pass. */
+  def zorderState(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Option[(Long, Seq[String])] =
+    graft.merge.TxTable.tableProperties(spark, dir).get(ZorderStateProp)
+      .map { s =>
+        val i = s.indexOf('|')
+        (s.substring(0, i).toLong,
+          s.substring(i + 1).split(',').filter(_.nonEmpty).toSeq)
+      }
+
   /** Incremental OPTIMIZE ZORDER — the 100 TB form of [[zorderTx]]:
     * cluster ONLY the live files that were NOT live at the last
     * clustering pass (new appends, compaction outputs, rewrite

@@ -160,6 +160,39 @@ object GraftProcedures {
           minDeletedFraction = in.getDouble(1))
         Seq(InternalRow(s.filesPacked, s.filesWritten, s.filesUntouched))
       })),
+    "maintain" -> (cat => new BoundUnbound("maintain",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("small_bytes", LongType)
+          .defaultValue((64L << 20).toString).build(),
+        ProcedureParameter.in("min_small_files", IntegerType)
+          .defaultValue("8").build(),
+        ProcedureParameter.in("dv_min_deleted_fraction", DoubleType)
+          .defaultValue("0.2").build(),
+        ProcedureParameter.in("min_log_commits", IntegerType)
+          .defaultValue("32").build(),
+        ProcedureParameter.in("min_vacuum_items", IntegerType)
+          .defaultValue("16").build(),
+        ProcedureParameter.in("retain_versions", IntegerType)
+          .defaultValue("3").build()),
+      StructType(Seq(StructField("action", StringType),
+        StructField("detail", StringType))),
+      { in =>
+        // the self-driving policy loop: reads table health from the log
+        // (small files, DV fractions, unclustered files, log length,
+        // debris) and runs ONLY the actions whose thresholds trip — see
+        // graft.ops.Maintenance for the decision order
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        graft.ops.Maintenance.maintain(spark, dir,
+          graft.ops.MaintainPolicy(
+            smallBytes = in.getLong(1),
+            minSmallFiles = in.getInt(2),
+            dvMinDeletedFraction = in.getDouble(3),
+            minLogCommits = in.getInt(4),
+            minVacuumItems = in.getInt(5),
+            retainVersions = in.getInt(6)))
+          .map { case (a, d) => strRow(Seq(a, d)) }
+      })),
     "analyze" -> (cat => new BoundUnbound("analyze",
       Array(
         ProcedureParameter.in("table", StringType).build(),
