@@ -133,24 +133,18 @@ object Bench {
       name -> runTimes(fn, sfDir, reps)
     }
     val results = timed.map { case (n, ts) => n -> (if (ts.isEmpty) -1.0 else ts.min) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // medians alongside the mins: a min that diverges from its median flags
-    // a contended machine (the r7 lesson — same code, 4× slope swings), so
-    // the artifact carries its own noise evidence instead of needing a rerun
-    val qsMed = timed.map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
     // second scale point: the same heavy queries over a k×-replicated
     // corpus, so "survives a scale-up" is a measured slope (t_kx/t_1x per
     // query), not a probe-only claim. SPARK_GRAFT_BENCH_SCALE2=0 disables.
     val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE2", "8").trim.toInt
-    val scaled: Option[(String, Seq[(String, Double)])] =
+    var remeasured: Seq[String] = Nil
+    val scaled: Option[(String, Seq[(String, Double)], Map[String, Double])] =
       if (k <= 1) None
       else {
         val dirK = buildScaled(spark, sfDir, k)
-        val r = heavy.flatMap { name =>
+        var base = results.toMap
+        var r = heavy.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
             run(fn, dirK, 1) // warm plans from the 1× pass; codegen is shared
             // full rep count at 8× too: slopes divide two small numbers, so
@@ -159,15 +153,41 @@ object Bench {
             name -> run(fn, dirK, reps)
           }
         }
+        // artifact self-defense (the r11 ghost-slope lesson: a contended
+        // driver host published 21.27 where the clean re-run measured
+        // 1.61): any slope past 6 on this fixed box is far likelier host
+        // noise than a real super-linear plan, so BOTH sides re-measure
+        // once before the JSON is written — min-of-all-samples absorbs
+        // the noisy pass; a genuinely super-linear query survives the
+        // re-measure and still reports honestly. The names re-measured
+        // ride in the artifact so the adjudication is visible.
+        def slopeOf(n: String, v: Double): Double =
+          base.get(n).filter(_ > 0).filter(_ => v > 0).map(v / _).getOrElse(-1.0)
+        val ghosts = r.filter { case (n, v) => slopeOf(n, v) > 6.0 }.map(_._1)
+        if (ghosts.nonEmpty) {
+          remeasured = ghosts
+          System.err.println(s"[bench] re-measuring slope>6 outliers: " +
+            ghosts.mkString(", "))
+          val fixedBase = ghosts.flatMap(n => SparkEntry.queries.get(n).map(fn =>
+            n -> math.min(base(n), run(fn, sfDir, reps)))).toMap
+          base = base ++ fixedBase
+          r = r.map { case (n, v) =>
+            if (!ghosts.contains(n)) n -> v
+            else n -> math.min(v,
+              run(SparkEntry.queries(n), dirK, reps) match {
+                case x if x > 0 => x
+                case _ => v
+              })
+          }
+        }
         // the replicated corpus is measurement scaffolding (~10× sf size on
         // /tmp) — reclaim it; the JSON keeps the path for provenance only
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dirK))
-        Some((dirK, r))
+        Some((dirK, r, base))
       }
     val extra = scaled match {
       case None => ""
-      case Some((dirK, r)) =>
-        val base = results.toMap
+      case Some((dirK, r, base)) =>
         val qsK = r.map { case (n, v) => s"\"" + n + "\":" + v }
           .mkString("{", ",", "}")
         val slope = r.map { case (n, v) =>
@@ -179,8 +199,26 @@ object Bench {
           s"\"" + n + "\":" +
             String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))
         }.mkString("{", ",", "}")
-        s""","scale_k":$k,"queries_${k}x":$qsK,"slope_vs_1x":$slope,"sf_${k}x":"$dirK""""
+        val rem = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","scale_k":$k,"queries_${k}x":$qsK,"slope_vs_1x":$slope,""" +
+          s""""slope_remeasured":$rem,"sf_${k}x":"$dirK""""
     }
+    // the published 1× map reflects any outlier re-measures, so the slope
+    // denominators and the queries map can never disagree in the artifact
+    val resultsFinal = scaled match {
+      case Some((_, _, base)) =>
+        results.map { case (n, v) => n -> base.getOrElse(n, v) }
+      case None => results
+    }
+    val qs = resultsFinal.map { case (n, v) => s"\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
+    // medians alongside the mins: a min that diverges from its median flags
+    // a contended machine (the r7 lesson — same code, 4× slope swings), so
+    // the artifact carries its own noise evidence instead of needing a rerun
+    val qsMed = timed.map { case (k2, ts) => s"\"" + k2 + "\":" + median(ts) }
+      .mkString("{", ",", "}")
+    val total =
+      if (resultsFinal.nonEmpty) resultsFinal.map(_._2).sum else 0.0
     // host conditions ride in the artifact so a slope ghost on a contended
     // box (observed: 21.65 vs 1.17 for the same binary) is attributable
     // from the JSON alone, without a re-run
@@ -196,9 +234,16 @@ object Bench {
           catch { case _: Throwable => false }
         }
       } catch { case _: Throwable => -1 }
+      // contended = another workload already owned a meaningful share of
+      // the box when this run STARTED (threshold cpus/8 — the r11 ghost
+      // run began at loadavg 5.58 on 64 cpus... of which the bench's own
+      // end-of-run load says nothing; start load is the honest signal).
+      // A true artifact consumer must treat contended slopes as
+      // unadjudicated, not as the round's performance record.
+      val cpusN = Runtime.getRuntime.availableProcessors
+      val contended = loadavgStart.toDouble > cpusN / 8.0
       s""""host":{"loadavg_start":$loadavgStart,"loadavg_end":$loadavg,""" +
-        s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
-        s""""java_procs":$jvms}"""
+        s""""cpus":$cpusN,"java_procs":$jvms,"contended":$contended}"""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"reps":$reps,"sf":"$sfDir",$host$extra}"""
     println(json)
