@@ -958,19 +958,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(again.toSet == got.toSet)
   }
 
-  test("fuzzyNearDups: hot-block fence refuses a degenerate blocking key loudly") {
-    // every row shares the 2-char prefix and the length band — the pair
-    // sweep would be all-pairs; the fence must refuse, not burn
+  test("fuzzyNearDups: hot blocks salt-split EXACTLY (same pairs, spread work); maxPairs fences degenerate keys") {
+    // every row shares the 2-char prefix and the length band — previously
+    // the fence refused; now the block salt-splits into cells and the
+    // reported pair set must be IDENTICAL to an un-split run
     val docs = (1 to 20).map(i => (i.toLong, f"ab$i%02d")).toDF("id", "s")
+    val split = Dedup.fuzzyNearDups(docs, "id", "s", maxDist = 2,
+        prefixLen = 2, lenBand = 8, maxBlock = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val whole = Dedup.fuzzyNearDups(docs, "id", "s", maxDist = 2,
+        prefixLen = 2, lenBand = 8, maxBlock = 1000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(split == whole, "salt-splitting changed the reported pair set")
+    assert(whole.nonEmpty) // ab01..ab20 are all within dist 2 of each other
+    // the loud fence now guards TOTAL candidate volume from oversized
+    // blocks — a degenerate key for the corpus still refuses
     val e = intercept[IllegalArgumentException] {
       Dedup.fuzzyNearDups(docs, "id", "s", maxDist = 2, prefixLen = 2,
-        lenBand = 8, maxBlock = 10)
+        lenBand = 8, maxBlock = 5, maxPairs = 100)
     }
-    assert(e.getMessage.contains("maxBlock"))
-    // the same corpus under a selective prefix passes the fence
-    val ok = Dedup.fuzzyNearDups(docs, "id", "s", maxDist = 2, prefixLen = 4,
-      lenBand = 8, maxBlock = 10)
-    assert(ok.count() >= 0)
+    assert(e.getMessage.contains("maxPairs"))
   }
 
   test("fuzzyNearDups: pairs straddling a length-band edge still surface (neighbor probe)") {
