@@ -2286,8 +2286,62 @@ object SparkEntry {
                    AS total,
                  $moved AS files_moved, '$v1Type' AS v1_type
                  FROM graft.ddl.orders_tw GROUP BY o_orderstatus""")
+    }),
+
+    // q156: TRAINED language identification — multinomial NB-style mean
+    // add-α probability over char 2-3-grams, trained on the shared
+    // literal corpora (en/fr/de) and scored over the documents slice plus
+    // three planted foreign sentences. Log-free (one IEEE division per
+    // gram, decimal-exact mean — the q76/q91 discipline), so DuckDB
+    // replays the ENTIRE classifier bit-for-bit: training counts, add-α
+    // scores, and the per-doc argmax.
+    "q156_lang_id" -> ((s, dir) => {
+      val sq = s.sqlContext; import sq.implicits._
+      val train = langIdTraining.toDF("lang", "text")
+      val planted = langIdPlanted.toDF("doc_id", "text")
+      val targets = T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      graft.ext.TextStats.langIdAgainst(train, "lang", "text",
+        targets, "doc_id", "text")
     })
   )
+
+  /** q156's labeled training slice: three miniature single-language
+    * corpora as SHARED literals — the Spark side builds a DataFrame, the
+    * oracle a VALUES list, from the SAME strings, so both engines train
+    * the identical char-n-gram model. ASCII only (no locale-sensitive
+    * lowercasing divergence between JVM and DuckDB). */
+  private val langIdTraining: Seq[(String, String)] = Seq(
+    "en" -> ("the quick brown fox jumps over the lazy dog while the rain " +
+      "in spain stays mainly on the plain and children read their books " +
+      "in the quiet evening light"),
+    "en" -> ("a journey of a thousand miles begins with a single step and " +
+      "every good boy deserves fruit when the weather turns warm in the " +
+      "early summer months"),
+    "fr" -> ("le renard brun saute par dessus le chien paresseux pendant " +
+      "que la pluie en espagne reste surtout dans la plaine et les " +
+      "enfants lisent leurs livres le soir"),
+    "fr" -> ("un voyage de mille lieues commence par un premier pas et " +
+      "chaque bon garcon merite des fruits quand le temps devient chaud " +
+      "au debut des mois d ete"),
+    "de" -> ("der schnelle braune fuchs springt ueber den faulen hund " +
+      "waehrend der regen in spanien meistens in der ebene bleibt und " +
+      "die kinder abends ihre buecher lesen"),
+    "de" -> ("eine reise von tausend meilen beginnt mit einem einzigen " +
+      "schritt und jeder gute junge verdient obst wenn das wetter in den " +
+      "fruehen sommermonaten warm wird"))
+
+  /** q156's planted foreign targets (distinct from the training
+    * sentences), keyed by negative doc_ids so they can't collide with the
+    * corpus. */
+  private val langIdPlanted: Seq[(Long, String)] = Seq(
+    -1L -> ("she walks to the market every morning to buy fresh bread " +
+      "and the children follow along the narrow street"),
+    -2L -> ("elle marche au marche chaque matin pour acheter du pain " +
+      "frais et les enfants suivent le long de la rue etroite"),
+    -3L -> ("sie geht jeden morgen zum markt um frisches brot zu kaufen " +
+      "und die kinder folgen ihr die enge strasse entlang"))
 
   /** q115's decode/relational seam: the dHash half (ImageIO decode → 8
     * bytes per asset) lands here so the DuckDB oracle can replay the
@@ -4005,6 +4059,71 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | CAST(0 AS BIGINT) AS empty_n, 0 AS v1_live, true AS partitioned
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // q156: the WHOLE trained classifier replays relationally — training
+    // counts over the shared literal corpora, add-α mean-probability
+    // scores (one IEEE division per gram, decimal-exact mean), and the
+    // per-doc argmax as a row_number window with the same deterministic
+    // tie-break. Both engines see identical training/planted strings
+    // (interpolated from one Scala constant).
+    "q156_lang_id" -> {
+      val trainVals = langIdTraining
+        .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+      val plantedVals = langIdPlanted
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+      s"""WITH train(lang, text) AS (SELECT * FROM (VALUES $trainVals)),
+         |planted(doc_id, text) AS (SELECT * FROM (VALUES $plantedVals)),
+         |tgt AS (SELECT doc_id, text FROM documents WHERE doc_id < 200
+         |        UNION ALL SELECT doc_id, text FROM planted),
+         |refg AS (
+         | SELECT lang, g FROM (
+         |  SELECT lang, substr(lower(text), CAST(i AS INT), 2) AS g FROM (
+         |   SELECT lang, text, unnest(range(1,
+         |    CAST(greatest(length(text) - 1, 1) AS BIGINT) + 1)) AS i
+         |   FROM train) p2) x2
+         | WHERE length(g) = 2
+         | UNION ALL
+         | SELECT lang, g FROM (
+         |  SELECT lang, substr(lower(text), CAST(i AS INT), 3) AS g FROM (
+         |   SELECT lang, text, unnest(range(1,
+         |    CAST(greatest(length(text) - 2, 1) AS BIGINT) + 1)) AS i
+         |   FROM train) p3) x3
+         | WHERE length(g) = 3),
+         |tgtg AS (
+         | SELECT doc_id, g FROM (
+         |  SELECT doc_id, substr(lower(text), CAST(i AS INT), 2) AS g FROM (
+         |   SELECT doc_id, text, unnest(range(1,
+         |    CAST(greatest(length(text) - 1, 1) AS BIGINT) + 1)) AS i
+         |   FROM tgt WHERE text IS NOT NULL) q2) y2
+         | WHERE length(g) = 2
+         | UNION ALL
+         | SELECT doc_id, g FROM (
+         |  SELECT doc_id, substr(lower(text), CAST(i AS INT), 3) AS g FROM (
+         |   SELECT doc_id, text, unnest(range(1,
+         |    CAST(greatest(length(text) - 2, 1) AS BIGINT) + 1)) AS i
+         |   FROM tgt WHERE text IS NOT NULL) q3) y3
+         | WHERE length(g) = 3),
+         |cg AS (SELECT lang, g, count(*) AS cg FROM refg GROUP BY 1, 2),
+         |ct AS (SELECT lang, count(*) AS ct FROM refg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT g) AS v FROM refg),
+         |scored AS (
+         | SELECT t.doc_id, ct.lang,
+         |  (CAST(coalesce(cg.cg, 0) AS DOUBLE) + 0.5) /
+         |  (CAST(ct.ct AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE)) AS pr
+         | FROM tgtg t CROSS JOIN ct CROSS JOIN v
+         | LEFT JOIN cg ON cg.lang = ct.lang AND cg.g = t.g),
+         |per AS (
+         | SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_grams,
+         |  round(CAST(sum(CAST(pr AS DECIMAL(18,12))) AS DOUBLE) / count(*), 9)
+         |    AS score_r9
+         | FROM scored GROUP BY 1, 2),
+         |win AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score_r9 DESC, lang ASC) AS rn FROM per)
+         |SELECT t.doc_id, w.lang, w.score_r9,
+         | CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams
+         |FROM tgt t LEFT JOIN (SELECT * FROM win WHERE rn = 1) w
+         |USING (doc_id)""".stripMargin
+    },
 
     // q155: the widening sequence replays relationally — even keys as-is
     // (the values an INT held exactly), odd keys shifted beyond int32

@@ -23,6 +23,12 @@ object Curation {
       minAlphaRatio: Double = 0.35,
       nearDupThreshold: Double = 0.6,
       langAllow: Seq[String] = Nil, // empty = all languages pass
+      /** labeled (lang, text) training corpus: when set, the language
+        * gate CLASSIFIES each doc with the trained char-n-gram model
+        * ([[TextStats.langIdAgainst]]) instead of trusting a metadata
+        * `lang` column — the production shape (crawled corpora carry no
+        * trustworthy language tags). */
+      langModel: Option[DataFrame] = None,
       // optional model-quality gates (r8 operators). Judge-only-what-you-
       // can-measure rule: a doc the gate CANNOT score (too short for a
       // bigram LM; no embedding row) passes that gate rather than dying
@@ -49,8 +55,16 @@ object Curation {
       .select(col("doc_id"))
     val lang =
       if (gates.langAllow.isEmpty) docs.select(col("doc_id"))
-      else docs.filter(col("lang").isInCollection(gates.langAllow))
-        .select(col("doc_id"))
+      else gates.langModel match {
+        case Some(train) =>
+          TextStats.langIdAgainst(train, "lang", "text",
+              docs, "doc_id", "text")
+            .filter(col("lang").isInCollection(gates.langAllow))
+            .select(col("doc_id"))
+        case None =>
+          docs.filter(col("lang").isInCollection(gates.langAllow))
+            .select(col("doc_id"))
+      }
     val fluency = gates.minFluency.map { floor =>
       "fluency" -> TextStats.bigramFluency(docs, "doc_id", "text")
         .filter(col("mean_prob_r9").isNull ||

@@ -23,6 +23,77 @@ object TextStats {
   def alphaRatio(text: Column): Column =
     length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text)
 
+  /** Multinomial char-n-grams (duplicates KEPT — counts are the model) of
+    * the lowercased text, for each n in `ns`. Pure codegen expressions:
+    * sequence + substr + a length filter (which also voids the
+    * descending-sequence trap on texts shorter than n). */
+  private def charGrams(text: Column, ns: Seq[Int]): Column = {
+    val low = lower(text)
+    ns.map { n =>
+      filter(
+        transform(sequence(lit(1), greatest(length(low) - (n - 1), lit(1))),
+          i => low.substr(i, lit(n))),
+        g => length(g) === n)
+    }.reduce(concat(_, _))
+  }
+
+  /** TRAINED language identification — multinomial naive-Bayes-style
+    * scoring over char 2-3-grams (the fastText/CLD shape cut to the house
+    * log-free discipline): a labeled reference corpus trains per-language
+    * gram counts; each target doc scores, per language, the MEAN add-α
+    * gram probability (one IEEE division per gram — integer counts, no
+    * log, no libm — the q76/q91 exactness discipline, so a SQL oracle
+    * replays it bit-for-bit where a log-likelihood product could not),
+    * and the winner is the highest mean (ties broken by language name,
+    * deterministic). The upgrade over [[stopwordRatio]]: trained on
+    * whatever languages the labeled slice carries, sensitive to
+    * character-level signal (diacritics, orthography) that survives in
+    * word-salad or short texts where stopwords never appear.
+    *
+    * Scale shape: the reference pays two count aggregates once; the
+    * target pays one gram explode × |languages| (the per-language score
+    * fan-out every NB classifier does) with the per-language totals
+    * broadcast, one LEFT equi-join on (lang, gram), and one window over
+    * (doc, lang) rows. O(ref grams + L · target grams).
+    *
+    * Output: (doc_id, lang, score_r9, n_grams) — one row per target doc;
+    * gram-less docs (null/empty/shorter than every n) keep a null lang. */
+  def langIdAgainst(labeled: DataFrame, labelCol: String, textCol: String,
+                    target: DataFrame, idCol: String, targetTextCol: String,
+                    ns: Seq[Int] = Seq(2, 3),
+                    alpha: Double = 0.5): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes $ns")
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val ref = labeled.filter(col(textCol).isNotNull)
+      .select(col(labelCol).as("lang"),
+        explode(charGrams(col(textCol), ns)).as("g"))
+    val cg = ref.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cg"))
+    val ct = ref.groupBy(col("lang")).agg(count(lit(1)).as("ct"))
+    val v = ref.agg(count_distinct(col("g")).as("v"))
+    val langTotals = broadcast(ct.crossJoin(v)) // L rows
+    val tgt = target.filter(col(targetTextCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(charGrams(col(targetTextCol), ns)).as("g"))
+    val perLang = tgt.crossJoin(langTotals)
+      .join(cg, Seq("lang", "g"), "left")
+      .select(col("doc_id"), col("lang"),
+        ((coalesce(col("cg"), lit(0L)) + lit(alpha)) /
+          (col("ct") + lit(alpha) * col("v"))).as("pr"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(graft.functions.SafeCasts.decimalAvg(col("pr"), 12), 9)
+          .as("score_r9"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_r9").desc, col("lang").asc)
+    val winners = perLang.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    target.select(col(idCol).as("doc_id"))
+      .join(winners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("score_r9"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+  }
+
   /** Stopword-ratio language scorer: fraction of tokens in a stopword list.
     * An n-gram/stopword heuristic is the classic cheap lang-ID. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

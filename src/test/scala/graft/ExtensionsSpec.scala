@@ -929,6 +929,42 @@ class ExtensionsSpec extends SparkTestBase {
     assert(a.toSet == b.toSet)
   }
 
+  test("langIdAgainst: trained char-n-gram classifier routes planted languages; gates compose") {
+    val train = Seq(
+      "en" -> "the quick brown fox jumps over the lazy dog while children read their books in the evening and the weather turns warm",
+      "en" -> "a journey of a thousand miles begins with a single step and every good boy deserves fruit in the summer months",
+      "fr" -> "le renard brun saute par dessus le chien paresseux et les enfants lisent leurs livres le soir quand le temps devient chaud",
+      "fr" -> "un voyage de mille lieues commence par un premier pas et chaque bon garcon merite des fruits au debut des mois d ete",
+      "de" -> "der schnelle braune fuchs springt ueber den faulen hund und die kinder lesen abends ihre buecher wenn das wetter warm wird",
+      "de" -> "eine reise von tausend meilen beginnt mit einem einzigen schritt und jeder gute junge verdient obst in den sommermonaten")
+      .toDF("lang", "text")
+    val docs = Seq(
+      (1L, "she walks to the market every morning to buy fresh bread for the children"),
+      (2L, "elle marche au marche chaque matin pour acheter du pain frais pour les enfants"),
+      (3L, "sie geht jeden morgen zum markt um frisches brot fuer die kinder zu kaufen"),
+      // char-level signal works where stopword lists are blind: a short
+      // fragment of in-domain words, no function words at all
+      (4L, "schnelle buecher ueber sommermonaten"),
+      (5L, null.asInstanceOf[String])) // null text: null lang, 0 grams
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextStats
+      .langIdAgainst(train, "lang", "text", docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(3)))).toMap
+    assert(got(1L)._1.contains("en"), got(1L))
+    assert(got(2L)._1.contains("fr"), got(2L))
+    assert(got(3L)._1.contains("de"), got(3L))
+    assert(got(4L)._1.contains("de"), got(4L))
+    assert(got(5L)._1.isEmpty && got(5L)._2 == 0L, got(5L))
+    // composition: a langModel-armed gate keeps only the allowed language
+    val kept = graft.ext.Curation.curate(
+      docs.filter(col("text").isNotNull),
+      graft.ext.Curation.Gates(minChars = 10, langAllow = Seq("fr"),
+        langModel = Some(train)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), kept)
+  }
+
   test("fuzzyNearDups: typo pairs found with exact distances, blocking contract enforced, pairs unique") {
     val docs = Seq(
       (1L, "spark streaming guide"),        // base
