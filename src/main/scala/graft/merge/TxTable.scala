@@ -1491,6 +1491,20 @@ object TxTable {
     setProperties(spark, dir, props)
   }
 
+  /** Data commits since the last [[analyze]] (None when never analyzed) —
+    * the staleness signal [[graft.ops.Maintenance]]'s re-analyze
+    * threshold reads. Counts every commit past the recorded stats
+    * version; property-only commits are cheap noise inside it, but a
+    * busy table's count is dominated by data commits and the refresh
+    * itself is O(files) metadata. */
+  private[graft] def commitsSinceAnalyze(spark: SparkSession,
+                                         dir: String): Option[Int] = {
+    val fs = hadoopFs(spark, dir)
+    propsState(fs, dir).get(StatsVersionProp).map { v0 =>
+      listCommits(fs, dir).count(_._1 > v0.toLong)
+    }
+  }
+
   /** The persisted ANALYZE stats as Spark catalog statistics (None until
     * [[analyze]] has run as of `asOf`) — what the SQL front door attaches
     * to the scan relation so plan estimation uses measured row counts and

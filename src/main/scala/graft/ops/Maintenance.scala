@@ -29,6 +29,10 @@ final case class MaintainPolicy(
     minLogCommits: Int = 32,
     /** vacuum once the dry-run report lists this many reclaimable items. */
     minVacuumItems: Int = 16,
+    /** refresh ANALYZE stats once this many commits follow the last run —
+      * ONLY for tables already analyzed (the policy never invents a stats
+      * obligation); stale stats are the classic CBO failure mode. */
+    minCommitsSinceAnalyze: Int = 16,
     retainVersions: Int = 3,
     vacuumMinOrphanAgeMs: Long = 5 * 60 * 1000L)
 
@@ -98,6 +102,14 @@ object Maintenance {
           out += ("zorder_incremental" -> s"clustered $b files into $a")
       }
     }
+
+    // 3b. ANALYZE refresh (estimator health) — only for tables that have
+    // been analyzed before; O(files) footer metadata when it trips
+    TxTable.commitsSinceAnalyze(spark, dir)
+      .filter(_ >= p.minCommitsSinceAnalyze).foreach { n =>
+        val (rows, bytes) = TxTable.analyze(spark, dir)
+        out += ("analyze" -> s"refreshed after $n commits: $rows rows, $bytes bytes")
+      }
 
     // 4. log compaction (replay-cost health)
     val pending = TxTable.commitsSinceCheckpoint(spark, dir)

@@ -55,6 +55,25 @@ class MaintenanceSpec extends SparkTestBase {
     assert(TxTable.read(spark, dir).get.count() == 10)
   }
 
+  test("analyze refresh trips only for previously-analyzed tables past the commit threshold") {
+    val dir = tmpDir("maint-an")
+    TxTable.append(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    def quiet = MaintainPolicy(minSmallFiles = 100, minLogCommits = 100,
+      minVacuumItems = 100, minCommitsSinceAnalyze = 3)
+    // never analyzed: the policy never invents a stats obligation
+    assert(Maintenance.maintain(spark, dir, quiet).map(_._1) == Seq("noop"))
+    TxTable.analyze(spark, dir)
+    // fresh stats: no refresh
+    assert(Maintenance.maintain(spark, dir, quiet).map(_._1) == Seq("noop"))
+    (2 to 4).foreach(i => TxTable.append(spark, dir,
+      Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val acts = Maintenance.maintain(spark, dir, quiet)
+    assert(acts.map(_._1) == Seq("analyze"), acts)
+    assert(acts.head._2.contains("4 rows"), acts) // refreshed to live truth
+    assert(TxTable.catalogStats(spark, dir, None)
+      .exists(_.rowCount.contains(BigInt(4))))
+  }
+
   test("zorder runs only for opted-in tables with enough new files, on the recorded columns") {
     val dir = tmpDir("maint-z")
     TxTable.append(spark, dir,
