@@ -103,6 +103,20 @@ class ApiSurfaceSpec extends SparkTestBase {
     val salted = Skew.saltedJoin(left, right, Seq("k"), saltFactor = 8)
       .select("k", "v", "tag")
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    // hot-key-only mode: identical rows, but ONLY the measured-hot key
+    // replicates the build side (the production form)
+    val hotOnly = Skew.saltedJoin(left, right, Seq("k"), saltFactor = 8,
+        hotKeyMinRows = 100L).select("k", "v", "tag")
+    assert(plain.exceptAll(hotOnly).isEmpty && hotOnly.exceptAll(plain).isEmpty)
+    // nothing hot at a higher threshold: degrades to the plain join
+    val none = Skew.saltedJoin(left, right, Seq("k"), saltFactor = 8,
+        hotKeyMinRows = 5000L).select("k", "v", "tag")
+    assert(plain.exceptAll(none).isEmpty && none.exceptAll(plain).isEmpty)
+    // a replicated build side cannot serve right/full outer joins
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, Seq("k"), 8, joinType = "right_outer")
+    }
+    assert(e.getMessage.contains("unmatched right rows"), e.getMessage)
     val counts = Skew.saltedCount(left, col("k"), 8).as[(String, Long)]
       .collect().toMap
     assert(counts("hot") == 900L)
