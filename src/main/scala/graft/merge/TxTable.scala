@@ -1383,12 +1383,19 @@ object TxTable {
         s"declared schema of $dir")
     require(!props.keys.exists(_.startsWith("graft.schema.")),
       "graft.schema.* properties are managed by the DDL itself")
+    // a NOT NULL column becomes an armed CHECK constraint (this format
+    // has no physical nullability — parquet fields are optional — so the
+    // honest enforcement point is the same write-time gate every
+    // constraint uses; silently weakening the declaration would let NULLs
+    // land in a column the user declared NOT NULL)
+    val notNull = schema.fields.filterNot(_.nullable).map(f =>
+      s"constraint.not_null_${f.name}" -> s"`${f.name}` IS NOT NULL")
     val fs = hadoopFs(spark, dir)
     commit(fs, dir, Commit("append", partColField(partitionCols), None,
       Nil, Nil, Nil,
       (declaredShapeProps(fs, dir,
         schema.fields.map(f => StructField(f.name, f.dataType)).toSeq,
-        partitionCols) ++ props.toSeq.sortBy(_._1))))
+        partitionCols) ++ (props.toSeq ++ notNull).sortBy(_._1))))
   }
 
   // ------------------------------------------------------------- ANALYZE

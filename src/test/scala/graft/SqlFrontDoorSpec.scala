@@ -885,6 +885,29 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(dup.getMessage.toLowerCase.contains("already exists"), dup.getMessage)
   }
 
+  test("CREATE OR REPLACE TABLE re-declares the shape; NOT NULL becomes an armed CHECK") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.corp")
+    ext.sql("CREATE TABLE graft.db.corp (id BIGINT, v STRING)")
+    ext.sql("CREATE OR REPLACE TABLE graft.db.corp (id BIGINT, v STRING, extra INT)")
+    assert(ext.table("graft.db.corp").columns.toSeq == Seq("id", "v", "extra"))
+
+    // NOT NULL: parquet fields are physically optional, so the honest
+    // enforcement point is the write-time CHECK gate — a NULL insert is
+    // rejected BEFORE any commit, not silently weakened to nullable
+    ext.sql("DROP TABLE IF EXISTS graft.db.nn")
+    ext.sql("CREATE TABLE graft.db.nn (id BIGINT NOT NULL, v STRING)")
+    val e = intercept[Exception] {
+      ext.sql("INSERT INTO graft.db.nn VALUES (NULL, 'x')")
+    }
+    assert(e.getMessage.contains("constraint") ||
+      Option(e.getCause).exists(_.getMessage.contains("constraint")),
+      e.getMessage)
+    assert(ext.sql("SELECT count(*) FROM graft.db.nn").head.getLong(0) == 0)
+    ext.sql("INSERT INTO graft.db.nn VALUES (1, NULL)") // v IS nullable
+    assert(ext.sql("SELECT count(*) FROM graft.db.nn").head.getLong(0) == 1)
+  }
+
   test("TRUNCATE of a partitioned table keeps the layout; refills land partitioned") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.ptrunc")

@@ -93,6 +93,22 @@ class TypeWideningSpec extends SparkTestBase {
     assert(hit.filter(col("x") >= 1000L && col("x") <= 1005L).count() == 6)
   }
 
+  test("streaming read of a widened table lifts old files to the widened type") {
+    val dir = tmpDir("tw-stream")
+    TxTable.append(spark, dir, (1 to 10).map(i => Tuple1(i)).toDF("x")
+      .select(col("x").cast("int").as("x")))
+    TxTable.alterColumnType(spark, dir, "x", LongType)
+    TxTable.append(spark, dir, Seq(Tuple1(5000000000L)).toDF("x"))
+    val ck = tmpDir("tw-stream-ck")
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("tw_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck).start()
+    require(q.awaitTermination(120000), "stream did not drain")
+    val out = spark.sql("SELECT count(*), max(x) FROM tw_stream_out").head
+    assert(out.getLong(0) == 11L && out.getLong(1) == 5000000000L, out)
+  }
+
   test("SQL front door: ALTER COLUMN TYPE, stock scan reads mixed files, widened aggregates") {
     val lakeRoot = tmpDir("tw-lake")
     val ext = SessionBridge.withExtensions(spark, new GraftExtensions()(_))
