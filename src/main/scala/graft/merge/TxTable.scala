@@ -1639,7 +1639,7 @@ object TxTable {
     * value of `from` is exactly representable in `to`, so casting old
     * files up can never change a row's meaning: the integral chain,
     * float→double, and decimal precision growth at the same scale. */
-  private def widenOk(from: DataType, to: DataType): Boolean = {
+  private[graft] def widenOk(from: DataType, to: DataType): Boolean = {
     import org.apache.spark.sql.types._
     (from, to) match {
       case (ByteType, ShortType | IntegerType | LongType) => true

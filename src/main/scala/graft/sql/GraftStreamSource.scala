@@ -193,7 +193,46 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
         ch.filter(col("_change_type") === "insert")
           .drop("_change_type", "_commit_version")
     }
-    StreamingBridge.asStreaming(batch.select(schema.fieldNames.map(col): _*))
+    // Schema-change guard: the stream's schema froze at source
+    // construction, but batches read through the table's PRESENT schema
+    // (widening casts, renames, drops apply at the batch's own version).
+    // Three cases per column:
+    //  - batch NARROWER than the stream's type (a restart re-reading a
+    //    pre-ALTER range under the already-widened stream schema): cast
+    //    up — exact-value lattice moves only, always safe;
+    //  - batch WIDER or renamed away (the table widened/renamed UNDER a
+    //    running stream): unrepresentable in the frozen plan — fail
+    //    loudly with the fix: restart the stream. Offsets are commit
+    //    versions, so the checkpoint stays valid and the restarted
+    //    stream resumes exactly here with the new schema;
+    //  - additive new columns: projected away below, the stream keeps
+    //    its contract.
+    val got = batch.schema
+    val out = schema.fields.map { want =>
+      if (cdc &&
+          (want.name == "_change_type" || want.name == "_commit_version"))
+        col(want.name)
+      else {
+        val have = got.fields.find(_.name == want.name).getOrElse(
+          throw new IllegalStateException(
+            s"column '${want.name}' vanished from $dir mid-stream " +
+              "(RENAME/DROP COLUMN?) — restart the stream to pick up the " +
+              "new schema; offsets are commit versions, the checkpoint " +
+              "stays valid"))
+        if (have.dataType == want.dataType) col(want.name)
+        else if (TxTable.widenOk(have.dataType, want.dataType))
+          col(want.name).cast(want.dataType)
+        else throw new IllegalStateException(
+          s"the schema of $dir changed mid-stream: column '${want.name}' " +
+            s"is now ${have.dataType}, the stream started with " +
+            s"${want.dataType} (ALTER COLUMN TYPE?) — restart the stream " +
+            "to pick up the new schema; offsets are commit versions, the " +
+            "checkpoint stays valid")
+      }
+    }
+    StreamingBridge.asStreaming(
+      batch.select(out.zip(schema.fieldNames).map { case (c, n) =>
+        c.as(n) }.toSeq: _*))
   }
 
   override def stop(): Unit = ()

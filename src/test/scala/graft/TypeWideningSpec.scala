@@ -109,6 +109,53 @@ class TypeWideningSpec extends SparkTestBase {
     assert(out.getLong(0) == 11L && out.getLong(1) == 5000000000L, out)
   }
 
+  test("a mid-stream widen fails loudly; the restarted stream resumes from the checkpoint with the new schema") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("tw-midstream")
+    val ck = tmpDir("tw-midstream-ck")
+    TxTable.append(spark, dir, (1 to 5).map(Tuple1(_)).toDF("x")
+      .select(col("x").cast("int").as("x")))
+    // stream 1 drains the int table and stops — its schema froze as INT
+    val dst = tmpDir("tw-midstream-dst")
+    val q1 = spark.readStream.format("graft").load(dir)
+      .writeStream.format("graft").option("path", dst)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck).start()
+    require(q1.awaitTermination(120000))
+    assert(TxTable.read(spark, dst).get.count() == 5)
+    // widen + append beyond-int32 data, then resume the SAME checkpoint
+    // with the frozen INT schema forced back in: the guard must fail
+    // loudly with restart guidance, not feed long rows into an int plan
+    // a source constructed NOW freezes the INT schema…
+    val narrow = new graft.sql.GraftStreamSource(spark, dir,
+      cdc = false, startingVersion = 0L, maxVersionsPerBatch = None,
+      ignoreDeletes = false)
+    assert(narrow.schema("x").dataType == IntegerType)
+    // …then the table widens underneath it
+    TxTable.alterColumnType(spark, dir, "x", LongType)
+    TxTable.append(spark, dir, Seq(Tuple1(5000000000L)).toDF("x"))
+    val e = intercept[Exception] {
+      narrow.getBatch(None,
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(
+          TxTable.headVersion(spark, dir).get)).collect()
+    }
+    assert(e.getMessage.contains("restart the stream"), e.getMessage)
+    // the DOWNSTREAM table must widen too before the restarted stream
+    // appends long batches beside its int files — the realistic flow for
+    // a widened upstream, and the engine enforces it loudly otherwise
+    TxTable.alterColumnType(spark, dst, "x", LongType)
+    // a RESTARTED stream (fresh source, widened schema) resumes from the
+    // same checkpoint and drains exactly the post-widen commits
+    val q2 = spark.readStream.format("graft").load(dir)
+      .writeStream.format("graft").option("path", dst)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck).start()
+    require(q2.awaitTermination(120000))
+    val out = TxTable.read(spark, dst).get
+      .agg(count(lit(1)), max(col("x"))).head
+    assert(out.getLong(0) == 6L && out.getLong(1) == 5000000000L, out)
+  }
+
   test("SQL front door: ALTER COLUMN TYPE, stock scan reads mixed files, widened aggregates") {
     val lakeRoot = tmpDir("tw-lake")
     val ext = SessionBridge.withExtensions(spark, new GraftExtensions()(_))
