@@ -324,6 +324,18 @@ object Layout {
   def bloomIndexDirTx(tableDir: String, c: String): String =
     s"$tableDir/_bloom_$c"
 
+  /** Columns with a Bloom sidecar on `tableDir` (empty when the table
+    * never opted in) — [[Maintenance.maintain]]'s refresh probe. */
+  def bloomIndexedColumns(spark: org.apache.spark.sql.SparkSession,
+                          tableDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bloom_"))
+      .map(_.getPath.getName.stripPrefix("_bloom_")).sorted
+  }
+
   /** Point lookup on a TxTable through its incrementally-maintained
     * sidecar: probe O(files) filters driver-side, plan ONLY surviving
     * live files (partition columns re-materialize as in TxTable.read),

@@ -103,6 +103,17 @@ object Maintenance {
       }
     }
 
+    // 3a. Bloom sidecar refresh (point-lookup pruning health) — only for
+    // columns the table already indexes; incremental (O(changed files)),
+    // and a current index is a no-op probe
+    Layout.bloomIndexedColumns(spark, dir).foreach { c =>
+      val (indexed, dropped) = Layout.refreshBloomIndexTx(spark, dir, c,
+        expectedItemsPerFile = 1000000L)
+      if (indexed > 0 || dropped > 0)
+        out += ("refresh_bloom" ->
+          s"column $c: indexed $indexed new files, dropped $dropped stale")
+    }
+
     // 3b. ANALYZE refresh (estimator health) — only for tables that have
     // been analyzed before; O(files) footer metadata when it trips
     TxTable.commitsSinceAnalyze(spark, dir)

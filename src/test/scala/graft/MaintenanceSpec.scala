@@ -74,6 +74,25 @@ class MaintenanceSpec extends SparkTestBase {
       .exists(_.rowCount.contains(BigInt(4))))
   }
 
+  test("bloom refresh trips only for opted-in columns with index lag") {
+    val dir = tmpDir("maint-bloom")
+    TxTable.append(spark, dir,
+      (1 to 20).map(i => (i.toLong, s"u$i")).toDF("id", "u").coalesce(1))
+    val quiet = MaintainPolicy(minSmallFiles = 100, minLogCommits = 100,
+      minVacuumItems = 100)
+    // not opted in: no bloom work
+    assert(Maintenance.maintain(spark, dir, quiet).map(_._1) == Seq("noop"))
+    graft.ops.Layout.refreshBloomIndexTx(spark, dir, "u", 1000L)
+    // current index: the probe is a no-op
+    assert(Maintenance.maintain(spark, dir, quiet).map(_._1) == Seq("noop"))
+    // new files lag the index: maintain refreshes it incrementally
+    TxTable.append(spark, dir,
+      (21 to 30).map(i => (i.toLong, s"u$i")).toDF("id", "u").coalesce(1))
+    val acts = Maintenance.maintain(spark, dir, quiet)
+    assert(acts.map(_._1) == Seq("refresh_bloom"), acts)
+    assert(acts.head._2.contains("column u"), acts)
+  }
+
   test("zorder runs only for opted-in tables with enough new files, on the recorded columns") {
     val dir = tmpDir("maint-z")
     TxTable.append(spark, dir,
