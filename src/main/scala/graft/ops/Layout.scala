@@ -107,10 +107,18 @@ object Layout {
     * clustering pass behind Delta's OPTIMIZE ZORDER BY; run it on cold,
     * query-heavy tables where ongoing two-dimensional skipping pays back
     * the rewrite (the incremental maintenance loop stays
-    * `compactSmallFiles`). Concurrent writers surface as the replace's
-    * OCC conflict, not silent row loss. Unpartitioned layouts only: a
-    * hive-partitioned table's pruning dimension IS its layout — refuse
-    * rather than silently flatten it. Returns (filesBefore, filesAfter). */
+    * `compactSmallFiles`).
+    *
+    * Hive-PARTITIONED tables cluster WITHIN their fragments (the
+    * canonical date-partitioned + z-ordered lakehouse layout): the
+    * range partitioning keys on (partition cols, zval) so every output
+    * task writes one fragment's contiguous zval slice, the staged files
+    * land back under their `col=val/` directories (partition pruning
+    * untouched), and each file's envelope stays tight on every listed
+    * column. Z-ordering ON a partition column is refused — its value is
+    * constant inside a fragment, so the bits would be wasted. Concurrent
+    * writers surface as the rewrite's OCC conflict, not silent row loss.
+    * Returns (filesBefore, filesAfter). */
   def zorderTx(spark: org.apache.spark.sql.SparkSession, dir: String,
                cols: Seq[String], nParts: Int, bits: Int = 8): (Int, Int) = {
     import graft.merge.TxTable
@@ -121,15 +129,51 @@ object Layout {
     val df = TxTable.read(spark, dir).get
     require(!df.columns.contains("zval"),
       "table already has a 'zval' column — reserved by the z-order rewrite")
-    require(!TxTable.liveEntriesForSql(spark, dir, None).exists(_.part.isDefined),
-      s"zorderTx flattens hive layouts: $dir is partitioned — z-order " +
-        "within partitions is not supported; replace() into an " +
-        "unpartitioned layout first")
-    val before = TxTable.liveFilePaths(spark, dir).size
-    TxTable.replace(spark, dir,
-      zOrderedN(df, cols, nParts, bits).drop("zval"),
-      expectedHead = head, dataChange = false)
-    (before, TxTable.liveFilePaths(spark, dir).size)
+    val partCols = livePartCols(spark, dir)
+    requireZorderableCols(cols, partCols, dir)
+    val before = TxTable.liveFilePaths(spark, dir)
+    if (partCols.isEmpty) {
+      TxTable.replace(spark, dir,
+        zOrderedN(df, cols, nParts, bits).drop("zval"),
+        expectedHead = head, dataChange = false)
+      (before.size, TxTable.liveFilePaths(spark, dir).size)
+    } else
+      TxTable.rewriteSet(spark, dir,
+        TxTable.liveRelPaths(spark, dir).toSet,
+        d => zOrderedWithinN(d, partCols, cols, nParts, bits).drop("zval"),
+        expectedHead = head)
+  }
+
+  /** Partition column sequence of the live layout (empty when
+    * unpartitioned). */
+  private def livePartCols(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Seq[String] =
+    graft.merge.TxTable.liveEntriesForSql(spark, dir, None)
+      .flatMap(_.part).headOption
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil)
+
+  private def requireZorderableCols(cols: Seq[String],
+                                    partCols: Seq[String],
+                                    dir: String): Unit = {
+    val clash = cols.filter(partCols.contains)
+    require(clash.isEmpty,
+      s"z-order on partition column(s) ${clash.mkString(", ")} of $dir is " +
+        "pointless — their value is constant inside a fragment; cluster " +
+        "on data columns (partition pruning already serves the layout)")
+  }
+
+  /** [[zOrderedN]] inside a hive layout: range partition on
+    * (partition cols, zval) so each output task holds one fragment's
+    * contiguous zval slice — the partitioned write then splits files per
+    * fragment with tight per-file envelopes, file count bounded by
+    * `nParts` (+1 per fragment boundary straddle). */
+  private def zOrderedWithinN(df: DataFrame, partCols: Seq[String],
+                              cols: Seq[String], nParts: Int,
+                              bits: Int): DataFrame = {
+    val keys = partCols.map(col) :+ col("zval")
+    withZValueN(df, cols, bits)
+      .repartitionByRange(nParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
   }
 
   /** Property recording incremental-clustering progress:
@@ -163,7 +207,8 @@ object Layout {
     * everything (≡ a first full pass) when no state exists, the recorded
     * version fell below the log-compaction floor, or `cols` changed.
     * Returns (files clustered, files written); (0, 0) = nothing new,
-    * no commit. Same unpartitioned-layout contract as [[zorderTx]]. */
+    * no commit. Partitioned tables cluster within fragments, same as
+    * [[zorderTx]]. */
   def zorderIncrementalTx(spark: org.apache.spark.sql.SparkSession,
                           dir: String, cols: Seq[String], nParts: Int,
                           bits: Int = 8): (Int, Int) = {
@@ -172,9 +217,8 @@ object Layout {
       s"zorderIncrementalTx: ${cols.size} columns × $bits bits must fit a long")
     val head = TxTable.headVersion(spark, dir)
     require(head.isDefined, s"no TxTable at $dir")
-    require(!TxTable.liveEntriesForSql(spark, dir, None).exists(_.part.isDefined),
-      s"z-order flattens hive layouts: $dir is partitioned — cluster an " +
-        "unpartitioned layout")
+    val partCols = livePartCols(spark, dir)
+    requireZorderableCols(cols, partCols, dir)
     val liveNow = TxTable.liveRelPaths(spark, dir)
     val clustered: Set[String] =
       TxTable.tableProperties(spark, dir).get(ZorderStateProp) match {
@@ -192,7 +236,9 @@ object Layout {
       df => {
         require(!df.columns.contains("zval"),
           "table already has a 'zval' column — reserved by the z-order rewrite")
-        zOrderedN(df, cols, nParts, bits).drop("zval")
+        (if (partCols.isEmpty) zOrderedN(df, cols, nParts, bits)
+         else zOrderedWithinN(df, partCols, cols, nParts, bits))
+          .drop("zval")
       },
       // the pinned commit lands at head+1 exactly; stamping that version
       // makes THIS commit's live set the next pass's "already clustered"

@@ -142,6 +142,60 @@ class LayoutSpec extends SparkTestBase {
     assert(got == want && got.getLong(0) == 8 * 64)
   }
 
+  test("partitioned tables z-order WITHIN fragments: layout preserved, both-dimension skipping, rows exact") {
+    import graft.merge.TxTable
+    // date-partitioned + clustered-within — THE lakehouse layout: the
+    // hive fragments keep serving partition pruning, and inside each
+    // fragment the z-order gives tight per-file envelopes on both
+    // clustered columns
+    val dir = tmpDir("zx-part")
+    val pts = for (b <- 0 until 2; x <- 0 until 32; y <- 0 until 32)
+      yield (b, x.toLong, y.toLong, x * 32L + y)
+    TxTable.replace(spark, dir,
+      spark.createDataFrame(pts).toDF("b", "x", "y", "payload")
+        .repartition(4),
+      partitionCols = Seq("b"))
+    val before = TxTable.read(spark, dir).get
+      .agg(count(lit(1)), sum("payload")).head()
+    val (nBefore, nAfter) = Layout.zorderTx(spark, dir, Seq("x", "y"),
+      nParts = 8)
+    assert(nBefore >= 1 && nAfter >= 2)
+    // fragments preserved: every live file still under b=<v>/
+    val frags = TxTable.liveEntriesForSql(spark, dir, None).flatMap(_.part)
+    assert(frags.nonEmpty && frags.forall(_.startsWith("b=")),
+      frags.mkString(", "))
+    // rows exactly preserved (the rewrite is a permutation)
+    assert(TxTable.read(spark, dir).get
+      .agg(count(lit(1)), sum("payload")).head() == before)
+    // skipping prunes on BOTH clustered dimensions within the layout
+    val (keptX, totX) = TxTable.skippingStats(spark, dir, "x",
+      BigDecimal(0), BigDecimal(3))
+    val (keptY, totY) = TxTable.skippingStats(spark, dir, "y",
+      BigDecimal(0), BigDecimal(3))
+    assert(keptX < totX, s"x kept $keptX of $totX")
+    assert(keptY < totY, s"y kept $keptY of $totY")
+    // and partition pruning still works through the SQL-level entries
+    assert(TxTable.read(spark, dir, parts = Some(Set("b=1"))).get
+      .count() == 32 * 32)
+    // z-ordering ON a partition column is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderTx(spark, dir, Seq("b", "x"), nParts = 4)
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // the incremental form clusters new partitioned files the same way
+    TxTable.append(spark, dir,
+      spark.createDataFrame(for (b <- 0 until 2; x <- 32 until 48)
+        yield (b, x.toLong, 1L, 0L)).toDF("b", "x", "y", "payload"),
+      partitionCols = Seq("b"))
+    val (c1, _) = Layout.zorderIncrementalTx(spark, dir, Seq("x", "y"), 4)
+    assert(c1 >= 1)
+    assert(TxTable.read(spark, dir).get.count() == 2 * 32 * 32 + 2 * 16)
+    assert(TxTable.liveEntriesForSql(spark, dir, None)
+      .flatMap(_.part).forall(_.startsWith("b=")))
+    // nothing new afterwards: no-op
+    assert(Layout.zorderIncrementalTx(spark, dir, Seq("x", "y"), 4) == (0, 0))
+  }
+
   test("incremental z-order: each pass clusters ONLY new files; old cells keep pruning") {
     import graft.merge.TxTable
     val dir = tmpDir("zx-inc")
