@@ -129,8 +129,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.toSeq
     val reserved = Set("provider", "location", "owner", "external",
       "comment", "option.path", "path", "is_managed_location")
+    // engine-MANAGED keys are reserved too: SHOW CREATE TABLE prints every
+    // table property incl. graft.dir / graft.schema.* / graft.stats.* /
+    // graft.zorder.state — dropping them here (exactly like provider/
+    // location) keeps that emitted DDL re-runnable instead of refused
+    def engineManaged(k: String): Boolean = {
+      val lk = k.toLowerCase
+      lk == "graft.dir" || lk == "graft.versionasof" ||
+        lk == "graft.zorder.state" || lk.startsWith("graft.schema.") ||
+        lk.startsWith("graft.stats.")
+    }
     val props = properties.asScala.toMap
-      .filterNot { case (k, _) => reserved.contains(k.toLowerCase) }
+      .filterNot { case (k, _) =>
+        reserved.contains(k.toLowerCase) || engineManaged(k) }
     TxTable.create(spark, dir, schema, partCols, props)
     new GraftSqlTable(dir, None, fullName(ident))
   }

@@ -908,6 +908,27 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(ext.sql("SELECT count(*) FROM graft.db.nn").head.getLong(0) == 1)
   }
 
+  test("SHOW CREATE TABLE emits re-runnable DDL (engine-managed props are reserved)") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.sct")
+    ext.sql("CREATE TABLE graft.db.sct (id BIGINT, b INT) " +
+      "PARTITIONED BY (b) TBLPROPERTIES('team' = 'etl')")
+    ext.sql("INSERT INTO graft.db.sct SELECT id, cast(id % 2 AS INT) FROM range(6)")
+    val ddl = ext.sql("SHOW CREATE TABLE graft.db.sct").head.getString(0)
+    assert(ddl.contains("PARTITIONED BY") && ddl.contains("'team'"), ddl)
+    // the emitted DDL re-runs verbatim: engine-managed graft.* properties
+    // (schema declarations, dir, stats) are treated as reserved on create
+    ext.sql("DROP TABLE IF EXISTS graft.db.sct2")
+    ext.sql(ddl.replace("graft.db.sct", "graft.db.sct2"))
+    assert(ext.table("graft.db.sct2").schema.fieldNames.toSeq ==
+      Seq("id", "b"))
+    assert(TxTable.tableProperties(ext, s"$lakeRoot/db/sct2")
+      .get("team").contains("etl"))
+    ext.sql("INSERT INTO graft.db.sct2 SELECT id, cast(id % 2 AS INT) FROM range(4)")
+    assert(TxTable.liveEntriesForSql(ext, s"$lakeRoot/db/sct2", None)
+      .flatMap(_.part).forall(_.startsWith("b=")))
+  }
+
   test("TRUNCATE of a partitioned table keeps the layout; refills land partitioned") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.ptrunc")
