@@ -1213,14 +1213,21 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(scannedFiles(qy) < 16, s"y-range scanned ${scannedFiles(qy)}/16")
     assert(qx.count() == 128 && qy.count() == 128)
 
-    // a partitioned table is refused, not silently flattened
+    // a partitioned table clusters WITHIN its fragments (never silently
+    // flattened): the layout survives and partition pruning stays intact;
+    // z-ordering ON the partition column itself is refused
     ext.sql("DROP TABLE IF EXISTS graft.maint.zp")
     ext.sql("CREATE TABLE graft.maint.zp PARTITIONED BY (p) AS " +
-      "SELECT id, CAST(id % 2 AS STRING) AS p FROM range(0, 10)")
+      "SELECT id, id * 3 AS w, CAST(id % 2 AS STRING) AS p FROM range(0, 10)")
+    ext.sql("CALL graft.system.zorder('maint.zp', 'id,w', 4)").collect()
+    assert(TxTable.liveEntriesForSql(ext, s"$lakeRoot/maint/zp", None)
+      .flatMap(_.part).forall(_.startsWith("p=")))
+    assert(ext.sql("SELECT count(*) FROM graft.maint.zp WHERE p = '1'")
+      .head.getLong(0) == 5)
     val e = intercept[Exception] {
-      ext.sql("CALL graft.system.zorder('maint.zp', 'id,id', 4)").collect()
+      ext.sql("CALL graft.system.zorder('maint.zp', 'p,id', 4)").collect()
     }
-    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    assert(e.getMessage.contains("partition column"), e.getMessage)
 
     // three dimensions: every listed column's range predicate prunes
     ext.sql("DROP TABLE IF EXISTS graft.maint.z3")
