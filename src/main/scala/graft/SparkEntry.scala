@@ -973,6 +973,24 @@ object SparkEntry {
           decimalSum(col("l_extendedprice")).as("volume"))
     }),
 
+    // Scale posture: the hot-key-ONLY salted join under measured load —
+    // every event_type trips the 500-row threshold, so the whole corpus
+    // routes through the hot machinery (broadcast hot-set join, left
+    // replicated per cell, each pair meeting exactly once) and the
+    // result must STILL equal the plain join the oracle states; q42
+    // covers the complementary measured-uniform case where the same
+    // operator degrades to the plain join.
+    "q157_salted_join_hot" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_type").as("k"), col("value"))
+      val dim = T(s, dir, "events").select(col("event_type").as("k"))
+        .distinct().withColumn("tag", upper(col("k")))
+      graft.ops.Skew.saltedJoin(ev, dim, Seq("k"), saltFactor = 8,
+          hotKeyMinRows = 500L)
+        .groupBy(col("k"), col("tag"))
+        .agg(count(lit(1)).as("n"), decimalSum(col("value")).as("total"))
+    }),
+
     // Scale posture: Z-order (Morton) layout key over (customer, price) —
     // the two-dimensional sort key a lakehouse write uses so parquet
     // min/max skipping serves predicates on EITHER column. The z-values
@@ -4750,6 +4768,17 @@ object SparkEntry {
         | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderstatus""".stripMargin,
+
+    // q157: the hot path of the salted join IS the plain join — the
+    // salting machinery must be invisible in the result set.
+    "q157_salted_join_hot" ->
+      """WITH dim AS (
+        | SELECT DISTINCT event_type AS k, upper(event_type) AS tag
+        | FROM events)
+        |SELECT e.event_type AS k, d.tag, count(*) AS n,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events e JOIN dim d ON e.event_type = d.k
+        |GROUP BY 1, 2""".stripMargin,
 
     "q16_minhash_neardup" ->
       """WITH toks AS (

@@ -81,6 +81,8 @@ final class GraftSqlParser(session: SparkSession,
     """(?is)^\s*OPTIMIZE\s+([\w.`]+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val RestoreStmt =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTsStmt =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
 
   /** (catalog, catalog-relative name) of a maintenance-statement target,
     * None when the target is NOT a graft-qualified name (single-part, or
@@ -134,6 +136,28 @@ final class GraftSqlParser(session: SparkSession,
         case Some((cat, rel)) =>
           delegate.parsePlan(
             s"CALL $cat.system.restore(${quote(rel)}, ${version}L)")
+      }
+    // RESTORE ... TO TIMESTAMP AS OF 'ts': the instant resolves to the
+    // newest commit at or before it (the batch reader's timestampAsOf
+    // contract) at parse time — restores always target a PAST version,
+    // so resolution racing a concurrent commit is immaterial
+    case RestoreTsStmt(target, ts) =>
+      catRel(target) match {
+        case None => delegate.parsePlan(sqlText)
+        case Some((cat, rel)) =>
+          val root = session.conf.get(s"spark.sql.catalog.$cat.root")
+          val dir = (root +: rel.split('.').toSeq).mkString("/")
+          val t = ts.trim
+          val micros: Long =
+            if (t.matches("-?\\d+")) t.toLong * 1000L // epoch millis
+            else java.sql.Timestamp.valueOf(t).getTime * 1000L
+          val v = graft.merge.TxTable
+            .versionAtTimestampMicros(session, dir, micros)
+            .getOrElse(throw new IllegalArgumentException(
+              s"RESTORE TO TIMESTAMP AS OF '$ts' predates every commit " +
+                s"of $target"))
+          delegate.parsePlan(
+            s"CALL $cat.system.restore(${quote(rel)}, ${v}L)")
       }
     // ANALYZE TABLE ... COMPUTE STATISTICS [NOSCAN | FOR [ALL] COLUMNS]:
     // row/size stats are metadata-only (footers − DV cardinalities), so

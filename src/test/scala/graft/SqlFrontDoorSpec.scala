@@ -804,6 +804,18 @@ class SqlFrontDoorSpec extends SparkTestBase {
       .head.getLong(0) == 25)
     // the restore is itself a new commit — the mistake stays inspectable
     assert(TxTable.headVersion(ext, dir).contains(headBefore + 1))
+
+    // RESTORE ... TO TIMESTAMP AS OF: the instant resolves to the newest
+    // commit at or before it, then rolls back the same way
+    Thread.sleep(60)
+    val between = System.currentTimeMillis()
+    Thread.sleep(60)
+    ext.sql("DELETE FROM graft.db.stmt_t WHERE id > 10")
+    assert(ext.sql("SELECT count(*) FROM graft.db.stmt_t")
+      .head.getLong(0) == 15)
+    ext.sql(s"RESTORE TABLE graft.db.stmt_t TO TIMESTAMP AS OF '$between'")
+    assert(ext.sql("SELECT count(*) FROM graft.db.stmt_t")
+      .head.getLong(0) == 25)
   }
 
   test("an emptied table keeps its schema: full DELETE, TRUNCATE TABLE, and refill") {
