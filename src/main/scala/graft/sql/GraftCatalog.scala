@@ -319,7 +319,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * — Spark never reads a row through this object. */
 final class GraftSqlTable(val dir: String, val asOf: Option[Long],
                           ident: String) extends Table
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  // ------------------------------- SHOW PARTITIONS (read-only surface)
+  // Partitions in this format are created and dropped by the DATA — a
+  // write to a new fragment creates it, replacePartitionsBy retires it —
+  // so the management half of the interface refuses loudly; the listing
+  // half serves `SHOW PARTITIONS` from the live fragments.
+
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def listPartitionIdentifiers(names: Array[String],
+                                        ident0: InternalRow): Array[InternalRow] = {
+    val ps = partitionSchema()
+    val idx = names.map { n =>
+      val i = ps.fieldIndex(n)
+      require(i >= 0, s"unknown partition column $n"); i
+    }
+    new GraftFileIndex(SparkSession.active, dir, asOf)
+      .distinctPartitionRows
+      .filter { row =>
+        idx.indices.forall { j =>
+          val i = idx(j)
+          val dt = ps(i).dataType
+          val a = row.get(i, dt); val b = ident0.get(j, dt)
+          (a == null && b == null) || (a != null && a == b)
+        }
+      }.toArray
+  }
+
+  override def createPartition(ident0: InternalRow,
+                               properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions are created by writes (a new fragment appears " +
+        "when data lands in it) — INSERT into the partition instead")
+
+  override def dropPartition(ident0: InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "graft partitions are dropped by data operations — use DELETE " +
+        "FROM ... WHERE <partition predicate> or replacePartitionsBy")
+
+  override def replacePartitionMetadata(ident0: InternalRow,
+                                        properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions carry no metadata of their own")
+
+  override def loadPartitionMetadata(ident0: InternalRow): util.Map[String, String] =
+    java.util.Collections.emptyMap[String, String]()
 
   /** `TRUNCATE TABLE` — one atomic commit that empties the live set and
     * records the schema as declared fields ([[TxTable.truncate]]): the
@@ -344,6 +391,11 @@ final class GraftSqlTable(val dir: String, val asOf: Option[Long],
 
   override def partitioning(): Array[Transform] =
     partCols.map(Expressions.identity).toArray
+
+  override def partitionSchema(): StructType =
+    StructType(partCols.map(c => schema0.find(_.name == c).getOrElse(
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType))))
 
   override def properties(): util.Map[String, String] = {
     val base = TxTable.tableProperties(SparkSession.active, dir)

@@ -424,6 +424,11 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     }
   }
 
+  /** Distinct live partition-value rows (typed, partitionSchema order) —
+    * the catalog descriptor's `SHOW PARTITIONS` feed. */
+  private[sql] def distinctPartitionRows: Seq[InternalRow] =
+    snap.entries.flatMap(_.part).distinct.sorted.map(f => partRow(Some(f)))
+
   /** (files the current listing would keep under these filters, live
     * total) — the observability hook PlanQualitySpec uses to prove
     * skipping works through the SQL scan. */

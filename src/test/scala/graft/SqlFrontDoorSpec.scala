@@ -920,6 +920,25 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(ext.sql("SELECT count(*) FROM graft.db.nn").head.getLong(0) == 1)
   }
 
+  test("SHOW PARTITIONS lists live fragments; partition CRUD refuses (data creates partitions)") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.parts")
+    ext.sql("CREATE TABLE graft.db.parts PARTITIONED BY (b) AS " +
+      "SELECT id, cast(id % 3 AS INT) AS b FROM range(9)")
+    val got = ext.sql("SHOW PARTITIONS graft.db.parts").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("b=0", "b=1", "b=2"), got)
+    // PARTITION(...) filter form narrows the listing
+    assert(ext.sql("SHOW PARTITIONS graft.db.parts PARTITION (b = 1)")
+      .collect().map(_.getString(0)).toSeq == Seq("b=1"))
+    // partitions come and go with DATA, so management DDL refuses loudly
+    val e = intercept[Exception] {
+      ext.sql("ALTER TABLE graft.db.parts DROP PARTITION (b = 1)")
+    }
+    assert(e.getMessage.contains("data") ||
+      e.getMessage.toLowerCase.contains("unsupported"), e.getMessage)
+  }
+
   test("SHOW CREATE TABLE emits re-runnable DDL (engine-managed props are reserved)") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.sct")
