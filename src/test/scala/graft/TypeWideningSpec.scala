@@ -156,6 +156,38 @@ class TypeWideningSpec extends SparkTestBase {
     assert(out.getLong(0) == 6L && out.getLong(1) == 5000000000L, out)
   }
 
+  test("interplay: widen + rename + deletion vectors + purge + compaction compose") {
+    val dir = tmpDir("tw-mix")
+    TxTable.append(spark, dir,
+      (1 to 20).map(i => (i, s"n$i")).toDF("x", "name").coalesce(1))
+    // widen, then RENAME the widened column (mapping over widening)
+    TxTable.alterColumnType(spark, dir, "x", LongType)
+    TxTable.renameColumn(spark, dir, "x", "key")
+    val t0 = TxTable.read(spark, dir).get
+    assert(t0.schema("key").dataType == LongType)
+    // write under the NEW name with the WIDE type — lands on the physical
+    // column; a merge-on-read delete then spans old int32 and new int64
+    // files in one predicate over the logical name
+    TxTable.append(spark, dir,
+      Seq((5000000000L, "big"), (21L, "n21")).toDF("key", "name"))
+    val st = TxTable.deleteWhereDV(spark, dir,
+      col("key") % 2 === 0 && col("key") < 100)
+    assert(st.matchedRows == 10, st) // evens of 1..21; the < 100 guard excludes the big key
+    val liveKeys = TxTable.read(spark, dir).get
+      .select(col("key")).as[Long].collect().sorted.toSeq
+    assert(liveKeys == ((1L to 21L).filter(_ % 2 == 1) :+ 5000000000L).sorted)
+    // purge folds the vectors; compaction packs; rows identical after both
+    TxTable.purgeDvs(spark, dir)
+    TxTable.compactSmallFiles(spark, dir, targetBytes = 1L << 20,
+      smallBytes = 1L << 20)
+    assert(!TxTable.hasLiveDvs(spark, dir))
+    assert(TxTable.read(spark, dir).get
+      .select(col("key")).as[Long].collect().sorted.toSeq == liveKeys)
+    // time travel below EVERYTHING still reads the original int schema
+    assert(TxTable.read(spark, dir, asOf = Some(1L)).get
+      .schema("x").dataType == IntegerType)
+  }
+
   test("SQL front door: ALTER COLUMN TYPE, stock scan reads mixed files, widened aggregates") {
     val lakeRoot = tmpDir("tw-lake")
     val ext = SessionBridge.withExtensions(spark, new GraftExtensions()(_))
