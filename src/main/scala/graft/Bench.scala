@@ -72,10 +72,22 @@ object Bench {
     "q111_topk_per_group", "q112_sparse_cosine", "q113_funnel",
     "q116_trending", "q117_priority_sample_grouped", "q135_shard_manifest")
 
+  /** Live `java` process count from /proc (this JVM included) — a second
+    * one at bench start means a co-resident workload shares the cores. */
+  private def javaProcs(): Int = try {
+    val d = new java.io.File("/proc")
+    d.listFiles((f: java.io.File) => f.getName.forall(_.isDigit)).count { p =>
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.getPath, "comm"))).trim == "java"
+      catch { case _: Throwable => false }
+    }
+  } catch { case _: Throwable => -1 }
+
   def main(args: Array[String]): Unit = {
     val loadavgStart = String.format(java.util.Locale.ROOT, "%.2f",
       Double.box(java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage))
+    val javaProcsStart = javaProcs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
@@ -168,8 +180,13 @@ object Bench {
           remeasured = ghosts
           System.err.println(s"[bench] re-measuring slope>6 outliers: " +
             ghosts.mkString(", "))
-          val fixedBase = ghosts.flatMap(n => SparkEntry.queries.get(n).map(fn =>
-            n -> math.min(base(n), run(fn, sfDir, reps)))).toMap
+          // the 1× re-measure gets the same >0 guard as the 8× side: a
+          // failed re-run (-1 sentinel) must never replace a valid base
+          // time — a negative denominator would publish nonsense slopes
+          val fixedBase = ghosts.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+            val re = run(fn, sfDir, reps)
+            n -> (if (re > 0) math.min(base(n), re) else base(n))
+          }).toMap
           base = base ++ fixedBase
           r = r.map { case (n, v) =>
             if (!ghosts.contains(n)) n -> v
@@ -226,24 +243,21 @@ object Bench {
       val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       val loadavg = String.format(java.util.Locale.ROOT, "%.2f",
         Double.box(os.getSystemLoadAverage))
-      val jvms = try {
-        val d = new java.io.File("/proc")
-        d.listFiles((f: java.io.File) => f.getName.forall(_.isDigit)).count { p =>
-          try new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(p.getPath, "comm"))).trim == "java"
-          catch { case _: Throwable => false }
-        }
-      } catch { case _: Throwable => -1 }
-      // contended = another workload already owned a meaningful share of
-      // the box when this run STARTED (threshold cpus/8 — the r11 ghost
-      // run began at loadavg 5.58 on 64 cpus... of which the bench's own
-      // end-of-run load says nothing; start load is the honest signal).
-      // A true artifact consumer must treat contended slopes as
-      // unadjudicated, not as the round's performance record.
+      val jvms = javaProcs()
+      // contended = another workload already owned a share of the box when
+      // this run STARTED. The r12 lesson re-calibrated both signals: a
+      // co-resident JVM poisoned slopes at loadavg 3.58 on 32 cores (well
+      // under the old cpus/8 threshold), so the stamp now fires on EITHER
+      // a second java process at start OR loadavg_start > 2 — absolute,
+      // not cpu-scaled, because slope denominators are sub-2 s and even a
+      // lightly-loaded neighbour distorts them. A true artifact consumer
+      // must treat contended slopes as unadjudicated, not as the round's
+      // performance record.
       val cpusN = Runtime.getRuntime.availableProcessors
-      val contended = loadavgStart.toDouble > cpusN / 8.0
+      val contended = javaProcsStart > 1 || loadavgStart.toDouble > 2.0
       s""""host":{"loadavg_start":$loadavgStart,"loadavg_end":$loadavg,""" +
-        s""""cpus":$cpusN,"java_procs":$jvms,"contended":$contended}"""
+        s""""cpus":$cpusN,"java_procs_start":$javaProcsStart,""" +
+        s""""java_procs":$jvms,"contended":$contended}"""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"reps":$reps,"sf":"$sfDir",$host$extra}"""
     println(json)

@@ -899,7 +899,7 @@ object TxTable {
   private def emptyDeclared(spark: SparkSession, fs: FileSystem,
                             dir: String,
                             asOf: Option[Long]): Option[DataFrame] = {
-    val fields = evolutionFields(fs, dir, asOf)
+    val fields = widenDeclared(fs, dir, asOf, evolutionFields(fs, dir, asOf))
     if (fields.isEmpty) None
     else Some(presentLogical(
       spark.createDataFrame(
@@ -920,11 +920,17 @@ object TxTable {
     require(head.isDefined, s"no TxTable at $dir")
     // physical schema (pre-mapping): the declared fields live below the
     // rename/drop presentation, exactly like ADD COLUMNS declarations.
-    // The partition layout of the set being emptied rides along (falling
-    // back to a prior declaration when the table was already empty).
-    val partCols = replay(fs, dir)._1.flatMap(_.part).headOption
+    // The partition layout of the set being emptied rides along. The
+    // declared-layout fallback applies ONLY when the live set is actually
+    // empty (matching GraftFileIndex's rule) — a live-but-UNPARTITIONED
+    // set also has no partition paths, and falling back there would
+    // resurrect a long-abandoned declared layout that a layout-changing
+    // replace() never cleared, silently re-partitioning the next INSERT.
+    val liveNow = replay(fs, dir)._1
+    val partCols = liveNow.flatMap(_.part).headOption
       .map(_.split('/').toSeq.map(_.takeWhile(_ != '=')))
-      .getOrElse(declaredPartitionCols(spark, dir))
+      .getOrElse(
+        if (liveNow.isEmpty) declaredPartitionCols(spark, dir) else Nil)
     commit(fs, dir, Commit("replace", None, None, Nil, Nil, Nil,
       declaredShapeProps(fs, dir, scanSchema(spark, dir, None).fields.toSeq,
         partCols)), head)
@@ -1391,11 +1397,17 @@ object TxTable {
     val notNull = schema.fields.filterNot(_.nullable).map(f =>
       s"constraint.not_null_${f.name}" -> s"`${f.name}` IS NOT NULL")
     val fs = hadoopFs(spark, dir)
+    // pinned to slot 1 (expectedHead = 0): two racing CREATE TABLEs both
+    // pass the exists() check above, and a free-slot append retry would
+    // let the loser land in slot 2 — silently overriding the winner's
+    // declared schema, layout, and constraints. Pinning makes the loser
+    // fail with CommitConflictException like every other schema DDL.
     commit(fs, dir, Commit("append", partColField(partitionCols), None,
       Nil, Nil, Nil,
       (declaredShapeProps(fs, dir,
         schema.fields.map(f => StructField(f.name, f.dataType)).toSeq,
-        partitionCols) ++ (props.toSeq ++ notNull).sortBy(_._1))))
+        partitionCols) ++ (props.toSeq ++ notNull).sortBy(_._1))),
+      expectedHead = Some(0L))
   }
 
   // ------------------------------------------------------------- ANALYZE
@@ -1463,6 +1475,23 @@ object TxTable {
     cols.foreach(requireMappableName(_, "ANALYZE column"))
     if (df.isEmpty) return // nothing to measure; row/size stats say 0
     val inv = renameMap(spark, dir, None).map(_.swap) // logical → physical
+    // min/max persist ONLY for the atomic types Spark's
+    // CatalogColumnStat.fromExternalString can parse back (numerics,
+    // boolean, decimal, date/timestamp) — matching Spark's own ANALYZE.
+    // An orderable non-atomic type (min/max on an array column is a valid
+    // aggregate, and FOR ALL COLUMNS reaches it) has no parse case, so a
+    // persisted value would make EVERY query on the table throw at plan
+    // time once CBO reads the stats — a deferred failure stored in the log.
+    def minMaxable(dt: DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false // string/binary/nested: NDV+nulls+lengths only
+      }
+    }
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       val isLen = df.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType |
@@ -1471,9 +1500,10 @@ object TxTable {
       }
       Seq(
         count(when(col(c).isNull, lit(1))).as(s"__nu_$i"),
-        approx_count_distinct(col(c)).as(s"__nd_$i"),
-        min(col(c)).cast("string").as(s"__mn_$i"),
-        max(col(c)).cast("string").as(s"__mx_$i")) ++
+        approx_count_distinct(col(c)).as(s"__nd_$i")) ++
+        (if (minMaxable(df.schema(c).dataType)) Seq(
+          min(col(c)).cast("string").as(s"__mn_$i"),
+          max(col(c)).cast("string").as(s"__mx_$i")) else Nil) ++
         (if (isLen) Seq(
           avg(length(col(c))).cast("long").as(s"__al_$i"),
           max(length(col(c))).cast("long").as(s"__ml_$i")) else Nil)
@@ -1482,10 +1512,13 @@ object TxTable {
     def hexOpt(v: Any): String = Option(v)
       .map(s => bytesToHex(s.toString.getBytes(UTF_8))).getOrElse("")
     val props = cols.zipWithIndex.map { case (c, i) =>
+      val mm =
+        if (minMaxable(df.schema(c).dataType))
+          s"min=${hexOpt(r.getAs[Any](s"__mn_$i"))}," +
+            s"max=${hexOpt(r.getAs[Any](s"__mx_$i"))}"
+        else "min=,max=" // explicit empty = no bound persisted
       val base = s"ndv=${r.getAs[Long](s"__nd_$i")}," +
-        s"nulls=${r.getAs[Long](s"__nu_$i")}," +
-        s"min=${hexOpt(r.getAs[Any](s"__mn_$i"))}," +
-        s"max=${hexOpt(r.getAs[Any](s"__mx_$i"))}"
+        s"nulls=${r.getAs[Long](s"__nu_$i")},$mm"
       val lens = df.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType |
              org.apache.spark.sql.types.BinaryType =>
@@ -1604,8 +1637,12 @@ object TxTable {
                                  partitionCols: Seq[String]): Seq[(String, String)] = {
     val prior = evolutionFields(fs, dir, None)
     val priorNames = prior.map(_.name).toSet
-    val fields = prior ++ schema.filterNot(f => priorNames(f.name))
-      .map(f => StructField(f.name, f.dataType))
+    // the whole merge lifts through declared widenings: a prior narrow
+    // declaration for a since-widened column must not survive into the
+    // re-declaration (see [[widenDeclared]])
+    val fields = widenDeclared(fs, dir, None,
+      prior ++ schema.filterNot(f => priorNames(f.name))
+        .map(f => StructField(f.name, f.dataType)))
     (if (fields.isEmpty) Nil
      else Seq(SchemaAddedProp -> StructType(fields).json)) :+
       // empty value = property removed (an unpartitioned emptying clears
@@ -1622,6 +1659,31 @@ object TxTable {
     * the old type because property state is versioned. Zero bytes
     * rewritten at any table size. */
   private val SchemaWidenProp = "graft.schema.widen"
+
+  /** Lift declared fields through the widening state — mirrors
+    * [[widenWithEvolution]] step 2 for paths that never touch data (the
+    * empty-live schema, [[emptyDeclared]], and [[declaredShapeProps]]'s
+    * re-declaration merge). Without this, an ADD COLUMNS-declared column
+    * later widened by `ALTER COLUMN TYPE` would revert to its narrow
+    * declaration the moment the table is emptied — the schema would
+    * flip-flop across TRUNCATE, and a post-truncate INSERT would plan
+    * against the narrow type. */
+  private def widenDeclared(fs: FileSystem, dir: String, asOf: Option[Long],
+                            fields: Seq[StructField]): Seq[StructField] = {
+    val widen = widenState(fs, dir, asOf)
+    if (widen.isEmpty || fields.isEmpty) fields
+    else {
+      val caseSensitive =
+        try org.apache.spark.sql.SparkSession.active
+          .conf.get("spark.sql.caseSensitive", "false").toBoolean
+        catch { case _: Throwable => false } // Spark default
+      def key(n: String): String =
+        if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+      val widenKeyed = widen.map { case (c, t) => key(c) -> t }
+      fields.map(f =>
+        widenKeyed.get(key(f.name)).fold(f)(t => f.copy(dataType = t)))
+    }
+  }
 
   /** physical column → declared widened type as of `asOf`. */
   private def widenState(fs: FileSystem, dir: String,
@@ -1946,8 +2008,9 @@ object TxTable {
     val (live, _) = replay(fs, dir, asOf)
     val dropped = mappingState(fs, dir, asOf)._2
     if (live.isEmpty)
-      // empty table: the declared schema IS the schema (see [[truncate]])
-      StructType(evolutionFields(fs, dir, asOf)
+      // empty table: the declared schema IS the schema (see [[truncate]]),
+      // lifted through declared widenings so emptying never narrows types
+      StructType(widenDeclared(fs, dir, asOf, evolutionFields(fs, dir, asOf))
         .filterNot(f => dropped.contains(f.name)))
     else {
       val widened = widenWithEvolution(spark,

@@ -1119,6 +1119,42 @@ class SqlFrontDoorSpec extends SparkTestBase {
       v.fold(ext.conf.unset(k))(ext.conf.set(k, _)) }
   }
 
+  test("ANALYZE FOR ALL COLUMNS on a table with array/string columns: no unparseable min/max persisted") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.an_arr")
+    // FOR ALL COLUMNS reaches the array column automatically (min/max on
+    // arrays is a VALID aggregate) — but CatalogColumnStat has no parse
+    // case for it, so a persisted bound would make every query on the
+    // table throw at plan time once CBO reads the stats: a deferred,
+    // persistent failure stored in the log
+    ext.sql("CREATE TABLE graft.db.an_arr AS " +
+      "SELECT id AS k, array(id, id + 1) AS arr, concat('s', id) AS s " +
+      "FROM range(100)")
+    ext.sql("ANALYZE TABLE graft.db.an_arr COMPUTE STATISTICS FOR ALL COLUMNS")
+    val props = ext.sql("SHOW TBLPROPERTIES graft.db.an_arr").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // NDV/null counts persist for every column; min/max only for the
+    // atomic types Spark's stat parser supports (k here; not arr, not s)
+    assert(props("graft.stats.col.k").matches(".*min=[0-9a-f]+.*"), props)
+    assert(props("graft.stats.col.arr").contains("min=,max="), props)
+    assert(props("graft.stats.col.arr").contains("ndv="), props)
+    assert(props("graft.stats.col.s").contains("min=,max="), props)
+    assert(props("graft.stats.col.s").contains("avgLen="), props)
+    // the deferred-failure probe: CBO reads the persisted stats at plan
+    // time — with an array bound stored this throws for EVERY query
+    val saved = ext.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      ext.conf.set("spark.sql.cbo.enabled", "true")
+      org.apache.spark.sql.SparkSession.setActiveSession(ext)
+      val st = ext.sql("SELECT k, arr FROM graft.db.an_arr WHERE k > 5")
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.isDefined || st.sizeInBytes > 0)
+      assert(ext.sql("SELECT count(*) FROM graft.db.an_arr WHERE k > 5")
+        .head.getLong(0) == 94)
+    } finally saved.fold(ext.conf.unset("spark.sql.cbo.enabled"))(
+      ext.conf.set("spark.sql.cbo.enabled", _))
+  }
+
   test("VACUUM/OPTIMIZE against a non-graft name falls through to the delegate parser") {
     // a single-part Delta-style target (or any non-graft catalog) must
     // reach the delegate untouched — Spark's own parse error, never the

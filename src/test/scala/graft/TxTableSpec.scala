@@ -1449,4 +1449,61 @@ class TxTableSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
+
+  test("TRUNCATE of a live-but-unpartitioned table does not resurrect a stale declared layout") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("tr-layout")
+    TxTable.create(spark, dir, StructType(Seq(
+      StructField("k", IntegerType), StructField("p", IntegerType))),
+      partitionCols = Seq("p"))
+    TxTable.append(spark, dir,
+      (1 to 8).map(i => (i, i % 2)).toDF("k", "p"), partitionCols = Seq("p"))
+    // a layout-CHANGING non-empty replace: the table is now live and
+    // unpartitioned, but graft.schema.partitions still says "p"
+    TxTable.replace(spark, dir, (1 to 4).map(i => (i, 0)).toDF("k", "p"))
+    assert(TxTable.read(spark, dir).get.count() == 4)
+    // TRUNCATE must record the LIVE layout (none) — the declared-layout
+    // fallback applies only to an actually-empty live set; re-recording
+    // the abandoned "p" here would silently re-partition the next INSERT
+    TxTable.truncate(spark, dir)
+    assert(TxTable.declaredPartitionCols(spark, dir).isEmpty,
+      TxTable.declaredPartitionCols(spark, dir).mkString(","))
+    // whereas truncating an already-empty PARTITIONED table keeps its
+    // declared layout (the Delta TRUNCATE contract, unchanged)
+    val dir2 = tmpDir("tr-layout2")
+    TxTable.create(spark, dir2, StructType(Seq(
+      StructField("k", IntegerType), StructField("p", IntegerType))),
+      partitionCols = Seq("p"))
+    TxTable.truncate(spark, dir2)
+    assert(TxTable.declaredPartitionCols(spark, dir2) == Seq("p"))
+  }
+
+  test("racing CREATE TABLEs: exactly one wins the pinned first commit") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("create-race")
+    val schemaA = StructType(Seq(StructField("a", IntegerType)))
+    val schemaB = StructType(Seq(StructField("b", StringType)))
+    // both creators pass the exists() check before either commits — the
+    // barrier forces the interleaving the pin defends against. The loser
+    // must fail (CommitConflict), never land in slot 2 and silently
+    // override the winner's declared schema.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def creator(s: StructType): Thread = new Thread(() => {
+      try {
+        barrier.await()
+        TxTable.create(spark, dir, s)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(creator(schemaA), creator(schemaB))
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(errs.size == 1,
+      s"exactly one creator must lose, got ${errs.size}: $errs")
+    assert(errs.peek().isInstanceOf[TxTable.CommitConflictException] ||
+      errs.peek().getMessage.contains("already exists"), errs.peek())
+    // one commit only; the surviving schema is exactly one contender's
+    assert(TxTable.headVersion(spark, dir).contains(1L))
+    val won = TxTable.read(spark, dir).get.schema.fieldNames.toSeq
+    assert(won == Seq("a") || won == Seq("b"), won.mkString(","))
+  }
 }

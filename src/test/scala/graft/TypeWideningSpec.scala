@@ -212,4 +212,36 @@ class TypeWideningSpec extends SparkTestBase {
     assert(ext.read.format("graft").load(s"$lakeRoot/db/tw")
       .schema("x").dataType == LongType)
   }
+
+  test("widened types survive TRUNCATE: no flip-flop back to the narrow declaration") {
+    val dir = tmpDir("tw-trunc")
+    TxTable.append(spark, dir, (1 to 5).map(i => (i, s"n$i")).toDF("x", "name"))
+    // an ADD COLUMNS-declared column, later widened — the regression case:
+    // the declaration records INT, the widening is a separate property, and
+    // every empty-table schema path must see the two composed
+    TxTable.addColumns(spark, dir,
+      Seq(StructField("extra", IntegerType, nullable = true)))
+    TxTable.alterColumnType(spark, dir, "extra", LongType)
+    TxTable.alterColumnType(spark, dir, "x", LongType)
+    assert(TxTable.read(spark, dir).get.schema("extra").dataType == LongType)
+
+    TxTable.truncate(spark, dir)
+    val sch = TxTable.read(spark, dir).get.schema
+    assert(sch("x").dataType == LongType, sch)
+    assert(sch("extra").dataType == LongType,
+      s"ADD COLUMNS declaration reverted the widening across TRUNCATE: $sch")
+
+    // a second TRUNCATE while already empty re-declares from the (fixed)
+    // empty-live scanSchema — still wide
+    TxTable.truncate(spark, dir)
+    assert(TxTable.read(spark, dir).get.schema("extra").dataType == LongType)
+
+    // post-truncate INSERT of beyond-int32 values plans against the wide
+    // type end to end
+    TxTable.append(spark, dir,
+      Seq((5000000000L, "big", 6000000000L)).toDF("x", "name", "extra"))
+    val t = TxTable.read(spark, dir).get
+    assert(t.select(max("extra")).head.getLong(0) == 6000000000L)
+    assert(t.select(max("x")).head.getLong(0) == 5000000000L)
+  }
 }
