@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{approx_count_distinct, avg, coalesce, col, count, length, lit, max, min, when}
+import org.apache.spark.sql.functions.{approx_count_distinct, array, avg, coalesce, col, count, explode, expr, length, lit, max, min, struct, when}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal commit-log table format — the transactional binding
@@ -1420,6 +1420,13 @@ object TxTable {
   private val StatsSizeBytesProp = "graft.stats.sizebytes"
   private val StatsVersionProp = "graft.stats.version"
   private val StatsColPrefix = "graft.stats.col."
+  // the clean/DV'd split of the same measurement: rows and bytes in files
+  // WITHOUT a deletion vector vs LIVE rows/bytes in files WITH one — what
+  // the SQL front door attaches per branch of a DV'd table's union scan
+  private val StatsCleanRowsProp = "graft.stats.clean.rowcount"
+  private val StatsCleanBytesProp = "graft.stats.clean.sizebytes"
+  private val StatsDvRowsProp = "graft.stats.dvlive.rowcount"
+  private val StatsDvBytesProp = "graft.stats.dvlive.sizebytes"
 
   /** `ANALYZE TABLE ... COMPUTE STATISTICS` — the exact LIVE row count and
     * live byte size from metadata alone: parquet footer record counts
@@ -1438,18 +1445,27 @@ object TxTable {
     val (live, _) = replay(fs, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     var rows = 0L; var bytes = 0L
+    var cleanRows = 0L; var cleanBytes = 0L
+    var dvRows = 0L; var dvBytes = 0L
     live.foreach { e =>
       val p = new Path(dir, e.path)
       val phys = parquetRowCount(conf, p)
       val liveRows = phys - e.dv.map(_.deleted).getOrElse(0L)
       val len = fs.getFileStatus(p).getLen
+      val liveBytes =
+        if (phys == 0L) 0L else (len.toDouble * liveRows / phys).toLong
       rows += liveRows
-      bytes +=
-        (if (phys == 0L) 0L else (len.toDouble * liveRows / phys).toLong)
+      bytes += liveBytes
+      if (e.dv.isDefined) { dvRows += liveRows; dvBytes += liveBytes }
+      else { cleanRows += liveRows; cleanBytes += liveBytes }
     }
     setProperties(spark, dir, Map(
       StatsRowCountProp -> rows.toString,
       StatsSizeBytesProp -> bytes.toString,
+      StatsCleanRowsProp -> cleanRows.toString,
+      StatsCleanBytesProp -> cleanBytes.toString,
+      StatsDvRowsProp -> dvRows.toString,
+      StatsDvBytesProp -> dvBytes.toString,
       StatsVersionProp -> headVersion(spark, dir).getOrElse(0L).toString))
     (rows, bytes)
   }
@@ -1508,9 +1524,74 @@ object TxTable {
           avg(length(col(c))).cast("long").as(s"__al_$i"),
           max(length(col(c))).cast("long").as(s"__ml_$i")) else Nil)
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    // Equi-height histograms (Spark's own ANALYZE model, same flag): bins
+    // bounded by approx-percentile endpoints, each bin holding height =
+    // nonNull/numBins rows BY CONSTRUCTION (heights aren't stored), per-bin
+    // NDV measured in one extra scan. A hot key spanning several percentile
+    // positions yields bins with lo=hi=v, ndv=1 — exactly the shape that
+    // moves skewed-join cardinality estimates off the uniformity
+    // assumption. Endpoints ride pass A (approx_percentile is an
+    // aggregate); the NDV pass explodes each row into its (col, bin)
+    // assignments so ALL columns' bins aggregate in ONE shuffle.
+    val histEnabled = spark.conf
+      .get("spark.sql.statistics.histogram.enabled", "false").toBoolean
+    val numBins = spark.conf
+      .get("spark.sql.statistics.histogram.numBins", "254").toInt
+    def histDblSql(c: String): Option[String] = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        Some(s"cast(`$c` as double)")
+      case org.apache.spark.sql.types.DateType =>
+        Some(s"cast(unix_date(`$c`) as double)") // internal day space
+      case org.apache.spark.sql.types.TimestampType =>
+        Some(s"cast(unix_micros(`$c`) as double)") // internal micro space
+      case _ => None // Spark's ANALYZE histograms cover the same set
+    }
+    val histCols: Seq[(String, Int, String)] =
+      if (!histEnabled) Nil
+      else cols.zipWithIndex.flatMap { case (c, i) =>
+        histDblSql(c).map(d => (c, i, d))
+      }
+    val histAggs = histCols.map { case (_, i, d) =>
+      val probs = (0 to numBins).map(b =>
+        java.lang.Double.toString(b.toDouble / numBins)).mkString(",")
+      expr(s"approx_percentile($d, array($probs), 10000)").as(s"__hp_$i")
+    }
+    val allAggs = aggs ++ histAggs :+ count(lit(1)).as("__total")
+    val r = df.agg(allAggs.head, allAggs.tail: _*).head()
+    // endpoints per histogram column; drop degenerate ones (all-null
+    // column => null array; NaN/Inf endpoints don't round-trip as SQL
+    // literals and estimation can't use them)
+    val endpoints: Map[Int, Seq[Double]] = histCols.flatMap { case (_, i, _) =>
+      Option(r.getAs[Any](s"__hp_$i"))
+        .map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq)
+        .filter(eps => eps.length == numBins + 1 &&
+          eps.forall(e => !e.isNaN && !e.isInfinite))
+        .map(i -> _)
+    }.toMap
+    val binNdv: Map[(Int, Long), Long] =
+      if (endpoints.isEmpty) Map.empty
+      else {
+        val structs = histCols.filter(h => endpoints.contains(h._2))
+          .map { case (_, i, d) =>
+            val inner = endpoints(i).slice(1, numBins)
+              .map(java.lang.Double.toString).mkString(",")
+            struct(lit(i).as("ci"),
+              expr(s"size(filter(array($inner), e -> $d > e))").cast("long")
+                .as("bin"),
+              expr(d).as("x"))
+          }
+        df.select(explode(array(structs: _*)).as("e"))
+          .filter(col("e.x").isNotNull)
+          .groupBy(col("e.ci"), col("e.bin"))
+          .agg(approx_count_distinct(col("e.x")).as("nd"))
+          .collect() // ≤ cols × numBins rows — bounded by construction
+          .map(row => (row.getAs[Int]("ci"),
+            row.getAs[Long]("bin")) -> row.getAs[Long]("nd"))
+          .toMap
+      }
     def hexOpt(v: Any): String = Option(v)
       .map(s => bytesToHex(s.toString.getBytes(UTF_8))).getOrElse("")
+    val total = r.getAs[Long]("__total")
     val props = cols.zipWithIndex.map { case (c, i) =>
       val mm =
         if (minMaxable(df.schema(c).dataType))
@@ -1526,7 +1607,20 @@ object TxTable {
             s",maxLen=${r.getAs[Long](s"__ml_$i")}"
         case dt => s",avgLen=${dt.defaultSize},maxLen=${dt.defaultSize}"
       }
-      (StatsColPrefix + inv.getOrElse(c, c)) -> (base + lens)
+      val hist = endpoints.get(i).map { eps =>
+        val nonNull = total - r.getAs[Long](s"__nu_$i")
+        val height = nonNull.toDouble / numBins
+        // empty bins are the interior of a hot-value run (assignment sends
+        // every duplicate to the run's first bin): lo=hi, one value
+        val bins = (0 until numBins).map { b =>
+          s"${java.lang.Double.toString(eps(b))}:" +
+            s"${java.lang.Double.toString(eps(b + 1))}:" +
+            s"${math.max(1L, binNdv.getOrElse((i, b.toLong), 0L))}"
+        }.mkString(";")
+        s",hist=${bytesToHex((java.lang.Double.toString(height) + "|" + bins)
+          .getBytes(UTF_8))}"
+      }.getOrElse("")
+      (StatsColPrefix + inv.getOrElse(c, c)) -> (base + lens + hist)
     }.toMap
     setProperties(spark, dir, props)
   }
@@ -1565,15 +1659,45 @@ object TxTable {
           def str(key: String): Option[String] =
             kv.get(key).filter(_.nonEmpty)
               .map(h => new String(hexToBytes(h), UTF_8))
+          // equi-height histogram: "<height>|lo:hi:ndv;lo:hi:ndv;..."
+          val hist = str("hist").map { enc =>
+            val Array(h, binsEnc) = enc.split('|')
+            val bins = binsEnc.split(';').map { b =>
+              val Array(lo, hi, nd) = b.split(':')
+              org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
+                lo.toDouble, hi.toDouble, nd.toLong)
+            }
+            org.apache.spark.sql.catalyst.plans.logical.Histogram(
+              h.toDouble, bins)
+          }
           k.stripPrefix(StatsColPrefix) -> CatalogColumnStat(
             distinctCount = kv.get("ndv").map(BigInt(_)),
             min = str("min"), max = str("max"),
             nullCount = kv.get("nulls").map(BigInt(_)),
             avgLen = kv.get("avgLen").map(_.toLong),
-            maxLen = kv.get("maxLen").map(_.toLong))
+            maxLen = kv.get("maxLen").map(_.toLong),
+            histogram = hist)
       }
       CatalogStatistics(BigInt(sb), Some(BigInt(rc)), colStats)
     }
+  }
+
+  /** The ANALYZE stats split by deletion-vector state, for DV'd tables
+    * whose scan is a clean ∪ anti-join union: (clean-file stats with the
+    * column stats — min/max/NDV bounds stay valid for any subset of the
+    * measured rows — , live rows in DV'd files, live bytes in DV'd files).
+    * None until an [[analyze]] that recorded the split has run. */
+  private[graft] def catalogStatsSplit(spark: SparkSession, dir: String,
+                                       asOf: Option[Long])
+      : Option[(org.apache.spark.sql.catalyst.catalog.CatalogStatistics, Long, Long)] = {
+    val props = propsState(hadoopFs(spark, dir), dir, asOf)
+    for (whole <- catalogStats(spark, dir, asOf);
+         cr <- props.get(StatsCleanRowsProp);
+         cb <- props.get(StatsCleanBytesProp);
+         dr <- props.get(StatsDvRowsProp);
+         db <- props.get(StatsDvBytesProp)) yield
+      (whole.copy(sizeInBytes = BigInt(cb.toLong).max(1),
+        rowCount = Some(BigInt(cr.toLong))), dr.toLong, db.toLong)
   }
 
   /** Current table properties (latest value per key; removed keys absent). */

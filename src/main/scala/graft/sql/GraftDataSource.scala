@@ -194,10 +194,17 @@ final case class GraftDvScanRelation(dir: String, asOf: Option[Long])
   * Spark's own `InsertIntoDataSourceCommand` (which materializes the query
   * as a DataFrame and hands it here): append on `overwrite=false`, atomic
   * replace on `overwrite=true`. Kept schema-explicit so CTAS can target a
-  * table that has no commits yet. */
+  * table that has no commits yet.
+  *
+  * `initProps`: TBLPROPERTIES from a CTAS/RTAS statement, committed right
+  * after the data lands (a second property commit — the data commit stays
+  * the atomic visibility point; silently dropping declared properties
+  * would leave e.g. `graft.deletes.mode` unset on a table the user
+  * explicitly configured). */
 final case class GraftInsertableRelation(dir: String,
                                          override val schema: StructType,
-                                         partCols: Seq[String])
+                                         partCols: Seq[String],
+                                         initProps: Map[String, String] = Map.empty)
     extends BaseRelation with InsertableRelation {
   override def sqlContext: SQLContext = SparkSession.active.sqlContext
 
@@ -205,5 +212,6 @@ final case class GraftInsertableRelation(dir: String,
     val spark = data.sparkSession
     if (overwrite) TxTable.replace(spark, dir, data, partCols)
     else TxTable.append(spark, dir, data, partCols)
+    if (initProps.nonEmpty) TxTable.setProperties(spark, dir, initProps)
   }
 }

@@ -123,7 +123,7 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
         } else
           InsertIntoDataSourceCommand(
             LogicalRelation(GraftInsertableRelation(dir, c.query.schema,
-              identityPartCols(c.partitioning))),
+              identityPartCols(c.partitioning), tableSpecProps(c.tableSpec))),
             rewrite(c.query), overwrite = true)
       case _ => c.mapChildren(rewrite)
     }
@@ -135,13 +135,25 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
           s"REPLACE TABLE: no table at $dir (use CREATE OR REPLACE)")
         InsertIntoDataSourceCommand(
           LogicalRelation(GraftInsertableRelation(dir, r.query.schema,
-            identityPartCols(r.partitioning))),
+            identityPartCols(r.partitioning), tableSpecProps(r.tableSpec))),
           rewrite(r.query), overwrite = true)
       case _ => r.mapChildren(rewrite)
     }
 
     case r: DataSourceV2Relation if tableOf(r).isDefined =>
       swapToV1(r, tableOf(r).get)
+
+    // `spark.read.format("graft")` planted its row-materializing V1
+    // fallback for a DV'd or column-mapped table (GraftDataSource can only
+    // return a BaseRelation). On a session with the graft extensions,
+    // swap it for the same machinery the catalog path uses: clean files on
+    // the stock vectorized GraftFileIndex relation, only DV'd files through
+    // the position anti-join, renames as a Project over the physical scan —
+    // so the reader API and the SQL front door plan identically. Sessions
+    // without the extensions keep the correct (slower) fallback.
+    case l: LogicalRelation if l.relation.isInstanceOf[GraftDvScanRelation] =>
+      val rel = l.relation.asInstanceOf[GraftDvScanRelation]
+      republish(l.output, swappedRead(rel.dir, rel.asOf))
 
     // `spark.readStream.table("graft.db.t")` — swap the catalog-resolved
     // V2 streaming descriptor onto the V1 GraftStreamSource path (the
@@ -174,6 +186,16 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
       }
   }
 
+  /** TBLPROPERTIES declared on a CTAS/RTAS statement. */
+  private def tableSpecProps(spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase): Map[String, String] =
+    spec match {
+      case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
+        ts.properties
+      case ts: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+        ts.properties
+      case _ => Map.empty
+    }
+
   private def identityPartCols(partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform]): Seq[String] =
     partitioning.map { t =>
       require(t.name == "identity",
@@ -196,52 +218,128 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     * instead of fileSize × compressionFactor defaults. Clean tables only:
     * a DV'd live set splits into two branches and whole-table stats would
     * misattribute (purge_dvs restores the clean shape and the stats). */
-  private def swapToV1(r: DataSourceV2Relation, t: GraftSqlTable): LogicalPlan = {
-    val lr0 = PlanBridge.analyzed(GraftSql.dataFrame(session, t.dir, t.asOf))
-    val lr = TxTable.catalogStats(session, t.dir, t.asOf) match {
-      case Some(cs) if !TxTable.hasLiveDvs(session, t.dir, t.asOf) =>
-        lr0.transform {
-          case l: LogicalRelation if l.catalogTable.isEmpty &&
-              (l.relation match {
-                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                  h.location match {
-                    case g: GraftFileIndex => g.dir == t.dir
-                    case _ => false
-                  }
-                case _ => false
-              }) =>
-            l.copy(catalogTable = Some(statsCatalogTable(t, l, cs)))
-        }
-      case _ => lr0
+  private def swapToV1(r: DataSourceV2Relation, t: GraftSqlTable): LogicalPlan =
+    republish(r.output, swappedRead(t.dir, t.asOf))
+
+  /** The swapped read plan for a table snapshot, ANALYZE stats attached.
+    * A clean table carries the whole-table stats (rows, bytes, column
+    * stats) on its single GraftFileIndex relation. A DV'd table splits
+    * into clean ∪ anti-join branches, so whole-table stats would
+    * misattribute; instead the per-branch split [[TxTable.analyze]]
+    * persists attaches separately — clean-file stats (with column stats,
+    * whose bounds stay valid for any subset of the rows) on the clean
+    * relation, DV'd-file LIVE stats distributed over the anti-join
+    * branch's data-batch relations proportional to their file bytes. The
+    * tables most actively churned by MoR deletes — exactly the ones a CDC
+    * pipeline joins — keep measured join estimates instead of falling back
+    * to size defaults until purge_dvs runs. */
+  private def swappedRead(dir: String, asOf: Option[Long]): LogicalPlan = {
+    val lr0 = PlanBridge.analyzed(GraftSql.dataFrame(session, dir, asOf))
+    if (!TxTable.hasLiveDvs(session, dir, asOf))
+      TxTable.catalogStats(session, dir, asOf) match {
+        case Some(cs) => attachCleanStats(lr0, dir, cs)
+        case None => lr0
+      }
+    else TxTable.catalogStatsSplit(session, dir, asOf) match {
+      case Some((cleanCs, dvRows, dvBytes)) =>
+        attachDvStats(attachCleanStats(lr0, dir, cleanCs), dir,
+          dvRows, dvBytes)
+      case None => lr0
     }
+  }
+
+  /** Re-publish `lr`'s columns under the caller's ORIGINAL output ids so
+    * upstream resolved references keep binding. */
+  private def republish(output: Seq[Attribute], lr: LogicalPlan): LogicalPlan = {
     val caseSensitive =
       session.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def sameName(a: String, b: String) =
       if (caseSensitive) a == b else a.equalsIgnoreCase(b)
     val aliases: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
-      r.output.map { o =>
+      output.map { o =>
         val src = lr.output.find(a => sameName(a.name, o.name)).getOrElse(
           throw new IllegalStateException(
-            s"column '${o.name}' vanished from ${t.dir} between catalog " +
-              "resolution and planning — concurrent schema change?"))
+            s"column '${o.name}' vanished between resolution and planning " +
+              "— concurrent schema change?"))
         Alias(src, o.name)(exprId = o.exprId)
       }
     Project(aliases, lr)
   }
 
+  /** Attach `cs` to the (single) GraftFileIndex relation over `dir`. */
+  private def attachCleanStats(plan: LogicalPlan, dir: String,
+      cs: org.apache.spark.sql.catalyst.catalog.CatalogStatistics): LogicalPlan =
+    plan.transform {
+      case l: LogicalRelation if l.catalogTable.isEmpty &&
+          (l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location match {
+                case g: GraftFileIndex => g.dir == dir
+                case _ => false
+              }
+            case _ => false
+          }) =>
+        l.copy(catalogTable = Some(statsCatalogTable(dir, l.relation.schema, cs)))
+    }
+
+  /** Distribute the DV'd files' LIVE stats over the anti-join branch's
+    * data-batch relations (stock parquet reads of the DV'd files), weighted
+    * by each relation's actual file bytes. Sidecar reads (`data/dv-*`) keep
+    * their own tiny defaults. Estimation then sees live-adjusted sizes:
+    * the anti join passes its left side's estimate through, and the union
+    * sums to ≈ the table's measured live size. */
+  private def attachDvStats(plan: LogicalPlan, dir: String,
+                            dvRows: Long, dvBytes: Long): LogicalPlan = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.catalyst.catalog.CatalogStatistics
+    val dirQ = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+      fs.makeQualified(p).toString + "/"
+    }
+    def dataBatchRel(l: LogicalRelation): Option[HadoopFsRelation] =
+      l.relation match {
+        case h: HadoopFsRelation if !h.location.isInstanceOf[GraftFileIndex] &&
+            h.location.rootPaths.nonEmpty &&
+            h.location.rootPaths.forall { rp =>
+              val s = rp.toString
+              s.startsWith(dirQ) && !s.contains("/dv-")
+            } => Some(h)
+        case _ => None
+      }
+    val weights = plan.collect {
+      case l: LogicalRelation if l.catalogTable.isEmpty &&
+          dataBatchRel(l).isDefined =>
+        l -> dataBatchRel(l).get.location.sizeInBytes
+    }
+    val total = math.max(1L, weights.map(_._2).sum).toDouble
+    val statsFor = weights.map { case (l, b) =>
+      val w = b / total
+      l -> CatalogStatistics(
+        sizeInBytes = BigInt(math.max(1L, math.round(dvBytes * w))),
+        rowCount = Some(BigInt(math.max(0L, math.round(dvRows * w)))))
+    }.toMap
+    plan.transform {
+      case l: LogicalRelation if statsFor.contains(l) =>
+        l.copy(catalogTable =
+          Some(statsCatalogTable(dir, l.relation.schema, statsFor(l))))
+    }
+  }
+
   /** Minimal CatalogTable vehicle for the ANALYZE stats —
     * LogicalRelation.computeStats reads ONLY `.stats` from it; identity
     * and storage exist to satisfy the case-class contract. */
-  private def statsCatalogTable(t: GraftSqlTable, l: LogicalRelation,
+  private def statsCatalogTable(dir: String, schema: org.apache.spark.sql.types.StructType,
       cs: org.apache.spark.sql.catalyst.catalog.CatalogStatistics)
       : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     CatalogTable(
-      identifier = org.apache.spark.sql.catalyst.TableIdentifier(t.name()),
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        new org.apache.hadoop.fs.Path(dir).getName),
       tableType = CatalogTableType.EXTERNAL,
       storage = CatalogStorageFormat.empty.copy(
-        locationUri = Some(new org.apache.hadoop.fs.Path(t.dir).toUri)),
-      schema = l.relation.schema,
+        locationUri = Some(new org.apache.hadoop.fs.Path(dir).toUri)),
+      schema = schema,
       provider = Some("parquet"),
       stats = Some(cs))
   }

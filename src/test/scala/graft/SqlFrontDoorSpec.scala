@@ -1119,6 +1119,150 @@ class SqlFrontDoorSpec extends SparkTestBase {
       v.fold(ext.conf.unset(k))(ext.conf.set(k, _)) }
   }
 
+  test("format(graft) read of a DV'd, renamed table keeps the vectorized scan for clean files") {
+    val dir = tmpDir("fmt-dv-vec")
+    TxTable.append(ext, dir, df(ext, 1 to 50, "a"))
+    TxTable.append(ext, dir, df(ext, 51 to 80, "b"))
+    TxTable.renameColumn(ext, dir, "name", "label")
+    TxTable.deleteWhereDV(ext, dir, col("id") === 60L) // DV on batch 2 only
+    // AQE off so executedPlan is collectable (AdaptiveSparkPlanExec is a
+    // leaf that hides the real tree from collect) — the decision under
+    // test is the STATIC swap, not anything adaptive
+    val savedAqe = ext.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      ext.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = ext.read.format("graft").load(dir).filter(col("id") > 10)
+      assert(q.columns.contains("label") && !q.columns.contains("name"))
+      assert(q.count() == 69) // 80 − 10 filtered − 1 DV-deleted
+      val plan = q.queryExecution.executedPlan
+      // no row-materializing V1 fallback anywhere in the plan: the analyzer
+      // swapped GraftDvScanRelation for the same clean ∪ anti-join machinery
+      // the SQL catalog path uses
+      assert(plan.collect {
+        case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+      }.isEmpty, plan.toString)
+      val graftScans = plan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.isInstanceOf[graft.sql.GraftFileIndex] => f
+      }
+      assert(graftScans.nonEmpty, plan.toString)
+      // the vectorized GraftFileIndex scan covers ONLY the clean file —
+      // the DV'd batch reads through the anti-join branch
+      assert(graftScans.head.selectedPartitions.totalNumberOfFiles == 1,
+        plan.toString)
+      // a session WITHOUT the extensions keeps the correct (fallback) read
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("id") > 10).count() == 69)
+      // and the fully-clean mapped table swaps too once vectors purge
+      TxTable.purgeDvs(ext, dir)
+      val q2 = ext.read.format("graft").load(dir)
+      assert(q2.count() == 79)
+      assert(q2.queryExecution.executedPlan.collect {
+        case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+      }.isEmpty)
+    } finally savedAqe.fold(ext.conf.unset("spark.sql.adaptive.enabled"))(
+      ext.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
+  test("ANALYZE on a DV'd table: per-branch stats still flip the dim join to broadcast") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.andv_dim")
+    ext.sql("DROP TABLE IF EXISTS graft.db.andv_fact")
+    ext.sql("CREATE TABLE graft.db.andv_dim " +
+      "TBLPROPERTIES ('graft.deletes.mode'='dv') AS " +
+      "SELECT id AS k, id * 3 AS v FROM range(20000)")
+    ext.sql("CREATE TABLE graft.db.andv_fact AS " +
+      "SELECT id % 20000 AS k, id AS x FROM range(100000)")
+    // MoR delete: the dim now has live deletion vectors — the read plans
+    // as clean ∪ anti-join, the shape that used to skip stats entirely
+    ext.sql("DELETE FROM graft.db.andv_dim WHERE k < 100")
+    val dimDir = s"$lakeRoot/db/andv_dim"
+    assert(TxTable.hasLiveDvs(ext, dimDir, None))
+    val fs = new org.apache.hadoop.fs.Path(dimDir)
+      .getFileSystem(ext.sparkContext.hadoopConfiguration)
+    val dimBytes = TxTable.liveFilePaths(ext, dimDir)
+      .map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
+      .sum
+    val factor = math.max(1L, 3000000L / math.max(1L, dimBytes))
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.sources.fileCompressionFactor", "spark.sql.cbo.enabled",
+      "spark.sql.adaptive.enabled").map(k => k -> ext.conf.getOption(k))
+    try {
+      ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "1000000")
+      ext.conf.set("spark.sql.sources.fileCompressionFactor", factor.toString)
+      ext.conf.set("spark.sql.cbo.enabled", "true")
+      ext.conf.set("spark.sql.adaptive.enabled", "false")
+      // the dim's own DV anti-join legitimately broadcasts its (tiny)
+      // sidecar — the decision under test is the INNER fact⋈dim join
+      def hasBroadcast: Boolean = ext.sql(
+        "SELECT count(*) FROM graft.db.andv_fact f " +
+          "JOIN graft.db.andv_dim d ON f.k = d.k")
+        .queryExecution.executedPlan
+        .exists {
+          case j: BroadcastHashJoinExec =>
+            j.joinType == org.apache.spark.sql.catalyst.plans.Inner
+          case _ => false
+        }
+      assert(!hasBroadcast,
+        s"pre-ANALYZE the DV'd dim must NOT broadcast ($dimBytes B × $factor)")
+      ext.sql("ANALYZE TABLE graft.db.andv_dim COMPUTE STATISTICS")
+      // the split persisted: clean + dv-live = whole-table live
+      val split = TxTable.catalogStatsSplit(ext, dimDir, None)
+      assert(split.isDefined)
+      val (cleanCs, dvRows, _) = split.get
+      assert(cleanCs.rowCount.get.toLong + dvRows == 19900,
+        s"clean ${cleanCs.rowCount} + dv $dvRows != 19900")
+      assert(dvRows > 0, "the deleted range must live in a DV'd file")
+      assert(hasBroadcast,
+        "post-ANALYZE the DV'd dim must broadcast (live-adjusted stats " +
+          "attached per branch)")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(ext.conf.unset(k))(ext.conf.set(k, _)) }
+  }
+
+  test("ANALYZE histograms: skewed join cardinality estimate moves toward truth") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.hs_a")
+    ext.sql("DROP TABLE IF EXISTS graft.db.hs_b")
+    // half the rows share key 0 (the hot key), half are unique: true join
+    // cardinality is 10000² + 10000 ≈ 1.0e8; the uniformity assumption
+    // (|A|·|B| / max ndv) says ~4e4 — off by ~2500×
+    ext.sql("CREATE TABLE graft.db.hs_a AS SELECT CASE WHEN id < 10000 " +
+      "THEN 0 ELSE id END AS k FROM range(20000)")
+    ext.sql("CREATE TABLE graft.db.hs_b AS SELECT CASE WHEN id < 10000 " +
+      "THEN 0 ELSE id END AS k FROM range(20000)")
+    val saved = Seq("spark.sql.cbo.enabled",
+      "spark.sql.statistics.histogram.enabled",
+      "spark.sql.statistics.histogram.numBins")
+      .map(k => k -> ext.conf.getOption(k))
+    try {
+      ext.conf.set("spark.sql.cbo.enabled", "true")
+      org.apache.spark.sql.SparkSession.setActiveSession(ext)
+      def estimate: BigInt = ext.sql(
+        "SELECT a.k FROM graft.db.hs_a a JOIN graft.db.hs_b b ON a.k = b.k")
+        .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      // NDV-only stats: the uniformity estimate (far under truth)
+      ext.sql("ANALYZE TABLE graft.db.hs_a COMPUTE STATISTICS FOR ALL COLUMNS")
+      ext.sql("ANALYZE TABLE graft.db.hs_b COMPUTE STATISTICS FOR ALL COLUMNS")
+      val uniform = estimate
+      assert(uniform > 0, s"no rowCount estimate: $uniform")
+      // re-ANALYZE with histograms (Spark's own flag): the hot key shows
+      // up as equi-height bins with lo=hi=0 on both sides
+      ext.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      ext.conf.set("spark.sql.statistics.histogram.numBins", "64")
+      ext.sql("ANALYZE TABLE graft.db.hs_a COMPUTE STATISTICS FOR ALL COLUMNS")
+      ext.sql("ANALYZE TABLE graft.db.hs_b COMPUTE STATISTICS FOR ALL COLUMNS")
+      val hist = estimate
+      val truth = BigInt(10000L * 10000L + 10000L)
+      assert(hist > uniform * 100,
+        s"histogram estimate $hist did not move off uniformity $uniform")
+      assert(hist > truth / 10 && hist < truth * 10,
+        s"histogram estimate $hist not within 10× of truth $truth")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(ext.conf.unset(k))(ext.conf.set(k, _)) }
+  }
+
   test("ANALYZE FOR ALL COLUMNS on a table with array/string columns: no unparseable min/max persisted") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.an_arr")
