@@ -2328,6 +2328,36 @@ object SparkEntry {
         .unionByName(planted)
       graft.ext.TextStats.langIdAgainst(train, "lang", "text",
         targets, "doc_id", "text")
+    }),
+
+    // q158: identity columns — the reference's BIGSERIAL surrogate-PK
+    // shape (`setup_target.py:87,114,189,212`) as graft DDL. CREATE
+    // declares the allocator; two ordered INSERTs get engine-assigned ids
+    // (dense in row order, the high-water mark advancing in the SAME
+    // commit as the data); an explicit value against GENERATED ALWAYS is
+    // refused loudly (pinned as the `refused` literal); `next_v` pins the
+    // allocator state after both inserts. The oracle recomputes the exact
+    // ids as row_number() per batch plus the prior batch's offset.
+    // Rebuilt from scratch per run (the q146 discipline).
+    "q158_sql_identity" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.nation_id")
+      ext.sql("CREATE TABLE graft.ddl.nation_id (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, n_name STRING)")
+      ext.sql("INSERT INTO graft.ddl.nation_id SELECT NULL, n_name " +
+        "FROM graft.lake.nation WHERE n_regionkey = 0 ORDER BY n_name")
+      ext.sql("INSERT INTO graft.ddl.nation_id SELECT NULL, n_name " +
+        "FROM graft.lake.nation WHERE n_regionkey = 1 ORDER BY n_name")
+      val refused = try {
+        ext.sql("INSERT INTO graft.ddl.nation_id VALUES (999, 'EXPLICIT')")
+        false
+      } catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("GENERATED ALWAYS") }
+      val tableDir = sqlLakeRoot(dir) + "/ddl/nation_id"
+      val next = graft.merge.TxTable.identitySpecs(ext, tableDir)("id").next
+      ext.sql(s"SELECT id, n_name, $refused AS refused, ${next}L AS next_v " +
+        "FROM graft.ddl.nation_id")
     })
   )
 
@@ -2412,6 +2442,9 @@ object SparkEntry {
         graft.merge.TxTable.append(s, tableDir,
           orders.filter(col("o_orderkey") % 2 =!= 0))
       }
+      val nationDir = s"$root/lake/nation"
+      if (!graft.merge.TxTable.exists(s, nationDir))
+        graft.merge.TxTable.append(s, nationDir, T(s, dir, "nation"))
       val ext = org.apache.spark.sql.graftbridge.SessionBridge
         .withExtensions(s, new GraftExtensions()(_))
       ext.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
@@ -4148,6 +4181,24 @@ object SparkEntry {
          |FROM tgt t LEFT JOIN (SELECT * FROM win WHERE rn = 1) w
          |USING (doc_id)""".stripMargin
     },
+
+    // q158: the identity allocation replays relationally — ids are
+    // row_number() in each insert's ORDER BY, offset by the prior batch;
+    // true/next are the GENERATED-ALWAYS-refusal and allocator-state
+    // literals the Spark side measures.
+    "q158_sql_identity" ->
+      """WITH b1 AS (
+        | SELECT CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS id,
+        |        n_name
+        | FROM nation WHERE n_regionkey = 0),
+        |b2 AS (
+        | SELECT CAST(row_number() OVER (ORDER BY n_name)
+        |          + (SELECT count(*) FROM b1) AS BIGINT) AS id, n_name
+        | FROM nation WHERE n_regionkey = 1),
+        |allr AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        |SELECT id, n_name, true AS refused,
+        | CAST((SELECT count(*) FROM allr) + 1 AS BIGINT) AS next_v
+        |FROM allr""".stripMargin,
 
     // q155: the widening sequence replays relationally — even keys as-is
     // (the values an INT held exactly), odd keys shifted beyond int32

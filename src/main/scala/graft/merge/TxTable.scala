@@ -1351,6 +1351,138 @@ object TxTable {
       expectedHead)
   }
 
+  // ------------------------------------------------------------ IDENTITY
+
+  /** Property key prefix for `GENERATED ... AS IDENTITY` columns
+    * (`graft.identity.<physical column>` →
+    * `start=<s>,step=<st>,explicit=<bool>,next=<n>`): the allocator's
+    * high-water mark (`next` = first unallocated value) rides the SAME
+    * OCC-pinned commit as the data it numbered, so concurrent inserts
+    * either see each other's allocation or conflict and retry — ids can
+    * never double-allocate (the Delta identity-column design). */
+  private val IdentityPropPrefix = "graft.identity."
+
+  final case class IdentitySpec(start: Long, step: Long,
+                                explicit: Boolean, next: Long) {
+    def render: String = s"start=$start,step=$step,explicit=$explicit,next=$next"
+  }
+
+  private[graft] def parseIdentity(v: String, key: String): IdentitySpec = {
+    val m = v.split(',').map { e =>
+      val i = e.indexOf('=')
+      require(i > 0, s"corrupt identity property $key: '$v'")
+      e.substring(0, i) -> e.substring(i + 1)
+    }.toMap
+    val s = IdentitySpec(m("start").toLong, m("step").toLong,
+      m("explicit").toBoolean, m("next").toLong)
+    require(s.step != 0, s"identity property $key has step 0")
+    s
+  }
+
+  /** Identity specs declared on the table (physical column → spec). */
+  private[graft] def identitySpecs(spark: SparkSession,
+                                   dir: String): Map[String, IdentitySpec] =
+    tableProperties(spark, dir).collect {
+      case (k, v) if k.startsWith(IdentityPropPrefix) =>
+        k.stripPrefix(IdentityPropPrefix) -> parseIdentity(v, k)
+    }
+
+  /** Dense per-commit identity assignment: `start + step·rowIndex` in the
+    * incoming frame's row order. `zipWithIndex` is two distributed passes
+    * (per-partition counts, then assignment) — no single-partition window,
+    * no driver materialization, O(rows) at any scale. */
+  private def assignDense(spark: SparkSession, df: DataFrame, c: String,
+                          start: Long, step: Long,
+                          dt: DataType): DataFrame = {
+    val hasCol = df.columns.contains(c)
+    val outSchema =
+      if (hasCol) StructType(df.schema.map(f =>
+        if (f.name == c) f.copy(dataType = dt) else f))
+      else df.schema.add(StructField(c, dt))
+    val idx = if (hasCol) df.schema.fieldIndex(c) else -1
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      val raw = start + step * i
+      val v: Any = dt match {
+        case org.apache.spark.sql.types.IntegerType => raw.toInt
+        case org.apache.spark.sql.types.ShortType => raw.toShort
+        case _ => raw
+      }
+      if (idx >= 0) org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(idx, v))
+      else org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** The SQL front door's insert, honoring `GENERATED ... AS IDENTITY`
+    * columns (no-op pass-through to [[append]]/[[replace]] when the table
+    * declares none — plain tables keep conflict-free appends):
+    *
+    *  - the identity column omitted or all-NULL → the engine assigns
+    *    `next, next+step, ...` in incoming row order and advances `next`
+    *    in the SAME commit (dense within a commit; gaps only across
+    *    conflicting retries/aborts, like every log-structured allocator);
+    *  - explicit non-NULL values → refused for GENERATED ALWAYS, accepted
+    *    for GENERATED BY DEFAULT (the allocator advances past their max);
+    *  - the commit is OCC-pinned: two concurrent inserts can't allocate
+    *    the same range — the loser retries against the advanced `next`.
+    *
+    * Direct [[append]]/[[replace]] API calls bypass allocation on purpose:
+    * internal rewrites (compaction, MERGE write-back, z-order) re-commit
+    * rows that legitimately carry their ids. */
+  def insertWithIdentity(spark: SparkSession, dir: String, df: DataFrame,
+                         overwrite: Boolean,
+                         partitionCols: Seq[String] = Nil): Unit = {
+    if (identitySpecs(spark, dir).isEmpty) {
+      if (overwrite) replace(spark, dir, df, partitionCols)
+      else append(spark, dir, df, partitionCols)
+      return
+    }
+    withRetry() {
+      val head = headVersion(spark, dir)
+      require(head.isDefined, s"no TxTable at $dir")
+      val fresh = identitySpecs(spark, dir) // re-read per retry attempt
+      var frame = df
+      val upd = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val declared = read(spark, dir).map(_.schema).getOrElse(df.schema)
+      fresh.toSeq.sortBy(_._1).foreach { case (c, sp) =>
+        val dt = declared.find(_.name == c).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.LongType)
+        val hasValues = frame.columns.contains(c) &&
+          frame.filter(col(c).isNotNull).limit(1).count() > 0
+        if (hasValues) {
+          require(sp.explicit,
+            s"column `$c` of $dir is GENERATED ALWAYS AS IDENTITY — " +
+              "explicit values are not allowed; omit the column (or " +
+              "insert NULL) and the engine assigns them")
+          require(frame.filter(col(c).isNull).limit(1).count() == 0,
+            s"mixed explicit and NULL values for identity column `$c` — " +
+              "provide all values or none")
+          val mx = frame.agg(max(col(c)).cast("long")).head().getLong(0)
+          val next2 = if (sp.step > 0) math.max(sp.next, mx + sp.step)
+                      else math.min(sp.next, mx + sp.step)
+          upd += (IdentityPropPrefix + c) -> sp.copy(next = next2).render
+        } else {
+          val n = frame.count()
+          if (n > 0) {
+            frame = assignDense(spark, frame, c, sp.next, sp.step, dt)
+            upd += (IdentityPropPrefix + c) ->
+              sp.copy(next = sp.next + sp.step * n).render
+          }
+        }
+      }
+      enforceConstraints(spark, dir, frame)
+      val fs = hadoopFs(spark, dir)
+      val files = stage(spark, dir, frame, partitionCols)
+      val shape =
+        if (!overwrite || files.nonEmpty) Nil
+        else declaredShapeProps(fs, dir,
+          toPhysical(frame, fs, dir).schema.fields.toSeq, partitionCols)
+      commit(fs, dir, Commit(if (overwrite) "replace" else "append",
+        partColField(partitionCols), None, Nil, files, Nil,
+        shape ++ upd.toSeq), head)
+    }
+  }
+
   /** Atomically append files (M3/M4 path — nothing existing is rewritten).
     * `txn` rides an (appId, epoch) idempotence mark in the commit — see
     * [[appendOnce]]. */
@@ -1396,6 +1528,40 @@ object TxTable {
     // land in a column the user declared NOT NULL)
     val notNull = schema.fields.filterNot(_.nullable).map(f =>
       s"constraint.not_null_${f.name}" -> s"`${f.name}` IS NOT NULL")
+    // GENERATED [ALWAYS | BY DEFAULT] AS IDENTITY — the parser puts the
+    // spec in field metadata; it becomes the allocator property
+    // ([[IdentityPropPrefix]]) advanced by [[insertWithIdentity]]. A
+    // graft.identity.* TBLPROPERTY form is ALSO accepted (what SHOW CREATE
+    // TABLE emits — re-running that DDL resumes allocation past the old
+    // high-water mark instead of re-issuing taken ids).
+    def integral(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    props.foreach { case (k, v) =>
+      if (k.startsWith(IdentityPropPrefix)) {
+        val c = k.stripPrefix(IdentityPropPrefix)
+        require(names.contains(c),
+          s"identity property $k names no declared column of $dir")
+        require(integral(schema(c).dataType),
+          s"identity column $c must be integral, got ${schema(c).dataType}")
+        parseIdentity(v, k) // validate shape up front, not at first insert
+      }
+    }
+    val identityProps = schema.fields.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
+        .map { s =>
+          require(integral(f.dataType),
+            s"identity column ${f.name} must be integral, got ${f.dataType}")
+          require(s.getStep != 0, s"identity column ${f.name} has step 0")
+          require(!partitionCols.contains(f.name),
+            s"identity column ${f.name} cannot be a partition column")
+          (IdentityPropPrefix + f.name) -> IdentitySpec(s.getStart,
+            s.getStep, s.isAllowExplicitInsert, s.getStart).render
+        }
+    }.toSeq
     val fs = hadoopFs(spark, dir)
     // pinned to slot 1 (expectedHead = 0): two racing CREATE TABLEs both
     // pass the exists() check above, and a free-slot append retry would
@@ -1406,7 +1572,8 @@ object TxTable {
       Nil, Nil, Nil,
       (declaredShapeProps(fs, dir,
         schema.fields.map(f => StructField(f.name, f.dataType)).toSeq,
-        partitionCols) ++ (props.toSeq ++ notNull).sortBy(_._1))),
+        partitionCols) ++ (props.toSeq ++ notNull).sortBy(_._1) ++
+        identityProps.sortBy(_._1))), // after props: metadata wins collisions
       expectedHead = Some(0L))
   }
 

@@ -55,6 +55,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  // advertise identity-column DDL support so the parser's
+  // `GENERATED ALWAYS AS IDENTITY` clause passes validation and reaches
+  // createTable as field metadata (TxTable.create turns it into the
+  // graft.identity.* allocator property)
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
   private[sql] def tableDir(ident: Identifier): String =
     (ident.namespace() :+ ident.name())
       .foldLeft(new Path(rootDir))(new Path(_, _)).toString
@@ -115,6 +123,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * still never reaches here ([[GraftSqlRules]] rewrites it to an atomic
     * first-commit insert). Engine-reserved property keys Spark threads
     * through (provider/location/owner/...) are dropped, not persisted. */
+  /** V2-column overload: identity specs live on the Column objects and do
+    * NOT survive Spark's default conversion to StructType
+    * (CatalogV2Util.v2ColumnToStructField drops them) — lift each into the
+    * field-metadata encoding `IdentityColumn.getIdentityInfo` reads, so
+    * [[TxTable.create]] can persist the allocator property. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    import org.apache.spark.sql.catalyst.util.IdentityColumn
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField}
+    val schema = StructType(columns.map { c =>
+      val meta = Option(c.metadataInJSON())
+        .map(org.apache.spark.sql.types.Metadata.fromJson)
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      val f = StructField(c.name, c.dataType, c.nullable, meta)
+      Option(c.identityColumnSpec()).map { s =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(meta)
+          .putLong(IdentityColumn.IDENTITY_INFO_START, s.getStart)
+          .putLong(IdentityColumn.IDENTITY_INFO_STEP, s.getStep)
+          .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            s.isAllowExplicitInsert)
+          .build())
+      }.getOrElse(f)
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

@@ -116,8 +116,10 @@ class GraftDataSource extends RelationProvider
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val exists = TxTable.exists(spark, dir)
     mode match {
-      case SaveMode.Append => TxTable.append(spark, dir, data, partCols)
-      case SaveMode.Overwrite => TxTable.replace(spark, dir, data, partCols)
+      case SaveMode.Append =>
+        TxTable.insertWithIdentity(spark, dir, data, overwrite = false, partCols)
+      case SaveMode.Overwrite =>
+        TxTable.insertWithIdentity(spark, dir, data, overwrite = true, partCols)
       case SaveMode.ErrorIfExists =>
         require(!exists, s"TxTable already exists at $dir (mode=ErrorIfExists)")
         TxTable.append(spark, dir, data, partCols)
@@ -210,8 +212,10 @@ final case class GraftInsertableRelation(dir: String,
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     val spark = data.sparkSession
-    if (overwrite) TxTable.replace(spark, dir, data, partCols)
-    else TxTable.append(spark, dir, data, partCols)
+    // identity-aware: assigns GENERATED ... AS IDENTITY values and
+    // advances the allocator in the same commit; identical to plain
+    // append/replace when the table declares no identity columns
+    TxTable.insertWithIdentity(spark, dir, data, overwrite, partCols)
     if (initProps.nonEmpty) TxTable.setProperties(spark, dir, initProps)
   }
 }

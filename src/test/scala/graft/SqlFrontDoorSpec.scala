@@ -1299,6 +1299,69 @@ class SqlFrontDoorSpec extends SparkTestBase {
       ext.conf.set("spark.sql.cbo.enabled", _))
   }
 
+  test("identity columns: engine-assigned ids, GENERATED ALWAYS refusal, concurrent uniqueness") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.ident")
+    ext.sql("CREATE TABLE graft.db.ident " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, name STRING)")
+    val dir = s"$lakeRoot/db/ident"
+    // the DDL armed the allocator
+    assert(TxTable.identitySpecs(ext, dir).keySet == Set("id"))
+    // inserts omit the column via NULL: the engine assigns densely in row
+    // order, advancing the allocator in the same commit
+    ext.sql("INSERT INTO graft.db.ident VALUES (NULL, 'a'), (NULL, 'b')")
+    ext.sql("INSERT INTO graft.db.ident VALUES (NULL, 'c')")
+    val rows = ext.sql("SELECT id, name FROM graft.db.ident ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")), rows)
+    // GENERATED ALWAYS: explicit values refused loudly
+    val e = intercept[Exception] {
+      ext.sql("INSERT INTO graft.db.ident VALUES (99, 'x')")
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // GENERATED BY DEFAULT: explicit values accepted, allocator skips past
+    ext.sql("DROP TABLE IF EXISTS graft.db.identd")
+    ext.sql("CREATE TABLE graft.db.identd " +
+      "(id BIGINT GENERATED BY DEFAULT AS IDENTITY, name STRING)")
+    ext.sql("INSERT INTO graft.db.identd VALUES (100, 'x')")
+    ext.sql("INSERT INTO graft.db.identd VALUES (NULL, 'y')")
+    val d = ext.sql("SELECT id, name FROM graft.db.identd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(d == Seq((100L, "x"), (101L, "y")), d)
+    // START WITH / INCREMENT BY honored
+    ext.sql("DROP TABLE IF EXISTS graft.db.idents")
+    ext.sql("CREATE TABLE graft.db.idents (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 10 INCREMENT BY 5), name STRING)")
+    ext.sql("INSERT INTO graft.db.idents VALUES (NULL, 'p'), (NULL, 'q')")
+    assert(ext.sql("SELECT id FROM graft.db.idents ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 15L))
+
+    // concurrent inserts: the OCC-pinned allocator never double-issues —
+    // both writers land (retry) and all ids are unique
+    ext.sql("DROP TABLE IF EXISTS graft.db.identc")
+    ext.sql("CREATE TABLE graft.db.identc " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, v INT)")
+    val cdir = s"$lakeRoot/db/identc"
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(tag: Int): Thread = new Thread(() => {
+      try {
+        val sq = ext.sqlContext; import sq.implicits._
+        val data = (1 to 100).map(i => (tag * 1000 + i)).toDF("v")
+        barrier.await()
+        TxTable.insertWithIdentity(ext, cdir, data, overwrite = false)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(writer(1), writer(2))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toString)
+    val ids = ext.sql("SELECT id FROM graft.db.identc").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.size == 200 && ids.distinct.size == 200,
+      s"expected 200 unique ids, got ${ids.size}/${ids.distinct.size}")
+    assert(ids.min == 1L && ids.max == 200L, s"${ids.min}..${ids.max}")
+  }
+
   test("VACUUM/OPTIMIZE against a non-graft name falls through to the delegate parser") {
     // a single-part Delta-style target (or any non-graft catalog) must
     // reach the delegate untouched — Spark's own parse error, never the
