@@ -36,7 +36,8 @@ import graft.merge.TxTable
   * years; scans stay fully vectorized, nothing is read through a row
   * connector). */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var rootDir: String = _
@@ -296,13 +297,192 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.list(namespace)
 
+  // ------------------------------------------------------------- views
+
+  // Persistent SQL views (`CREATE VIEW graft.db.v AS SELECT ...`) — the
+  // reference's derived access paths (`setup_target.py:156-157` maps its
+  // partial index to a `current_node_inputs` view) as catalog-persistent
+  // objects. Each view is one small file under the namespace's
+  // `_graft_views/` dir (never confusable with a table — tables are dirs
+  // holding a `_graft_log`): the defining SQL, the resolution context
+  // (catalog + namespace the text re-resolves under), the frozen schema,
+  // and column aliases/comments/properties, every value hex-encoded so
+  // SQL text with any character round-trips. Create is atomic via
+  // create-exclusive; replace via tmp + rename.
+
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+
+  private def viewsDir(namespace: Array[String]): Path =
+    new Path(namespace.foldLeft(new Path(rootDir))(new Path(_, _)),
+      "_graft_views")
+
+  private def viewFile(ident: Identifier): Path =
+    new Path(viewsDir(ident.namespace()), ident.name() + ".view")
+
+  private def hex(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map("%02x".format(_)).mkString
+  private def unhex(h: String): String = {
+    val bytes = h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+  // nullable list cell ("n" = SQL NULL, e.g. an uncommented column)
+  private def cell(v: String): String = if (v == null) "n" else "h" + hex(v)
+  private def uncell(c: String): String =
+    if (c == "n") null else unhex(c.stripPrefix("h"))
+
+  private def renderView(v: GraftView): String = {
+    val sb = new StringBuilder
+    sb.append("sql\t").append(hex(v.query)).append('\n')
+    sb.append("catalog\t").append(hex(v.currentCatalog)).append('\n')
+    sb.append("ns\t").append(v.currentNamespace.map(hex).mkString("\t")).append('\n')
+    sb.append("schema\t").append(hex(v.schema.json)).append('\n')
+    sb.append("qcols\t").append(v.queryColumnNames.map(cell).mkString("\t")).append('\n')
+    sb.append("aliases\t").append(v.columnAliases.map(cell).mkString("\t")).append('\n')
+    sb.append("comments\t").append(v.columnComments.map(cell).mkString("\t")).append('\n')
+    v.properties.asScala.toSeq.sortBy(_._1).foreach { case (k, value) =>
+      sb.append("prop\t").append(hex(k)).append('\t').append(hex(value)).append('\n')
+    }
+    sb.toString
+  }
+
+  private def parseView(name: String, text: String): GraftView = {
+    var sql = ""; var cat = ""; var ns = Array.empty[String]
+    var schema: StructType = new StructType()
+    var qcols, aliases, comments = Array.empty[String]
+    val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val parts = line.split('\t')
+      parts(0) match {
+        case "sql"     => sql = unhex(parts(1))
+        case "catalog" => cat = unhex(parts(1))
+        case "ns"      => ns = parts.drop(1).filter(_.nonEmpty).map(unhex)
+        case "schema"  => schema = org.apache.spark.sql.types.DataType
+          .fromJson(unhex(parts(1))).asInstanceOf[StructType]
+        case "qcols"    => qcols = parts.drop(1).filter(_.nonEmpty).map(uncell)
+        case "aliases"  => aliases = parts.drop(1).filter(_.nonEmpty).map(uncell)
+        case "comments" => comments = parts.drop(1).filter(_.nonEmpty).map(uncell)
+        case "prop"    => props += unhex(parts(1)) -> unhex(parts(2))
+        case other => throw new IllegalStateException(
+          s"corrupt view file for $name: unknown line '$other'")
+      }
+    }
+    GraftView(name, sql, cat, ns, schema, qcols, aliases, comments,
+      props.toMap.asJava)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val nsPath = ns.foldLeft(new Path(rootDir))(new Path(_, _))
+    if (!fs.exists(nsPath))
+      throw new NoSuchNamespaceException(catalogName +: ns.toSeq)
+    val d = viewsDir(ns)
+    if (!fs.exists(d)) Array.empty
+    else fs.listStatus(d).toSeq
+      .filter(_.getPath.getName.endsWith(".view"))
+      .map(s => Identifier.of(ns, s.getPath.getName.stripSuffix(".view")))
+      .sortBy(_.name()).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    fs.exists(viewFile(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFile(ident)
+    if (!fs.exists(f)) throw new NoSuchViewException(ident)
+    val in = fs.open(f)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    parseView(fullName(ident), text)
+  }
+
+  private def writeView(ident: Identifier, view: GraftView,
+                        overwrite: Boolean): Unit = {
+    fs.mkdirs(viewsDir(ident.namespace()))
+    val target = viewFile(ident)
+    if (!overwrite) {
+      // create-exclusive IS the atomic claim: a racing CREATE VIEW loses
+      val out = try fs.create(target, false) catch {
+        case _: java.io.IOException if fs.exists(target) =>
+          throw new ViewAlreadyExistsException(ident)
+      }
+      try out.write(renderView(view)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      val tmp = new Path(viewsDir(ident.namespace()),
+        s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(renderView(view)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(target, false)
+      require(fs.rename(tmp, target), s"could not publish view $target")
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    val nsPath = ident.namespace().foldLeft(new Path(rootDir))(new Path(_, _))
+    if (!fs.exists(nsPath))
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace().toSeq)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    require(!TxTable.exists(spark, tableDir(ident)),
+      s"cannot CREATE VIEW ${fullName(ident)}: a TABLE of that name exists")
+    val v = GraftView(fullName(ident), info.sql, info.currentCatalog,
+      info.currentNamespace, info.schema, info.queryColumnNames,
+      info.columnAliases, info.columnComments, info.properties)
+    writeView(ident, v, overwrite = false)
+    v
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident
+    if (!orCreate && !viewExists(ident)) throw new NoSuchViewException(ident)
+    require(!TxTable.exists(spark, tableDir(ident)),
+      s"cannot REPLACE VIEW ${fullName(ident)}: a TABLE of that name exists")
+    val v = GraftView(fullName(ident), info.sql, info.currentCatalog,
+      info.currentNamespace, info.schema, info.queryColumnNames,
+      info.columnAliases, info.columnComments, info.properties)
+    writeView(ident, v, overwrite = true)
+    v
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val cur = loadView(ident).asInstanceOf[GraftView]
+    val props = changes.foldLeft(cur.properties.asScala.toMap) { (m, c) =>
+      c match {
+        case s: ViewChange.SetProperty => m + (s.property() -> s.value())
+        case r: ViewChange.RemoveProperty => m - r.property()
+        case other => throw new UnsupportedOperationException(
+          s"unsupported view change $other")
+      }
+    }
+    val v = cur.copy(viewProps = props.asJava)
+    writeView(ident, v, overwrite = true)
+    v
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    fs.delete(viewFile(ident), false)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
+    fs.mkdirs(viewsDir(newIdent.namespace()))
+    require(fs.rename(viewFile(oldIdent), viewFile(newIdent)),
+      s"could not rename view ${fullName(oldIdent)} to ${fullName(newIdent)}")
+  }
+
   // ------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] = {
     val root = new Path(rootDir)
     if (!fs.exists(root)) Array.empty
     else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .filter(s => s.isDirectory && !isTableDir(s.getPath) &&
+        !s.getPath.getName.startsWith("_graft_"))
       .map(s => Array(s.getPath.getName)).sortBy(_.head).toArray
   }
 
@@ -313,7 +493,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(
         catalogName +: namespace.toSeq)
       fs.listStatus(nsPath).toSeq
-        .filter(s => s.isDirectory && !isTableDir(s.getPath))
+        .filter(s => s.isDirectory && !isTableDir(s.getPath) &&
+          !s.getPath.getName.startsWith("_graft_"))
         .map(s => namespace :+ s.getPath.getName).toArray
     }
 
@@ -442,4 +623,20 @@ final class GraftSqlTable(val dir: String, val asOf: Option[Long],
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+}
+
+/** One persistent view's stored state (see GraftCatalog's views section).
+  * `viewProps` is last to keep the copy() used by ALTER VIEW obvious. */
+final case class GraftView(viewName: String, query: String,
+                           override val currentCatalog: String,
+                           override val currentNamespace: Array[String],
+                           viewSchema: org.apache.spark.sql.types.StructType,
+                           override val queryColumnNames: Array[String],
+                           override val columnAliases: Array[String],
+                           override val columnComments: Array[String],
+                           viewProps: java.util.Map[String, String])
+    extends org.apache.spark.sql.connector.catalog.View {
+  override def name(): String = viewName
+  override def schema(): org.apache.spark.sql.types.StructType = viewSchema
+  override def properties(): java.util.Map[String, String] = viewProps
 }

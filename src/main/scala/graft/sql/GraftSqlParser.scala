@@ -99,7 +99,72 @@ final class GraftSqlParser(session: SparkSession,
     else None
   }
 
+  // Persistent views over a graft catalog — Spark 4.1 has the ViewCatalog
+  // SPI but no V2 view statement execution (its session-catalog rule
+  // rejects every other catalog), so the statement forms intercept here
+  // and drive GraftCatalog's ViewCatalog implementation directly; reads
+  // expand in GraftSqlRules. Non-graft targets (single-part names, TEMP
+  // views, other catalogs) fall through to the delegate untouched.
+  private val CreateViewStmt =
+    """(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.`]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val DropViewStmt =
+    """(?is)^\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.`]+)\s*;?\s*$""".r
+  private val ShowViewsStmt =
+    """(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.`]+)\s*;?\s*$""".r
+  private val AlterViewSetPropsStmt =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val AlterViewUnsetPropsStmt =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val RenameViewStmt =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*;?\s*$""".r
+
+  /** Parse a TBLPROPERTIES list by round-tripping it through the delegate
+    * (an ALTER TABLE shell) — quoting/escaping stay exactly Spark's. */
+  private def parseProps(list: String): Map[String, String] =
+    delegate.parsePlan(s"ALTER TABLE __graft_props SET TBLPROPERTIES ($list)") match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
+        s.properties
+      case other => throw new IllegalArgumentException(
+        s"unparseable TBLPROPERTIES list: $list ($other)")
+    }
+
+  private def parseUnsetKeys(list: String): Seq[String] =
+    delegate.parsePlan(s"ALTER TABLE __graft_props UNSET TBLPROPERTIES ($list)") match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties =>
+        s.propertyKeys
+      case other => throw new IllegalArgumentException(
+        s"unparseable TBLPROPERTIES list: $list ($other)")
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateViewStmt(replace, ine, target, query)
+        if catRel(target).isDefined =>
+      val (cat, rel) = catRel(target).get
+      GraftCreateViewCommand(cat, rel, query.trim,
+        replace = replace != null, ifNotExists = ine != null)
+    case DropViewStmt(ifExists, target) if catRel(target).isDefined =>
+      val (cat, rel) = catRel(target).get
+      GraftDropViewCommand(cat, rel, ifExists = ifExists != null)
+    case ShowViewsStmt(target) if catRel(target).isDefined =>
+      val (cat, rel) = catRel(target).get
+      GraftShowViewsCommand(cat, rel.split('.').toSeq)
+    case AlterViewSetPropsStmt(target, list) if catRel(target).isDefined =>
+      val (cat, rel) = catRel(target).get
+      GraftAlterViewPropsCommand(cat, rel, parseProps(list), Nil)
+    case AlterViewUnsetPropsStmt(target, list) if catRel(target).isDefined =>
+      val (cat, rel) = catRel(target).get
+      GraftAlterViewPropsCommand(cat, rel, Map.empty, parseUnsetKeys(list))
+    case RenameViewStmt(target, to) if catRel(target).isDefined =>
+      val (cat, rel) = catRel(target).get
+      val toRel = catRel(to) match {
+        case Some((toCat, r)) =>
+          require(toCat == cat,
+            s"ALTER VIEW RENAME cannot move a view across catalogs " +
+              s"($cat -> $toCat)")
+          r
+        case None => to.replace("`", "")
+      }
+      GraftRenameViewCommand(cat, rel, toRel)
     case DescribeHistory(target) =>
       delegate.parsePlan(
         s"SELECT * FROM graft_history(${quote(dirOf(target))})")

@@ -180,10 +180,69 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
         Alias(src, o.name)(exprId = o.exprId)
       }, v1)
 
+    // time travel over a persistent view is undefined — the view is SQL
+    // text, not a versioned object; refuse loudly before expansion
+    case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+      tt.relation match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if graftView(u.multipartIdentifier).isDefined =>
+          throw new UnsupportedOperationException(
+            s"VERSION/TIMESTAMP AS OF over view " +
+              s"${u.multipartIdentifier.mkString(".")} is undefined — " +
+              "views are SQL text, not versioned tables; time-travel the " +
+              "underlying table(s) inside the view definition instead")
+        case _ => tt.mapChildren(rewrite)
+      }
+
+    // persistent-view reads: an unresolved relation naming a stored graft
+    // view expands to its re-parsed defining text (so it tracks table
+    // changes like any SQL view); nested view references expand in the
+    // same pass, with a cycle guard. Spark's ResolveRelations never
+    // resolves these names (loadTable misses), so they reach this rule
+    // still unresolved.
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        if graftView(u.multipartIdentifier).isDefined =>
+      expandView(u.multipartIdentifier, graftView(u.multipartIdentifier).get)
+
     case other =>
       other.mapChildren(rewrite).transformExpressionsDown {
         case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
       }
+  }
+
+  /** The stored graft view a multipart name addresses (None when the
+    * leading part is not a graft catalog or no view file exists). */
+  private def graftView(parts: Seq[String])
+      : Option[org.apache.spark.sql.connector.catalog.View] = {
+    if (parts.length < 2) return None
+    val cat = try session.sessionState.catalogManager.catalog(parts.head)
+      catch { case _: Exception => return None }
+    cat match {
+      case g: GraftCatalog =>
+        val ident = org.apache.spark.sql.connector.catalog.Identifier
+          .of(parts.tail.init.toArray, parts.last)
+        if (g.viewExists(ident)) Some(g.loadView(ident)) else None
+      case _ => None
+    }
+  }
+
+  /** Views currently being expanded on this thread — a self- (or mutually-)
+    * referencing view definition must fail, not loop the analyzer. */
+  private val expanding = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private def expandView(parts: Seq[String],
+      v: org.apache.spark.sql.connector.catalog.View): LogicalPlan = {
+    val key = parts.mkString(".")
+    require(!expanding.get().contains(key),
+      s"recursive view definition: $key references itself " +
+        s"(expansion chain: ${expanding.get().mkString(" -> ")} -> $key)")
+    expanding.set(expanding.get() + key)
+    try {
+      val parsed = session.sessionState.sqlParser.parsePlan(v.query)
+      SubqueryAlias(parts.last, rewrite(parsed))
+    } finally expanding.set(expanding.get() - key)
   }
 
   /** TBLPROPERTIES declared on a CTAS/RTAS statement. */

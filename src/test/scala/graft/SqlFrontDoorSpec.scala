@@ -1362,6 +1362,63 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(ids.min == 1L && ids.max == 200L, s"${ids.min}..${ids.max}")
   }
 
+  test("persistent views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP round-trip; survive a fresh catalog") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.vsrc")
+    ext.sql("CREATE TABLE graft.db.vsrc AS " +
+      "SELECT id, cast(id % 2 AS INT) AS flag FROM range(10)")
+    ext.sql("DROP VIEW IF EXISTS graft.db.v_even")
+    ext.sql("DROP VIEW IF EXISTS graft.db.v_even2")
+    ext.sql("CREATE VIEW graft.db.v_even AS " +
+      "SELECT id FROM graft.db.vsrc WHERE flag = 0")
+    assert(ext.sql("SELECT count(*) FROM graft.db.v_even").head.getLong(0) == 5)
+    // a view, not a snapshot: it reflects later table changes
+    ext.sql("INSERT INTO graft.db.vsrc VALUES (100, 0)")
+    assert(ext.sql("SELECT count(*) FROM graft.db.v_even").head.getLong(0) == 6)
+    // SHOW VIEWS lists it
+    assert(ext.sql("SHOW VIEWS IN graft.db").collect()
+      .map(_.getString(1)).contains("v_even"))
+    // persistent: a FRESH session + catalog instance resolves it from disk
+    val ext2 = SessionBridge.withExtensions(spark, new GraftExtensions()(_))
+    ext2.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    ext2.conf.set("spark.sql.catalog.graft.root", lakeRoot)
+    assert(ext2.sql("SELECT count(*) FROM graft.db.v_even").head.getLong(0) == 6)
+    // CREATE OR REPLACE redefines
+    ext.sql("CREATE OR REPLACE VIEW graft.db.v_even AS " +
+      "SELECT id FROM graft.db.vsrc WHERE flag = 1")
+    assert(ext.sql("SELECT count(*) FROM graft.db.v_even").head.getLong(0) == 5)
+    // ALTER VIEW properties round-trip (via the ViewCatalog surface —
+    // SHOW TBLPROPERTIES is a table statement)
+    ext.sql("ALTER VIEW graft.db.v_even SET TBLPROPERTIES ('note'='hot')")
+    def viewProps: Map[String, String] = {
+      org.apache.spark.sql.SparkSession.setActiveSession(ext)
+      import scala.jdk.CollectionConverters._
+      ext.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sql.GraftCatalog]
+        .loadView(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("db"), "v_even")).properties().asScala.toMap
+    }
+    assert(viewProps.get("note").contains("hot"))
+    ext.sql("ALTER VIEW graft.db.v_even UNSET TBLPROPERTIES ('note')")
+    assert(!viewProps.contains("note"))
+    // time travel over a view is refused loudly
+    val ett = intercept[Exception] {
+      ext.sql("SELECT * FROM graft.db.v_even VERSION AS OF 1").collect()
+    }
+    assert(ett.getMessage.contains("view"), ett.getMessage)
+    // RENAME, then DROP
+    ext.sql("ALTER VIEW graft.db.v_even RENAME TO graft.db.v_even2")
+    assert(ext.sql("SELECT count(*) FROM graft.db.v_even2").head.getLong(0) == 5)
+    intercept[Exception] { ext.sql("SELECT * FROM graft.db.v_even") }
+    ext.sql("DROP VIEW graft.db.v_even2")
+    intercept[Exception] { ext.sql("SELECT * FROM graft.db.v_even2") }
+    // a view may not shadow a table
+    val e = intercept[Exception] {
+      ext.sql("CREATE VIEW graft.db.vsrc AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
+
   test("VACUUM/OPTIMIZE against a non-graft name falls through to the delegate parser") {
     // a single-part Delta-style target (or any non-graft catalog) must
     // reach the delegate untouched — Spark's own parse error, never the
