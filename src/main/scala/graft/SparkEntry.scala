@@ -2358,6 +2358,36 @@ object SparkEntry {
       val next = graft.merge.TxTable.identitySpecs(ext, tableDir)("id").next
       ext.sql(s"SELECT id, n_name, $refused AS refused, ${next}L AS next_v " +
         "FROM graft.ddl.nation_id")
+    }),
+
+    // q159: MERGE INTO schema evolution — a CDC feed that grew a column
+    // lands without a manual ALTER. The target holds the even orders
+    // (k, price only); the source carries the odd orders PLUS a status
+    // column the target lacks; `MERGE WITH SCHEMA EVOLUTION` (opt-in via
+    // graft.merge.schemaEvolution) routes the delta through the
+    // metadata-only ADD COLUMNS path, so pre-existing rows read status as
+    // NULL (the NULL-backfill contract under the hash: the NULL group's
+    // n/total must match DuckDB exactly) and zero old bytes rewrite.
+    // Rebuilt from scratch per run (the q146 discipline).
+    "q159_sql_merge_evolution" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.orders_se")
+      ext.sql("CREATE TABLE graft.ddl.orders_se AS " +
+        "SELECT o_orderkey AS k, o_totalprice AS price " +
+        "FROM graft.lake.orders WHERE o_orderkey % 2 = 0")
+      ext.sql("ALTER TABLE graft.ddl.orders_se SET TBLPROPERTIES" +
+        "('graft.merge.schemaEvolution'='true')")
+      ext.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.ddl.orders_se t " +
+        "USING (SELECT o_orderkey AS k, o_totalprice AS price, " +
+        "o_orderstatus AS status FROM graft.lake.orders " +
+        "WHERE o_orderkey % 2 = 1) s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT (k, price, status) " +
+        "VALUES (s.k, s.price, s.status)")
+      ext.sql("""SELECT status, count(*) AS n,
+                CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                count(status) AS with_status
+                FROM graft.ddl.orders_se GROUP BY status""")
     })
   )
 
@@ -4199,6 +4229,23 @@ object SparkEntry {
         |SELECT id, n_name, true AS refused,
         | CAST((SELECT count(*) FROM allr) + 1 AS BIGINT) AS next_v
         |FROM allr""".stripMargin,
+
+    // q159: the evolved-merge result replays relationally — even keys
+    // carry a NULL status (the backfill contract), odd keys their real
+    // one; the NULL group's n/total pin that old rows joined the evolved
+    // schema without a rewrite.
+    "q159_sql_merge_evolution" ->
+      """WITH t AS (
+        | SELECT o_orderkey AS k, o_totalprice AS price,
+        |        CAST(NULL AS VARCHAR) AS status
+        | FROM orders WHERE o_orderkey % 2 = 0
+        | UNION ALL
+        | SELECT o_orderkey, o_totalprice, o_orderstatus
+        | FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT status, count(*) AS n,
+        | CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | count(status) AS with_status
+        |FROM t GROUP BY status""".stripMargin,
 
     // q155: the widening sequence replays relationally — even keys as-is
     // (the values an INT held exactly), odd keys shifted beyond int32

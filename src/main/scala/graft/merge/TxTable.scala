@@ -1633,7 +1633,13 @@ object TxTable {
       StatsCleanBytesProp -> cleanBytes.toString,
       StatsDvRowsProp -> dvRows.toString,
       StatsDvBytesProp -> dvBytes.toString,
-      StatsVersionProp -> headVersion(spark, dir).getOrElse(0L).toString))
+      // head + 1 = the version the stats commit itself claims, so the
+      // staleness counter starts at ZERO data commits since this ANALYZE
+      // (counting the stats commit as its own staleness was an off-by-one;
+      // a concurrent interleaved append merely makes the count
+      // conservative by one — it is a threshold probe, not a ledger)
+      StatsVersionProp ->
+        (headVersion(spark, dir).getOrElse(0L) + 1L).toString))
     (rows, bytes)
   }
 
@@ -1789,7 +1795,11 @@ object TxTable {
       }.getOrElse("")
       (StatsColPrefix + inv.getOrElse(c, c)) -> (base + lens + hist)
     }.toMap
-    setProperties(spark, dir, props)
+    // refresh the staleness anchor too (head + 1 = this commit's version,
+    // see [[analyze]]) — a FOR COLUMNS pass is two property commits and
+    // must not start life "one commit stale"
+    setProperties(spark, dir, props + (StatsVersionProp ->
+      (headVersion(spark, dir).getOrElse(0L) + 1L).toString))
   }
 
   /** Data commits since the last [[analyze]] (None when never analyzed) —
@@ -2911,7 +2921,7 @@ object TxTable {
   }
 
   /** Parquet footer record count — a metadata read, no data pages. */
-  private def parquetRowCount(conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def parquetRowCount(conf: org.apache.hadoop.conf.Configuration,
                               p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

@@ -620,9 +620,22 @@ final class GraftSqlTable(val dir: String, val asOf: Option[Long],
       asOf.map(v => "graft.versionAsOf" -> v.toString)).asJava
   }
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+  /** AUTOMATIC_SCHEMA_EVOLUTION is OPT-IN per table (the
+    * `graft.merge.schemaEvolution` property): with it, Spark's own
+    * `MERGE INTO ... WITH SCHEMA EVOLUTION` resolution computes the
+    * source-vs-target column/type delta and routes it through this
+    * catalog's alterTable — i.e. the metadata-only ADD COLUMNS and
+    * type-widening lattice — before the merge resolves. A CDC feed that
+    * grew a column needs no manual ALTER first; tables that did NOT opt
+    * in keep failing loudly on unknown columns. */
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    val evolve = TxTable.tableProperties(SparkSession.active, dir)
+      .get("graft.merge.schemaEvolution").exists(_.trim.toBoolean)
+    if (evolve) base.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    base
+  }
 }
 
 /** One persistent view's stored state (see GraftCatalog's views section).

@@ -170,7 +170,7 @@ final class GraftSqlParser(session: SparkSession,
         s"SELECT * FROM graft_history(${quote(dirOf(target))})")
     case DescribeDetail(target) =>
       delegate.parsePlan(
-        s"SELECT * FROM graft_files(${quote(dirOf(target))})")
+        s"SELECT * FROM graft_detail(${quote(dirOf(target))})")
     case VacuumStmt(target, retain, dry) =>
       catRel(target) match {
         case None => delegate.parsePlan(sqlText)

@@ -448,7 +448,13 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
         s"graft MERGE: $what is not supported — use the TxTable/MergeSink API")
-    if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+    // WITH SCHEMA EVOLUTION needs no handling HERE: when the table opted
+    // in (graft.merge.schemaEvolution=true ⇒ AUTOMATIC_SCHEMA_EVOLUTION
+    // capability), Spark's ResolveMergeIntoSchemaEvolution already applied
+    // the source-vs-target delta through GraftCatalog.alterTable (the
+    // metadata-only ADD COLUMNS / type-widening path) before this rule
+    // sees the resolved merge; without the opt-in, resolution fails on the
+    // unknown column with Spark's own error.
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
 

@@ -22,9 +22,12 @@ import graft.merge.TxTable
   *  - `graft_history('<dir>')` — one audit row per advertised commit;
   *  - `graft_files('<dir>' [, version])` — the live file layout (path,
   *    partition fragment, bytes, per-column min/max envelopes): the
-  *    observability feed behind compaction / z-order decisions, the
-  *    DESCRIBE DETAIL counterpart. Driver-side O(live files), same
-  *    contract as the planner's own listing.
+  *    observability feed behind compaction / z-order decisions.
+  *    Driver-side O(live files), same contract as the planner's listing;
+  *  - `graft_detail('<dir>')` — the one-row DESCRIBE DETAIL summary:
+  *    layout totals plus the maintain() health probes (DV read-tax
+  *    fraction, unclustered-file count, commits since ANALYZE) — the
+  *    operator's dashboard for the self-driving loop.
   *
   * Arguments must be literals (the plan is built at resolution time).
   * Registered by [[graft.GraftExtensions]]. */
@@ -116,5 +119,51 @@ object GraftTableFunctions {
       PlanBridge.analyzed(
         rows.toDF("path", "partition", "bytes", "stat_min", "stat_max",
           "dv_path", "n_deleted"))
+    },
+    // graft_detail('<dir>') — ONE summary row (the Delta DESCRIBE DETAIL
+    // shape): layout totals plus the self-driving-maintenance health
+    // probes as data — the DV read-tax fraction (share of live rows that
+    // pay the anti-join), the unclustered-file count behind the
+    // incremental z-order trigger, and commits since the last ANALYZE
+    // (-1 = never analyzed, so no staleness obligation exists). All
+    // metadata: file statuses + parquet footers, zero data pages.
+    "graft_detail" -> { args =>
+      require(args.size == 1, "graft_detail(dir)")
+      val dir = strArg(args.head, "graft_detail", "dir")
+      require(TxTable.exists(spark, dir), s"no TxTable commit log at $dir")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val entries = TxTable.liveEntriesForSql(spark, dir, None)
+      var liveRows = 0L; var bytes = 0L; var dvLiveRows = 0L; var dvFiles = 0L
+      entries.foreach { e =>
+        val fp = new org.apache.hadoop.fs.Path(p, e.path)
+        bytes += fs.getFileStatus(fp).getLen
+        val live = TxTable.parquetRowCount(conf, fp) -
+          e.dv.map(_.deleted).getOrElse(0L)
+        liveRows += live
+        if (e.dv.isDefined) { dvFiles += 1; dvLiveRows += live }
+      }
+      val dvReadTax =
+        if (liveRows == 0L) 0.0 else dvLiveRows.toDouble / liveRows
+      val zs = graft.ops.Layout.zorderState(spark, dir)
+      val unclustered: Long = zs.map { case (v, _) =>
+        val clustered: Set[String] =
+          if (TxTable.versions(spark, dir).contains(v))
+            TxTable.liveRelPaths(spark, dir, Some(v)).toSet
+          else Set.empty
+        TxTable.liveRelPaths(spark, dir).count(!clustered.contains(_)).toLong
+      }.getOrElse(0L)
+      val row = (dir, entries.size.toLong, bytes, liveRows,
+        GraftSql.partitionColumns(spark, dir).mkString(","),
+        TxTable.headVersion(spark, dir).getOrElse(0L),
+        dvFiles, dvReadTax,
+        zs.map(_._2.mkString(",")).getOrElse(""), unclustered,
+        TxTable.commitsSinceAnalyze(spark, dir).map(_.toLong).getOrElse(-1L))
+      val sq = spark.sqlContext; import sq.implicits._
+      PlanBridge.analyzed(Seq(row).toDF("location", "num_files",
+        "size_bytes", "live_rows", "partition_columns", "last_version",
+        "num_dv_files", "dv_read_tax", "zorder_columns",
+        "unclustered_files", "commits_since_analyze"))
     })
 }

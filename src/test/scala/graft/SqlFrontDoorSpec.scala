@@ -547,14 +547,49 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(e.getMessage.contains("not a configured graft catalog"),
       e.getMessage)
     assert(ext.sql("SELECT 1 + 1").head.getInt(0) == 2)
-    // DESCRIBE DETAIL = the graft_files layout feed (live files + bytes
-    // + per-column envelopes), one row per live file
-    val detail = ext.sql("DESCRIBE DETAIL graft.db.hist_t")
-    assert(detail.columns.toSeq ==
-      Seq("path", "partition", "bytes", "stat_min", "stat_max",
-        "dv_path", "n_deleted"))
-    assert(detail.count() ==
+    // DESCRIBE DETAIL = ONE summary row (the Delta shape): layout totals
+    // plus the maintenance health probes as columns
+    val detail = ext.sql("DESCRIBE DETAIL graft.db.hist_t").collect()
+    assert(detail.length == 1)
+    val d = detail.head
+    assert(d.getAs[Long]("num_files") ==
       TxTable.liveFilePaths(ext, s"$lakeRoot/db/hist_t").size)
+    assert(d.getAs[Long]("size_bytes") > 0)
+    assert(d.getAs[Long]("num_dv_files") == 0)
+    assert(d.getAs[Double]("dv_read_tax") == 0.0)
+    assert(d.getAs[Long]("commits_since_analyze") == -1L) // never analyzed
+  }
+
+  test("DESCRIBE DETAIL mid-lifecycle: DV read-tax, ANALYZE staleness, unclustered count move with the table") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.dd")
+    ext.sql("CREATE TABLE graft.db.dd AS SELECT id AS k, id * 2 AS v FROM range(1000)")
+    ext.sql("ALTER TABLE graft.db.dd SET TBLPROPERTIES('graft.deletes.mode'='dv')")
+    def detail = ext.sql("DESCRIBE DETAIL graft.db.dd").head()
+    assert(detail.getAs[Double]("dv_read_tax") == 0.0)
+    // ANALYZE arms the staleness probe at zero commits since
+    ext.sql("ANALYZE TABLE graft.db.dd COMPUTE STATISTICS")
+    assert(detail.getAs[Long]("commits_since_analyze") == 0L)
+    // a MoR delete: rows now read through the anti-join — the read-tax
+    // fraction reports exactly the live share paying it, and the commit
+    // count since ANALYZE advances
+    ext.sql("DELETE FROM graft.db.dd WHERE k < 10")
+    val d1 = detail
+    assert(d1.getAs[Long]("num_dv_files") > 0)
+    val tax = d1.getAs[Double]("dv_read_tax")
+    assert(tax > 0.0 && tax <= 1.0, tax.toString)
+    assert(d1.getAs[Long]("live_rows") == 990L)
+    assert(d1.getAs[Long]("commits_since_analyze") >= 1L)
+    // purging the vectors returns the tax to zero
+    ext.sql("CALL graft.system.purge_dvs('db.dd', min_deleted_fraction => 0.0)")
+    assert(detail.getAs[Double]("dv_read_tax") == 0.0)
+    // INCREMENTAL z-order opt-in (the state-recording form) arms the
+    // unclustered probe; fresh appends raise it
+    ext.sql("CALL graft.system.zorder('db.dd', 'k', incremental => true)")
+    assert(detail.getAs[String]("zorder_columns") == "k")
+    assert(detail.getAs[Long]("unclustered_files") == 0L)
+    ext.sql("INSERT INTO graft.db.dd SELECT id, id FROM range(5)")
+    assert(detail.getAs[Long]("unclustered_files") > 0L)
   }
 
   test("CALL graft.system.refresh_bloom: point lookups prune through the SQL scan") {
@@ -1417,6 +1452,33 @@ class SqlFrontDoorSpec extends SparkTestBase {
       ext.sql("CREATE VIEW graft.db.vsrc AS SELECT 1 AS x")
     }
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: opted-in table grows the column, NULL backfill; others refuse") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.se")
+    ext.sql("CREATE TABLE graft.db.se AS " +
+      "SELECT id, cast(id * 2 AS INT) AS v FROM range(5)")
+    // NOT opted in: the unknown column fails with Spark's own resolution
+    // error (no silent evolution)
+    intercept[Exception] {
+      ext.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.db.se t USING " +
+        "(SELECT 100L AS id, 1 AS v, 'x' AS note) s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, v, note) VALUES (s.id, s.v, s.note)")
+    }
+    assert(!ext.table("graft.db.se").columns.contains("note"))
+    // opt in: the same merge evolves the schema through the metadata-only
+    // ADD COLUMNS path, existing rows read the new column as NULL
+    ext.sql("ALTER TABLE graft.db.se SET TBLPROPERTIES" +
+      "('graft.merge.schemaEvolution'='true')")
+    ext.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.db.se t USING " +
+      "(SELECT 100L AS id, 1 AS v, 'x' AS note) s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (id, v, note) VALUES (s.id, s.v, s.note)")
+    val rows = ext.sql(
+      "SELECT id, v, note FROM graft.db.se ORDER BY id").collect()
+    assert(rows.length == 6)
+    assert(rows.take(5).forall(_.isNullAt(2)), "old rows must backfill NULL")
+    assert(rows.last.getString(2) == "x" && rows.last.getLong(0) == 100L)
   }
 
   test("VACUUM/OPTIMIZE against a non-graft name falls through to the delegate parser") {
