@@ -2082,11 +2082,15 @@ object SparkEntry {
           "min_small_files => 2, dv_min_deleted_fraction => 0.05, " +
           "min_log_commits => 4, min_vacuum_items => 1)").collect()
       }
+      // evidence probe for the bound: footer record counts (the same
+      // metadata-only idiom maintain()'s own policy reads — no per-file
+      // Spark jobs, zero data pages; O(DV'd files) footer reads)
+      val hconf = ext.sparkContext.hadoopConfiguration
       val dvBounded = graft.merge.TxTable
         .liveEntriesForSql(ext, tableDir, None).forall { e =>
           e.dv.forall { d =>
-            val phys = ext.read.parquet(
-              new org.apache.hadoop.fs.Path(tableDir, e.path).toString).count()
+            val phys = graft.merge.TxTable.parquetRowCount(hconf,
+              new org.apache.hadoop.fs.Path(tableDir, e.path))
             phys > 0 && d.deleted.toDouble / phys < 0.05
           }
         }

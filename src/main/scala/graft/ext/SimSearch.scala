@@ -29,6 +29,35 @@ object SimSearch {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Exact top-k per query as the bounded-heap AGGREGATE — the scale form
+    * of the `row_number() OVER (PARTITION BY query_id ORDER BY sim DESC,
+    * neighbor_id)` window every ANN variant ends with. The window shape is
+    * few-queries-many-candidates, so at scale it funnels EVERY scored row
+    * into one task per query and sorts it there (the measured super-linear
+    * tail of the PQ family); the aggregate keeps a k-element heap per
+    * (query, partition), so the shuffle carries ≤ k rows per partition per
+    * query and nothing ever sorts more than k+1 elements. Ordering is
+    * IDENTICAL to the window: (sim DESC, neighbor_id ASC) — numeric ids
+    * ride zero-padded so the heap's string tie-order is numeric order
+    * (ids must be non-negative, as every corpus id here is); string ids
+    * compare lexicographically exactly as the window did. */
+  private def topKPerQuery(scored: DataFrame, simCol: String,
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = scored.schema("neighbor_id").dataType
+    val numericId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val tie =
+      if (numericId) lpad(col("neighbor_id").cast("string"), 20, "0")
+      else col("neighbor_id").cast("string")
+    graft.functions.SketchAggs
+      .topkRows(scored, Seq(col("query_id")), col(simCol), tie, k)
+      .select(col("query_id"), col("tie").cast(idType).as("neighbor_id"),
+        col("val").as(simCol), col("rnk").cast("int").as("rank"))
+  }
+
   /** Brute-force top-k neighbors for each query vector. `queries` should be
     * small (it is broadcast); `corpus` can be arbitrarily large. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -41,10 +70,7 @@ object SimSearch {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(sims, "sim", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sim"), 6).as("sim_r6"))
   }
@@ -456,13 +482,14 @@ object SimSearch {
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
 
-    def nearestCell(v: Column): Column = {
-      // argmax over broadcast centroid literals; unrolled at plan build
-      val sims = centroids.map { case (id, ctr) =>
-        struct(cosine(v, typedlit(ctr)).as("s"), lit(id).as("id"))
-      }
-      greatest(sims: _*).getField("id")
-    }
+    def nearestCell(v: Column): Column =
+      // argmax over broadcast centroid literals — one codegen'd primitive
+      // loop per row ([[graft.functions.VectorExprs.NearestCentroid]]:
+      // exact cosine, greatest-of-structs tie rule), replacing the nCells
+      // struct allocations the unrolled form paid per corpus row
+      graft.functions.VectorExprs.nearestCentroid(v,
+        centroids.map(_._1),
+        centroids.map(_._2.map(_.toDouble).toArray))
 
     var iter = 0
     while (iter < lloydIters) {
@@ -497,9 +524,8 @@ object SimSearch {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(sims, "sim", k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
   /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
@@ -569,9 +595,11 @@ object SimSearch {
       .sortBy(_.getString(0)).zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
     def nearestCell(v: Column): Column =
-      greatest(centroids.map { case (id, ctr) =>
-        struct(cosine(v, typedlit(ctr)).as("s"), lit(id).as("id"))
-      }: _*).getField("id")
+      // same codegen'd coarse assignment as ivfTopK (exact cosine,
+      // greatest-of-structs tie rule), normalized-double centroids
+      graft.functions.VectorExprs.nearestCentroid(v,
+        centroids.map(_._1),
+        centroids.map(_._2.toArray))
 
     val codebooks = pqCodebooks(c, m, sub, nCodes, lloydIters)
     val codes = c.select(col("neighbor_id"),
@@ -669,19 +697,15 @@ object SimSearch {
 
   /** Encode `v` as m codes: per subspace, argmin_c ||v_j − cb[j][c]||²
     * computed as the SAME ||a||²−2a·b+||b||² expansion the oracle uses
-    * (bit-identical floats); tiebreak code ASC via array_sort. */
+    * (bit-identical floats — left-to-right accumulation, ties to the
+    * lowest code). One custom codegen'd expression
+    * ([[graft.functions.VectorExprs.PqEncode]]) instead of an array_sort
+    * over nCodes structs per subspace per row — the encode was the
+    * measured super-linear tail of the PQ family at 8×. */
   private def pqCodesCol(m: Int, sub: Int,
-                         codebooks: Array[Array[Seq[Double]]]): Column = {
-    def sqL2(a: Column, b: Column): Column =
-      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
-    def codeFor(j: Int): Column = {
-      val vj = slice(col("v"), j * sub + 1, sub)
-      element_at(array_sort(array(codebooks(j).zipWithIndex.map { case (cb, ci) =>
-        struct(sqL2(vj, typedlit(cb)).as("d"), lit(ci).as("c"))
-      }: _*)), 1).getField("c")
-    }
-    array((0 until m).map(codeFor): _*).as("codes")
-  }
+                         codebooks: Array[Array[Seq[Double]]]): Column =
+    graft.functions.VectorExprs.pqEncode(col("v"),
+      codebooks.map(_.map(_.toArray))).as("codes")
 
   /** ADC + top-k over joined (codes × query) rows: the similarity estimate
     * is the cosine of the RECONSTRUCTION, cos(q, recon) = Σ_j q_j·cb_j /
@@ -700,9 +724,7 @@ object SimSearch {
     val scored = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), (num / den).as("asim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("asim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, "asim", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("asim"), 6).as("asim_r6"))
   }
