@@ -628,7 +628,10 @@ final class GraftSqlTable(val dir: String, val asOf: Option[Long],
     * type-widening lattice — before the merge resolves. A CDC feed that
     * grew a column needs no manual ALTER first; tables that did NOT opt
     * in keep failing loudly on unknown columns. */
-  override def capabilities(): util.Set[TableCapability] = {
+  // cached per descriptor: capabilities() is probed repeatedly during
+  // planning, and the property read is a log replay (the descriptor is
+  // per-query, like schema0, so staleness is bounded by one statement)
+  override lazy val capabilities: util.Set[TableCapability] = {
     val base = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     val evolve = TxTable.tableProperties(SparkSession.active, dir)
