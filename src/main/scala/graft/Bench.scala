@@ -58,7 +58,8 @@ object Bench {
     * design — their bucketed/banded scale paths (q16/q60) are measured. */
   private val heavy = Seq(
     "q01_pricing_summary", "q04_orders_rollup", "q06_timeline_union",
-    "q13_ann_topk", "q16_minhash_neardup", "q30_asof_join", "q40_tfidf",
+    "q13_ann_topk", "q16_minhash_neardup", "q28_ivf_ann", "q30_asof_join",
+    "q40_tfidf",
     "q42_salted_join", "q45_heavy_hitters", "q51_vocab_encode",
     "q52_sequence_pack", "q53_decontaminate", "q56_label_centroids",
     "q58_repetition", "q60_semantic_dedup_bucketed",
@@ -72,14 +73,29 @@ object Bench {
     "q111_topk_per_group", "q112_sparse_cosine", "q113_funnel",
     "q116_trending", "q117_priority_sample_grouped", "q135_shard_manifest")
 
-  /** Live `java` process count from /proc (this JVM included) — a second
-    * one at bench start means a co-resident workload shares the cores. */
+  /** Live `java` process count from /proc, EXCLUDING this JVM and its
+    * ancestor chain (an sbt-forked bench always has its launcher JVM as a
+    * parent — counting it would stamp every normal run contended). What
+    * remains is genuinely co-resident work sharing the cores. */
   private def javaProcs(): Int = try {
+    def ppidOf(pid: String): Option[String] = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/proc/$pid/status")))
+        .linesIterator.find(_.startsWith("PPid:")).map(_.drop(5).trim)
+    } catch { case _: Throwable => None }
+    var self = java.lang.ProcessHandle.current().pid().toString
+    var lineage = Set(self)
+    var cur: Option[String] = ppidOf(self)
+    while (cur.exists(p => p != "0" && !lineage(p))) {
+      lineage += cur.get
+      cur = ppidOf(cur.get)
+    }
     val d = new java.io.File("/proc")
     d.listFiles((f: java.io.File) => f.getName.forall(_.isDigit)).count { p =>
-      try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(p.getPath, "comm"))).trim == "java"
-      catch { case _: Throwable => false }
+      !lineage(p.getName) &&
+        (try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p.getPath, "comm"))).trim == "java"
+        catch { case _: Throwable => false })
     }
   } catch { case _: Throwable => -1 }
 
@@ -248,13 +264,14 @@ object Bench {
       // this run STARTED. The r12 lesson re-calibrated both signals: a
       // co-resident JVM poisoned slopes at loadavg 3.58 on 32 cores (well
       // under the old cpus/8 threshold), so the stamp now fires on EITHER
-      // a second java process at start OR loadavg_start > 2 — absolute,
+      // any non-ancestor java process at start (the count excludes this
+      // JVM's own sbt-launcher lineage) OR loadavg_start > 2 — absolute,
       // not cpu-scaled, because slope denominators are sub-2 s and even a
       // lightly-loaded neighbour distorts them. A true artifact consumer
       // must treat contended slopes as unadjudicated, not as the round's
       // performance record.
       val cpusN = Runtime.getRuntime.availableProcessors
-      val contended = javaProcsStart > 1 || loadavgStart.toDouble > 2.0
+      val contended = javaProcsStart > 0 || loadavgStart.toDouble > 2.0
       s""""host":{"loadavg_start":$loadavgStart,"loadavg_end":$loadavg,""" +
         s""""cpus":$cpusN,"java_procs_start":$javaProcsStart,""" +
         s""""java_procs":$jvms,"contended":$contended}"""

@@ -1294,6 +1294,10 @@ class SqlFrontDoorSpec extends SparkTestBase {
         s"histogram estimate $hist did not move off uniformity $uniform")
       assert(hist > truth / 10 && hist < truth * 10,
         s"histogram estimate $hist not within 10× of truth $truth")
+      // histograms ride the stats property, so they survive log compaction
+      ext.sql("CALL graft.system.compact_log('db.hs_a')").collect()
+      assert(estimate == hist,
+        "histogram-backed estimate must survive compact_log")
     } finally saved.foreach { case (k, v) =>
       v.fold(ext.conf.unset(k))(ext.conf.set(k, _)) }
   }
