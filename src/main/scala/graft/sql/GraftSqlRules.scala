@@ -241,7 +241,31 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     expanding.set(expanding.get() + key)
     try {
       val parsed = session.sessionState.sqlParser.parsePlan(v.query)
-      SubqueryAlias(parts.last, rewrite(parsed))
+      // the analyzer's Substitution batch already ran by the time this
+      // rule injects the body, so a WITH clause inside it would never
+      // substitute — apply CTE substitution to the fresh subtree here
+      val afterCte = org.apache.spark.sql.catalyst.analysis
+        .CTESubstitution(parsed)
+      // SQL-standard view semantics: RELATIVE names in the body bind to
+      // the view's CREATION context (stored at CREATE), not whatever
+      // catalog/namespace the reader happens to be in. Names already
+      // carrying a catalog stay; CTE references were substituted above so
+      // they can't be mis-qualified.
+      def isCatalog(n: String): Boolean =
+        try { session.sessionState.catalogManager.catalog(n); true }
+        catch { case _: Throwable => false }
+      val qualified = afterCte.transformDownWithSubqueries {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          val p = u.multipartIdentifier
+          val np =
+            if (p.length == 1)
+              (v.currentCatalog +: v.currentNamespace.toSeq) :+ p.head
+            else if (p.length == 2 && !isCatalog(p.head))
+              v.currentCatalog +: p
+            else p
+          if (np == p) u else u.copy(multipartIdentifier = np)
+      }
+      SubqueryAlias(parts.last, rewrite(qualified))
     } finally expanding.set(expanding.get() - key)
   }
 

@@ -1458,6 +1458,29 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
   }
 
+  test("view bodies bind to their CREATION context: relative names and CTEs") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.ctx_t")
+    ext.sql("DROP VIEW IF EXISTS graft.db.v_ctx")
+    ext.sql("CREATE TABLE graft.db.ctx_t AS SELECT id FROM range(10)")
+    // create the view with graft.db as the CURRENT namespace and a body
+    // using a RELATIVE table name inside a CTE — the SQL-standard
+    // semantics bind both to the creation context, not the reader's
+    val savedCat = ext.sessionState.catalogManager.currentCatalog.name()
+    val savedNs = ext.sessionState.catalogManager.currentNamespace.toSeq
+    try {
+      ext.sql("USE graft.db")
+      ext.sql("CREATE VIEW graft.db.v_ctx AS " +
+        "WITH recent AS (SELECT id FROM ctx_t WHERE id >= 5) " +
+        "SELECT count(*) AS n FROM recent")
+    } finally
+      ext.sql(s"USE $savedCat.${if (savedNs.isEmpty) "default" else savedNs.mkString(".")}")
+    // the reader is in a DIFFERENT context; the relative name must still
+    // resolve to graft.db.ctx_t, and the CTE must substitute (the
+    // analyzer's substitution batch ran before the body was injected)
+    assert(ext.sql("SELECT n FROM graft.db.v_ctx").head.getLong(0) == 5L)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: opted-in table grows the column, NULL backfill; others refuse") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.se")
