@@ -2392,6 +2392,37 @@ object SparkEntry {
                 CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
                 count(status) AS with_status
                 FROM graft.ddl.orders_se GROUP BY status""")
+    }),
+
+    // q160: CDC MERGE into an identity table — the reference's exact
+    // upsert-into-BIGSERIAL shape (`load.py:50-83` keyed on the natural
+    // key, `setup_target.py:87` surrogate id). The allocator reserves a
+    // fresh id for EVERY source row in an OCC-pinned commit before the
+    // merge (uniqueness is the contract, density is not): matched rows
+    // update and KEEP their ids, their reservations become gaps, so an
+    // inserted nation's id is 10 + its name-rank among ALL 25 source rows
+    // — which the oracle replays exactly. next_v pins the allocator state
+    // (10 initial + 25 reserved + 1). Rebuilt per run (q146 discipline).
+    "q160_sql_merge_identity" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.nation_cdc")
+      ext.sql("CREATE TABLE graft.ddl.nation_cdc (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, n_name STRING, " +
+        "n_regionkey BIGINT)")
+      ext.sql("INSERT INTO graft.ddl.nation_cdc SELECT NULL, n_name, " +
+        "n_regionkey FROM graft.lake.nation WHERE n_regionkey IN (0, 1) " +
+        "ORDER BY n_name")
+      ext.sql("MERGE INTO graft.ddl.nation_cdc t USING " +
+        "(SELECT n_name, n_regionkey FROM graft.lake.nation " +
+        "ORDER BY n_name) s ON t.n_name = s.n_name " +
+        "WHEN MATCHED THEN UPDATE SET n_regionkey = s.n_regionkey + 100 " +
+        "WHEN NOT MATCHED THEN INSERT (n_name, n_regionkey) " +
+        "VALUES (s.n_name, s.n_regionkey)")
+      val tableDir = sqlLakeRoot(dir) + "/ddl/nation_cdc"
+      val next = graft.merge.TxTable.identitySpecs(ext, tableDir)("id").next
+      ext.sql(s"SELECT id, n_name, n_regionkey, ${next}L AS next_v " +
+        "FROM graft.ddl.nation_cdc")
     })
   )
 
@@ -4250,6 +4281,27 @@ object SparkEntry {
         | CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | count(status) AS with_status
         |FROM t GROUP BY status""".stripMargin,
+
+    // q160: the identity-merge replays relationally — initial ids are
+    // name-rank over the two-region slice; inserted ids are 10 + name-rank
+    // over ALL source rows (matched rows' reservations are gaps); 36 is
+    // the allocator literal (10 + 25 reserved + 1).
+    "q160_sql_merge_identity" ->
+      """WITH b0 AS (
+        | SELECT CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS id,
+        |        n_name, n_regionkey
+        | FROM nation WHERE n_regionkey IN (0, 1)),
+        |res AS (
+        | SELECT CAST(row_number() OVER (ORDER BY n_name) + 10 AS BIGINT)
+        |          AS id, n_name, n_regionkey
+        | FROM nation)
+        |SELECT id, n_name, CAST(n_regionkey + 100 AS BIGINT) AS n_regionkey,
+        |       CAST(36 AS BIGINT) AS next_v
+        |FROM b0
+        |UNION ALL
+        |SELECT r.id, r.n_name, CAST(r.n_regionkey AS BIGINT),
+        |       CAST(36 AS BIGINT)
+        |FROM res r WHERE r.n_name NOT IN (SELECT n_name FROM b0)""".stripMargin,
 
     // q155: the widening sequence replays relationally — even keys as-is
     // (the values an INT held exactly), odd keys shifted beyond int32

@@ -1483,6 +1483,60 @@ object TxTable {
     }
   }
 
+  /** Identity allocation for a MERGE source (the reference's CDC-into-
+    * BIGSERIAL shape): fresh ids assign to EVERY source row — rows that
+    * end up matching (and updating) simply never use theirs, becoming
+    * gaps, exactly like any allocator that reserves ahead; UNIQUENESS is
+    * the contract, density is not. The allocator advance is its own
+    * OCC-pinned commit BEFORE the merge commit, so two concurrent merges
+    * cannot double-issue (an aborted merge leaves a gap, never a dupe).
+    * `explicitCols`: GENERATED BY DEFAULT columns carrying source values
+    * — the allocator skips past their max instead. The returned frame is
+    * locally checkpointed: the merge machinery evaluates its source more
+    * than once, and the assignment must not re-run. */
+  private[graft] def allocateIdentityForMerge(spark: SparkSession,
+      dir: String, df: DataFrame, assign: Seq[String],
+      explicitCols: Seq[String]): DataFrame = withRetry() {
+    val head = headVersion(spark, dir)
+    require(head.isDefined, s"no TxTable at $dir")
+    val specs = identitySpecs(spark, dir)
+    val declared = read(spark, dir).map(_.schema).getOrElse(df.schema)
+    var frame = df
+    val upd = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var changed = false
+    assign.sorted.foreach { c =>
+      val sp = specs.getOrElse(c, throw new IllegalStateException(
+        s"no identity spec for $c on $dir"))
+      val n = frame.count()
+      if (n > 0) {
+        val dt = declared.find(_.name == c).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.LongType)
+        frame = assignDense(spark, frame, c, sp.next, sp.step, dt)
+        upd += (IdentityPropPrefix + c) ->
+          sp.copy(next = sp.next + sp.step * n).render
+        changed = true
+      }
+    }
+    explicitCols.sorted.foreach { c =>
+      val sp = specs.getOrElse(c, throw new IllegalStateException(
+        s"no identity spec for $c on $dir"))
+      if (frame.filter(col(c).isNotNull).limit(1).count() > 0) {
+        require(frame.filter(col(c).isNull).limit(1).count() == 0,
+          s"mixed explicit and NULL values for identity column `$c` in " +
+            "MERGE source — provide all values or none")
+        val mx = frame.agg(max(col(c)).cast("long")).head().getLong(0)
+        val next2 = if (sp.step > 0) math.max(sp.next, mx + sp.step)
+                    else math.min(sp.next, mx + sp.step)
+        if (next2 != sp.next) {
+          upd += (IdentityPropPrefix + c) -> sp.copy(next = next2).render
+        }
+      }
+    }
+    if (upd.nonEmpty)
+      commitProps(spark, dir, upd.toMap, expectedHead = head)
+    if (changed) frame.localCheckpoint() else frame
+  }
+
   /** Atomically append files (M3/M4 path — nothing existing is rewritten).
     * `txn` rides an (appId, epoch) idempotence mark in the commit — see
     * [[appendOnce]]. */

@@ -613,6 +613,32 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     targetFields.foreach(f => require(!f.name.startsWith("__graft_upd_"),
       s"graft MERGE: target column ${f.name} collides with the engine's " +
         "reserved __graft_upd_ prefix"))
+    // identity columns under MERGE (the reference's CDC-into-BIGSERIAL
+    // shape): a GENERATED ALWAYS column may not take explicit values —
+    // from an INSERT clause, an UPDATE SET, or the ON key when inserts
+    // exist; an UNMENTIONED identity column gets engine-assigned values
+    // for the insert slice (allocateIdentityForMerge — updates keep the
+    // target's ids because the column is never in updateCols). BY DEFAULT
+    // accepts explicit values and the allocator skips past their max.
+    val idSpecs = TxTable.identitySpecs(session, t.dir)
+    val identityAssign = scala.collection.mutable.ArrayBuffer.empty[String]
+    val identityExplicit = scala.collection.mutable.ArrayBuffer.empty[String]
+    idSpecs.foreach { case (c, sp) =>
+      val isKey = keyM.contains(c)
+      val inUpdate = updateA.contains(c) && !isKey
+      val inInsert = insertA.contains(c) && !isKey
+      if (inUpdate) unsupported(
+        s"UPDATE SET of identity column `$c` (ids are engine-managed)")
+      if (!sp.explicit && insertSets.isDefined && (isKey || inInsert))
+        unsupported(s"explicit values for GENERATED ALWAYS identity " +
+          s"column `$c` (via ${if (isKey) "the ON key" else "INSERT"}) — " +
+          "omit it and the engine assigns, or declare it GENERATED BY " +
+          "DEFAULT")
+      if (insertSets.isDefined) {
+        if (isKey || inInsert) identityExplicit += c
+        else identityAssign += c
+      }
+    }
     // One in-row value per column feeds the INSERT path. When the UPDATE
     // clause disagrees — a different expression, or the INSERT column list
     // omits a column the UPDATE sets (standard MERGE inserts NULL there) —
@@ -670,7 +696,9 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
       matchedDeleteCond = matchedDelete.map(_.getOrElse("true")),
       insertNotMatched = insertSets.isDefined,
       insertCond = insertCond,
-      notMatchedBySourceDeleteCond = nmbsDelete.map(_.getOrElse("true")))
+      notMatchedBySourceDeleteCond = nmbsDelete.map(_.getOrElse("true")),
+      identityAssign = identityAssign.toSeq.sorted,
+      identityExplicit = identityExplicit.toSeq.sorted)
   }
 }
 
@@ -751,12 +779,23 @@ final case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
                                    matchedDeleteCond: Option[String],
                                    insertNotMatched: Boolean,
                                    insertCond: Option[String],
-                                   notMatchedBySourceDeleteCond: Option[String])
+                                   notMatchedBySourceDeleteCond: Option[String],
+                                   identityAssign: Seq[String] = Nil,
+                                   identityExplicit: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val src = PlanBridge.ofRows(sparkSession, sourcePlan)
+    val src0 = PlanBridge.ofRows(sparkSession, sourcePlan)
       .selectExpr(projections: _*)
+    // identity columns: fresh ids assigned to every source row (unused
+    // ones — matched rows that update — become gaps; uniqueness, not
+    // density, is the allocator's contract) in an OCC-pinned allocator
+    // commit BEFORE the merge; BY DEFAULT explicit values advance it past
+    // their max. See TxTable.allocateIdentityForMerge.
+    val src =
+      if (identityAssign.isEmpty && identityExplicit.isEmpty) src0
+      else TxTable.allocateIdentityForMerge(sparkSession, dir, src0,
+        identityAssign, identityExplicit)
     // graft.deletes.mode governs MERGE like DELETE/UPDATE: 'cow' commits
     // one atomic replace (rewrites the table); 'dv' commits the change
     // set merge-on-read — O(changed rows) written

@@ -1508,6 +1508,54 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(rows.last.getString(2) == "x" && rows.last.getLong(0) == 100L)
   }
 
+  test("MERGE into an identity table: inserts get engine ids, updates keep theirs, ALWAYS refuses explicit") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.mid")
+    ext.sql("CREATE TABLE graft.db.mid " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, k STRING, v INT)")
+    ext.sql("INSERT INTO graft.db.mid VALUES (NULL, 'a', 1), (NULL, 'b', 2)")
+    // CDC shape: source keyed on the natural key, no id column anywhere —
+    // matched rows update and KEEP their ids; the insert gets a fresh one
+    ext.sql("MERGE INTO graft.db.mid t USING " +
+      "(SELECT * FROM VALUES ('a', 10), ('c', 30) AS s(k, v)) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    val rows = ext.sql("SELECT id, k, v FROM graft.db.mid ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.map(_._2).toSeq == Seq("a", "b", "c"))
+    assert(rows(0) == ((1L, "a", 10)), rows(0)) // updated, id kept
+    assert(rows(1) == ((2L, "b", 2)))
+    val cId = rows(2)._1
+    assert(cId > 2L, s"insert must get a fresh id, got $cId") // gaps OK
+    assert(rows.map(_._1).distinct.length == 3)
+    // the allocator advanced past the whole reserved range
+    val dir = s"$lakeRoot/db/mid"
+    assert(TxTable.identitySpecs(ext, dir)("id").next > cId)
+    // GENERATED ALWAYS: an explicit id in the INSERT clause is refused
+    val e = intercept[Exception] {
+      ext.sql("MERGE INTO graft.db.mid t USING (SELECT 'z' AS k, 9 AS v) s " +
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT (id, k, v) " +
+        "VALUES (99, s.k, s.v)")
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // and so is UPDATE SET of the id
+    val e2 = intercept[Exception] {
+      ext.sql("MERGE INTO graft.db.mid t USING (SELECT 'a' AS k) s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET id = 42")
+    }
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+    // BY DEFAULT: explicit ids in a merge are accepted; allocator skips past
+    ext.sql("DROP TABLE IF EXISTS graft.db.midd")
+    ext.sql("CREATE TABLE graft.db.midd " +
+      "(id BIGINT GENERATED BY DEFAULT AS IDENTITY, k STRING)")
+    ext.sql("MERGE INTO graft.db.midd t USING " +
+      "(SELECT 500L AS id, 'x' AS k) s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (id, k) VALUES (s.id, s.k)")
+    assert(ext.sql("SELECT id FROM graft.db.midd").head.getLong(0) == 500L)
+    assert(TxTable.identitySpecs(ext, s"$lakeRoot/db/midd")("id").next == 501L)
+  }
+
   test("VACUUM/OPTIMIZE against a non-graft name falls through to the delegate parser") {
     // a single-part Delta-style target (or any non-graft catalog) must
     // reach the delegate untouched — Spark's own parse error, never the
