@@ -1431,10 +1431,11 @@ object TxTable {
     * rows that legitimately carry their ids. */
   def insertWithIdentity(spark: SparkSession, dir: String, df: DataFrame,
                          overwrite: Boolean,
-                         partitionCols: Seq[String] = Nil): Unit = {
+                         partitionCols: Seq[String] = Nil,
+                         txn: Option[(String, Long)] = None): Unit = {
     if (identitySpecs(spark, dir).isEmpty) {
-      if (overwrite) replace(spark, dir, df, partitionCols)
-      else append(spark, dir, df, partitionCols)
+      if (overwrite) replace(spark, dir, df, partitionCols, txn = txn)
+      else append(spark, dir, df, partitionCols, txn = txn)
       return
     }
     withRetry() {
@@ -1478,7 +1479,7 @@ object TxTable {
         else declaredShapeProps(fs, dir,
           toPhysical(frame, fs, dir).schema.fields.toSeq, partitionCols)
       commit(fs, dir, Commit(if (overwrite) "replace" else "append",
-        partColField(partitionCols), None, Nil, files, Nil,
+        partColField(partitionCols), None, Nil, files, txn.toSeq,
         shape ++ upd.toSeq), head)
     }
   }

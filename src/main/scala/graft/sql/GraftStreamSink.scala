@@ -60,11 +60,14 @@ final class GraftStreamSink(spark: SparkSession, dir: String,
       else data
     if (TxTable.lastTxn(spark, dir, app).exists(_ >= batchId)) {
       // redelivered epoch — the commit that carried it already landed
-    } else if (mode == OutputMode.Complete()) {
-      TxTable.replace(spark, dir, batch, partitionCols,
-        txn = Some(app -> batchId))
     } else {
-      TxTable.append(spark, dir, batch, partitionCols,
+      // identity-aware: a GENERATED ... AS IDENTITY table gets its ids
+      // assigned per micro-batch, the allocator advancing in the SAME
+      // txn-marked commit as the data (a redelivered epoch is skipped
+      // above, so ids are exactly-once too); identical to plain
+      // append/replace when the table declares none
+      TxTable.insertWithIdentity(spark, dir, batch,
+        overwrite = mode == OutputMode.Complete(), partitionCols,
         txn = Some(app -> batchId))
     }
   }

@@ -117,4 +117,31 @@ class GraftStreamSinkSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("txnAppId"))
   }
+
+  test("identity table as stream sink: ids assign per micro-batch, exactly-once on redelivery") {
+    import org.apache.spark.sql.types._
+    val dst = tmpDir("sk-ident")
+    TxTable.create(spark, dst, StructType(Seq(
+      StructField("sid", LongType), StructField("name", StringType))))
+    // arm the allocator the DDL way (the prop form CREATE accepts)
+    TxTable.setProperties(spark, dst, Map(
+      "graft.identity.sid" -> "start=1,step=1,explicit=false,next=1"))
+    val sink = new GraftStreamSink(spark, dst, Nil, OutputMode.Append(),
+      Some("ident-app"))
+    def batch(ids: Range, tag: String) = {
+      val sq = spark.sqlContext; import sq.implicits._
+      ids.map(i => (null.asInstanceOf[java.lang.Long], s"$tag-$i"))
+        .toDF("sid", "name").repartition(1)
+    }
+    sink.addBatch(0, batch(1 to 5, "a"))
+    sink.addBatch(1, batch(1 to 3, "b"))
+    // redelivered epoch: a no-op — no rows, no ids consumed
+    sink.addBatch(1, batch(1 to 3, "b"))
+    val rows = TxTable.read(spark, dst).get
+      .select("sid", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == (1L to 8L), rows.mkString(","))
+    assert(rows.count(_._2.startsWith("a-")) == 5)
+    assert(TxTable.identitySpecs(spark, dst)("sid").next == 9L)
+  }
 }
