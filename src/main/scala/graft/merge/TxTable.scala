@@ -1945,6 +1945,13 @@ object TxTable {
       "graft.schema.* properties are managed by addColumns/renameColumn/" +
         "dropColumns (ALTER TABLE ADD/RENAME/DROP COLUMN) — setting them " +
         "directly would corrupt the declared schema")
+    // graft.identity.* is settable (arming/re-seeding an allocator is a
+    // legitimate ALTER) but must PARSE — a malformed value would otherwise
+    // be a deferred failure surfacing at the first insert, stored in the
+    // log (the same failure class as an unparseable stats bound)
+    props.foreach { case (k, v) =>
+      if (k.startsWith(IdentityPropPrefix) && v.nonEmpty) parseIdentity(v, k)
+    }
     commitProps(spark, dir, props)
   }
 

@@ -159,6 +159,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (TxTable.exists(spark, dir))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    // the mirror of createView's table guard: one name, one object
+    require(!viewExists(ident),
+      s"cannot CREATE TABLE ${fullName(ident)}: a VIEW of that name " +
+        "exists (DROP VIEW it first)")
     val partCols = partitions.map { t =>
       require(t.name == "identity",
         s"graft tables support identity partitioning only, got $t")

@@ -1451,11 +1451,25 @@ class SqlFrontDoorSpec extends SparkTestBase {
     intercept[Exception] { ext.sql("SELECT * FROM graft.db.v_even") }
     ext.sql("DROP VIEW graft.db.v_even2")
     intercept[Exception] { ext.sql("SELECT * FROM graft.db.v_even2") }
-    // a view may not shadow a table
+    // a view may not shadow a table — and vice versa
     val e = intercept[Exception] {
       ext.sql("CREATE VIEW graft.db.vsrc AS SELECT 1 AS x")
     }
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    ext.sql("DROP VIEW IF EXISTS graft.db.v_shadow")
+    ext.sql("CREATE VIEW graft.db.v_shadow AS SELECT 1 AS x")
+    val e2 = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.db.v_shadow (y INT)")
+    }
+    assert(e2.getMessage.contains("VIEW"), e2.getMessage)
+    ext.sql("DROP VIEW graft.db.v_shadow")
+    // a malformed identity property is refused at SET time, not stored
+    // as a deferred first-insert failure
+    val e3 = intercept[Exception] {
+      ext.sql("ALTER TABLE graft.db.vsrc SET TBLPROPERTIES" +
+        "('graft.identity.id'='bogus')")
+    }
+    assert(e3.getMessage.contains("identity"), e3.getMessage)
   }
 
   test("view bodies bind to their CREATION context: relative names and CTEs") {
