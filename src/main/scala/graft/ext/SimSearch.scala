@@ -38,8 +38,10 @@ object SimSearch {
     * (query, partition), so the shuffle carries ≤ k rows per partition per
     * query and nothing ever sorts more than k+1 elements. Ordering is
     * IDENTICAL to the window: (sim DESC, neighbor_id ASC) — numeric ids
-    * ride zero-padded so the heap's string tie-order is numeric order
-    * (ids must be non-negative, as every corpus id here is); string ids
+    * ride BIAS-ENCODED (id + 2^63, zero-padded to 20 digits) so the
+    * heap's string tie-order is numeric order over the FULL signed
+    * range, negative ids included (a raw lpad would encode -5 as
+    * '0…0-5', mis-ordering ties and decoding to NULL); string ids
     * compare lexicographically exactly as the window did. */
   private def topKPerQuery(scored: DataFrame, simCol: String,
                            k: Int): DataFrame = {
@@ -49,12 +51,21 @@ object SimSearch {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    // 2^63 as an exact decimal: id + bias maps [-2^63, 2^63) onto
+    // [0, 2^64) — 20 digits, order-preserving, losslessly reversible.
+    val bias = lit(new java.math.BigDecimal("9223372036854775808"))
     val tie =
-      if (numericId) lpad(col("neighbor_id").cast("string"), 20, "0")
+      if (numericId)
+        lpad((col("neighbor_id").cast(DecimalType(20, 0)) + bias)
+          .cast(DecimalType(20, 0)).cast("string"), 20, "0")
       else col("neighbor_id").cast("string")
+    val decoded =
+      if (numericId)
+        (col("tie").cast(DecimalType(21, 0)) - bias).cast(idType)
+      else col("tie").cast(idType)
     graft.functions.SketchAggs
       .topkRows(scored, Seq(col("query_id")), col(simCol), tie, k)
-      .select(col("query_id"), col("tie").cast(idType).as("neighbor_id"),
+      .select(col("query_id"), decoded.as("neighbor_id"),
         col("val").as(simCol), col("rnk").cast("int").as("rank"))
   }
 

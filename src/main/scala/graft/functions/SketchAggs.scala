@@ -636,13 +636,21 @@ object SketchAggs {
   // total order is (value DESC, tie ASC) with a caller-supplied unique tie.
   // ---------------------------------------------------------------------
 
-  /** (value, tie) pairs, kept to the k largest under (value DESC, tie ASC). */
-  type TopKBuf = java.util.TreeSet[(Double, String)]
-
   private def topkOrdering: Ordering[(Double, String)] =
     Ordering.by[(Double, String), (Double, String)] {
       case (v, t) => (-v, t)
     }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
+
+  /** (value, tie) MULTISET kept to the k largest under (val DESC, tie
+    * ASC): counts ride with each distinct pair so exact duplicate rows
+    * rank like the `row_number` window this aggregate replaces (a plain
+    * set would silently dedupe them, returning fewer rows / shifted
+    * ranks on a corpus with duplicate (group, tie) rows). */
+  final class TopKBuf {
+    val map = new java.util.TreeMap[(Double, String), Int](
+      topkOrdering)
+    var total: Int = 0
+  }
 
   /** Top-k (value, tie) aggregate → array<struct<tie,val>> sorted by
     * (val DESC, tie ASC). Null values or ties are skipped. */
@@ -659,11 +667,20 @@ object SketchAggs {
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("tie", StringType),
       StructField("val", DoubleType))))
-    override def createAggregationBuffer(): TopKBuf =
-      new java.util.TreeSet(topkOrdering)
-    private def push(buf: TopKBuf, v: Double, t: String): Unit = {
-      buf.add((v, t))
-      if (buf.size > k) buf.pollLast() // drop the current worst
+    override def createAggregationBuffer(): TopKBuf = new TopKBuf
+    private def push(buf: TopKBuf, v: Double, t: String, n: Int = 1): Unit = {
+      val key = (v, t)
+      val kept = // never keep more than k copies of one key
+        math.min(n.toLong, k.toLong).toInt
+      buf.map.merge(key, kept, (a, b) => a + b)
+      buf.total += kept
+      while (buf.total > k) {
+        val worst = buf.map.lastEntry()
+        val drop = math.min(worst.getValue, buf.total - k)
+        if (worst.getValue == drop) buf.map.remove(worst.getKey)
+        else buf.map.put(worst.getKey, worst.getValue - drop)
+        buf.total -= drop
+      }
     }
     override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
       val v = value.eval(input)
@@ -673,29 +690,37 @@ object SketchAggs {
       buf
     }
     override def merge(buf: TopKBuf, other: TopKBuf): TopKBuf = {
-      val it = other.iterator()
-      while (it.hasNext) { val (v, t) = it.next(); push(buf, v, t) }
+      val it = other.map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        push(buf, e.getKey._1, e.getKey._2, e.getValue)
+      }
       buf
     }
     override def eval(buf: TopKBuf): Any = {
-      val rows = new Array[Any](buf.size)
-      val it = buf.iterator()
+      val rows = new Array[Any](buf.total)
+      val it = buf.map.entrySet().iterator()
       var i = 0
       while (it.hasNext) {
-        val (v, t) = it.next()
-        rows(i) = InternalRow(UTF8String.fromString(t), v)
-        i += 1
+        val e = it.next()
+        val (v, t) = e.getKey
+        var c = 0
+        while (c < e.getValue) {
+          rows(i) = InternalRow(UTF8String.fromString(t), v)
+          i += 1; c += 1
+        }
       }
       new GenericArrayData(rows)
     }
     override def serialize(buf: TopKBuf): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
-      out.writeInt(buf.size)
-      val it = buf.iterator()
+      out.writeInt(buf.map.size)
+      val it = buf.map.entrySet().iterator()
       while (it.hasNext) {
-        val (v, t) = it.next()
-        out.writeDouble(v); out.writeUTF(t)
+        val e = it.next()
+        out.writeDouble(e.getKey._1); out.writeUTF(e.getKey._2)
+        out.writeInt(e.getValue)
       }
       out.flush(); bos.toByteArray
     }
@@ -704,7 +729,11 @@ object SketchAggs {
       val buf = createAggregationBuffer()
       val n = in.readInt()
       var i = 0
-      while (i < n) { buf.add((in.readDouble(), in.readUTF())); i += 1 }
+      while (i < n) {
+        val v = in.readDouble(); val t = in.readUTF(); val c = in.readInt()
+        buf.map.put((v, t), c); buf.total += c
+        i += 1
+      }
       buf
     }
     override def withNewMutableAggBufferOffset(o: Int): TopKRowsAgg =
@@ -718,8 +747,10 @@ object SketchAggs {
   }
 
   /** Top-k rows per group: (groupCols..., rnk, tie, val), rnk 1-based in
-    * (val DESC, tie ASC) order. `tie` must be unique within a group for a
-    * deterministic result (use the row's id). */
+    * (val DESC, tie ASC) order. A unique `tie` within a group (the row's
+    * id) gives a fully deterministic ranking; exact duplicate (val, tie)
+    * rows are kept as a multiset and rank consecutively, exactly like
+    * the `row_number` window form. */
   def topkRows(df: DataFrame, groupCols: Seq[Column], value: Column,
       tie: Column, k: Int): DataFrame = {
     val agg = ColumnBridge.column(TopKRowsAgg(

@@ -1331,7 +1331,8 @@ object TxTable {
               scheme: Option[String] = None,
               expectedHead: Option[Long] = None,
               txn: Option[(String, Long)] = None,
-              dataChange: Boolean = true): Unit = {
+              dataChange: Boolean = true,
+              extraProps: Seq[(String, String)] = Nil): Unit = {
     enforceConstraints(spark, dir, df)
     val fs = hadoopFs(spark, dir)
     val files = stage(spark, dir, df, partitionCols)
@@ -1347,7 +1348,7 @@ object TxTable {
         toPhysical(df, fs, dir).schema.fields.toSeq, partitionCols)
     commit(fs, dir,
       Commit("replace", partColField(partitionCols), scheme, Nil, files,
-        txn.toSeq, props, dataChange = dataChange),
+        txn.toSeq, props ++ extraProps, dataChange = dataChange),
       expectedHead)
   }
 
@@ -1402,9 +1403,16 @@ object TxTable {
     val idx = if (hasCol) df.schema.fieldIndex(c) else -1
     val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
       val raw = start + step * i
+      // Narrowing must FAIL on overflow, never wrap: a wrapped id is a
+      // silently re-issued duplicate, violating the uniqueness contract.
       val v: Any = dt match {
-        case org.apache.spark.sql.types.IntegerType => raw.toInt
-        case org.apache.spark.sql.types.ShortType => raw.toShort
+        case org.apache.spark.sql.types.IntegerType =>
+          java.lang.Math.toIntExact(raw)
+        case org.apache.spark.sql.types.ShortType =>
+          if (raw < Short.MinValue || raw > Short.MaxValue)
+            throw new ArithmeticException(
+              s"identity value $raw overflows SMALLINT column `$c`")
+          raw.toShort
         case _ => raw
       }
       if (idx >= 0) org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(idx, v))
@@ -1432,16 +1440,33 @@ object TxTable {
   def insertWithIdentity(spark: SparkSession, dir: String, df: DataFrame,
                          overwrite: Boolean,
                          partitionCols: Seq[String] = Nil,
-                         txn: Option[(String, Long)] = None): Unit = {
-    if (identitySpecs(spark, dir).isEmpty) {
-      if (overwrite) replace(spark, dir, df, partitionCols, txn = txn)
-      else append(spark, dir, df, partitionCols, txn = txn)
+                         txn: Option[(String, Long)] = None,
+                         extraProps: Seq[(String, String)] = Nil): Unit = {
+    require(!extraProps.exists(_._1.startsWith("graft.schema.")),
+      "graft.schema.* properties are managed by the ALTER TABLE column " +
+        "commands — declaring them in TBLPROPERTIES would corrupt the " +
+        "declared schema")
+    // Identity specs can ALSO arrive in the statement's own TBLPROPERTIES
+    // (CTAS/RTAS `TBLPROPERTIES ('graft.identity.id'='...')`): those must
+    // govern the very insert that creates the table, and land in the SAME
+    // commit as its data — not a follow-up property commit.
+    val extraSpecs = extraProps.collect {
+      case (k, v) if k.startsWith(IdentityPropPrefix) =>
+        k.stripPrefix(IdentityPropPrefix) -> parseIdentity(v, k)
+    }.toMap
+    if (identitySpecs(spark, dir).isEmpty && extraSpecs.isEmpty) {
+      if (overwrite) replace(spark, dir, df, partitionCols, txn = txn,
+        extraProps = extraProps)
+      else append(spark, dir, df, partitionCols, txn = txn,
+        extraProps = extraProps)
       return
     }
     withRetry() {
       val head = headVersion(spark, dir)
-      require(head.isDefined, s"no TxTable at $dir")
-      val fresh = identitySpecs(spark, dir) // re-read per retry attempt
+      require(head.isDefined || extraSpecs.nonEmpty, s"no TxTable at $dir")
+      // statement-declared specs win over stored ones (RTAS re-declares
+      // the table wholesale); re-read stored state per retry attempt
+      val fresh = identitySpecs(spark, dir) ++ extraSpecs
       var frame = df
       val upd = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val declared = read(spark, dir).map(_.schema).getOrElse(df.schema)
@@ -1458,7 +1483,13 @@ object TxTable {
           require(frame.filter(col(c).isNull).limit(1).count() == 0,
             s"mixed explicit and NULL values for identity column `$c` — " +
               "provide all values or none")
-          val mx = frame.agg(max(col(c)).cast("long")).head().getLong(0)
+          // The allocator must advance PAST the taken range: past the max
+          // explicit value when step > 0, past the MIN when step < 0 — a
+          // descending identity walks toward smaller values, so the
+          // frontier is the smallest explicit id, not the largest.
+          val mx = frame.agg(
+            (if (sp.step > 0) max(col(c)) else min(col(c))).cast("long"))
+            .head().getLong(0)
           val next2 = if (sp.step > 0) math.max(sp.next, mx + sp.step)
                       else math.min(sp.next, mx + sp.step)
           upd += (IdentityPropPrefix + c) -> sp.copy(next = next2).render
@@ -1478,9 +1509,13 @@ object TxTable {
         if (!overwrite || files.nonEmpty) Nil
         else declaredShapeProps(fs, dir,
           toPhysical(frame, fs, dir).schema.fields.toSeq, partitionCols)
+      // extraProps BEFORE upd: props fold in order within a commit, and
+      // the advanced allocator state must win over the statement-declared
+      // graft.identity.* it just consumed. A brand-new table (CTAS with
+      // identity TBLPROPERTIES) pins slot 1, same as DDL-first CREATE.
       commit(fs, dir, Commit(if (overwrite) "replace" else "append",
         partColField(partitionCols), None, Nil, files, txn.toSeq,
-        shape ++ upd.toSeq), head)
+        shape ++ extraProps ++ upd.toSeq), head.orElse(Some(0L)))
     }
   }
 
@@ -1525,7 +1560,11 @@ object TxTable {
         require(frame.filter(col(c).isNull).limit(1).count() == 0,
           s"mixed explicit and NULL values for identity column `$c` in " +
             "MERGE source — provide all values or none")
-        val mx = frame.agg(max(col(c)).cast("long")).head().getLong(0)
+        // Frontier of the taken range: max for ascending, MIN for
+        // descending identities (same rule as insertWithIdentity).
+        val mx = frame.agg(
+          (if (sp.step > 0) max(col(c)) else min(col(c))).cast("long"))
+          .head().getLong(0)
         val next2 = if (sp.step > 0) math.max(sp.next, mx + sp.step)
                     else math.min(sp.next, mx + sp.step)
         if (next2 != sp.next) {
@@ -1543,12 +1582,13 @@ object TxTable {
     * [[appendOnce]]. */
   def append(spark: SparkSession, dir: String, df: DataFrame,
              partitionCols: Seq[String] = Nil,
-             txn: Option[(String, Long)] = None): Unit = {
+             txn: Option[(String, Long)] = None,
+             extraProps: Seq[(String, String)] = Nil): Unit = {
     enforceConstraints(spark, dir, df)
     val files = stage(spark, dir, df, partitionCols)
     commit(hadoopFs(spark, dir), dir,
       Commit("append", partColField(partitionCols), None, Nil, files,
-        txn.toSeq))
+        txn.toSeq, extraProps))
   }
 
   /** DDL-first table creation (the `CREATE TABLE` the reference's whole

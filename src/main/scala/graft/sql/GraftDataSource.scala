@@ -198,11 +198,11 @@ final case class GraftDvScanRelation(dir: String, asOf: Option[Long])
   * replace on `overwrite=true`. Kept schema-explicit so CTAS can target a
   * table that has no commits yet.
   *
-  * `initProps`: TBLPROPERTIES from a CTAS/RTAS statement, committed right
-  * after the data lands (a second property commit — the data commit stays
-  * the atomic visibility point; silently dropping declared properties
-  * would leave e.g. `graft.deletes.mode` unset on a table the user
-  * explicitly configured). */
+  * `initProps`: TBLPROPERTIES from a CTAS/RTAS statement, folded into the
+  * SAME commit as the data — the statement is atomic including its
+  * declared properties (a crash can never land the data without them),
+  * and `graft.identity.*` specs declared this way govern the CTAS insert
+  * itself. */
 final case class GraftInsertableRelation(dir: String,
                                          override val schema: StructType,
                                          partCols: Seq[String],
@@ -215,7 +215,7 @@ final case class GraftInsertableRelation(dir: String,
     // identity-aware: assigns GENERATED ... AS IDENTITY values and
     // advances the allocator in the same commit; identical to plain
     // append/replace when the table declares no identity columns
-    TxTable.insertWithIdentity(spark, dir, data, overwrite, partCols)
-    if (initProps.nonEmpty) TxTable.setProperties(spark, dir, initProps)
+    TxTable.insertWithIdentity(spark, dir, data, overwrite, partCols,
+      extraProps = initProps.toSeq.sortBy(_._1))
   }
 }

@@ -496,6 +496,22 @@ class ExtensionsSpec extends SparkTestBase {
     assert(first == 9999L)
   }
 
+  test("brute-force ANN is correct over NEGATIVE numeric ids (bias-encoded tie key)") {
+    // a corpus whose ids span the signed range: the tie key must order
+    // -20 < -3 < 0 < 7 numerically and decode back losslessly — a raw
+    // lpad would encode -3 as '0…0-3' (mis-ordered) and decode to NULL
+    val base = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val corpus = Seq(
+      (-20L, base), (-3L, base), (0L, base), (7L, base),
+      (Long.MinValue, base), (Long.MaxValue, base))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, base)).toDF("vec_id", "embedding")
+    val got = SimSearch.bruteForceTopK(corpus, q, "vec_id", "embedding", 6)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    // all sims tie at 1.0 → rank order IS ascending id order, none NULL
+    assert(got == Seq(Long.MinValue, -20L, -3L, 0L, 7L, Long.MaxValue), got)
+  }
+
   test("lsh ANN recall vs brute force is reasonable on testdata") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val queries = emb.filter(col("vec_id") < 10)

@@ -256,4 +256,26 @@ class SketchAggsSpec extends SparkTestBase {
     val tiny = Seq(("a", 1L, 5.0)).toDF("g", "id", "v")
     assert(run(tiny) == Seq(("a", 1L, "1", 5.0)))
   }
+
+  test("topkRows: exact duplicate (val, tie) rows rank like the window (multiset, not set)") {
+    // three identical copies of the best row plus a runner-up: the window
+    // ranks the copies 1,2,3; a set-backed heap would collapse them to one
+    // row and promote the runner-up — the multiset buffer must not
+    val df = Seq(
+      ("g", 7L, 9.0), ("g", 7L, 9.0), ("g", 7L, 9.0), ("g", 8L, 5.0))
+      .toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SketchAggs.topkRows(d, Seq(col("g")), col("v"), col("id"), 3)
+        .select(col("rnk"), col("tie"), col("val"))
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val expect = Seq((1L, "7", 9.0), (2L, "7", 9.0), (3L, "7", 9.0))
+    assert(run(df) == expect)
+    // survives partitioning (merge path carries counts too)
+    assert(run(df.repartition(4)) == expect)
+    // k larger than the group: every duplicate copy is emitted
+    val all = SketchAggs.topkRows(df, Seq(col("g")), col("v"), col("id"), 10)
+      .as[(String, Long, String, Double)].collect().sortBy(_._2).toSeq
+    assert(all.map(t => (t._2, t._3, t._4)) ==
+      Seq((1L, "7", 9.0), (2L, "7", 9.0), (3L, "7", 9.0), (4L, "8", 5.0)))
+  }
 }

@@ -1401,6 +1401,67 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(ids.min == 1L && ids.max == 200L, s"${ids.min}..${ids.max}")
   }
 
+  test("negative-step identity: explicit values advance the allocator past their MIN, never back into the taken range") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.identn")
+    ext.sql("CREATE TABLE graft.db.identn (id BIGINT GENERATED BY DEFAULT " +
+      "AS IDENTITY (START WITH -1 INCREMENT BY -1), name STRING)")
+    // a descending identity walks toward smaller values; explicit -5/-3
+    // occupy the range — the frontier is the MINIMUM (-5), so the next
+    // engine-assigned id must be -6 (max-based sync would hand out -4,
+    // then -5: a duplicate)
+    ext.sql("INSERT INTO graft.db.identn VALUES (-5, 'a'), (-3, 'b')")
+    ext.sql("INSERT INTO graft.db.identn VALUES (NULL, 'c'), (NULL, 'd')")
+    val rows = ext.sql("SELECT id, name FROM graft.db.identn ORDER BY id DESC")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((-3L, "b"), (-5L, "a"), (-6L, "c"), (-7L, "d")), rows)
+    val ids = rows.map(_._1)
+    assert(ids.distinct.size == ids.size, s"duplicate ids: $ids")
+  }
+
+  test("INT identity overflow fails loudly instead of wrapping into duplicate ids") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.idento")
+    ext.sql("CREATE TABLE graft.db.idento (id INT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 2147483646), v INT)")
+    ext.sql("INSERT INTO graft.db.idento VALUES (NULL, 1), (NULL, 2)")
+    assert(ext.sql("SELECT id FROM graft.db.idento ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2147483646, 2147483647))
+    // the next value exceeds Int.MaxValue: must throw, not wrap to
+    // -2147483648 and eventually re-issue taken ids
+    val e = intercept[Exception] {
+      ext.sql("INSERT INTO graft.db.idento VALUES (NULL, 3)")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      e.toString)
+  }
+
+  test("CTAS TBLPROPERTIES land in the SAME commit as the data; graft.identity.* governs the CTAS insert itself") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.ctasp")
+    ext.sql("CREATE TABLE graft.db.ctasp " +
+      "TBLPROPERTIES ('graft.deletes.mode'='mor', " +
+      " 'graft.identity.id'='start=100,step=1,explicit=false,next=100') " +
+      "AS SELECT cast(NULL AS BIGINT) AS id, concat('n', cast(x AS STRING)) AS name " +
+      "FROM (SELECT explode(sequence(1, 3)) AS x)")
+    val dir = s"$lakeRoot/db/ctasp"
+    // ONE commit: data + declared properties are atomic (a crash can
+    // never land the rows without the properties the user declared)
+    assert(TxTable.headVersion(ext, dir).contains(1L))
+    val props = TxTable.tableProperties(ext, dir)
+    assert(props.get("graft.deletes.mode").contains("mor"), props)
+    // the identity spec declared in the CTAS governed the CTAS's own
+    // insert: ids assigned from 100, allocator advanced in that commit
+    assert(ext.sql("SELECT id FROM graft.db.ctasp ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L))
+    assert(TxTable.identitySpecs(ext, dir)("id").next == 103L)
+    // and the declaration keeps governing later inserts
+    ext.sql("INSERT INTO graft.db.ctasp VALUES (NULL, 'x')")
+    assert(ext.sql("SELECT max(id) FROM graft.db.ctasp").head.getLong(0) == 103L)
+  }
+
   test("persistent views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP round-trip; survive a fresh catalog") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.vsrc")
