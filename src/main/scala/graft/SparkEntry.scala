@@ -2423,6 +2423,41 @@ object SparkEntry {
       val next = graft.merge.TxTable.identitySpecs(ext, tableDir)("id").next
       ext.sql(s"SELECT id, n_name, n_regionkey, ${next}L AS next_v " +
         "FROM graft.ddl.nation_cdc")
+    }),
+
+    // q161: column DEFAULT values — the reference's pervasive DDL idiom
+    // (`setup_target.py:17-20,78-79,130`: DEFAULT 0 / DEFAULT TRUE /
+    // DEFAULT '2020-01-01'). CREATE declares defaults; an INSERT that
+    // omits the columns gets them filled by the analyzer (CURRENT
+    // default); explicit values override; `ADD COLUMN ... DEFAULT` makes
+    // every PRE-declaration row read the frozen existence constant with
+    // zero bytes rewritten (the parquet reader fills it from schema
+    // metadata), while post-ADD inserts omitting the column get the
+    // current default. All four regimes pinned into one hash. Rebuilt
+    // from scratch per run (the q146 discipline).
+    "q161_sql_column_defaults" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.nation_def")
+      ext.sql("CREATE TABLE graft.ddl.nation_def (" +
+        "n_name STRING, visits INT DEFAULT 0, " +
+        "is_active BOOLEAN DEFAULT TRUE, " +
+        "valid_from DATE DEFAULT DATE'2020-01-01')")
+      // omission → current defaults fill
+      ext.sql("INSERT INTO graft.ddl.nation_def (n_name) " +
+        "SELECT n_name FROM graft.lake.nation WHERE n_regionkey <= 1")
+      // explicit values override defaults
+      ext.sql("INSERT INTO graft.ddl.nation_def " +
+        "SELECT n_name, CAST(n_nationkey AS INT), false, DATE'2021-06-15' " +
+        "FROM graft.lake.nation WHERE n_regionkey = 2")
+      // existence default: rows above were written BEFORE this column
+      ext.sql("ALTER TABLE graft.ddl.nation_def " +
+        "ADD COLUMN score INT DEFAULT 7")
+      // post-ADD insert: score explicit, the rest from current defaults
+      ext.sql("INSERT INTO graft.ddl.nation_def (n_name, score) " +
+        "SELECT n_name, 100 FROM graft.lake.nation WHERE n_regionkey = 3")
+      ext.sql("SELECT n_name, visits, is_active, valid_from, score " +
+        "FROM graft.ddl.nation_def")
     })
   )
 
@@ -4302,6 +4337,23 @@ object SparkEntry {
         |SELECT r.id, r.n_name, CAST(r.n_regionkey AS BIGINT),
         |       CAST(36 AS BIGINT)
         |FROM res r WHERE r.n_name NOT IN (SELECT n_name FROM b0)""".stripMargin,
+
+    // q161: the default-value regimes replay relationally — omission
+    // rows carry the declared constants, explicit rows their own values,
+    // pre-ADD rows the frozen existence default (7), the post-ADD batch
+    // its explicit score over current defaults.
+    "q161_sql_column_defaults" ->
+      """SELECT n_name, CAST(0 AS INT) AS visits, true AS is_active,
+        |       DATE '2020-01-01' AS valid_from, CAST(7 AS INT) AS score
+        |FROM nation WHERE n_regionkey <= 1
+        |UNION ALL
+        |SELECT n_name, CAST(n_nationkey AS INT), false,
+        |       DATE '2021-06-15', CAST(7 AS INT)
+        |FROM nation WHERE n_regionkey = 2
+        |UNION ALL
+        |SELECT n_name, CAST(0 AS INT), true, DATE '2020-01-01',
+        |       CAST(100 AS INT)
+        |FROM nation WHERE n_regionkey = 3""".stripMargin,
 
     // q155: the widening sequence replays relationally — even keys as-is
     // (the values an INT held exactly), odd keys shifted beyond int32

@@ -885,7 +885,7 @@ object TxTable {
         liveAll.filter(_.part.exists(p => s.exists(partMatches(p, _))))
     }
     if (live.nonEmpty)
-      Some(present(spark, framesFor(spark, dir, live), fs, dir, asOf))
+      Some(present(spark, framesFor(spark, dir, live, asOf = asOf), fs, dir, asOf))
     else if (parts.isEmpty && liveAll.isEmpty)
       // zero live files but a DECLARED schema (truncate, or a delete
       // that emptied the table): an empty typed frame — the table keeps
@@ -963,17 +963,46 @@ object TxTable {
   private def framesFor(spark: SparkSession, dir: String,
                         entries: Seq[FileEntry],
                         filePathCol: Option[String] = None,
-                        rowPosCol: Option[String] = None): DataFrame = {
+                        rowPosCol: Option[String] = None,
+                        asOf: Option[Long] = None): DataFrame = {
     require(entries.nonEmpty, s"framesFor: no entries for $dir")
     val fs = hadoopFs(spark, dir)
     val rootQ = fs.makeQualified(new Path(dir)).toString
     val (dvEntries, clean) = entries.partition(_.dv.isDefined)
+    // per-batch EXISTS-default fill: a batch written BEFORE a defaulted
+    // column was declared materializes the frozen declaration constant —
+    // applied per batch, before unionByName's allowMissingColumns would
+    // null-fill and erase the distinction between "row predates the
+    // column" and "row carries NULL". Mirrors what the SQL scan path's
+    // parquet reader does from EXISTS_DEFAULT schema metadata.
+    val exFill: Map[String, (String, String, DataType)] = {
+      val defs = columnDefaults(spark, dir, asOf)
+      if (defs.isEmpty) Map.empty
+      else {
+        val declared = evolutionFields(fs, dir, asOf)
+        defs.collect { case (c, (_, Some(ex))) =>
+          declared.find(_.name == c).map(f =>
+            c.toLowerCase(java.util.Locale.ROOT) -> (c, ex, f.dataType))
+        }.flatten.toMap
+      }
+    }
+    def fillExists(f: DataFrame): DataFrame =
+      if (exFill.isEmpty) f
+      else {
+        val have = f.schema.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        exFill.foldLeft(f) { case (d, (ck, (c, ex, dt))) =>
+          if (have.contains(ck)) d
+          else d.withColumn(c,
+            org.apache.spark.sql.functions.expr(ex).cast(dt))
+        }
+      }
     def rawBatches(es: Seq[FileEntry]): Seq[DataFrame] =
       es.groupBy(_.path.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
         .map { case (batch, group) =>
-          spark.read
+          fillExists(spark.read
             .option("basePath", new Path(dir, batch).toString)
-            .parquet(group.map(e => new Path(dir, e.path).toString): _*)
+            .parquet(group.map(e => new Path(dir, e.path).toString): _*))
         }
     val cleanRaw = rawBatches(clean)
     val dvRaw = rawBatches(dvEntries)
@@ -1121,7 +1150,7 @@ object TxTable {
     val physCol = physicalNameOf(fs, dir, asOf, col)
     val live = scoped.filter(_.stats.get(physCol).forall(_.mayContain(lo, hi)))
     if (live.isEmpty) None
-    else Some(present(spark, framesFor(spark, dir, live),
+    else Some(present(spark, framesFor(spark, dir, live, asOf = asOf),
       fs, dir, asOf))
   }
 
@@ -1362,6 +1391,150 @@ object TxTable {
     * either see each other's allocation or conflict and retry — ids can
     * never double-allocate (the Delta identity-column design). */
   private val IdentityPropPrefix = "graft.identity."
+
+  // ----------------------------------------------------- COLUMN DEFAULTS
+
+  /** Property keys for column DEFAULT values (the reference's pervasive
+    * DDL idiom — `setup_target.py:17-20,78-79,102,130,152,172-180,204,
+    * 237`: `DEFAULT 0`, `DEFAULT TRUE`, `DEFAULT NOW()`, ...):
+    *
+    *  - `graft.default.<physical col>` — the CURRENT default: the SQL
+    *    expression text applied when an INSERT omits the column,
+    *    re-resolved per statement (so `current_timestamp()` stamps each
+    *    insert, exactly PostgreSQL's `DEFAULT NOW()`). Changeable later
+    *    via `ALTER COLUMN ... SET/DROP DEFAULT` without touching data.
+    *  - `graft.default.exists.<physical col>` — the EXISTENCE default:
+    *    the constant literal frozen when the column was DECLARED, filled
+    *    into rows written BEFORE the column existed (files that lack the
+    *    column physically). Never changes after declaration — the
+    *    Delta/Spark existence-default contract, enforced by the OSS
+    *    vectorized parquet reader from schema metadata, so old files are
+    *    never rewritten and pushed-down filters evaluate against the
+    *    filled value.
+    *
+    * Both are versioned properties: time travel below the declaring DDL
+    * sees no default (ADD COLUMN'd columns below the ALTER don't exist at
+    * all), and SHOW CREATE TABLE's emitted DDL re-declares them. */
+  private val DefaultPropPrefix = "graft.default."
+  private val DefaultExistsPrefix = "graft.default.exists."
+
+  /** Declared defaults at `asOf`: physical column →
+    * (current default SQL if any, exists default literal SQL if any). */
+  private[graft] def columnDefaults(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): Map[String, (Option[String], Option[String])] = {
+    val props = propsState(hadoopFs(spark, dir), dir, asOf)
+    val exists = props.collect {
+      case (k, v) if k.startsWith(DefaultExistsPrefix) =>
+        k.stripPrefix(DefaultExistsPrefix) -> v
+    }
+    val current = props.collect {
+      case (k, v) if k.startsWith(DefaultPropPrefix) &&
+        !k.startsWith(DefaultExistsPrefix) =>
+        k.stripPrefix(DefaultPropPrefix) -> v
+    }
+    (exists.keySet ++ current.keySet).map { c =>
+      c -> (current.get(c), exists.get(c))
+    }.toMap
+  }
+
+  /** Attach declared defaults as the standard Spark metadata keys
+    * (`CURRENT_DEFAULT`/`EXISTS_DEFAULT`) on matching fields — the single
+    * mechanism by which the analyzer fills omitted INSERT columns and the
+    * vectorized parquet reader fills pre-declaration rows. Fields are
+    * matched by the schema's own names (call with physical-name schemas
+    * and physical-keyed defaults). */
+  private[graft] def withDefaultMetadata(schema: StructType,
+      defaults: Map[String, (Option[String], Option[String])]): StructType = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    if (defaults.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      defaults.get(f.name) match {
+        case Some((cur, ex)) =>
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          cur.foreach(s => b.putString(
+            ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, s))
+          ex.foreach(s => b.putString(
+            ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, s))
+          f.copy(metadata = b.build())
+        case None => f
+      }
+    })
+  }
+
+  /** Lift `CURRENT_DEFAULT`/`EXISTS_DEFAULT` field metadata (what the V2
+    * CREATE/ALTER path delivers after Spark's own analysis of the DEFAULT
+    * clause) into the property encoding. Validates that the exists text,
+    * when present, is a resolvable constant. */
+  private def defaultPropsOf(fields: Seq[StructField]): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    fields.flatMap { f =>
+      val cur =
+        if (f.metadata.contains(
+          ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+          Some((DefaultPropPrefix + f.name) -> f.metadata.getString(
+            ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+        else None
+      val ex =
+        if (f.metadata.contains(
+          ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+          Some((DefaultExistsPrefix + f.name) -> f.metadata.getString(
+            ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+        else None
+      cur.toSeq ++ ex.toSeq
+    }
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN <c> SET DEFAULT <expr>` / `DROP
+    * DEFAULT`: changes the CURRENT default only — the existence default
+    * stays frozen at its declaration value (rows written before the
+    * column keep reading the original constant; this is the Spark/Delta
+    * contract, and the only sane one: a later SET DEFAULT must not
+    * rewrite history). `column` is the LOGICAL name; the property is
+    * keyed physical so renames never orphan it. */
+  def setColumnDefault(spark: SparkSession, dir: String, column: String,
+                       sqlText: Option[String]): Unit = {
+    require(exists(spark, dir), s"no TxTable at $dir")
+    val schema = read(spark, dir).map(_.schema)
+      .getOrElse(scanSchema(spark, dir, None))
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(column)),
+      s"ALTER COLUMN ... DEFAULT: no column `$column` in $dir")
+    val fs = hadoopFs(spark, dir)
+    val phys = physicalNameOf(fs, dir, None, column)
+    sqlText.foreach { s =>
+      // validate NOW (parse + resolve), not at the first INSERT
+      try spark.range(1).select(org.apache.spark.sql.functions.expr(s))
+        .queryExecution.analyzed
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"DEFAULT expression `$s` for column `$column` does not " +
+            s"resolve: ${e.getMessage}", e)
+      }
+    }
+    commitProps(spark, dir,
+      Map((DefaultPropPrefix + phys) -> sqlText.getOrElse("")))
+  }
+
+  /** Strip the default metadata keys from fields (before persisting a
+    * schema JSON — the properties are the single source of truth; a stale
+    * copy inside `graft.schema.added` could contradict a later
+    * `ALTER COLUMN SET DEFAULT` — and before attaching the insert-facing
+    * CURRENT-only view in [[graft.sql.GraftSql.tableSchema]]). */
+  private[graft] def stripDefaultMetadata(fields: Seq[StructField]): Seq[StructField] = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    fields.map { f =>
+      if (f.metadata.contains(
+        ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY) ||
+        f.metadata.contains(
+          ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)) {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+          .remove(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
+        f.copy(metadata = b.build())
+      } else f
+    }
+  }
 
   final case class IdentitySpec(start: Long, step: Long,
                                 explicit: Boolean, next: Long) {
@@ -1644,7 +1817,20 @@ object TxTable {
           s"identity column $c must be integral, got ${schema(c).dataType}")
         parseIdentity(v, k) // validate shape up front, not at first insert
       }
+      // column-DEFAULT properties (the TBLPROPERTY form SHOW CREATE TABLE
+      // emits alongside the column clause) must name declared columns
+      if (k.startsWith(DefaultPropPrefix)) {
+        val c =
+          if (k.startsWith(DefaultExistsPrefix)) k.stripPrefix(DefaultExistsPrefix)
+          else k.stripPrefix(DefaultPropPrefix)
+        require(names.contains(c),
+          s"default property $k names no declared column of $dir")
+      }
     }
+    // DEFAULT clauses arrive as field metadata (Spark analyzed + constant-
+    // folded them under SUPPORT_COLUMN_DEFAULT_VALUE); persist as the
+    // graft.default.* properties — the single versioned source of truth
+    val defaultProps = defaultPropsOf(schema.fields.toSeq)
     val identityProps = schema.fields.flatMap { f =>
       org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
         .map { s =>
@@ -1668,7 +1854,7 @@ object TxTable {
       (declaredShapeProps(fs, dir,
         schema.fields.map(f => StructField(f.name, f.dataType)).toSeq,
         partitionCols) ++ (props.toSeq ++ notNull).sortBy(_._1) ++
-        identityProps.sortBy(_._1))), // after props: metadata wins collisions
+        (identityProps ++ defaultProps).sortBy(_._1))), // after props: metadata wins collisions
       expectedHead = Some(0L))
   }
 
@@ -2375,6 +2561,13 @@ object TxTable {
       .map(f => widenKeyed.get(key(f.name)).fold(f)(t => f.copy(dataType = t)))
     if (fields.isEmpty) return df
     val present = df.schema.fields.map(f => key(f.name) -> f.dataType).toMap
+    // a declared EXISTS default fills rows that predate the column —
+    // the DataFrame-path mirror of what the parquet reader does from
+    // EXISTS_DEFAULT schema metadata on the SQL scan path
+    val existsDefault: Map[String, String] =
+      columnDefaults(spark, dir, asOf).collect {
+        case (c, (_, Some(ex))) => key(c) -> ex
+      }
     fields.foldLeft(df) { (d, f) =>
       present.get(key(f.name)) match {
         case Some(t) =>
@@ -2384,8 +2577,12 @@ object TxTable {
               "ADDITIVE schema evolution is supported")
           d
         case None =>
-          d.withColumn(f.name,
-            org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+          val fill = existsDefault.get(key(f.name))
+            .map(ex => org.apache.spark.sql.functions.expr(ex)
+              .cast(f.dataType))
+            .getOrElse(org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType))
+          d.withColumn(f.name, fill)
       }
     }
   }
@@ -2410,16 +2607,34 @@ object TxTable {
     val fs = hadoopFs(spark, dir)
     val (live, _) = replay(fs, dir, asOf)
     val dropped = mappingState(fs, dir, asOf)._2
-    if (live.isEmpty)
-      // empty table: the declared schema IS the schema (see [[truncate]]),
-      // lifted through declared widenings so emptying never narrows types
-      StructType(widenDeclared(fs, dir, asOf, evolutionFields(fs, dir, asOf))
-        .filterNot(f => dropped.contains(f.name)))
-    else {
-      val widened = widenWithEvolution(spark,
-        framesFor(spark, dir, live), fs, dir, asOf)
-      StructType(widened.schema.filterNot(f => dropped.contains(f.name)))
-    }
+    val bare =
+      if (live.isEmpty)
+        // empty table: the declared schema IS the schema (see [[truncate]]),
+        // lifted through declared widenings so emptying never narrows types
+        StructType(widenDeclared(fs, dir, asOf, evolutionFields(fs, dir, asOf))
+          .filterNot(f => dropped.contains(f.name)))
+      else {
+        val widened = widenWithEvolution(spark,
+          framesFor(spark, dir, live, asOf = asOf), fs, dir, asOf)
+        StructType(widened.schema.filterNot(f => dropped.contains(f.name)))
+      }
+    // EXISTENCE defaults ride as schema metadata so the vectorized
+    // parquet reader fills files that predate an ADD COLUMN. ONLY the
+    // exists key here: this schema feeds the SCAN; the CURRENT default
+    // attaches on the insert-facing surface ([[graft.sql.GraftSql
+    // .tableSchema]]) instead — a schema carrying both lets Spark's
+    // output resolver pad an omitted INSERT column from the frozen
+    // existence constant after DROP DEFAULT, resurrecting a dropped
+    // default. Every field is nullable: parquet fields in this format
+    // are physically OPTIONAL (NOT NULL is a write-time constraint, not
+    // storage), and a non-nullable scan field would make the reader
+    // treat a pre-declaration missing column as an error instead of
+    // filling its existence default.
+    withDefaultMetadata(
+      StructType(bare.fields.map(_.copy(nullable = true))),
+      columnDefaults(spark, dir, asOf).collect {
+        case (c, (_, ex @ Some(_))) => c -> (None, ex)
+      })
   }
 
   /** True when the table carries any RENAME/DROP mapping at `asOf`. */
@@ -2467,8 +2682,14 @@ object TxTable {
     }
     require(fields.map(f => key(f.name)).distinct.size == fields.size,
       s"duplicate column name in ADD COLUMNS: ${fields.map(_.name).mkString(", ")}")
+    // `ADD COLUMN ... DEFAULT`: the default rides the SAME commit as the
+    // declaration (atomic — a crash can't declare the column without its
+    // default); the schema JSON stays metadata-free, the properties are
+    // the single source of truth
     commit(fs, dir, Commit("append", None, None, Nil, Nil, Nil,
-      Seq(SchemaAddedProp -> StructType(prior ++ fields).json)), head)
+      (SchemaAddedProp ->
+        StructType(prior ++ stripDefaultMetadata(fields)).json) +:
+        defaultPropsOf(fields)), head)
   }
 
   private val ConstraintPrefix = "constraint."
@@ -3046,7 +3267,7 @@ object TxTable {
     val fs = hadoopFs(spark, dir)
     val entries = liveEntriesForSql(spark, dir, asOf).filter(_.dv.isDefined)
     if (entries.isEmpty) None
-    else Some(present(spark, framesFor(spark, dir, entries),
+    else Some(present(spark, framesFor(spark, dir, entries, asOf = asOf),
       fs, dir, asOf))
   }
 

@@ -62,7 +62,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // graft.identity.* allocator property)
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      // column DEFAULT clauses (CREATE TABLE / ADD COLUMN / ALTER COLUMN
+      // SET DEFAULT): Spark analyzes + constant-folds the expression and
+      // delivers it on the Column/TableChange; TxTable persists it as
+      // the versioned graft.default.* properties
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private[sql] def tableDir(ident: Identifier): String =
     (ident.namespace() :+ ident.name())
@@ -133,14 +139,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            columns: Array[org.apache.spark.sql.connector.catalog.Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    import org.apache.spark.sql.catalyst.util.IdentityColumn
+    import org.apache.spark.sql.catalyst.util.{IdentityColumn, ResolveDefaultColumns}
     import org.apache.spark.sql.types.{MetadataBuilder, StructField}
     val schema = StructType(columns.map { c =>
       val meta = Option(c.metadataInJSON())
         .map(org.apache.spark.sql.types.Metadata.fromJson)
         .getOrElse(org.apache.spark.sql.types.Metadata.empty)
       val f = StructField(c.name, c.dataType, c.nullable, meta)
-      Option(c.identityColumnSpec()).map { s =>
+      val withIdent = Option(c.identityColumnSpec()).map { s =>
         f.copy(metadata = new MetadataBuilder().withMetadata(meta)
           .putLong(IdentityColumn.IDENTITY_INFO_START, s.getStart)
           .putLong(IdentityColumn.IDENTITY_INFO_STEP, s.getStep)
@@ -148,6 +154,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s.isAllowExplicitInsert)
           .build())
       }.getOrElse(f)
+      // DEFAULT clause: Spark already analyzed it — getSql() is the
+      // CURRENT default text (re-resolved per INSERT, so NOW() stamps
+      // each statement), getValue() the constant-folded EXISTENCE literal
+      Option(c.defaultValue()).map { d =>
+        val curSql = Option(d.getSql).getOrElse(
+          throw new UnsupportedOperationException(
+            s"column ${c.name}: DEFAULT without SQL text is not supported"))
+        val exSql = GraftCatalog.literalSql(d.getValue)
+        withIdent.copy(metadata =
+          new MetadataBuilder().withMetadata(withIdent.metadata)
+            .putString(
+              ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, curSql)
+            .putString(
+              ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, exSql)
+            .build())
+      }.getOrElse(withIdent)
     })
     createTable(ident, schema, partitions, properties)
   }
@@ -219,7 +241,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(a.isNullable,
         s"added column ${a.fieldNames()(0)} must be nullable — existing " +
           "rows have no value for it")
-      org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType())
+      val f = org.apache.spark.sql.types.StructField(
+        a.fieldNames()(0), a.dataType())
+      // ADD COLUMN ... DEFAULT: current default = the declared SQL,
+      // existence default = the folded constant — frozen here, filled
+      // into every pre-declaration row at read time (no rewrite)
+      Option(a.defaultValue()).map { d =>
+        import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        val curSql = Option(d.getSql).getOrElse(
+          throw new UnsupportedOperationException(
+            s"column ${f.name}: DEFAULT without SQL text is not supported"))
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(
+            ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, curSql)
+          .putString(
+            ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+            GraftCatalog.literalSql(d.getValue))
+          .build())
+      }.getOrElse(f)
+    }
+    // ALTER COLUMN ... SET DEFAULT / DROP DEFAULT: current default only;
+    // the existence default stays frozen at its declaration value
+    val defaultUpdates = changes.collect {
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames().length == 1,
+          s"ALTER COLUMN of nested field ${u.fieldNames().mkString(".")} " +
+            "is not supported")
+        val sql = Option(u.newCurrentDefault()).flatMap(d => Option(d.getSql))
+          .orElse(Option(u.newDefaultValue()).filter(_.nonEmpty))
+        u.fieldNames()(0) -> sql
     }
     val props: Map[String, String] = changes.collect {
       case sp: TableChange.SetProperty => sp.property() -> sp.value()
@@ -254,6 +304,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.UpdateColumnType] ||
+        c.isInstanceOf[TableChange.UpdateColumnDefaultValue] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
@@ -261,6 +312,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "ADD COLUMNS, RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE " +
         "(widening), and TBLPROPERTIES changes are")
     if (adds.nonEmpty) TxTable.addColumns(spark, dir, adds)
+    defaultUpdates.foreach { case (c, sql) =>
+      TxTable.setColumnDefault(spark, dir, c, sql) }
     retypes.foreach { case (c, t) =>
       TxTable.alterColumnType(spark, dir, c, t) }
     renames.foreach { case (from, to) =>
@@ -642,6 +695,17 @@ final class GraftSqlTable(val dir: String, val asOf: Option[Long],
       .get("graft.merge.schemaEvolution").exists(_.trim.toBoolean)
     if (evolve) base.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     base
+  }
+}
+
+object GraftCatalog {
+  /** SQL text of a connector literal (the constant-folded existence
+    * default Spark hands the catalog) — rendered through the catalyst
+    * Literal so casts/quoting round-trip through the parser. */
+  private[sql] def literalSql(
+      l: org.apache.spark.sql.connector.expressions.Literal[_]): String = {
+    require(l != null, "DEFAULT clause carried no folded literal")
+    org.apache.spark.sql.catalyst.expressions.Literal(l.value(), l.dataType()).sql
   }
 }
 

@@ -41,7 +41,17 @@ object GraftSql {
                   asOf: Option[Long] = None): StructType = {
     val index = new GraftFileIndex(spark, dir, asOf)
     val ren = graft.merge.TxTable.renameMap(spark, dir, asOf)
-    StructType((index.dataSchema ++ index.partitionSchema)
+    // insert-facing view of defaults: CURRENT only. The scan schema
+    // carries EXISTS_DEFAULT (the parquet reader's fill for
+    // pre-declaration files); surfacing it HERE would let the output
+    // resolver pad omitted INSERT columns from the frozen existence
+    // constant after a DROP DEFAULT. Strip, then attach current.
+    val bare = graft.merge.TxTable.stripDefaultMetadata(
+      (index.dataSchema ++ index.partitionSchema).toSeq)
+    val current = graft.merge.TxTable.columnDefaults(spark, dir, asOf)
+      .collect { case (c, (cur @ Some(_), _)) => c -> (cur, Option.empty[String]) }
+    StructType(graft.merge.TxTable
+      .withDefaultMetadata(StructType(bare), current)
       .map(f => f.copy(name = ren.getOrElse(f.name, f.name))))
   }
 

@@ -1462,6 +1462,113 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(ext.sql("SELECT max(id) FROM graft.db.ctasp").head.getLong(0) == 103L)
   }
 
+  test("column DEFAULT values: CREATE, INSERT omission, DEFAULT keyword, ADD COLUMN existence fill, SET DEFAULT, time travel") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.defs")
+    // the reference's setup_target.py DDL idiom: DEFAULT 0 / TRUE /
+    // literal date / NOW()  (setup_target.py:17-20,78-79,130)
+    ext.sql("CREATE TABLE graft.db.defs (" +
+      "k STRING, n INT DEFAULT 0, f BOOLEAN DEFAULT TRUE, " +
+      "d DATE DEFAULT DATE'2020-01-01', ts TIMESTAMP DEFAULT current_timestamp())")
+    val dir = s"$lakeRoot/db/defs"
+    // INSERT with a column list omitting defaulted columns fills them
+    ext.sql("INSERT INTO graft.db.defs (k) VALUES ('a')")
+    val r1 = ext.sql("SELECT k, n, f, d FROM graft.db.defs").head
+    assert((r1.getString(0), r1.getInt(1), r1.getBoolean(2),
+      r1.getDate(3).toString) == ("a", 0, true, "2020-01-01"), r1)
+    assert(!ext.sql("SELECT ts FROM graft.db.defs").head.isNullAt(0),
+      "current_timestamp() default must stamp the insert")
+    // the explicit DEFAULT keyword
+    ext.sql("INSERT INTO graft.db.defs VALUES " +
+      "('b', DEFAULT, false, DEFAULT, DEFAULT)")
+    val r2 = ext.sql("SELECT n, f, d FROM graft.db.defs WHERE k = 'b'").head
+    assert((r2.getInt(0), r2.getBoolean(1), r2.getDate(2).toString) ==
+      (0, false, "2020-01-01"), r2)
+    val vBeforeAdd = TxTable.headVersion(ext, dir).get
+
+    // ADD COLUMN ... DEFAULT: EXISTENCE default — rows written BEFORE the
+    // column read the frozen constant, with zero bytes rewritten
+    ext.sql("ALTER TABLE graft.db.defs ADD COLUMN score INT DEFAULT 7")
+    assert(ext.sql("SELECT score FROM graft.db.defs WHERE k = 'a'")
+      .head.getInt(0) == 7)
+    // pushed-down predicates evaluate against the filled value
+    assert(ext.sql(
+      "SELECT count(*) FROM graft.db.defs WHERE score = 7").head.getLong(0) == 2)
+    // new INSERT omitting it gets the current default too
+    ext.sql("INSERT INTO graft.db.defs (k) VALUES ('c')")
+    assert(ext.sql("SELECT score FROM graft.db.defs WHERE k = 'c'")
+      .head.getInt(0) == 7)
+
+    // SET DEFAULT changes FUTURE inserts only; pre-declaration rows keep
+    // reading the frozen existence default
+    ext.sql("ALTER TABLE graft.db.defs ALTER COLUMN score SET DEFAULT 99")
+    ext.sql("INSERT INTO graft.db.defs (k) VALUES ('e')")
+    assert(ext.sql("SELECT score FROM graft.db.defs WHERE k = 'e'")
+      .head.getInt(0) == 99)
+    assert(ext.sql("SELECT score FROM graft.db.defs WHERE k = 'a'")
+      .head.getInt(0) == 7,
+      "SET DEFAULT must not rewrite history — existence default is frozen")
+    // DROP DEFAULT: subsequent omission inserts NULL
+    ext.sql("ALTER TABLE graft.db.defs ALTER COLUMN score DROP DEFAULT")
+    ext.sql("INSERT INTO graft.db.defs (k) VALUES ('g')")
+    val gres = ext.sql("SELECT score FROM graft.db.defs WHERE k = 'g'")
+      .collect().toSeq
+    if (!gres.head.isNullAt(0)) {
+      println("DBG g-row=" + gres)
+      println("DBG after-drop defaults=" + TxTable.columnDefaults(ext, dir))
+      TxTable.liveFilePaths(ext, dir).foreach { p =>
+        println("DBG file=" + p + " schema=" +
+          ext.read.parquet(p).schema.fieldNames.mkString(","))
+      }
+    }
+    assert(gres.head.isNullAt(0), gres)
+
+    // time travel below the ADD COLUMN reads the OLD schema — no score
+    val old = ext.sql(
+      s"SELECT * FROM graft.db.defs VERSION AS OF $vBeforeAdd")
+    assert(!old.columns.contains("score"), old.columns.mkString(","))
+
+    // SHOW CREATE TABLE round-trips the DEFAULT clauses
+    val ddl = ext.sql("SHOW CREATE TABLE graft.db.defs").head.getString(0)
+    assert(ddl.toUpperCase.contains("DEFAULT"), ddl)
+
+    // the TxTable API read agrees with SQL on the existence fill
+    val api = TxTable.read(ext, dir).get
+    assert(api.filter(col("k") === "a").select("score").head.getInt(0) == 7)
+  }
+
+  test("SHOW CREATE TABLE round-trips a reference-shaped DDL: identity + NOT NULL + DEFAULTs re-run and govern") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.tnodes")
+    ext.sql("DROP TABLE IF EXISTS graft.db.tnodes2")
+    // the reference's setup_target.py table shape: BIGSERIAL surrogate,
+    // NOT NULL natural key, DEFAULT TRUE / 0 / literal timestamp / NOW()
+    ext.sql("CREATE TABLE graft.db.tnodes (" +
+      "node_id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "node_name STRING NOT NULL, " +
+      "is_active BOOLEAN DEFAULT TRUE, " +
+      "retry_count INT DEFAULT 0, " +
+      "valid_from TIMESTAMP DEFAULT TIMESTAMP'2020-01-01 00:00:00', " +
+      "etl_inserted_at TIMESTAMP DEFAULT current_timestamp())")
+    val ddl = ext.sql("SHOW CREATE TABLE graft.db.tnodes").head.getString(0)
+    assert(ddl.toUpperCase.contains("DEFAULT"), ddl)
+    // the emitted DDL re-runs verbatim under a new name
+    ext.sql(ddl.replace("graft.db.tnodes", "graft.db.tnodes2"))
+    // and its declarations GOVERN: defaults fill, identity allocates,
+    // NOT NULL rejects
+    ext.sql("INSERT INTO graft.db.tnodes2 (node_name) VALUES ('alpha')")
+    val r = ext.sql("SELECT node_id, is_active, retry_count, " +
+      "cast(valid_from AS STRING) AS vf, etl_inserted_at IS NOT NULL " +
+      "FROM graft.db.tnodes2").head
+    assert((r.getLong(0), r.getBoolean(1), r.getInt(2), r.getString(3),
+      r.getBoolean(4)) == (1L, true, 0, "2020-01-01 00:00:00", true), r)
+    val e = intercept[Exception] {
+      ext.sql("INSERT INTO graft.db.tnodes2 (node_name) VALUES (NULL)")
+    }
+    assert(e.getMessage.toLowerCase.contains("null") ||
+      e.getMessage.toLowerCase.contains("constraint"), e.getMessage)
+  }
+
   test("persistent views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP round-trip; survive a fresh catalog") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.vsrc")
