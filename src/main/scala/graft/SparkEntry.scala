@@ -2458,6 +2458,29 @@ object SparkEntry {
         "SELECT n_name, 100 FROM graft.lake.nation WHERE n_regionkey = 3")
       ext.sql("SELECT n_name, visits, is_active, valid_from, score " +
         "FROM graft.ddl.nation_def")
+    }),
+
+    // q162: CONVERT TO GRAFT — in-place adoption of a pre-existing
+    // hive-partitioned parquet directory (the CONVERT TO DELTA move): one
+    // metadata commit references the files where they stand (footer
+    // envelopes included), then the LOG owns the table — a DELETE
+    // rewrites survivors into engine-owned batches while VERSION AS OF 1
+    // still reads the adopted files. Head ∪ v1 in one hash pins both the
+    // adoption fidelity and the time-travel boundary. Rebuilt per run.
+    "q162_sql_convert" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      val legacy = sqlLakeRoot(dir) + "/ddl/legacy_nation"
+      val p = new org.apache.hadoop.fs.Path(legacy)
+      p.getFileSystem(ext.sparkContext.hadoopConfiguration).delete(p, true)
+      ext.sql("SELECT n_nationkey, n_name, n_regionkey FROM graft.lake.nation")
+        .write.partitionBy("n_regionkey").parquet(legacy)
+      ext.sql("CONVERT TO GRAFT graft.ddl.legacy_nation")
+      ext.sql("DELETE FROM graft.ddl.legacy_nation WHERE n_nationkey % 2 = 0")
+      ext.sql("SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) " +
+        "AS n_regionkey, 'head' AS snap FROM graft.ddl.legacy_nation " +
+        "UNION ALL SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT), " +
+        "'v1' FROM graft.ddl.legacy_nation VERSION AS OF 1")
     })
   )
 
@@ -4354,6 +4377,16 @@ object SparkEntry {
         |SELECT n_name, CAST(0 AS INT), true, DATE '2020-01-01',
         |       CAST(100 AS INT)
         |FROM nation WHERE n_regionkey = 3""".stripMargin,
+
+    // q162: the convert + delete + time travel replays relationally —
+    // head holds the odd keys, v1 the full adopted set.
+    "q162_sql_convert" ->
+      """SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT)
+        |         AS n_regionkey, 'head' AS snap
+        |FROM nation WHERE n_nationkey % 2 = 1
+        |UNION ALL
+        |SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT), 'v1'
+        |FROM nation""".stripMargin,
 
     // q155: the widening sequence replays relationally — even keys as-is
     // (the values an INT held exactly), odd keys shifted beyond int32

@@ -69,6 +69,22 @@ object TxTable {
 
   private val LogDirName = "_graft_log"
   private val DataDirName = "data"
+
+  /** `data/<batch>` prefix of an engine-staged relative path; None for a
+    * CONVERT-adopted file living outside the engine-owned data/ dir. */
+  private def batchPrefixOf(rel: String): Option[String] = {
+    val segs = rel.split('/')
+    if (segs.length >= 2 && segs(0) == DataDirName)
+      Some(s"$DataDirName/${segs(1)}")
+    else None
+  }
+
+  /** Batch NAME of an engine-staged relative path (the dir under data/);
+    * None for adopted files. */
+  private def batchNameOf(rel: String): Option[String] = {
+    val segs = rel.split('/')
+    if (segs.length >= 2 && segs(0) == DataDirName) Some(segs(1)) else None
+  }
   private val FloorName = "_vacuum_floor"
 
   /** Per-file, per-column min/max envelope recorded in the log at stage
@@ -997,11 +1013,17 @@ object TxTable {
             org.apache.spark.sql.functions.expr(ex).cast(dt))
         }
       }
+    // adopted (CONVERT TO GRAFT) entries live OUTSIDE the engine-owned
+    // data/ dir: they group as one pseudo-batch rooted at the table dir,
+    // so Spark's partition inference parses their col=val fragments
+    // exactly like a staged batch's
     def rawBatches(es: Seq[FileEntry]): Seq[DataFrame] =
-      es.groupBy(_.path.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
+      es.groupBy(e => batchPrefixOf(e.path).getOrElse("")).toSeq.sortBy(_._1)
         .map { case (batch, group) =>
+          val base =
+            if (batch.isEmpty) new Path(dir) else new Path(dir, batch)
           fillExists(spark.read
-            .option("basePath", new Path(dir, batch).toString)
+            .option("basePath", base.toString)
             .parquet(group.map(e => new Path(dir, e.path).toString): _*))
         }
     val cleanRaw = rawBatches(clean)
@@ -1856,6 +1878,73 @@ object TxTable {
         partitionCols) ++ (props.toSeq ++ notNull).sortBy(_._1) ++
         (identityProps ++ defaultProps).sortBy(_._1))), // after props: metadata wins collisions
       expectedHead = Some(0L))
+  }
+
+  /** `CONVERT TO GRAFT` — in-place adoption of an existing plain-parquet
+    * or hive-partitioned directory (the Delta `CONVERT TO DELTA` /
+    * Iceberg `migrate` move): ONE metadata commit referencing the files
+    * exactly where they stand. Zero bytes rewritten at any table size —
+    * a 100 TB lake migrates in O(files) footer reads, not a rewrite.
+    *
+    *  - partition columns infer from the `col=val` path fragments (any
+    *    nesting depth; a mixed layout refuses loudly);
+    *  - per-file min/max envelopes + row counts come from the parquet
+    *    footers, so stats-skipping works from the first post-convert read;
+    *  - after the commit the LOG owns the table: DELETE/UPDATE/MERGE,
+    *    time travel, OPTIMIZE, streaming all work; rewrites land in
+    *    engine-owned `data/` batches and retire adopted entries;
+    *  - vacuum's reclaim domain stays the engine-owned `data/` dir:
+    *    adopted files are NEVER deleted by vacuum (conservative — the
+    *    engine did not create them, so it never destroys them; reclaim
+    *    superseded adopted bytes manually once the retention floor has
+    *    passed the conversion).
+    *
+    * Returns the number of adopted files. */
+  def convertInPlace(spark: SparkSession, dir: String): Int = {
+    val fs = hadoopFs(spark, dir)
+    require(!exists(spark, dir), s"TxTable already exists at $dir")
+    val root = fs.makeQualified(new Path(dir))
+    require(fs.exists(root), s"CONVERT TO GRAFT: no directory at $dir")
+    val rootStr = root.toString
+    val files = Seq.newBuilder[FileEntry]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val rel = p.toString.stripPrefix(rootStr).stripPrefix("/")
+      val segs = rel.split('/')
+      // skip hidden/metadata files (_SUCCESS, .crc, _graft_log if racing)
+      // and anything under an engine-owned dir
+      val hidden = segs.exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && segs.head != DataDirName &&
+        p.getName.endsWith(".parquet")) {
+        val partSegs = segs.dropRight(1).filter(_.contains("="))
+        require(partSegs.length == segs.length - 1,
+          s"CONVERT TO GRAFT: $rel mixes partition (`col=val`) and plain " +
+            "directory segments — adopt a uniform hive layout or flatten")
+        val frag = if (partSegs.isEmpty) None else Some(partSegs.mkString("/"))
+        val (rows, stats) =
+          footerStats(spark.sparkContext.hadoopConfiguration, p)
+        if (rows != 0L) files += FileEntry(rel, frag, stats)
+      }
+    }
+    val entries = files.result()
+    require(entries.nonEmpty,
+      s"CONVERT TO GRAFT: no parquet files under $dir")
+    // uniform layout: every file's fragment must name the same column
+    // sequence (the same guard the SQL scan applies to staged batches)
+    val layouts = entries.map(_.part
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil))
+      .distinct
+    require(layouts.size == 1,
+      s"CONVERT TO GRAFT: mixed partition layouts under $dir: " +
+        layouts.map(_.mkString(",")).mkString(" vs "))
+    val partCols = layouts.head
+    // pinned to slot 1 like DDL-first CREATE: two racing converts
+    // conflict instead of silently double-adopting
+    commit(fs, dir, Commit("append", partColField(partCols), None, Nil,
+      entries, Nil, Nil), expectedHead = Some(0L))
+    entries.size
   }
 
   // ------------------------------------------------------------- ANALYZE
@@ -3318,9 +3407,12 @@ object TxTable {
     // a deletion-vector sidecar dir is referenced exactly like a data
     // batch (via the live entries' dv refs), so it retains and reclaims
     // at batch granularity with the same rules
+    // adopted (CONVERT) entries have no staging batch — they are simply
+    // never in vacuum's reclaim domain (the engine-owned data/ dir)
     def batches(s: Seq[(Long, Vector[FileEntry], Boolean)]) =
       s.flatMap(_._2.flatMap(e =>
-        e.path.split('/')(1) +: e.dv.map(_.dir.split('/')(1)).toSeq)).toSet
+        batchNameOf(e.path).toSeq ++
+          e.dv.map(_.dir.split('/')(1)).toSeq)).toSet
     val retained = sets.takeRight(retainVersions)
     val keep = batches(retained)
     val everCommitted = batches(sets) // every batch is live right after its
@@ -3348,7 +3440,7 @@ object TxTable {
       s.flatMap(_._2.flatMap(e => e.path +: e.dv.map(_.dir).toSeq)).toSet
     val enumerated = paths(sets)
     val deadFiles = (enumerated -- paths(retained))
-      .filter(p => keep.contains(p.split('/')(1))).toSeq.sorted
+      .filter(p => batchNameOf(p).exists(keep.contains)).toSeq.sorted
     if (deadFiles.nonEmpty) removedCommitted = true
     // GHOST files: on disk inside a KEPT batch but referenced by NO
     // enumerable version — a rewrite retired them and a later compactLog
@@ -3408,7 +3500,8 @@ object TxTable {
     * (~2.9k/day at a 30 s cadence); compare against a bound and
     * [[compactData]] in the maintenance cycle. */
   def liveBatchCount(spark: SparkSession, dir: String): Int =
-    replay(hadoopFs(spark, dir), dir)._1.map(_.path.split('/')(1)).distinct.size
+    replay(hadoopFs(spark, dir), dir)._1
+      .map(e => batchNameOf(e.path).getOrElse("<adopted>")).distinct.size
 
   /** Operational snapshot for monitoring/maintenance decisions. All values
     * come from the log and a directory listing — no data file is opened. */
@@ -3434,7 +3527,9 @@ object TxTable {
       TableInfo(head, commits.size,
         listCheckpoints(fs, dir).lastOption.map(_._1),
         readFloor(fs, dir),
-        live.size, live.map(_.path.split('/')(1)).distinct.size,
+        live.size,
+        live.map(e => batchNameOf(e.path).getOrElse("<adopted>"))
+          .distinct.size,
         onDisk, scheme)
     }
   }

@@ -229,6 +229,19 @@ object GraftProcedures {
         val v = in.getLong(1)
         TxTable.restore(spark, dir, v)
         Seq(strRow(Seq(s"restored to version $v")))
+      })),
+    // CONVERT TO GRAFT: in-place adoption of an existing parquet/hive
+    // directory already under the catalog root — one metadata commit, no
+    // rewrite ([[TxTable.convertInPlace]]). The target must NOT already
+    // be a graft table (no exists() gate here, unlike every other proc).
+    "convert" -> (cat => new BoundUnbound("convert",
+      Array(ProcedureParameter.in("table", StringType).build()),
+      StructType(Seq(StructField("files_adopted", IntegerType))),
+      { in =>
+        val name = in.getUTF8String(0).toString
+        val parts = name.split('.')
+        val dir = cat.tableDir(Identifier.of(parts.init, parts.last))
+        Seq(InternalRow(TxTable.convertInPlace(spark, dir)))
       })))
 
   private def strRow(ss: Seq[String]): InternalRow =

@@ -81,6 +81,9 @@ final class GraftSqlParser(session: SparkSession,
     """(?is)^\s*OPTIMIZE\s+([\w.`]+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val RestoreStmt =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+
+  private val ConvertStmt =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+([\w.`]+?)\s*;?\s*$""".r
   private val RestoreTsStmt =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
 
@@ -201,6 +204,14 @@ final class GraftSqlParser(session: SparkSession,
         case Some((cat, rel)) =>
           delegate.parsePlan(
             s"CALL $cat.system.restore(${quote(rel)}, ${version}L)")
+      }
+    // CONVERT TO GRAFT graft.db.t — adopt the parquet/hive directory at
+    // the name's catalog location in place (one metadata commit)
+    case ConvertStmt(target) =>
+      catRel(target) match {
+        case None => delegate.parsePlan(sqlText)
+        case Some((cat, rel)) =>
+          delegate.parsePlan(s"CALL $cat.system.convert(${quote(rel)})")
       }
     // RESTORE ... TO TIMESTAMP AS OF 'ts': the instant resolves to the
     // newest commit at or before it (the batch reader's timestampAsOf

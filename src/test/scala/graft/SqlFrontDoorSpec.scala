@@ -1569,6 +1569,82 @@ class SqlFrontDoorSpec extends SparkTestBase {
       e.getMessage.toLowerCase.contains("constraint"), e.getMessage)
   }
 
+  test("CONVERT TO GRAFT: in-place adoption — same rows, log-owned DML + time travel, vacuum never touches adopted files") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    // a pre-existing HIVE-PARTITIONED parquet directory at the catalog
+    // location — written by plain Spark, no graft involvement
+    val dir = s"$lakeRoot/db/legacy"
+    val fsDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsDir.getFileSystem(ext.sparkContext.hadoopConfiguration)
+    fs.delete(fsDir, true)
+    val sq = ext.sqlContext; import sq.implicits._
+    val src = (1 to 200).map(i => (i.toLong, s"n$i", i % 4))
+      .toDF("id", "name", "bucket")
+    src.write.partitionBy("bucket").parquet(dir)
+    val preHash = ext.read.parquet(dir)
+      .select("id", "name", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+    // ONE metadata commit adopts the files where they stand
+    val adopted = ext.sql("CONVERT TO GRAFT graft.db.legacy")
+      .head.getInt(0)
+    assert(adopted >= 4, s"adopted=$adopted") // >= one file per fragment
+    assert(TxTable.headVersion(ext, dir).contains(1L))
+    // no data file moved or copied: no engine-owned data/ dir yet
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "data")))
+
+    // SQL read returns exactly the pre-conversion rows
+    val postRows = ext.sql("SELECT id, name, bucket FROM graft.db.legacy")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(postRows == preHash)
+    // partition pruning works on the inferred layout
+    assert(scannedFiles(ext.sql(
+      "SELECT id FROM graft.db.legacy WHERE bucket = 2")) < adopted)
+    // the API read agrees
+    assert(TxTable.read(ext, dir).get.select("id", "name", "bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet == preHash)
+
+    // the LOG owns the table now: DELETE rewrites, time travel reads v1
+    ext.sql("DELETE FROM graft.db.legacy WHERE id <= 100")
+    assert(ext.sql("SELECT count(*) FROM graft.db.legacy")
+      .head.getLong(0) == 100)
+    assert(ext.sql("SELECT count(*) FROM graft.db.legacy VERSION AS OF 1")
+      .head.getLong(0) == 200)
+
+    // vacuum NEVER reclaims adopted files (they are not engine-owned),
+    // even though the DELETE retired some of them from the live set
+    val before = fs.listStatus(fsDir).filter(s =>
+      s.getPath.getName.startsWith("bucket=")).length
+    ext.sql("VACUUM graft.db.legacy RETAIN 1 VERSIONS")
+    val after = fs.listStatus(fsDir).filter(s =>
+      s.getPath.getName.startsWith("bucket=")).length
+    assert(after == before, s"vacuum touched adopted fragments: $before -> $after")
+    assert(ext.sql("SELECT count(*) FROM graft.db.legacy")
+      .head.getLong(0) == 100)
+
+    // converting an existing graft table refuses loudly
+    val e = intercept[Exception] { ext.sql("CONVERT TO GRAFT graft.db.legacy") }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+
+    // unpartitioned adoption round-trips too
+    val dir2 = s"$lakeRoot/db/legacy_flat"
+    fs.delete(new org.apache.hadoop.fs.Path(dir2), true)
+    (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .repartition(3).write.parquet(dir2)
+    val flatPre = ext.read.parquet(dir2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    ext.sql("CONVERT TO GRAFT graft.db.legacy_flat")
+    assert(ext.sql("SELECT k, v FROM graft.db.legacy_flat").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == flatPre)
+    // footer envelopes arrived with the adoption: a selective range scan
+    // prunes whole files through the log's stats skipping (readSkipping
+    // returns every row of the files it could not prune — fewer than the
+    // full 50 proves at least one adopted file was skipped on stats)
+    val kept = TxTable.readSkipping(ext, dir2, "k", 1L, 1L).get
+    assert(kept.count() < 50 && kept.filter(col("k") === 1L).count() == 1)
+  }
+
   test("persistent views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP round-trip; survive a fresh catalog") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.vsrc")
