@@ -2481,6 +2481,31 @@ object SparkEntry {
         "AS n_regionkey, 'head' AS snap FROM graft.ddl.legacy_nation " +
         "UNION ALL SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT), " +
         "'v1' FROM graft.ddl.legacy_nation VERSION AS OF 1")
+    }),
+
+    // q163: branch refs (write-audit-publish) — a risky backfill stages
+    // on an isolated branch (graft.ddl.`nation_wap@audit`): a DELETE and
+    // an INSERT land there while main keeps serving its pre-branch rows,
+    // then a fast-forward publish moves the branch commits onto main with
+    // zero file copies. The final hash pins BOTH sides of the boundary:
+    // the published head (backfilled) and VERSION AS OF 1 (the pre-branch
+    // state, proving isolation held until publish). Rebuilt per run.
+    "q163_sql_branch_wap" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.nation_wap")
+      ext.sql("CREATE TABLE graft.ddl.nation_wap AS SELECT n_nationkey, " +
+        "n_name, n_regionkey FROM graft.lake.nation")
+      ext.sql("CALL graft.system.create_branch('ddl.nation_wap', 'audit')")
+      ext.sql("DELETE FROM graft.ddl.`nation_wap@audit` WHERE n_regionkey = 4")
+      ext.sql("INSERT INTO graft.ddl.`nation_wap@audit` " +
+        "SELECT n_nationkey + 100, concat(n_name, '_BF'), n_regionkey " +
+        "FROM graft.lake.nation WHERE n_regionkey = 0")
+      ext.sql("CALL graft.system.publish_branch('ddl.nation_wap', 'audit')")
+      ext.sql("SELECT n_nationkey, n_name, n_regionkey, 'head' AS snap " +
+        "FROM graft.ddl.nation_wap UNION ALL " +
+        "SELECT n_nationkey, n_name, n_regionkey, 'pre' " +
+        "FROM graft.ddl.nation_wap VERSION AS OF 1")
     })
   )
 
@@ -4387,6 +4412,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT), 'v1'
         |FROM nation""".stripMargin,
+
+    // q163: the published head = nation minus region 4 plus the +100
+    // backfill rows; 'pre' = the untouched pre-branch snapshot.
+    "q163_sql_branch_wap" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 'head' AS snap
+        |FROM nation WHERE n_regionkey <> 4
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name || '_BF', n_regionkey, 'head'
+        |FROM nation WHERE n_regionkey = 0
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'pre' FROM nation""".stripMargin,
 
     // q155: the widening sequence replays relationally — even keys as-is
     // (the values an INT held exactly), odd keys shifted beyond int32

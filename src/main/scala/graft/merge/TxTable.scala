@@ -1013,17 +1013,23 @@ object TxTable {
             org.apache.spark.sql.functions.expr(ex).cast(dt))
         }
       }
-    // adopted (CONVERT TO GRAFT) entries live OUTSIDE the engine-owned
-    // data/ dir: they group as one pseudo-batch rooted at the table dir,
-    // so Spark's partition inference parses their col=val fragments
-    // exactly like a staged batch's
+    // batch base = the file's directory above any col=val fragment
+    // segments: for engine-staged entries that is data/<batch> (the
+    // historical grouping); for CONVERT-adopted entries it is the table
+    // dir itself; for SHALLOW CLONE entries (absolute paths into the
+    // source table) it is the source's batch dir. Spark's partition
+    // inference parses the fragments below the base identically in all
+    // three regimes.
+    def baseOf(e: FileEntry): Path = {
+      var p = new Path(dir, e.path).getParent // absolute e.path wins
+      while (p != null && p.getName.contains("=")) p = p.getParent
+      p
+    }
     def rawBatches(es: Seq[FileEntry]): Seq[DataFrame] =
-      es.groupBy(e => batchPrefixOf(e.path).getOrElse("")).toSeq.sortBy(_._1)
-        .map { case (batch, group) =>
-          val base =
-            if (batch.isEmpty) new Path(dir) else new Path(dir, batch)
+      es.groupBy(e => baseOf(e).toString).toSeq.sortBy(_._1)
+        .map { case (base, group) =>
           fillExists(spark.read
-            .option("basePath", base.toString)
+            .option("basePath", base)
             .parquet(group.map(e => new Path(dir, e.path).toString): _*))
         }
     val cleanRaw = rawBatches(clean)
@@ -1095,7 +1101,11 @@ object TxTable {
     sidecars.join(broadcast(refDf),
         sidecars("__graft_del_rel") === refDf("__graft_ref_file") &&
           sidecars("__graft_del_src") === refDf("__graft_ref_dv"), "left_semi")
-      .select(concat(lit(rootQ + "/"), col("__graft_del_rel"))
+      // an ABSOLUTE stored path (clone/branch ref into the source table)
+      // is already qualified; only table-relative entries prefix
+      .select(when(col("__graft_del_rel").rlike("^([a-zA-Z][a-zA-Z0-9+.-]*:)?/"),
+        col("__graft_del_rel"))
+        .otherwise(concat(lit(rootQ + "/"), col("__graft_del_rel")))
         .as("__graft_del_file"), col("__graft_del_pos"))
   }
 
@@ -1945,6 +1955,241 @@ object TxTable {
     commit(fs, dir, Commit("append", partColField(partCols), None, Nil,
       entries, Nil, Nil), expectedHead = Some(0L))
     entries.size
+  }
+
+  // ------------------------------------------ REFS: CLONE / BRANCH / TAG
+
+  /** `SHALLOW CLONE` — a new table whose first commit references the
+    * source's live files by ABSOLUTE path (the Delta CLONE move): zero
+    * data copied at any size; the clone then evolves independently (its
+    * own writes land in its own `data/`), and the engine never deletes
+    * the absolute-referenced source bytes (same conservative rule as
+    * CONVERT-adopted files). The full property state (declared schema,
+    * constraints, defaults, identity allocators, stats) copies with it.
+    * Source and clone must share a filesystem. `extraProps` layers
+    * ref-metadata on top (the branch machinery's base pointer).
+    *
+    * The Delta-clone hazard applies: the clone references source bytes it
+    * does not own, so a VACUUM of the SOURCE that reclaims batches the
+    * clone still references invalidates the clone. Clone for short-lived
+    * isolation (branches publish or drop promptly); deep-copy via CTAS
+    * when the copy must outlive the source's retention window. */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
+                   extraProps: Seq[(String, String)] = Nil): Int = {
+    val sfs = hadoopFs(spark, srcDir)
+    require(exists(spark, srcDir), s"no TxTable at $srcDir")
+    require(!exists(spark, dstDir), s"TxTable already exists at $dstDir")
+    val srcQ = sfs.makeQualified(new Path(srcDir))
+    def absolutize(p: String): String = {
+      val hp = new Path(p)
+      if (hp.isAbsolute || hp.toUri.getScheme != null) p
+      else new Path(srcQ, p).toString
+    }
+    val (live, scheme) = replay(sfs, srcDir)
+    val absEntries = live.map(e => e.copy(
+      path = absolutize(e.path),
+      dv = e.dv.map(d => d.copy(dir = absolutize(d.dir)))))
+    val layouts = absEntries.map(_.part
+      .map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Nil))
+      .distinct
+    val partCols = if (layouts.size == 1) layouts.head
+      else declaredPartitionCols(spark, srcDir)
+    val props = propsState(sfs, srcDir).toSeq.sortBy(_._1) ++ extraProps
+    commit(hadoopFs(spark, dstDir), dstDir,
+      Commit("append", partColField(partCols), scheme, Nil, absEntries,
+        Nil, props), expectedHead = Some(0L))
+    absEntries.size
+  }
+
+  /** Branch refs — the write-audit-publish pattern (Iceberg branch refs /
+    * Nessie): a branch is a SHALLOW CLONE of the table at its creation
+    * head, living under the table's own `_graft_branches/<name>` dir, so
+    * its data batches stay inside the table's filesystem footprint.
+    * Writes to the branch are ordinary commits in the branch log —
+    * completely isolated from `main`, which keeps serving reads. Publish
+    * is FAST-FORWARD only (see [[publishBranch]]): zero file copies,
+    * O(branch batches) directory renames + O(branch commits) atomic slot
+    * claims. */
+  private def branchDirOf(dir: String, name: String): String =
+    s"$dir/${BranchesDirName}/$name"
+  private val BranchesDirName = "_graft_branches"
+  private val BranchBaseProp = "graft.branch.base"
+
+  def createBranch(spark: SparkSession, dir: String, name: String): Long = {
+    requireMappableName(name, "branch")
+    require(exists(spark, dir), s"no TxTable at $dir")
+    val bd = branchDirOf(dir, name)
+    require(!exists(spark, bd), s"branch `$name` already exists on $dir")
+    val base = headVersion(spark, dir).get
+    cloneShallow(spark, dir, bd,
+      extraProps = Seq(BranchBaseProp -> base.toString))
+    base
+  }
+
+  /** (branch name, base version) of every live branch. */
+  def listBranches(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val fs = hadoopFs(spark, dir)
+    val bs = new Path(dir, BranchesDirName)
+    if (!fs.exists(bs)) Nil
+    else fs.listStatus(bs).toSeq.filter(_.isDirectory).flatMap { st =>
+      val bd = st.getPath.toString
+      if (!exists(spark, bd)) None
+      else tableProperties(spark, bd).get(BranchBaseProp)
+        .map(b => st.getPath.getName -> b.toLong)
+    }.sortBy(_._1)
+  }
+
+  /** Drop a branch: the whole branch dir (log + its own data batches)
+    * reclaims in one delete — branch batches were never visible to main
+    * readers, so no retention dance is needed. */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Boolean = {
+    val fs = hadoopFs(spark, dir)
+    val bd = new Path(branchDirOf(dir, name))
+    require(fs.exists(bd), s"no branch `$name` on $dir")
+    fs.delete(bd, true)
+  }
+
+  /** Fast-forward publish: replay the branch's commits (everything above
+    * its clone seed) onto main, claiming main's next slots atomically.
+    * Refuses if main advanced past the branch base — the branch must be
+    * recreated from the new head (standard fast-forward semantics; no
+    * silent merge). Zero file copies: branch-staged batch dirs RENAME
+    * into main's `data/`, absolute refs back into main re-relativize
+    * (so deletion vectors taken on the branch key correctly against
+    * main's live paths). The branch dir is deleted at the end — its
+    * batches now belong to main. Returns the number of commits
+    * published. */
+  def publishBranch(spark: SparkSession, dir: String, name: String): Int = {
+    val fs = hadoopFs(spark, dir)
+    val bd = branchDirOf(dir, name)
+    require(exists(spark, bd), s"no branch `$name` on $dir")
+    val base = tableProperties(spark, bd).get(BranchBaseProp)
+      .map(_.toLong).getOrElse(throw new IllegalStateException(
+        s"$bd carries no ${BranchBaseProp} — not a branch?"))
+    val mainHead = headVersion(spark, dir).get
+    require(mainHead == base,
+      s"fast-forward publish refused: $dir advanced ($base -> $mainHead) " +
+        s"since branch `$name` was created — recreate the branch from " +
+        "the current head and replay the work")
+    val mainQ = fs.makeQualified(new Path(dir)).toString
+    val bdPath = new Path(bd)
+    val moved = scala.collection.mutable.Set.empty[String]
+    def moveBatch(rel: String): Unit =
+      batchPrefixOf(rel).foreach { bp =>
+        if (!moved.contains(bp)) {
+          val from = new Path(bdPath, bp)
+          val to = new Path(dir, bp)
+          if (fs.exists(from)) {
+            if (bp.startsWith(s"$DataDirName/dv-")) {
+              // a deletion-vector sidecar keys rows by file PATH: rows
+              // targeting main's files carry the branch's ABSOLUTE refs
+              // and must re-key to main-relative on the way over. The
+              // sidecar is O(deleted positions) — a bounded rewrite, not
+              // a data copy.
+              val sc = spark.read.parquet(from.toString)
+              fs.mkdirs(to.getParent)
+              sc.select(when(col("file").startsWith(mainQ + "/"),
+                  col("file").substr(
+                    org.apache.spark.sql.functions.lit(mainQ.length + 2),
+                    org.apache.spark.sql.functions.lit(Int.MaxValue)))
+                  .otherwise(col("file")).as("file"), col("pos"))
+                .repartition(col("file"))
+                .sortWithinPartitions("file", "pos")
+                .write.parquet(to.toString)
+              fs.delete(from, true)
+            } else {
+              fs.mkdirs(to.getParent)
+              require(fs.rename(from, to),
+                s"publish: rename $from -> $to failed")
+            }
+          }
+          moved += bp
+        }
+      }
+    def fixPath(p: String): String = {
+      val hp = new Path(p)
+      if (hp.isAbsolute || hp.toUri.getScheme != null) {
+        // an absolute ref back into main re-relativizes; any other
+        // absolute ref (a clone-of-clone) passes through untouched
+        if (p.startsWith(mainQ + "/")) p.stripPrefix(mainQ + "/") else p
+      } else { moveBatch(p); p }
+    }
+    val branchCommits = listCommits(fs, bd).filter(_._1 >= 2L)
+    var published = 0
+    branchCommits.foreach { case (_, cp) =>
+      val c = parse(fs, cp)
+      val fixed = c.copy(
+        files = c.files.map(e => e.copy(path = fixPath(e.path),
+          dv = e.dv.map(d => d.copy(dir = fixPath(d.dir))))),
+        // "rewrite" carries FILE paths in removedParts (the retired
+        // files) — they re-key exactly like live paths; every other
+        // action's removedParts are partition FRAGMENTS, never paths
+        removedParts =
+          if (c.action == "rewrite") c.removedParts.map(fixPath)
+          else c.removedParts,
+        dvRefs = c.dvRefs.map { case (k, d) =>
+          fixPath(k) -> d.copy(dir = fixPath(d.dir)) },
+        props = c.props.filterNot(_._1.startsWith("graft.branch.")))
+      commit(fs, dir, fixed, expectedHead = Some(base + published))
+      published += 1
+    }
+    // the branch's batches moved into main; what remains (log + seed) is
+    // unreferenced — reclaim the ref
+    fs.delete(bdPath, true)
+    published
+  }
+
+  /** Tag refs — immutable named versions (`_graft_log/refs/<name>.tag`
+    * holds the version number): `VERSION AS OF 'name'` resolves through
+    * [[resolveTag]]. Creation refuses an existing name (tags never
+    * move); dropping a tag only removes the pointer. */
+  private def tagPath(dir: String, name: String): Path =
+    new Path(new Path(dir, "_graft_log/refs"), s"$name.tag")
+
+  def createTag(spark: SparkSession, dir: String, name: String,
+                version: Option[Long] = None): Long = {
+    requireMappableName(name, "tag")
+    require(exists(spark, dir), s"no TxTable at $dir")
+    val fs = hadoopFs(spark, dir)
+    val v = version.getOrElse(headVersion(spark, dir).get)
+    require(versions(spark, dir).contains(v),
+      s"tag `$name`: version $v is not an advertised version of $dir")
+    val p = tagPath(dir, name)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false) // refuse overwrite: tags never move
+    try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+    v
+  }
+
+  def resolveTag(spark: SparkSession, dir: String,
+                 name: String): Option[Long] = {
+    val fs = hadoopFs(spark, dir)
+    val p = tagPath(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  def listTags(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val fs = hadoopFs(spark, dir)
+    val refs = new Path(dir, "_graft_log/refs")
+    if (!fs.exists(refs)) Nil
+    else fs.listStatus(refs).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".tag"))
+      .flatMap { s =>
+        val n = s.getPath.getName.stripSuffix(".tag")
+        resolveTag(spark, dir, n).map(n -> _)
+      }.sortBy(_._1)
+  }
+
+  def dropTag(spark: SparkSession, dir: String, name: String): Boolean = {
+    val fs = hadoopFs(spark, dir)
+    val p = tagPath(dir, name)
+    require(fs.exists(p), s"no tag `$name` on $dir")
+    fs.delete(p, false)
   }
 
   // ------------------------------------------------------------- ANALYZE
@@ -3138,10 +3383,14 @@ object TxTable {
     val batch = s"dv-${java.util.UUID.randomUUID()}"
     val out = new Path(new Path(dir, DataDirName), batch)
     // the sidecar stores table-relative paths so the table stays
-    // relocatable; distinct() so a caller passing duplicate (file, pos)
-    // pairs can't inflate the deleted counts purgeDvs decides on
-    deletes.select(col("file")
-        .substr(lit(rootQ.length + 2), lit(Int.MaxValue)).as("file"),
+    // relocatable; a tagged path OUTSIDE this table's root (a shallow
+    // clone / branch referencing its source's files absolutely) keeps its
+    // absolute form — it matches the live entry's own absolute path.
+    // distinct() so a caller passing duplicate (file, pos) pairs can't
+    // inflate the deleted counts purgeDvs decides on
+    deletes.select(when(col("file").startsWith(rootQ + "/"),
+        col("file").substr(lit(rootQ.length + 2), lit(Int.MaxValue)))
+        .otherwise(col("file")).as("file"),
         col("pos"))
       .distinct()
       .repartition(col("file")).sortWithinPartitions("file", "pos")

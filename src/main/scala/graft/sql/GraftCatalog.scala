@@ -70,9 +70,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
-  private[sql] def tableDir(ident: Identifier): String =
-    (ident.namespace() :+ ident.name())
-      .foldLeft(new Path(rootDir))(new Path(_, _)).toString
+  private[sql] def tableDir(ident: Identifier): String = {
+    // branch addressing: `t@exp1` (quoted: graft.db.`t@exp1`) resolves to
+    // the table's _graft_branches/exp1 dir — every SQL surface (SELECT,
+    // INSERT, DELETE, MERGE, CALL) then operates on the branch in
+    // isolation from main
+    val n = ident.name()
+    val at = n.indexOf('@')
+    if (at > 0) {
+      val baseDir = (ident.namespace() :+ n.substring(0, at))
+        .foldLeft(new Path(rootDir))(new Path(_, _)).toString
+      s"$baseDir/_graft_branches/${n.substring(at + 1)}"
+    } else
+      (ident.namespace() :+ n)
+        .foldLeft(new Path(rootDir))(new Path(_, _)).toString
+  }
 
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, "_graft_log"))
@@ -102,7 +114,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!TxTable.exists(spark, dir))
       throw new NoSuchTableException(
         (catalogName +: ident.namespace().toSeq :+ ident.name()))
-    new GraftSqlTable(dir, Some(version.trim.toLong), fullName(ident))
+    // numeric = commit version; anything else = a TAG ref
+    // (`VERSION AS OF 'release_1'`) resolved from _graft_log/refs
+    val v = version.trim
+    val resolved =
+      if (v.matches("-?\\d+")) v.toLong
+      else TxTable.resolveTag(spark, dir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"VERSION AS OF '$v': no such tag on ${fullName(ident)} " +
+            s"(tags: ${TxTable.listTags(spark, dir).map(_._1).mkString(", ")})"))
+    new GraftSqlTable(dir, Some(resolved), fullName(ident))
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {

@@ -242,6 +242,77 @@ object GraftProcedures {
         val parts = name.split('.')
         val dir = cat.tableDir(Identifier.of(parts.init, parts.last))
         Seq(InternalRow(TxTable.convertInPlace(spark, dir)))
+      })),
+    // SHALLOW CLONE: a new table referencing the source's live files by
+    // absolute path — zero data copied ([[TxTable.cloneShallow]]).
+    "clone" -> (cat => new BoundUnbound("clone",
+      Array(
+        ProcedureParameter.in("source", StringType).build(),
+        ProcedureParameter.in("target", StringType).build()),
+      StructType(Seq(StructField("files_referenced", IntegerType))),
+      { in =>
+        val src = tableDir(cat, in.getUTF8String(0).toString)
+        val tgtName = in.getUTF8String(1).toString
+        val parts = tgtName.split('.')
+        val dst = cat.tableDir(Identifier.of(parts.init, parts.last))
+        Seq(InternalRow(TxTable.cloneShallow(spark, src, dst)))
+      })),
+    // Write-audit-publish refs: a branch is an isolated shallow clone
+    // under the table's _graft_branches/, addressed from SQL as
+    // graft.db.`t@branch`; publish fast-forwards main (zero copies).
+    "create_branch" -> (cat => new BoundUnbound("create_branch",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build()),
+      StructType(Seq(StructField("base_version", LongType))),
+      { in =>
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        Seq(InternalRow(TxTable.createBranch(spark, dir,
+          in.getUTF8String(1).toString)))
+      })),
+    "publish_branch" -> (cat => new BoundUnbound("publish_branch",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build()),
+      StructType(Seq(StructField("commits_published", IntegerType))),
+      { in =>
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        Seq(InternalRow(TxTable.publishBranch(spark, dir,
+          in.getUTF8String(1).toString)))
+      })),
+    "drop_branch" -> (cat => new BoundUnbound("drop_branch",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build()),
+      StructType(Seq(StructField("dropped", BooleanType))),
+      { in =>
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        Seq(InternalRow(TxTable.dropBranch(spark, dir,
+          in.getUTF8String(1).toString)))
+      })),
+    // Tag refs: immutable named versions; read via VERSION AS OF 'name'
+    "create_tag" -> (cat => new BoundUnbound("create_tag",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("tag", StringType).build(),
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("-1").build()),
+      StructType(Seq(StructField("version", LongType))),
+      { in =>
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        val v = in.getLong(2)
+        Seq(InternalRow(TxTable.createTag(spark, dir,
+          in.getUTF8String(1).toString, if (v < 0) None else Some(v))))
+      })),
+    "drop_tag" -> (cat => new BoundUnbound("drop_tag",
+      Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("tag", StringType).build()),
+      StructType(Seq(StructField("dropped", BooleanType))),
+      { in =>
+        val dir = tableDir(cat, in.getUTF8String(0).toString)
+        Seq(InternalRow(TxTable.dropTag(spark, dir,
+          in.getUTF8String(1).toString)))
       })))
 
   private def strRow(ss: Seq[String]): InternalRow =

@@ -84,6 +84,9 @@ final class GraftSqlParser(session: SparkSession,
 
   private val ConvertStmt =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+([\w.`]+?)\s*;?\s*$""".r
+
+  private val CloneStmt =
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+?)\s+SHALLOW\s+CLONE\s+([\w.`]+?)\s*;?\s*$""".r
   private val RestoreTsStmt =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
 
@@ -213,6 +216,15 @@ final class GraftSqlParser(session: SparkSession,
         case Some((cat, rel)) =>
           delegate.parsePlan(s"CALL $cat.system.convert(${quote(rel)})")
       }
+    // CREATE TABLE graft.db.t2 SHALLOW CLONE graft.db.t — zero-copy ref
+    case CloneStmt(target, source) if catRel(target).isDefined &&
+        catRel(source).isDefined =>
+      val (tc, tr) = catRel(target).get
+      val (sc, sr) = catRel(source).get
+      require(tc == sc,
+        s"SHALLOW CLONE cannot cross catalogs ($sc -> $tc)")
+      delegate.parsePlan(
+        s"CALL $tc.system.clone(${quote(sr)}, ${quote(tr)})")
     // RESTORE ... TO TIMESTAMP AS OF 'ts': the instant resolves to the
     // newest commit at or before it (the batch reader's timestampAsOf
     // contract) at parse time — restores always target a PAST version,

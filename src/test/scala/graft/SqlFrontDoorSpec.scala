@@ -1645,6 +1645,129 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(kept.count() < 50 && kept.filter(col("k") === 1L).count() == 1)
   }
 
+  test("branch refs: write-audit-publish — isolated backfill, fast-forward publish with zero copies, FF refusal") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.wap")
+    ext.sql("CREATE TABLE graft.db.wap AS " +
+      "SELECT id, id * 2 AS v FROM range(100)")
+    ext.sql("INSERT INTO graft.db.wap SELECT id, id * 2 FROM range(100, 150)")
+    val dir = s"$lakeRoot/db/wap"
+    val mainFilesBefore = TxTable.liveFilePaths(ext, dir).toSet
+
+    // branch from head (v2); stage a risky backfill ON THE BRANCH
+    val base = ext.sql("CALL graft.system.create_branch('db.wap', 'bf')")
+      .head.getLong(0)
+    assert(base == 2L)
+    ext.sql("INSERT INTO graft.db.`wap@bf` SELECT id, id * 2 FROM range(150, 200)")
+    ext.sql("DELETE FROM graft.db.`wap@bf` WHERE id < 10")
+    // audit: the branch sees the backfill...
+    assert(ext.sql("SELECT count(*) FROM graft.db.`wap@bf`")
+      .head.getLong(0) == 190)
+    // ...while MAIN keeps serving the pre-branch state, untouched
+    assert(ext.sql("SELECT count(*) FROM graft.db.wap").head.getLong(0) == 150)
+    assert(TxTable.liveFilePaths(ext, dir).toSet == mainFilesBefore)
+    assert(TxTable.listBranches(ext, dir) == Seq("bf" -> 2L))
+
+    // publish: fast-forward, zero file copies (branch batches RENAME in)
+    val published = ext.sql(
+      "CALL graft.system.publish_branch('db.wap', 'bf')").head.getInt(0)
+    assert(published == 2, s"published=$published")
+    assert(ext.sql("SELECT count(*) FROM graft.db.wap").head.getLong(0) == 190)
+    assert(ext.sql("SELECT sum(v) FROM graft.db.wap").head.getLong(0) ==
+      (10L until 200L).map(_ * 2).sum)
+    // the branch is gone (its batches now belong to main)
+    assert(TxTable.listBranches(ext, dir).isEmpty)
+    // time travel still works across the publish boundary
+    assert(ext.sql("SELECT count(*) FROM graft.db.wap VERSION AS OF 2")
+      .head.getLong(0) == 150)
+
+    // fast-forward refusal: main advances after branching -> publish fails
+    ext.sql("CALL graft.system.create_branch('db.wap', 'late')")
+    ext.sql("INSERT INTO graft.db.wap SELECT id, 0 FROM range(1000, 1001)")
+    val e = intercept[Exception] {
+      ext.sql("CALL graft.system.publish_branch('db.wap', 'late')")
+    }
+    assert(e.getMessage.contains("fast-forward"), e.getMessage)
+    // the failed publish changed nothing on main; drop reclaims the branch
+    assert(ext.sql("SELECT count(*) FROM graft.db.wap").head.getLong(0) == 191)
+    assert(ext.sql("CALL graft.system.drop_branch('db.wap', 'late')")
+      .head.getBoolean(0))
+    assert(TxTable.listBranches(ext, dir).isEmpty)
+  }
+
+  test("branch publish carries MoR deletion vectors taken on the branch (dvRef paths re-key to main)") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.wapdv")
+    ext.sql("CREATE TABLE graft.db.wapdv AS " +
+      "SELECT id, id % 7 AS tag FROM range(500)")
+    ext.sql("ALTER TABLE graft.db.wapdv SET TBLPROPERTIES" +
+      "('graft.deletes.mode'='dv')")
+    ext.sql("CALL graft.system.create_branch('db.wapdv', 'mor')")
+    // a MoR delete ON THE BRANCH writes a deletion vector against the
+    // branch's ABSOLUTE refs into main's files
+    ext.sql("DELETE FROM graft.db.`wapdv@mor` WHERE tag = 3")
+    val expect = (0L until 500L).count(_ % 7 != 3)
+    assert(ext.sql("SELECT count(*) FROM graft.db.`wapdv@mor`")
+      .head.getLong(0) == expect)
+    assert(ext.sql("SELECT count(*) FROM graft.db.wapdv")
+      .head.getLong(0) == 500)
+    ext.sql("CALL graft.system.publish_branch('db.wapdv', 'mor')")
+    // post-publish the DV keys re-relativized onto main's live paths
+    assert(ext.sql("SELECT count(*) FROM graft.db.wapdv")
+      .head.getLong(0) == expect)
+    assert(ext.sql("SELECT count(*) FROM graft.db.wapdv WHERE tag = 3")
+      .head.getLong(0) == 0)
+  }
+
+  test("tag refs: VERSION AS OF 'name' resolves; tags never move; SHALLOW CLONE is zero-copy and independent") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.tagged")
+    ext.sql("DROP TABLE IF EXISTS graft.db.tagclone")
+    ext.sql("CREATE TABLE graft.db.tagged AS SELECT id FROM range(10)")
+    ext.sql("INSERT INTO graft.db.tagged SELECT id FROM range(10, 30)")
+    ext.sql("CALL graft.system.create_tag('db.tagged', 'release_1', 1)")
+    ext.sql("CALL graft.system.create_tag('db.tagged', 'head_tag')")
+    assert(ext.sql(
+      "SELECT count(*) FROM graft.db.tagged VERSION AS OF 'release_1'")
+      .head.getLong(0) == 10)
+    assert(ext.sql(
+      "SELECT count(*) FROM graft.db.tagged VERSION AS OF 'head_tag'")
+      .head.getLong(0) == 30)
+    // tags never move
+    val e = intercept[Exception] {
+      ext.sql("CALL graft.system.create_tag('db.tagged', 'release_1', 2)")
+    }
+    assert(e != null)
+    // unknown tag names the available ones
+    val e2 = intercept[Exception] {
+      ext.sql("SELECT * FROM graft.db.tagged VERSION AS OF 'nope'")
+    }
+    assert(e2.getMessage.contains("release_1"), e2.getMessage)
+    assert(ext.sql("CALL graft.system.drop_tag('db.tagged', 'head_tag')")
+      .head.getBoolean(0))
+
+    // SHALLOW CLONE: zero-copy, then fully independent
+    val srcDir = s"$lakeRoot/db/tagged"
+    val srcFiles = TxTable.liveFilePaths(ext, srcDir).toSet
+    ext.sql("CREATE TABLE graft.db.tagclone SHALLOW CLONE graft.db.tagged")
+    assert(ext.sql("SELECT count(*) FROM graft.db.tagclone")
+      .head.getLong(0) == 30)
+    // no bytes copied: the clone dir holds no data files of its own
+    val cloneDir = s"$lakeRoot/db/tagclone"
+    val fs = new org.apache.hadoop.fs.Path(cloneDir)
+      .getFileSystem(ext.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(cloneDir, "data")))
+    // clone writes don't touch the source; source writes don't touch it
+    ext.sql("DELETE FROM graft.db.tagclone WHERE id >= 20")
+    ext.sql("INSERT INTO graft.db.tagged SELECT id FROM range(30, 40)")
+    assert(ext.sql("SELECT count(*) FROM graft.db.tagclone")
+      .head.getLong(0) == 20)
+    assert(ext.sql("SELECT count(*) FROM graft.db.tagged")
+      .head.getLong(0) == 40)
+    assert(TxTable.liveFilePaths(ext, srcDir).toSet.intersect(srcFiles)
+      == srcFiles, "clone DML must not rewrite source files")
+  }
+
   test("persistent views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP round-trip; survive a fresh catalog") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.vsrc")
