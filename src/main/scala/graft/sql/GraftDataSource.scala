@@ -22,6 +22,24 @@ import graft.merge.TxTable
   * atomic replace; `option("partitionBy", "a,b")` sets the layout (the
   * writer API's own `.partitionBy` is not forwarded to V1 relations, so
   * the option is the contract — same approach as other V1 connectors). */
+object GraftDataSource {
+  /** Count of DV-fallback warnings emitted (asserted by the spec — the
+    * warning must fire exactly once per relation build, not per row). */
+  private[graft] val dvFallbackWarnings = new java.util.concurrent.atomic.AtomicLong
+
+  private[sql] def warnDvFallback(dir: String): Unit = {
+    dvFallbackWarnings.incrementAndGet()
+    // one plain line on stderr: visible under every log4j config,
+    // impossible to misattribute
+    System.err.println(
+      s"[graft] WARN: reading $dir through the row-materializing V1 " +
+        "fallback (table has live deletion vectors or column mapping). " +
+        "Install GraftExtensions — .config(\"spark.sql.extensions\", " +
+        "\"graft.GraftExtensions\") — and this read plans as the " +
+        "vectorized clean-files ∪ position-anti-join scan instead.")
+  }
+}
+
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
     with StreamSinkProvider with DataSourceRegister {
@@ -102,9 +120,16 @@ class GraftDataSource extends RelationProvider
     // scans; the V1 boundary materializes rows). Plain tables keep the
     // zero-overhead relation.
     if (TxTable.hasLiveDvs(spark, dir, asOf) ||
-        TxTable.hasColumnMapping(spark, dir, asOf))
+        TxTable.hasColumnMapping(spark, dir, asOf)) {
+      // on an extensions-enabled session the analyzer swaps this relation
+      // for the vectorized clean∪anti-join plan before execution; a BARE
+      // session keeps the correct but row-materializing fallback — say so
+      // ONCE per relation build, naming the fix, instead of silently
+      // running slower for exactly the user least likely to know why
+      if (!GraftSqlRules.installedOn(spark))
+        GraftDataSource.warnDvFallback(dir)
       GraftDvScanRelation(dir, asOf)
-    else GraftSql.relation(spark, dir, asOf)
+    } else GraftSql.relation(spark, dir, asOf)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

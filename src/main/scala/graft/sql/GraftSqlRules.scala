@@ -40,6 +40,8 @@ import graft.merge.{MergeSink, TxTable}
   * fixpoint iteration. */
 final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] {
 
+  GraftSqlRules.registerInstalled(session)
+
   override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
 
   /** The GraftSqlTable under `p`, looking through subquery aliases. */
@@ -123,7 +125,8 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
         } else
           InsertIntoDataSourceCommand(
             LogicalRelation(GraftInsertableRelation(dir, c.query.schema,
-              identityPartCols(c.partitioning), tableSpecProps(c.tableSpec))),
+              identityPartCols(c.partitioning),
+              tableSpecProps(c.tableSpec) ++ bucketPropOf(c.partitioning))),
             rewrite(c.query), overwrite = true)
       case _ => c.mapChildren(rewrite)
     }
@@ -135,7 +138,8 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
           s"REPLACE TABLE: no table at $dir (use CREATE OR REPLACE)")
         InsertIntoDataSourceCommand(
           LogicalRelation(GraftInsertableRelation(dir, r.query.schema,
-            identityPartCols(r.partitioning), tableSpecProps(r.tableSpec))),
+            identityPartCols(r.partitioning),
+            tableSpecProps(r.tableSpec) ++ bucketPropOf(r.partitioning))),
           rewrite(r.query), overwrite = true)
       case _ => r.mapChildren(rewrite)
     }
@@ -279,10 +283,27 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
       case _ => Map.empty
     }
 
+  /** bucket(N, col) transform of a CTAS PARTITIONED BY clause, as the
+    * graft.bucket statement property (see [[TxTable.bucketSpec]]). */
+  private def bucketPropOf(partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform]): Map[String, String] =
+    partitioning.filter(_.name == "bucket") match {
+      case Seq() => Map.empty
+      case Seq(t) =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform carries no bucket count: $t"))
+        Map("graft.bucket" ->
+          s"$n:${t.references()(0).fieldNames().mkString(".")}")
+      case many => throw new IllegalArgumentException(
+        s"at most one bucket(...) transform is supported, got ${many.length}")
+    }
+
   private def identityPartCols(partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform]): Seq[String] =
-    partitioning.map { t =>
+    partitioning.filterNot(_.name == "bucket").map { t =>
       require(t.name == "identity",
-        s"graft tables support identity partitioning only, got $t")
+        s"graft tables support identity and bucket partitioning only, got $t")
       t.references()(0).fieldNames().mkString(".")
     }
 
@@ -814,4 +835,22 @@ final case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
       updateSources.toMap)
     Nil
   }
+}
+
+object GraftSqlRules {
+  // sessions whose analyzer carries this rule (GraftExtensions installed):
+  // for THOSE sessions the DV'd/column-mapped `format("graft")` read is
+  // swapped onto the vectorized plan before execution, so the V1
+  // row-materializing fallback never runs. Weak keys: never pins sessions.
+  private val installed: java.util.Set[org.apache.spark.sql.SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]))
+
+  private[sql] def registerInstalled(s: org.apache.spark.sql.SparkSession): Unit =
+    installed.add(s)
+
+  /** True when `s` has GraftExtensions' analyzer rules active. */
+  private[sql] def installedOn(s: org.apache.spark.sql.SparkSession): Boolean =
+    installed.contains(s)
 }

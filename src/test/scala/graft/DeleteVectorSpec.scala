@@ -32,6 +32,31 @@ class DeleteVectorSpec extends SparkTestBase {
   private def livePaths(dir: String): Seq[String] =
     TxTable.liveFilePaths(spark, dir).sorted
 
+  test("extension-less format(graft) read of a DV'd table warns exactly once per relation build, naming GraftExtensions") {
+    val dir = tmpDir("dv-warn")
+    build(dir)
+    TxTable.deleteWhereDV(spark, dir, col("id") < 10)
+    val c0 = graft.sql.GraftDataSource.dvFallbackWarnings.get()
+    // bare session (no extensions): the V1 fallback is chosen -> ONE
+    // warning per relation build, regardless of how many actions run on it
+    val rel = spark.read.format("graft").load(dir)
+    assert(rel.count() == 90 && rel.select("id").count() == 90)
+    assert(graft.sql.GraftDataSource.dvFallbackWarnings.get() == c0 + 1,
+      "one relation build must warn exactly once")
+    // a second read builds a second relation -> one more
+    assert(spark.read.format("graft").load(dir).count() == 90)
+    assert(graft.sql.GraftDataSource.dvFallbackWarnings.get() == c0 + 2)
+    // an extensions-enabled session swaps the plan — no warning
+    val ext = org.apache.spark.sql.graftbridge.SessionBridge
+      .withExtensions(spark, new GraftExtensions()(_))
+    // force rule instantiation (registration happens when the analyzer
+    // first builds the session's rules)
+    ext.sql("SELECT 1").collect()
+    assert(ext.read.format("graft").load(dir).count() == 90)
+    assert(graft.sql.GraftDataSource.dvFallbackWarnings.get() == c0 + 2,
+      "extensions-enabled sessions must not warn")
+  }
+
   test("DV delete removes rows without rewriting any data file") {
     val dir = tmpDir("dv-basic")
     build(dir)
