@@ -2506,6 +2506,35 @@ object SparkEntry {
         "FROM graft.ddl.nation_wap UNION ALL " +
         "SELECT n_nationkey, n_name, n_regionkey, 'pre' " +
         "FROM graft.ddl.nation_wap VERSION AS OF 1")
+    }),
+
+    // q164: hash-bucketed layout — CREATE ... PARTITIONED BY
+    // (bucket(8, o_custkey)) routes every write through
+    // repartition(8, o_custkey), so each file holds exactly one murmur3
+    // bucket and a point lookup on the bucket column PRUNES to 1 of the
+    // 8 files at the FileIndex seam (the unsorted join-key shape where
+    // min/max envelopes prune nothing). The scanned/total file counts
+    // come from the EXECUTED plan and ride the hash as literals — the
+    // oracle pins 1-of-8, so any pruning regression hash-fails, and the
+    // row content proves pruning never dropped a matching row.
+    "q164_sql_bucketed" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.orders_bkt")
+      ext.sql("CREATE TABLE graft.ddl.orders_bkt " +
+        "PARTITIONED BY (bucket(8, o_custkey)) AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM graft.lake.orders")
+      val total = graft.merge.TxTable
+        .liveFilePaths(ext, sqlLakeRoot(dir) + "/ddl/orders_bkt").size
+      val probe = ext.sql(
+        "SELECT o_orderkey FROM graft.ddl.orders_bkt WHERE o_custkey = 37")
+      val scanned = probe.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles.toInt
+      }.getOrElse(-1)
+      ext.sql("SELECT o_orderkey, o_custkey, o_totalprice, " +
+        s"$total AS total_files, $scanned AS files_scanned " +
+        "FROM graft.ddl.orders_bkt WHERE o_custkey = 37")
     })
   )
 
@@ -4412,6 +4441,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT), 'v1'
         |FROM nation""".stripMargin,
+
+    // q164: the bucket-pruned lookup returns exactly the customer's
+    // orders, and the plan evidence literals pin 1 file scanned of 8.
+    "q164_sql_bucketed" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(8 AS INT) AS total_files, CAST(1 AS INT) AS files_scanned
+        |FROM orders WHERE o_custkey = 37""".stripMargin,
 
     // q163: the published head = nation minus region 4 plus the +100
     // backfill rows; 'pre' = the untouched pre-branch snapshot.

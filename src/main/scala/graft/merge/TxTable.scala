@@ -744,9 +744,23 @@ object TxTable {
     * arriving in logical names lands under the names the files carry; a
     * maintenance frame already in physical names passes through. */
   private def stage(spark: SparkSession, dir: String, df0: DataFrame,
-                    partitionCols: Seq[String]): Seq[FileEntry] = {
+                    partitionCols: Seq[String],
+                    extraProps: Seq[(String, String)] = Nil): Seq[FileEntry] = {
     val fs = hadoopFs(spark, dir)
-    val df = toPhysical(df0, fs, dir)
+    val df1 = toPhysical(df0, fs, dir)
+    // hash-bucketed layout: route rows through repartition(N, bucketCol)
+    // so writer partition i holds exactly the keys with
+    // pmod(murmur3(key), N) == i — each output file IS one bucket, and
+    // the bucket id records on the entry for point/IN pruning at the
+    // FileIndex seam. Every write path flows through here, so the
+    // invariant holds across inserts, rewrites, and compaction.
+    val bSpec = bucketSpecFromProps(extraProps)
+      .orElse(bucketSpec(spark, dir))
+    val df = bSpec match {
+      case Some((n, c)) if df1.columns.exists(_.equalsIgnoreCase(c)) =>
+        df1.repartition(n, col(c))
+      case _ => df1
+    }
     val batch = s"b-${java.util.UUID.randomUUID()}"
     val stagingDir = new Path(new Path(dir, DataDirName), batch)
     val w = df.write.mode("overwrite")
@@ -770,15 +784,68 @@ object TxTable {
         val frag = if (segs.isEmpty) None else Some(segs.mkString("/"))
         val (rows, stats) =
           footerStats(spark.sparkContext.hadoopConfiguration, p)
+        // bucketed layout: the writer task index IS the bucket id
+        // (partition i of repartition(N, c) = pmod(murmur3, N) == i, and
+        // explicit-N repartitions are never AQE-coalesced) — record it
+        // from the part-NNNNN filename under a reserved stats key; a
+        // file without the stat is simply never bucket-pruned (correct)
+        val bStats = bSpec.flatMap { _ =>
+          val m = BucketFilePattern.findFirstMatchIn(p.getName)
+          m.map(mm => BucketStatKey ->
+            ColStat("I", mm.group(1).toInt.toString, mm.group(1).toInt.toString))
+        }
         // a ZERO-row part file (a rewrite that deleted a file's every
         // survivor, an empty writer partition) never enters the live set:
         // it carries no stats, so it would defeat pruning forever and
         // bloat every listing; its bytes stay as staging debris vacuum
         // reclaims. -1 = unreadable footer: kept, merely unprunable.
-        if (rows != 0L) files += FileEntry(rel, frag, stats)
+        if (rows != 0L) files += FileEntry(rel, frag, stats ++ bStats)
       }
     }
     files.result()
+  }
+
+  // ----------------------------------------------------- BUCKETED LAYOUT
+
+  /** `graft.bucket` = `"N:col"` — hash-bucketed layout (recorded in the
+    * log at CREATE/CTAS): writes route through `repartition(N, col)` so
+    * each staged file holds exactly one murmur3 bucket of the column, and
+    * point/IN predicates on it prune to ≤ 1/N of the files at the
+    * [[graft.sql.GraftFileIndex]] seam — the unsorted-high-cardinality
+    * join-key shape where min/max envelopes prune nothing and a Bloom
+    * sidecar costs a maintenance pass. Scoped: single column, pruning
+    * only (the storage-partitioned-join planner integration is a later
+    * step). */
+  private[graft] val BucketProp = "graft.bucket"
+  private[graft] val BucketStatKey = "__graft_bucket"
+  private val BucketFilePattern = """part-(\d{5})""".r
+
+  private def parseBucket(v: String, where: String): (Int, String) = {
+    val i = v.indexOf(':')
+    require(i > 0, s"$BucketProp on $where must be 'N:column', got '$v'")
+    val n = v.substring(0, i).trim.toInt
+    require(n > 0 && n <= 100000, s"$BucketProp bucket count $n out of range")
+    (n, v.substring(i + 1).trim)
+  }
+
+  private def bucketSpecFromProps(props: Seq[(String, String)]): Option[(Int, String)] =
+    props.collectFirst { case (k, v) if k == BucketProp && v.nonEmpty =>
+      parseBucket(v, "statement") }
+
+  /** Declared bucket layout (bucket count, physical column), if any. */
+  private[graft] def bucketSpec(spark: SparkSession,
+                                dir: String): Option[(Int, String)] =
+    tableProperties(spark, dir).get(BucketProp).filter(_.nonEmpty)
+      .map(parseBucket(_, dir))
+
+  /** The murmur3 bucket a literal value lands in under `repartition(n, c)`
+    * — Spark's `HashPartitioning.partitionIdExpression` computed at the
+    * driver (`pmod(murmur3(value, seed=42), n)`). */
+  private[graft] def bucketOf(value: Any, dt: DataType, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, Murmur3Hash}
+    val h = Murmur3Hash(Seq(CatLit(value, dt)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % n) + n) % n
   }
 
   /** Comma-joined partition column list recorded in the commit's `partCol`
@@ -1396,7 +1463,7 @@ object TxTable {
               extraProps: Seq[(String, String)] = Nil): Unit = {
     enforceConstraints(spark, dir, df)
     val fs = hadoopFs(spark, dir)
-    val files = stage(spark, dir, df, partitionCols)
+    val files = stage(spark, dir, df, partitionCols, extraProps)
     // a replace whose result is EMPTY (INSERT OVERWRITE of an empty
     // SELECT, a CoW MERGE that deleted everything) still declares the
     // table's shape — otherwise read() would return None and the SQL
@@ -1709,7 +1776,7 @@ object TxTable {
       }
       enforceConstraints(spark, dir, frame)
       val fs = hadoopFs(spark, dir)
-      val files = stage(spark, dir, frame, partitionCols)
+      val files = stage(spark, dir, frame, partitionCols, extraProps)
       val shape =
         if (!overwrite || files.nonEmpty) Nil
         else declaredShapeProps(fs, dir,
@@ -1790,7 +1857,7 @@ object TxTable {
              txn: Option[(String, Long)] = None,
              extraProps: Seq[(String, String)] = Nil): Unit = {
     enforceConstraints(spark, dir, df)
-    val files = stage(spark, dir, df, partitionCols)
+    val files = stage(spark, dir, df, partitionCols, extraProps)
     commit(hadoopFs(spark, dir), dir,
       Commit("append", partColField(partitionCols), None, Nil, files,
         txn.toSeq, extraProps))
@@ -1857,6 +1924,15 @@ object TxTable {
           else k.stripPrefix(DefaultPropPrefix)
         require(names.contains(c),
           s"default property $k names no declared column of $dir")
+      }
+      // bucketed layout: the column must be declared and must not double
+      // as a partition column (a fragment is already one key's home)
+      if (k == BucketProp && v.nonEmpty) {
+        val (_, c) = parseBucket(v, dir)
+        require(names.contains(c),
+          s"$BucketProp names no declared column of $dir: $c")
+        require(!partitionCols.contains(c),
+          s"$BucketProp column $c is already a partition column of $dir")
       }
     }
     // DEFAULT clauses arrive as field metadata (Spark analyzed + constant-

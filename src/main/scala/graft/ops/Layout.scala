@@ -160,6 +160,15 @@ object Layout {
       s"z-order on partition column(s) ${clash.mkString(", ")} of $dir is " +
         "pointless — their value is constant inside a fragment; cluster " +
         "on data columns (partition pruning already serves the layout)")
+    // a bucketed table's file-per-bucket invariant and a z-ordered range
+    // layout are mutually exclusive clustering disciplines: every write
+    // (including this rewrite) re-routes through repartition(N, bucketCol),
+    // which would silently destroy the z-clustering it just built
+    require(graft.merge.TxTable.bucketSpec(
+      org.apache.spark.sql.SparkSession.active, dir).isEmpty,
+      s"z-order on $dir refused: the table declares a graft.bucket layout " +
+        "(hash-bucketed files) — the two clustering disciplines are " +
+        "mutually exclusive; drop the bucket property to z-order instead")
   }
 
   /** [[zOrderedN]] inside a hive layout: range partition on

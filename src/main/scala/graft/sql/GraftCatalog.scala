@@ -206,11 +206,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(!viewExists(ident),
       s"cannot CREATE TABLE ${fullName(ident)}: a VIEW of that name " +
         "exists (DROP VIEW it first)")
-    val partCols = partitions.map { t =>
+    // PARTITIONED BY accepts identity columns (hive fragments) and ONE
+    // bucket(N, col) transform (hash-bucketed file layout, recorded as
+    // the graft.bucket property — see [[TxTable.bucketSpec]])
+    val (bucketTs, identTs) = partitions.partition(_.name == "bucket")
+    val partCols = identTs.map { t =>
       require(t.name == "identity",
-        s"graft tables support identity partitioning only, got $t")
+        s"graft tables support identity and bucket partitioning only, got $t")
       t.references()(0).fieldNames().mkString(".")
     }.toSeq
+    require(bucketTs.length <= 1,
+      s"at most one bucket(...) transform is supported, got ${bucketTs.length}")
+    val bucketProp = bucketTs.headOption.map { t =>
+      val n = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"bucket transform carries no bucket count: $t"))
+      val c = t.references()(0).fieldNames().mkString(".")
+      "graft.bucket" -> s"$n:$c"
+    }
     val reserved = Set("provider", "location", "owner", "external",
       "comment", "option.path", "path", "is_managed_location")
     // engine-MANAGED keys are reserved too: SHOW CREATE TABLE prints every
@@ -225,7 +240,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val props = properties.asScala.toMap
       .filterNot { case (k, _) =>
-        reserved.contains(k.toLowerCase) || engineManaged(k) }
+        reserved.contains(k.toLowerCase) || engineManaged(k) } ++ bucketProp
     TxTable.create(spark, dir, schema, partCols, props)
     new GraftSqlTable(dir, None, fullName(ident))
   }

@@ -51,7 +51,8 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
       entries: Seq[TxTable.FileEntry],
       statuses: Map[String, FileStatusWithMetadata],
       fullSchema: StructType,
-      partCols: Seq[String])
+      partCols: Seq[String],
+      bucket: Option[(Int, String)])
 
   private def load(): Snapshot = {
     // excludeDv: files carrying a deletion vector are listed by the DV
@@ -96,7 +97,8 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
       val st = fs.getFileStatus(new Path(qualifiedDir, e.path))
       e.path -> FileStatusWithMetadata(st)
     }.toMap
-    Snapshot(entries, statuses, schema, partCols)
+    Snapshot(entries, statuses, schema, partCols,
+      TxTable.bucketSpec(spark, dir))
   }
 
   @volatile private var snap: Snapshot = load()
@@ -272,18 +274,62 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     val ranges = extractRanges(dataFilters)
     val sRanges = extractStringRanges(dataFilters)
     val probes = extractBloomProbes(dataFilters)
+    // 3. bucket pruning — equality/IN on the declared bucket column keeps
+    // only files whose recorded bucket id matches pmod(murmur3(value), N)
+    // (superset semantics: files without a recorded bucket always keep)
+    val buckets = targetBuckets(dataFilters)
     afterPart.map { case (frag, es) =>
       val kept =
-        if (ranges.isEmpty && sRanges.isEmpty && probes.isEmpty) es
+        if (ranges.isEmpty && sRanges.isEmpty && probes.isEmpty &&
+          buckets.isEmpty) es
         else es.filter(e =>
           ranges.forall { case (c, lo, hi) =>
             e.stats.get(c).forall(_.mayContain(lo, hi))
           } && sRanges.forall { case (c, lo, hi) =>
             e.stats.get(c).forall(_.mayContainUtf8(lo, hi))
-          } && bloomKeeps(probes, e))
+          } && bloomKeeps(probes, e) &&
+          buckets.forall(bs =>
+            e.stats.get(TxTable.BucketStatKey)
+              .forall(st => bs.contains(st.min.toInt))))
       PartitionDirectory(partRow(frag), kept.map(e => s.statuses(e.path)))
     }.filter(_.files.nonEmpty)
   }
+
+  /** Bucket ids addressed by the filters' equality/IN predicates on the
+    * declared bucket column — None when the table is unbucketed or no
+    * such predicate exists. */
+  private def targetBuckets(filters: Seq[Expression]): Option[Set[Int]] =
+    snap.bucket.flatMap { case (n, bcol) =>
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other     => Seq(other)
+      }
+      val sets = filters.flatMap(conjuncts).flatMap {
+        case EqualTo(a: AttributeReference, l: Literal)
+            if a.name.equalsIgnoreCase(bcol) && l.value != null =>
+          Some(Set(TxTable.bucketOf(l.value, l.dataType, n)))
+        case EqualTo(l: Literal, a: AttributeReference)
+            if a.name.equalsIgnoreCase(bcol) && l.value != null =>
+          Some(Set(TxTable.bucketOf(l.value, l.dataType, n)))
+        case In(a: AttributeReference, list)
+            if a.name.equalsIgnoreCase(bcol) && list.nonEmpty &&
+              list.forall(e => e.isInstanceOf[Literal] &&
+                e.asInstanceOf[Literal].value != null) =>
+          Some(list.map { e =>
+            val l = e.asInstanceOf[Literal]
+            TxTable.bucketOf(l.value, l.dataType, n)
+          }.toSet)
+        case ins: InSet if ins.child.isInstanceOf[AttributeReference] &&
+            ins.child.asInstanceOf[AttributeReference].name
+              .equalsIgnoreCase(bcol) && ins.hset.nonEmpty &&
+            !ins.hset.contains(null) =>
+          val dt = ins.child.dataType
+          Some(ins.hset.map(v => TxTable.bucketOf(v, dt, n)).toSet)
+        case _ => None
+      }
+      // multiple conjuncts intersect (all must hold)
+      sets.reduceOption(_ intersect _)
+    }
 
   private val NegInf = BigDecimal("-1e308")
   private val PosInf = BigDecimal("1e308")

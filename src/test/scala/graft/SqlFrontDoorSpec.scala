@@ -1768,6 +1768,47 @@ class SqlFrontDoorSpec extends SparkTestBase {
       == srcFiles, "clone DML must not rewrite source files")
   }
 
+  test("bucketed layout: point/IN lookups prune to the key's bucket files; rows identical to unbucketed; zorder refuses") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.bkt")
+    ext.sql("DROP TABLE IF EXISTS graft.db.nobkt")
+    ext.sql("CREATE TABLE graft.db.bkt PARTITIONED BY (bucket(8, id)) AS " +
+      "SELECT id, concat('n', cast(id AS STRING)) AS name FROM range(1000)")
+    ext.sql("CREATE TABLE graft.db.nobkt AS " +
+      "SELECT id, concat('n', cast(id AS STRING)) AS name FROM range(1000)")
+    val dir = s"$lakeRoot/db/bkt"
+    assert(TxTable.bucketSpec(ext, dir).contains((8, "id")))
+    val total = TxTable.liveFilePaths(ext, dir).size
+    assert(total == 8, s"one file per bucket expected, got $total")
+
+    // point lookup scans exactly the key's bucket file (1/N of the files)
+    val point = ext.sql("SELECT name FROM graft.db.bkt WHERE id = 137")
+    assert(scannedFiles(point) == 1, s"scanned ${scannedFiles(point)}")
+    assert(point.head.getString(0) == "n137")
+    // IN-list scans at most one file per distinct bucket
+    val inq = ext.sql("SELECT count(*) FROM graft.db.bkt WHERE id IN (3, 500)")
+    assert(scannedFiles(ext.sql(
+      "SELECT name FROM graft.db.bkt WHERE id IN (3, 500)")) <= 2)
+    assert(inq.head.getLong(0) == 2)
+    // rows identical to the unbucketed twin
+    assert(ext.sql("SELECT id, name FROM graft.db.bkt").collect().toSet ==
+      ext.sql("SELECT id, name FROM graft.db.nobkt").collect().toSet)
+
+    // the invariant survives rewrites: a DELETE re-stages through the
+    // bucket router, so pruning keeps working on the rewritten files
+    ext.sql("DELETE FROM graft.db.bkt WHERE id % 10 = 0")
+    val post = ext.sql("SELECT name FROM graft.db.bkt WHERE id = 137")
+    assert(scannedFiles(post) <= 2, s"scanned ${scannedFiles(post)}")
+    assert(post.head.getString(0) == "n137")
+    assert(ext.sql("SELECT count(*) FROM graft.db.bkt").head.getLong(0) == 900)
+
+    // bucket and z-order clustering are mutually exclusive
+    val e = intercept[Exception] {
+      ext.sql("OPTIMIZE graft.db.bkt ZORDER BY (id)")
+    }
+    assert(e.getMessage.contains("graft.bucket"), e.getMessage)
+  }
+
   test("persistent views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP round-trip; survive a fresh catalog") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.vsrc")
