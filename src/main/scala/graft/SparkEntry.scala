@@ -2535,6 +2535,32 @@ object SparkEntry {
       ext.sql("SELECT o_orderkey, o_custkey, o_totalprice, " +
         s"$total AS total_files, $scanned AS files_scanned " +
         "FROM graft.ddl.orders_bkt WHERE o_custkey = 37")
+    }),
+
+    // q165: generated columns — `day DATE GENERATED ALWAYS AS
+    // (CAST(ts AS DATE))` partitioned by day (the reference's timeline
+    // access path, `setup_target.py:239-240`, as a self-deriving date
+    // layout). The engine COMPUTES day on every insert (explicit values
+    // refuse); the oracle recomputes it from the raw events slice, so the
+    // hash pins every generated value. The raw-predicate partition
+    // derivation (event_ts range → day fragment pruning) is plan-guarded
+    // in SqlFrontDoorSpec. Rebuilt per run (q146 discipline).
+    "q165_sql_generated" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.events_gen")
+      ext.sql("CREATE TABLE graft.ddl.events_gen (" +
+        "ts TIMESTAMP, user_id BIGINT, " +
+        "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+        "PARTITIONED BY (day)")
+      T(ext, dir, "events").filter(col("event_id") % 20 === 0)
+        .createOrReplaceTempView("events_gen_src")
+      ext.sql("INSERT INTO graft.ddl.events_gen (ts, user_id) " +
+        "SELECT ts, user_id FROM events_gen_src")
+      ext.sql("SELECT day, count(*) AS n, " +
+        "count(DISTINCT user_id) AS users, " +
+        "sum(CASE WHEN day = CAST(ts AS DATE) THEN 1 ELSE 0 END) AS consistent " +
+        "FROM graft.ddl.events_gen GROUP BY day")
     })
   )
 
@@ -4441,6 +4467,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT), 'v1'
         |FROM nation""".stripMargin,
+
+    // q165: the generated day column replays as a plain date cast over
+    // the same events slice — n/users/consistent pin every value.
+    "q165_sql_generated" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |       count(DISTINCT user_id) AS users,
+        |       count(*) AS consistent
+        |FROM events WHERE event_id % 20 = 0
+        |GROUP BY 1""".stripMargin,
 
     // q164: the bucket-pruned lookup returns exactly the customer's
     // orders, and the plan evidence literals pin 1 file scanned of 8.

@@ -1491,7 +1491,42 @@ object TxTable {
     * never double-allocate (the Delta identity-column design). */
   private val IdentityPropPrefix = "graft.identity."
 
-  // ----------------------------------------------------- COLUMN DEFAULTS
+  // --------------------------------------------------- GENERATED COLUMNS
+
+  /** `GENERATED ALWAYS AS (<expr>)` columns (`graft.generated.<col>` =
+    * the expression SQL): the engine COMPUTES the column on every insert
+    * (explicit values refuse loudly — the expression is the single
+    * source of truth), and when the column is also a PARTITION column,
+    * raw predicates on the expression's SOURCE column auto-derive
+    * partition pruning at the [[graft.sql.GraftFileIndex]] seam (the
+    * Delta generated-column pruning trick): `WHERE event_ts BETWEEN a
+    * AND b` prunes `day=...` fragments without the query ever naming
+    * `day`. Derivation is supported for the monotonic date shapes
+    * `date(src)` / `to_date(src)` / `cast(src as date)`; any other
+    * expression still computes correctly, it just doesn't derive. */
+  private val GeneratedPropPrefix = "graft.generated."
+
+  /** column → generation expression SQL, as of head. */
+  private[graft] def generatedSpecs(spark: SparkSession,
+                                    dir: String): Map[String, String] =
+    tableProperties(spark, dir).collect {
+      case (k, v) if k.startsWith(GeneratedPropPrefix) && v.nonEmpty =>
+        k.stripPrefix(GeneratedPropPrefix) -> v
+    }
+
+  /** (generated partition column, source column) for the derivable date
+    * shapes — the read side's pruning contract. */
+  private[graft] def dateDerivedSource(exprSql: String): Option[String] = {
+    val s = exprSql.toLowerCase(java.util.Locale.ROOT)
+      .replace("`", "").replaceAll("\\s+", "")
+    val m1 = "^(?:date|to_date)\\((\\w+)\\)$".r
+    val m2 = "^cast\\((\\w+)asdate\\)$".r
+    s match {
+      case m1(c) => Some(c)
+      case m2(c) => Some(c)
+      case _ => None
+    }
+  }
 
   /** Property keys for column DEFAULT values (the reference's pervasive
     * DDL idiom — `setup_target.py:17-20,78-79,102,130,152,172-180,204,
@@ -1726,7 +1761,12 @@ object TxTable {
       case (k, v) if k.startsWith(IdentityPropPrefix) =>
         k.stripPrefix(IdentityPropPrefix) -> parseIdentity(v, k)
     }.toMap
-    if (identitySpecs(spark, dir).isEmpty && extraSpecs.isEmpty) {
+    val extraGenerated = extraProps.collect {
+      case (k, v) if k.startsWith(GeneratedPropPrefix) && v.nonEmpty =>
+        k.stripPrefix(GeneratedPropPrefix) -> v
+    }.toMap
+    if (identitySpecs(spark, dir).isEmpty && extraSpecs.isEmpty &&
+      generatedSpecs(spark, dir).isEmpty && extraGenerated.isEmpty) {
       if (overwrite) replace(spark, dir, df, partitionCols, txn = txn,
         extraProps = extraProps)
       else append(spark, dir, df, partitionCols, txn = txn,
@@ -1735,7 +1775,8 @@ object TxTable {
     }
     withRetry() {
       val head = headVersion(spark, dir)
-      require(head.isDefined || extraSpecs.nonEmpty, s"no TxTable at $dir")
+      require(head.isDefined || extraSpecs.nonEmpty || extraGenerated.nonEmpty,
+        s"no TxTable at $dir")
       // statement-declared specs win over stored ones (RTAS re-declares
       // the table wholesale); re-read stored state per retry attempt
       val fresh = identitySpecs(spark, dir) ++ extraSpecs
@@ -1773,6 +1814,23 @@ object TxTable {
               sp.copy(next = sp.next + sp.step * n).render
           }
         }
+      }
+      // GENERATED ALWAYS AS (<expr>): the engine computes the column —
+      // explicit values refuse loudly (the expression is the single
+      // source of truth; omit the column or insert NULL)
+      val gens = generatedSpecs(spark, dir) ++ extraGenerated
+      gens.toSeq.sortBy(_._1).foreach { case (c, exprSql) =>
+        val dt = declared.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        val hasValues = frame.columns.exists(_.equalsIgnoreCase(c)) &&
+          frame.filter(col(c).isNotNull).limit(1).count() > 0
+        require(!hasValues,
+          s"column `$c` of $dir is GENERATED ALWAYS AS ($exprSql) — " +
+            "explicit values are not allowed; omit the column (or insert " +
+            "NULL) and the engine computes it")
+        val computed = dt.fold(org.apache.spark.sql.functions.expr(exprSql))(
+          t => org.apache.spark.sql.functions.expr(exprSql).cast(t))
+        frame = frame.drop(frame.columns.filter(_.equalsIgnoreCase(c)): _*)
+          .withColumn(c, computed)
       }
       enforceConstraints(spark, dir, frame)
       val fs = hadoopFs(spark, dir)
@@ -1951,6 +2009,38 @@ object TxTable {
             s.getStep, s.isAllowExplicitInsert, s.getStart).render
         }
     }.toSeq
+    // GENERATED ALWAYS AS (<expr>) — the expression SQL rides field
+    // metadata from the V2 CREATE path (or arrives as a graft.generated.*
+    // TBLPROPERTY); validate it references declared columns NOW
+    val generatedProps = schema.fields.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map { exprSql =>
+          (GeneratedPropPrefix + f.name) -> exprSql
+        }
+    }.toSeq
+    (generatedProps ++ props.toSeq.filter(_._1.startsWith(GeneratedPropPrefix)))
+      .foreach { case (k, exprSql) =>
+        val c = k.stripPrefix(GeneratedPropPrefix)
+        require(names.contains(c),
+          s"generated property $k names no declared column of $dir")
+        val parsed = try
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(exprSql)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"generation expression for `$c` does not parse: $exprSql", e)
+        }
+        val refs = parsed.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name }
+        val unknown = refs.filterNot(r =>
+          names.exists(_.equalsIgnoreCase(r)))
+        require(unknown.isEmpty,
+          s"generation expression for `$c` references unknown column(s) " +
+            s"${unknown.mkString(", ")}: $exprSql")
+        require(!refs.exists(_.equalsIgnoreCase(c)),
+          s"generation expression for `$c` references itself: $exprSql")
+      }
     val fs = hadoopFs(spark, dir)
     // pinned to slot 1 (expectedHead = 0): two racing CREATE TABLEs both
     // pass the exists() check above, and a free-slot append retry would
@@ -1962,7 +2052,8 @@ object TxTable {
       (declaredShapeProps(fs, dir,
         schema.fields.map(f => StructField(f.name, f.dataType)).toSeq,
         partitionCols) ++ (props.toSeq ++ notNull).sortBy(_._1) ++
-        (identityProps ++ defaultProps).sortBy(_._1))), // after props: metadata wins collisions
+        (identityProps ++ defaultProps ++ generatedProps)
+          .sortBy(_._1))), // after props: metadata wins collisions
       expectedHead = Some(0L))
   }
 
@@ -2091,11 +2182,24 @@ object TxTable {
   private val BranchesDirName = "_graft_branches"
   private val BranchBaseProp = "graft.branch.base"
 
+  /** Ref lifecycle events surface in the TABLE's own history (one
+    * props-only commit per event, `graft.ref.last_event` = what
+    * happened): `DESCRIBE HISTORY` / the graft_history TVF shows branch
+    * and tag churn next to the data commits it brackets. */
+  private val RefEventProp = "graft.ref.last_event"
+  private def recordRefEvent(spark: SparkSession, dir: String,
+                             what: String): Unit =
+    commitProps(spark, dir, Map(RefEventProp -> what))
+
   def createBranch(spark: SparkSession, dir: String, name: String): Long = {
     requireMappableName(name, "branch")
     require(exists(spark, dir), s"no TxTable at $dir")
     val bd = branchDirOf(dir, name)
     require(!exists(spark, bd), s"branch `$name` already exists on $dir")
+    // the event marker commits FIRST: it advances main's head, and the
+    // branch must base on the post-marker head or its own fast-forward
+    // publish would refuse against the marker
+    recordRefEvent(spark, dir, s"branch `$name` created")
     val base = headVersion(spark, dir).get
     cloneShallow(spark, dir, bd,
       extraProps = Seq(BranchBaseProp -> base.toString))
@@ -2122,7 +2226,9 @@ object TxTable {
     val fs = hadoopFs(spark, dir)
     val bd = new Path(branchDirOf(dir, name))
     require(fs.exists(bd), s"no branch `$name` on $dir")
-    fs.delete(bd, true)
+    val ok = fs.delete(bd, true)
+    if (ok) recordRefEvent(spark, dir, s"branch `$name` dropped (reclaimed)")
+    ok
   }
 
   /** Fast-forward publish: replay the branch's commits (everything above
@@ -2212,6 +2318,8 @@ object TxTable {
     // the branch's batches moved into main; what remains (log + seed) is
     // unreferenced — reclaim the ref
     fs.delete(bdPath, true)
+    recordRefEvent(spark, dir,
+      s"branch `$name` published ($published commits) and reclaimed")
     published
   }
 
@@ -2234,6 +2342,7 @@ object TxTable {
     fs.mkdirs(p.getParent)
     val out = fs.create(p, false) // refuse overwrite: tags never move
     try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+    recordRefEvent(spark, dir, s"tag `$name` created at version $v")
     v
   }
 
@@ -2265,7 +2374,9 @@ object TxTable {
     val fs = hadoopFs(spark, dir)
     val p = tagPath(dir, name)
     require(fs.exists(p), s"no tag `$name` on $dir")
-    fs.delete(p, false)
+    val ok = fs.delete(p, false)
+    if (ok) recordRefEvent(spark, dir, s"tag `$name` dropped (reclaimed)")
+    ok
   }
 
   // ------------------------------------------------------------- ANALYZE

@@ -68,7 +68,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // delivers it on the Column/TableChange; TxTable persists it as
       // the versioned graft.default.* properties
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // GENERATED ALWAYS AS (<expr>) columns: computed on every insert,
+      // and (for the date shapes) partition-pruning-derivable — see
+      // TxTable.generatedSpecs / GraftFileIndex
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private[sql] def tableDir(ident: Identifier): String = {
     // branch addressing: `t@exp1` (quoted: graft.db.`t@exp1`) resolves to
@@ -175,6 +180,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s.isAllowExplicitInsert)
           .build())
       }.getOrElse(f)
+      // GENERATED ALWAYS AS (<expr>): the expression SQL rides to
+      // TxTable.create as the standard metadata key
+      val withGen = Option(c.generationExpression()).filter(_.nonEmpty)
+        .map { g =>
+          withIdent.copy(metadata =
+            new MetadataBuilder().withMetadata(withIdent.metadata)
+              .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+                .GENERATION_EXPRESSION_METADATA_KEY, g)
+              .build())
+        }.getOrElse(withIdent)
       // DEFAULT clause: Spark already analyzed it — getSql() is the
       // CURRENT default text (re-resolved per INSERT, so NOW() stamps
       // each statement), getValue() the constant-folded EXISTENCE literal
@@ -183,14 +198,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new UnsupportedOperationException(
             s"column ${c.name}: DEFAULT without SQL text is not supported"))
         val exSql = GraftCatalog.literalSql(d.getValue)
-        withIdent.copy(metadata =
-          new MetadataBuilder().withMetadata(withIdent.metadata)
+        withGen.copy(metadata =
+          new MetadataBuilder().withMetadata(withGen.metadata)
             .putString(
               ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, curSql)
             .putString(
               ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, exSql)
             .build())
-      }.getOrElse(withIdent)
+      }.getOrElse(withGen)
     })
     createTable(ident, schema, partitions, properties)
   }

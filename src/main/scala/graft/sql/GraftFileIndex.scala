@@ -52,7 +52,10 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
       statuses: Map[String, FileStatusWithMetadata],
       fullSchema: StructType,
       partCols: Seq[String],
-      bucket: Option[(Int, String)])
+      bucket: Option[(Int, String)],
+      // lowercased SOURCE column → generated DATE partition column, for
+      // the derivable shapes (date(src)/to_date(src)/cast(src as date))
+      genDerived: Map[String, String])
 
   private def load(): Snapshot = {
     // excludeDv: files carrying a deletion vector are listed by the DV
@@ -97,8 +100,14 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
       val st = fs.getFileStatus(new Path(qualifiedDir, e.path))
       e.path -> FileStatusWithMetadata(st)
     }.toMap
+    val genDerived = TxTable.generatedSpecs(spark, dir).flatMap {
+      case (g, e) if partCols.exists(_.equalsIgnoreCase(g)) =>
+        TxTable.dateDerivedSource(e)
+          .map(src => src.toLowerCase(java.util.Locale.ROOT) -> g)
+      case _ => None
+    }
     Snapshot(entries, statuses, schema, partCols,
-      TxTable.bucketSpec(spark, dir))
+      TxTable.bucketSpec(spark, dir), genDerived)
   }
 
   @volatile private var snap: Snapshot = load()
@@ -268,17 +277,54 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
         pred.initialize(0)
         groups.filter { case (frag, _) => pred.eval(partRow(frag)) }
       }
+    // 1b. generated-column partition derivation (the Delta trick): a raw
+    // range/point predicate on `event_ts` prunes `day = date(event_ts)`
+    // fragments without the query ever naming `day`. Superset semantics
+    // (the raw predicate stays in the plan): the date cast is monotonic
+    // in the session timezone, so ts ∈ [lo, hi] ⇒ date(ts) ∈
+    // [date(lo), date(hi)] — fragments outside that day window can hold
+    // no matching row.
+    val preRanges = extractRanges(dataFilters)
+    val afterDerived =
+      if (s.genDerived.isEmpty) afterPart
+      else {
+        val ps = partitionSchema
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        def daysOf(bd: BigDecimal, low: Boolean): Int =
+          if (low && bd <= NegInf) Int.MinValue
+          else if (!low && bd >= PosInf) Int.MaxValue
+          else try org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              bd.toLong, TimestampType), DateType, Some(tz))
+            .eval(null).asInstanceOf[Int]
+          catch { case _: Throwable => if (low) Int.MinValue else Int.MaxValue }
+        val windows = preRanges.flatMap { case (c, lo, hi) =>
+          s.genDerived.get(c.toLowerCase(java.util.Locale.ROOT)).map { g =>
+            (g, daysOf(lo, low = true), daysOf(hi, low = false))
+          }
+        }
+        if (windows.isEmpty) afterPart
+        else afterPart.filter { case (frag, _) =>
+          val row = partRow(frag)
+          windows.forall { case (g, dlo, dhi) =>
+            val i = ps.indexWhere(_.name.equalsIgnoreCase(g))
+            i < 0 || ps(i).dataType != DateType || row.isNullAt(i) || {
+              val d = row.getInt(i); d >= dlo && d <= dhi
+            }
+          }
+        }
+      }
     // 2. log-level stats skipping + Bloom-sidecar point pruning —
     // superset semantics (data filters stay in the plan), so unsupported
     // shapes simply skip nothing
-    val ranges = extractRanges(dataFilters)
+    val ranges = preRanges
     val sRanges = extractStringRanges(dataFilters)
     val probes = extractBloomProbes(dataFilters)
     // 3. bucket pruning — equality/IN on the declared bucket column keeps
     // only files whose recorded bucket id matches pmod(murmur3(value), N)
     // (superset semantics: files without a recorded bucket always keep)
     val buckets = targetBuckets(dataFilters)
-    afterPart.map { case (frag, es) =>
+    afterDerived.map { case (frag, es) =>
       val kept =
         if (ranges.isEmpty && sRanges.isEmpty && probes.isEmpty &&
           buckets.isEmpty) es

@@ -1657,7 +1657,8 @@ class SqlFrontDoorSpec extends SparkTestBase {
     // branch from head (v2); stage a risky backfill ON THE BRANCH
     val base = ext.sql("CALL graft.system.create_branch('db.wap', 'bf')")
       .head.getLong(0)
-    assert(base == 2L)
+    // CTAS (v1) + INSERT (v2) + the branch-created history marker (v3)
+    assert(base == 3L)
     ext.sql("INSERT INTO graft.db.`wap@bf` SELECT id, id * 2 FROM range(150, 200)")
     ext.sql("DELETE FROM graft.db.`wap@bf` WHERE id < 10")
     // audit: the branch sees the backfill...
@@ -1666,7 +1667,7 @@ class SqlFrontDoorSpec extends SparkTestBase {
     // ...while MAIN keeps serving the pre-branch state, untouched
     assert(ext.sql("SELECT count(*) FROM graft.db.wap").head.getLong(0) == 150)
     assert(TxTable.liveFilePaths(ext, dir).toSet == mainFilesBefore)
-    assert(TxTable.listBranches(ext, dir) == Seq("bf" -> 2L))
+    assert(TxTable.listBranches(ext, dir) == Seq("bf" -> 3L))
 
     // publish: fast-forward, zero file copies (branch batches RENAME in)
     val published = ext.sql(
@@ -1807,6 +1808,98 @@ class SqlFrontDoorSpec extends SparkTestBase {
       ext.sql("OPTIMIZE graft.db.bkt ZORDER BY (id)")
     }
     assert(e.getMessage.contains("graft.bucket"), e.getMessage)
+  }
+
+  test("generated columns: engine computes the expression, partitions by it, and raw source predicates prune date fragments") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.gen")
+    // the reference's timeline access path (setup_target.py:239-240
+    // indexes event_time; SURVEY §4 maps it to date partitioning) — here
+    // the partition column DERIVES from the timestamp automatically
+    ext.sql("CREATE TABLE graft.db.gen (" +
+      "event_ts TIMESTAMP, v INT, " +
+      "day DATE GENERATED ALWAYS AS (CAST(event_ts AS DATE))) " +
+      "PARTITIONED BY (day)")
+    val dir = s"$lakeRoot/db/gen"
+    assert(TxTable.generatedSpecs(ext, dir).keySet == Set("day"))
+    ext.sql("INSERT INTO graft.db.gen (event_ts, v) VALUES " +
+      "(TIMESTAMP'2024-01-01 10:00:00', 1), " +
+      "(TIMESTAMP'2024-01-02 11:00:00', 2), " +
+      "(TIMESTAMP'2024-01-03 12:00:00', 3), " +
+      "(TIMESTAMP'2024-01-04 13:00:00', 4), " +
+      "(TIMESTAMP'2024-01-05 14:00:00', 5)")
+    // the engine computed the column
+    assert(ext.sql("SELECT count(*) FROM graft.db.gen " +
+      "WHERE day = CAST(event_ts AS DATE)").head.getLong(0) == 5)
+    assert(ext.sql("SELECT cast(day AS STRING) FROM graft.db.gen WHERE v = 3")
+      .head.getString(0) == "2024-01-03")
+    // explicit values refuse loudly — the expression is the truth
+    val e = intercept[Exception] {
+      ext.sql("INSERT INTO graft.db.gen VALUES " +
+        "(TIMESTAMP'2024-01-06 10:00:00', 6, DATE'1999-12-31')")
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // partition-pruning derivation: a RAW range predicate on event_ts
+    // prunes day fragments the query never names
+    val total = TxTable.liveFilePaths(ext, dir).size
+    assert(total == 5, s"one file per day expected, got $total")
+    val q = ext.sql("SELECT v FROM graft.db.gen WHERE event_ts BETWEEN " +
+      "TIMESTAMP'2024-01-02 00:00:00' AND TIMESTAMP'2024-01-03 23:59:00'")
+    assert(scannedFiles(q) == 2, s"scanned ${scannedFiles(q)} of $total")
+    assert(q.collect().map(_.getInt(0)).toSet == Set(2, 3))
+    // a point predicate derives a one-day window
+    val p = ext.sql("SELECT v FROM graft.db.gen " +
+      "WHERE event_ts = TIMESTAMP'2024-01-04 13:00:00'")
+    assert(scannedFiles(p) == 1, s"scanned ${scannedFiles(p)}")
+    assert(p.head.getInt(0) == 4)
+    // SHOW CREATE TABLE keeps the declaration re-runnable
+    val ddl = ext.sql("SHOW CREATE TABLE graft.db.gen").head.getString(0)
+    assert(ddl.contains("graft.generated.day") || ddl.toUpperCase.contains("GENERATED"), ddl)
+    ext.sql("DROP TABLE IF EXISTS graft.db.gen2")
+    ext.sql(ddl.replace("graft.db.gen", "graft.db.gen2"))
+    ext.sql("INSERT INTO graft.db.gen2 (event_ts, v) VALUES " +
+      "(TIMESTAMP'2024-02-01 09:00:00', 9)")
+    assert(ext.sql("SELECT cast(day AS STRING) FROM graft.db.gen2")
+      .head.getString(0) == "2024-02-01")
+  }
+
+  test("ref metadata reclaim: dropped views and branches leave no files; ref lifecycle shows in graft_history") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.refrec")
+    ext.sql("CREATE TABLE graft.db.refrec AS SELECT id FROM range(10)")
+    val dir = s"$lakeRoot/db/refrec"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(ext.sparkContext.hadoopConfiguration)
+
+    // DROP VIEW reclaims the view file from disk
+    ext.sql("DROP VIEW IF EXISTS graft.db.v_refrec")
+    ext.sql("CREATE VIEW graft.db.v_refrec AS SELECT id FROM graft.db.refrec")
+    val viewsDir = new org.apache.hadoop.fs.Path(s"$lakeRoot/db/_graft_views")
+    def viewFiles() =
+      if (!fs.exists(viewsDir)) Seq.empty
+      else fs.listStatus(viewsDir).map(_.getPath.getName).toSeq
+    assert(viewFiles().nonEmpty)
+    val before = viewFiles().size
+    ext.sql("DROP VIEW graft.db.v_refrec")
+    assert(viewFiles().size == before - 1,
+      "DROP VIEW must reclaim the view file")
+
+    // branch + tag lifecycle events surface in the table's own history
+    ext.sql("CALL graft.system.create_branch('db.refrec', 'tmp')")
+    ext.sql("CALL graft.system.drop_branch('db.refrec', 'tmp')")
+    ext.sql("CALL graft.system.create_tag('db.refrec', 't1')")
+    ext.sql("CALL graft.system.drop_tag('db.refrec', 't1')")
+    // the branch dir is gone from disk
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_branches/tmp")), "drop_branch must reclaim the dir")
+    // graft_history carries one row per lifecycle event (props commits)
+    val hist = ext.sql(s"SELECT n_props FROM graft_history('$dir')")
+      .collect().map(_.getLong(0)).toSeq
+    // create_branch + drop_branch + create_tag + drop_tag = 4 marker
+    // commits on top of the CTAS
+    assert(hist.count(_ > 0) >= 4, s"history props rows: $hist")
+    val ev = TxTable.tableProperties(ext, dir).get("graft.ref.last_event")
+    assert(ev.exists(_.contains("dropped")), ev.toString)
   }
 
   test("persistent views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP round-trip; survive a fresh catalog") {
