@@ -421,11 +421,14 @@ object Streams {
     /** Streaming top-k-rows fold: the per-group leaderboard as persisted
       * state. Each batch cuts its own per-group top-k with the bounded-
       * heap aggregate ([[graft.functions.SketchAggs.topkRows]]), unions
-      * the prior state, and re-cuts — correct because a union of
-      * per-subset top-k's contains the global top-k, and idempotent under
-      * redelivery because the heap deduplicates identical (val, tie)
-      * pairs (ties are unique row ids carrying one value each). State
-      * bytes O(groups·k) forever, however long the stream. */
+      * the prior state, DEDUPLICATES, and re-cuts — correct because a
+      * union of per-subset top-k's contains the global top-k, and
+      * idempotent under redelivery because a redelivered row meeting its
+      * own carried copy in the state collapses in the explicit
+      * `.distinct()` (the heap itself is a MULTISET — exact duplicate
+      * rows rank like the window — so the fold must dedupe, not the
+      * aggregate). State bytes O(groups·k) forever, however long the
+      * stream. */
     def topkRowsFold(stateDir: String, group: String, value: String,
         tie: String, k: Int, tx: Boolean = txEnabled())
         : (SparkSession, DataFrame, Long) => Unit = (s, batch, _) => {
@@ -435,7 +438,8 @@ object Streams {
         .select(col("group_key"), col("tie"), col("val"))
       val folded = (MergeSink.readAny(s, stateDir) match {
         case Some(p) => SketchAggs.topkRows(
-          p.select(col("group_key"), col("tie"), col("val")).unionByName(bTop),
+          p.select(col("group_key"), col("tie"), col("val"))
+            .unionByName(bTop).distinct(),
           Seq(col("group_key")), col("val"), col("tie"), k)
           .select(col("group_key"), col("tie"), col("val"))
         case None => bTop
