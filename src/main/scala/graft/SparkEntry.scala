@@ -2561,6 +2561,51 @@ object SparkEntry {
         "count(DISTINCT user_id) AS users, " +
         "sum(CASE WHEN day = CAST(ts AS DATE) THEN 1 ELSE 0 END) AS consistent " +
         "FROM graft.ddl.events_gen GROUP BY day")
+    }),
+
+    // q166: the storage-partitioned join — two tables bucketed
+    // bucket(8, custkey) join AND aggregate on the bucket key with ZERO
+    // shuffles: the scan reports HashPartitioning from the verified
+    // bucket layout (Spark-standard _NNNNN file suffixes), so the join
+    // needs no exchange on either side and the per-customer rollup
+    // reuses the same partitioning. The shuffle count is measured from
+    // the EXECUTED plan (AQE/broadcast off so it is concrete) and rides
+    // the hash as a literal — the oracle pins 0, so any regression that
+    // reintroduces an exchange hash-fails; the rollup values prove the
+    // exchange-free plan computes the exact same answer. At 100 TB this
+    // is THE repeated-join shuffle eliminator: two huge tables
+    // co-bucketed on their join key shuffle zero bytes, forever.
+    "q166_sql_spj" -> ((s, dir) => {
+      val ext = sqlLakeSession(s, dir)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.ord_bkt")
+      ext.sql("DROP TABLE IF EXISTS graft.ddl.cust_bkt")
+      ext.sql("CREATE TABLE graft.ddl.ord_bkt " +
+        "PARTITIONED BY (bucket(8, o_custkey)) AS " +
+        "SELECT o_orderkey, o_custkey FROM graft.lake.orders")
+      T(ext, dir, "customer").select("c_custkey", "c_name")
+        .createOrReplaceTempView("spj_customer_src")
+      ext.sql("CREATE TABLE graft.ddl.cust_bkt " +
+        "PARTITIONED BY (bucket(8, c_custkey)) AS " +
+        "SELECT c_custkey, c_name FROM spj_customer_src")
+      val qText = "SELECT c.c_custkey, max(c.c_name) AS c_name, " +
+        "count(*) AS n_orders, sum(o.o_orderkey) AS sum_key " +
+        "FROM graft.ddl.ord_bkt o JOIN graft.ddl.cust_bkt c " +
+        "ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey"
+      val savedB = ext.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedA = ext.conf.get("spark.sql.adaptive.enabled")
+      val shuffles = try {
+        ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ext.conf.set("spark.sql.adaptive.enabled", "false")
+        ext.sql(qText).queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+      } finally {
+        ext.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+        ext.conf.set("spark.sql.adaptive.enabled", savedA)
+      }
+      ext.sql(qText).withColumn("shuffles",
+        lit(shuffles).cast("int"))
     })
   )
 
@@ -4476,6 +4521,15 @@ object SparkEntry {
         |       count(*) AS consistent
         |FROM events WHERE event_id % 20 = 0
         |GROUP BY 1""".stripMargin,
+
+    // q166: the co-bucketed join+rollup replays relationally, with the
+    // measured shuffle count pinned at ZERO.
+    "q166_sql_spj" ->
+      """SELECT c.c_custkey, max(c.c_name) AS c_name,
+        |       count(*) AS n_orders, sum(o.o_orderkey) AS sum_key,
+        |       CAST(0 AS INT) AS shuffles
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey""".stripMargin,
 
     // q164: the bucket-pruned lookup returns exactly the customer's
     // orders, and the plan evidence literals pin 1 file scanned of 8.

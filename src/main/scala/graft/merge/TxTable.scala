@@ -769,6 +769,34 @@ object TxTable {
     // listFiles returns fully-qualified paths (file:/…); qualify the prefix
     // the same way or the relativization silently produces garbage
     val qualified = fs.makeQualified(stagingDir)
+    // bucketed layout: rename each part file to carry Spark's bucket-id
+    // suffix (`..._00003.snappy.parquet`) so the SQL scan can report
+    // HashPartitioning(col, N) and a join of two same-bucketed tables
+    // skips BOTH shuffles (the storage-partitioned join). The writer
+    // partition index IS the bucket id (see the stats note below).
+    if (bSpec.isDefined) {
+      val rit = fs.listFiles(qualified, true)
+      val renames = Seq.newBuilder[(Path, Path)]
+      while (rit.hasNext) {
+        val p = rit.next().getPath
+        val name = p.getName
+        if (name.endsWith(".parquet") &&
+          org.apache.spark.sql.execution.datasources.BucketingUtils
+            .getBucketId(name).isEmpty) {
+          BucketFilePattern.findFirstMatchIn(name).foreach { m =>
+            val idx = m.group(1).toInt
+            val dot = name.indexOf('.')
+            val renamed =
+              if (dot < 0) f"${name}_$idx%05d"
+              else f"${name.substring(0, dot)}_$idx%05d${name.substring(dot)}"
+            renames += ((p, new Path(p.getParent, renamed)))
+          }
+        }
+      }
+      renames.result().foreach { case (from, to) =>
+        require(fs.rename(from, to), s"bucket-suffix rename $from failed")
+      }
+    }
     val it = fs.listFiles(qualified, true)
     val files = Seq.newBuilder[FileEntry]
     while (it.hasNext) {

@@ -341,6 +341,28 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     }.filter(_.files.nonEmpty)
   }
 
+  /** The `BucketSpec` the SQL relation may advertise — the storage-
+    * partitioned-join enabler: with it, `FileSourceScanExec` reports
+    * `HashPartitioning(col, N)` (grouping files by the bucket id in
+    * their Spark-standard `_NNNNN` name suffix), so a join or
+    * aggregation keyed on the bucket column skips its shuffle entirely.
+    * Only advertised when EVERY listed file carries a parseable suffix
+    * that AGREES with the log's recorded bucket id — a table with
+    * pre-bucketing files (or adopted/cloned entries) falls back to the
+    * plain scan, still index-level bucket-PRUNED, never wrong. */
+  lazy val scanBucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+    snap.bucket.filter { _ =>
+      snap.entries.nonEmpty && snap.entries.forall { e =>
+        val name = e.path.substring(e.path.lastIndexOf('/') + 1)
+        val suffix = org.apache.spark.sql.execution.datasources
+          .BucketingUtils.getBucketId(name)
+        val recorded = e.stats.get(TxTable.BucketStatKey).map(_.min.toInt)
+        suffix.isDefined && suffix == recorded
+      }
+    }.map { case (n, c) =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil)
+    }
+
   /** Bucket ids addressed by the filters' equality/IN predicates on the
     * declared bucket column — None when the table is unbucketed or no
     * such predicate exists. */

@@ -29,7 +29,10 @@ object GraftSql {
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = index.dataSchema,
-      bucketSpec = None,
+      // declared + file-verified bucket layout surfaces as a Spark
+      // bucketed scan: HashPartitioning output, storage-partitioned
+      // joins/aggs on the bucket column skip their shuffle
+      bucketSpec = index.scanBucketSpec,
       fileFormat = new ParquetFileFormat,
       options = Map.empty[String, String])(spark)
   }

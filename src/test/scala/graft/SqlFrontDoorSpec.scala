@@ -1902,6 +1902,61 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(ev.exists(_.contains("dropped")), ev.toString)
   }
 
+  test("storage-partitioned join: two same-bucketed tables join with ZERO shuffles; agg on the bucket key skips its exchange") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.spj_a")
+    ext.sql("DROP TABLE IF EXISTS graft.db.spj_b")
+    ext.sql("DROP TABLE IF EXISTS graft.db.spj_plain")
+    ext.sql("CREATE TABLE graft.db.spj_a PARTITIONED BY (bucket(8, k)) AS " +
+      "SELECT id AS k, id * 3 AS va FROM range(2000)")
+    ext.sql("CREATE TABLE graft.db.spj_b PARTITIONED BY (bucket(8, k)) AS " +
+      "SELECT id AS k, id * 7 AS vb FROM range(1000)")
+    ext.sql("CREATE TABLE graft.db.spj_plain AS " +
+      "SELECT id AS k, id * 7 AS vb FROM range(1000)")
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+    val saved = ext.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = ext.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force a real (non-broadcast) join so the exchange question is
+      // live, and disable AQE so executedPlan is concrete (an
+      // AdaptiveSparkPlan wrapper hides its children from collect until
+      // materialization — the shuffle count would be vacuously zero)
+      ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ext.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = ext.sql("SELECT a.k, a.va, b.vb FROM graft.db.spj_a a " +
+        "JOIN graft.db.spj_b b ON a.k = b.k")
+      assert(shuffles(joined) == 0,
+        s"expected ZERO shuffles for the co-bucketed join, got ${shuffles(joined)}:\n" +
+          joined.queryExecution.executedPlan)
+      // and the result is exactly the plain join's
+      val plain = ext.sql("SELECT a.k, a.va, b.vb FROM graft.db.spj_a a " +
+        "JOIN graft.db.spj_plain b ON a.k = b.k")
+      assert(shuffles(plain) > 0, "the unbucketed twin must shuffle")
+      assert(joined.collect().toSet == plain.collect().toSet)
+      assert(joined.count() == 1000)
+      // aggregation keyed on the bucket column: no exchange either
+      val agg = ext.sql("SELECT k, sum(va) FROM graft.db.spj_a GROUP BY k")
+      assert(shuffles(agg) == 0,
+        s"expected zero shuffles for the bucket-key agg:\n" +
+          agg.queryExecution.executedPlan)
+      assert(agg.count() == 2000)
+      // a second append keeps the layout: multiple files per bucket still
+      // scan as one bucketed partition, join stays exchange-free
+      ext.sql("INSERT INTO graft.db.spj_a SELECT id AS k, id * 3 FROM " +
+        "range(2000, 2500)")
+      val joined2 = ext.sql("SELECT a.k, a.va, b.vb FROM graft.db.spj_a a " +
+        "JOIN graft.db.spj_b b ON a.k = b.k")
+      assert(shuffles(joined2) == 0, joined2.queryExecution.executedPlan.toString)
+      assert(joined2.count() == 1000)
+    } finally {
+      ext.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      ext.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("persistent views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP round-trip; survive a fresh catalog") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.vsrc")
