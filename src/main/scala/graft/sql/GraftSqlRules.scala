@@ -630,6 +630,67 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     requireKeyNoop(insertA, "INSERT VALUES")
     val realUpdates = updateA.keySet.filterNot(keyM.contains)
 
+    // GENERATED ALWAYS AS (<expr>) columns under MERGE: the expression is
+    // the single source of truth — explicit values refuse (like identity
+    // ALWAYS); an INSERT computes the expression over the inserted
+    // values; an UPDATE that changes a generation SOURCE recomputes it
+    // (every source the expression reads must be an updated column or an
+    // ON key — otherwise the recompute would need the target row, which
+    // a keyed merge's SET values cannot reference: refuse loudly).
+    val genSpecs = TxTable.generatedSpecs(session, t.dir)
+    var updateAG = updateA
+    var insertAG = insertA
+    var realUpdatesG = realUpdates
+    genSpecs.toSeq.sortBy(_._1).foreach { case (g, exprSql) =>
+      def named(m: Map[String, (String, Option[String])], n: String) =
+        m.find(_._1.equalsIgnoreCase(n)).map(_._2._1)
+      def keyed(n: String) = keyM.find(_._1.equalsIgnoreCase(n)).map(_._2)
+      if (updateA.keys.exists(_.equalsIgnoreCase(g)) ||
+        insertA.keys.exists(_.equalsIgnoreCase(g)) ||
+        keyM.keys.exists(_.equalsIgnoreCase(g)))
+        unsupported(s"an explicit value for generated column `$g` " +
+          s"(GENERATED ALWAYS AS ($exprSql)) — omit it; the engine " +
+          "computes it")
+      val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(exprSql)
+      val refs = parsed.collect {
+        case a: UnresolvedAttribute => a.name }.distinct
+      def subst(lookup: String => Option[String],
+                missingToNull: Boolean): Option[String] = {
+        var ok = true
+        val e2 = parsed.transform {
+          case a: UnresolvedAttribute =>
+            lookup(a.name).orElse(keyed(a.name)) match {
+              case Some(v) => org.apache.spark.sql.catalyst.parser
+                .CatalystSqlParser.parseExpression(s"($v)")
+              case None if missingToNull =>
+                org.apache.spark.sql.catalyst.expressions.Literal(null)
+              case None => ok = false; a
+            }
+        }
+        if (ok) Some(e2.sql) else None
+      }
+      if (insertSets.isDefined) {
+        // a source column the INSERT omits is NULL in the inserted row —
+        // the computed expression sees exactly that
+        val gi = subst(n => named(insertA, n), missingToNull = true).get
+        insertAG = insertAG + (g -> ((gi, Option.empty[String])))
+      }
+      val touchesSource = refs.exists(r =>
+        realUpdates.exists(_.equalsIgnoreCase(r)))
+      if (touchesSource) {
+        subst(n => named(updateA, n), missingToNull = false) match {
+          case Some(gu) =>
+            updateAG = updateAG + (g -> ((gu, Option.empty[String])))
+            realUpdatesG = realUpdatesG + g
+          case None => unsupported(
+            s"UPDATE SET of generation source column(s) of `$g` without " +
+              s"setting every column ($exprSql reads ${refs.mkString(", ")}) " +
+              "— the recompute cannot read the target row")
+        }
+      }
+    }
+
     val targetFields = t.schema().fields.toSeq
     targetFields.foreach(f => require(!f.name.startsWith("__graft_upd_"),
       s"graft MERGE: target column ${f.name} collides with the engine's " +
@@ -672,7 +733,7 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     val produced: Seq[(String, String)] = targetFields.map { f =>
       val e: String = keyM.get(f.name) match {
         case Some(k) => producedBare(f.name) = k; k
-        case None => (updateA.get(f.name), insertA.get(f.name)) match {
+        case None => (updateAG.get(f.name), insertAG.get(f.name)) match {
           case (Some((u, ub)), Some((i, ib))) if u == i =>
             ib.orElse(ub).foreach(producedBare(f.name) = _); u
           case (Some((u, _)), Some((i, ib))) =>
@@ -712,7 +773,7 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     GraftMergeCommand(t.dir, rewrite(m.sourceTable),
       (produced ++ updProjs ++ passthrough).map { case (n, e) => s"($e) AS `$n`" },
       keys,
-      updateCols = realUpdates.toSeq.sorted,
+      updateCols = realUpdatesG.toSeq.sorted,
       updateSources = updateSources,
       matchedDeleteCond = matchedDelete.map(_.getOrElse("true")),
       insertNotMatched = insertSets.isDefined,
@@ -774,7 +835,39 @@ final case class GraftUpdateCommand(dir: String, condSql: String,
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val setCols = sets.map { case (c, e) => c -> expr(e) }.toMap
+    // GENERATED ALWAYS AS (<expr>) columns: SET of the column itself
+    // refuses; a SET touching any generation SOURCE recomputes the
+    // generated column with the NEW source values (the update applies
+    // all SETs simultaneously over the old row, so the recompute
+    // substitutes each source reference with that source's SET
+    // expression — unchanged sources read the old row, which is exactly
+    // their new value).
+    val genSpecs = TxTable.generatedSpecs(sparkSession, dir)
+    val setNames = sets.map(_._1)
+    val derived = genSpecs.toSeq.sortBy(_._1).flatMap { case (g, exprSql) =>
+      require(!setNames.exists(_.equalsIgnoreCase(g)),
+        s"UPDATE SET of generated column `$g` (GENERATED ALWAYS AS " +
+          s"($exprSql)) — the engine computes it; update its source " +
+          "columns instead")
+      val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(exprSql)
+      val refs = parsed.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name }.distinct
+      if (!refs.exists(r => setNames.exists(_.equalsIgnoreCase(r)))) None
+      else {
+        val e2 = parsed.transform {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            sets.find(_._1.equalsIgnoreCase(a.name)) match {
+              case Some((_, v)) => org.apache.spark.sql.catalyst.parser
+                .CatalystSqlParser.parseExpression(s"($v)")
+              case None => a // unchanged source: the old row's value
+            }
+        }
+        Some(g -> e2.sql)
+      }
+    }
+    val setCols = (sets ++ derived).map { case (c, e) => c -> expr(e) }.toMap
     val mode = TxTable.tableProperties(sparkSession, dir)
       .getOrElse("graft.deletes.mode", "cow")
     mode match {

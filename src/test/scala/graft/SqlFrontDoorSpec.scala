@@ -1852,6 +1852,36 @@ class SqlFrontDoorSpec extends SparkTestBase {
       "WHERE event_ts = TIMESTAMP'2024-01-04 13:00:00'")
     assert(scannedFiles(p) == 1, s"scanned ${scannedFiles(p)}")
     assert(p.head.getInt(0) == 4)
+    // UPDATE of a generation SOURCE recomputes the generated column with
+    // the NEW value; SET of the generated column itself refuses
+    ext.sql("UPDATE graft.db.gen SET event_ts = TIMESTAMP'2024-03-15 08:00:00' " +
+      "WHERE v = 5")
+    assert(ext.sql("SELECT cast(day AS STRING) FROM graft.db.gen WHERE v = 5")
+      .head.getString(0) == "2024-03-15",
+      "UPDATE of event_ts must recompute day")
+    val eu = intercept[Exception] {
+      ext.sql("UPDATE graft.db.gen SET day = DATE'1999-01-01' WHERE v = 1")
+    }
+    assert(eu.getMessage.contains("generated"), eu.getMessage)
+
+    // MERGE: inserted rows compute the column; an UPDATE SET of the
+    // source recomputes; explicit values refuse
+    ext.sql("MERGE INTO graft.db.gen t USING " +
+      "(SELECT TIMESTAMP'2024-04-01 10:00:00' AS event_ts, 1 AS v " +
+      " UNION ALL SELECT TIMESTAMP'2024-05-05 09:00:00', 77) s " +
+      "ON t.v = s.v " +
+      "WHEN MATCHED THEN UPDATE SET event_ts = s.event_ts " +
+      "WHEN NOT MATCHED THEN INSERT (event_ts, v) VALUES (s.event_ts, s.v)")
+    assert(ext.sql("SELECT cast(day AS STRING) FROM graft.db.gen WHERE v = 77")
+      .head.getString(0) == "2024-05-05", "MERGE insert must compute day")
+    assert(ext.sql("SELECT cast(day AS STRING) FROM graft.db.gen WHERE v = 1")
+      .head.getString(0) == "2024-04-01", "MERGE update must recompute day")
+    val em = intercept[Exception] {
+      ext.sql("MERGE INTO graft.db.gen t USING (SELECT 99 AS v) s ON t.v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT (day, v) VALUES (DATE'1999-01-01', s.v)")
+    }
+    assert(em.getMessage.contains("generated"), em.getMessage)
+
     // SHOW CREATE TABLE keeps the declaration re-runnable
     val ddl = ext.sql("SHOW CREATE TABLE graft.db.gen").head.getString(0)
     assert(ddl.contains("graft.generated.day") || ddl.toUpperCase.contains("GENERATED"), ddl)
