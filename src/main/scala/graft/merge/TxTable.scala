@@ -1542,19 +1542,32 @@ object TxTable {
         k.stripPrefix(GeneratedPropPrefix) -> v
     }
 
-  /** (generated partition column, source column) for the derivable date
-    * shapes — the read side's pruning contract. */
-  private[graft] def dateDerivedSource(exprSql: String): Option[String] = {
+  /** (source column, derivation kind) for the derivable MONOTONE
+    * generation shapes — the read side's pruning contract. Kinds:
+    * `date` (date(src) / to_date(src) / cast(src as date)), `year`
+    * (year(src)), `trunc:<unit>` (date_trunc('<unit>', src), units
+    * year/quarter/month/week/day/hour — all order-preserving in a fixed
+    * timezone). month()/day() alone are NOT monotone (they wrap) and
+    * never derive. */
+  private[graft] def derivedPartSource(exprSql: String): Option[(String, String)] = {
     val s = exprSql.toLowerCase(java.util.Locale.ROOT)
       .replace("`", "").replaceAll("\\s+", "")
     val m1 = "^(?:date|to_date)\\((\\w+)\\)$".r
     val m2 = "^cast\\((\\w+)asdate\\)$".r
+    val m3 = "^year\\((\\w+)\\)$".r
+    val m4 = "^date_trunc\\('(year|quarter|month|week|day|hour)',(\\w+)\\)$".r
     s match {
-      case m1(c) => Some(c)
-      case m2(c) => Some(c)
+      case m1(c) => Some((c, "date"))
+      case m2(c) => Some((c, "date"))
+      case m3(c) => Some((c, "year"))
+      case m4(u, c) => Some((c, s"trunc:$u"))
       case _ => None
     }
   }
+
+  /** Backwards-compat shim for the date-only callers. */
+  private[graft] def dateDerivedSource(exprSql: String): Option[String] =
+    derivedPartSource(exprSql).collect { case (c, "date") => c }
 
   /** Property keys for column DEFAULT values (the reference's pervasive
     * DDL idiom — `setup_target.py:17-20,78-79,102,130,152,172-180,204,

@@ -53,9 +53,9 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
       fullSchema: StructType,
       partCols: Seq[String],
       bucket: Option[(Int, String)],
-      // lowercased SOURCE column → generated DATE partition column, for
-      // the derivable shapes (date(src)/to_date(src)/cast(src as date))
-      genDerived: Map[String, String])
+      // lowercased SOURCE column → (generated partition column, kind),
+      // for the derivable MONOTONE shapes — see TxTable.derivedPartSource
+      genDerived: Map[String, (String, String)])
 
   private def load(): Snapshot = {
     // excludeDv: files carrying a deletion vector are listed by the DV
@@ -102,8 +102,8 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     }.toMap
     val genDerived = TxTable.generatedSpecs(spark, dir).flatMap {
       case (g, e) if partCols.exists(_.equalsIgnoreCase(g)) =>
-        TxTable.dateDerivedSource(e)
-          .map(src => src.toLowerCase(java.util.Locale.ROOT) -> g)
+        TxTable.derivedPartSource(e).map { case (src, kind) =>
+          src.toLowerCase(java.util.Locale.ROOT) -> (g, kind) }
       case _ => None
     }
     Snapshot(entries, statuses, schema, partCols,
@@ -290,27 +290,61 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
       else {
         val ps = partitionSchema
         val tz = spark.sessionState.conf.sessionLocalTimeZone
-        def daysOf(bd: BigDecimal, low: Boolean): Int =
-          if (low && bd <= NegInf) Int.MinValue
-          else if (!low && bd >= PosInf) Int.MaxValue
-          else try org.apache.spark.sql.catalyst.expressions.Cast(
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              bd.toLong, TimestampType), DateType, Some(tz))
-            .eval(null).asInstanceOf[Int]
-          catch { case _: Throwable => if (low) Int.MinValue else Int.MaxValue }
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CLit}
+        // the derived partition value of a timestamp bound, as a LONG in
+        // the partition column's own order (date → days, year → years,
+        // date_trunc → truncated micros) — all shapes monotone, so
+        // ts ∈ [lo, hi] ⇒ derived ∈ [f(lo), f(hi)]
+        def derivedOf(kind: String, bd: BigDecimal, low: Boolean): Long =
+          if (low && bd <= NegInf) Long.MinValue
+          else if (!low && bd >= PosInf) Long.MaxValue
+          else try {
+            val ts = CLit(bd.toLong, TimestampType)
+            kind match {
+              case "date" =>
+                Cast(ts, DateType, Some(tz)).eval(null)
+                  .asInstanceOf[Int].toLong
+              case "year" =>
+                org.apache.spark.sql.catalyst.expressions.Year(
+                  Cast(ts, DateType, Some(tz))).eval(null)
+                  .asInstanceOf[Int].toLong
+              case k if k.startsWith("trunc:") =>
+                org.apache.spark.sql.catalyst.expressions.TruncTimestamp(
+                  CLit(org.apache.spark.unsafe.types.UTF8String
+                    .fromString(k.stripPrefix("trunc:")), StringType),
+                  ts, Some(tz)).eval(null).asInstanceOf[Long]
+              case _ => if (low) Long.MinValue else Long.MaxValue
+            }
+          } catch {
+            case _: Throwable => if (low) Long.MinValue else Long.MaxValue
+          }
+        // the fragment's own partition value in the same long order; None
+        // when the type doesn't match the kind (never prune on a mismatch)
+        def fragValue(kind: String, dt: DataType,
+                      row: org.apache.spark.sql.catalyst.InternalRow,
+                      i: Int): Option[Long] = (kind, dt) match {
+          case ("date", DateType)            => Some(row.getInt(i).toLong)
+          case ("year", IntegerType)         => Some(row.getInt(i).toLong)
+          case ("year", LongType)            => Some(row.getLong(i))
+          case (k, TimestampType) if k.startsWith("trunc:") =>
+            Some(row.getLong(i))
+          case _ => None
+        }
         val windows = preRanges.flatMap { case (c, lo, hi) =>
-          s.genDerived.get(c.toLowerCase(java.util.Locale.ROOT)).map { g =>
-            (g, daysOf(lo, low = true), daysOf(hi, low = false))
+          s.genDerived.get(c.toLowerCase(java.util.Locale.ROOT)).map {
+            case (g, kind) =>
+              (g, kind, derivedOf(kind, lo, low = true),
+                derivedOf(kind, hi, low = false))
           }
         }
         if (windows.isEmpty) afterPart
         else afterPart.filter { case (frag, _) =>
           val row = partRow(frag)
-          windows.forall { case (g, dlo, dhi) =>
+          windows.forall { case (g, kind, dlo, dhi) =>
             val i = ps.indexWhere(_.name.equalsIgnoreCase(g))
-            i < 0 || ps(i).dataType != DateType || row.isNullAt(i) || {
-              val d = row.getInt(i); d >= dlo && d <= dhi
-            }
+            i < 0 || row.isNullAt(i) ||
+              fragValue(kind, ps(i).dataType, row, i)
+                .forall(d => d >= dlo && d <= dhi)
           }
         }
       }

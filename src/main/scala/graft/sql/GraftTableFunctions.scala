@@ -159,11 +159,26 @@ object GraftTableFunctions {
         TxTable.headVersion(spark, dir).getOrElse(0L),
         dvFiles, dvReadTax,
         zs.map(_._2.mkString(",")).getOrElse(""), unclustered,
-        TxTable.commitsSinceAnalyze(spark, dir).map(_.toLong).getOrElse(-1L))
+        TxTable.commitsSinceAnalyze(spark, dir).map(_.toLong).getOrElse(-1L),
+        // declared layouts + refs: the round-14 surfaces on the same
+        // dashboard row (empty string = not declared / none live)
+        TxTable.bucketSpec(spark, dir)
+          .map { case (n, c) => s"$n:$c" }.getOrElse(""),
+        TxTable.generatedSpecs(spark, dir).toSeq.sorted
+          .map { case (c, e) => s"$c=$e" }.mkString("; "),
+        TxTable.identitySpecs(spark, dir).keys.toSeq.sorted.mkString(","),
+        TxTable.columnDefaults(spark, dir).toSeq.sortBy(_._1)
+          .collect { case (c, (Some(cur), _)) => s"$c=$cur" }.mkString("; "),
+        TxTable.listBranches(spark, dir)
+          .map { case (b, v) => s"$b@$v" }.mkString(","),
+        TxTable.listTags(spark, dir)
+          .map { case (t, v) => s"$t@$v" }.mkString(","))
       val sq = spark.sqlContext; import sq.implicits._
       PlanBridge.analyzed(Seq(row).toDF("location", "num_files",
         "size_bytes", "live_rows", "partition_columns", "last_version",
         "num_dv_files", "dv_read_tax", "zorder_columns",
-        "unclustered_files", "commits_since_analyze"))
+        "unclustered_files", "commits_since_analyze", "bucket",
+        "generated_columns", "identity_columns", "default_columns",
+        "branches", "tags"))
     })
 }

@@ -1987,6 +1987,43 @@ class SqlFrontDoorSpec extends SparkTestBase {
     }
   }
 
+  test("generated-column derivation beyond date: year(ts) and date_trunc('month', ts) prune their fragments from raw ts predicates") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.geny")
+    ext.sql("CREATE TABLE graft.db.geny (" +
+      "ts TIMESTAMP, v INT, " +
+      "yr INT GENERATED ALWAYS AS (year(ts))) PARTITIONED BY (yr)")
+    ext.sql("INSERT INTO graft.db.geny (ts, v) VALUES " +
+      "(TIMESTAMP'2021-06-01 00:00:00', 1), " +
+      "(TIMESTAMP'2022-06-01 00:00:00', 2), " +
+      "(TIMESTAMP'2023-06-01 00:00:00', 3), " +
+      "(TIMESTAMP'2024-06-01 00:00:00', 4)")
+    assert(TxTable.liveFilePaths(ext, s"$lakeRoot/db/geny").size == 4)
+    // bounds INSIDE the years (range skipping is superset-inclusive on
+    // both ends: ts < 2024-01-01 would still admit year 2024's fragment)
+    val qy = ext.sql("SELECT v FROM graft.db.geny WHERE ts >= " +
+      "TIMESTAMP'2022-01-01 00:00:00' AND ts <= TIMESTAMP'2023-12-31 23:59:59'")
+    assert(scannedFiles(qy) == 2, s"scanned ${scannedFiles(qy)} of 4")
+    assert(qy.collect().map(_.getInt(0)).toSet == Set(2, 3))
+
+    ext.sql("DROP TABLE IF EXISTS graft.db.genm")
+    ext.sql("CREATE TABLE graft.db.genm (" +
+      "ts TIMESTAMP, v INT, " +
+      "mon TIMESTAMP GENERATED ALWAYS AS (date_trunc('month', ts))) " +
+      "PARTITIONED BY (mon)")
+    ext.sql("INSERT INTO graft.db.genm (ts, v) VALUES " +
+      "(TIMESTAMP'2024-01-10 00:00:00', 1), " +
+      "(TIMESTAMP'2024-02-10 00:00:00', 2), " +
+      "(TIMESTAMP'2024-03-10 00:00:00', 3), " +
+      "(TIMESTAMP'2024-04-10 00:00:00', 4)")
+    val qm = ext.sql("SELECT v FROM graft.db.genm WHERE ts BETWEEN " +
+      "TIMESTAMP'2024-02-01 00:00:00' AND TIMESTAMP'2024-03-20 00:00:00'")
+    assert(scannedFiles(qm) == 2, s"scanned ${scannedFiles(qm)} of 4")
+    assert(qm.collect().map(_.getInt(0)).toSet == Set(2, 3))
+    // month() ALONE would wrap across years and must never derive
+    assert(TxTable.derivedPartSource("month(ts)").isEmpty)
+  }
+
   test("persistent views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP round-trip; survive a fresh catalog") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.vsrc")
