@@ -3890,7 +3890,18 @@ object TxTable {
       s.flatMap(_._2.flatMap(e =>
         batchNameOf(e.path).toSeq ++
           e.dv.map(_.dir.split('/')(1)).toSeq)).toSet
-    val retained = sets.takeRight(retainVersions)
+    // a LIVE BRANCH pins every version at or above its base: the branch's
+    // seed commit references main's files ABSOLUTELY as of that version,
+    // so reclaiming them would silently corrupt the branch (publish or
+    // drop branches to release the retention)
+    val branchFloor = listBranches(spark, dir).map(_._2).minOption
+    val retained = branchFloor match {
+      case None => sets.takeRight(retainVersions)
+      case Some(b) =>
+        val byCount = sets.takeRight(retainVersions)
+        (sets.filter(_._1 >= b) ++ byCount)
+          .distinctBy(_._1).sortBy(_._1)
+    }
     val keep = batches(retained)
     val everCommitted = batches(sets) // every batch is live right after its
                                       // adding commit, so this is complete

@@ -2024,6 +2024,51 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(TxTable.derivedPartSource("month(ts)").isEmpty)
   }
 
+  test("a live branch pins main's vacuum retention at its base; dropping the branch releases it") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.vbr")
+    ext.sql("CREATE TABLE graft.db.vbr AS SELECT id FROM range(100)")
+    ext.sql("CALL graft.system.create_branch('db.vbr', 'pin')")
+    // main moves on: a full replace retires the adopted-by-branch files
+    ext.sql("INSERT OVERWRITE graft.db.vbr SELECT id FROM range(100, 150)")
+    // an aggressive vacuum must NOT reclaim the files the branch's seed
+    // references absolutely
+    ext.sql("VACUUM graft.db.vbr RETAIN 1 VERSIONS")
+    assert(ext.sql("SELECT count(*) FROM graft.db.`vbr@pin`")
+      .head.getLong(0) == 100,
+      "vacuum reclaimed files a live branch references")
+    assert(ext.sql("SELECT count(*) FROM graft.db.vbr").head.getLong(0) == 50)
+    // dropping the branch releases the pin: the same vacuum now reclaims
+    ext.sql("CALL graft.system.drop_branch('db.vbr', 'pin')")
+    val r = ext.sql("VACUUM graft.db.vbr RETAIN 1 VERSIONS").collect()
+    assert(r.exists(_.getString(0) == "batch_dir"),
+      "post-drop vacuum should reclaim the superseded batch: " +
+        r.map(_.mkString(":")).mkString(", "))
+    assert(ext.sql("SELECT count(*) FROM graft.db.vbr").head.getLong(0) == 50)
+  }
+
+  test("bucketed layout + MoR deletion vectors compose: pruning and the DV anti-join agree") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.bktdv")
+    ext.sql("CREATE TABLE graft.db.bktdv PARTITIONED BY (bucket(8, k)) AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(1000)")
+    ext.sql("ALTER TABLE graft.db.bktdv SET TBLPROPERTIES" +
+      "('graft.deletes.mode'='dv')")
+    ext.sql("DELETE FROM graft.db.bktdv WHERE k % 10 = 0")
+    // point lookups stay bucket-pruned on the clean side and correct
+    // through the anti-join on the DV'd side
+    assert(ext.sql("SELECT v FROM graft.db.bktdv WHERE k = 137")
+      .head.getLong(0) == 274)
+    assert(ext.sql("SELECT count(*) FROM graft.db.bktdv WHERE k = 130")
+      .head.getLong(0) == 0) // deleted
+    assert(ext.sql("SELECT count(*) FROM graft.db.bktdv").head.getLong(0) == 900)
+    // purge returns files to the clean, suffix-named, bucketed state
+    ext.sql("CALL graft.system.purge_dvs('db.bktdv', min_deleted_fraction => 0.0)")
+    val q = ext.sql("SELECT v FROM graft.db.bktdv WHERE k = 137")
+    assert(scannedFiles(q) == 1, s"scanned ${scannedFiles(q)}")
+    assert(q.head.getLong(0) == 274)
+  }
+
   test("persistent views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP round-trip; survive a fresh catalog") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.vsrc")
