@@ -235,11 +235,17 @@ object SparkEntry {
     // Corpus capped at 500 docs for the same reason as q62: the md5 family
     // is the verification twin; production clustering feeds xxhash64 pairs
     // (minhashNearDups) through the same propagation.
+    // Pair derivation routed through the PINNED index
+    // (portableClusterIndex + portableNearDupsOverIndex ≡ portableNearDups
+    // by construction): the signature pass — three consumers deep in the
+    // pair plan — runs once instead of three times (guide §2.4: don't
+    // recompute what one pass can pin).
     "q64_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
-        Dedup.portableNearDups(
-          T(s, dir, "documents").filter(col("doc_id") < 500),
-          "doc_id", "text"))),
+        Dedup.portableNearDupsOverIndex(
+          Dedup.portableClusterIndex(
+            T(s, dir, "documents").filter(col("doc_id") < 500),
+            "doc_id", "text")))),
 
     // §7.6 leakage-safe corpus split: the split unit is q64's near-dup
     // CLUSTER — near-duplicates can't straddle train/eval by construction
@@ -249,8 +255,10 @@ object SparkEntry {
     // (recursive CTE) + singleton fallback + the literal bucket cuts.
     "q78_leakage_safe_split" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      // the q64 pinned-index route: one signature pass, not three
       val labels = Dedup.nearDupClusters(
-        Dedup.portableNearDups(docs, "doc_id", "text"))
+        Dedup.portableNearDupsOverIndex(
+          Dedup.portableClusterIndex(docs, "doc_id", "text")))
       Sampling.leakageSafeSplit(docs, "doc_id", labels,
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
     }),
@@ -1767,8 +1775,10 @@ object SparkEntry {
     // no global sort; cluster sizes bound each partition.
     "q138_dedup_keep_best" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      // the q64 pinned-index route: one signature pass, not three
       val clusters = Dedup.nearDupClusters(
-        Dedup.portableNearDups(docs, "doc_id", "text"))
+        Dedup.portableNearDupsOverIndex(
+          Dedup.portableClusterIndex(docs, "doc_id", "text")))
       val members = clusters
         .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       val w = Window.partitionBy(col("cluster_id"))
@@ -2592,17 +2602,35 @@ object SparkEntry {
         "count(*) AS n_orders, sum(o.o_orderkey) AS sum_key " +
         "FROM graft.ddl.ord_bkt o JOIN graft.ddl.cust_bkt c " +
         "ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey"
-      val savedB = ext.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val savedA = ext.conf.get("spark.sql.adaptive.enabled")
+      // The zero-shuffle evidence must be SELF-CONTAINED (the r14 lesson:
+      // rows/schema stayed green in the driver harness but the pinned
+      // shuffle count flipped to non-zero under inherited session confs).
+      // Pin EVERY conf the exchange-free plan depends on, not just the
+      // two that pick the join strategy: bucketed-scan recognition
+      // (sources.bucketing.enabled), the auto-disable rule that may drop
+      // the advertised HashPartitioning when it judges it unhelpful
+      // (autoBucketedScan), the bucket-coalescing rewrite that could
+      // mismatch the two sides' partitionings (coalesceBucketsInJoin),
+      // and shuffle.partitions (= the bucket count, so no requirement
+      // can ask for a wider distribution than the scans provide).
+      val pinned = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.sources.bucketing.enabled" -> "true",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
+        "spark.sql.bucketing.coalesceBucketsInJoin.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8")
+      val saved = pinned.map { case (k, _) => k -> ext.conf.getOption(k) }
       val shuffles = try {
-        ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        ext.conf.set("spark.sql.adaptive.enabled", "false")
+        pinned.foreach { case (k, v) => ext.conf.set(k, v) }
         ext.sql(qText).queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }.size
       } finally {
-        ext.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
-        ext.conf.set("spark.sql.adaptive.enabled", savedA)
+        saved.foreach {
+          case (k, Some(v)) => ext.conf.set(k, v)
+          case (k, None) => ext.conf.unset(k)
+        }
       }
       ext.sql(qText).withColumn("shuffles",
         lit(shuffles).cast("int"))

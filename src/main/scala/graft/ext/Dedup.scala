@@ -258,6 +258,11 @@ object Dedup {
     // joins carries ONLY (band, doc_id) — signatures would multiply shuffle
     // width by k×8 bytes per row. Signatures join back only after the pair
     // set is distinct, so the Jaccard estimate runs once per unique pair.
+    // pin the signatures: they feed the band table AND both sides of the
+    // estimate join below — three consumers whose projections differ, so
+    // exchange reuse never fires and the n-gram hash pass (the expensive
+    // part) would otherwise execute three times (measured ~35% of q64-
+    // family wall-clock; same rationale as portableClusterIndex)
     val sigs = signatures(docs, idCol, textCol, n, k)
     val narrow = lshBands(sigs, k, bands)
     val pairs = narrow
@@ -392,15 +397,23 @@ object Dedup {
     * Output: (doc_id, cluster_id) where cluster_id = min doc_id of the
     * component. */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
     // pin the edge set: EVERY iteration (and each convergence check) joins
     // against it — without this the upstream pair computation (banding +
     // signature agreement, the expensive part) re-executes per iteration,
     // turning an O(iters × |edges|) loop into O(iters × pair-derivation)
+    sc.setJobDescription("nearDupClusters: pin edge set")
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // seed = least(self, min(direct neighbor)) — exactly what round one
+    // of the loop would compute from identity labels, folded into the
+    // endpoint-dedup aggregate the seed already pays for (same groupBy-u
+    // shuffle as the old distinct()), so every call starts one round
+    // ahead at zero extra cost
+    sc.setJobDescription("nearDupClusters: seed labels")
+    var labels = edges.groupBy(col("u").as("doc_id"))
+      .agg(least(min(col("v")), col("u")).as("cluster_id"))
       .localCheckpoint()
     var changed = true
     var iter = 0
@@ -428,12 +441,14 @@ object Dedup {
       // decrease, and the fixpoint — label(u) = min(component) for all u,
       // where both passes are identities — is unchanged, so q64/q65's
       // recursive-CTE oracles and every caller see identical output.
-      // The jump is armed from round 3 on: typical near-dup graphs (star-
-      // shaped dup clusters) converge in 2-3 neighbor rounds where the
-      // extra labels self-join would be pure overhead (~35% measured on
-      // q64); only a still-unconverged deep component pays for — and gets
-      // — the doubling.
-      val updated = (if (iter < 2) afterNbr else afterNbr
+      // The jump is armed from the loop's second round on (the seed above
+      // already counts as one neighbor round): typical near-dup graphs
+      // (star-shaped dup clusters) converge in 2-3 neighbor rounds where
+      // the extra labels self-join would be pure overhead (~35% measured
+      // on q64); only a still-unconverged deep component pays for — and
+      // gets — the doubling.
+      sc.setJobDescription(s"nearDupClusters: propagate iter=$iter")
+      val updated = (if (iter < 1) afterNbr else afterNbr
         .join(afterNbr.select(col("doc_id").as("__p_id"),
           col("cluster_id").as("__p_label")),
           col("cluster_id") === col("__p_id"), "left")
@@ -444,10 +459,12 @@ object Dedup {
             coalesce(col("__p_label"), col("cluster_id")) < col("cluster_id"))
             .as("__changed")))
         .localCheckpoint()
+      sc.setJobDescription(s"nearDupClusters: converged? iter=$iter")
       changed = updated.filter(col("__changed")).limit(1).count() > 0
       labels = updated.drop("__changed")
       iter += 1
     }
+    sc.setJobDescription(null)
     if (changed) throw new IllegalStateException(
       s"nearDupClusters did not converge within maxIter=$maxIter rounds: " +
         "labels were still changing in the last iteration, so a component " +

@@ -329,7 +329,37 @@ object TxTable {
     sb.result()
   }
 
+  /** Parsed-commit cache. Commit files are immutable once visible (the
+    * tmp-write + atomic slot claim in [[commit]]); checkpoints are a pure
+    * function of the log at their version, so re-writing one reproduces
+    * the same content. Snapshot replay parses the same commit files once
+    * per STATEMENT (schema + file index + props + txn state all replay),
+    * so the cache turns O(statements × commits) file reads into
+    * O(commits). Keyed by (path, mtime, length) — the FileStatusCache
+    * discipline — so a table dir dropped and recreated at the same path
+    * (test fixtures) can never replay stale state. Size-capped by
+    * wholesale clear; correctness never depends on a hit. */
+  private val commitParseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Commit]()
+
   private def parse(fs: FileSystem, p: Path): Commit = {
+    val key = try {
+      val st = fs.getFileStatus(p)
+      s"$p@${st.getModificationTime}:${st.getLen}"
+    } catch { case _: java.io.IOException => null }
+    if (key != null) {
+      val hit = commitParseCache.get(key)
+      if (hit != null) return hit
+    }
+    val c = parseUncached(fs, p)
+    if (key != null) {
+      if (commitParseCache.size > 8192) commitParseCache.clear()
+      commitParseCache.put(key, c)
+    }
+    c
+  }
+
+  private def parseUncached(fs: FileSystem, p: Path): Commit = {
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
     var action = ""; var partCol: Option[String] = None
@@ -830,7 +860,16 @@ object TxTable {
         if (rows != 0L) files += FileEntry(rel, frag, stats ++ bStats)
       }
     }
-    files.result()
+    val result = files.result()
+    // pre-warm the read-side schema cache while the footers are hot —
+    // unpartitioned batches only (fragment partition columns come from
+    // directory inference, which the warm shortcut can't reproduce)
+    if (partitionCols.isEmpty && result.forall(_.part.isEmpty) &&
+      result.nonEmpty)
+      warmBatchSchema(spark,
+        new Path(new Path(dir, DataDirName), batch).toString,
+        result.map(f => new Path(dir, f.path).toString).sorted)
+    result
   }
 
   // ----------------------------------------------------- BUCKETED LAYOUT
@@ -1071,6 +1110,108 @@ object TxTable {
     * with their source file's qualified path / file-absolute row position
     * (resolved per batch BEFORE the union — `_metadata` does not resolve
     * through one). */
+  /** Resolved-schema cache for the batch reads [[framesFor]] issues —
+    * keyed by (batch base, sorted file list, first file's stat, the
+    * session confs that steer parquet type mapping). Staged batches are
+    * IMMUTABLE once committed (UUID dirs, atomic visibility), yet every
+    * uncached `spark.read.parquet` pays a full schema-inference pass —
+    * which in Spark is a distributed JOB (`mergeSchemasInParallel`) plus
+    * a gzip'd Hadoop-conf broadcast, repeated per batch group per
+    * statement. Profiling the SQL-lifecycle queries showed ~44% of their
+    * wall-clock inside exactly this path. The cache replays the inferred
+    * schema through `.schema(...)`, which skips the job entirely; the
+    * first touch of each batch still infers, so the cached value is
+    * byte-identical to what inference would produce. The first file's
+    * (mtime, length) rides in the key so an external dir recreated
+    * in-place with different contents (CONVERT fixtures in tests) can
+    * never replay a stale schema. Size-capped: cleared wholesale rather
+    * than LRU-tracked — correctness never depends on a hit. */
+  private val batchSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  /** Parquet-read confs that change how footers map to Spark types —
+    * part of the schema-cache key so sessions with different read confs
+    * never share an entry. */
+  private def parquetConfKey(spark: SparkSession): String = Seq(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "false",
+    "spark.sql.parquet.binaryAsString" -> "false",
+    "spark.sql.parquet.int96AsTimestamp" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+    "spark.sql.caseSensitive" -> "false",
+    "spark.sql.sources.partitionColumnTypeInference.enabled" -> "true"
+  ).map { case (k, d) => spark.conf.get(k, d) }.mkString(",")
+
+  private def batchSchemaKey(spark: SparkSession, base: String,
+                             sortedPaths: Seq[String]): String = {
+    val fs = hadoopFs(spark, base)
+    val head = try {
+      val st = fs.getFileStatus(new Path(sortedPaths.head))
+      s"${st.getModificationTime}:${st.getLen}"
+    } catch { case _: java.io.IOException => "?" }
+    s"$base|${sortedPaths.mkString("")}|$head|" + parquetConfKey(spark)
+  }
+
+  private def readBatch(spark: SparkSession, base: String,
+                        sortedPaths: Seq[String]): DataFrame = {
+    val key = batchSchemaKey(spark, base, sortedPaths)
+    val reader = spark.read.option("basePath", base)
+    val cached = batchSchemaCache.get(key)
+    if (cached != null) reader.schema(cached).parquet(sortedPaths: _*)
+    else {
+      val inferred = reader.parquet(sortedPaths: _*)
+      if (batchSchemaCache.size > 8192) batchSchemaCache.clear()
+      batchSchemaCache.put(key, inferred.schema)
+      inferred
+    }
+  }
+
+  /** Recursive nullability erasure — what Spark's file-source relation
+    * applies to an inferred schema (`asNullable` is private[spark]). */
+  private def nullifySchema(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = nullifySchema(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(
+        nullifySchema(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(nullifySchema(m.keyType),
+        nullifySchema(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Pre-warm [[batchSchemaCache]] for a freshly-staged UNPARTITIONED
+    * batch from ONE driver-side footer read: converter output + recursive
+    * nullify is exactly what Spark's inference yields for engine-written
+    * files (all files of a staged batch share one write job's schema), so
+    * the batch's very first read skips the inference job too. Fragmented
+    * batches are skipped — their partition columns come from directory
+    * inference, which this shortcut cannot reproduce. Best-effort: any
+    * failure just leaves the first read to infer normally. */
+  private def warmBatchSchema(spark: SparkSession, base: String,
+                              sortedPaths: Seq[String]): Unit = try {
+    val key = batchSchemaKey(spark, base, sortedPaths)
+    if (!batchSchemaCache.containsKey(key)) {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(sortedPaths.head), conf))
+      val msg = try rd.getFooter.getFileMetaData.getSchema finally rd.close()
+      def b(k: String, d: String) = spark.conf.get(k, d).toBoolean
+      val conv = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(
+          assumeBinaryIsString = b("spark.sql.parquet.binaryAsString", "false"),
+          assumeInt96IsTimestamp = b("spark.sql.parquet.int96AsTimestamp", "true"),
+          caseSensitive = b("spark.sql.caseSensitive", "false"),
+          inferTimestampNTZ =
+            b("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+          nanosAsLong = b("spark.sql.legacy.parquet.nanosAsLong", "false"))
+      val warm = nullifySchema(conv.convert(msg)).asInstanceOf[StructType]
+      if (batchSchemaCache.size > 8192) batchSchemaCache.clear()
+      batchSchemaCache.put(key, warm)
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   private def framesFor(spark: SparkSession, dir: String,
                         entries: Seq[FileEntry],
                         filePathCol: Option[String] = None,
@@ -1123,9 +1264,8 @@ object TxTable {
     def rawBatches(es: Seq[FileEntry]): Seq[DataFrame] =
       es.groupBy(e => baseOf(e).toString).toSeq.sortBy(_._1)
         .map { case (base, group) =>
-          fillExists(spark.read
-            .option("basePath", base)
-            .parquet(group.map(e => new Path(dir, e.path).toString): _*))
+          val paths = group.map(e => new Path(dir, e.path).toString).sorted
+          fillExists(readBatch(spark, base, paths))
         }
     val cleanRaw = rawBatches(clean)
     val dvRaw = rawBatches(dvEntries)
@@ -1180,6 +1320,17 @@ object TxTable {
     * for a file whose ref has moved on is already folded into the new
     * sidecar and must not count twice. Output columns are the join-side
     * helpers `__graft_del_file` (qualified) / `__graft_del_pos`. */
+  /** Every DV sidecar carries exactly (file STRING, pos BIGINT) — pass
+    * the schema explicitly so sidecar reads skip schema inference (an
+    * uncached inference is a Spark job + conf broadcast per read; DV-mode
+    * DML issues several sidecar reads per statement). */
+  private[graft] val DvSidecarSchema = StructType(Seq(
+    StructField("file", org.apache.spark.sql.types.StringType),
+    StructField("pos", org.apache.spark.sql.types.LongType)))
+
+  private def readSidecar(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(DvSidecarSchema).parquet(path)
+
   private def effectiveDvRows(spark: SparkSession, dir: String,
                               entries: Seq[FileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, concat}
@@ -1189,7 +1340,7 @@ object TxTable {
     val refDf = spark.createDataFrame(refs)
       .toDF("__graft_ref_file", "__graft_ref_dv")
     val sidecars = refs.map(_._2).distinct.sorted.map { d =>
-      spark.read.parquet(new Path(dir, d).toString)
+      readSidecar(spark, new Path(dir, d).toString)
         .select(col("file").as("__graft_del_rel"),
           col("pos").as("__graft_del_pos"), lit(d).as("__graft_del_src"))
     }.reduce(_.union(_))
@@ -2309,7 +2460,7 @@ object TxTable {
               // and must re-key to main-relative on the way over. The
               // sidecar is O(deleted positions) — a bounded rewrite, not
               // a data copy.
-              val sc = spark.read.parquet(from.toString)
+              val sc = readSidecar(spark, from.toString)
               fs.mkdirs(to.getParent)
               sc.select(when(col("file").startsWith(mainQ + "/"),
                   col("file").substr(
@@ -3633,7 +3784,7 @@ object TxTable {
     // the small sidecar, never a second table scan
     val newCounts =
       if (!staged) Map.empty[String, Long]
-      else spark.read.parquet(out.toString)
+      else readSidecar(spark, out.toString)
         .groupBy("file").agg(count(lit(1)).as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     val byRel = live.map(e => e.path -> e).toMap
@@ -3655,10 +3806,10 @@ object TxTable {
       val refDf = spark.createDataFrame(refs)
         .toDF("__graft_ref_file", "__graft_ref_dv")
       val olds = refs.map(_._2).distinct.sorted.map { d =>
-        spark.read.parquet(new Path(dir, d).toString)
+        readSidecar(spark, new Path(dir, d).toString)
           .select(col("file"), col("pos"), lit(d).as("__graft_del_src"))
       }.reduce(_.union(_))
-      val newRows = spark.read.parquet(out.toString).select("file", "pos")
+      val newRows = readSidecar(spark, out.toString).select("file", "pos")
       olds.join(broadcast(refDf),
           olds("file") === refDf("__graft_ref_file") &&
             olds("__graft_del_src") === refDf("__graft_ref_dv"), "left_semi")
@@ -3690,7 +3841,7 @@ object TxTable {
     // is distinct by construction of the anti-join above.
     val finalCounts =
       if (carried.isEmpty) newCounts
-      else spark.read.parquet(out.toString)
+      else readSidecar(spark, out.toString)
         .groupBy("file").agg(count(lit(1)).as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     val refsNew = touched.map(e =>
