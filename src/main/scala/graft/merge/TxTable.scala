@@ -2275,29 +2275,60 @@ object TxTable {
     val root = fs.makeQualified(new Path(dir))
     require(fs.exists(root), s"CONVERT TO GRAFT: no directory at $dir")
     val rootStr = root.toString
-    val files = Seq.newBuilder[FileEntry]
+    val candidates = Seq.newBuilder[(String, Option[String], String)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
       val rel = p.toString.stripPrefix(rootStr).stripPrefix("/")
       val segs = rel.split('/')
-      // skip hidden/metadata files (_SUCCESS, .crc, _graft_log if racing)
-      // and anything under an engine-owned dir
+      // skip hidden/metadata files (_SUCCESS, .crc, _graft_log if racing);
+      // the engine-owned data/ dir can hold no pre-conversion bytes (the
+      // `exists` guard above proved no log), so a LEGACY subdir literally
+      // named data/ holding parquet must refuse loudly — silently skipping
+      // it would adopt the table with those rows missing
       val hidden = segs.exists(s => s.startsWith("_") || s.startsWith("."))
-      if (!hidden && segs.head != DataDirName &&
-        p.getName.endsWith(".parquet")) {
+      if (!hidden && p.getName.endsWith(".parquet")) {
+        require(segs.head != DataDirName,
+          s"CONVERT TO GRAFT: $dir contains parquet under a '$DataDirName/' " +
+            s"subdirectory ($rel) — that name is reserved for engine-staged " +
+            "batches, and adopting around it would silently drop its rows. " +
+            "Rename the directory first")
         val partSegs = segs.dropRight(1).filter(_.contains("="))
         require(partSegs.length == segs.length - 1,
           s"CONVERT TO GRAFT: $rel mixes partition (`col=val`) and plain " +
             "directory segments — adopt a uniform hive layout or flatten")
         val frag = if (partSegs.isEmpty) None else Some(partSegs.mkString("/"))
-        val (rows, stats) =
-          footerStats(spark.sparkContext.hadoopConfiguration, p)
-        if (rows != 0L) files += FileEntry(rel, frag, stats)
+        candidates += ((rel, frag, p.toString))
       }
     }
-    val entries = files.result()
+    // footer reads: driver-side for small adoptions; DISTRIBUTED above the
+    // threshold — a 100 TB adoption has millions of files, and a
+    // single-threaded driver walk would serialize its "O(files) footer
+    // reads" promise into hours. One task per ~64 files, stats computed
+    // where the bytes are; only the (rows, stats) tuples come back.
+    val cand = candidates.result()
+    val withStats: Seq[(String, Option[String], Long, Map[String, ColStat])] =
+      if (cand.size <= 64)
+        cand.map { case (rel, frag, p) =>
+          val (rows, stats) =
+            footerStats(spark.sparkContext.hadoopConfiguration, new Path(p))
+          (rel, frag, rows, stats)
+        }
+      else {
+        val serConf = org.apache.spark.sql.graftbridge.ConfBridge
+          .serializable(spark.sparkContext.hadoopConfiguration)
+        val slices = math.max(1, math.min(10000, cand.size / 64))
+        spark.sparkContext.parallelize(cand, slices)
+          .map { case (rel, frag, p) =>
+            val (rows, stats) = footerStats(serConf.value, new Path(p))
+            (rel, frag, rows, stats)
+          }.collect().toSeq.sortBy(_._1)
+      }
+    val entries = withStats.collect {
+      case (rel, frag, rows, stats) if rows != 0L =>
+        FileEntry(rel, frag, stats)
+    }
     require(entries.nonEmpty,
       s"CONVERT TO GRAFT: no parquet files under $dir")
     // uniform layout: every file's fragment must name the same column
@@ -2890,6 +2921,28 @@ object TxTable {
     // log (the same failure class as an unparseable stats bound)
     props.foreach { case (k, v) =>
       if (k.startsWith(IdentityPropPrefix) && v.nonEmpty) parseIdentity(v, k)
+    }
+    // graft.bucket on a table with LIVE files must be refused (the same
+    // guard class as graft.schema.*): recorded __graft_bucket stats and
+    // _NNNNN filename suffixes were computed under the OLD (N, col) —
+    // re-declaring the spec would make point/IN pruning consult stale
+    // bucket ids (silently missing rows) and scanBucketSpec advertise a
+    // HashPartitioning the files do not satisfy (wrong storage-
+    // partitioned join results). Declaring it on an EMPTY table (or
+    // clearing it) is fine — no file can disagree.
+    props.get(BucketProp).foreach { v =>
+      if (v.nonEmpty) {
+        parseBucket(v, dir)
+        val current = bucketSpec(spark, dir)
+        val changed = !current.contains(parseBucket(v, dir))
+        require(!changed || replay(hadoopFs(spark, dir), dir)._1.isEmpty,
+          s"$BucketProp cannot change on $dir while live files exist: " +
+            "their recorded bucket ids and filename suffixes were " +
+            "computed under the current spec, and a new spec would make " +
+            "bucket pruning and storage-partitioned joins read them as " +
+            "lies. TRUNCATE or rewrite the table into the new layout " +
+            "instead")
+      }
     }
     commitProps(spark, dir, props)
   }

@@ -213,6 +213,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    // '@' addressing resolves to _graft_branches/<name> for EVERY catalog
+    // op; a CREATE through it would fabricate a branch-shaped table with
+    // no graft.branch.base — invisible to listBranches, unpublishable,
+    // and unprotected by the branch vacuum floor. Branches are created by
+    // CALL graft.system.create_branch, never by CREATE TABLE.
+    require(!ident.name().contains("@"),
+      s"cannot CREATE TABLE ${fullName(ident)}: '@' names a branch ref " +
+        "(use CALL graft.system.create_branch to open one)")
     val dir = tableDir(ident)
     if (TxTable.exists(spark, dir))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(

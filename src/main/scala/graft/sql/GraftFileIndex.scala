@@ -102,8 +102,22 @@ final class GraftFileIndex(spark: SparkSession, val dir: String,
     }.toMap
     val genDerived = TxTable.generatedSpecs(spark, dir).flatMap {
       case (g, e) if partCols.exists(_.equalsIgnoreCase(g)) =>
-        TxTable.derivedPartSource(e).map { case (src, kind) =>
-          src.toLowerCase(java.util.Locale.ROOT) -> (g, kind) }
+        TxTable.derivedPartSource(e).flatMap { case (src, kind) =>
+          // Derivation is only sound for TIMESTAMP sources: derivedOf
+          // interprets extracted predicate bounds as TIMESTAMP micros. A
+          // DATE-typed source is legal DDL (yr = year(order_date)), but
+          // its bounds are DAY numbers — reading ~19700 days as 19700
+          // microseconds derives year 1970 and would prune every live
+          // fragment, silently returning zero rows. TIMESTAMP_NTZ is
+          // similarly shifted by the session-tz cast. Skipping here means
+          // those layouts simply never derive-prune (superset semantics
+          // keep them correct).
+          val srcType = schema.fields
+            .find(_.name.equalsIgnoreCase(src)).map(_.dataType)
+          if (srcType.contains(TimestampType))
+            Some(src.toLowerCase(java.util.Locale.ROOT) -> (g, kind))
+          else None
+        }
       case _ => None
     }
     Snapshot(entries, statuses, schema, partCols,

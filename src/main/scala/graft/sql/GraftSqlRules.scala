@@ -118,6 +118,13 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     case c: CreateTableAsSelect => c.name match {
       case ResolvedIdentifier(cat: GraftCatalog, ident) if c.query.resolved =>
         val dir = cat.tableDir(ident)
+        // '@' addressing resolves into _graft_branches/: a CTAS through it
+        // would fabricate a branch-shaped table with no graft.branch.base
+        // (same guard as GraftCatalog.createTable; branches come from
+        // CALL graft.system.create_branch)
+        require(!ident.name().contains("@") || TxTable.exists(session, dir),
+          s"cannot CREATE TABLE ${ident.name()}: '@' names a branch ref " +
+            "(use CALL graft.system.create_branch to open one)")
         if (TxTable.exists(session, dir)) {
           if (c.ignoreIfExists) LocalRelation(Nil)
           else throw new TableAlreadyExistsException(
@@ -136,6 +143,11 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
         val dir = cat.tableDir(ident)
         require(r.orCreate || TxTable.exists(session, dir),
           s"REPLACE TABLE: no table at $dir (use CREATE OR REPLACE)")
+        // OR CREATE must not fabricate a branch dir either (replacing an
+        // EXISTING branch's contents stays legal — it has a real base)
+        require(!ident.name().contains("@") || TxTable.exists(session, dir),
+          s"cannot CREATE TABLE ${ident.name()}: '@' names a branch ref " +
+            "(use CALL graft.system.create_branch to open one)")
         InsertIntoDataSourceCommand(
           LogicalRelation(GraftInsertableRelation(dir, r.query.schema,
             identityPartCols(r.partitioning),

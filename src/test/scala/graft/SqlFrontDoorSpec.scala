@@ -1513,14 +1513,6 @@ class SqlFrontDoorSpec extends SparkTestBase {
     ext.sql("INSERT INTO graft.db.defs (k) VALUES ('g')")
     val gres = ext.sql("SELECT score FROM graft.db.defs WHERE k = 'g'")
       .collect().toSeq
-    if (!gres.head.isNullAt(0)) {
-      println("DBG g-row=" + gres)
-      println("DBG after-drop defaults=" + TxTable.columnDefaults(ext, dir))
-      TxTable.liveFilePaths(ext, dir).foreach { p =>
-        println("DBG file=" + p + " schema=" +
-          ext.read.parquet(p).schema.fieldNames.mkString(","))
-      }
-    }
     assert(gres.head.isNullAt(0), gres)
 
     // time travel below the ADD COLUMN reads the OLD schema — no score
@@ -2474,5 +2466,113 @@ class SqlFrontDoorSpec extends SparkTestBase {
       ext.read.format("graft").load(dir).count()
     }
     assert(e.getMessage.contains("mixes partition layouts"))
+  }
+
+  test("generated-column derivation never fires for a DATE-typed source: raw date predicates scan all fragments and return the right rows") {
+    // year(order_date) with order_date DATE is legal DDL, but derivation
+    // interprets predicate bounds as TIMESTAMP micros — day numbers read
+    // as microseconds would derive year 1970 and prune every live
+    // fragment (silently zero rows). The guard skips derivation for
+    // non-TIMESTAMP sources; correctness first, pruning never.
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.gdate")
+    ext.sql("CREATE TABLE graft.db.gdate (" +
+      "d DATE, v INT, yr INT GENERATED ALWAYS AS (year(d))) " +
+      "PARTITIONED BY (yr)")
+    ext.sql("INSERT INTO graft.db.gdate (d, v) VALUES " +
+      "(DATE'2021-06-01', 1), (DATE'2022-06-01', 2), " +
+      "(DATE'2023-06-01', 3), (DATE'2024-06-01', 4)")
+    val q = ext.sql("SELECT v FROM graft.db.gdate WHERE d BETWEEN " +
+      "DATE'2022-01-01' AND DATE'2023-12-31'")
+    // the bug scenario derives year 1970, prunes EVERY fragment, and
+    // returns zero rows — correct values are the fix's evidence. (The
+    // matching fragments may still be the ONLY ones scanned: per-file
+    // min/max stats on d itself prune the other two, legitimately.)
+    assert(q.collect().map(_.getInt(0)).toSet == Set(2, 3))
+    assert(scannedFiles(q) >= 2, s"scanned ${scannedFiles(q)} of 4")
+    val qp = ext.sql("SELECT v FROM graft.db.gdate WHERE yr = 2022")
+    assert(scannedFiles(qp) == 1 && qp.head.getInt(0) == 2)
+  }
+
+  test("graft.bucket cannot be re-declared over live files; declaring it on an empty table is fine") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.bchg")
+    ext.sql("CREATE TABLE graft.db.bchg PARTITIONED BY (bucket(4, k)) AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(100)")
+    // changing N (or the column) over live files would make recorded
+    // bucket ids and _NNNNN suffixes lies: refused loudly
+    val e = intercept[Exception] {
+      ext.sql("ALTER TABLE graft.db.bchg SET TBLPROPERTIES" +
+        "('graft.bucket'='8:k')")
+    }
+    assert(e.getMessage.contains("graft.bucket"), e.getMessage)
+    // re-declaring the SAME spec is a no-op, not a refusal
+    ext.sql("ALTER TABLE graft.db.bchg SET TBLPROPERTIES" +
+      "('graft.bucket'='4:k')")
+    // an EMPTY table has no file that could disagree: declaring is legal
+    // and the first write lands bucketed under the new spec
+    ext.sql("DROP TABLE IF EXISTS graft.db.bdecl")
+    ext.sql("CREATE TABLE graft.db.bdecl (k BIGINT, v BIGINT)")
+    ext.sql("ALTER TABLE graft.db.bdecl SET TBLPROPERTIES" +
+      "('graft.bucket'='4:k')")
+    ext.sql("INSERT INTO graft.db.bdecl SELECT id, id * 2 FROM range(100)")
+    assert(ext.sql("SELECT count(*) FROM graft.db.bdecl WHERE k = 7")
+      .head.getLong(0) == 1)
+    val pointScan = scannedFiles(
+      ext.sql("SELECT v FROM graft.db.bdecl WHERE k = 7"))
+    val total = TxTable.liveFilePaths(ext, s"$lakeRoot/db/bdecl").size
+    assert(pointScan < total, s"point lookup scanned $pointScan of $total")
+  }
+
+  test("CREATE TABLE with '@' in the name refuses: branches come from create_branch, never CREATE") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val e = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.db.`t@fab` (id BIGINT)")
+    }
+    assert(e.getMessage.contains("branch"), e.getMessage)
+    val e2 = intercept[Exception] {
+      ext.sql("CREATE TABLE graft.db.`t2@fab` AS SELECT id FROM range(5)")
+    }
+    assert(e2.getMessage.contains("branch"), e2.getMessage)
+  }
+
+  test("CONVERT refuses a legacy data/ subdir holding parquet; a many-file adoption goes through the distributed footer scan intact") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val sq = ext.sqlContext; import sq.implicits._
+    // (a) a pre-existing NON-ENGINE data/ subdir with parquet: adopting
+    // around it would silently drop those rows — must refuse loudly
+    val bad = s"$lakeRoot/db/legacy_datadir"
+    val badP = new org.apache.hadoop.fs.Path(bad)
+    val fs = badP.getFileSystem(ext.sparkContext.hadoopConfiguration)
+    fs.delete(badP, true)
+    (1 to 10).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .repartition(1).write.parquet(s"$bad/data")
+    val e = intercept[Exception] {
+      ext.sql("CONVERT TO GRAFT graft.db.legacy_datadir")
+    }
+    assert(e.getMessage.contains("data"), e.getMessage)
+    fs.delete(badP, true)
+    // (b) > 64 files routes the footer reads through a Spark job (one
+    // task per ~64 files) — adoption must be behavior-identical: same
+    // rows, stats present (range skipping works)
+    val many = s"$lakeRoot/db/legacy_many"
+    fs.delete(new org.apache.hadoop.fs.Path(many), true)
+    (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .repartition(70, col("k")).write.parquet(many)
+    val pre = ext.read.parquet(many).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    ext.sql("DROP TABLE IF EXISTS graft.db.legacy_many")
+    val adopted = ext.sql("CONVERT TO GRAFT graft.db.legacy_many")
+      .head.getInt(0)
+    // hash-partitioning 200 keys over 70 writers leaves a few empty
+    // partitions (no file): anything above the 64-file threshold proves
+    // the distributed path ran
+    assert(adopted > 64 && adopted <= 70, s"adopted=$adopted")
+    assert(ext.sql("SELECT k, v FROM graft.db.legacy_many").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == pre)
+    // footer stats arrived through the distributed path: a point range
+    // prunes most of the 70 files
+    val kept = TxTable.readSkipping(ext, many, "k", 5L, 5L).get
+    assert(kept.count() < 200 && kept.filter(col("k") === 5L).count() == 1)
   }
 }

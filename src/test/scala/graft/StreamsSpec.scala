@@ -158,13 +158,18 @@ class StreamsSpec extends SparkTestBase {
     val q = closed.writeStream.outputMode("append")
       .format("memory").queryName("sessions")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val streamed = spark.sql("SELECT COUNT(*) FROM sessions").collect()(0).getLong(0)
-    val batchSessions = SparkEntry.queries("q26_sessionize")(spark, sf()).count()
-    val nUsers = events.select("user_id").distinct().count()
-    // every session closes except each user's final (still-open) one
-    assert(streamed == batchSessions - nUsers,
-      s"streamed=$streamed batch=$batchSessions users=$nUsers")
+    // stop unconditionally: a query that outlives its test keeps
+    // StateStore maintenance threads alive for the whole suite (the
+    // r14 teardown ERROR + 20 minutes of coordinator lag warnings)
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.sql("SELECT COUNT(*) FROM sessions").collect()(0).getLong(0)
+      val batchSessions = SparkEntry.queries("q26_sessionize")(spark, sf()).count()
+      val nUsers = events.select("user_id").distinct().count()
+      // every session closes except each user's final (still-open) one
+      assert(streamed == batchSessions - nUsers,
+        s"streamed=$streamed batch=$batchSessions users=$nUsers")
+    } finally q.stop()
   }
 
   test("reference timeline lifecycle transform runs unchanged as a stream") {
