@@ -235,17 +235,11 @@ object SparkEntry {
     // Corpus capped at 500 docs for the same reason as q62: the md5 family
     // is the verification twin; production clustering feeds xxhash64 pairs
     // (minhashNearDups) through the same propagation.
-    // Pair derivation routed through the PINNED index
-    // (portableClusterIndex + portableNearDupsOverIndex ≡ portableNearDups
-    // by construction): the signature pass — three consumers deep in the
-    // pair plan — runs once instead of three times (guide §2.4: don't
-    // recompute what one pass can pin).
     "q64_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
-        Dedup.portableNearDupsOverIndex(
-          Dedup.portableClusterIndex(
-            T(s, dir, "documents").filter(col("doc_id") < 500),
-            "doc_id", "text")))),
+        Dedup.portableNearDups(
+          T(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text"))),
 
     // §7.6 leakage-safe corpus split: the split unit is q64's near-dup
     // CLUSTER — near-duplicates can't straddle train/eval by construction
@@ -255,10 +249,8 @@ object SparkEntry {
     // (recursive CTE) + singleton fallback + the literal bucket cuts.
     "q78_leakage_safe_split" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
-      // the q64 pinned-index route: one signature pass, not three
       val labels = Dedup.nearDupClusters(
-        Dedup.portableNearDupsOverIndex(
-          Dedup.portableClusterIndex(docs, "doc_id", "text")))
+        Dedup.portableNearDups(docs, "doc_id", "text"))
       Sampling.leakageSafeSplit(docs, "doc_id", labels,
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
     }),
@@ -1775,10 +1767,8 @@ object SparkEntry {
     // no global sort; cluster sizes bound each partition.
     "q138_dedup_keep_best" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
-      // the q64 pinned-index route: one signature pass, not three
       val clusters = Dedup.nearDupClusters(
-        Dedup.portableNearDupsOverIndex(
-          Dedup.portableClusterIndex(docs, "doc_id", "text")))
+        Dedup.portableNearDups(docs, "doc_id", "text"))
       val members = clusters
         .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       val w = Window.partitionBy(col("cluster_id"))

@@ -214,15 +214,9 @@ object Corpus {
         case Some(r) if r.getLong(2) >= minPairCount =>
           val (l, rt, c) = (r.getString(0), r.getString(1), r.getLong(2))
           merges += ((rank, l, rt, c))
-          // apply the merge LAZILY and checkpoint every 4th rank (the
-          // bpeSegment cadence idea): each argmax job re-evaluates at
-          // most 3 pending narrow mergePass projections over the pinned
-          // word table — far cheaper than the extra Spark job a
-          // per-merge checkpoint costs (halves the loop's job count;
-          // same merges, bit-for-bit, since mergePass is deterministic)
           state = state
             .select(col("wcount"), mergePass(col("syms"), l, rt).as("syms"))
-          if (rank % 4 == 0) state = state.localCheckpoint()
+            .localCheckpoint()
           rank += 1
         case _ => exhausted = true
       }
