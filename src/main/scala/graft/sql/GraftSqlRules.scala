@@ -650,6 +650,28 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
     // ON key — otherwise the recompute would need the target row, which
     // a keyed merge's SET values cannot reference: refuse loudly).
     val genSpecs = TxTable.generatedSpecs(session, t.dir)
+    // Column DEFAULTs under MERGE: a `WHEN NOT MATCHED THEN INSERT (k,
+    // price)` into a table with `status STRING DEFAULT 'new'` must land
+    // the default, not NULL — the reference's ON CONFLICT insert into
+    // DEFAULT-bearing tables and Spark's own V2 merge resolution both
+    // fill it. The CURRENT default SQL pads exactly the insert-side
+    // value of omitted columns (updates never see it: unmentioned
+    // columns are not in updateCols, so the update slice keeps the
+    // target's values). Identity and generated columns are excluded —
+    // they are engine-computed, never defaulted.
+    val mergeDefaults: Map[String, String] =
+      if (insertSets.isEmpty) Map.empty
+      else {
+        val ids = TxTable.identitySpecs(session, t.dir).keySet
+        TxTable.columnDefaults(session, t.dir, None).collect {
+          case (c, (Some(cur), _))
+            if !ids.exists(_.equalsIgnoreCase(c)) &&
+              !genSpecs.keys.exists(_.equalsIgnoreCase(c)) =>
+            c.toLowerCase(java.util.Locale.ROOT) -> cur
+        }.toMap
+      }
+    def mergeDefaultFor(n: String): Option[String] =
+      mergeDefaults.get(n.toLowerCase(java.util.Locale.ROOT))
     var updateAG = updateA
     var insertAG = insertA
     var realUpdatesG = realUpdates
@@ -683,9 +705,11 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
         if (ok) Some(e2.sql) else None
       }
       if (insertSets.isDefined) {
-        // a source column the INSERT omits is NULL in the inserted row —
-        // the computed expression sees exactly that
-        val gi = subst(n => named(insertA, n), missingToNull = true).get
+        // a source column the INSERT omits is its DEFAULT (when declared)
+        // or NULL in the inserted row — the computed expression sees
+        // exactly what the row will carry
+        val gi = subst(n => named(insertA, n).orElse(mergeDefaultFor(n)),
+          missingToNull = true).get
         insertAG = insertAG + (g -> ((gi, Option.empty[String])))
       }
       val touchesSource = refs.exists(r =>
@@ -755,10 +779,13 @@ final case class GraftSqlRules(session: SparkSession) extends Rule[LogicalPlan] 
             if (insertSets.isEmpty) {
               // no INSERT clause: the in-row value only ever feeds updates
               ub.foreach(producedBare(f.name) = _); u
-            } else { divergent += ((f.name, u, f.dataType.sql)); "NULL" }
+            } else {
+              divergent += ((f.name, u, f.dataType.sql))
+              mergeDefaultFor(f.name).getOrElse("NULL")
+            }
           case (None, Some((i, ib))) =>
             ib.foreach(producedBare(f.name) = _); i
-          case (None, None) => "NULL"
+          case (None, None) => mergeDefaultFor(f.name).getOrElse("NULL")
         }
       }
       f.name -> s"CAST(($e) AS ${f.dataType.sql})"

@@ -2536,6 +2536,44 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(e2.getMessage.contains("branch"), e2.getMessage)
   }
 
+  test("MERGE fills column DEFAULTs on the insert slice; update slices never see them") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.mdef")
+    ext.sql("CREATE TABLE graft.db.mdef (" +
+      "k BIGINT, price DOUBLE, status STRING DEFAULT 'new', " +
+      "note STRING DEFAULT 'n/a')")
+    ext.sql("INSERT INTO graft.db.mdef (k, price, status, note) VALUES " +
+      "(1, 10.0, 'old', 'kept'), (2, 20.0, 'old', 'kept')")
+    // source: k=2 matches (update), k=3 is new (insert omits status+note)
+    ext.sql("""MERGE INTO graft.db.mdef t USING (
+                 SELECT * FROM VALUES (2L, 200.0), (3L, 300.0) AS s(k, price)) s
+               ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET price = s.price, note = 'upd'
+               WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)""")
+    val rows = ext.sql(
+      "SELECT k, price, status, note FROM graft.db.mdef ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(rows == Seq(
+      // untouched row keeps its values
+      (1L, 10.0, "old", "kept"),
+      // matched row: price + note updated, status untouched (never 'new')
+      (2L, 200.0, "old", "upd"),
+      // inserted row: omitted columns land their CURRENT defaults —
+      // status via the (None, None) path, note via the divergent
+      // (UPDATE-sets-it, INSERT-omits-it) path
+      (3L, 300.0, "new", "n/a")), rows.toString)
+    // a table with NO defaults keeps standard MERGE NULL padding
+    ext.sql("DROP TABLE IF EXISTS graft.db.mnodef")
+    ext.sql("CREATE TABLE graft.db.mnodef (k BIGINT, price DOUBLE, tag STRING)")
+    ext.sql("INSERT INTO graft.db.mnodef VALUES (1, 1.0, 't')")
+    ext.sql("""MERGE INTO graft.db.mnodef t USING (
+                 SELECT 2L AS k, 2.0 AS price) s ON t.k = s.k
+               WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)""")
+    assert(ext.sql("SELECT tag FROM graft.db.mnodef WHERE k = 2")
+      .head.isNullAt(0))
+  }
+
   test("CONVERT refuses a legacy data/ subdir holding parquet; a many-file adoption goes through the distributed footer scan intact") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     val sq = ext.sqlContext; import sq.implicits._
