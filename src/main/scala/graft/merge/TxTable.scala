@@ -2463,11 +2463,27 @@ object TxTable {
     * (so deletion vectors taken on the branch key correctly against
     * main's live paths). The branch dir is deleted at the end — its
     * batches now belong to main. Returns the number of commits
-    * published. */
+    * published.
+    *
+    * Crash/conflict safety (the r14 TOCTOU): main readers resolve files
+    * through the LOG, so a batch dir sitting in main's `data/` with no
+    * commit referencing it is invisible — which lets the publish move
+    * EVERY batch before landing ANY commit. A `_publish_intent` marker
+    * (the moved batch list) is written into the branch dir first, so a
+    * crash mid-move is recoverable: the next publish restores every
+    * listed batch that main's log does not reference, then proceeds
+    * fresh. A commit-slot conflict (a concurrent writer beat the
+    * publish) rolls the unreferenced moves back and rethrows — nothing
+    * half-applied, the branch stays readable. If SOME commits landed
+    * before the conflict, exactly those batches stay (main's log owns
+    * them) and the re-run refuses on the fast-forward check, loudly. */
   def publishBranch(spark: SparkSession, dir: String, name: String): Int = {
     val fs = hadoopFs(spark, dir)
     val bd = branchDirOf(dir, name)
     require(exists(spark, bd), s"no branch `$name` on $dir")
+    val bdPath = new Path(bd)
+    val intent = new Path(bdPath, PublishIntentName)
+    if (fs.exists(intent)) recoverPublish(spark, fs, dir, intent)
     val base = tableProperties(spark, bd).get(BranchBaseProp)
       .map(_.toLong).getOrElse(throw new IllegalStateException(
         s"$bd carries no ${BranchBaseProp} — not a branch?"))
@@ -2477,53 +2493,22 @@ object TxTable {
         s"since branch `$name` was created — recreate the branch from " +
         "the current head and replay the work")
     val mainQ = fs.makeQualified(new Path(dir)).toString
-    val bdPath = new Path(bd)
-    val moved = scala.collection.mutable.Set.empty[String]
-    def moveBatch(rel: String): Unit =
-      batchPrefixOf(rel).foreach { bp =>
-        if (!moved.contains(bp)) {
-          val from = new Path(bdPath, bp)
-          val to = new Path(dir, bp)
-          if (fs.exists(from)) {
-            if (bp.startsWith(s"$DataDirName/dv-")) {
-              // a deletion-vector sidecar keys rows by file PATH: rows
-              // targeting main's files carry the branch's ABSOLUTE refs
-              // and must re-key to main-relative on the way over. The
-              // sidecar is O(deleted positions) — a bounded rewrite, not
-              // a data copy.
-              val sc = readSidecar(spark, from.toString)
-              fs.mkdirs(to.getParent)
-              sc.select(when(col("file").startsWith(mainQ + "/"),
-                  col("file").substr(
-                    org.apache.spark.sql.functions.lit(mainQ.length + 2),
-                    org.apache.spark.sql.functions.lit(Int.MaxValue)))
-                  .otherwise(col("file")).as("file"), col("pos"))
-                .repartition(col("file"))
-                .sortWithinPartitions("file", "pos")
-                .write.parquet(to.toString)
-              fs.delete(from, true)
-            } else {
-              fs.mkdirs(to.getParent)
-              require(fs.rename(from, to),
-                s"publish: rename $from -> $to failed")
-            }
-          }
-          moved += bp
-        }
-      }
+
+    // pass 1 — PURE: fix every commit's paths and collect the batch
+    // prefixes that must move; no filesystem mutation yet
+    val toMove = scala.collection.mutable.LinkedHashSet.empty[String]
     def fixPath(p: String): String = {
       val hp = new Path(p)
       if (hp.isAbsolute || hp.toUri.getScheme != null) {
         // an absolute ref back into main re-relativizes; any other
         // absolute ref (a clone-of-clone) passes through untouched
         if (p.startsWith(mainQ + "/")) p.stripPrefix(mainQ + "/") else p
-      } else { moveBatch(p); p }
+      } else { batchPrefixOf(p).foreach(toMove += _); p }
     }
     val branchCommits = listCommits(fs, bd).filter(_._1 >= 2L)
-    var published = 0
-    branchCommits.foreach { case (_, cp) =>
+    val fixedCommits = branchCommits.map { case (_, cp) =>
       val c = parse(fs, cp)
-      val fixed = c.copy(
+      c.copy(
         files = c.files.map(e => e.copy(path = fixPath(e.path),
           dv = e.dv.map(d => d.copy(dir = fixPath(d.dir))))),
         // "rewrite" carries FILE paths in removedParts (the retired
@@ -2535,15 +2520,114 @@ object TxTable {
         dvRefs = c.dvRefs.map { case (k, d) =>
           fixPath(k) -> d.copy(dir = fixPath(d.dir)) },
         props = c.props.filterNot(_._1.startsWith("graft.branch.")))
-      commit(fs, dir, fixed, expectedHead = Some(base + published))
-      published += 1
     }
-    // the branch's batches moved into main; what remains (log + seed) is
-    // unreferenced — reclaim the ref
+
+    // pass 2 — move every batch, intent-first so a crash is recoverable.
+    // DV sidecars REWRITE into main (row keys re-relativize) and keep the
+    // branch original — the branch dir deletion at the end reclaims it.
+    val out = fs.create(intent, true)
+    try out.write(toMove.toSeq.sorted.mkString("\n")
+      .getBytes(UTF_8)) finally out.close()
+    toMove.foreach { bp =>
+      val from = new Path(bdPath, bp)
+      val to = new Path(dir, bp)
+      if (fs.exists(from)) {
+        if (bp.startsWith(s"$DataDirName/dv-")) {
+          val sc = readSidecar(spark, from.toString)
+          fs.mkdirs(to.getParent)
+          sc.select(when(col("file").startsWith(mainQ + "/"),
+              col("file").substr(
+                org.apache.spark.sql.functions.lit(mainQ.length + 2),
+                org.apache.spark.sql.functions.lit(Int.MaxValue)))
+              .otherwise(col("file")).as("file"), col("pos"))
+            .repartition(col("file"))
+            .sortWithinPartitions("file", "pos")
+            .write.mode("overwrite").parquet(to.toString)
+        } else {
+          fs.mkdirs(to.getParent)
+          require(fs.rename(from, to),
+            s"publish: rename $from -> $to failed")
+        }
+      }
+    }
+
+    // pass 3 — land the commits. On a slot conflict, roll back every
+    // moved batch no LANDED commit references and rethrow.
+    var published = 0
+    try {
+      fixedCommits.foreach { c =>
+        commit(fs, dir, c, expectedHead = Some(base + published))
+        published += 1
+      }
+    } catch {
+      case e: Throwable =>
+        val landedRefs = fixedCommits.take(published)
+          .flatMap(c => c.files.map(_.path) ++ c.files.flatMap(_.dv.map(_.dir))
+            ++ c.dvRefs.map(_._2.dir)).flatMap(batchPrefixOf).toSet
+        toMove.filterNot(landedRefs.contains).foreach { bp =>
+          val to = new Path(dir, bp)
+          if (fs.exists(to)) {
+            if (bp.startsWith(s"$DataDirName/dv-")) fs.delete(to, true)
+            else {
+              val back = new Path(bdPath, bp)
+              fs.mkdirs(back.getParent)
+              fs.rename(to, back)
+            }
+          }
+        }
+        if (published == 0) fs.delete(intent, false)
+        throw new java.io.IOException(
+          s"publish of branch `$name` aborted after $published of " +
+            s"${fixedCommits.size} commits (concurrent writer on $dir?): " +
+            (if (published == 0)
+              "nothing was applied; the branch is intact — re-run publish"
+            else
+              "the landed commits' batches belong to main now; re-running " +
+                "publish will refuse on the fast-forward check"), e)
+    }
+    // the branch's batches moved into main; what remains (log + seed +
+    // intent + dv originals) is unreferenced — reclaim the ref
     fs.delete(bdPath, true)
     recordRefEvent(spark, dir,
       s"branch `$name` published ($published commits) and reclaimed")
     published
+  }
+
+  private val PublishIntentName = "_publish_intent"
+
+  /** Recover from a publish that crashed between the intent write and the
+    * branch-dir delete: every intended batch that sits in main WITHOUT any
+    * main-log commit referencing it moves back to the branch (plain
+    * batches) or deletes (rewritten DV sidecars — the branch kept its
+    * original), then the intent clears. Batches main's log references
+    * stay — a landed commit owns them. */
+  private def recoverPublish(spark: SparkSession, fs: FileSystem,
+                             dir: String, intent: Path): Unit = {
+    val in = fs.open(intent)
+    val bps = try new String(in.readAllBytes(), UTF_8).linesIterator
+      .filter(_.nonEmpty).toSeq finally in.close()
+    // every batch prefix ANY main commit mentions (live or historical —
+    // time travel may still read superseded commits)
+    val referenced = listCommits(fs, dir).map(_._2).flatMap { p =>
+      val c = parse(fs, p)
+      (c.files.map(_.path) ++ c.files.flatMap(_.dv.map(_.dir)) ++
+        c.dvRefs.map(_._2.dir) ++
+        (if (c.action == "rewrite") c.removedParts else Nil))
+        .flatMap(batchPrefixOf)
+    }.toSet
+    val bdPath = intent.getParent
+    bps.filterNot(referenced.contains).foreach { bp =>
+      val to = new Path(dir, bp)
+      if (fs.exists(to)) {
+        if (bp.startsWith(s"$DataDirName/dv-")) fs.delete(to, true)
+        else {
+          val back = new Path(bdPath, bp)
+          fs.mkdirs(back.getParent)
+          fs.rename(to, back)
+        }
+      }
+    }
+    fs.delete(intent, false)
   }
 
   /** Tag refs — immutable named versions (`_graft_log/refs/<name>.tag`

@@ -1688,6 +1688,44 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(TxTable.listBranches(ext, dir).isEmpty)
   }
 
+  test("a publish that crashed mid-move recovers: the intent marker restores unreferenced batches and the re-run publishes cleanly") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.wapcr")
+    ext.sql("CREATE TABLE graft.db.wapcr AS SELECT id FROM range(100)")
+    val dir = s"$lakeRoot/db/wapcr"
+    ext.sql("CALL graft.system.create_branch('db.wapcr', 'cr')")
+    ext.sql("INSERT INTO graft.db.`wapcr@cr` SELECT id FROM range(100, 150)")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(ext.sparkContext.hadoopConfiguration)
+    val bd = new org.apache.hadoop.fs.Path(s"$dir/_graft_branches/cr")
+    // simulate a publish that moved the branch's batch into main and then
+    // crashed before landing any commit: rename the batch dir by hand and
+    // write the intent marker a real publish would have written first
+    val branchData = fs.listStatus(
+      new org.apache.hadoop.fs.Path(bd, "data")).map(_.getPath)
+      .filter(p => fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    assert(branchData.length == 1, branchData.mkString(","))
+    val bp = "data/" + branchData.head.getName
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
+    assert(fs.rename(branchData.head,
+      new org.apache.hadoop.fs.Path(dir, bp)))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(bd, "_publish_intent"), true)
+    out.write(bp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    // main is UNAFFECTED by the stray dir (readers resolve via the log)
+    assert(ext.sql("SELECT count(*) FROM graft.db.wapcr").head.getLong(0) == 100)
+    // the branch's own read of that batch would fail right now — exactly
+    // the r14 half-applied hazard. The next publish must first restore.
+    val published = ext.sql(
+      "CALL graft.system.publish_branch('db.wapcr', 'cr')").head.getInt(0)
+    assert(published == 1, s"published=$published")
+    assert(ext.sql("SELECT count(*) FROM graft.db.wapcr").head.getLong(0) == 150)
+    assert(ext.sql("SELECT sum(id) FROM graft.db.wapcr").head.getLong(0) ==
+      (0L until 150L).sum)
+    assert(TxTable.listBranches(ext, dir).isEmpty)
+  }
+
   test("branch publish carries MoR deletion vectors taken on the branch (dvRef paths re-key to main)") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.wapdv")
