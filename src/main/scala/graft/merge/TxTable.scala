@@ -2606,15 +2606,18 @@ object TxTable {
     val in = fs.open(intent)
     val bps = try new String(in.readAllBytes(), UTF_8).linesIterator
       .filter(_.nonEmpty).toSeq finally in.close()
-    // every batch prefix ANY main commit mentions (live or historical —
-    // time travel may still read superseded commits)
-    val referenced = listCommits(fs, dir).map(_._2).flatMap { p =>
-      val c = parse(fs, p)
-      (c.files.map(_.path) ++ c.files.flatMap(_.dv.map(_.dir)) ++
-        c.dvRefs.map(_._2.dir) ++
-        (if (c.action == "rewrite") c.removedParts else Nil))
-        .flatMap(batchPrefixOf)
-    }.toSet
+    // every batch prefix ANY main commit OR checkpoint mentions (live or
+    // historical — time travel may still read superseded commits, and
+    // after a compactLog a landed batch may survive ONLY in a checkpoint;
+    // missing it here would pull a referenced batch out of main)
+    val referenced = (listCommits(fs, dir) ++ listCheckpoints(fs, dir))
+      .map(_._2).flatMap { p =>
+        val c = parse(fs, p)
+        (c.files.map(_.path) ++ c.files.flatMap(_.dv.map(_.dir)) ++
+          c.dvRefs.map(_._2.dir) ++
+          (if (c.action == "rewrite") c.removedParts else Nil))
+          .flatMap(batchPrefixOf)
+      }.toSet
     val bdPath = intent.getParent
     bps.filterNot(referenced.contains).foreach { bp =>
       val to = new Path(dir, bp)
