@@ -258,11 +258,13 @@ object Dedup {
     // joins carries ONLY (band, doc_id) — signatures would multiply shuffle
     // width by k×8 bytes per row. Signatures join back only after the pair
     // set is distinct, so the Jaccard estimate runs once per unique pair.
-    // pin the signatures: they feed the band table AND both sides of the
-    // estimate join below — three consumers whose projections differ, so
-    // exchange reuse never fires and the n-gram hash pass (the expensive
-    // part) would otherwise execute three times (measured ~35% of q64-
-    // family wall-clock; same rationale as portableClusterIndex)
+    // NOTE deliberately NOT pinned (no localCheckpoint): the signatures
+    // feed three consumers, but callers like q16's keeper aggregation
+    // rely on the optimizer ELIMINATING the whole pair pipeline under a
+    // count, and any checkpoint is an optimizer barrier; the r15 A/B also
+    // measured the pin slower than the parallel triple recompute at
+    // bench scale. Consumers that need every edge pin at THEIR level
+    // (portableClusterIndex).
     val sigs = signatures(docs, idCol, textCol, n, k)
     val narrow = lshBands(sigs, k, bands)
     val pairs = narrow
@@ -398,6 +400,8 @@ object Dedup {
     * component. */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
+    // restore (not null) on exit: a caller's own description must survive
+    val callerDesc = sc.getLocalProperty("spark.job.description")
     // pin the edge set: EVERY iteration (and each convergence check) joins
     // against it — without this the upstream pair computation (banding +
     // signature agreement, the expensive part) re-executes per iteration,
@@ -464,7 +468,7 @@ object Dedup {
       labels = updated.drop("__changed")
       iter += 1
     }
-    sc.setJobDescription(null)
+    sc.setJobDescription(callerDesc)
     if (changed) throw new IllegalStateException(
       s"nearDupClusters did not converge within maxIter=$maxIter rounds: " +
         "labels were still changing in the last iteration, so a component " +

@@ -1148,7 +1148,7 @@ object TxTable {
       val st = fs.getFileStatus(new Path(sortedPaths.head))
       s"${st.getModificationTime}:${st.getLen}"
     } catch { case _: java.io.IOException => "?" }
-    s"$base|${sortedPaths.mkString("")}|$head|" + parquetConfKey(spark)
+    s"$base|${sortedPaths.mkString("\u0000")}|$head|" + parquetConfKey(spark)
   }
 
   private def readBatch(spark: SparkSession, base: String,
@@ -1196,17 +1196,37 @@ object TxTable {
       val conf = spark.sparkContext.hadoopConfiguration
       val rd = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(sortedPaths.head), conf))
-      val msg = try rd.getFooter.getFileMetaData.getSchema finally rd.close()
+      val (msg, rowMeta) = try {
+        val fm = rd.getFooter.getFileMetaData
+        (fm.getSchema,
+          Option(fm.getKeyValueMetaData.get(
+            "org.apache.spark.sql.parquet.row.metadata")))
+      } finally rd.close()
+      // Spark's own inference PREFERS the catalyst schema the writer
+      // serialized into the footer (readSchemaFromFooter) and only falls
+      // back to the message-type converter — mirror that exactly, or a
+      // type the converter maps differently under this session's confs
+      // (TIMESTAMP_NTZ with inferTimestampNTZ=false, char/varchar
+      // metadata) would diverge from what a cold read infers.
+      val fromMeta: Option[StructType] = rowMeta.flatMap { j =>
+        try Some(org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType])
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
       def b(k: String, d: String) = spark.conf.get(k, d).toBoolean
-      val conv = new org.apache.spark.sql.execution.datasources.parquet
-        .ParquetToSparkSchemaConverter(
-          assumeBinaryIsString = b("spark.sql.parquet.binaryAsString", "false"),
-          assumeInt96IsTimestamp = b("spark.sql.parquet.int96AsTimestamp", "true"),
-          caseSensitive = b("spark.sql.caseSensitive", "false"),
-          inferTimestampNTZ =
-            b("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
-          nanosAsLong = b("spark.sql.legacy.parquet.nanosAsLong", "false"))
-      val warm = nullifySchema(conv.convert(msg)).asInstanceOf[StructType]
+      def converted: StructType = {
+        val conv = new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(
+            assumeBinaryIsString = b("spark.sql.parquet.binaryAsString", "false"),
+            assumeInt96IsTimestamp = b("spark.sql.parquet.int96AsTimestamp", "true"),
+            caseSensitive = b("spark.sql.caseSensitive", "false"),
+            inferTimestampNTZ =
+              b("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+            nanosAsLong = b("spark.sql.legacy.parquet.nanosAsLong", "false"))
+        conv.convert(msg)
+      }
+      val warm = nullifySchema(fromMeta.getOrElse(converted))
+        .asInstanceOf[StructType]
       if (batchSchemaCache.size > 8192) batchSchemaCache.clear()
       batchSchemaCache.put(key, warm)
     }
@@ -2488,10 +2508,6 @@ object TxTable {
       .map(_.toLong).getOrElse(throw new IllegalStateException(
         s"$bd carries no ${BranchBaseProp} — not a branch?"))
     val mainHead = headVersion(spark, dir).get
-    require(mainHead == base,
-      s"fast-forward publish refused: $dir advanced ($base -> $mainHead) " +
-        s"since branch `$name` was created — recreate the branch from " +
-        "the current head and replay the work")
     val mainQ = fs.makeQualified(new Path(dir)).toString
 
     // pass 1 — PURE: fix every commit's paths and collect the batch
@@ -2520,6 +2536,33 @@ object TxTable {
         dvRefs = c.dvRefs.map { case (k, d) =>
           fixPath(k) -> d.copy(dir = fixPath(d.dir)) },
         props = c.props.filterNot(_._1.startsWith("graft.branch.")))
+    }
+
+    // Idempotence: a publish that crashed AFTER landing every commit but
+    // BEFORE deleting the branch dir re-enters here with mainHead > base.
+    // If main's slots base+1..base+n hold exactly this branch's fixed
+    // commits, the publish already happened — finish the cleanup instead
+    // of refusing with wrong guidance.
+    if (mainHead != base) {
+      val n = fixedCommits.size
+      val alreadyLanded = n > 0 && mainHead >= base + n && {
+        val byV = listCommits(fs, dir).toMap
+        (1 to n).forall { i =>
+          byV.get(base + i).exists(p => render(parse(fs, p)) ==
+            render(fixedCommits(i - 1)))
+        }
+      }
+      if (alreadyLanded) {
+        fs.delete(bdPath, true)
+        recordRefEvent(spark, dir,
+          s"branch `$name` published ($n commits, completed after crash) " +
+            "and reclaimed")
+        return n
+      }
+      require(mainHead == base,
+        s"fast-forward publish refused: $dir advanced ($base -> $mainHead) " +
+          s"since branch `$name` was created — recreate the branch from " +
+          "the current head and replay the work")
     }
 
     // pass 2 — move every batch, intent-first so a crash is recoverable.
@@ -2564,6 +2607,7 @@ object TxTable {
         val landedRefs = fixedCommits.take(published)
           .flatMap(c => c.files.map(_.path) ++ c.files.flatMap(_.dv.map(_.dir))
             ++ c.dvRefs.map(_._2.dir)).flatMap(batchPrefixOf).toSet
+        var rolledBackAll = true
         toMove.filterNot(landedRefs.contains).foreach { bp =>
           val to = new Path(dir, bp)
           if (fs.exists(to)) {
@@ -2571,11 +2615,14 @@ object TxTable {
             else {
               val back = new Path(bdPath, bp)
               fs.mkdirs(back.getParent)
-              fs.rename(to, back)
+              if (!fs.rename(to, back)) rolledBackAll = false
             }
           }
         }
-        if (published == 0) fs.delete(intent, false)
+        // the intent is the ONLY recovery record: it may clear only when
+        // nothing landed AND every move came back — otherwise the next
+        // publish's recovery pass finishes the job
+        if (published == 0 && rolledBackAll) fs.delete(intent, false)
         throw new java.io.IOException(
           s"publish of branch `$name` aborted after $published of " +
             s"${fixedCommits.size} commits (concurrent writer on $dir?): " +
@@ -2619,6 +2666,7 @@ object TxTable {
           .flatMap(batchPrefixOf)
       }.toSet
     val bdPath = intent.getParent
+    var restoredAll = true
     bps.filterNot(referenced.contains).foreach { bp =>
       val to = new Path(dir, bp)
       if (fs.exists(to)) {
@@ -2626,10 +2674,14 @@ object TxTable {
         else {
           val back = new Path(bdPath, bp)
           fs.mkdirs(back.getParent)
-          fs.rename(to, back)
+          if (!fs.rename(to, back)) restoredAll = false
         }
       }
     }
+    require(restoredAll,
+      s"publish recovery for ${bdPath.getName} could not restore every " +
+        "intended batch (rename failed) — the intent marker is kept; " +
+        "re-run publish after the filesystem recovers")
     fs.delete(intent, false)
   }
 

@@ -1726,6 +1726,46 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(TxTable.listBranches(ext, dir).isEmpty)
   }
 
+  test("re-running a publish that crashed after landing every commit completes the cleanup instead of refusing") {
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    ext.sql("DROP TABLE IF EXISTS graft.db.wapid")
+    ext.sql("CREATE TABLE graft.db.wapid AS SELECT id FROM range(100)")
+    val dir = s"$lakeRoot/db/wapid"
+    ext.sql("CALL graft.system.create_branch('db.wapid', 'cd')")
+    ext.sql("INSERT INTO graft.db.`wapid@cd` SELECT id FROM range(100, 150)")
+    val conf = ext.sparkContext.hadoopConfiguration
+    val bd = new org.apache.hadoop.fs.Path(s"$dir/_graft_branches/cd")
+    val fs = bd.getFileSystem(conf)
+    // snapshot the branch dir, then publish for real
+    val side = new org.apache.hadoop.fs.Path(tmpDir("wapid-side"), "cd")
+    org.apache.hadoop.fs.FileUtil.copy(fs, bd, fs, side, false, true, conf)
+    assert(ext.sql("CALL graft.system.publish_branch('db.wapid', 'cd')")
+      .head.getInt(0) == 1)
+    assert(ext.sql("SELECT count(*) FROM graft.db.wapid").head.getLong(0) == 150)
+    // resurrect the exact crash-after-land state: branch log + seed back,
+    // its data batches GONE (they moved to main), intent marker present
+    org.apache.hadoop.fs.FileUtil.copy(fs, side, fs, bd, false, true, conf)
+    val batches = fs.listStatus(new org.apache.hadoop.fs.Path(bd, "data"))
+      .map(_.getPath).filter(p =>
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    assert(batches.length == 1)
+    val bp = "data/" + batches.head.getName
+    batches.foreach(fs.delete(_, true))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(bd, "_publish_intent"), true)
+    out.write(bp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(TxTable.listBranches(ext, dir).map(_._1) == Seq("cd"))
+    // the re-run must recognize the landed commits, finish the cleanup,
+    // and above all NOT land anything twice
+    assert(ext.sql("CALL graft.system.publish_branch('db.wapid', 'cd')")
+      .head.getInt(0) == 1)
+    assert(ext.sql("SELECT count(*) FROM graft.db.wapid").head.getLong(0) == 150)
+    assert(ext.sql("SELECT sum(id) FROM graft.db.wapid").head.getLong(0) ==
+      (0L until 150L).sum)
+    assert(TxTable.listBranches(ext, dir).isEmpty)
+  }
+
   test("branch publish carries MoR deletion vectors taken on the branch (dvRef paths re-key to main)") {
     ext.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     ext.sql("DROP TABLE IF EXISTS graft.db.wapdv")
